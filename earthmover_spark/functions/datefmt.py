@@ -1,0 +1,86 @@
+"""strftime -> Spark datetime pattern translation for ``date_format``.
+
+The reference reparses dates with pandas strftime patterns
+(earthmover/operations/column.py:372-421). Spark uses Java
+DateTimeFormatter patterns; this module translates the common directives
+and raises ``UntranslatablePattern`` for the rest, letting the operator
+fall back to a pandas UDF that runs real strftime/strptime.
+"""
+
+from __future__ import annotations
+
+
+class UntranslatablePattern(Exception):
+    pass
+
+
+_DIRECTIVES = {
+    "Y": "yyyy",
+    "y": "yy",
+    "m": "MM",
+    "d": "dd",
+    "H": "HH",
+    "I": "hh",
+    "M": "mm",
+    "S": "ss",
+    "f": "SSSSSS",
+    "p": "a",
+    "b": "MMM",
+    "B": "MMMM",
+    "a": "EEE",
+    "A": "EEEE",
+    "j": "DDD",
+    "z": "xx",
+    "%": "%",
+}
+
+# single-digit (non-padded) variants: %-d / %-m / %-H etc. Java has single
+# pattern letters for these.
+_NOPAD = {"d": "d", "m": "M", "H": "H", "I": "h", "M": "m", "S": "s", "j": "D"}
+
+
+def strftime_to_spark(fmt: str) -> str:
+    """Translate a strftime format to a Spark (Java) datetime pattern.
+
+    Literal alphabetic characters are single-quoted (Java treats bare
+    letters as pattern directives); ``'`` is escaped as ``''``.
+    """
+    out: list[str] = []
+    i = 0
+    n = len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= n:
+                raise UntranslatablePattern(fmt)
+            nxt = fmt[i + 1]
+            if nxt == "-":
+                if i + 2 < n and fmt[i + 2] in _NOPAD:
+                    out.append(_NOPAD[fmt[i + 2]])
+                    i += 3
+                    continue
+                raise UntranslatablePattern(fmt)
+            if nxt == "%":
+                out.append("%")
+                i += 2
+                continue
+            if nxt in _DIRECTIVES:
+                out.append(_DIRECTIVES[nxt])
+                i += 2
+                continue
+            raise UntranslatablePattern(f"{fmt!r}: %{nxt}")
+        if ch.isalpha():
+            # quote literal letter runs
+            j = i
+            while j < n and fmt[j].isalpha() and fmt[j] != "%":
+                j += 1
+            out.append("'" + fmt[i:j] + "'")
+            i = j
+            continue
+        if ch == "'":
+            out.append("''")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)

@@ -1,0 +1,255 @@
+"""Row-wise Jinja compute as Spark Column expressions.
+
+The reference's scalar-function surface is Jinja2 rendered per row
+(reference: earthmover/util.py:73-99, applied at
+earthmover/operations/column.py:53-59,115-121). Here every template goes
+through a two-stage compiler:
+
+1. **Peephole lowering** (`lower_template`): simple templates —
+   ``{{col}}``, ``{{value|int}}``, slices ``{{col[0:4]}}``, literal
+   text + placeholder concatenation, single arithmetic ops — compile to
+   native Column expressions that stay inside whole-stage codegen.
+   This is the perf-critical path at 100 TB: a lowered template never
+   leaves the JVM.
+
+2. **Arrow pandas_udf fallback** (`jinja_udf_column`): the full Jinja2
+   engine (filters, loops, conditionals, macros, ``__row_data__``,
+   ``md5``/``fromjson`` globals — reference earthmover/util.py:126-135)
+   runs over Arrow record batches. The template is compiled once per
+   executor (process-level cache), rendered per row within the batch.
+
+Rendered results are StringType — the reference's all-string data model
+(docs/design.md:44) makes every Jinja-derived column a string.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from earthmover_spark.util import string_view
+
+# ---------------------------------------------------------------------------
+# Peephole lowering
+# ---------------------------------------------------------------------------
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_EXPR_RE = re.compile(r"\{\{(.*?)\}\}", re.DOTALL)
+_BLOCK_RE = re.compile(r"\{%|\{#")
+
+# filters lowerable to native expressions; each maps a Column -> Column
+_NATIVE_FILTERS = {
+    "int": lambda c: c.cast("string").cast("double").cast("long"),
+    "float": lambda c: c.cast("string").cast("double"),
+    "upper": lambda c: F.upper(c.cast("string")),
+    "lower": lambda c: F.lower(c.cast("string")),
+    "trim": lambda c: F.trim(c.cast("string")),
+    "title": lambda c: F.initcap(c.cast("string")),
+    "length": lambda c: F.length(c.cast("string")),
+    "string": lambda c: c.cast("string"),
+    "abs": lambda c: F.abs(c.cast("double")),
+    "round": lambda c: F.round(c.cast("double")),
+}
+
+_NUMERIC_RESULT_FILTERS = {"int", "float", "length", "abs", "round"}
+
+_SLICE_RE = re.compile(rf"^({_IDENT})\[(-?\d*):(-?\d*)\]$")
+_INDEX_RE = re.compile(rf"^({_IDENT})\[(-?\d+)\]$")
+_NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+_STR_LIT_RE = re.compile(r"""^'([^'\\]*)'$|^"([^"\\]*)"$""")
+_BINOP_RE = re.compile(r"^(.*?)\s*([+\-*])\s*([^+\-*]+)$")
+
+
+class _NotLowerable(Exception):
+    pass
+
+
+def _lower_term(term: str, columns: list[str], value_col: str | None):
+    """Lower one filter-free term -> (Column, is_numeric). Raises _NotLowerable."""
+    term = term.strip()
+    if _NUM_RE.match(term):
+        if "." in term:
+            return F.lit(float(term)), True
+        return F.lit(int(term)), True
+    m = _STR_LIT_RE.match(term)
+    if m:
+        return F.lit(m.group(1) if m.group(1) is not None else m.group(2)), False
+    m = _SLICE_RE.match(term)
+    if m:
+        col = _resolve_name(m.group(1), columns, value_col)
+        start = int(m.group(2)) if m.group(2) else 0
+        stop = m.group(3)
+        s = col.cast("string")
+        if start >= 0:
+            if stop == "":
+                return F.substring(s, start + 1, 2**31 - 1), False
+            stop_i = int(stop)
+            if stop_i >= start:
+                return F.substring(s, start + 1, stop_i - start), False
+        raise _NotLowerable(term)
+    m = _INDEX_RE.match(term)
+    if m:
+        col = _resolve_name(m.group(1), columns, value_col)
+        idx = int(m.group(2))
+        if idx >= 0:
+            return F.substring(col.cast("string"), idx + 1, 1), False
+        raise _NotLowerable(term)
+    if re.match(rf"^{_IDENT}$", term):
+        return _resolve_name(term, columns, value_col), False
+    raise _NotLowerable(term)
+
+
+def _resolve_name(name: str, columns: list[str], value_col: str | None) -> Column:
+    if name == "value":
+        if value_col is None:
+            raise _NotLowerable("value outside modify_columns")
+        return F.col(value_col)
+    if name in columns:
+        return F.col(name)
+    raise _NotLowerable(name)
+
+
+def _lower_expr(expr: str, columns: list[str], value_col: str | None):
+    """Lower one ``{{ ... }}`` body -> (Column, is_numeric)."""
+    expr = expr.strip()
+    # single binary arithmetic: A op B  (either side may carry filters)
+    m = _BINOP_RE.match(expr)
+    if m and not _NUM_RE.match(expr):
+        left_s, op, right_s = m.group(1), m.group(2), m.group(3)
+        try:
+            left, ln = _lower_expr(left_s, columns, value_col)
+            right, rn = _lower_expr(right_s, columns, value_col)
+            if (ln or _NUM_RE.match(left_s.strip())) and (
+                rn or _NUM_RE.match(right_s.strip())
+            ):
+                if op == "+":
+                    return left + right, True
+                if op == "-":
+                    return left - right, True
+                return left * right, True
+        except _NotLowerable:
+            pass  # fall through to filter-chain / term parse
+    # filter chain:  term|f1|f2
+    parts = [p.strip() for p in expr.split("|")]
+    base, filters = parts[0], parts[1:]
+    if filters:
+        if not all(f in _NATIVE_FILTERS for f in filters):
+            raise _NotLowerable(expr)
+        col, _ = _lower_term(base, columns, value_col)
+        numeric = False
+        for f in filters:
+            col = _NATIVE_FILTERS[f](col)
+            numeric = f in _NUMERIC_RESULT_FILTERS
+        return col, numeric
+    return _lower_term(expr, columns, value_col)
+
+
+def lower_template(
+    template: str, columns: list[str], value_col: str | None = None
+) -> Column | None:
+    """Try to compile a Jinja template to a native StringType Column.
+
+    Returns None when the template needs the full Jinja engine.
+    """
+    if _BLOCK_RE.search(template):
+        return None
+    pieces: list[Column] = []
+    pos = 0
+    try:
+        for m in _EXPR_RE.finditer(template):
+            if m.start() > pos:
+                pieces.append(F.lit(template[pos : m.start()]))
+            col, _numeric = _lower_expr(m.group(1), columns, value_col)
+            pieces.append(string_view(col))
+            pos = m.end()
+        if pos < len(template):
+            pieces.append(F.lit(template[pos:]))
+    except _NotLowerable:
+        return None
+    if not pieces:
+        return F.lit("")
+    if len(pieces) == 1:
+        return pieces[0].cast("string")
+    return F.concat(*pieces)
+
+
+# ---------------------------------------------------------------------------
+# Full-Jinja fallback (Arrow pandas_udf)
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_CACHE: dict = {}  # per-process compile cache (executor-side)
+
+
+def _jinja_globals() -> dict:
+    import hashlib
+    import json
+
+    return {
+        # same custom globals the reference injects: earthmover/util.py:134-135
+        "md5": lambda x: hashlib.md5(str(x).encode()).hexdigest(),
+        "fromjson": lambda x: json.loads(x) if isinstance(x, str) else x,
+    }
+
+
+def _compile(template: str, macros: str):
+    key = (template, macros)
+    tmpl = _TEMPLATE_CACHE.get(key)
+    if tmpl is None:
+        import jinja2
+
+        env = jinja2.Environment(undefined=jinja2.Undefined)
+        env.globals.update(_jinja_globals())
+        tmpl = env.from_string(macros + template)
+        _TEMPLATE_CACHE[key] = tmpl
+    return tmpl
+
+
+def jinja_udf_column(
+    template: str,
+    columns: list[str],
+    value_col: str | None = None,
+    macros: str = "",
+) -> Column:
+    """Render `template` per row via an Arrow-batched pandas UDF.
+
+    The UDF receives a struct of all columns (+ the modify-target as
+    ``value`` when `value_col` is given); each row's columns become Jinja
+    variables alongside a ``__row_data__`` dict — identical surface to
+    reference earthmover/util.py:84.
+    """
+    tmpl_str, macro_str, vcol = template, macros, value_col
+
+    def _render_batch(pdf: pd.Series) -> pd.Series:
+        # a struct column arrives as a pd.DataFrame despite the Series hint
+        tmpl = _compile(tmpl_str, macro_str)
+        out = []
+        for rec in pdf.to_dict("records"):
+            ctx = dict(rec)
+            ctx["__row_data__"] = rec
+            if vcol is not None:
+                ctx["value"] = rec.get(vcol)
+            out.append(tmpl.render(**ctx))
+        return pd.Series(out, index=pdf.index)
+
+    render = F.pandas_udf(_render_batch, StringType())
+    struct_cols = [F.col(c).alias(c) for c in columns]
+    return render(F.struct(*struct_cols))
+
+
+def template_column(
+    template: str,
+    columns: list[str],
+    value_col: str | None = None,
+    macros: str = "",
+) -> Column:
+    """Compile a Jinja template to a Column: native when lowerable
+    (macros force the fallback), else the pandas_udf renderer."""
+    if not macros:
+        lowered = lower_template(template, columns, value_col)
+        if lowered is not None:
+            return lowered
+    return jinja_udf_column(template, columns, value_col, macros)

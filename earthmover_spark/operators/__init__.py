@@ -1,0 +1,45 @@
+"""Operator registry: one pure function per reference operation.
+
+Registry mirrors the reference's dispatch table
+(earthmover/operations/operation.py:30-58) — all 22 operations — plus
+engine extensions (dedup / similarity / text analysis, SURVEY.md §7.2
+step 10).
+
+Each operator is ``fn(df: DataFrame, *, config...) -> DataFrame`` (joins
+and unions additionally take a ``registry`` of named DataFrames).
+"""
+
+from earthmover_spark.operators import column, dataframe, groupby, row
+
+OPERATIONS = {
+    # column ops (earthmover/operations/column.py)
+    "add_columns": column.add_columns,
+    "modify_columns": column.modify_columns,
+    "duplicate_columns": column.duplicate_columns,
+    "rename_columns": column.rename_columns,
+    "drop_columns": column.drop_columns,
+    "keep_columns": column.keep_columns,
+    "combine_columns": column.combine_columns,
+    "map_values": column.map_values,
+    "date_format": column.date_format,
+    "snake_case_columns": column.snake_case_columns,
+    "lowercase_columns": column.lowercase_columns,
+    "uppercase_columns": column.uppercase_columns,
+    # row ops (earthmover/operations/row.py)
+    "distinct_rows": row.distinct_rows,
+    "filter_rows": row.filter_rows,
+    "sort_rows": row.sort_rows,
+    "limit_rows": row.limit_rows,
+    "flatten": row.flatten,
+    # frame ops (earthmover/operations/dataframe.py)
+    "join": dataframe.join,
+    "union": dataframe.union,
+    "melt": dataframe.melt,
+    "pivot": dataframe.pivot,
+    "debug": dataframe.debug,
+    # group ops (earthmover/operations/groupby.py)
+    "group_by": groupby.group_by,
+    "group_by_with_rank": groupby.group_by_with_rank,
+}
+
+__all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby"]

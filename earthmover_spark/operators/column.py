@@ -1,0 +1,228 @@
+"""Column operations (reference: earthmover/operations/column.py).
+
+Each function is pure: ``(DataFrame, *, config...) -> DataFrame``. Static
+values stay native literals; Jinja values go through the template
+compiler (native lowering first, Arrow pandas_udf fallback —
+earthmover_spark.functions.jinja_compute).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from earthmover_spark.functions.datefmt import UntranslatablePattern, strftime_to_spark
+from earthmover_spark.functions.jinja_compute import template_column
+from earthmover_spark.util import (
+    EarthmoverSparkError,
+    ensure_list,
+    expand_column_specs,
+    snake_case,
+    string_view,
+)
+
+
+def _is_template(value) -> bool:
+    return isinstance(value, str) and ("{{" in value or "{%" in value)
+
+
+def add_columns(
+    df: DataFrame, *, columns: Mapping[str, object], macros: str = ""
+) -> DataFrame:
+    """Add new columns; values are static strings or row-wise Jinja
+    templates seeing all columns (reference earthmover/operations/column.py:16-61)."""
+    out = df
+    for name, value in columns.items():
+        if _is_template(value):
+            col = template_column(str(value), out.columns, macros=macros)
+        else:
+            col = F.lit(str(value) if value is not None else "")
+        out = out.withColumn(name, col)
+    return out
+
+
+def modify_columns(
+    df: DataFrame, *, columns: Mapping[str, object], macros: str = ""
+) -> DataFrame:
+    """Overwrite existing columns; Jinja sees ``{{value}}`` = old cell plus
+    all other columns; wildcard column specs supported
+    (reference earthmover/operations/column.py:64-122)."""
+    out = df
+    for spec, value in columns.items():
+        for name in expand_column_specs([spec], out.columns):
+            if _is_template(value):
+                col = template_column(
+                    str(value), out.columns, value_col=name, macros=macros
+                )
+            else:
+                col = F.lit(str(value) if value is not None else "")
+            out = out.withColumn(name, col)
+    return out
+
+
+def duplicate_columns(df: DataFrame, *, columns: Mapping[str, str]) -> DataFrame:
+    """Copy col -> new name; silently overwrites like the reference (which
+    warns; earthmover/operations/column.py:125-159)."""
+    out = df
+    for old, new in columns.items():
+        if old not in out.columns:
+            raise EarthmoverSparkError(f"duplicate_columns: {old!r} not found")
+        out = out.withColumn(new, F.col(old))
+    return out
+
+
+def rename_columns(df: DataFrame, *, columns: Mapping[str, str]) -> DataFrame:
+    """Rename; error when the target name already exists
+    (reference earthmover/operations/column.py:162-194)."""
+    for old, new in columns.items():
+        if old not in df.columns:
+            raise EarthmoverSparkError(f"rename_columns: {old!r} not found")
+        if new in df.columns and new != old:
+            raise EarthmoverSparkError(
+                f"rename_columns: target {new!r} already exists"
+            )
+    return df.withColumnsRenamed(dict(columns))
+
+
+def drop_columns(df: DataFrame, *, columns: Iterable[str]) -> DataFrame:
+    """Drop columns (wildcards ok, silently skips unmatched —
+    reference earthmover/operations/column.py:197-227)."""
+    to_drop = expand_column_specs(ensure_list(columns), df.columns, on_missing="skip")
+    return df.drop(*to_drop) if to_drop else df
+
+
+def keep_columns(df: DataFrame, *, columns: Iterable[str]) -> DataFrame:
+    """Project to listed columns (wildcards; error on unmatched —
+    reference earthmover/operations/column.py:230-254)."""
+    keep = expand_column_specs(ensure_list(columns), df.columns, on_missing="error")
+    return df.select(*keep)
+
+
+def combine_columns(
+    df: DataFrame,
+    *,
+    columns: Iterable[str],
+    new_column: str,
+    separator: str = "",
+) -> DataFrame:
+    """String-concat matched columns with separator into ``new_column``
+    (reference earthmover/operations/column.py:257-289). NULLs render as
+    '' per the all-string model."""
+    cols = expand_column_specs(ensure_list(columns), df.columns, on_missing="error")
+    parts = [string_view(F.col(c)) for c in cols]
+    return df.withColumn(new_column, F.concat_ws(separator, *parts))
+
+
+def map_values(
+    df: DataFrame,
+    *,
+    mapping: Mapping[str, str] | None = None,
+    column: str | None = None,
+    columns: Iterable[str] | None = None,
+    map_file: str | None = None,
+    separator: str = ",",
+) -> DataFrame:
+    """Dictionary-replace cell values in one or many columns
+    (reference earthmover/operations/column.py:293-368).
+
+    Small maps compile to a chained CASE WHEN (stays in codegen); the
+    map may also come from a 2-column CSV/TSV ``map_file``. For very
+    large maps a broadcast-join would win — at the observed map sizes
+    (dozens of keys) CASE WHEN is the faster plan at any scale since it
+    avoids a join operator entirely.
+    """
+    if map_file is not None:
+        import csv
+
+        with open(map_file, newline="") as fh:
+            reader = csv.reader(fh, delimiter=separator)
+            mapping = {row[0]: row[1] for row in reader if len(row) >= 2}
+    if mapping is None:
+        raise EarthmoverSparkError("map_values: mapping or map_file required")
+    specs = ensure_list(columns) if columns else ensure_list(column)
+    targets = expand_column_specs(specs, df.columns, on_missing="error")
+    out = df
+    for c in targets:
+        src = F.col(c)
+        expr = None
+        for k, v in mapping.items():
+            cond = src.cast("string") == F.lit(str(k))
+            expr = F.when(cond, F.lit(str(v))) if expr is None else expr.when(cond, F.lit(str(v)))
+        out = out.withColumn(c, expr.otherwise(src.cast("string")))
+    return out
+
+
+def date_format(
+    df: DataFrame,
+    *,
+    column: str | None = None,
+    columns: Iterable[str] | None = None,
+    from_format: str,
+    to_format: str,
+    ignore_errors: bool = False,
+    exact_match: bool = False,
+) -> DataFrame:
+    """Reparse dates from one strftime pattern to another
+    (reference earthmover/operations/column.py:372-421).
+
+    Translatable patterns run natively (``to_timestamp`` +
+    ``date_format``); untranslatable ones fall back to an Arrow
+    pandas_udf doing real strptime/strftime. ``ignore_errors`` maps to
+    ``try_to_timestamp`` (unparseable -> NULL -> '')."""
+    specs = ensure_list(columns) if columns else ensure_list(column)
+    targets = expand_column_specs(specs, df.columns, on_missing="error")
+    out = df
+    try:
+        from_p = strftime_to_spark(from_format)
+        to_p = strftime_to_spark(to_format)
+        native = True
+    except UntranslatablePattern:
+        native = False
+    for c in targets:
+        if native:
+            ts = (
+                F.try_to_timestamp(F.col(c).cast("string"), F.lit(from_p))
+                if ignore_errors
+                else F.to_timestamp(F.col(c).cast("string"), from_p)
+            )
+            out = out.withColumn(c, string_view(F.date_format(ts, to_p)))
+        else:
+            out = out.withColumn(
+                c, _strftime_udf(from_format, to_format, ignore_errors)(F.col(c))
+            )
+    return out
+
+
+def _strftime_udf(from_format: str, to_format: str, ignore_errors: bool):
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def _reformat(s: pd.Series) -> pd.Series:
+        parsed = pd.to_datetime(
+            s.astype(str),
+            format=from_format,
+            errors="coerce" if ignore_errors else "raise",
+        )
+        return parsed.dt.strftime(to_format).fillna("")
+
+    return _reformat
+
+
+def snake_case_columns(df: DataFrame) -> DataFrame:
+    """Rename every column to snake_case; error on resulting duplicates
+    (reference earthmover/operations/column.py:425-473)."""
+    new_names = [snake_case(c) for c in df.columns]
+    if len(set(new_names)) != len(new_names):
+        dupes = {n for n in new_names if new_names.count(n) > 1}
+        raise EarthmoverSparkError(f"snake_case_columns: duplicate names {dupes}")
+    return df.toDF(*new_names)
+
+
+def lowercase_columns(df: DataFrame) -> DataFrame:
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def uppercase_columns(df: DataFrame) -> DataFrame:
+    return df.toDF(*[c.upper() for c in df.columns])

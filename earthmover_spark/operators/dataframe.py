@@ -1,0 +1,221 @@
+"""Frame operations: join / union / melt / pivot / debug
+(reference: earthmover/operations/dataframe.py)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from earthmover_spark.util import EarthmoverSparkError, ensure_list, string_view
+
+JOIN_TYPES = {"inner": "inner", "left": "left", "right": "right", "outer": "full_outer"}
+
+
+def _prune_side(
+    df: DataFrame,
+    keys: Sequence[str],
+    keep: Sequence[str] | None,
+    drop: Sequence[str] | None,
+    side: str,
+) -> DataFrame:
+    """Apply keep/drop column pruning for one join side
+    (reference earthmover/operations/dataframe.py:83-126). Keys are always
+    retained; dropping a key is an error."""
+    if keep:
+        missing = set(keep) - set(df.columns)
+        if missing:
+            raise EarthmoverSparkError(
+                f"join: columns in `{side}_keep_columns` not in dataset: {missing}"
+            )
+        cols = [c for c in df.columns if c in set(keep) | set(keys)]
+        return df.select(*cols)
+    if drop:
+        if any(c in keys for c in drop):
+            raise EarthmoverSparkError(
+                f"join: may not `{side}_drop_columns` that are part of the keys"
+            )
+        return df.select(*[c for c in df.columns if c not in set(drop)])
+    return df
+
+
+def join(
+    df: DataFrame,
+    *,
+    sources: Iterable[DataFrame],
+    join_type: str,
+    left_key: str | None = None,
+    left_keys: Sequence[str] | None = None,
+    right_key: str | None = None,
+    right_keys: Sequence[str] | None = None,
+    left_keep_columns: Sequence[str] | None = None,
+    left_drop_columns: Sequence[str] | None = None,
+    right_keep_columns: Sequence[str] | None = None,
+    right_drop_columns: Sequence[str] | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join the frame with one or more sources, left-folded
+    (reference earthmover/operations/dataframe.py:14-141).
+
+    Colliding non-key columns get pandas-merge ``_x``/``_y`` suffixes
+    (docs/configuration.md:676). Both key columns are retained when names
+    differ (pandas keeps both sides' keys). Right sides under the
+    broadcast threshold are broadcast automatically by AQE;
+    ``broadcast_right`` forces the hint for known-small dimensions so
+    the big fact side never shuffles."""
+    if join_type not in JOIN_TYPES:
+        raise EarthmoverSparkError(
+            f"join: join_type must be one of {sorted(JOIN_TYPES)}, not {join_type!r}"
+        )
+    lkeys = list(left_keys or ensure_list(left_key))
+    rkeys = list(right_keys or ensure_list(right_key))
+    if not lkeys or not rkeys or len(lkeys) != len(rkeys):
+        raise EarthmoverSparkError("join: left/right key lists must match in length")
+
+    left = _prune_side(df, lkeys, left_keep_columns, left_drop_columns, "left")
+    for right in sources:
+        right = _prune_side(
+            right, rkeys, right_keep_columns, right_drop_columns, "right"
+        )
+        # pandas-merge suffix semantics for colliding non-key columns
+        same_key_names = lkeys == rkeys
+        collisions = (set(left.columns) & set(right.columns)) - (
+            set(lkeys) & set(rkeys) if same_key_names else set()
+        )
+        if same_key_names:
+            collisions -= set(lkeys)
+        left_renames = {c: f"{c}_x" for c in collisions if c in left.columns}
+        right_renames = {c: f"{c}_y" for c in collisions if c in right.columns}
+        lk = [left_renames.get(k, k) for k in lkeys]
+        rk = [right_renames.get(k, k) for k in rkeys]
+        lf = left.withColumnsRenamed(left_renames) if left_renames else left
+        rf = right.withColumnsRenamed(right_renames) if right_renames else right
+        if broadcast_right:
+            rf = F.broadcast(rf)
+        if same_key_names and not collisions & set(lkeys):
+            joined = lf.join(rf, on=lk, how=JOIN_TYPES[join_type])
+        else:
+            cond = None
+            for a, b in zip(lk, rk):
+                c = lf[a] == rf[b]
+                cond = c if cond is None else (cond & c)
+            joined = lf.join(rf, on=cond, how=JOIN_TYPES[join_type])
+        left = joined
+    return left
+
+
+def union(
+    df: DataFrame,
+    *,
+    sources: Iterable[DataFrame],
+    fill_missing_columns: bool = False,
+) -> DataFrame:
+    """Concatenate the frame with N sources — bag semantics (UNION ALL),
+    matching ``dd.concat`` (reference earthmover/operations/dataframe.py:144-189).
+
+    Column matching is by name; differing column sets error unless
+    ``fill_missing_columns`` (missing -> NULL). Duplicate column names
+    error. Zero shuffle: union is a plan-level concatenation."""
+    out = df
+    for source in sources:
+        if len(set(source.columns)) != len(source.columns) or len(
+            set(out.columns)
+        ) != len(out.columns):
+            raise EarthmoverSparkError("union: duplicate column names present")
+        if set(source.columns) != set(out.columns) and not fill_missing_columns:
+            raise EarthmoverSparkError(
+                "union: dataframes do not share identical columns "
+                f"({sorted(set(source.columns) ^ set(out.columns))})"
+            )
+        out = out.unionByName(source, allowMissingColumns=fill_missing_columns)
+    return out
+
+
+def melt(
+    df: DataFrame,
+    *,
+    id_vars: str | Sequence[str] | None = None,
+    value_vars: str | Sequence[str] | None = None,
+    var_name: str = "melt_variable",
+    value_name: str = "melt_value",
+) -> DataFrame:
+    """Wide -> long unpivot (reference earthmover/operations/dataframe.py:251-304).
+
+    Omitted ``value_vars`` = all non-id columns (pandas default). Values
+    are cast to string first — mixed-type unpivot requires a common type
+    and the engine's data model is all-string anyway."""
+    ids = ensure_list(id_vars)
+    vals = ensure_list(value_vars)
+    missing = (set(ids) | set(vals)) - set(df.columns)
+    if missing:
+        raise EarthmoverSparkError(f"melt: columns not in dataset: {missing}")
+    if not vals:
+        vals = [c for c in df.columns if c not in ids]
+    casted = df.withColumns({c: string_view(F.col(c)) for c in vals})
+    return casted.unpivot(ids, vals, var_name, value_name)
+
+
+def pivot(
+    df: DataFrame,
+    *,
+    rows_by: str | Sequence[str] | None = None,
+    cols_by: str,
+    values: str,
+) -> DataFrame:
+    """Long -> wide; requires (rows_by x cols_by) uniqueness — this is a
+    reshape, not an aggregation (reference earthmover/operations/dataframe.py:306-411).
+
+    The uniqueness assertion reproduces the reference's
+    total-vs-unique-count error message. Spark pivots on a multi-column
+    groupBy natively, so no composite-key workaround is needed. The
+    ``F.first`` agg mirrors the reference's redundant ``aggfunc='first'``."""
+    rows = ensure_list(rows_by)
+    required = set(rows) | {cols_by, values}
+    missing = required - set(df.columns)
+    if missing:
+        raise EarthmoverSparkError(f"pivot: columns not in dataset: {missing}")
+
+    key_cols = rows + [cols_by]
+    counts = df.groupBy(*key_cols).count().filter(F.col("count") > 1)
+    if counts.limit(1).count() > 0:
+        total = df.count()
+        uniq = df.select(*key_cols).distinct().count()
+        raise EarthmoverSparkError(
+            "pivot operation requires unique combinations of index and columns. "
+            f"Found {total} rows but only {uniq} unique combinations. "
+            "Consider using group_by to aggregate the data instead."
+        )
+    grouped = df.groupBy(*rows) if rows else df.groupBy()
+    return grouped.pivot(cols_by).agg(F.first(values))
+
+
+def debug(
+    df: DataFrame,
+    *,
+    function: str = "head",
+    rows: int = 5,
+    skip_columns: Sequence[str] | None = None,
+    keep_columns: Sequence[str] | None = None,
+    transpose: bool = False,
+) -> DataFrame:
+    """Print head/tail/describe/columns and pass data through unchanged
+    (reference earthmover/operations/dataframe.py:192-248)."""
+    if function not in ("head", "tail", "describe", "columns"):
+        raise EarthmoverSparkError(f"debug type `{function}` not defined")
+    if function == "columns":
+        print(list(df.columns))
+        return df
+    keep = keep_columns or list(df.columns)
+    selected = [c for c in df.columns if c in keep and c not in (skip_columns or [])]
+    view = df.select(*selected)
+    if function == "head":
+        pdf = view.limit(rows).toPandas()
+    elif function == "tail":
+        pdf = view.toPandas().tail(rows)
+    else:
+        pdf = view.toPandas().describe()
+    if transpose:
+        pdf = pdf.transpose().reset_index(names="column")
+    print(pdf.to_string(index=False))
+    return df

@@ -1,0 +1,161 @@
+"""Group-by operations (reference: earthmover/operations/groupby.py).
+
+Every aggregation maps to a native hash-aggregate expression — partial
+(map-side) aggregation before the shuffle, so only group keys cross the
+wire at scale. Order-sensitive aggs (``agg``/``json_array_agg`` concat
+order, ``group_by_with_rank``) use the hidden ``__row_order__`` column
+captured at source when present (SURVEY.md §7.3 order-dependence note).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from earthmover_spark.operators.row import ROW_ORDER
+from earthmover_spark.util import EarthmoverSparkError
+
+_AGG_SPEC_RE = re.compile(r"([A-Za-z0-9_]*)\(([A-Za-z0-9_]*)?,?(.*)?\)")
+
+#: agg types that require a column argument (reference groupby.py:54-63)
+_COLUMN_REQ = {
+    "agg", "aggregate", "max", "maximum", "min", "minimum", "sum",
+    "mean", "avg", "std", "stdev", "stddev", "var", "variance",
+    "str_max", "str_maximum", "str_min", "str_minimum", "json_array_agg",
+}
+
+
+def parse_agg_spec(spec: str) -> tuple[str, str, str]:
+    """Parse ``fn(col[,sep])`` exactly like the reference's regex
+    (earthmover/operations/groupby.py:95-98)."""
+    m = _AGG_SPEC_RE.findall(spec)
+    if not m:
+        raise EarthmoverSparkError(f"group_by: cannot parse agg spec {spec!r}")
+    pieces = list(m[0]) + ["", ""]
+    return pieces[0], pieces[1], pieces[2]
+
+
+def _ordered_values(column: str) -> Column:
+    """collect_list ordered by the captured row order: collect (order,
+    value) structs, sort, project the value back out. One aggregation,
+    no window shuffle."""
+    pair = F.struct(F.col(ROW_ORDER).alias("o"), F.col(column).cast("string").alias("v"))
+    return F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["v"])
+
+
+def agg_expression(
+    agg_type: str, column: str, separator: str, *, ordered: bool
+) -> Column:
+    """Spark expression for one reference agg spec
+    (semantics table: earthmover/operations/groupby.py:151-173).
+
+    Notable fidelity points:
+    - ``mean``/``avg`` divide by **group size**, not non-null count
+      (reference: ``sum / max(1, len(x))``) — so NOT ``F.avg``.
+    - ``min/max`` coerce numeric (``pd.to_numeric``); ``str_min/str_max``
+      compare lexicographically.
+    - ``std/var`` are pandas sample (ddof=1) -> ``stddev_samp/var_samp``.
+    - ``agg(c,sep)`` concatenates in captured row order when available.
+    - ``json_array_agg(c,str)`` quotes values (pandas ``to_json``);
+      without ``str`` it emits raw ``[v1,v2]``.
+    """
+    num = F.col(column).cast("double")
+    s = F.col(column).cast("string")
+
+    def _list() -> Column:
+        if ordered:
+            return _ordered_values(column)
+        return F.collect_list(s)
+
+    if agg_type in ("agg", "aggregate"):
+        return F.array_join(_list(), separator)
+    if agg_type == "json_array_agg":
+        if separator == "str":
+            return F.to_json(_list())
+        return F.concat(F.lit("["), F.array_join(_list(), ","), F.lit("]"))
+    if agg_type in ("count", "size"):
+        return F.count(F.lit(1))
+    if agg_type in ("max", "maximum"):
+        return F.max(num)
+    if agg_type in ("min", "minimum"):
+        return F.min(num)
+    if agg_type in ("str_max", "str_maximum"):
+        return F.max(s)
+    if agg_type in ("str_min", "str_minimum"):
+        return F.min(s)
+    if agg_type == "sum":
+        return F.sum(num)
+    if agg_type in ("mean", "avg"):
+        return F.sum(num) / F.greatest(F.count(F.lit(1)), F.lit(1))
+    if agg_type in ("std", "stdev", "stddev"):
+        return F.stddev_samp(num)
+    if agg_type in ("var", "variance"):
+        return F.var_samp(num)
+    raise EarthmoverSparkError(
+        f"invalid aggregation function `{agg_type}` in `group_by` operation"
+    )
+
+
+def group_by(
+    df: DataFrame,
+    *,
+    group_by_columns: Sequence[str],
+    create_columns: Mapping[str, str],
+) -> DataFrame:
+    """Group on columns and derive new columns from agg-spec strings
+    (reference earthmover/operations/groupby.py:46-173).
+
+    Output schema: group_by_columns + derived columns. The reference's
+    ``__GROUP_SIZE__ > 0`` filter is a no-op under hash aggregation."""
+    missing = set(group_by_columns) - set(df.columns)
+    if missing:
+        raise EarthmoverSparkError(f"group_by: columns not in dataset: {missing}")
+    ordered = ROW_ORDER in df.columns
+    aggs = []
+    for new_col, spec in create_columns.items():
+        agg_type, col, sep = parse_agg_spec(spec)
+        if agg_type in _COLUMN_REQ:
+            if not col:
+                raise EarthmoverSparkError(
+                    f"aggregation function `{agg_type}`(column) missing required column"
+                )
+            if col not in df.columns:
+                raise EarthmoverSparkError(
+                    f"aggregation function `{agg_type}`({col}) refers to a column "
+                    f"{col} which does not exist"
+                )
+        aggs.append(agg_expression(agg_type, col, sep, ordered=ordered).alias(new_col))
+    return df.groupBy(*group_by_columns).agg(*aggs)
+
+
+def group_by_with_rank(
+    df: DataFrame,
+    *,
+    group_by_columns: Sequence[str],
+    rank_column: str,
+) -> DataFrame:
+    """Intra-group 0-based cumulative counter (pandas ``cumcount``)
+    (reference earthmover/operations/groupby.py:12-43).
+
+    The reference ranks in input row order; we order by the captured
+    ``__row_order__`` when present, else by a monotonic id snapshot
+    (arbitrary but stable)."""
+    missing = set(group_by_columns) - set(df.columns)
+    if missing:
+        raise EarthmoverSparkError(
+            f"group_by_with_rank: columns not in dataset: {missing}"
+        )
+    if ROW_ORDER in df.columns:
+        order_col = F.col(ROW_ORDER)
+        base = df
+        tmp = None
+    else:
+        tmp = "__gbwr_order__"
+        base = df.withColumn(tmp, F.monotonically_increasing_id())
+        order_col = F.col(tmp)
+    w = Window.partitionBy(*group_by_columns).orderBy(order_col)
+    out = base.withColumn(rank_column, F.row_number().over(w) - F.lit(1))
+    return out.drop(tmp) if tmp else out

@@ -1,0 +1,95 @@
+"""Shared helpers: wildcard column matching, string-type coercion, errors.
+
+Wildcard semantics follow the reference's fnmatch-based column selection
+(reference: earthmover/nodes/node.py:207-241, docs/configuration.md:729-745):
+a column spec containing any of ``*?[]`` expands to every matching column
+name; specs without wildcard chars must (optionally) match exactly.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WILDCARD_CHARS = set("*?[]")
+
+
+class EarthmoverSparkError(Exception):
+    """Engine-level configuration or semantics error."""
+
+
+def is_wildcard(spec: str) -> bool:
+    return any(ch in _WILDCARD_CHARS for ch in spec)
+
+
+def expand_column_specs(
+    specs: Iterable[str],
+    columns: Sequence[str],
+    *,
+    on_missing: str = "error",
+) -> list[str]:
+    """Expand a list of column specs (possibly wildcards) against `columns`.
+
+    ``on_missing``: 'error' raises when a non-wildcard spec matches nothing
+    (keep_columns semantics); 'skip' silently drops it (drop_columns
+    semantics). Wildcard specs never error. Preserves first-mention order,
+    de-duplicates.
+    """
+    out: list[str] = []
+    seen: set[str] = set()
+    for spec in specs:
+        if is_wildcard(spec):
+            matched = fnmatch.filter(columns, spec)
+        else:
+            matched = [spec] if spec in columns else []
+            if not matched and on_missing == "error":
+                raise EarthmoverSparkError(
+                    f"column {spec!r} not found; available: {list(columns)}"
+                )
+        for m in matched:
+            if m not in seen:
+                seen.add(m)
+                out.append(m)
+    return out
+
+
+def string_view(col: Column) -> Column:
+    """Render any column as the reference's string representation:
+    NULL -> '' and scalars -> str (reference: earthmover/nodes/destination.py:57-58).
+    """
+    return F.coalesce(col.cast("string"), F.lit(""))
+
+
+def stringify(df: DataFrame, columns: Iterable[str] | None = None) -> DataFrame:
+    """Cast columns to string with NULL -> '' (all-string data model,
+    reference: earthmover/nodes/source.py:406 / docs/design.md:44)."""
+    cols = list(columns) if columns is not None else df.columns
+    return df.withColumns({c: string_view(F.col(c)) for c in cols})
+
+
+_SNAKE_RE_1 = re.compile(r"[\-\.\s/\\]+")
+_SNAKE_RE_2 = re.compile(r"(.)([A-Z][a-z]+)")
+_SNAKE_RE_3 = re.compile(r"([a-z0-9])([A-Z])")
+
+
+def snake_case(name: str) -> str:
+    """camelCase / PascalCase / punctuated -> snake_case
+    (same transformation as reference earthmover/operations/column.py:425-473).
+    """
+    s = _SNAKE_RE_1.sub("_", name.strip())
+    s = _SNAKE_RE_2.sub(r"\1_\2", s)
+    s = _SNAKE_RE_3.sub(r"\1_\2", s)
+    s = re.sub(r"_+", "_", s)
+    return s.lower().strip("_")
+
+
+def ensure_list(value) -> list:
+    if value is None:
+        return []
+    if isinstance(value, (list, tuple)):
+        return list(value)
+    return [value]

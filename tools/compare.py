@@ -1,0 +1,130 @@
+"""Local oracle-comparison harness mirroring the driver's t2 check.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, column names, and an order-insensitive value hash
+(columns sorted by name, rows sorted, values stringified).
+
+Usage:  python tools/compare.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_value(v) -> str:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_fingerprint(rows: list[tuple], columns: list[str]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x01".join(_norm_value(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def compare(sf_dir: str, only: list[str] | None = None) -> int:
+    import duckdb
+
+    import __spark_entry__ as entry
+    from earthmover_spark import get_spark
+
+    spark = get_spark("oracle-compare")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok? {name}: rows-only check, {len(srows)} rows")
+            continue
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
+        if not problems:
+            sh = frame_fingerprint(srows, scols)
+            oh = frame_fingerprint(orows, ocols)
+            if sh != oh:
+                problems.append("value hash mismatch")
+                # show a diff sample
+                sset = {
+                    tuple(_norm_value(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i]))
+                    for r in srows
+                }
+                oset = {
+                    tuple(_norm_value(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i]))
+                    for r in orows
+                }
+                for x in list(sset - oset)[:3]:
+                    print(f"    spark-only: {x}")
+                for x in list(oset - sset)[:3]:
+                    print(f"    oracle-only: {x}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+    return failures
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+    sys.exit(1 if compare(sf, only or None) else 0)
