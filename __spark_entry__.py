@@ -381,6 +381,195 @@ def q_jinja_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "name_hash")
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus 20 synthetic near-duplicates (id+10000, a few words
+    appended) so near-dup operators have true positives to find."""
+    docs = _p(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(dup)
+
+
+#: SQL twin of _corpus_with_dups (used inside extension oracles)
+_CORPUS_SQL = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, text || ' extra tail words', lang, source, n_chars
+    FROM documents WHERE doc_id < 20
+"""
+
+#: SQL twin of textstats.normalize_text
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import dedup
+
+    return dedup.exact_dedup(_corpus_with_dups(spark, sf_dir))
+
+
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import dedup
+
+    return dedup.exact_dedup_normalized(_p(spark, sf_dir, "documents"))
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("nt"),
+        textstats.token_count_bpe(F.col("text")).alias("nb"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    return textstats.quality_score(docs).select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "punct_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    return textstats.lang_id(docs).select(
+        "doc_id", "score_en", "score_es", "score_fr", "score_de", "score_zh",
+        "lang_pred",
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    return textstats.fingerprint(docs).select("doc_id", "fp")
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import dedup
+
+    docs = _p(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=8)
+    return sigs.select("doc_id", F.concat_ws(",", "sig").alias("sig_str"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import dedup
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    return dedup.lsh_candidate_pairs(corpus, num_hashes=16, bands=4)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import dedup
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(corpus, num_hashes=16, bands=4)
+    return dedup.ngram_jaccard_pairs(corpus, pairs, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import dedup
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    return dedup.simhash_near_dups(corpus, max_hamming=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import dedup
+
+    emb = _p(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.2, band_dims=4)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import similarity
+
+    emb = _p(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(queries_df, emb, k=5)
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.llm import similarity
+
+    emb = _p(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(queries_df, emb, k=5, bucket_dims=4)
+
+
+# ---------------------------------------------------------------------------
+# temporal / event queries
+# ---------------------------------------------------------------------------
+
+
+def q_ev_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    out = temporal.window_agg(
+        ev, "ts", "1 hour", group_cols=["event_type"], aggs={"sum_value": "sum(value)"}
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    s = temporal.sessionize(ev, "ts", "user_id", 30, order_tiebreak="event_id")
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _p(spark, sf_dir, "orders")
+    aj = temporal.asof_join(
+        ev, orders, "ts", "o_orderdate", "user_id", "o_custkey",
+        right_cols=["o_orderdate"],
+    )
+    return aj.select(
+        "event_id",
+        "user_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -423,6 +612,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "jinja_conditional": q_jinja_conditional,
         "jinja_md5": q_jinja_md5,
+        # LLM-pipeline extensions
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "sim_topk": q_sim_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        # temporal / events
+        "ev_window_agg": q_ev_window_agg,
+        "ev_sessionize": q_ev_sessionize,
+        "ev_asof_join": q_ev_asof_join,
     }
 
 
@@ -599,5 +806,227 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jinja_md5": """
             SELECT c_custkey, md5(c_name) AS name_hash FROM customer
+        """,
+        # ---- LLM-pipeline extensions --------------------------------------
+        "dedup_exact": f"""
+            WITH corpus AS ({_CORPUS_SQL})
+            SELECT md5(text) AS digest, min(doc_id) AS keeper,
+                   count(*) AS dups
+            FROM corpus GROUP BY md5(text)
+        """,
+        "dedup_exact_normalized": f"""
+            SELECT md5({_NORM_SQL}) AS digest, min(doc_id) AS keeper,
+                   count(*) AS dups
+            FROM documents GROUP BY 1
+        """,
+        "text_tokens": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS nb
+            FROM documents
+        """,
+        "text_quality": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:the|and|of|to|in|a|is|that|for|it)\b')) AS n_stop
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_tokens,
+                     round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 6) AS mean_word_len,
+                     round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                     round(n_upper / greatest(n_chars, 1), 6) AS upper_ratio,
+                     round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio
+              FROM f
+            )
+            SELECT doc_id, n_tokens, mean_word_len, punct_ratio, upper_ratio,
+                   stopword_ratio,
+                   round(least(n_tokens / 100.0, 1.0) * 0.4
+                         + (1.0 - least(punct_ratio * 5, 1.0)) * 0.2
+                         + least(stopword_ratio * 4, 1.0) * 0.2
+                         + (1.0 - least(upper_ratio * 10, 1.0)) * 0.2, 6) AS quality
+            FROM r
+        """,
+        "text_langid": r"""
+            WITH s AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|that|with|for|this)\b')) AS score_en,
+                len(regexp_extract_all(lower(text), '\b(?:el|la|los|las|que|de|y|es|en|un|una|por)\b')) AS score_es,
+                len(regexp_extract_all(lower(text), '\b(?:le|la|les|des|est|et|que|une|dans|pour|avec)\b')) AS score_fr,
+                len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|nicht|mit|ein|eine|für|von)\b')) AS score_de,
+                len(regexp_extract_all(lower(text), '(?:的|是|了|在|和|有|我|不|这|中)')) AS score_zh
+              FROM documents
+            )
+            SELECT doc_id, score_en, score_es, score_fr, score_de, score_zh,
+                   CASE
+                     WHEN score_en <= 0 AND score_es <= 0 AND score_fr <= 0
+                          AND score_de <= 0 AND score_zh <= 0 THEN 'und'
+                     WHEN score_en >= score_es AND score_en >= score_fr
+                          AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+                     WHEN score_es >= score_fr AND score_es >= score_de
+                          AND score_es >= score_zh THEN 'es'
+                     WHEN score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+                     WHEN score_de >= score_zh THEN 'de'
+                     ELSE 'zh'
+                   END AS lang_pred
+            FROM s
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+        """,
+        "dedup_minhash_sig": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(words) - 3, 0)),
+                         i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS shs
+              FROM w
+            )
+            SELECT doc_id, array_to_string([
+                {", ".join(f"list_min(list_transform(shs, s -> md5('mh{i}:' || s)))" for i in range(8))}
+            ], ',') AS sig_str
+            FROM sh
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH corpus AS ({_CORPUS_SQL}),
+            w AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM corpus
+            ), sh AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(words) - 3, 0)),
+                         i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS shs
+              FROM w
+            ), sig AS (
+              SELECT doc_id, [
+                {", ".join(f"list_min(list_transform(shs, s -> md5('mh{i}:' || s)))" for i in range(16))}
+              ] AS s
+              FROM sh
+            ), banded AS (
+              SELECT doc_id, b.band,
+                     md5(array_to_string(list_slice(s, b.band * 4 + 1, b.band * 4 + 4), ',')) AS bh
+              FROM sig, (SELECT unnest(range(4)) AS band) b
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH corpus AS ({_CORPUS_SQL}),
+            w AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM corpus
+            ), sh AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(words) - 3, 0)),
+                         i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS shs
+              FROM w
+            ), sig AS (
+              SELECT doc_id, [
+                {", ".join(f"list_min(list_transform(shs, s -> md5('mh{i}:' || s)))" for i in range(16))}
+              ] AS s
+              FROM sh
+            ), banded AS (
+              SELECT doc_id, b.band,
+                     md5(array_to_string(list_slice(s, b.band * 4 + 1, b.band * 4 + 4), ',')) AS bh
+              FROM sig, (SELECT unnest(range(4)) AS band) b
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ), dsh AS (
+              SELECT doc_id, list_distinct(shs) AS ds FROM sh
+            ), scored AS (
+              SELECT p.id_a, p.id_b,
+                     round(len(list_intersect(a.ds, b.ds))
+                           / len(list_distinct(list_concat(a.ds, b.ds))), 6) AS jaccard
+              FROM pairs p
+              JOIN dsh a ON a.doc_id = p.id_a
+              JOIN dsh b ON b.doc_id = p.id_b
+            )
+            SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        "dedup_embedding": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+                     || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+                     || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+                     || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+              FROM embeddings
+            ), scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS cos
+              FROM v a JOIN v b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.2
+        """,
+        "sim_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 10
+            ), s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS score
+              FROM embeddings e, q WHERE e.vec_id != q.query_id
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, neighbor_id) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+        """,
+        "sim_lsh_topk": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+                     || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+                     || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+                     || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+              FROM embeddings
+            ), s AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, e.v), 6) AS score
+              FROM v e JOIN v q ON e.bucket = q.bucket
+              WHERE q.vec_id < 10 AND e.vec_id != q.vec_id
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, neighbor_id) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+        """,
+        # ---- temporal / events --------------------------------------------
+        "ev_window_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "ev_sessionize": """
+            WITH x AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events
+            FROM x GROUP BY user_id
+        """,
+        "ev_asof_join": """
+            SELECT e.event_id, e.user_id,
+                   strftime(max(o.o_orderdate), '%Y-%m-%d') AS last_order
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id, e.user_id
         """,
     }

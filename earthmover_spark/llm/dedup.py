@@ -1,0 +1,334 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design notes (the 100 TB story):
+
+- **Exact**: hash-groupBy on the text digest — map-side partial
+  aggregation means only unique digests shuffle.
+- **MinHash+LSH**: per-doc signature (narrow, no shuffle) ->
+  explode to (band, band-hash) keys -> self-join *within buckets only*
+  (shuffle keyed on band hash, never an all-pairs cross join) ->
+  exact Jaccard verification on the candidate pairs.
+- **SimHash**: per-doc 48-bit signature, near-dup candidates via
+  banded equality on signature chunks, verified by Hamming distance.
+- Hash functions are md5-derived (not JVM-specific) so signatures are
+  reproducible across engines and across Spark versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from earthmover_spark.llm.textstats import normalize_text, shingles
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical texts (by md5 digest); keep the minimum id as the
+    canonical representative. Returns (digest, keeper, dups)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("string")).alias("digest"))
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("dups"),
+        )
+    )
+
+
+def exact_dedup_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the *normalized* text (case/punct/ws-insensitive)."""
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("digest"))
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# md5-derived integer hashes (engine-portable)
+# ---------------------------------------------------------------------------
+
+
+def _h60(col: Column, salt: str | Column = "") -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of
+    md5(salt || value), parsed base-16. Fits in a positive BIGINT on any
+    engine (no sign issues), reproducible outside the JVM."""
+    salted = F.concat(F.lit(salt) if isinstance(salt, str) else salt, col)
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 16, shingle_n: int = 3
+) -> Column:
+    """MinHash signature: for hash i, min over shingles of
+    md5('mh{i}:' || shingle) as a hex string (lexicographic min of a
+    uniform hash ≡ numeric min; hex strings keep it reproducible on any
+    engine). Array<string> of length num_hashes, computed entirely in
+    native expressions over the shingle array."""
+    sh = shingles(text, shingle_n)
+
+    def _mh(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"mh{i}:"), s))
+
+    sigs = [F.array_min(F.transform(sh, _mh(i))) for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` rows of
+    num_hashes/bands values, bucket-join docs sharing any band hash.
+
+    The join is keyed on (band_index, band_hash) — only docs colliding
+    in a bucket are paired, so the shuffle is proportional to bucket
+    sizes, not |docs|^2. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification of candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate (id_a, id_b) pairs;
+    keeps pairs with similarity >= threshold.
+
+    Joins the (small) candidate set against per-doc distinct-shingle
+    arrays, then computes |A∩B| / |A∪B| natively via array_intersect /
+    array_union — no Python in the loop."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    out = (
+        candidates.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 48, shingle_n: int = 1) -> Column:
+    """SimHash signature over token (1-gram) hashes: bit b of the
+    signature is the sign of sum over tokens of (+1 if bit b of
+    h60(token) else -1). Native expressions only."""
+    sh = F.array_distinct(shingles(text, shingle_n))
+    hashes = F.transform(sh, lambda s: _h60(s))
+
+    def _vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
+        bit_cols.append(
+            F.when(votes > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return sig
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    band_bits: int = 12,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates collide on at least one of
+    bits/band_bits signature chunks (pigeonhole: any pair within
+    max_hamming differs in at most max_hamming chunks, so with
+    chunks > max_hamming at least one chunk matches); verified by
+    exact Hamming distance <= max_hamming."""
+    sigs = df.select(
+        F.col(id_col), simhash(F.col(text_col), bits).alias("sig")
+    )
+    n_bands = bits // band_bits
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    band_dims: int = 8,
+) -> DataFrame:
+    """Near-identical vectors by cosine >= threshold.
+
+    Candidate generation uses sign-bucket LSH (the sign pattern of the
+    first `band_dims` dimensions): near-identical vectors almost surely
+    share the bucket, and the join is keyed on the bucket — no cross
+    join. Exact cosine verifies."""
+    from earthmover_spark.llm.similarity import cosine
+
+    v = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.concat_ws(
+            "",
+            *[
+                F.when(F.col(vec_col)[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for i in range(band_dims)
+            ],
+        ).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

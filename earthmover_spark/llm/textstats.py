@@ -1,0 +1,160 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure native Column expressions — they run inside whole-stage
+codegen with zero Python in the hot path, so they scale to 100 TB of
+documents limited only by scan throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count. Empty/blank text counts 0."""
+    t = F.trim(F.coalesce(text.cast("string"), F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: word pieces, numbers, and punctuation runs
+    counted separately (a regex approximation of byte-pair tokenizers)."""
+    t = F.coalesce(text.cast("string"), F.lit(""))
+    pieces = F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "the|and|of|to|in|a|is|that|for|it"
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char length, token count, mean word
+    length, punctuation ratio, stopword ratio, uppercase ratio."""
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    n_chars = F.length(t)
+    n_tokens = token_count_ws(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(rf"\b(?:{_STOPWORDS})\b"), 0)
+    )
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars,
+            "n_tokens": n_tokens,
+            "mean_word_len": F.round(
+                (n_chars - (n_tokens - F.lit(1))) / safe_tokens.cast("double"), 6
+            ),
+            "punct_ratio": F.round(n_punct / safe_chars.cast("double"), 6),
+            "upper_ratio": F.round(n_upper / safe_chars.cast("double"), 6),
+            "stopword_ratio": F.round(n_stop / safe_tokens.cast("double"), 6),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single 0..1 quality score combining the features: long enough,
+    mostly words, some stopwords (English-ish prose signal), not
+    shouting. Weights are heuristic, the shape is what matters."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.2
+        + (F.lit(1.0) - F.least(F.col("upper_ratio") * 10, F.lit(1.0))) * 0.2
+    )
+    return feats.withColumn("quality", F.round(score, 6))
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+#: tiny per-language marker-word profiles; scoring = count of marker hits.
+LANG_MARKERS: dict[str, str] = {
+    "en": "the|and|of|is|that|with|for|this",
+    "es": "el|la|los|las|que|de|y|es|en|un|una|por",
+    "fr": "le|la|les|des|est|et|que|une|dans|pour|avec",
+    "de": "der|die|das|und|ist|nicht|mit|ein|eine|für|von",
+    "zh": "的|是|了|在|和|有|我|不|这|中",
+}
+
+
+def lang_scores(text: Column) -> list[Column]:
+    t = F.lower(F.coalesce(text.cast("string"), F.lit("")))
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        if lang == "zh":
+            # no word boundaries in CJK; count raw character hits
+            pat = rf"(?:{markers})"
+        else:
+            pat = rf"\b(?:{markers})\b"
+        cols.append(F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"score_{lang}"))
+    return cols
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pick the language whose marker profile scores highest; ties break
+    deterministically by language code. 'und' when nothing matches."""
+    scores = lang_scores(F.col(text_col))
+    scored = df.select("*", *scores)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                # negative-ordinal tiebreak: earlier language wins ties
+                F.lit(-i).alias("o"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(pairs)
+    return scored.withColumn(
+        "lang_pred",
+        F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip non-word/non-space characters."""
+    t = F.lower(F.coalesce(text.cast("string"), F.lit("")))
+    t = F.regexp_replace(t, r"[^\w\s]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5 fingerprint of the normalized text — the exact-near-dup key
+    (case/punctuation/whitespace-insensitive)."""
+    return df.withColumn("fp", F.md5(normalize_text(F.col(text_col))))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array from normalized text (the MinHash
+    input). Documents shorter than n words yield one shingle of the
+    whole text."""
+    words = F.split(normalize_text(text), " ")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )

@@ -1,0 +1,129 @@
+"""Temporal operators over event tables: time-window aggregation,
+sessionization, as-of join.
+
+These extend the reference surface (earthmover has no temporal ops —
+SURVEY.md §2.10) with the standard event-analytics trio, built on
+native window/aggregate expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from earthmover_spark.util import EarthmoverSparkError
+
+
+def window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    group_cols: Sequence[str] = (),
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming
+    groupBy(window(...)) — same plan shape works under readStream).
+
+    Returns window_start/window_end timestamps plus count and the
+    requested ``{name: 'fn(col)'}`` aggregates (fn in sum/min/max/avg).
+    """
+    w = F.window(F.col(ts_col), window_duration)
+    agg_exprs = [F.count(F.lit(1)).alias("n")]
+    for name, spec in (aggs or {}).items():
+        fn, _, col = spec.partition("(")
+        col = col.rstrip(")")
+        fns = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}
+        if fn not in fns:
+            raise EarthmoverSparkError(f"window_agg: unsupported agg {fn!r}")
+        agg_exprs.append(fns[fn](F.col(col).cast("double")).alias(name))
+    return (
+        df.groupBy(w, *group_cols)
+        .agg(*agg_exprs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            *[e for e in ["n"]],
+            *[F.col(n) for n in (aggs or {})],
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap_minutes: int = 30,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign session ids per user: a gap > ``gap_minutes`` since the
+    previous event starts a new session.
+
+    Classic lag + cumulative-sum-of-gap-flags; one shuffle on the user
+    key, everything else window-local. Adds ``session_id`` (0-based per
+    user)."""
+    order_cols = [F.col(ts_col)]
+    if order_tiebreak:
+        order_cols.append(F.col(order_tiebreak))
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    new_session = F.when(
+        prev_ts.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id", F.sum(new_session).over(w) - F.lit(1)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    left_on: str,
+    right_on: str,
+    right_cols: Sequence[str] = (),
+    direction: str = "backward",
+    broadcast_left: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (direction='backward') sharing the join key.
+
+    Implemented as equi-join on the key + window rank over the time
+    condition — Catalyst turns the key join into a hash join (broadcast
+    when a side is small), and the rank is window-local. For very large
+    right sides, pre-bucket both sides on the key. (A merge_asof via
+    applyInPandas per key-group is the fallback for skewed keys.)"""
+    if direction not in ("backward", "forward"):
+        raise EarthmoverSparkError("asof_join: direction must be backward|forward")
+    lt, rt = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
+    l = left.alias("__l")
+    r = right.alias("__r")
+    if broadcast_left:
+        l = F.broadcast(l)
+    cond = F.col(f"__l.{left_on}") == F.col(f"__r.{right_on}")
+    time_ok = rt <= lt if direction == "backward" else rt >= lt
+    joined = l.join(r, on=cond & time_ok, how="left")
+    left_key_cols = [F.col(f"__l.{c}") for c in left.columns]
+    order = rt.desc() if direction == "backward" else rt.asc()
+    w = Window.partitionBy(*[F.col(f"__l.{c}") for c in _key_cols(left)]).orderBy(
+        order
+    )
+    ranked = joined.withColumn("__rk__", F.row_number().over(w))
+    keep_right = [
+        F.col(f"__r.{c}").alias(c) for c in (right_cols or right.columns)
+    ]
+    return (
+        ranked.filter(F.col("__rk__") == 1)
+        .select(*left_key_cols, *keep_right)
+    )
+
+
+def _key_cols(df: DataFrame) -> list[str]:
+    """Columns identifying a unique left row for the as-of rank window.
+    Uses all left columns (safe; callers should pass frames with a
+    unique key for best plans)."""
+    return df.columns
