@@ -1,0 +1,119 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Includes `em_pipeline`, a re-creation of the reference's published
+throughput scenario (map_values + rename_columns + add_columns +
+row-template render -> JSONL lines; docs/design.md:50 = ~33k rows/s on
+a laptop) so the rows/s comparison with BASELINE.md is direct.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries from __spark_entry__ (one per operator family)
+HEADLINE = [
+    "flagship",
+    "join_inner",
+    "join_suffix",
+    "group_by_stats",
+    "group_by_agg_concat",
+    "filter_rows",
+    "date_format",
+    "flatten",
+    "melt",
+    "pivot",
+    "sort_limit_rows",
+    "jinja_conditional",  # full-Jinja pandas_udf path
+    "add_columns_jinja_arith",  # lowered-Jinja native path
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_langid",
+    "sim_topk",
+    "ev_window_agg",
+    "ev_sessionize",
+    "ev_asof_join",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan without materializing to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def em_pipeline(spark, sf_dir: str):
+    """The reference's flagship throughput pipeline, re-expressed:
+    map_values + rename_columns + add_columns(Jinja) + JSON render
+    (reference example_projects/01_simple/big_earthmover.yaml)."""
+    from pyspark.sql import functions as F
+
+    from earthmover_spark.operators import column as C
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = C.map_values(
+        li, column="l_returnflag", mapping={"A": "accepted", "R": "returned", "N": "none"}
+    )
+    out = C.rename_columns(out, columns={"l_returnflag": "status"})
+    out = C.add_columns(
+        out,
+        columns={
+            "label": "{{l_orderkey}}-{{l_linenumber}}",
+            "qty_bucket": "{{l_quantity|int}}",
+        },
+    )
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in out.columns]
+    return out.select(F.to_json(F.struct(*cols)).alias("line"))
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from earthmover_spark import get_spark
+
+    spark = get_spark("bench")
+    qmap = entry.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/session with a trivial action so query 1 isn't charged
+    # for startup
+    spark.range(1).count()
+
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # reference-comparable throughput pipeline
+    li_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    t0 = time.perf_counter()
+    _force(em_pipeline(spark, SF_DIR))
+    em_sec = time.perf_counter() - t0
+    timings["em_pipeline"] = round(em_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "em_pipeline_rows_per_sec": int(li_rows / em_sec),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

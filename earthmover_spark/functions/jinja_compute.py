@@ -148,26 +148,71 @@ def _lower_expr(expr: str, columns: list[str], value_col: str | None):
     return _lower_term(expr, columns, value_col)
 
 
+_COND_RE = re.compile(r"^(.+?)\s*(==|!=|>=|<=|>|<)\s*(.+)$")
+_TOKEN_RE = re.compile(
+    r"\{\{(?P<expr>.*?)\}\}"
+    r"|\{%\s*if\s+(?P<cond>.+?)\s*%\}(?P<then>.*?)"
+    r"(?:\{%\s*else\s*%\}(?P<els>.*?))?\{%\s*endif\s*%\}",
+    re.DOTALL,
+)
+
+
+def _lower_condition(cond: str, columns: list[str], value_col: str | None) -> Column:
+    m = _COND_RE.match(cond.strip())
+    if not m:
+        raise _NotLowerable(cond)
+    left, _ = _lower_expr(m.group(1), columns, value_col)
+    right, _ = _lower_expr(m.group(3), columns, value_col)
+    op = m.group(2)
+    return {
+        "==": left == right,
+        "!=": left != right,
+        ">": left > right,
+        ">=": left >= right,
+        "<": left < right,
+        "<=": left <= right,
+    }[op]
+
+
 def lower_template(
     template: str, columns: list[str], value_col: str | None = None
 ) -> Column | None:
     """Try to compile a Jinja template to a native StringType Column.
 
+    Lowerable surface: ``{{col}}`` placeholders with the native filter
+    set, slices, single arithmetic, and non-nested
+    ``{% if <cmp> %}A{% else %}B{% endif %}`` blocks (-> ``F.when``).
     Returns None when the template needs the full Jinja engine.
     """
-    if _BLOCK_RE.search(template):
-        return None
     pieces: list[Column] = []
     pos = 0
     try:
-        for m in _EXPR_RE.finditer(template):
+        for m in _TOKEN_RE.finditer(template):
             if m.start() > pos:
-                pieces.append(F.lit(template[pos : m.start()]))
-            col, _numeric = _lower_expr(m.group(1), columns, value_col)
-            pieces.append(string_view(col))
+                lit = template[pos : m.start()]
+                if _BLOCK_RE.search(lit):
+                    return None  # unmatched/unsupported block syntax
+                pieces.append(F.lit(lit))
+            if m.group("expr") is not None:
+                col, _numeric = _lower_expr(m.group("expr"), columns, value_col)
+                pieces.append(string_view(col))
+            else:
+                then_part = m.group("then")
+                else_part = m.group("els") or ""
+                if _BLOCK_RE.search(then_part) or _BLOCK_RE.search(else_part):
+                    return None  # nested blocks -> full Jinja
+                cond = _lower_condition(m.group("cond"), columns, value_col)
+                then_col = lower_template(then_part, columns, value_col)
+                else_col = lower_template(else_part, columns, value_col)
+                if then_col is None or else_col is None:
+                    return None
+                pieces.append(F.when(cond, then_col).otherwise(else_col))
             pos = m.end()
-        if pos < len(template):
-            pieces.append(F.lit(template[pos:]))
+        tail = template[pos:]
+        if tail:
+            if _BLOCK_RE.search(tail):
+                return None
+            pieces.append(F.lit(tail))
     except _NotLowerable:
         return None
     if not pieces:

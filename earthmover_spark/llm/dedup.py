@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 
 from earthmover_spark.llm.textstats import normalize_text, shingles
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition narrow inputs up to cluster parallelism before
+    CPU-heavy hash derivations. A small parquet file arrives as 1-2
+    partitions; hashing must not inherit that. At real scale (many
+    files) this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -69,23 +80,6 @@ def _h60(col: Column, salt: str | Column = "") -> Column:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(
-    text: Column, num_hashes: int = 16, shingle_n: int = 3
-) -> Column:
-    """MinHash signature: for hash i, min over shingles of
-    md5('mh{i}:' || shingle) as a hex string (lexicographic min of a
-    uniform hash ≡ numeric min; hex strings keep it reproducible on any
-    engine). Array<string> of length num_hashes, computed entirely in
-    native expressions over the shingle array."""
-    sh = shingles(text, shingle_n)
-
-    def _mh(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"mh{i}:"), s))
-
-    sigs = [F.array_min(F.transform(sh, _mh(i))) for i in range(num_hashes)]
-    return F.array(*sigs)
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -93,9 +87,29 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    return df.select(
+    """MinHash signatures: for hash i, min over shingles of
+    md5('mh{i}:' || shingle) as a hex string (lexicographic min of a
+    uniform hash ≡ numeric min; hex strings keep it reproducible on any
+    engine). Returns (id, sig: array<string> of length num_hashes).
+
+    Shape: explode shingles to rows, then ONE hash-aggregate with
+    num_hashes partial mins. The shingle array is built exactly once per
+    document (inlining it into 16 array expressions makes Catalyst
+    re-evaluate it 16x — measured 50x slower), and map-side partial
+    aggregation means only (id, 16 hex strings) ever shuffle — the
+    explode never does."""
+    ex = _spread(df).select(
         F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh__"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("__sh__")))).alias(f"__m{i}__")
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -138,6 +152,10 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
+    # the self-join consumes `banded` twice; persist so the signature
+    # pipeline (the expensive md5 pass over every shingle) runs once.
+    # banded is tiny relative to the corpus: bands x 1 hash per doc.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -201,28 +219,43 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column, bits: int = 48, shingle_n: int = 1) -> Column:
-    """SimHash signature over token (1-gram) hashes: bit b of the
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """SimHash signatures over token (1-gram) hashes: bit b of the
     signature is the sign of sum over tokens of (+1 if bit b of
-    h60(token) else -1). Native expressions only."""
-    sh = F.array_distinct(shingles(text, shingle_n))
-    hashes = F.transform(sh, lambda s: _h60(s))
+    h60(token) else -1). Returns (id, sig: bigint).
 
-    def _vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
+    Same explode + single-aggregate shape as MinHash: the token hash is
+    computed once per token, the 48 bit-votes are partial sums
+    (map-side combined), and only (id, 48 longs) shuffle."""
+    ex = _spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("__t__"),
+    ).withColumn("__h__", _h60(F.col("__t__")))
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h__"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__v{b}__")
+            for b in range(bits)
+        ]
+    )
+    sig = None
     for b in range(bits):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
-        bit_cols.append(
-            F.when(votes > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.col(f"__v{b}__") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return sig
+        sig = bit if sig is None else sig + bit
+    return votes.select(F.col(id_col), sig.alias("sig"))
 
 
 def simhash_near_dups(
@@ -238,9 +271,7 @@ def simhash_near_dups(
     max_hamming differs in at most max_hamming chunks, so with
     chunks > max_hamming at least one chunk matches); verified by
     exact Hamming distance <= max_hamming."""
-    sigs = df.select(
-        F.col(id_col), simhash(F.col(text_col), bits).alias("sig")
-    )
+    sigs = simhash_signatures(df, text_col, id_col, bits)
     n_bands = bits // band_bits
     banded = sigs.select(
         id_col,
@@ -259,6 +290,8 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select(id_col, "sig", "bk.band", "bk.chunk")
+    # persist: the self-join would otherwise run the signature pass twice
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -151,10 +151,15 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array from normalized text (the MinHash
     input). Documents shorter than n words yield one shingle of the
-    whole text."""
-    words = F.split(normalize_text(text), " ")
-    cnt = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
+    whole text.
+
+    Implemented as a single regex pass (lookahead capture grabs the
+    n-gram at every word position) — one codegen'd expression per doc,
+    no per-element higher-order-function interpretation."""
+    norm = normalize_text(text)
+    if n == 1:
+        return F.split(norm, " ")
+    pat = r"(?=(\S+" + r"(?: \S+)" * (n - 1) + r"))\S+ ?"
+    return F.when(
+        F.size(F.split(norm, " ")) < n, F.array(norm)
+    ).otherwise(F.regexp_extract_all(norm, F.lit(pat), 1))
