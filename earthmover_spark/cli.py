@@ -1,0 +1,54 @@
+"""CLI: ``python -m earthmover_spark run|compile -c project.yaml``
+(reference: earthmover/__main__.py)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="earthmover_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run_p = sub.add_parser("run", help="compile + execute a project")
+    run_p.add_argument("-c", "--config", required=True)
+    run_p.add_argument("-p", "--params", default=None, help="JSON dict of ${VAR} params")
+    run_p.add_argument("-s", "--select", default="*", help="node selector (wildcards)")
+    run_p.add_argument("-o", "--output-dir", default=None)
+
+    comp_p = sub.add_parser("compile", help="compile only; print the plan")
+    comp_p.add_argument("-c", "--config", required=True)
+    comp_p.add_argument("-p", "--params", default=None)
+
+    args = parser.parse_args(argv)
+    params = json.loads(args.params) if args.params else None
+
+    from earthmover_spark.plans.config import compile_config
+
+    if args.command == "compile":
+        project = compile_config(args.config, params)
+        from earthmover_spark.plans.graph import Graph
+
+        graph = Graph(project)
+        for name in graph.topological_order():
+            node = graph.nodes[name]
+            ups = ", ".join(graph.parents[name]) or "-"
+            print(f"{name}  <-  {ups}")
+        return 0
+
+    from earthmover_spark import get_spark
+    from earthmover_spark.plans.executor import run_project
+
+    spark = get_spark("earthmover_spark.cli")
+    results = run_project(
+        spark, args.config, params, selector=args.select, output_dir=args.output_dir
+    )
+    for dest, path in results.items():
+        print(f"{dest} -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

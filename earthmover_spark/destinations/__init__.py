@@ -1,0 +1,4 @@
+from earthmover_spark.destinations.file_destination import (  # noqa: F401
+    render_lines,
+    write_destination,
+)

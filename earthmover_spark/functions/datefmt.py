@@ -34,13 +34,22 @@ _DIRECTIVES = {
     "%": "%",
 }
 
+# Lenient single-letter variants used when PARSING: strptime's %d accepts
+# 'Jan 1' while Java's strict 'dd' demands two digits; Java single letters
+# accept 1-2 digits like strptime does.
+_LENIENT = {"d": "d", "m": "M", "H": "H", "I": "h", "M": "m", "S": "s", "j": "D"}
+
 # single-digit (non-padded) variants: %-d / %-m / %-H etc. Java has single
 # pattern letters for these.
 _NOPAD = {"d": "d", "m": "M", "H": "H", "I": "h", "M": "m", "S": "s", "j": "D"}
 
 
-def strftime_to_spark(fmt: str) -> str:
+def strftime_to_spark(fmt: str, for_parsing: bool = False) -> str:
     """Translate a strftime format to a Spark (Java) datetime pattern.
+
+    ``for_parsing=True`` emits lenient (single-letter) day/month/time
+    fields matching strptime's tolerance of unpadded numbers; the
+    default emits zero-padded fields matching strftime output.
 
     Literal alphabetic characters are single-quoted (Java treats bare
     letters as pattern directives); ``'`` is escaped as ``''``.
@@ -65,7 +74,10 @@ def strftime_to_spark(fmt: str) -> str:
                 i += 2
                 continue
             if nxt in _DIRECTIVES:
-                out.append(_DIRECTIVES[nxt])
+                if for_parsing and nxt in _LENIENT:
+                    out.append(_LENIENT[nxt])
+                else:
+                    out.append(_DIRECTIVES[nxt])
                 i += 2
                 continue
             raise UntranslatablePattern(f"{fmt!r}: %{nxt}")

@@ -240,13 +240,14 @@ def _jinja_globals() -> dict:
     }
 
 
-def _compile(template: str, macros: str):
-    key = (template, macros)
+def _compile(template: str, macros: str, loader_dir: str | None = None):
+    key = (template, macros, loader_dir)
     tmpl = _TEMPLATE_CACHE.get(key)
     if tmpl is None:
         import jinja2
 
-        env = jinja2.Environment(undefined=jinja2.Undefined)
+        loader = jinja2.FileSystemLoader(loader_dir) if loader_dir else None
+        env = jinja2.Environment(undefined=jinja2.Undefined, loader=loader)
         env.globals.update(_jinja_globals())
         tmpl = env.from_string(macros + template)
         _TEMPLATE_CACHE[key] = tmpl
@@ -258,19 +259,23 @@ def jinja_udf_column(
     columns: list[str],
     value_col: str | None = None,
     macros: str = "",
+    loader_dir: str | None = None,
 ) -> Column:
     """Render `template` per row via an Arrow-batched pandas UDF.
 
     The UDF receives a struct of all columns (+ the modify-target as
     ``value`` when `value_col` is given); each row's columns become Jinja
     variables alongside a ``__row_data__`` dict — identical surface to
-    reference earthmover/util.py:84.
+    reference earthmover/util.py:84. ``loader_dir`` enables
+    ``{% include %}`` subtemplates (reference destination.py:74,98);
+    template files must be visible to executors (local mode: free;
+    cluster: ship via SparkFiles).
     """
-    tmpl_str, macro_str, vcol = template, macros, value_col
+    tmpl_str, macro_str, vcol, ldir = template, macros, value_col, loader_dir
 
     def _render_batch(pdf: pd.Series) -> pd.Series:
         # a struct column arrives as a pd.DataFrame despite the Series hint
-        tmpl = _compile(tmpl_str, macro_str)
+        tmpl = _compile(tmpl_str, macro_str, ldir)
         out = []
         for rec in pdf.to_dict("records"):
             ctx = dict(rec)
@@ -290,11 +295,12 @@ def template_column(
     columns: list[str],
     value_col: str | None = None,
     macros: str = "",
+    loader_dir: str | None = None,
 ) -> Column:
     """Compile a Jinja template to a Column: native when lowerable
-    (macros force the fallback), else the pandas_udf renderer."""
-    if not macros:
+    (macros/includes force the fallback), else the pandas_udf renderer."""
+    if not macros and "{% include" not in template:
         lowered = lower_template(template, columns, value_col)
         if lowered is not None:
             return lowered
-    return jinja_udf_column(template, columns, value_col, macros)
+    return jinja_udf_column(template, columns, value_col, macros, loader_dir)

@@ -175,7 +175,7 @@ def date_format(
     targets = expand_column_specs(specs, df.columns, on_missing="error")
     out = df
     try:
-        from_p = strftime_to_spark(from_format)
+        from_p = strftime_to_spark(from_format, for_parsing=True)
         to_p = strftime_to_spark(to_format)
         native = True
     except UntranslatablePattern:

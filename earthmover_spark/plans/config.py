@@ -1,0 +1,159 @@
+"""YAML project compiler (reference: earthmover/earthmover.py:158-198 +
+earthmover/yaml_parser.py).
+
+Compile steps, same pipeline as the reference:
+1. ``${VAR}`` parameter substitution (params dict > environment)
+   (reference yaml_parser.py:219-234)
+2. compile-time Jinja render of the whole YAML (macros available)
+   (reference yaml_parser.py:126-129)
+3. ``yaml.safe_load`` into the project IR
+4. node validation: sources / transformations / destinations
+
+Packages (project composition) are out of scope for now; selectors and
+dead-node pruning live in the graph layer.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import yaml
+
+from earthmover_spark.util import EarthmoverSparkError
+
+_PARAM_RE = re.compile(r"\$\{(\w+)\}")
+
+
+@dataclass
+class NodeConfig:
+    name: str  # full name, e.g. "$sources.orders"
+    kind: str  # sources | transformations | destinations
+    config: dict
+
+    @property
+    def short_name(self) -> str:
+        return self.name.split(".", 1)[1]
+
+
+@dataclass
+class ProjectConfig:
+    config: dict = field(default_factory=dict)
+    sources: dict[str, dict] = field(default_factory=dict)
+    transformations: dict[str, dict] = field(default_factory=dict)
+    destinations: dict[str, dict] = field(default_factory=dict)
+    base_dir: str = "."
+
+    @property
+    def macros(self) -> str:
+        return self.config.get("macros", "") or ""
+
+    @property
+    def output_dir(self) -> str:
+        return self.config.get("output_dir", "./output")
+
+    def nodes(self) -> dict[str, NodeConfig]:
+        out: dict[str, NodeConfig] = {}
+        for kind, group in (
+            ("sources", self.sources),
+            ("transformations", self.transformations),
+            ("destinations", self.destinations),
+        ):
+            for name, cfg in group.items():
+                full = f"${kind}.{name}"
+                out[full] = NodeConfig(full, kind, cfg)
+        return out
+
+
+def substitute_params(text: str, params: dict[str, str] | None = None) -> str:
+    """``${VAR}`` substitution: explicit params win over environment
+    variables; unknown vars are left intact (so compile-time Jinja can
+    still see them)."""
+    env = dict(os.environ)
+    merged = {**env, **(params or {})}
+
+    def repl(m: re.Match) -> str:
+        return str(merged.get(m.group(1), m.group(0)))
+
+    return _PARAM_RE.sub(repl, text)
+
+
+def render_compile_time_jinja(text: str, macros: str = "") -> str:
+    """Render the YAML itself through Jinja (loops generating repeated
+    nodes, conditional config — reference yaml_parser.py:126-129)."""
+    if "{{" not in text and "{%" not in text:
+        return text
+    import jinja2
+
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+    return env.from_string(macros + text).render()
+
+
+def compile_config(
+    path_or_text: str,
+    params: dict[str, str] | None = None,
+) -> ProjectConfig:
+    """Compile a YAML project file (or literal YAML text) into the IR."""
+    if "\n" not in path_or_text and os.path.exists(path_or_text):
+        base_dir = os.path.dirname(os.path.abspath(path_or_text))
+        with open(path_or_text) as fh:
+            text = fh.read()
+    else:
+        base_dir = "."
+        text = path_or_text
+
+    text = substitute_params(text, params)
+    # pull macros out before the compile-time render so they're usable in it
+    try:
+        pre = yaml.safe_load(render_compile_time_jinja_safe(text)) or {}
+    except yaml.YAMLError:
+        pre = {}
+    macros = ((pre.get("config") or {}).get("macros") or "") if isinstance(pre, dict) else ""
+    text = render_compile_time_jinja(text, macros)
+    raw = yaml.safe_load(text) or {}
+
+    project = ProjectConfig(
+        config=raw.get("config") or {},
+        sources=raw.get("sources") or {},
+        transformations=raw.get("transformations") or {},
+        destinations=raw.get("destinations") or {},
+        base_dir=base_dir,
+    )
+    _validate(project)
+    return project
+
+
+def render_compile_time_jinja_safe(text: str) -> str:
+    """Best-effort first Jinja pass used only to extract macros."""
+    try:
+        return render_compile_time_jinja(text)
+    except Exception:
+        return text
+
+
+def _validate(project: ProjectConfig) -> None:
+    for name, cfg in project.sources.items():
+        if not isinstance(cfg, dict):
+            raise EarthmoverSparkError(f"source {name!r}: config must be a mapping")
+        if not (cfg.get("file") or cfg.get("connection") or cfg.get("optional")):
+            raise EarthmoverSparkError(
+                f"source {name!r}: needs `file`, `connection`, or `optional: True`"
+            )
+    for name, cfg in project.transformations.items():
+        if not isinstance(cfg, dict) or "operations" not in cfg:
+            raise EarthmoverSparkError(
+                f"transformation {name!r}: needs an `operations` list"
+            )
+        if "source" not in cfg and not any(
+            op.get("sources") for op in cfg["operations"] if isinstance(op, dict)
+        ):
+            raise EarthmoverSparkError(f"transformation {name!r}: needs a `source`")
+        for op in cfg["operations"]:
+            if "operation" not in op:
+                raise EarthmoverSparkError(
+                    f"transformation {name!r}: every operation needs `operation:`"
+                )
+    for name, cfg in project.destinations.items():
+        if not isinstance(cfg, dict) or "source" not in cfg:
+            raise EarthmoverSparkError(f"destination {name!r}: needs a `source`")

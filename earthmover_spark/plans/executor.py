@@ -1,0 +1,163 @@
+"""DAG executor: topological node evaluation -> lazy DataFrame per node
+-> destination writes (reference: earthmover/earthmover.py:251-279).
+
+Improvements over the reference noted in SURVEY.md §4:
+- a node feeding multiple downstream consumers is ``.persist()``ed
+  (the reference recomputes it per destination);
+- everything stays lazy until a destination writes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from earthmover_spark.destinations import write_destination
+from earthmover_spark.functions.jinja_compute import template_column
+from earthmover_spark.operators import OPERATIONS
+from earthmover_spark.plans.config import ProjectConfig, compile_config
+from earthmover_spark.plans.graph import Graph
+from earthmover_spark.sources import read_source
+from earthmover_spark.util import EarthmoverSparkError
+
+from pyspark.sql import functions as F
+
+#: operation config keys that are engine-level, not operator kwargs
+_META_KEYS = {"operation", "repartition", "sources", "source"}
+
+
+class Executor:
+    def __init__(self, spark: SparkSession, project: ProjectConfig):
+        self.spark = spark
+        self.project = project
+        self.graph = Graph(project)
+        self.data: dict[str, DataFrame] = {}
+        self.results: dict[str, str] = {}
+
+    # -- node evaluation ----------------------------------------------------
+
+    def _resolve(self, ref: str) -> DataFrame:
+        if ref not in self.data:
+            raise EarthmoverSparkError(f"reference {ref!r} not yet evaluated")
+        return self.data[ref]
+
+    def _eval_source(self, name: str, cfg: dict) -> DataFrame:
+        cfg = dict(cfg)
+        file = cfg.pop("file", None)
+        if file and not os.path.isabs(file):
+            file = os.path.join(self.project.base_dir, file)
+        kwargs = {
+            k: v
+            for k, v in cfg.items()
+            if k
+            in (
+                "type", "columns", "optional", "optional_fields", "encoding",
+                "header_rows", "fill_sparse_headers", "sheet", "match",
+                "xpath", "orientation", "object_type", "colspecs",
+                "colspec_file", "colspec_headers", "sep",
+            )
+        }
+        return read_source(self.spark, file, **kwargs)
+
+    def _eval_transformation(self, name: str, cfg: dict) -> DataFrame:
+        df = self._resolve(cfg["source"]) if cfg.get("source") else None
+        for op_cfg in cfg["operations"]:
+            op_cfg = dict(op_cfg)
+            op_name = op_cfg.pop("operation")
+            fn = OPERATIONS.get(op_name)
+            if fn is None:
+                raise EarthmoverSparkError(f"{name}: unknown operation {op_name!r}")
+            repartition = op_cfg.pop("repartition", None)
+            kwargs = {k: v for k, v in op_cfg.items() if k not in ("sources",)}
+            if op_name in ("join", "union"):
+                kwargs["sources"] = [self._resolve(s) for s in op_cfg["sources"]]
+            if op_name in ("add_columns", "modify_columns"):
+                kwargs.setdefault("macros", self.project.macros)
+            if df is None:
+                raise EarthmoverSparkError(f"{name}: no upstream data for {op_name}")
+            df = fn(df, **kwargs)
+            if repartition:
+                df = df.repartition(int(repartition))
+        return df
+
+    def _check_expectations(self, name: str, cfg: dict, df: DataFrame) -> None:
+        """`expect` row predicates + `require_rows`
+        (reference node.py:165-194, 74-78)."""
+        require = cfg.get("require_rows")
+        if require:
+            n = df.count()
+            want = 1 if require is True else int(require)
+            if n < want:
+                raise EarthmoverSparkError(
+                    f"{name}: require_rows {want} not met (got {n})"
+                )
+        for exp in cfg.get("expect") or []:
+            tmpl = exp if "{{" in str(exp) or "{%" in str(exp) else "{{" + str(exp) + "}}"
+            rendered = template_column(tmpl, df.columns, macros=self.project.macros)
+            failing = df.filter(~(rendered == F.lit("True"))).count()
+            if failing:
+                raise EarthmoverSparkError(
+                    f"{name}: expectation {exp!r} failed for {failing} rows"
+                )
+
+    # -- run ----------------------------------------------------------------
+
+    def run(self, selector: str = "*", output_dir: str | None = None) -> dict[str, str]:
+        subset = self.graph.select(selector)
+        order = self.graph.topological_order(subset)
+        consumers = self.graph.consumer_counts(subset)
+        out_dir = output_dir or os.path.join(
+            self.project.base_dir, self.project.output_dir
+        )
+
+        for name in order:
+            node = self.graph.nodes[name]
+            if node.kind == "sources":
+                df = self._eval_source(name, node.config)
+            elif node.kind == "transformations":
+                df = self._eval_transformation(name, node.config)
+            else:
+                self._write_destination(name, node.config, out_dir)
+                continue
+            self._check_expectations(name, node.config, df)
+            if node.config.get("debug"):
+                print(f"-- {name}: {len(df.columns)} columns {df.columns}")
+                df.show(5, truncate=False)
+            if consumers.get(name, 0) > 1:
+                df = df.persist()
+            self.data[name] = df
+        return self.results
+
+    def _write_destination(self, name: str, cfg: dict, out_dir: str) -> None:
+        df = self._resolve(cfg["source"])
+        template_file = cfg.get("template")
+        if template_file and not os.path.isabs(template_file):
+            template_file = os.path.join(self.project.base_dir, template_file)
+        short = name.split(".", 1)[1]
+        path = write_destination(
+            df,
+            short,
+            out_dir,
+            template_file=template_file,
+            extension=cfg.get("extension", "jsonl"),
+            macros=self.project.macros,
+            linearize=cfg.get("linearize", True),
+            header=cfg.get("header"),
+            footer=cfg.get("footer"),
+            mode=cfg.get("mode", "file"),
+        )
+        self.results[name] = path
+
+
+def run_project(
+    spark: SparkSession,
+    config_path: str,
+    params: dict[str, str] | None = None,
+    selector: str = "*",
+    output_dir: str | None = None,
+) -> dict[str, str]:
+    """Compile + execute a YAML project; returns {destination: path}."""
+    project = compile_config(config_path, params)
+    return Executor(spark, project).run(selector, output_dir)

@@ -1,0 +1,109 @@
+"""Node DAG: edges from $-references, topological order, selector
+subgraphs, dead-node pruning (reference: earthmover/graph.py +
+earthmover/earthmover.py:225-249).
+
+No graph library needed — plain adjacency dicts and Kahn's algorithm.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from earthmover_spark.plans.config import ProjectConfig
+from earthmover_spark.util import EarthmoverSparkError
+
+
+def upstream_refs(kind: str, cfg: dict) -> list[str]:
+    """$-references a node consumes: its `source`/`sources` plus any
+    operation-level `sources` (join/union)."""
+    refs: list[str] = []
+    if cfg.get("source"):
+        refs.append(cfg["source"])
+    for s in cfg.get("sources") or []:
+        refs.append(s)
+    for op in cfg.get("operations") or []:
+        for s in op.get("sources") or []:
+            refs.append(s)
+    return [r for r in refs if isinstance(r, str) and r.startswith("$")]
+
+
+class Graph:
+    def __init__(self, project: ProjectConfig):
+        self.project = project
+        self.nodes = project.nodes()
+        self.edges: dict[str, list[str]] = {n: [] for n in self.nodes}  # node -> downstream
+        self.parents: dict[str, list[str]] = {n: [] for n in self.nodes}
+        for name, node in self.nodes.items():
+            for ref in upstream_refs(node.kind, node.config):
+                if ref not in self.nodes:
+                    raise EarthmoverSparkError(
+                        f"{name} references unknown node {ref!r}"
+                    )
+                self.edges[ref].append(name)
+                self.parents[name].append(ref)
+
+    def topological_order(self, subset: set[str] | None = None) -> list[str]:
+        names = subset if subset is not None else set(self.nodes)
+        indeg = {n: sum(1 for p in self.parents[n] if p in names) for n in names}
+        queue = sorted([n for n, d in indeg.items() if d == 0])
+        order: list[str] = []
+        while queue:
+            n = queue.pop(0)
+            order.append(n)
+            for ch in sorted(self.edges[n]):
+                if ch in names:
+                    indeg[ch] -= 1
+                    if indeg[ch] == 0:
+                        queue.append(ch)
+        if len(order) != len(names):
+            raise EarthmoverSparkError("project graph contains a cycle")
+        return order
+
+    def select(self, selector: str = "*") -> set[str]:
+        """Selector subgraph: nodes matching the wildcard pattern plus
+        all ancestors and descendants (reference graph.py:67-105), then
+        pruned to nodes that can reach a destination
+        (reference earthmover.py:236-247)."""
+        matched = {
+            n
+            for n in self.nodes
+            if fnmatch.fnmatch(n, selector)
+            or fnmatch.fnmatch(n.split(".", 1)[1], selector)
+        }
+        if not matched:
+            raise EarthmoverSparkError(f"selector {selector!r} matches no nodes")
+        closure = set(matched)
+        # ancestors
+        frontier = list(matched)
+        while frontier:
+            n = frontier.pop()
+            for p in self.parents[n]:
+                if p not in closure:
+                    closure.add(p)
+                    frontier.append(p)
+        # descendants
+        frontier = list(matched)
+        while frontier:
+            n = frontier.pop()
+            for c in self.edges[n]:
+                if c not in closure:
+                    closure.add(c)
+                    frontier.append(c)
+        # prune nodes that do not reach a destination in the closure
+        reaches: set[str] = {
+            n for n in closure if self.nodes[n].kind == "destinations"
+        }
+        changed = True
+        while changed:
+            changed = False
+            for n in closure - reaches:
+                if any(c in reaches for c in self.edges[n]):
+                    reaches.add(n)
+                    changed = True
+        return reaches if reaches else closure
+
+    def consumer_counts(self, subset: set[str]) -> dict[str, int]:
+        return {
+            n: sum(1 for c in self.edges[n] if c in subset)
+            for n in subset
+        }

@@ -134,14 +134,21 @@ def read_csv(
         names, skip = _read_header_names(
             path, list(header_rows), sep, encoding, fill_sparse_headers
         )
-        # distributed scan skipping all header lines
-        df = (
-            spark.read.schema(_all_string_schema(names))
-            .options(
-                sep=sep, header=False, encoding=encoding, skipRows=skip,
-                emptyValue="", mode="PERMISSIVE",
-            )
-            .csv(path)
+        # distributed scan skipping the header lines: text scan ->
+        # drop the first `skip` lines (monotonic ids are ordered within
+        # the first split, which always holds the header) -> from_csv.
+        lines = (
+            spark.read.text(path)
+            .withColumn("__idx__", F.monotonically_increasing_id())
+            .filter(F.col("__idx__") >= skip)
+        )
+        parsed = F.from_csv(
+            F.col("value"),
+            ", ".join(f"`{n}` string" for n in names),
+            {"sep": sep},
+        )
+        df = lines.select(parsed.alias("__row__")).select(
+            *[F.col(f"__row__.{n}").alias(n) for n in names]
         )
     elif header_rows == 0:
         if not columns:

@@ -1,0 +1,95 @@
+"""Unit tests: Jinja peephole lowering + UDF fallback equivalence.
+
+Every lowerable template must render identically via the native path
+and the full-Jinja UDF path — the lowering is an optimization, never a
+semantics change.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from earthmover_spark.functions.jinja_compute import (
+    jinja_udf_column,
+    lower_template,
+    template_column,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [("alpha", "10", 2.5, "F"), ("Beta Max", "7", 40.0, "O")],
+        ["name", "num", "qty", "flag"],
+    )
+
+
+LOWERABLE = [
+    "plain text only",
+    "{{name}}",
+    "{{name}} end",
+    "a {{name}} b {{num}} c",
+    "{{name|upper}}",
+    "{{name|trim|lower}}",
+    "{{num|int}}",
+    "{{qty|int}}",
+    "{{num|int + 1000}}",
+    "{{num|int - 3}}",
+    "{{num|int * 2}}",
+    "{{name[0:4]}}",
+    "{{name[2]}}",
+    "x={% if qty > 10 %}big{% else %}small{% endif %}",
+    "{% if flag == 'F' %}final{% else %}open{% endif %}",
+    "{% if qty <= 2.5 %}low{% endif %}",
+]
+
+NOT_LOWERABLE = [
+    "{{unknown_filter|wat}}",
+    "{% for x in items %}{{x}}{% endfor %}",
+    "{{md5(name)}}",
+    "{{__row_data__}}",
+    "{% if qty > 1 %}{% if flag == 'F' %}n{% endif %}{% endif %}",
+]
+
+
+@pytest.mark.parametrize("template", LOWERABLE)
+def test_lowered_matches_jinja(df, template):
+    lowered = lower_template(template, df.columns)
+    assert lowered is not None, f"expected lowerable: {template}"
+    native = [r.v for r in df.select(lowered.alias("v")).collect()]
+    via_jinja = [
+        r.v
+        for r in df.select(
+            jinja_udf_column(template, df.columns).alias("v")
+        ).collect()
+    ]
+    assert native == via_jinja, template
+
+
+@pytest.mark.parametrize("template", NOT_LOWERABLE)
+def test_not_lowerable_falls_back(df, template):
+    assert lower_template(template, df.columns) is None
+
+
+def test_value_col_in_modify_context(df):
+    col = template_column("{{value|upper}}", df.columns, value_col="name")
+    out = [r.v for r in df.select(col.alias("v")).collect()]
+    assert out == ["ALPHA", "BETA MAX"]
+
+
+def test_macros_force_fallback(df):
+    macros = "{% macro shout(x) %}{{x|upper}}!{% endmacro %}"
+    col = template_column("{{shout(name)}}", df.columns, macros=macros)
+    out = [r.v for r in df.select(col.alias("v")).collect()]
+    assert out == ["ALPHA!", "BETA MAX!"]
+
+
+def test_row_data_dict(df):
+    col = template_column("{{__row_data__['name']}}", df.columns)
+    out = [r.v for r in df.select(col.alias("v")).collect()]
+    assert out == ["alpha", "Beta Max"]
+
+
+def test_fromjson_global(spark):
+    df = spark.createDataFrame([('{"a": 5}',)], ["j"])
+    col = template_column("{{fromjson(j)['a']}}", df.columns)
+    assert df.select(col.alias("v")).collect()[0].v == "5"
