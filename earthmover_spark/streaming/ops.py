@@ -1,0 +1,126 @@
+"""Structured Streaming surface (engine extension — the reference is
+strictly batch, SURVEY.md §2.10).
+
+The batch operators compose onto streaming DataFrames unchanged (same
+Column expressions); this module adds the stream-specific pieces:
+sources, watermarked windowed aggregation, session windows, and sinks.
+Batch twins live in ``operators.temporal`` — the plan shapes match, so
+a pipeline validated in batch mode runs under ``readStream`` with the
+same semantics plus late-data handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from earthmover_spark.util import EarthmoverSparkError
+
+
+def read_stream_source(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str = "parquet",  # noqa: A002
+    schema: T.StructType | str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source. Streaming file sources require an
+    explicit schema; pass one or point at a directory whose first file
+    can be sampled (we read it batch-side to infer)."""
+    if schema is None:
+        batch = spark.read.format(format).load(path)
+        schema = batch.schema
+    reader = spark.readStream.format(format).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_agg_stream(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    group_cols: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Watermarked (sliding) window aggregation — the streaming twin of
+    ``operators.temporal.window_agg``. Late rows beyond `watermark` are
+    dropped; in append mode a window emits once it is below the
+    watermark."""
+    w = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
+    agg_exprs = [F.count(F.lit(1)).alias("n")]
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}
+    for name, spec in (aggs or {}).items():
+        fn, _, col = spec.partition("(")
+        col = col.rstrip(")")
+        if fn not in fns:
+            raise EarthmoverSparkError(f"windowed_agg_stream: unsupported agg {fn!r}")
+        agg_exprs.append(fns[fn](F.col(col).cast("double")).alias(name))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(w, *(group_cols or []))
+        .agg(*agg_exprs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_cols or []),
+            "n",
+            *[F.col(n) for n in (aggs or {})],
+        )
+    )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per user (native ``session_window`` — dynamic-gap
+    stateful aggregation). Streaming twin of
+    ``operators.temporal.sessionize``."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            user_col,
+            "n_events",
+        )
+    )
+
+
+def write_stream_destination(
+    df: DataFrame,
+    *,
+    path: str | None = None,
+    format: str = "parquet",  # noqa: A002
+    checkpoint: str | None = None,
+    output_mode: str = "append",
+    query_name: str | None = None,
+    trigger_once: bool = True,
+):
+    """Start a streaming write. ``format='memory'`` + ``query_name``
+    gives the synchronous smoke-test sink; file formats need a
+    checkpoint dir (exactly-once via WAL + idempotent part files)."""
+    writer = df.writeStream.outputMode(output_mode).format(format)
+    if query_name:
+        writer = writer.queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if path:
+        writer = writer.option("path", path)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,88 @@
+"""Streaming smoke tests: drive file-source streams to completion
+synchronously via availableNow + memory sink, and check the streaming
+results match the batch twins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0),
+        (2, "2024-01-01 10:02:00", 7, "view", 2.0),
+        (3, "2024-01-01 10:50:00", 7, "click", 3.0),  # same hour, new session
+        (4, "2024-01-01 11:40:00", 8, "view", 4.0),
+        (5, "2024-01-01 11:45:00", 8, "click", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_to_memory(stream_df, spark, name, output_mode="append"):
+    from earthmover_spark.streaming import write_stream_destination
+
+    q = write_stream_destination(
+        stream_df, format="memory", query_name=name, output_mode=output_mode
+    )
+    q.awaitTermination(60)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_agg_stream_matches_batch(spark, events_dir):
+    from earthmover_spark.operators.temporal import window_agg
+    from earthmover_spark.streaming import read_stream_source, windowed_agg_stream
+
+    stream = read_stream_source(spark, events_dir)
+    agg = windowed_agg_stream(
+        stream, "ts", "1 hour", watermark="0 seconds", aggs={"sv": "sum(value)"}
+    )
+    got = {
+        (str(r.window_start), r.n, r.sv)
+        for r in _run_to_memory(agg, spark, "win_out", "complete").collect()
+    }
+    batch = window_agg(
+        spark.read.parquet(events_dir), "ts", "1 hour", aggs={"sv": "sum(value)"}
+    )
+    want = {
+        (str(r.window_start), r.n, r.sv) for r in batch.collect()
+    }
+    assert got == want
+    assert ("2024-01-01 10:00:00", 3, 6.0) in got
+
+
+def test_sessionize_stream(spark, events_dir):
+    from earthmover_spark.streaming import read_stream_source, sessionize_stream
+
+    stream = read_stream_source(spark, events_dir)
+    sessions = sessionize_stream(
+        stream, "ts", "user_id", gap="30 minutes", watermark="0 seconds"
+    )
+    rows = _run_to_memory(sessions, spark, "sess_out", "complete").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    # user 7: events at 10:00/10:02 then 10:50 -> 2 sessions
+    assert sorted(per_user[7]) == [1, 2]
+    # user 8: 11:40 + 11:45 -> one session of 2
+    assert per_user[8] == [2]
+
+
+def test_batch_operators_compose_on_streams(spark, events_dir):
+    """The engine's batch Column-expression operators apply unchanged to
+    streaming frames (same lazy plan surface)."""
+    from earthmover_spark.operators import column as C
+    from earthmover_spark.operators import row as R
+    from earthmover_spark.streaming import read_stream_source
+
+    stream = read_stream_source(spark, events_dir)
+    out = R.filter_rows(stream, query='event_type == "click"')
+    out = C.add_columns(out, columns={"tag": "{{event_type}}:{{user_id}}"})
+    got = _run_to_memory(out.select("event_id", "tag"), spark, "compose_out")
+    assert {(r.event_id, r.tag) for r in got.collect()} == {
+        (1, "click:7"), (3, "click:7"), (5, "click:8")
+    }
