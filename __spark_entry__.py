@@ -570,6 +570,105 @@ def q_ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (extension): customers with >=1 order; right side
+    reduced to distinct keys and broadcast."""
+    customer = _p(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _p(spark, sf_dir, "orders")
+    return D.semi_join(customer, source=orders, left_key="c_custkey", right_key="o_custkey")
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (extension): customers with no pending ('P') orders."""
+    customer = _p(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pending = _p(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return D.semi_join(
+        customer, source=pending, left_key="c_custkey", right_key="o_custkey", anti=True
+    )
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of nation keys across two market segments."""
+    customer = _p(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return D.intersect_rows(a, sources=[b], all=False)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset) of order statuses: urgent minus high priority."""
+    orders = _p(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey", "o_orderstatus"
+    )
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_custkey", "o_orderstatus"
+    )
+    return D.except_rows(a, sources=[b], all=True)
+
+
+def q_group_by_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (extension): region -> nation customer
+    counts in one shuffle (Expand + partial agg)."""
+    customer = _p(spark, sf_dir, "customer")
+    nation = _p(spark, sf_dir, "nation")
+    region = _p(spark, sf_dir, "region")
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "n_name", "c_acctbal")
+    )
+    return G.group_by_rollup(
+        joined,
+        group_by_columns=["r_name", "n_name"],
+        create_columns={"n": "count()", "sum_bal": "sum(c_acctbal)"},
+    ).withColumn("sum_bal", F.round("sum_bal", 4))
+
+
+def q_group_by_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set cube (extension) over order status x priority."""
+    orders = _p(spark, sf_dir, "orders")
+    return G.group_by_rollup(
+        orders,
+        group_by_columns=["o_orderstatus", "o_orderpriority"],
+        create_columns={"n": "count()", "sum_price": "sum(o_totalprice)"},
+        mode="cube",
+    ).withColumn("sum_price", F.round("sum_price", 4))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode plumbing: binary payloads -> fixed-length feature
+    vectors via mapInPandas (stub codec, real Arrow batch plumbing)."""
+    from earthmover_spark.llm import multimodal as M
+
+    docs = (
+        _p(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    feats = M.extract_features(docs, "payload", n_features=16)
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_feat"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: one row per planned frame timestamp,
+    bounded by payload-derived duration (native explode(sequence))."""
+    from earthmover_spark.llm import multimodal as M
+
+    docs = (
+        _p(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    tagged = M.attach_media_meta(docs, "payload", "video", "mp4")
+    frames = M.frame_sample_plan(tagged, "payload", every_ms=100, bytes_per_frame=256)
+    return frames.select("doc_id", "frame_ts_ms")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -630,6 +729,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_window_agg": q_ev_window_agg,
         "ev_sessionize": q_ev_sessionize,
         "ev_asof_join": q_ev_asof_join,
+        # relational extensions
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "group_by_rollup": q_group_by_rollup,
+        "group_by_cube": q_group_by_cube,
+        # multimodal plumbing
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1028,5 +1137,55 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        # ---- relational extensions ----------------------------------------
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        """,
+        "set_intersect": """
+            SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        """,
+        "set_except": """
+            SELECT o_custkey, o_orderstatus FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            EXCEPT ALL
+            SELECT o_custkey, o_orderstatus FROM orders
+            WHERE o_orderpriority = '2-HIGH'
+        """,
+        "group_by_rollup": """
+            SELECT r_name, n_name, count(*) AS n,
+                   round(sum(c_acctbal), 4) AS sum_bal,
+                   grouping(r_name, n_name) AS grouping_id
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "group_by_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS sum_price,
+                   grouping(o_orderstatus, o_orderpriority) AS grouping_id
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        # ---- multimodal plumbing ------------------------------------------
+        "multimodal_features": """
+            SELECT doc_id, 16 AS n_feat,
+                   round(CAST(CAST(('0x' || substr(sha256(text), 1, 8)) AS UBIGINT)
+                              / 4294967296.0 AS REAL)::DOUBLE, 6) AS f0
+            FROM documents WHERE doc_id < 500
+        """,
+        "multimodal_frames": """
+            SELECT doc_id, unnest(range(0,
+                   (octet_length(encode(text)) // 256) * 100 + 1, 100)) AS frame_ts_ms
+            FROM documents WHERE doc_id < 200
         """,
     }

@@ -95,7 +95,7 @@ def extract_features(
 
 
 def frame_sample_plan(
-    df: DataFrame, binary_col: str, every_ms: int = 1000
+    df: DataFrame, binary_col: str, every_ms: int = 1000, bytes_per_frame: int = 65536
 ) -> DataFrame:
     """Video frame-sampling *plan*: one output row per planned frame
     timestamp, bounded by the (stub-decoded) duration. The explode is
@@ -103,8 +103,8 @@ def frame_sample_plan(
     meta = f"{binary_col}_meta"
     duration = F.coalesce(
         F.col(f"{meta}.duration_ms"),
-        # stub: pretend 1 frame per 64 KiB of payload
-        (F.length(F.col(binary_col)) / 65536).cast("long") * every_ms + 1,
+        # stub: pretend 1 frame per `bytes_per_frame` of payload
+        (F.length(F.col(binary_col)) / bytes_per_frame).cast("long") * every_ms + 1,
     )
     return df.withColumn(
         "frame_ts_ms",

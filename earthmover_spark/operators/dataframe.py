@@ -219,3 +219,73 @@ def debug(
         pdf = pdf.transpose().reset_index(names="column")
     print(pdf.to_string(index=False))
     return df
+
+
+# ---------------------------------------------------------------------------
+# Engine extensions beyond the reference surface (SURVEY.md §2.4/§2.5 notes
+# that earthmover lacks semi/anti joins and intersect/except; Spark has them
+# natively, so we expose them with the same keep/drop-pruning config shape).
+# ---------------------------------------------------------------------------
+
+
+def semi_join(
+    df: DataFrame,
+    *,
+    source: DataFrame,
+    left_key: str | None = None,
+    left_keys: Sequence[str] | None = None,
+    right_key: str | None = None,
+    right_keys: Sequence[str] | None = None,
+    anti: bool = False,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Existence filter: keep left rows with (semi) / without (anti) a
+    key match on the right. Extension — the reference can only express
+    this as join + filter_rows (earthmover/operations/dataframe.py:180).
+
+    Scale: the right side is reduced to its distinct keys before the
+    join, so even a huge probe table broadcasts as a key set when the
+    distinct-key cardinality is small; the left side never shuffles in
+    that case."""
+    lkeys = list(left_keys or ensure_list(left_key))
+    rkeys = list(right_keys or ensure_list(right_key))
+    if not lkeys or len(lkeys) != len(rkeys):
+        raise EarthmoverSparkError("semi_join: left/right key lists must match")
+    keys = source.select(
+        *[F.col(r).alias(l) for l, r in zip(lkeys, rkeys)]
+    ).dropDuplicates()
+    if broadcast_right:
+        keys = F.broadcast(keys)
+    return df.join(keys, on=lkeys, how="left_anti" if anti else "left_semi")
+
+
+def intersect_rows(
+    df: DataFrame, *, sources: Iterable[DataFrame], all: bool = True  # noqa: A002
+) -> DataFrame:
+    """Multiset INTERSECT [ALL] with N sources (extension; Spark-native
+    ``intersectAll``/``intersect``)."""
+    out = df
+    for source in sources:
+        if set(source.columns) != set(out.columns):
+            raise EarthmoverSparkError(
+                "intersect_rows: dataframes do not share identical columns"
+            )
+        aligned = source.select(*out.columns)
+        out = out.intersectAll(aligned) if all else out.intersect(aligned)
+    return out
+
+
+def except_rows(
+    df: DataFrame, *, sources: Iterable[DataFrame], all: bool = True  # noqa: A002
+) -> DataFrame:
+    """Multiset EXCEPT [ALL] against N sources (extension; Spark-native
+    ``exceptAll``/``subtract``)."""
+    out = df
+    for source in sources:
+        if set(source.columns) != set(out.columns):
+            raise EarthmoverSparkError(
+                "except_rows: dataframes do not share identical columns"
+            )
+        aligned = source.select(*out.columns)
+        out = out.exceptAll(aligned) if all else out.subtract(aligned)
+    return out

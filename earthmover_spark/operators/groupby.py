@@ -159,3 +159,39 @@ def group_by_with_rank(
     w = Window.partitionBy(*group_by_columns).orderBy(order_col)
     out = base.withColumn(rank_column, F.row_number().over(w) - F.lit(1))
     return out.drop(tmp) if tmp else out
+
+
+def group_by_rollup(
+    df: DataFrame,
+    *,
+    group_by_columns: Sequence[str],
+    create_columns: Mapping[str, str],
+    mode: str = "rollup",
+    grouping_id_column: str | None = "grouping_id",
+) -> DataFrame:
+    """Hierarchical (rollup) or full (cube) grouping sets — extension;
+    the reference has none (SURVEY.md §2.6). Same agg-spec strings as
+    ``group_by``; subtotal rows carry NULL group keys and a
+    ``grouping_id`` bitmask to tell `(NULL key)` from `(subtotal)`.
+
+    Scale: rollup/cube lower to a single shuffle with partial
+    aggregation per grouping set (Expand + HashAggregate) — no extra
+    passes over the fact table."""
+    if mode not in ("rollup", "cube"):
+        raise EarthmoverSparkError("group_by_rollup: mode must be rollup|cube")
+    missing = set(group_by_columns) - set(df.columns)
+    if missing:
+        raise EarthmoverSparkError(f"group_by_rollup: columns not in dataset: {missing}")
+    ordered = ROW_ORDER in df.columns
+    aggs = []
+    for new_col, spec in create_columns.items():
+        agg_type, col, sep = parse_agg_spec(spec)
+        aggs.append(agg_expression(agg_type, col, sep, ordered=ordered).alias(new_col))
+    if grouping_id_column:
+        aggs.append(F.grouping_id().cast("long").alias(grouping_id_column))
+    grouped = (
+        df.rollup(*group_by_columns)
+        if mode == "rollup"
+        else df.cube(*group_by_columns)
+    )
+    return grouped.agg(*aggs)

@@ -1,0 +1,115 @@
+"""Extension operators beyond the reference surface: semi/anti join,
+intersect/except, rollup/cube, multimodal column plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from earthmover_spark.operators import dataframe as D
+from earthmover_spark.operators import groupby as G
+from earthmover_spark.util import EarthmoverSparkError
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [("1", "ann"), ("2", "bob"), ("3", "cal")], ["id", "name"]
+    )
+
+
+@pytest.fixture(scope="module")
+def purchases(spark):
+    return spark.createDataFrame(
+        [("1", "x"), ("1", "y"), ("3", "z")], ["pid", "item"]
+    )
+
+
+def test_semi_join(spark, people, purchases):
+    got = D.semi_join(people, source=purchases, left_key="id", right_key="pid")
+    assert sorted(r.id for r in got.collect()) == ["1", "3"]
+    assert got.columns == ["id", "name"]  # no right columns leak
+
+
+def test_anti_join(spark, people, purchases):
+    got = D.semi_join(
+        people, source=purchases, left_key="id", right_key="pid", anti=True
+    )
+    assert [r.id for r in got.collect()] == ["2"]
+
+
+def test_semi_join_key_mismatch(people, purchases):
+    with pytest.raises(EarthmoverSparkError):
+        D.semi_join(people, source=purchases, left_keys=["id", "name"], right_key="pid")
+
+
+def test_intersect_and_except(spark):
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], ["v"])
+    b = spark.createDataFrame([("x",), ("z",)], ["v"])
+    assert [r.v for r in D.intersect_rows(a, sources=[b], all=False).collect()] == ["x"]
+    # multiset EXCEPT ALL keeps one of the two x's
+    got = sorted(r.v for r in D.except_rows(a, sources=[b], all=True).collect())
+    assert got == ["x", "y"]
+    with pytest.raises(EarthmoverSparkError):
+        D.except_rows(a, sources=[b.withColumnRenamed("v", "w")])
+
+
+def test_rollup_and_cube(spark):
+    df = spark.createDataFrame(
+        [("r1", "a", 1.0), ("r1", "b", 2.0), ("r2", "a", 3.0)], ["r", "n", "x"]
+    )
+    roll = G.group_by_rollup(
+        df, group_by_columns=["r", "n"], create_columns={"c": "count()", "s": "sum(x)"}
+    )
+    rows = {(r.r, r.n, r.grouping_id): (r.c, r.s) for r in roll.collect()}
+    assert rows[("r1", "a", 0)] == (1, 1.0)
+    assert rows[("r1", None, 1)] == (2, 3.0)  # subtotal
+    assert rows[(None, None, 3)] == (3, 6.0)  # grand total
+    assert len(rows) == 6
+
+    cube = G.group_by_rollup(
+        df, group_by_columns=["r", "n"], create_columns={"c": "count()"}, mode="cube"
+    )
+    by_gid = {}
+    for r in cube.collect():
+        by_gid.setdefault(r.grouping_id, 0)
+        by_gid[r.grouping_id] += 1
+    # cube adds the (NULL, n) slices that rollup lacks
+    assert by_gid == {0: 3, 1: 2, 2: 2, 3: 1}
+
+
+def test_multimodal_feature_extraction(spark):
+    from earthmover_spark.llm import multimodal as M
+
+    df = spark.createDataFrame([("1", "hello"), ("2", "")], ["id", "txt"]).select(
+        "id", F.encode("txt", "utf-8").alias("payload")
+    )
+    out = M.extract_features(df, "payload", n_features=4)
+    rows = {r.id: r.features for r in out.collect()}
+    assert len(rows["1"]) == 4
+    assert all(0.0 <= v < 1.0 for v in rows["1"])
+    # deterministic: same payload -> same features
+    again = {r.id: r.features for r in M.extract_features(df, "payload", 4).collect()}
+    assert rows == again
+    # empty payload still yields a vector (sha256 of b"")
+    assert len(rows["2"]) == 4
+
+
+def test_multimodal_meta_and_frames(spark):
+    from earthmover_spark.llm import multimodal as M
+
+    df = spark.createDataFrame([("1", "x" * 600)], ["id", "txt"]).select(
+        "id", F.encode("txt", "utf-8").alias("payload")
+    )
+    tagged = M.attach_media_meta(df, "payload", "video", "mp4")
+    meta = tagged.select("payload_meta.*").collect()[0]
+    assert (meta.media_type, meta.format, meta.n_bytes) == ("video", "mp4", 600)
+
+    frames = M.frame_sample_plan(tagged, "payload", every_ms=100, bytes_per_frame=256)
+    # duration = (600//256)*100 + 1 = 201 -> ts 0,100,200
+    assert [r.frame_ts_ms for r in frames.collect()] == [0, 100, 200]
+
+
+def test_decode_real_is_stub():
+    from earthmover_spark.llm import multimodal as M
+
+    with pytest.raises(NotImplementedError):
+        M.decode_real(b"")
