@@ -17,6 +17,11 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("-p", "--params", default=None, help="JSON dict of ${VAR} params")
     run_p.add_argument("-s", "--select", default="*", help="node selector (wildcards)")
     run_p.add_argument("-o", "--output-dir", default=None)
+    run_p.add_argument(
+        "--skip-if-unchanged",
+        action="store_true",
+        help="skip the run (exit 99) when all input hashes match a prior run",
+    )
 
     comp_p = sub.add_parser("compile", help="compile only; print the plan")
     comp_p.add_argument("-c", "--config", required=True)
@@ -43,8 +48,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("earthmover_spark.cli")
     results = run_project(
-        spark, args.config, params, selector=args.select, output_dir=args.output_dir
+        spark,
+        args.config,
+        params,
+        selector=args.select,
+        output_dir=args.output_dir,
+        skip_if_unchanged=args.skip_if_unchanged,
     )
+    if "__skipped__" in results:
+        print(f"skipping run: {results['__skipped__']}")
+        return 99
     for dest, path in results.items():
         print(f"{dest} -> {path}")
     return 0

@@ -157,7 +157,26 @@ def run_project(
     params: dict[str, str] | None = None,
     selector: str = "*",
     output_dir: str | None = None,
+    skip_if_unchanged: bool = False,
+    runs_file: str | None = None,
 ) -> dict[str, str]:
-    """Compile + execute a YAML project; returns {destination: path}."""
+    """Compile + execute a YAML project; returns {destination: path}.
+
+    With ``skip_if_unchanged``, input hashes (config, source files,
+    templates, map files, params) are checked against the project's runs
+    file and an unchanged run is skipped entirely, returning
+    ``{"__skipped__": ...}`` (reference earthmover.py:282-341)."""
     project = compile_config(config_path, params)
-    return Executor(spark, project).run(selector, output_dir)
+    tracker = None
+    if skip_if_unchanged:
+        from earthmover_spark.plans.runs import RunsFile, compute_hashes
+
+        hashes = compute_hashes(project, params, selector)
+        tracker = RunsFile(project, runs_file)
+        prior = tracker.find_matching_run(hashes)
+        if prior:
+            return {"__skipped__": f"inputs unchanged since run {prior['run_timestamp']}"}
+    results = Executor(spark, project).run(selector, output_dir)
+    if tracker is not None:
+        tracker.write_run(hashes)
+    return results

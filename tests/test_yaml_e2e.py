@@ -207,3 +207,38 @@ def test_expect_failure(spark, project_dir, tmp_path):
     shutil.copytree(project_dir / "templates", tmp_path / "templates")
     with pytest.raises(EarthmoverSparkError, match="expectation"):
         run_project(spark, str(cfg))
+
+
+def test_skip_if_unchanged(spark, project_dir, tmp_path):
+    """Runs-file incremental skip (reference runs_file.py): second run
+    with identical inputs is skipped; changing a source file or params
+    re-runs."""
+    from earthmover_spark.plans.executor import run_project
+
+    out1 = str(tmp_path / "o1")
+    runs = str(tmp_path / "runs.csv")
+    cfg = str(project_dir / "earthmover.yaml")
+
+    r1 = run_project(spark, cfg, output_dir=out1, skip_if_unchanged=True,
+                     runs_file=runs)
+    assert "__skipped__" not in r1 and r1
+
+    r2 = run_project(spark, cfg, output_dir=out1, skip_if_unchanged=True,
+                     runs_file=runs)
+    assert "__skipped__" in r2
+
+    # different params -> no skip
+    r3 = run_project(spark, cfg, params={"X": "1"}, output_dir=out1,
+                     skip_if_unchanged=True, runs_file=runs)
+    assert "__skipped__" not in r3
+
+    # touching a source file's content -> no skip
+    src = project_dir / "sources" / "zoos.csv"
+    src.write_text(src.read_text() + "3,Gamma Zoo,Ogdenville,Feb 2 2001\n")
+    r4 = run_project(spark, cfg, output_dir=out1, skip_if_unchanged=True,
+                     runs_file=runs)
+    assert "__skipped__" not in r4
+    # and the new state is recorded: immediate re-run skips again
+    r5 = run_project(spark, cfg, output_dir=out1, skip_if_unchanged=True,
+                     runs_file=runs)
+    assert "__skipped__" in r5
