@@ -1,0 +1,88 @@
+"""Physical-plan audits: lock in the scale properties the engine is
+designed around — predicate pushdown to the parquet scan, column
+pruning, broadcast joins for small dimensions, whole-stage codegen for
+lowered Jinja, and single-shuffle grouping sets.
+
+These are regression tests for 100 TB behavior that correctness checks
+can't see: a plan that silently stops pushing a filter down still
+returns the right rows, but reads the whole table to do it.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry.queries()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    def plan(name: str) -> str:
+        df = qs[name](spark, SF_DIR)
+        return df._jdf.queryExecution().explainString(mode)
+
+    return plan
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    p = plans("filter_rows")
+    assert "PushedFilters: [" in p
+    assert "EqualTo(l_returnflag,A)" in p
+    assert "GreaterThan(l_quantity,45.0)" in p
+
+
+def test_column_pruning_at_scan(plans):
+    p = plans("keep_columns")
+    scan = p[p.index("ReadSchema"):].splitlines()[0]
+    # only the projected columns are read, not all 16 lineitem columns
+    assert "l_orderkey" in scan and "l_comment" not in scan and "l_shipdate" not in scan
+
+
+def test_small_dimension_joins_broadcast(plans):
+    p = plans("join_inner")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_semi_join_is_broadcast_semi(plans):
+    p = plans("join_semi")
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_lowered_jinja_stays_jvm_side(plans):
+    """Jinja arithmetic that the peephole compiler lowers must not
+    appear as a Python UDF stage in the plan."""
+    p = plans("add_columns_jinja_arith")
+    assert "EvalPython" not in p  # neither BatchEvalPython nor ArrowEvalPython
+    assert "codegen id" in p  # formatted explain's whole-stage-codegen marker
+
+
+def test_flagship_is_whole_stage_codegen_agg(plans):
+    p = plans("flagship")
+    assert "HashAggregate" in p
+    # partial aggregation before the shuffle (map-side combine)
+    assert "partial_sum" in p or "partial_count" in p
+    # the shipdate filter reaches the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_rollup_is_single_shuffle(plans):
+    p = plans("group_by_rollup")
+    assert "Expand" in p
+    # one shuffle for the agg; the dimension joins stay broadcast
+    agg_exchanges = [
+        ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(agg_exchanges) <= 1
+    assert "SortMergeJoin" not in p
+
+
+def test_scan_no_python_in_relational_ops(plans):
+    """Pure-relational operator queries never leave the JVM."""
+    for name in ("join_suffix", "group_by_stats", "melt", "sort_limit_rows",
+                 "set_except", "group_by_cube"):
+        assert "EvalPython" not in plans(name), name
