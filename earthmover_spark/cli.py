@@ -22,10 +22,18 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="skip the run (exit 99) when all input hashes match a prior run",
     )
+    run_p.add_argument(
+        "--results-file", default=None,
+        help="write per-node row counts and timings as JSON",
+    )
 
     comp_p = sub.add_parser("compile", help="compile only; print the plan")
     comp_p.add_argument("-c", "--config", required=True)
     comp_p.add_argument("-p", "--params", default=None)
+    comp_p.add_argument(
+        "--to-disk", action="store_true",
+        help="also write the merged, Jinja-expanded YAML next to the config",
+    )
 
     args = parser.parse_args(argv)
     params = json.loads(args.params) if args.params else None
@@ -41,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
             node = graph.nodes[name]
             ups = ", ".join(graph.parents[name]) or "-"
             print(f"{name}  <-  {ups}")
+        if args.to_disk:
+            from earthmover_spark.plans.config import compile_to_disk
+
+            print(compile_to_disk(args.config, params))
         return 0
 
     from earthmover_spark import get_spark
@@ -54,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         selector=args.select,
         output_dir=args.output_dir,
         skip_if_unchanged=args.skip_if_unchanged,
+        results_file=args.results_file,
     )
     if "__skipped__" in results:
         print(f"skipping run: {results['__skipped__']}")

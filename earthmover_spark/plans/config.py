@@ -9,8 +9,13 @@ Compile steps, same pipeline as the reference:
 3. ``yaml.safe_load`` into the project IR
 4. node validation: sources / transformations / destinations
 
-Packages (project composition) are out of scope for now; selectors and
-dead-node pruning live in the graph layer.
+Packages (project composition, reference earthmover/earthmover.py:472-500
++ earthmover/package.py): a package is another project directory with its
+own earthmover.yaml; packages merge post-order (deepest first), the
+installing project's nodes win on name collisions, and package-relative
+file paths are rewritten to absolute so the merged project runs from the
+parent's base_dir. Selectors and dead-node pruning live in the graph
+layer.
 """
 
 from __future__ import annotations
@@ -120,8 +125,84 @@ def compile_config(
         destinations=raw.get("destinations") or {},
         base_dir=base_dir,
     )
+    for pkg_name, pkg_cfg in (raw.get("packages") or {}).items():
+        _merge_package(project, pkg_name, pkg_cfg, params)
     _validate(project)
     return project
+
+
+_PATH_KEYS = ("file", "template", "colspec_file", "map_file")
+
+
+def _absolutize_paths(cfg: dict, base_dir: str) -> dict:
+    """Rewrite a node's relative file paths against its package dir so
+    merged nodes keep working from the parent project's base_dir."""
+    out = dict(cfg)
+    for key in _PATH_KEYS:
+        v = out.get(key)
+        if isinstance(v, str) and not os.path.isabs(v) and "://" not in v:
+            out[key] = os.path.join(base_dir, v)
+    if out.get("operations"):
+        out["operations"] = [
+            _absolutize_paths(op, base_dir) if isinstance(op, dict) else op
+            for op in out["operations"]
+        ]
+    return out
+
+
+def _merge_package(
+    project: ProjectConfig,
+    pkg_name: str,
+    pkg_cfg: dict,
+    params: dict[str, str] | None,
+) -> None:
+    """Merge one package (recursively compiled, so nested packages land
+    first) under the project; the installing project wins collisions."""
+    local = (pkg_cfg or {}).get("local")
+    if not local:
+        raise EarthmoverSparkError(
+            f"package {pkg_name!r}: only `local: <dir>` packages are supported"
+        )
+    if not os.path.isabs(local):
+        local = os.path.join(project.base_dir, local)
+    pkg_yaml = local if local.endswith((".yaml", ".yml")) else os.path.join(
+        local, "earthmover.yaml"
+    )
+    if not os.path.exists(pkg_yaml):
+        raise EarthmoverSparkError(
+            f"package {pkg_name!r}: no earthmover.yaml at {local!r}"
+        )
+    pkg = compile_config(pkg_yaml, params)
+    for kind in ("sources", "transformations", "destinations"):
+        mine = getattr(project, kind)
+        for name, cfg in getattr(pkg, kind).items():
+            if name not in mine:  # installing project wins
+                mine[name] = _absolutize_paths(cfg, pkg.base_dir)
+    # package macros append after (project macros take precedence by order)
+    if pkg.macros:
+        project.config["macros"] = (project.macros + "\n" + pkg.macros).strip()
+
+
+def compile_to_disk(
+    path: str,
+    params: dict[str, str] | None = None,
+    out_path: str | None = None,
+) -> str:
+    """Write the fully-merged, Jinja-expanded project YAML
+    (reference `earthmover compile` -> earthmover_compiled.yaml)."""
+    project = compile_config(path, params)
+    out_path = out_path or os.path.join(
+        project.base_dir, "earthmover_spark_compiled.yaml"
+    )
+    doc = {
+        "config": project.config,
+        "sources": project.sources,
+        "transformations": project.transformations,
+        "destinations": project.destinations,
+    }
+    with open(out_path, "w") as fh:
+        yaml.safe_dump(doc, fh, sort_keys=False, default_flow_style=False)
+    return out_path
 
 
 def render_compile_time_jinja_safe(text: str) -> str:

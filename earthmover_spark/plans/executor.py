@@ -45,6 +45,17 @@ class Executor:
 
     def _eval_source(self, name: str, cfg: dict) -> DataFrame:
         cfg = dict(cfg)
+        connection = cfg.get("connection")
+        if connection:
+            if connection.startswith("ftp://"):
+                from earthmover_spark.sources import read_ftp
+
+                return read_ftp(self.spark, connection)
+            from earthmover_spark.sources import read_sql
+
+            if not cfg.get("query"):
+                raise EarthmoverSparkError(f"{name}: SQL source needs `query`")
+            return read_sql(self.spark, connection, cfg["query"])
         file = cfg.pop("file", None)
         if file and not os.path.isabs(file):
             file = os.path.join(self.project.base_dir, file)
@@ -104,7 +115,15 @@ class Executor:
 
     # -- run ----------------------------------------------------------------
 
-    def run(self, selector: str = "*", output_dir: str | None = None) -> dict[str, str]:
+    def run(
+        self,
+        selector: str = "*",
+        output_dir: str | None = None,
+        results_file: str | None = None,
+    ) -> dict[str, str]:
+        import json
+        import time
+
         subset = self.graph.select(selector)
         order = self.graph.topological_order(subset)
         consumers = self.graph.consumer_counts(subset)
@@ -112,7 +131,10 @@ class Executor:
             self.project.base_dir, self.project.output_dir
         )
 
+        node_stats: dict[str, dict] = {}
+        t_start = time.time()
         for name in order:
+            t0 = time.time()
             node = self.graph.nodes[name]
             if node.kind == "sources":
                 df = self._eval_source(name, node.config)
@@ -120,14 +142,35 @@ class Executor:
                 df = self._eval_transformation(name, node.config)
             else:
                 self._write_destination(name, node.config, out_dir)
+                node_stats[name] = {"seconds": round(time.time() - t0, 3)}
                 continue
             self._check_expectations(name, node.config, df)
             if node.config.get("debug"):
                 print(f"-- {name}: {len(df.columns)} columns {df.columns}")
                 df.show(5, truncate=False)
+            if node.config.get("repartition"):
+                df = df.repartition(int(node.config["repartition"]))
             if consumers.get(name, 0) > 1:
                 df = df.persist()
             self.data[name] = df
+            node_stats[name] = {"seconds": round(time.time() - t0, 3)}
+
+        if results_file:
+            # row counts force one count per node — opt-in, like the
+            # reference's --results-file (earthmover.py:409-419)
+            for name, df in self.data.items():
+                if name in node_stats:
+                    node_stats[name]["rows"] = df.count()
+            with open(results_file, "w") as fh:
+                json.dump(
+                    {
+                        "total_seconds": round(time.time() - t_start, 3),
+                        "nodes": node_stats,
+                        "destinations": self.results,
+                    },
+                    fh,
+                    indent=2,
+                )
         return self.results
 
     def _write_destination(self, name: str, cfg: dict, out_dir: str) -> None:
@@ -159,6 +202,7 @@ def run_project(
     output_dir: str | None = None,
     skip_if_unchanged: bool = False,
     runs_file: str | None = None,
+    results_file: str | None = None,
 ) -> dict[str, str]:
     """Compile + execute a YAML project; returns {destination: path}.
 
@@ -176,7 +220,7 @@ def run_project(
         prior = tracker.find_matching_run(hashes)
         if prior:
             return {"__skipped__": f"inputs unchanged since run {prior['run_timestamp']}"}
-    results = Executor(spark, project).run(selector, output_dir)
+    results = Executor(spark, project).run(selector, output_dir, results_file)
     if tracker is not None:
         tracker.write_run(hashes)
     return results

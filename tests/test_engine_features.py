@@ -1,0 +1,149 @@
+"""Engine-level features: packages, compile-to-disk, results file,
+connection sources in YAML, destination subtemplate includes."""
+
+import json
+import os
+import textwrap
+
+import pytest
+
+from earthmover_spark.plans.config import compile_config, compile_to_disk
+from earthmover_spark.plans.executor import run_project
+from earthmover_spark.util import EarthmoverSparkError
+
+
+@pytest.fixture()
+def pkg_project(tmp_path):
+    """A parent project installing a local package that contributes a
+    source and a destination; the parent overrides the package's
+    transformation."""
+    pkg = tmp_path / "pkg"
+    (pkg / "data").mkdir(parents=True)
+    (pkg / "data" / "fruits.csv").write_text(
+        "name,color\napple,red\nplum,purple\nkiwi,green\n"
+    )
+    (pkg / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          fruits:
+            file: data/fruits.csv
+        transformations:
+          colored:
+            source: $sources.fruits
+            operations:
+              - operation: filter_rows
+                query: color == "red"
+                behavior: include
+        destinations:
+          fruit_list:
+            source: $transformations.colored
+    """))
+    parent = tmp_path / "parent"
+    parent.mkdir()
+    (parent / "earthmover.yaml").write_text(textwrap.dedent("""
+        config:
+          output_dir: ./outputs
+        packages:
+          fruit_pkg:
+            local: ../pkg
+        transformations:
+          colored:
+            source: $sources.fruits
+            operations:
+              - operation: filter_rows
+                query: color != "red"
+                behavior: include
+    """))
+    return parent
+
+
+def test_package_merge_and_override(spark, pkg_project, tmp_path):
+    project = compile_config(str(pkg_project / "earthmover.yaml"))
+    # package source merged with absolutized path
+    assert os.path.isabs(project.sources["fruits"]["file"])
+    # parent's transformation wins over the package's
+    assert 'color != "red"' in project.transformations["colored"]["operations"][0]["query"]
+
+    out = str(tmp_path / "out")
+    results = run_project(spark, str(pkg_project / "earthmover.yaml"), output_dir=out)
+    lines = open(results["$destinations.fruit_list"]).read().splitlines()
+    names = sorted(json.loads(ln)["name"] for ln in lines)
+    assert names == ["kiwi", "plum"]  # parent filter, package data
+
+
+def test_package_missing_dir_errors(tmp_path):
+    (tmp_path / "earthmover.yaml").write_text(
+        "packages:\n  nope:\n    local: ./missing\nsources:\n  a:\n    optional: True\n"
+    )
+    with pytest.raises(EarthmoverSparkError, match="no earthmover.yaml"):
+        compile_config(str(tmp_path / "earthmover.yaml"))
+
+
+def test_compile_to_disk(pkg_project):
+    import yaml
+
+    out = compile_to_disk(str(pkg_project / "earthmover.yaml"))
+    doc = yaml.safe_load(open(out))
+    assert set(doc) == {"config", "sources", "transformations", "destinations"}
+    assert "fruits" in doc["sources"]  # merged package visible in the artifact
+
+
+def test_results_file(spark, pkg_project, tmp_path):
+    rf = str(tmp_path / "results.json")
+    run_project(
+        spark, str(pkg_project / "earthmover.yaml"),
+        output_dir=str(tmp_path / "o"), results_file=rf,
+    )
+    doc = json.load(open(rf))
+    assert doc["total_seconds"] >= 0
+    assert doc["nodes"]["$transformations.colored"]["rows"] == 2
+    assert "$destinations.fruit_list" in doc["destinations"]
+
+
+def test_sql_connection_source_in_yaml(spark, tmp_path):
+    import duckdb
+
+    db = str(tmp_path / "db.duckdb")
+    con = duckdb.connect(db)
+    con.sql("CREATE TABLE stock AS SELECT * FROM (VALUES ('widget', 5),"
+            "('gadget', 0)) t(item, qty)")
+    con.close()
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent(f"""
+        sources:
+          stock:
+            connection: duckdb://{db}
+            query: SELECT item, qty FROM stock WHERE qty > 0
+        destinations:
+          in_stock:
+            source: $sources.stock
+    """))
+    results = run_project(spark, str(tmp_path / "earthmover.yaml"),
+                          output_dir=str(tmp_path / "o"))
+    lines = open(results["$destinations.in_stock"]).read().splitlines()
+    assert json.loads(lines[0]) == {"item": "widget", "qty": "5"}
+
+
+def test_destination_subtemplate_include(spark, tmp_path):
+    """Jinja {% include %} subtemplates resolve relative to the template
+    file (reference destination.py:74,98)."""
+    (tmp_path / "templates").mkdir()
+    (tmp_path / "templates" / "row.jsont").write_text(
+        '{"item": "{{item}}", "mood": {% include "./mood.jsont" %}}'
+    )
+    (tmp_path / "templates" / "mood.jsont").write_text(
+        '"{% if item == "sun" %}bright{% else %}dim{% endif %}"'
+    )
+    (tmp_path / "items.csv").write_text("item\nsun\nmoon\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          items:
+            file: items.csv
+        destinations:
+          moods:
+            source: $sources.items
+            template: templates/row.jsont
+    """))
+    results = run_project(spark, str(tmp_path / "earthmover.yaml"),
+                          output_dir=str(tmp_path / "o"))
+    lines = sorted(open(results["$destinations.moods"]).read().splitlines())
+    assert json.loads(lines[0]) == {"item": "moon", "mood": "dim"}
+    assert json.loads(lines[1]) == {"item": "sun", "mood": "bright"}
