@@ -42,6 +42,12 @@ HEADLINE = [
     "ev_window_agg",
     "ev_sessionize",
     "ev_asof_join",
+    "join_semi",
+    "group_by_rollup",
+    "group_by_cube",
+    "set_except",
+    "multimodal_features",
+    "multimodal_frames",
 ]
 
 
