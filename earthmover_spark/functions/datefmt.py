@@ -9,6 +9,8 @@ fall back to a pandas UDF that runs real strftime/strptime.
 
 from __future__ import annotations
 
+import re
+
 
 class UntranslatablePattern(Exception):
     pass
@@ -44,16 +46,30 @@ _LENIENT = {"d": "d", "m": "M", "H": "H", "I": "h", "M": "m", "S": "s", "j": "D"
 _NOPAD = {"d": "d", "m": "M", "H": "H", "I": "h", "M": "m", "S": "s", "j": "D"}
 
 
+_NUMERIC = "YymdHIMSjf"
+_ADJACENT_NUMERIC = re.compile(f"%[{_NUMERIC}]%[{_NUMERIC}]")
+
+
 def strftime_to_spark(fmt: str, for_parsing: bool = False) -> str:
     """Translate a strftime format to a Spark (Java) datetime pattern.
 
     ``for_parsing=True`` emits lenient (single-letter) day/month/time
     fields matching strptime's tolerance of unpadded numbers; the
     default emits zero-padded fields matching strftime output.
+    Undelimited formats (adjacent numeric directives, e.g. ``%Y%m%d``)
+    must keep fixed widths even when parsing — variable-width fields
+    cannot split a contiguous digit run.
 
     Literal alphabetic characters are single-quoted (Java treats bare
     letters as pattern directives); ``'`` is escaped as ``''``.
     """
+    if for_parsing and re.search(r"%-?y", fmt):
+        # Java 'yy' pivots two-digit years into 2000-2099; strptime's %y
+        # pivots at 69 (1969-2068). Not expressible as a pattern — the
+        # operator's pandas-UDF fallback runs real strptime instead.
+        raise UntranslatablePattern(f"{fmt!r}: %y two-digit-year parsing")
+    if for_parsing and _ADJACENT_NUMERIC.search(fmt):
+        for_parsing = False
     out: list[str] = []
     i = 0
     n = len(fmt)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Mapping
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -196,8 +197,6 @@ def date_format(
 
 
 def _strftime_udf(from_format: str, to_format: str, ignore_errors: bool):
-    import pandas as pd
-
     @F.pandas_udf("string")
     def _reformat(s: pd.Series) -> pd.Series:
         parsed = pd.to_datetime(

@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) for the translator layers, checked
+against their ground truth:
+
+- pandas-query -> Spark SQL: the translated predicate must select the
+  same rows Spark-side as ``DataFrame.query`` does pandas-side.
+- strftime translation: ``date_format`` must reproduce Python
+  ``datetime.strftime`` for random dates across format vocabularies.
+- snake_case: idempotent, and stable names pass through.
+"""
+
+import datetime
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from earthmover_spark.functions.pandas_query import pandas_query_to_sql
+from earthmover_spark.util import snake_case
+
+SETTINGS = dict(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# -- pandas-query translation ------------------------------------------------
+
+_WORDS = st.sampled_from(["ant", "bee", "cat", "dog", "emu", "fox", ""])
+_NUMS = st.integers(min_value=-5, max_value=5)
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    return pd.DataFrame(
+        {
+            "name": [draw(_WORDS) for _ in range(n)],
+            "kind": [draw(_WORDS) for _ in range(n)],
+            "qty": [draw(_NUMS) for _ in range(n)],
+        }
+    )
+
+
+@st.composite
+def predicates(draw):
+    def leaf():
+        kind = draw(st.sampled_from(["cmp_num", "cmp_str", "contains", "isin",
+                                     "startswith", "strlen"]))
+        if kind == "cmp_num":
+            op = draw(st.sampled_from(["==", "!=", "<", "<=", ">", ">="]))
+            return f"qty {op} {draw(_NUMS)}"
+        if kind == "cmp_str":
+            op = draw(st.sampled_from(["==", "!="]))
+            return f"name {op} '{draw(_WORDS)}'"
+        if kind == "contains":
+            return f"name.str.contains('{draw(st.sampled_from(['a', 'e', 'o', 'x']))}')"
+        if kind == "startswith":
+            return f"kind.str.startswith('{draw(st.sampled_from(['a', 'b', 'c']))}')"
+        if kind == "strlen":
+            return f"name.str.len() {draw(st.sampled_from(['==', '>']))} 3"
+        vals = ", ".join(f"'{draw(_WORDS)}'" for _ in range(2))
+        return f"kind.isin([{vals}])"
+
+    a, b = leaf(), leaf()
+    shape = draw(st.sampled_from(["a", "not", "and", "or"]))
+    if shape == "a":
+        return a
+    if shape == "not":
+        return f"not ({a})"
+    return f"({a}) {shape} ({b})"
+
+
+@given(pdf=frames(), query=predicates())
+@settings(**SETTINGS)
+def test_pandas_query_translation_matches_pandas(spark, pdf, query):
+    want = pdf.query(query, engine="python")
+    got = (
+        spark.createDataFrame(pdf)
+        .filter(pandas_query_to_sql(query))
+        .toPandas()
+    )
+    key = lambda f: sorted(map(tuple, f.itertuples(index=False)))  # noqa: E731
+    assert key(got) == key(want), pandas_query_to_sql(query)
+
+
+# -- strftime translation ----------------------------------------------------
+
+_FORMATS = [
+    "%Y-%m-%d",
+    "%m/%d/%Y",
+    "%d %b %Y",
+    "%B %d, %Y",
+    "%Y%m%d",
+    "%y-%m-%d",
+]
+
+
+@given(
+    d=st.dates(min_value=datetime.date(1950, 1, 3),
+               max_value=datetime.date(2049, 12, 28)),
+    fmts=st.tuples(st.sampled_from(_FORMATS), st.sampled_from(_FORMATS)),
+)
+@settings(**SETTINGS)
+def test_date_format_matches_python_strftime(spark, d, fmts):
+    from earthmover_spark.operators.column import date_format
+
+    from_fmt, to_fmt = fmts
+    src = d.strftime(from_fmt)
+    # ground truth is strptime-then-strftime: %y formats are not
+    # invertible (strptime pivots two-digit years at 69)
+    want = datetime.datetime.strptime(src, from_fmt).strftime(to_fmt)
+    df = spark.createDataFrame([(src,)], ["dt"])
+    got = date_format(df, column="dt", from_format=from_fmt, to_format=to_fmt)
+    assert got.collect()[0].dt == want
+
+
+# -- snake_case --------------------------------------------------------------
+
+_name_chars = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 _-",
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(name=_name_chars)
+@settings(max_examples=100, deadline=None)
+def test_snake_case_idempotent(name):
+    once = snake_case(name)
+    assert snake_case(once) == once
+    assert once == once.lower()
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [("AvgWeightKg", "avg_weight_kg"), ("already_snake", "already_snake"),
+     ("HTTPStatus", "http_status"), ("col 1", "col_1")],
+)
+def test_snake_case_examples(raw, expected):
+    assert snake_case(raw) == expected
