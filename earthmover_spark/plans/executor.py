@@ -81,6 +81,11 @@ class Executor:
             if fn is None:
                 raise EarthmoverSparkError(f"{name}: unknown operation {op_name!r}")
             repartition = op_cfg.pop("repartition", None)
+            for path_key in ("map_file", "colspec_file"):
+                if op_cfg.get(path_key) and not os.path.isabs(op_cfg[path_key]):
+                    op_cfg[path_key] = os.path.join(
+                        self.project.base_dir, op_cfg[path_key]
+                    )
             kwargs = {k: v for k, v in op_cfg.items() if k not in ("sources",)}
             if op_name in ("join", "union"):
                 kwargs["sources"] = [self._resolve(s) for s in op_cfg["sources"]]
