@@ -40,6 +40,11 @@ OPERATIONS = {
     # group ops (earthmover/operations/groupby.py)
     "group_by": groupby.group_by,
     "group_by_with_rank": groupby.group_by_with_rank,
+    # engine extensions beyond the reference surface
+    "semi_join": dataframe.semi_join,
+    "intersect_rows": dataframe.intersect_rows,
+    "except_rows": dataframe.except_rows,
+    "group_by_rollup": groupby.group_by_rollup,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby"]

@@ -87,8 +87,10 @@ class Executor:
                         self.project.base_dir, op_cfg[path_key]
                     )
             kwargs = {k: v for k, v in op_cfg.items() if k not in ("sources",)}
-            if op_name in ("join", "union"):
+            if op_name in ("join", "union", "intersect_rows", "except_rows"):
                 kwargs["sources"] = [self._resolve(s) for s in op_cfg["sources"]]
+            if op_name == "semi_join":
+                kwargs["source"] = self._resolve(op_cfg["source"])
             if op_name in ("add_columns", "modify_columns"):
                 kwargs.setdefault("macros", self.project.macros)
             if df is None:

@@ -24,6 +24,8 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
     for op in cfg.get("operations") or []:
         for s in op.get("sources") or []:
             refs.append(s)
+        if op.get("source"):  # e.g. semi_join's single right side
+            refs.append(op["source"])
     return [r for r in refs if isinstance(r, str) and r.startswith("$")]
 
 

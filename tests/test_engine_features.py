@@ -147,3 +147,32 @@ def test_destination_subtemplate_include(spark, tmp_path):
     lines = sorted(open(results["$destinations.moods"]).read().splitlines())
     assert json.loads(lines[0]) == {"item": "moon", "mood": "dim"}
     assert json.loads(lines[1]) == {"item": "sun", "mood": "bright"}
+
+
+def test_extension_ops_in_yaml(spark, tmp_path):
+    """Extension operators (semi_join, except_rows) are YAML-usable."""
+    (tmp_path / "all.csv").write_text("id,v\n1,a\n2,b\n3,c\n")
+    (tmp_path / "banned.csv").write_text("bid\n2\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          all_rows:
+            file: all.csv
+          banned:
+            file: banned.csv
+        transformations:
+          kept:
+            source: $sources.all_rows
+            operations:
+              - operation: semi_join
+                source: $sources.banned
+                left_key: id
+                right_key: bid
+                anti: True
+        destinations:
+          kept_out:
+            source: $transformations.kept
+    """))
+    results = run_project(spark, str(tmp_path / "earthmover.yaml"),
+                          output_dir=str(tmp_path / "o"))
+    ids = sorted(json.loads(ln)["id"] for ln in open(results["$destinations.kept_out"]))
+    assert ids == ["1", "3"]
