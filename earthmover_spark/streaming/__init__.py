@@ -1,5 +1,7 @@
 from earthmover_spark.streaming.ops import (  # noqa: F401
+    dedup_stream,
     read_stream_source,
+    running_counts_stream,
     sessionize_stream,
     windowed_agg_stream,
     write_stream_destination,

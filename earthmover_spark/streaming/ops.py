@@ -124,3 +124,85 @@ def write_stream_destination(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str] | str = "digest",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``llm.dedup.exact_dedup``. Emits the first row per key; with a
+    timestamp + watermark, per-key state is dropped once the key is
+    older than the watermark, so state size tracks the dedup window,
+    not the whole stream. Without ``ts_col`` state grows with distinct
+    keys (exact global dedup)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if ts_col:
+        return df.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+    return df.dropDuplicates(keys)
+
+
+def running_counts_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    running per-key event counter with first/last-seen timestamps.
+    This is the template for operators Spark lacks natively — state is
+    an explicit tuple, timeouts bound state lifetime, and each
+    micro-batch updates keys it actually saw."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("first_seen", T.StringType()),
+            T.StructField("last_seen", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("first_seen", T.StringType()),
+            T.StructField("last_seen", T.StringType()),
+        ]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, first_seen, last_seen = (
+            state.get if state.exists else (0, None, None)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts = pdf[ts_col].astype(str)
+            n += len(pdf)
+            lo, hi = ts.min(), ts.max()
+            first_seen = lo if first_seen is None or lo < first_seen else first_seen
+            last_seen = hi if last_seen is None or hi > last_seen else last_seen
+        state.update((n, first_seen, last_seen))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {key_col: [str(key[0])], "n_events": [n],
+             "first_seen": [first_seen], "last_seen": [last_seen]}
+        )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -86,3 +86,31 @@ def test_batch_operators_compose_on_streams(spark, events_dir):
     assert {(r.event_id, r.tag) for r in got.collect()} == {
         (1, "click:7"), (3, "click:7"), (5, "click:8")
     }
+
+
+def test_dedup_stream(spark, events_dir):
+    from earthmover_spark.streaming import dedup_stream, read_stream_source
+
+    stream = read_stream_source(spark, events_dir).selectExpr(
+        "event_id", "user_id", "event_type"
+    )
+    deduped = dedup_stream(stream, key_cols=["user_id", "event_type"])
+    rows = _run_to_memory(deduped, spark, "dedup_out").collect()
+    # (7,click),(7,view),(8,view),(8,click) -> 4 distinct pairs from 5 events
+    assert len(rows) == 4
+    assert {(r.user_id, r.event_type) for r in rows} == {
+        (7, "click"), (7, "view"), (8, "view"), (8, "click")
+    }
+
+
+def test_running_counts_stream(spark, events_dir):
+    from earthmover_spark.streaming import read_stream_source, running_counts_stream
+
+    stream = read_stream_source(spark, events_dir)
+    counts = running_counts_stream(stream, "user_id", "ts", watermark="0 seconds")
+    got = {
+        r.user_id: (r.n_events, r.first_seen[:19], r.last_seen[:19])
+        for r in _run_to_memory(counts, spark, "rc_out", "update").collect()
+    }
+    assert got["7"] == (3, "2024-01-01 10:00:00", "2024-01-01 10:50:00")
+    assert got["8"] == (2, "2024-01-01 11:40:00", "2024-01-01 11:45:00")
