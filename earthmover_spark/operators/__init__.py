@@ -9,7 +9,7 @@ Each operator is ``fn(df: DataFrame, *, config...) -> DataFrame`` (joins
 and unions additionally take a ``registry`` of named DataFrames).
 """
 
-from earthmover_spark.operators import column, dataframe, groupby, row
+from earthmover_spark.operators import column, dataframe, groupby, row, skew
 
 OPERATIONS = {
     # column ops (earthmover/operations/column.py)
@@ -45,6 +45,8 @@ OPERATIONS = {
     "intersect_rows": dataframe.intersect_rows,
     "except_rows": dataframe.except_rows,
     "group_by_rollup": groupby.group_by_rollup,
+    "salted_group_by": skew.salted_group_by,
+    "salted_join": skew.salted_join,
 }
 
-__all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby"]
+__all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

@@ -113,3 +113,52 @@ def test_decode_real_is_stub():
 
     with pytest.raises(NotImplementedError):
         M.decode_real(b"")
+
+
+def test_salted_group_by_matches_plain(spark):
+    """Salted two-phase agg is result-identical to group_by for the
+    algebraic spec set, including the reference's sum/len mean."""
+    from earthmover_spark.operators.groupby import group_by
+    from earthmover_spark.operators.skew import salted_group_by
+
+    rows = [("hot", float(i % 7)) for i in range(500)] + [
+        ("cold", 3.0), ("cold", 5.0), ("warm", 1.0)
+    ]
+    df = spark.createDataFrame(rows, ["k", "x"])
+    spec = {"n": "count()", "s": "sum(x)", "lo": "min(x)", "hi": "max(x)",
+            "m": "mean(x)", "first": "str_min(k)"}
+    plain = {r.k: (r.n, r.s, r.lo, r.hi, round(r.m, 9), r.first)
+             for r in group_by(df, group_by_columns=["k"], create_columns=spec).collect()}
+    salted = {r.k: (r.n, r.s, r.lo, r.hi, round(r.m, 9), r.first)
+              for r in salted_group_by(df, group_by_columns=["k"],
+                                       create_columns=spec, salt=8).collect()}
+    assert plain == salted
+    assert plain["hot"][0] == 500
+
+
+def test_salted_group_by_rejects_holistic(spark):
+    from earthmover_spark.operators.skew import salted_group_by
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame([("a", "x")], ["k", "v"])
+    with pytest.raises(EarthmoverSparkError, match="not algebraic"):
+        salted_group_by(df, group_by_columns=["k"],
+                        create_columns={"j": "agg(v,-)"})
+
+
+def test_salted_join_matches_plain(spark):
+    from earthmover_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("rare", 1), ("none", 2)],
+        ["k", "n"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("rare", "R"), ("other", "O")], ["rk", "tag"]
+    )
+    plain = left.join(right, left.k == right.rk, "inner").select("k", "n", "tag")
+    salted = salted_join(left, source=right, left_key="k", right_key="rk",
+                         salt=4).select("k", "n", "tag")
+    key = lambda df: sorted((r.k, r.n, r.tag) for r in df.collect())  # noqa: E731
+    assert key(salted) == key(plain)
+    assert len(key(salted)) == 201
