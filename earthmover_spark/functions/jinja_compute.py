@@ -41,21 +41,23 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _EXPR_RE = re.compile(r"\{\{(.*?)\}\}", re.DOTALL)
 _BLOCK_RE = re.compile(r"\{%|\{#")
 
-# filters lowerable to native expressions; each maps a Column -> Column
+# filters lowerable to native expressions; each maps a Column ->
+# (Column, result kind). Kinds: 'str' | 'int' | 'float'. Float results
+# may only be lowered inside comparisons/arithmetic — rendered directly
+# they'd hit Spark's scientific notation (1.0E7) where Python prints
+# 10000000.0, so direct float renders fall back to the Jinja UDF.
 _NATIVE_FILTERS = {
-    "int": lambda c: c.cast("string").cast("double").cast("long"),
-    "float": lambda c: c.cast("string").cast("double"),
-    "upper": lambda c: F.upper(c.cast("string")),
-    "lower": lambda c: F.lower(c.cast("string")),
-    "trim": lambda c: F.trim(c.cast("string")),
-    "title": lambda c: F.initcap(c.cast("string")),
-    "length": lambda c: F.length(c.cast("string")),
-    "string": lambda c: c.cast("string"),
-    "abs": lambda c: F.abs(c.cast("double")),
-    "round": lambda c: F.round(c.cast("double")),
+    "int": lambda c: (c.cast("string").cast("double").cast("long"), "int"),
+    "float": lambda c: (c.cast("string").cast("double"), "float"),
+    "upper": lambda c: (F.upper(c.cast("string")), "str"),
+    "lower": lambda c: (F.lower(c.cast("string")), "str"),
+    "trim": lambda c: (F.trim(c.cast("string")), "str"),
+    "title": lambda c: (F.initcap(c.cast("string")), "str"),
+    "length": lambda c: (F.length(c.cast("string")), "int"),
+    "string": lambda c: (c.cast("string"), "str"),
+    "abs": lambda c: (F.abs(c.cast("double")), "float"),
+    "round": lambda c: (F.round(c.cast("double")), "float"),
 }
-
-_NUMERIC_RESULT_FILTERS = {"int", "float", "length", "abs", "round"}
 
 _SLICE_RE = re.compile(rf"^({_IDENT})\[(-?\d*):(-?\d*)\]$")
 _INDEX_RE = re.compile(rf"^({_IDENT})\[(-?\d+)\]$")
@@ -69,15 +71,15 @@ class _NotLowerable(Exception):
 
 
 def _lower_term(term: str, columns: list[str], value_col: str | None):
-    """Lower one filter-free term -> (Column, is_numeric). Raises _NotLowerable."""
+    """Lower one filter-free term -> (Column, kind). Raises _NotLowerable."""
     term = term.strip()
     if _NUM_RE.match(term):
         if "." in term:
-            return F.lit(float(term)), True
-        return F.lit(int(term)), True
+            return F.lit(float(term)), "float"
+        return F.lit(int(term)), "int"
     m = _STR_LIT_RE.match(term)
     if m:
-        return F.lit(m.group(1) if m.group(1) is not None else m.group(2)), False
+        return F.lit(m.group(1) if m.group(1) is not None else m.group(2)), "str"
     m = _SLICE_RE.match(term)
     if m:
         col = _resolve_name(m.group(1), columns, value_col)
@@ -86,20 +88,20 @@ def _lower_term(term: str, columns: list[str], value_col: str | None):
         s = col.cast("string")
         if start >= 0:
             if stop == "":
-                return F.substring(s, start + 1, 2**31 - 1), False
+                return F.substring(s, start + 1, 2**31 - 1), "str"
             stop_i = int(stop)
             if stop_i >= start:
-                return F.substring(s, start + 1, stop_i - start), False
+                return F.substring(s, start + 1, stop_i - start), "str"
         raise _NotLowerable(term)
     m = _INDEX_RE.match(term)
     if m:
         col = _resolve_name(m.group(1), columns, value_col)
         idx = int(m.group(2))
         if idx >= 0:
-            return F.substring(col.cast("string"), idx + 1, 1), False
+            return F.substring(col.cast("string"), idx + 1, 1), "str"
         raise _NotLowerable(term)
     if re.match(rf"^{_IDENT}$", term):
-        return _resolve_name(term, columns, value_col), False
+        return _resolve_name(term, columns, value_col), "str"
     raise _NotLowerable(term)
 
 
@@ -114,23 +116,22 @@ def _resolve_name(name: str, columns: list[str], value_col: str | None) -> Colum
 
 
 def _lower_expr(expr: str, columns: list[str], value_col: str | None):
-    """Lower one ``{{ ... }}`` body -> (Column, is_numeric)."""
+    """Lower one ``{{ ... }}`` body -> (Column, kind)."""
     expr = expr.strip()
     # single binary arithmetic: A op B  (either side may carry filters)
     m = _BINOP_RE.match(expr)
     if m and not _NUM_RE.match(expr):
         left_s, op, right_s = m.group(1), m.group(2), m.group(3)
         try:
-            left, ln = _lower_expr(left_s, columns, value_col)
-            right, rn = _lower_expr(right_s, columns, value_col)
-            if (ln or _NUM_RE.match(left_s.strip())) and (
-                rn or _NUM_RE.match(right_s.strip())
-            ):
+            left, lk = _lower_expr(left_s, columns, value_col)
+            right, rk = _lower_expr(right_s, columns, value_col)
+            if lk in ("int", "float") and rk in ("int", "float"):
+                kind = "int" if (lk, rk) == ("int", "int") else "float"
                 if op == "+":
-                    return left + right, True
+                    return left + right, kind
                 if op == "-":
-                    return left - right, True
-                return left * right, True
+                    return left - right, kind
+                return left * right, kind
         except _NotLowerable:
             pass  # fall through to filter-chain / term parse
     # filter chain:  term|f1|f2
@@ -139,12 +140,10 @@ def _lower_expr(expr: str, columns: list[str], value_col: str | None):
     if filters:
         if not all(f in _NATIVE_FILTERS for f in filters):
             raise _NotLowerable(expr)
-        col, _ = _lower_term(base, columns, value_col)
-        numeric = False
+        col, kind = _lower_term(base, columns, value_col)
         for f in filters:
-            col = _NATIVE_FILTERS[f](col)
-            numeric = f in _NUMERIC_RESULT_FILTERS
-        return col, numeric
+            col, kind = _NATIVE_FILTERS[f](col)
+        return col, kind
     return _lower_term(expr, columns, value_col)
 
 
@@ -194,7 +193,12 @@ def lower_template(
                     return None  # unmatched/unsupported block syntax
                 pieces.append(F.lit(lit))
             if m.group("expr") is not None:
-                col, _numeric = _lower_expr(m.group("expr"), columns, value_col)
+                col, kind = _lower_expr(m.group("expr"), columns, value_col)
+                if kind == "float":
+                    # Spark double->string uses scientific notation where
+                    # Python doesn't; only the Jinja UDF renders floats
+                    # faithfully
+                    return None
                 pieces.append(string_view(col))
             else:
                 then_part = m.group("then")
