@@ -1061,6 +1061,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
         """,
+        "dedup_simhash": f"""
+            WITH corpus AS ({_CORPUS_SQL}),
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS t
+              FROM corpus
+            ), h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT AS hv
+              FROM tok
+            ), votes AS (
+              SELECT doc_id,
+                {", ".join(
+                    f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+                    for b in range(48)
+                )}
+              FROM h GROUP BY doc_id
+            ), sig AS (
+              SELECT doc_id,
+                ({" + ".join(
+                    f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+                    for b in range(48)
+                )}) AS sig
+              FROM votes
+            ), banded AS (
+              SELECT doc_id, sig, b.band, (sig >> (b.band * 12)) & 4095 AS chunk
+              FROM sig, (SELECT unnest(range(4)) AS band) b
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+            FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        """,
         "dedup_embedding": """
             WITH v AS (
               SELECT vec_id, embedding::DOUBLE[] AS v,
