@@ -1,0 +1,27 @@
+"""The example projects under examples/ run end-to-end against the
+driver-generated parquet testdata."""
+
+import json
+import os
+
+import pytest
+
+from earthmover_spark.plans.executor import run_project
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name,dest,check", [
+    ("01_orders_report", "$destinations.nation_report",
+     lambda rows: {"nation", "status", "orders", "revenue"} <= set(rows[0])),
+    ("02_documents_quality", "$destinations.top_docs",
+     lambda rows: all(r["lang"] == "en" and r["size_bucket"] in ("long", "short")
+                      for r in rows)),
+])
+def test_example_runs(spark, tmp_path, name, dest, check):
+    cfg = os.path.join(EXAMPLES, name, "earthmover.yaml")
+    results = run_project(spark, cfg, params={"SF_DIR": SF_DIR},
+                          output_dir=str(tmp_path))
+    rows = [json.loads(ln) for ln in open(results[dest]).read().splitlines()]
+    assert rows and check(rows)
