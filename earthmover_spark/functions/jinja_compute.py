@@ -134,17 +134,86 @@ def _lower_expr(expr: str, columns: list[str], value_col: str | None):
                 return left * right, kind
         except _NotLowerable:
             pass  # fall through to filter-chain / term parse
-    # filter chain:  term|f1|f2
-    parts = [p.strip() for p in expr.split("|")]
+    # string concatenation:  A ~ B ~ C (Jinja's ~ stringifies operands)
+    if "~" in expr:
+        segs = _split_top_level(expr, "~")
+        if len(segs) > 1:
+            cols = [
+                string_view(_lower_expr(seg, columns, value_col)[0]) for seg in segs
+            ]
+            return F.concat(*cols), "str"
+    # filter chain:  term|f1|f2('arg')
+    parts = [p.strip() for p in _split_top_level(expr, "|")]
     base, filters = parts[0], parts[1:]
     if filters:
-        if not all(f in _NATIVE_FILTERS for f in filters):
-            raise _NotLowerable(expr)
         col, kind = _lower_term(base, columns, value_col)
         for f in filters:
-            col, kind = _NATIVE_FILTERS[f](col)
+            col, kind = _apply_filter(f, col, kind)
         return col, kind
     return _lower_term(expr, columns, value_col)
+
+
+def _split_top_level(expr: str, sep: str) -> list[str]:
+    """Split on `sep` outside quoted string literals and parentheses."""
+    out, depth, quote, cur = [], 0, None, []
+    for ch in expr:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+_FILTER_CALL_RE = re.compile(rf"^({_IDENT})(?:\((.*)\))?$")
+
+
+def _apply_filter(f: str, col: Column, kind: str):
+    m = _FILTER_CALL_RE.match(f.strip())
+    if not m:
+        raise _NotLowerable(f)
+    name, argstr = m.group(1), m.group(2)
+    if argstr is None:
+        if name not in _NATIVE_FILTERS:
+            raise _NotLowerable(f)
+        return _NATIVE_FILTERS[name](col)
+    args = [a.strip() for a in _split_top_level(argstr, ",")] if argstr.strip() else []
+    lits = []
+    for a in args:
+        lm = _STR_LIT_RE.match(a)
+        if lm:
+            lits.append(lm.group(1) if lm.group(1) is not None else lm.group(2))
+        elif _NUM_RE.match(a):
+            lits.append(a)
+        else:
+            raise _NotLowerable(f)
+    if name == "replace" and len(lits) == 2:
+        return F.replace(
+            col.cast("string"), F.lit(str(lits[0])), F.lit(str(lits[1]))
+        ), "str"
+    if name == "default" and len(lits) == 1:
+        # Jinja default() replaces *undefined* values only; a resolved
+        # column is always defined, so this is the identity here. (An
+        # unknown column name already failed lowering -> full Jinja.)
+        return col, kind
+    if name == "round" and len(lits) == 1 and "." not in lits[0]:
+        return F.round(col.cast("double"), int(lits[0])), "float"
+    raise _NotLowerable(f)
 
 
 _COND_RE = re.compile(r"^(.+?)\s*(==|!=|>=|<=|>|<)\s*(.+)$")

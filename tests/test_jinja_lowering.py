@@ -93,3 +93,45 @@ def test_fromjson_global(spark):
     df = spark.createDataFrame([('{"a": 5}',)], ["j"])
     col = template_column("{{fromjson(j)['a']}}", df.columns)
     assert df.select(col.alias("v")).collect()[0].v == "5"
+
+
+class TestArgFiltersAndConcat:
+    """New lowered surface: replace/default arg-filters and ~ concat.
+    Every case asserts (a) it lowers (no UDF) and (b) the lowered result
+    equals the full-Jinja render."""
+
+    CASES = [
+        ("{{name|replace('a', 'o')}}", ["name"]),
+        ("{{name|replace('ann', '')|upper}}", ["name"]),
+        ("{{name|default('missing')}}", ["name"]),
+        ("{{name ~ '-' ~ kind}}", ["name", "kind"]),
+        ("{{name|upper ~ ':' ~ qty}}", ["name", "kind", "qty"]),
+        ("pre {{name|replace('n', 'N')}} post", ["name"]),
+    ]
+
+    @pytest.mark.parametrize("template,cols", CASES)
+    def test_lowered_matches_jinja(self, spark, template, cols):
+        from earthmover_spark.functions.jinja_compute import (
+            jinja_udf_column,
+            lower_template,
+        )
+
+        df = spark.createDataFrame(
+            [("ann", "cat", "3"), ("bob", "dog", "14"), ("", "", "0")],
+            ["name", "kind", "qty"],
+        )
+        lowered = lower_template(template, df.columns)
+        assert lowered is not None, f"should lower: {template}"
+        got = df.select(
+            lowered.alias("low"),
+            jinja_udf_column(template, df.columns).alias("full"),
+        ).collect()
+        for r in got:
+            assert r.low == r.full, template
+
+    def test_unknown_column_still_falls_back(self):
+        from earthmover_spark.functions.jinja_compute import lower_template
+
+        # default() on an unknown name must go to full Jinja (undefined)
+        assert lower_template("{{nope|default('x')}}", ["name"]) is None
+        assert lower_template("{{name|truncate(5)}}", ["name"]) is None
