@@ -92,13 +92,27 @@ def write_destination(
         lines.write.mode("overwrite").text(out_path)
         return out_path
 
+    # Single-file compat mode: render in parallel to part files, then
+    # stream-concatenate them on the driver (sequential buffered I/O —
+    # orders of magnitude faster than per-row toLocalIterator, still
+    # bounded memory). Executors do all the rendering.
+    import glob
+    import shutil
+    import tempfile
+
     out_path = os.path.join(output_dir, f"{name}.{extension}")
-    with open(out_path, "w", encoding="utf-8") as fh:
-        if header is not None:
-            fh.write(_render_once(header) + "\n")
-        for row in lines.toLocalIterator():
-            fh.write(row["line"])
-            fh.write("\n")
-        if footer is not None:
-            fh.write(_render_once(footer) + "\n")
+    tmp_dir = tempfile.mkdtemp(prefix=f"em_dest_{name}_", dir=output_dir)
+    parts_dir = os.path.join(tmp_dir, "parts")
+    try:
+        lines.write.mode("overwrite").text(parts_dir)
+        with open(out_path, "wb") as fh:
+            if header is not None:
+                fh.write((_render_once(header) + "\n").encode("utf-8"))
+            for part in sorted(glob.glob(os.path.join(parts_dir, "part-*"))):
+                with open(part, "rb") as pf:
+                    shutil.copyfileobj(pf, fh, 1 << 20)
+            if footer is not None:
+                fh.write((_render_once(footer) + "\n").encode("utf-8"))
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_path
