@@ -98,12 +98,28 @@ def main() -> None:
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # reference-comparable throughput pipeline
+    # reference-comparable throughput pipeline (plan execution only)
     li_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     t0 = time.perf_counter()
     _force(em_pipeline(spark, SF_DIR))
     em_sec = time.perf_counter() - t0
     timings["em_pipeline"] = round(em_sec, 3)
+
+    # ...and with the actual JSONL file write, like the reference's
+    # published 3.3GB->30GB scenario (docs/design.md:50)
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="em_bench_out_")
+    try:
+        t0 = time.perf_counter()
+        em_pipeline(spark, SF_DIR).write.mode("overwrite").text(
+            f"{out_dir}/attendance.jsonl.d"
+        )
+        em_write_sec = time.perf_counter() - t0
+        timings["em_pipeline_write"] = round(em_write_sec, 3)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -116,6 +132,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "em_pipeline_rows_per_sec": int(li_rows / em_sec),
+                "em_pipeline_write_rows_per_sec": int(li_rows / em_write_sec),
             }
         )
     )
