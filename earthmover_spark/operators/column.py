@@ -116,6 +116,11 @@ def combine_columns(
     return df.withColumn(new_column, F.concat_ws(separator, *parts))
 
 
+#: above this many map entries, a when-chain expression tree becomes
+#: slower to plan than a broadcast join executes
+_BROADCAST_MAP_THRESHOLD = 500
+
+
 def map_values(
     df: DataFrame,
     *,
@@ -128,11 +133,11 @@ def map_values(
     """Dictionary-replace cell values in one or many columns
     (reference earthmover/operations/column.py:293-368).
 
-    Small maps compile to a chained CASE WHEN (stays in codegen); the
-    map may also come from a 2-column CSV/TSV ``map_file``. For very
-    large maps a broadcast-join would win — at the observed map sizes
-    (dozens of keys) CASE WHEN is the faster plan at any scale since it
-    avoids a join operator entirely.
+    Small maps compile to a chained CASE WHEN (stays in codegen, no
+    join operator); the map may also come from a 2-column CSV/TSV
+    ``map_file``. Maps larger than ``_BROADCAST_MAP_THRESHOLD`` entries
+    switch to a broadcast left join + coalesce — a 100k-entry map as a
+    when-chain would produce an unplannably large expression tree.
     """
     if map_file is not None:
         import csv
@@ -145,6 +150,23 @@ def map_values(
     specs = ensure_list(columns) if columns else ensure_list(column)
     targets = expand_column_specs(specs, df.columns, on_missing="error")
     out = df
+    if len(mapping) > _BROADCAST_MAP_THRESHOLD:
+        spark = df.sparkSession
+        items = [(str(k), str(v)) for k, v in mapping.items()]
+        for c in targets:
+            map_df = spark.createDataFrame(items, [f"__mk_{c}__", f"__mv_{c}__"])
+            out = (
+                out.join(
+                    F.broadcast(map_df),
+                    out[c].cast("string") == map_df[f"__mk_{c}__"],
+                    "left",
+                )
+                .withColumn(
+                    c, F.coalesce(F.col(f"__mv_{c}__"), F.col(c).cast("string"))
+                )
+                .drop(f"__mk_{c}__", f"__mv_{c}__")
+            )
+        return out
     for c in targets:
         src = F.col(c)
         expr = None

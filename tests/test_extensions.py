@@ -162,3 +162,18 @@ def test_salted_join_matches_plain(spark):
     key = lambda df: sorted((r.k, r.n, r.tag) for r in df.collect())  # noqa: E731
     assert key(salted) == key(plain)
     assert len(key(salted)) == 201
+
+
+def test_map_values_large_map_broadcast_path(spark):
+    """Maps over the broadcast threshold use a join, not a when-chain,
+    and produce identical results (unmapped keys pass through)."""
+    from earthmover_spark.operators.column import map_values
+
+    big_map = {f"k{i}": f"v{i}" for i in range(600)}
+    df = spark.createDataFrame(
+        [("k5",), ("k599",), ("unmapped",), ("",)], ["code"]
+    )
+    got = {r.code for r in map_values(df, column="code", mapping=big_map).collect()}
+    assert got == {"v5", "v599", "unmapped", ""}
+    plan = map_values(df, column="code", mapping=big_map)._jdf.queryExecution().toString()
+    assert "Join" in plan  # broadcast-join path, not CASE WHEN
