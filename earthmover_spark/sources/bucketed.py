@@ -1,0 +1,43 @@
+"""Bucketed tables: shuffle-free co-located joins for repeated
+fact-to-fact joins.
+
+At 100 TB the dominant cost of a fact-to-fact equi-join is shuffling
+both sides on the key. Writing a table bucketed by its join key pays
+that shuffle once at write time; every later join (or groupBy) on the
+same key reads co-located buckets and skips the Exchange entirely.
+``tests/test_explain.py``-style assertions in test_bucketed verify the
+join plan has no shuffle on either side.
+
+Bucketing goes through the session catalog (``saveAsTable``) — Spark's
+bucket metadata lives in the table definition, not the parquet files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    n_buckets: int = 64,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",  # noqa: A002
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sorted) catalog table.
+
+    Pick ``n_buckets`` so one bucket of the largest table fits an
+    executor's memory (buckets = parallelism floor for later reads)."""
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *cols)
+    if sort_by:
+        sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a catalog table (bucket metadata applies automatically)."""
+    return spark.table(table)
