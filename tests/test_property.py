@@ -139,3 +139,65 @@ def test_snake_case_idempotent(name):
 )
 def test_snake_case_examples(raw, expected):
     assert snake_case(raw) == expected
+
+
+# -- Jinja lowering parity fuzz ----------------------------------------------
+
+_lit_text = st.sampled_from(["", " ", "x=", "id: ", "-", " / "])
+_col = st.sampled_from(["name", "qty"])
+
+
+@st.composite
+def templates(draw):
+    def expr():
+        kind = draw(st.sampled_from(
+            ["col", "filter", "slice", "arith", "replace", "concat"]))
+        c = draw(_col)
+        if kind == "col":
+            return "{{%s}}" % c
+        if kind == "filter":
+            f = draw(st.sampled_from(["upper", "lower", "trim", "title", "length"]))
+            return "{{%s|%s}}" % (c, f)
+        if kind == "slice":
+            return "{{%s[0:%d]}}" % (c, draw(st.integers(1, 4)))
+        if kind == "arith":
+            return "{{qty|int %s %d}}" % (draw(st.sampled_from("+-*")),
+                                          draw(st.integers(0, 9)))
+        if kind == "replace":
+            return "{{%s|replace('a', '%s')}}" % (c, draw(st.sampled_from(["o", ""])))
+        return "{{name ~ ':' ~ qty}}"
+
+    def piece():
+        p = draw(st.sampled_from(["lit", "expr", "if"]))
+        if p == "lit":
+            return draw(_lit_text)
+        if p == "expr":
+            return expr()
+        cmp_rhs = draw(st.integers(0, 60))
+        return ("{%% if qty|int > %d %%}" % cmp_rhs) + expr() + "{% else %}" \
+            + draw(_lit_text) + "{% endif %}"
+
+    return "".join(piece() for _ in range(draw(st.integers(1, 4))))
+
+
+@given(template=templates())
+@settings(**SETTINGS)
+def test_lowered_jinja_matches_full_engine(spark, template):
+    """Any template the peephole compiler accepts must render exactly
+    what the full Jinja engine renders."""
+    from earthmover_spark.functions.jinja_compute import (
+        jinja_udf_column,
+        lower_template,
+    )
+
+    df = spark.createDataFrame(
+        [("Anna Maria", "42"), ("bo", "7"), ("", "0")], ["name", "qty"]
+    )
+    lowered = lower_template(template, df.columns)
+    if lowered is None:
+        return  # fallback path; parity covered by dedicated tests
+    rows = df.select(
+        lowered.alias("low"), jinja_udf_column(template, df.columns).alias("full")
+    ).collect()
+    for r in rows:
+        assert r.low == r.full, template
