@@ -1,4 +1,5 @@
 from earthmover_spark.destinations.file_destination import (  # noqa: F401
     render_lines,
+    write_columnar,
     write_destination,
 )

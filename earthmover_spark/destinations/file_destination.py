@@ -49,6 +49,33 @@ def render_lines(
     return casted.select(line.alias("line"))
 
 
+def write_columnar(
+    df: DataFrame,
+    name: str,
+    output_dir: str,
+    *,
+    format: str = "parquet",  # noqa: A002
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Columnar destination (engine extension — the reference renders
+    text only). Writes parquet/orc/csv part files fully in parallel;
+    ``partition_by`` gives hive-style directory partitioning so
+    downstream scans prune partitions for free. This is the sink a
+    100 TB training-data pipeline should use."""
+    out_path = os.path.join(output_dir, f"{name}.{format}.d")
+    writer = df.write.mode(mode).format(format)
+    if compression:
+        writer = writer.option("compression", compression)
+    if format == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(out_path)
+    return out_path
+
+
 def write_destination(
     df: DataFrame,
     name: str,

@@ -182,6 +182,18 @@ class Executor:
 
     def _write_destination(self, name: str, cfg: dict, out_dir: str) -> None:
         df = self._resolve(cfg["source"])
+        if cfg.get("format") in ("parquet", "orc", "csv"):
+            from earthmover_spark.destinations.file_destination import write_columnar
+
+            self.results[name] = write_columnar(
+                df,
+                name.split(".", 1)[1],
+                out_dir,
+                format=cfg["format"],
+                partition_by=cfg.get("partition_by"),
+                compression=cfg.get("compression"),
+            )
+            return
         template_file = cfg.get("template")
         if template_file and not os.path.isabs(template_file):
             template_file = os.path.join(self.project.base_dir, template_file)

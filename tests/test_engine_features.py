@@ -176,3 +176,31 @@ def test_extension_ops_in_yaml(spark, tmp_path):
                           output_dir=str(tmp_path / "o"))
     ids = sorted(json.loads(ln)["id"] for ln in open(results["$destinations.kept_out"]))
     assert ids == ["1", "3"]
+
+
+def test_parquet_destination_with_partitioning(spark, tmp_path):
+    """Columnar destinations (extension): hive-partitioned parquet out,
+    readable back with partition pruning."""
+    (tmp_path / "rows.csv").write_text(
+        "id,region,v\n1,east,a\n2,west,b\n3,east,c\n"
+    )
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          rows:
+            file: rows.csv
+        destinations:
+          lake:
+            source: $sources.rows
+            format: parquet
+            partition_by: [region]
+            compression: snappy
+    """))
+    results = run_project(spark, str(tmp_path / "earthmover.yaml"),
+                          output_dir=str(tmp_path / "o"))
+    out = results["$destinations.lake"]
+    assert os.path.isdir(os.path.join(out, "region=east"))
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partition pruning reaches the scan
+    plan = back.filter(back.region == "east")._jdf.queryExecution().toString()
+    assert back.filter(back.region == "east").count() == 2
