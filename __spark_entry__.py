@@ -636,6 +636,32 @@ def q_group_by_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("sum_price", F.round("sum_price", 4))
 
 
+def q_group_by_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (extension): result-identical to
+    a plain GROUP BY, verified against the same SQL."""
+    from earthmover_spark.operators import skew
+
+    li = _p(spark, sf_dir, "lineitem")
+    out = skew.salted_group_by(
+        li,
+        group_by_columns=["l_returnflag"],
+        create_columns={
+            "n": "count()",
+            "sum_qty": "sum(l_quantity)",
+            "max_price": "max(l_extendedprice)",
+            "avg_qty": "mean(l_quantity)",
+        },
+        salt=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        "max_price",
+        F.round("avg_qty", 6).alias("avg_qty"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode plumbing: binary payloads -> fixed-length feature
     vectors via mapInPandas (stub codec, real Arrow batch plumbing)."""
@@ -736,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         "group_by_rollup": q_group_by_rollup,
         "group_by_cube": q_group_by_cube,
+        "group_by_salted": q_group_by_salted,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1211,6 +1238,13 @@ def oracle_sql() -> dict[str, str]:
                    grouping(o_orderstatus, o_orderpriority) AS grouping_id
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "group_by_salted": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   max(l_extendedprice) AS max_price,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         # ---- multimodal plumbing ------------------------------------------
         "multimodal_features": """
