@@ -662,6 +662,19 @@ def q_group_by_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native array explode with position (extension): first 4 embedding
+    dims as (vec_id, dim, value) rows."""
+    emb = _p(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    sliced = emb.select("vec_id", F.slice("embedding", 1, 4).alias("head"))
+    out = R.explode_column(
+        sliced, column="head", value_column="val", position_column="dim"
+    )
+    return out.select(
+        "vec_id", "dim", F.round(F.col("val").cast("double"), 6).alias("val")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode plumbing: binary payloads -> fixed-length feature
     vectors via mapInPandas (stub codec, real Arrow batch plumbing)."""
@@ -763,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_rollup": q_group_by_rollup,
         "group_by_cube": q_group_by_cube,
         "group_by_salted": q_group_by_salted,
+        "explode_array": q_explode_array,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1245,6 +1259,12 @@ def oracle_sql() -> dict[str, str]:
                    max(l_extendedprice) AS max_price,
                    round(sum(l_quantity) / count(*), 6) AS avg_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "explode_array": """
+            SELECT vec_id, g.i - 1 AS dim,
+                   round(CAST(embedding[g.i] AS DOUBLE), 6) AS val
+            FROM embeddings, (SELECT unnest(range(1, 5)) AS i) g
+            WHERE vec_id < 100
         """,
         # ---- multimodal plumbing ------------------------------------------
         "multimodal_features": """

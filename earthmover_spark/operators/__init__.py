@@ -47,6 +47,8 @@ OPERATIONS = {
     "group_by_rollup": groupby.group_by_rollup,
     "salted_group_by": skew.salted_group_by,
     "salted_join": skew.salted_join,
+    "explode_column": row.explode_column,
+    "unnest_struct": row.unnest_struct,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

@@ -153,3 +153,52 @@ def flatten(
         .withColumn(value_column, trimmed)
         .select(*keep, value_column)
     )
+
+
+def explode_column(
+    df: DataFrame,
+    *,
+    column: str,
+    value_column: str | None = None,
+    position_column: str | None = None,
+    keep_empty: bool = True,
+) -> DataFrame:
+    """Explode a native array column — the nested-data twin of
+    ``flatten`` (which splits string-encoded lists). Engine extension:
+    JSONL sources give real ArrayType columns and the reference has no
+    operator for them.
+
+    ``keep_empty`` mirrors flatten's empty-in, one-row-out rule
+    (explode_outer); ``position_column`` adds the element index
+    (posexplode)."""
+    if column not in df.columns:
+        raise EarthmoverSparkError(f"explode_column: {column!r} not in dataset")
+    out_name = value_column or column
+    others = [c for c in df.columns if c != column]
+    if position_column:
+        fn = F.posexplode_outer if keep_empty else F.posexplode
+        return df.select(
+            *others, fn(F.col(column)).alias(position_column, out_name)
+        )
+    fn = F.explode_outer if keep_empty else F.explode
+    return df.select(*others, fn(F.col(column)).alias(out_name))
+
+
+def unnest_struct(
+    df: DataFrame,
+    *,
+    column: str,
+    prefix: str | None = None,
+    drop: bool = True,
+) -> DataFrame:
+    """Promote a struct column's fields to top-level columns (engine
+    extension for nested JSONL). ``prefix`` avoids collisions
+    (``meta`` -> ``meta__field`` with prefix='meta__')."""
+    if column not in df.columns:
+        raise EarthmoverSparkError(f"unnest_struct: {column!r} not in dataset")
+    fields = df.select(f"{column}.*").columns
+    cols = [c for c in df.columns if c != column or not drop]
+    news = [
+        F.col(f"{column}.{f}").alias(f"{prefix or ''}{f}") for f in fields
+    ]
+    return df.select(*cols, *news)

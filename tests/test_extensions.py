@@ -177,3 +177,25 @@ def test_map_values_large_map_broadcast_path(spark):
     assert got == {"v5", "v599", "unmapped", ""}
     plan = map_values(df, column="code", mapping=big_map)._jdf.queryExecution().toString()
     assert "Join" in plan  # broadcast-join path, not CASE WHEN
+
+
+def test_explode_column_and_unnest_struct(spark):
+    from earthmover_spark.operators import row as R
+
+    df = spark.createDataFrame(
+        [("a", [1, 2], {"x": "p", "y": "q"}), ("b", [], {"x": "r", "y": "s"})],
+        "id string, arr array<int>, meta struct<x:string, y:string>",
+    )
+    ex = R.explode_column(df, column="arr", value_column="v", position_column="pos")
+    got = [(r.id, r.pos, r.v) for r in ex.orderBy("id", "pos").collect()]
+    # keep_empty: the empty array still yields one (NULL) row, like flatten
+    assert got == [("a", 0, 1), ("a", 1, 2), ("b", None, None)]
+    strict = R.explode_column(df, column="arr", value_column="v", keep_empty=False)
+    assert strict.count() == 2
+
+    un = R.unnest_struct(df, column="meta", prefix="meta__")
+    assert {"meta__x", "meta__y"} <= set(un.columns) and "meta" not in un.columns
+    assert un.filter(un.id == "b").collect()[0].meta__y == "s"
+
+    with pytest.raises(EarthmoverSparkError):
+        R.explode_column(df, column="nope")
