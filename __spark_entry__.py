@@ -636,6 +636,19 @@ def q_group_by_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("sum_price", F.round("sum_price", 4))
 
 
+def q_ev_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 1-hour windows every 30
+    minutes — each event lands in two windows."""
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    out = temporal.window_agg(ev, "ts", "1 hour", slide="30 minutes")
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        "n",
+    )
+
+
 def q_group_by_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (extension): result-identical to
     a plain GROUP BY, verified against the same SQL."""
@@ -768,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_window_agg": q_ev_window_agg,
         "ev_sessionize": q_ev_sessionize,
         "ev_asof_join": q_ev_asof_join,
+        "ev_window_sliding": q_ev_window_sliding,
         # relational extensions
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
@@ -1214,6 +1228,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "ev_window_sliding": """
+            WITH w AS (
+              SELECT g.ws
+              FROM events, LATERAL (
+                SELECT unnest(range(
+                  (CAST(floor(epoch(ts) / 1800) AS BIGINT) - 1) * 1800,
+                  CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 + 1,
+                  1800)) AS ws
+              ) g
+              WHERE epoch(ts) >= g.ws AND epoch(ts) < g.ws + 3600
+            )
+            SELECT ws, count(*) AS n FROM w GROUP BY ws
         """,
         # ---- relational extensions ----------------------------------------
         "join_semi": """

@@ -162,6 +162,7 @@ def pivot(
     rows_by: str | Sequence[str] | None = None,
     cols_by: str,
     values: str,
+    distinct_values: Sequence[str] | None = None,
 ) -> DataFrame:
     """Long -> wide; requires (rows_by x cols_by) uniqueness — this is a
     reshape, not an aggregation (reference earthmover/operations/dataframe.py:306-411).
@@ -169,7 +170,10 @@ def pivot(
     The uniqueness assertion reproduces the reference's
     total-vs-unique-count error message. Spark pivots on a multi-column
     groupBy natively, so no composite-key workaround is needed. The
-    ``F.first`` agg mirrors the reference's redundant ``aggfunc='first'``."""
+    ``F.first`` agg mirrors the reference's redundant ``aggfunc='first'``.
+    Passing ``distinct_values`` (the expected output column names) skips
+    Spark's extra distinct-scan job over ``cols_by`` — worthwhile when
+    the input is 100 TB and the pivot columns are known."""
     rows = ensure_list(rows_by)
     required = set(rows) | {cols_by, values}
     missing = required - set(df.columns)
@@ -187,7 +191,12 @@ def pivot(
             "Consider using group_by to aggregate the data instead."
         )
     grouped = df.groupBy(*rows) if rows else df.groupBy()
-    return grouped.pivot(cols_by).agg(F.first(values))
+    pivoted = (
+        grouped.pivot(cols_by, list(distinct_values))
+        if distinct_values
+        else grouped.pivot(cols_by)
+    )
+    return pivoted.agg(F.first(values))
 
 
 def debug(

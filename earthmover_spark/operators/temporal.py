@@ -22,14 +22,20 @@ def window_agg(
     window_duration: str = "1 hour",
     group_cols: Sequence[str] = (),
     aggs: dict[str, str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window aggregation (batch twin of the streaming
-    groupBy(window(...)) — same plan shape works under readStream).
+    """Tumbling (or, with ``slide``, sliding/hopping) window aggregation
+    (batch twin of the streaming groupBy(window(...)) — same plan shape
+    works under readStream).
 
     Returns window_start/window_end timestamps plus count and the
     requested ``{name: 'fn(col)'}`` aggregates (fn in sum/min/max/avg).
     """
-    w = F.window(F.col(ts_col), window_duration)
+    w = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
     agg_exprs = [F.count(F.lit(1)).alias("n")]
     for name, spec in (aggs or {}).items():
         fn, _, col = spec.partition("(")

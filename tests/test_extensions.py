@@ -199,3 +199,17 @@ def test_explode_column_and_unnest_struct(spark):
 
     with pytest.raises(EarthmoverSparkError):
         R.explode_column(df, column="nope")
+
+
+def test_pivot_explicit_values_skips_distinct_scan(spark):
+    from earthmover_spark.operators import dataframe as DD
+
+    df = spark.createDataFrame(
+        [("s1", "jan", "1"), ("s1", "feb", "2"), ("s2", "jan", "3")],
+        ["station", "month", "temp"],
+    )
+    out = DD.pivot(df, rows_by="station", cols_by="month", values="temp",
+                   distinct_values=["jan", "feb"])
+    assert set(out.columns) == {"station", "jan", "feb"}
+    got = {r.station: (r.jan, r.feb) for r in out.collect()}
+    assert got == {"s1": ("1", "2"), "s2": ("3", None)}
