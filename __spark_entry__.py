@@ -649,6 +649,62 @@ def q_ev_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (extension): per-customer order sequence, prior
+    order date, running spend — one window shuffle for all three."""
+    orders = _p(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    out = G.window_calc(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=["+o_orderdate", "+o_orderkey"],
+        columns={
+            "seq": "row_number()",
+            "prev_date": "lag(o_orderdate)",
+            "cum_spend": "cumsum(o_totalprice)",
+        },
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "seq",
+        F.date_format("prev_date", "yyyy-MM-dd").alias("prev_date"),
+        F.round("cum_spend", 4).alias("cum_spend"),
+    )
+
+
+def q_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (extension): 3 priciest orders per status."""
+    orders = _p(spark, sf_dir, "orders")
+    return G.top_n_rows(
+        orders,
+        group_by_columns=["o_orderstatus"],
+        order_by=["-o_totalprice", "+o_orderkey"],
+        n=3,
+        rank_column="rk",
+    ).select("o_orderstatus", "rk", "o_orderkey", "o_totalprice")
+
+
+def q_group_by_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended agg specs (extension): exact distinct counts and
+    interpolated quantiles per group."""
+    li = _p(spark, sf_dir, "lineitem")
+    out = G.group_by(
+        li,
+        group_by_columns=["l_returnflag"],
+        create_columns={
+            "n_supp": "count_distinct(l_suppkey)",
+            "med_qty": "median(l_quantity)",
+            "p90_qty": "percentile(l_quantity,0.9)",
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "n_supp",
+        F.round("med_qty", 6).alias("med_qty"),
+        F.round("p90_qty", 6).alias("p90_qty"),
+    )
+
+
 def q_group_by_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (extension): result-identical to
     a plain GROUP BY, verified against the same SQL."""
@@ -791,6 +847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_cube": q_group_by_cube,
         "group_by_salted": q_group_by_salted,
         "explode_array": q_explode_array,
+        "window_calc": q_window_calc,
+        "top_n": q_top_n,
+        "group_by_quantiles": q_group_by_quantiles,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1285,6 +1344,34 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 4) AS sum_qty,
                    max(l_extendedprice) AS max_price,
                    round(sum(l_quantity) / count(*), 6) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "window_calc": """
+            SELECT o_orderkey, o_custkey,
+                   row_number() OVER w AS seq,
+                   strftime(lag(o_orderdate) OVER w, '%Y-%m-%d') AS prev_date,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 4) AS cum_spend
+            FROM orders
+            WHERE o_custkey < 300
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "top_n": """
+            WITH r AS (
+              SELECT o_orderstatus, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders
+            )
+            SELECT o_orderstatus, rk, o_orderkey, o_totalprice
+            FROM r WHERE rk <= 3
+        """,
+        "group_by_quantiles": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   round(median(l_quantity), 6) AS med_qty,
+                   round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
             FROM lineitem GROUP BY l_returnflag
         """,
         "explode_array": """

@@ -49,6 +49,8 @@ OPERATIONS = {
     "salted_join": skew.salted_join,
     "explode_column": row.explode_column,
     "unnest_struct": row.unnest_struct,
+    "window_calc": groupby.window_calc,
+    "top_n_rows": groupby.top_n_rows,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

@@ -25,6 +25,7 @@ _COLUMN_REQ = {
     "agg", "aggregate", "max", "maximum", "min", "minimum", "sum",
     "mean", "avg", "std", "stdev", "stddev", "var", "variance",
     "str_max", "str_maximum", "str_min", "str_minimum", "json_array_agg",
+    "count_distinct", "approx_count_distinct", "median", "percentile",
 }
 
 
@@ -94,6 +95,15 @@ def agg_expression(
         return F.stddev_samp(num)
     if agg_type in ("var", "variance"):
         return F.var_samp(num)
+    # --- engine extensions beyond the reference's agg list ---
+    if agg_type == "count_distinct":
+        return F.countDistinct(F.col(column))
+    if agg_type == "approx_count_distinct":
+        return F.approx_count_distinct(F.col(column))
+    if agg_type == "median":
+        return F.median(num)
+    if agg_type == "percentile":
+        return F.percentile(num, float(separator or "0.5"))
     raise EarthmoverSparkError(
         f"invalid aggregation function `{agg_type}` in `group_by` operation"
     )
@@ -195,3 +205,79 @@ def group_by_rollup(
         else df.cube(*group_by_columns)
     )
     return grouped.agg(*aggs)
+
+
+_WINDOW_SPEC_RE = re.compile(r"([A-Za-z_]+)\(([^)]*)\)")
+
+
+def window_calc(
+    df: DataFrame,
+    *,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    columns: Mapping[str, str],
+) -> DataFrame:
+    """Per-group window calculations — engine extension (the reference
+    has only ``group_by_with_rank``). Specs: ``row_number()``,
+    ``rank()``, ``dense_rank()``, ``lag(col[,n])``, ``lead(col[,n])``,
+    ``cumsum(col)``, ``running_avg(col)``.
+
+    ``order_by`` uses sort_rows' ``+col``/``-col`` syntax. One window =
+    one shuffle on ``partition_by``; all specs share it."""
+    order_cols = []
+    for o in order_by:
+        if o.startswith("-"):
+            order_cols.append(F.col(o[1:]).desc())
+        else:
+            order_cols.append(F.col(o.lstrip("+")).asc())
+    w = Window.partitionBy(*partition_by).orderBy(*order_cols)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df
+    for new_col, spec in columns.items():
+        m = _WINDOW_SPEC_RE.match(spec.strip())
+        if not m:
+            raise EarthmoverSparkError(f"window_calc: cannot parse spec {spec!r}")
+        fn, argstr = m.group(1), m.group(2)
+        args = [a.strip() for a in argstr.split(",")] if argstr.strip() else []
+        if fn == "row_number":
+            col = F.row_number().over(w)
+        elif fn == "rank":
+            col = F.rank().over(w)
+        elif fn == "dense_rank":
+            col = F.dense_rank().over(w)
+        elif fn == "lag":
+            col = F.lag(F.col(args[0]), int(args[1]) if len(args) > 1 else 1).over(w)
+        elif fn == "lead":
+            col = F.lead(F.col(args[0]), int(args[1]) if len(args) > 1 else 1).over(w)
+        elif fn == "cumsum":
+            col = F.sum(F.col(args[0]).cast("double")).over(w_run)
+        elif fn == "running_avg":
+            col = F.avg(F.col(args[0]).cast("double")).over(w_run)
+        else:
+            raise EarthmoverSparkError(f"window_calc: unknown function {fn!r}")
+        out = out.withColumn(new_col, col)
+    return out
+
+
+def top_n_rows(
+    df: DataFrame,
+    *,
+    group_by_columns: Sequence[str],
+    order_by: Sequence[str],
+    n: int,
+    rank_column: str | None = None,
+) -> DataFrame:
+    """Top-N rows per group — engine extension. ``order_by`` must be a
+    total order (include a tiebreak key) for deterministic results.
+
+    Plans as one window shuffle + filter; Spark pushes the rank filter
+    into the sort (WindowGroupLimit), so each partition keeps only N
+    rows per group during the shuffle — no full sort of the group."""
+    tmp = rank_column or "__topn_rank__"
+    out = window_calc(
+        df,
+        partition_by=group_by_columns,
+        order_by=order_by,
+        columns={tmp: "row_number()"},
+    ).filter(F.col(tmp) <= n)
+    return out if rank_column else out.drop(tmp)

@@ -213,3 +213,31 @@ def test_pivot_explicit_values_skips_distinct_scan(spark):
     assert set(out.columns) == {"station", "jan", "feb"}
     got = {r.station: (r.jan, r.feb) for r in out.collect()}
     assert got == {"s1": ("1", "2"), "s2": ("3", None)}
+
+
+def test_window_calc_and_top_n(spark):
+    from earthmover_spark.operators import groupby as GB
+
+    df = spark.createDataFrame(
+        [("u1", 1, 10.0), ("u1", 2, 5.0), ("u1", 3, 20.0), ("u2", 1, 7.0)],
+        ["user", "seq_in", "amt"],
+    )
+    out = GB.window_calc(
+        df, partition_by=["user"], order_by=["+seq_in"],
+        columns={"prev": "lag(amt)", "cum": "cumsum(amt)", "rn": "row_number()"},
+    )
+    u1 = {r.seq_in: (r.prev, r.cum, r.rn)
+          for r in out.filter(out.user == "u1").collect()}
+    assert u1 == {1: (None, 10.0, 1), 2: (10.0, 15.0, 2), 3: (5.0, 35.0, 3)}
+
+    top = GB.top_n_rows(df, group_by_columns=["user"],
+                        order_by=["-amt", "+seq_in"], n=1)
+    assert {(r.user, r.seq_in) for r in top.collect()} == {("u1", 3), ("u2", 1)}
+    # rank filter is pushed into the shuffle (WindowGroupLimit)
+    plan = GB.top_n_rows(df, group_by_columns=["user"], order_by=["-amt"],
+                         n=1)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    with pytest.raises(EarthmoverSparkError, match="unknown function"):
+        GB.window_calc(df, partition_by=["user"], order_by=["+seq_in"],
+                       columns={"x": "ntile(4)"})
