@@ -705,6 +705,30 @@ def q_group_by_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-bucket equi-join (extension): per user, all
+    events inside the hour following each of their purchases."""
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    left = ev.select("event_id", "user_id", "ts")
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("buyer"),
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        )
+    )
+    out = temporal.interval_join(
+        left, windows, "ts", "win_start", "win_end",
+        left_on="user_id", right_on="buyer",
+        bucket="1 hour", right_cols=["purchase_id"],
+    )
+    return out.select("event_id", "user_id", "purchase_id")
+
+
 def q_group_by_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (extension): result-identical to
     a plain GROUP BY, verified against the same SQL."""
@@ -850,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_calc": q_window_calc,
         "top_n": q_top_n,
         "group_by_quantiles": q_group_by_quantiles,
+        "interval_join": q_interval_join,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1345,6 +1370,16 @@ def oracle_sql() -> dict[str, str]:
                    max(l_extendedprice) AS max_price,
                    round(sum(l_quantity) / count(*), 6) AS avg_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "interval_join": """
+            SELECT e.event_id, e.user_id, p.event_id AS purchase_id
+            FROM events e
+            JOIN events p
+              ON p.user_id = e.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts <= e.ts
+             AND e.ts < p.ts + INTERVAL 1 HOUR
+            WHERE e.user_id < 40 AND p.user_id < 40
         """,
         "window_calc": """
             SELECT o_orderkey, o_custkey,

@@ -8,6 +8,7 @@ native window/aggregate expressions.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -133,3 +134,63 @@ def _key_cols(df: DataFrame) -> list[str]:
     Uses all left columns (safe; callers should pass frames with a
     unique key for best plans)."""
     return df.columns
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    left_on: str | None = None,
+    right_on: str | None = None,
+    bucket: str = "1 day",
+    right_cols: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Range/interval join (extension): pair each left row with every
+    right interval containing its timestamp
+    (``right_start <= left_ts < right_end``), optionally also matching
+    a key.
+
+    Scale strategy: a naive range join plans as a nested-loop cross
+    product. Here both sides get *time-bucket* keys — left rows land in
+    one bucket, right intervals explode to the buckets they span — so
+    Catalyst runs an equi-join (hash, shuffle on bucket+key) and the
+    range predicate only filters within buckets. Each left row lives in
+    exactly one bucket, so no dedup pass is needed. Pick ``bucket``
+    near the typical interval length: shorter buckets replicate long
+    intervals; longer buckets widen the post-filter."""
+    if how not in ("inner", "left"):
+        raise EarthmoverSparkError("interval_join: how must be inner|left")
+    secs = _duration_seconds(bucket)
+    l = left.alias("__l")
+    r = right.alias("__r")
+    lb = (F.unix_timestamp(F.col(f"__l.{left_ts}")) / secs).cast("long")
+    rs = F.unix_timestamp(F.col(f"__r.{right_start}"))
+    re_ = F.unix_timestamp(F.col(f"__r.{right_end}"))
+    l2 = l.withColumn("__bucket__", lb)
+    r2 = r.withColumn(
+        "__bucket__",
+        F.explode(F.sequence((rs / secs).cast("long"), (re_ / secs).cast("long"))),
+    )
+    # the range predicate lives in the join condition, so `how='left'`
+    # is already correct: each left row has exactly one bucket, so an
+    # unmatched row surfaces exactly once with NULL right columns
+    cond = l2["__bucket__"] == r2["__bucket__"]
+    if left_on and right_on:
+        cond = cond & (F.col(f"__l.{left_on}") == F.col(f"__r.{right_on}"))
+    cond = cond & (F.col(f"__r.{right_start}") <= F.col(f"__l.{left_ts}")) & (
+        F.col(f"__l.{left_ts}") < F.col(f"__r.{right_end}")
+    )
+    joined = l2.join(r2, on=cond, how=how)
+    keep_right = [F.col(f"__r.{c}").alias(c) for c in (right_cols or right.columns)]
+    return joined.select(*[F.col(f"__l.{c}") for c in left.columns], *keep_right)
+
+
+def _duration_seconds(text: str) -> int:
+    m = re.match(r"^\s*(\d+)\s*(second|minute|hour|day|week)s?\s*$", text)
+    if not m:
+        raise EarthmoverSparkError(f"cannot parse duration {text!r}")
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    return int(m.group(1)) * mult[m.group(2)]

@@ -241,3 +241,33 @@ def test_window_calc_and_top_n(spark):
     with pytest.raises(EarthmoverSparkError, match="unknown function"):
         GB.window_calc(df, partition_by=["user"], order_by=["+seq_in"],
                        columns={"x": "ntile(4)"})
+
+
+def test_interval_join(spark):
+    from earthmover_spark.operators import temporal as T
+    from earthmover_spark.util import EarthmoverSparkError
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:30:00"), (2, "u", "2024-01-01 13:00:00"),
+         (3, "v", "2024-01-01 10:30:00")],
+        ["eid", "uid", "ts_s"],
+    ).selectExpr("eid", "uid", "to_timestamp(ts_s) AS ts")
+    right = spark.createDataFrame(
+        [(100, "u", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+         (200, "v", "2024-01-01 12:00:00", "2024-01-01 14:00:00")],
+        ["wid", "wuid", "s_s", "e_s"],
+    ).selectExpr("wid", "wuid", "to_timestamp(s_s) AS s", "to_timestamp(e_s) AS e")
+
+    inner = T.interval_join(left, right, "ts", "s", "e",
+                            left_on="uid", right_on="wuid",
+                            bucket="30 minutes", right_cols=["wid"])
+    assert {(r.eid, r.wid) for r in inner.collect()} == {(1, 100)}
+
+    outer = T.interval_join(left, right, "ts", "s", "e",
+                            left_on="uid", right_on="wuid",
+                            bucket="30 minutes", right_cols=["wid"], how="left")
+    got = {r.eid: r.wid for r in outer.collect()}
+    assert got == {1: 100, 2: None, 3: None}
+
+    with pytest.raises(EarthmoverSparkError, match="duration"):
+        T.interval_join(left, right, "ts", "s", "e", bucket="fortnight")
