@@ -48,6 +48,11 @@ HEADLINE = [
     "set_except",
     "multimodal_features",
     "multimodal_frames",
+    "window_calc",
+    "top_n",
+    "group_by_quantiles",
+    "interval_join",
+    "ev_window_sliding",
 ]
 
 
