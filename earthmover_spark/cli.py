@@ -35,6 +35,18 @@ def main(argv: list[str] | None = None) -> int:
         help="also write the merged, Jinja-expanded YAML next to the config",
     )
 
+    test_p = sub.add_parser(
+        "test",
+        help="run the project and compare each output to expected/<name> "
+             "(sorted-line equality, like the reference's `earthmover -t`)",
+    )
+    test_p.add_argument("-c", "--config", required=True)
+    test_p.add_argument("-p", "--params", default=None)
+    test_p.add_argument(
+        "-e", "--expected-dir", default=None,
+        help="directory of golden files (default: <config dir>/expected)",
+    )
+
     args = parser.parse_args(argv)
     params = json.loads(args.params) if args.params else None
 
@@ -53,6 +65,21 @@ def main(argv: list[str] | None = None) -> int:
             from earthmover_spark.plans.config import compile_to_disk
 
             print(compile_to_disk(args.config, params))
+        return 0
+
+    if args.command == "test":
+        from earthmover_spark import get_spark
+        from earthmover_spark.plans.executor import run_golden_test
+
+        spark = get_spark("earthmover_spark.test")
+        failures = run_golden_test(
+            spark, args.config, params, expected_dir=args.expected_dir
+        )
+        for name, msg in failures.items():
+            print(f"FAIL {name}: {msg}")
+        if failures:
+            return 1
+        print("all outputs match expected")
         return 0
 
     from earthmover_spark import get_spark

@@ -243,3 +243,42 @@ def run_project(
     if tracker is not None:
         tracker.write_run(hashes)
     return results
+
+
+def run_golden_test(
+    spark: SparkSession,
+    config_path: str,
+    params: dict[str, str] | None = None,
+    expected_dir: str | None = None,
+) -> dict[str, str]:
+    """Golden-file test harness (reference `earthmover -t`,
+    earthmover/earthmover.py:422-450): run the project into a temp
+    output dir, then compare each destination's output to
+    ``expected/<filename>`` as SORTED lines — order-insensitive, since a
+    distributed engine may emit rows in any order. Returns
+    {output_name: failure message} (empty = pass)."""
+    import tempfile
+
+    project = compile_config(config_path, params)
+    expected_dir = expected_dir or os.path.join(project.base_dir, "expected")
+    if not os.path.isdir(expected_dir):
+        raise EarthmoverSparkError(f"expected dir not found: {expected_dir!r}")
+    out_dir = tempfile.mkdtemp(prefix="em_test_out_")
+    results = Executor(spark, project).run("*", out_dir)
+    failures: dict[str, str] = {}
+    for dest, path in results.items():
+        fname = os.path.basename(path)
+        want_path = os.path.join(expected_dir, fname)
+        if not os.path.exists(want_path):
+            failures[fname] = "no expected file"
+            continue
+        got = sorted(ln for ln in open(path).read().splitlines() if ln)
+        want = sorted(ln for ln in open(want_path).read().splitlines() if ln)
+        if got != want:
+            diff = next(
+                (f"first difference: {g!r} != {w!r}"
+                 for g, w in zip(got, want) if g != w),
+                f"line counts differ: {len(got)} vs {len(want)}",
+            )
+            failures[fname] = diff
+    return failures

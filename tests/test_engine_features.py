@@ -204,3 +204,33 @@ def test_parquet_destination_with_partitioning(spark, tmp_path):
     # partition pruning reaches the scan
     plan = back.filter(back.region == "east")._jdf.queryExecution().toString()
     assert back.filter(back.region == "east").count() == 2
+
+
+def test_golden_test_harness(spark, tmp_path):
+    """The `earthmover_spark test` harness: sorted-line golden compare,
+    like the reference's `earthmover -t`."""
+    from earthmover_spark.plans.executor import run_golden_test
+
+    (tmp_path / "pets.csv").write_text("name,legs\nrex,4\ntweety,2\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          pets:
+            file: pets.csv
+        destinations:
+          pets_out:
+            source: $sources.pets
+    """))
+    exp = tmp_path / "expected"
+    exp.mkdir()
+    # order-insensitive: goldens written in reverse order still match
+    (exp / "pets_out.jsonl").write_text(
+        '{"name":"tweety","legs":"2"}\n{"name":"rex","legs":"4"}\n'
+    )
+    assert run_golden_test(spark, str(tmp_path / "earthmover.yaml")) == {}
+
+    # a changed golden is reported with the first differing line
+    (exp / "pets_out.jsonl").write_text(
+        '{"name":"tweety","legs":"3"}\n{"name":"rex","legs":"4"}\n'
+    )
+    failures = run_golden_test(spark, str(tmp_path / "earthmover.yaml"))
+    assert "pets_out.jsonl" in failures
