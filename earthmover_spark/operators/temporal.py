@@ -94,46 +94,58 @@ def asof_join(
     right_on: str,
     right_cols: Sequence[str] = (),
     direction: str = "backward",
-    broadcast_left: bool = False,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` (direction='backward') sharing the join key.
+    ``right_ts <= left_ts`` (direction='backward'; 'forward' takes the
+    earliest with ``right_ts >= left_ts``), sharing the join key.
 
-    Implemented as equi-join on the key + window rank over the time
-    condition — Catalyst turns the key join into a hash join (broadcast
-    when a side is small), and the rank is window-local. For very large
-    right sides, pre-bucket both sides on the key. (A merge_asof via
-    applyInPandas per key-group is the fallback for skewed keys.)"""
+    Scale shape — the merge-sort formulation, NOT a range join: union
+    both sides tagged by origin, then one window per key ordered by
+    time carries the most recent right row forward
+    (``last(..., ignorenulls=True)``). One shuffle on the key, linear
+    work per partition. The naive equi-join + rank alternative pairs
+    each left row with *every* earlier right row first — quadratic per
+    key, hopeless at 100 TB on dense keys."""
     if direction not in ("backward", "forward"):
         raise EarthmoverSparkError("asof_join: direction must be backward|forward")
-    lt, rt = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
-    l = left.alias("__l")
-    r = right.alias("__r")
-    if broadcast_left:
-        l = F.broadcast(l)
-    cond = F.col(f"__l.{left_on}") == F.col(f"__r.{right_on}")
-    time_ok = rt <= lt if direction == "backward" else rt >= lt
-    joined = l.join(r, on=cond & time_ok, how="left")
-    left_key_cols = [F.col(f"__l.{c}") for c in left.columns]
-    order = rt.desc() if direction == "backward" else rt.asc()
-    w = Window.partitionBy(*[F.col(f"__l.{c}") for c in _key_cols(left)]).orderBy(
-        order
+    rcols = list(right_cols or right.columns)
+    payload = F.struct(*[F.col(c) for c in rcols])
+    r_side = right.select(
+        F.col(right_on).alias("__key__"),
+        F.col(right_ts).cast("timestamp").alias("__t__"),
+        F.lit(0).alias("__is_left__"),
+        payload.alias("__payload__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
     )
-    ranked = joined.withColumn("__rk__", F.row_number().over(w))
-    keep_right = [
-        F.col(f"__r.{c}").alias(c) for c in (right_cols or right.columns)
-    ]
-    return (
-        ranked.filter(F.col("__rk__") == 1)
-        .select(*left_key_cols, *keep_right)
+    l_side = left.select(
+        F.col(left_on).alias("__key__"),
+        F.col(left_ts).cast("timestamp").alias("__t__"),
+        F.lit(1).alias("__is_left__"),
+        F.lit(None).cast(r_side.schema["__payload__"].dataType).alias("__payload__"),
+        *left.columns,
     )
-
-
-def _key_cols(df: DataFrame) -> list[str]:
-    """Columns identifying a unique left row for the as-of rank window.
-    Uses all left columns (safe; callers should pass frames with a
-    unique key for best plans)."""
-    return df.columns
+    both = l_side.unionByName(r_side)
+    if direction == "backward":
+        # right rows sort before left rows at the same timestamp, so a
+        # tie (right_ts == left_ts) is visible to the left row
+        w = (
+            Window.partitionBy("__key__")
+            .orderBy(F.col("__t__").asc(), F.col("__is_left__").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("__payload__", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("__key__")
+            .orderBy(F.col("__t__").desc(), F.col("__is_left__").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("__payload__", ignorenulls=True).over(w)
+    matched = both.withColumn("__m__", carried).filter(F.col("__is_left__") == 1)
+    return matched.select(
+        *left.columns,
+        *[F.col(f"__m__.{c}").alias(c) for c in rcols],
+    )
 
 
 def interval_join(

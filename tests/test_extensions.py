@@ -271,3 +271,29 @@ def test_interval_join(spark):
 
     with pytest.raises(EarthmoverSparkError, match="duration"):
         T.interval_join(left, right, "ts", "s", "e", bucket="fortnight")
+
+
+def test_asof_join_directions_and_ties(spark):
+    from earthmover_spark.operators import temporal as T
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:00:00"), (2, "u", "2024-01-01 12:00:00"),
+         (3, "w", "2024-01-01 10:00:00")],
+        ["eid", "uid", "ts_s"],
+    ).selectExpr("eid", "uid", "to_timestamp(ts_s) AS ts")
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 09:00:00", "a"), ("u", "2024-01-01 10:00:00", "b"),
+         ("u", "2024-01-01 11:00:00", "c")],
+        ["ruid", "rts_s", "tag"],
+    ).selectExpr("ruid", "to_timestamp(rts_s) AS rts", "tag")
+
+    back = T.asof_join(left, right, "ts", "rts", "uid", "ruid", right_cols=["tag"])
+    got = {r.eid: r.tag for r in back.collect()}
+    # eid 1: tie at 10:00 is visible (<=); eid 2 takes latest (11:00);
+    # eid 3 has no matching key -> NULL
+    assert got == {1: "b", 2: "c", 3: None}
+
+    fwd = T.asof_join(left, right, "ts", "rts", "uid", "ruid",
+                      right_cols=["tag"], direction="forward")
+    got_f = {r.eid: r.tag for r in fwd.collect()}
+    assert got_f == {1: "b", 2: None, 3: None}  # earliest at/after ts
