@@ -105,7 +105,9 @@ def asof_join(
     (``last(..., ignorenulls=True)``). One shuffle on the key, linear
     work per partition. The naive equi-join + rank alternative pairs
     each left row with *every* earlier right row first — quadratic per
-    key, hopeless at 100 TB on dense keys."""
+    key, hopeless at 100 TB on dense keys. (At toy scale the union +
+    sort costs a bit more than the tiny join would; the crossover is
+    wherever right-rows-per-key stops being a small constant.)"""
     if direction not in ("backward", "forward"):
         raise EarthmoverSparkError("asof_join: direction must be backward|forward")
     rcols = list(right_cols or right.columns)
