@@ -768,6 +768,38 @@ def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character chunking with overlap: one row per chunk, pure
+    explode(sequence)+substring codegen."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = sampling.chunk_documents(docs, "text", chunk_chars=200, overlap=50)
+    return out.select("doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"))
+
+
+def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample by doc_id hash — same rows every run,
+    on any engine (oracle reproduces them exactly)."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    return sampling.deterministic_sample(docs, "doc_id", 0.2).select(
+        "doc_id", "lang"
+    )
+
+
+def q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    out = sampling.split_dataset(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode plumbing: binary payloads -> fixed-length feature
     vectors via mapInPandas (stub codec, real Arrow batch plumbing)."""
@@ -878,6 +910,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        # training-data pipeline
+        "chunk_documents": q_chunk_documents,
+        "det_sample": q_det_sample,
+        "split_dataset": q_split_dataset,
     }
 
 
@@ -1426,5 +1462,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(range(0,
                    (octet_length(encode(text)) // 256) * 100 + 1, 100)) AS frame_ts_ms
             FROM documents WHERE doc_id < 200
+        """,
+        # ---- training-data pipeline ---------------------------------------
+        "chunk_documents": """
+            SELECT doc_id, g.off // 150 AS chunk_id,
+                   md5(substr(coalesce(text, ''), g.off + 1, 200)) AS chunk_md5
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0,
+                     greatest(length(coalesce(text, '')) - 1, 0) + 1, 150)) AS off) g
+            WHERE doc_id < 300
+        """,
+        "det_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT)::BIGINT < CAST(0.2 * 1152921504606846976 AS BIGINT)
+        """,
+        "split_dataset": """
+            WITH h AS (
+              SELECT CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT AS hv
+              FROM documents
+            )
+            SELECT CASE
+                     WHEN hv < CAST(0.8 * 1152921504606846976 AS BIGINT) THEN 'train'
+                     WHEN hv < CAST(0.9 * 1152921504606846976 AS BIGINT) THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   count(*) AS n
+            FROM h GROUP BY 1
         """,
     }

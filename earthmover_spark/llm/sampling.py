@@ -1,0 +1,99 @@
+"""Training-data pipeline ops: document chunking, deterministic
+sampling, dataset splits.
+
+All decisions derive from md5-based hashes of a stable key — no RNG
+state, no seed plumbing, no resampling drift: the same row lands in the
+same sample/split on any cluster, any run, any engine (the DuckDB
+oracles reproduce the exact rows). Everything is a native Column
+expression — at 100 TB these run inside the scan's codegen stage with
+zero Python and zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from earthmover_spark.util import EarthmoverSparkError
+
+#: 60-bit hash space (15 hex chars of md5 — fits a positive BIGINT)
+_HASH_SPACE = float(1 << 60)
+
+
+def _h60(col: Column, salt: str) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_chars: int = 1000,
+    overlap: int = 0,
+    chunk_id_col: str = "chunk_id",
+    chunk_col: str = "chunk_text",
+) -> DataFrame:
+    """Split long documents into fixed-size character chunks with
+    optional overlap — one output row per chunk, empty docs yield one
+    empty chunk. Native explode(sequence) + substring: the chunking of
+    a 100 TB corpus is pure codegen over the scan."""
+    if overlap >= chunk_chars:
+        raise EarthmoverSparkError("chunk_documents: overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+    text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    offsets = F.sequence(
+        F.lit(0), F.greatest(F.length(text) - 1, F.lit(0)), F.lit(step)
+    )
+    out = df.withColumn("__off__", F.explode(offsets))
+    return (
+        out.withColumn(chunk_id_col, (F.col("__off__") / step).cast("long"))
+        .withColumn(
+            chunk_col, F.substring(text, F.col("__off__") + 1, chunk_chars)
+        )
+        .drop("__off__")
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — stable across
+    runs/engines and consistent for repeated keys (a key is either
+    always in or always out, unlike ``df.sample``)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise EarthmoverSparkError("deterministic_sample: fraction must be in [0,1]")
+    threshold = int(fraction * _HASH_SPACE)
+    return df.filter(_h60(F.col(key_col), f"{salt}:") < F.lit(threshold))
+
+
+def split_dataset(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    split_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test split label from
+    its key hash. Weights need not be normalized. Same-key rows always
+    share a split (no leakage between train and eval for duplicated
+    keys)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if total <= 0:
+        raise EarthmoverSparkError("split_dataset: weights must sum > 0")
+    h = _h60(F.col(key_col), f"{salt}:")
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        bound = F.lit(int(cum * _HASH_SPACE))
+        expr = (
+            F.when(h < bound, F.lit(name))
+            if expr is None
+            else expr.when(h < bound, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

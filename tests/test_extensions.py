@@ -297,3 +297,44 @@ def test_asof_join_directions_and_ties(spark):
                       right_cols=["tag"], direction="forward")
     got_f = {r.eid: r.tag for r in fwd.collect()}
     assert got_f == {1: "b", 2: None, 3: None}  # earliest at/after ts
+
+
+def test_chunk_documents(spark):
+    from earthmover_spark.llm import sampling
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, ""), (3, None)],
+                               ["doc_id", "text"])
+    out = sampling.chunk_documents(df, "text", chunk_chars=4, overlap=1)
+    chunks = {(r.doc_id, r.chunk_id): r.chunk_text for r in out.collect()}
+    # step=3: offsets 0,3,6,9 -> abcd, defg, ghij, j
+    assert chunks[(1, 0)] == "abcd" and chunks[(1, 1)] == "defg"
+    assert chunks[(1, 2)] == "ghij" and chunks[(1, 3)] == "j"
+    # empty / null docs yield exactly one empty chunk
+    assert chunks[(2, 0)] == "" and chunks[(3, 0)] == ""
+    assert len(chunks) == 6
+    with pytest.raises(EarthmoverSparkError):
+        sampling.chunk_documents(df, "text", chunk_chars=4, overlap=4)
+
+
+def test_deterministic_sample_and_split(spark):
+    from earthmover_spark.llm import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    s1 = {r.k for r in sampling.deterministic_sample(df, "k", 0.3).collect()}
+    s2 = {r.k for r in sampling.deterministic_sample(df, "k", 0.3).collect()}
+    assert s1 == s2  # stable across runs
+    assert 0.25 < len(s1) / 2000 < 0.35
+    # nested property: a 10% sample is a subset of the 30% sample
+    s_small = {r.k for r in sampling.deterministic_sample(df, "k", 0.1).collect()}
+    assert s_small <= s1
+
+    split = sampling.split_dataset(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # same key -> same split even when duplicated (no leakage)
+    dup = spark.createDataFrame([(5,), (5,)], ["k"])
+    labels = {r.split for r in sampling.split_dataset(dup, "k").collect()}
+    assert len(labels) == 1
