@@ -800,6 +800,16 @@ def q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (rows-only check: bin assignment is
+    partition-dependent by design; row count and schema are stable)."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    out = sampling.pack_sequences(docs, max_length=4096)
+    return out.select("doc_id", "n_chars", "bin_id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode plumbing: binary payloads -> fixed-length feature
     vectors via mapInPandas (stub codec, real Arrow batch plumbing)."""
@@ -914,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "det_sample": q_det_sample,
         "split_dataset": q_split_dataset,
+        "pack_sequences": q_pack_sequences,  # rows-only (partition-dependent)
     }
 
 

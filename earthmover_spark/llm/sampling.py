@@ -97,3 +97,54 @@ def split_dataset(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    max_length: int = 8192,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to bins so each bin's
+    total length stays under ``max_length`` (oversized docs get their
+    own bin). The classic pretraining-batch packing step.
+
+    Packing is inherently sequential, so it runs per partition
+    (``mapInPandas`` over Arrow batches) and bin ids are made globally
+    unique by offsetting with the partition id — no cross-partition
+    coordination, which is the only way packing parallelizes at 100 TB.
+    Bins never span partitions (acceptable padding loss for
+    distributed throughput)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(bin_col, T.LongType())]
+    )
+    #: generous per-partition bin-id space; 2^40 bins/partition
+    PART_STRIDE = 1 << 40
+
+    def _pack(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        next_bin = pid * PART_STRIDE
+        open_bin, open_room = None, 0
+        for pdf in it:
+            bins = []
+            for n in pdf[length_col]:
+                n = int(n) if n == n else 0  # NaN-safe
+                if open_bin is None or n > open_room:
+                    open_bin = next_bin
+                    next_bin += 1
+                    open_room = max_length
+                bins.append(open_bin)
+                open_room -= min(n, max_length)
+                if open_room <= 0:
+                    open_bin = None
+            pdf = pdf.copy()
+            pdf[bin_col] = pd.Series(bins, index=pdf.index, dtype="int64")
+            yield pdf
+
+    return df.mapInPandas(_pack, schema=out_schema)

@@ -41,3 +41,22 @@ def save_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a catalog table (bucket metadata applies automatically)."""
     return spark.table(table)
+
+
+def layout_for_scan(
+    df: DataFrame, sort_cols: str | list[str], n_partitions: int | None = None
+) -> DataFrame:
+    """Prepare a frame for a data-skipping-friendly write: range
+    partition + sort within partitions on the scan predicate columns,
+    so each parquet file covers a narrow min/max range and later scans
+    with filters on those columns skip whole files/row-groups.
+
+    This is the poor-man's Z-order for single-column (or prefix)
+    predicates — the highest-leverage layout step before a huge write."""
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    parted = (
+        df.repartitionByRange(n_partitions, *cols)
+        if n_partitions
+        else df.repartitionByRange(*cols)
+    )
+    return parted.sortWithinPartitions(*cols)

@@ -338,3 +338,52 @@ def test_deterministic_sample_and_split(spark):
     dup = spark.createDataFrame([(5,), (5,)], ["k"])
     labels = {r.split for r in sampling.split_dataset(dup, "k").collect()}
     assert len(labels) == 1
+
+
+def test_pack_sequences(spark):
+    from earthmover_spark.llm.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 500), (2, 400), (3, 300), (4, 2000), (5, 100)],
+        ["doc_id", "n_chars"],
+    ).coalesce(1)  # single partition -> deterministic greedy order check
+    out = pack_sequences(df, max_length=1000)
+    rows = {r.doc_id: r.bin_id for r in out.collect()}
+    # greedy: 500+400 fit bin0 (room 100 left), 300 opens bin1,
+    # 2000 > room -> own bin2 (capped), 100 -> bin3 (bin2 closed full)
+    assert rows[1] == rows[2]
+    assert rows[3] != rows[1]
+    assert rows[4] not in (rows[1], rows[3])
+    assert rows[5] not in (rows[1], rows[4])
+    # bin capacity respected for normal-size docs
+    from collections import defaultdict
+
+    sizes = defaultdict(int)
+    for r in out.collect():
+        sizes[r.bin_id] += min(r.n_chars, 1000)
+    assert all(v <= 1000 for v in sizes.values())
+    # multi-partition: bin ids stay globally unique
+    df4 = spark.createDataFrame(
+        [(i, 600) for i in range(40)], ["doc_id", "n_chars"]
+    ).repartition(4)
+    out4 = pack_sequences(df4, max_length=1000)
+    assert out4.select("bin_id").distinct().count() == 40  # 600>400 room: 1 doc/bin
+
+
+def test_layout_for_scan_range_partitions(spark):
+    from earthmover_spark.sources.bucketed import layout_for_scan
+
+    df = spark.range(0, 10000).selectExpr("id", "id % 7 AS grp")
+    laid = layout_for_scan(df, "id", n_partitions=4)
+    plan = laid._jdf.queryExecution().toString()
+    assert "RANGE_PARTITION_ID" in plan.upper() or "rangepartitioning" in plan.lower()
+    # ranges are disjoint: every partition's max < next partition's min
+    import pyspark.sql.functions as SF
+
+    stats = (
+        laid.withColumn("pid", SF.spark_partition_id())
+        .groupBy("pid").agg(SF.min("id").alias("lo"), SF.max("id").alias("hi"))
+        .orderBy("pid").collect()
+    )
+    for a, b in zip(stats, stats[1:]):
+        assert a.hi < b.lo
