@@ -115,9 +115,28 @@ def _resolve_name(name: str, columns: list[str], value_col: str | None) -> Colum
     raise _NotLowerable(name)
 
 
+_INLINE_IF_RE = re.compile(r"^(.+?)\s+if\s+(.+?)\s+else\s+(.+)$")
+
+
 def _lower_expr(expr: str, columns: list[str], value_col: str | None):
     """Lower one ``{{ ... }}`` body -> (Column, kind)."""
     expr = expr.strip()
+    # inline conditional:  A if COND else B
+    m = _INLINE_IF_RE.match(expr)
+    if m:
+        try:
+            cond = _lower_condition(m.group(2), columns, value_col)
+            a, ak = _lower_expr(m.group(1), columns, value_col)
+            b, bk = _lower_expr(m.group(3), columns, value_col)
+            if ak == bk:
+                return F.when(cond, a).otherwise(b), ak
+            if "float" not in (ak, bk):
+                return (
+                    F.when(cond, string_view(a)).otherwise(string_view(b)),
+                    "str",
+                )
+        except _NotLowerable:
+            pass  # fall through (e.g. ' if ' inside a string literal)
     # single binary arithmetic: A op B  (either side may carry filters)
     m = _BINOP_RE.match(expr)
     if m and not _NUM_RE.match(expr):

@@ -86,6 +86,12 @@ def pandas_query_to_sql(query: str) -> str:
         lambda m: f"{m.group(1)} IN ({m.group(2)})",
         s,
     )
+    # pandas `x in [..]` / `x not in [..]` membership -> IN ( .. )
+    s = re.sub(
+        r"\b(not\s+)?in\s*\[([^\]]*)\]",
+        lambda m: f"{'NOT ' if m.group(1) else ''}IN ({m.group(2)})",
+        s,
+    )
 
     # bitwise boolean operators
     s = s.replace("&", " AND ").replace("|", " OR ")

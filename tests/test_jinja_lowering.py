@@ -135,3 +135,44 @@ class TestArgFiltersAndConcat:
         # default() on an unknown name must go to full Jinja (undefined)
         assert lower_template("{{nope|default('x')}}", ["name"]) is None
         assert lower_template("{{name|truncate(5)}}", ["name"]) is None
+
+
+class TestInlineIf:
+    CASES = [
+        "{{'big' if qty|int > 9 else 'small'}}",
+        "{{name if qty|int > 9 else kind}}",
+        "{{name|upper if name == 'ann' else name}}",
+        "x={{qty|int + 1 if qty|int > 9 else 0}}",
+    ]
+
+    @pytest.mark.parametrize("template", CASES)
+    def test_inline_if_lowers_and_matches(self, spark, template):
+        from earthmover_spark.functions.jinja_compute import (
+            jinja_udf_column,
+            lower_template,
+        )
+
+        df = spark.createDataFrame(
+            [("ann", "cat", "12"), ("bob", "dog", "3")], ["name", "kind", "qty"]
+        )
+        lowered = lower_template(template, df.columns)
+        assert lowered is not None, template
+        for r in df.select(
+            lowered.alias("low"),
+            jinja_udf_column(template, df.columns).alias("full"),
+        ).collect():
+            assert r.low == r.full, template
+
+    def test_literal_containing_if_still_works(self, spark):
+        from earthmover_spark.functions.jinja_compute import (
+            jinja_udf_column,
+            lower_template,
+        )
+
+        t = "{{' if '}}"
+        df = spark.createDataFrame([("x",)], ["c"])
+        lowered = lower_template(t, ["c"])
+        assert lowered is not None
+        got = df.select(lowered.alias("v")).collect()[0].v
+        want = df.select(jinja_udf_column(t, ["c"]).alias("v")).collect()[0].v
+        assert got == want == " if "

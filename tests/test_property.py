@@ -46,7 +46,10 @@ def frames(draw):
 def predicates(draw):
     def leaf():
         kind = draw(st.sampled_from(["cmp_num", "cmp_str", "contains", "isin",
-                                     "startswith", "strlen"]))
+                                     "startswith", "strlen", "in_list"]))
+        if kind == "in_list":
+            neg = draw(st.sampled_from(["", "not "]))
+            return f"qty {neg}in [{draw(_NUMS)}, {draw(_NUMS)}]"
         if kind == "cmp_num":
             op = draw(st.sampled_from(["==", "!=", "<", "<=", ">", ">="]))
             return f"qty {op} {draw(_NUMS)}"
