@@ -523,6 +523,19 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(queries_df, emb, k=5, bucket_dims=4)
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at full probe: k-means cells + probe-all must reduce to
+    exact brute force, so the brute-force SQL oracle checks the entire
+    IVF machinery (train, assign, probe, re-rank)."""
+    from earthmover_spark.llm import similarity
+
+    emb = _p(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        queries_df, emb, k=5, n_centroids=8, n_probe=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # temporal / event queries
 # ---------------------------------------------------------------------------
@@ -899,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         # temporal / events
         "ev_window_agg": q_ev_window_agg,
         "ev_sessionize": q_ev_sessionize,
@@ -1335,6 +1349,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
         """,
         # ---- temporal / events --------------------------------------------
+        "sim_ivf_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 10
+            ), s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS score
+              FROM embeddings e, q WHERE e.vec_id != q.query_id
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, neighbor_id) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+        """,
         "ev_window_agg": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -387,3 +387,34 @@ def test_layout_for_scan_range_partitions(spark):
     )
     for a, b in zip(stats, stats[1:]):
         assert a.hi < b.lo
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF ANN: assignments are exhaustive (every vector gets a cell)
+    and probing most cells recovers most of the exact top-k."""
+    import random
+
+    from earthmover_spark.llm import similarity as S
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    indexed, centroids = S.ivf_index(emb, n_centroids=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 8
+    assert indexed.filter("cell IS NULL").count() == 0
+    assert indexed.select("cell").distinct().count() <= 8
+
+    queries = emb.filter("vec_id < 5")
+    exact = S.cosine_topk(queries, emb, k=3)
+    approx = S.ivf_topk(queries, emb, k=3, n_centroids=8, n_probe=8)  # probe all
+    key = lambda df: {(r.query_id, r.neighbor_id) for r in df.collect()}  # noqa: E731
+    # probing every cell == exhaustive search -> exact recall
+    assert key(approx) == key(exact)
+    # fewer probes: a subset of the candidates, still k results per query
+    narrow = S.ivf_topk(queries, emb, k=3, n_centroids=8, n_probe=2)
+    per_q = {}
+    for r in narrow.collect():
+        per_q.setdefault(r.query_id, 0)
+        per_q[r.query_id] += 1
+    assert all(v <= 3 for v in per_q.values())
