@@ -856,6 +856,60 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_ts_ms")
 
 
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: LSH pairs -> connected components
+    (iterative min-label + pointer jumping) -> one keeper per cluster."""
+    from earthmover_spark.llm import curation, dedup
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(corpus, num_hashes=16, bands=4)
+    out = curation.resolve_duplicates(corpus, pairs)
+    return out.select("doc_id", "cluster_id", "is_keeper")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word 8-gram
+    with a (synthetic) benchmark slice; broadcast n-gram overlap join."""
+    from earthmover_spark.llm import curation
+
+    docs = _p(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    out = curation.decontaminate(docs, bench, shingle_n=8)
+    return out.select("doc_id", "n_contaminated_ngrams", "contaminated")
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratios: duplicate-word fraction (pure
+    array exprs) + modal-bigram fraction (explode + two hash aggs)."""
+    from earthmover_spark.llm import curation
+
+    docs = _p(spark, sf_dir, "documents")
+    return curation.repetition_stats(docs)
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text with injected emails/IPs/phones — pure
+    JVM regexp chain with per-type match counts."""
+    from earthmover_spark.llm import curation
+
+    docs = _p(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".9 call +1 555-12"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    out = curation.redact_pii(seeded)
+    return out.select("doc_id", "text", "n_emails", "n_ips", "n_phones")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -939,6 +993,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_sample": q_det_sample,
         "split_dataset": q_split_dataset,
         "pack_sequences": q_pack_sequences,  # rows-only (partition-dependent)
+        # corpus curation
+        "dedup_resolve": q_dedup_resolve,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -1530,5 +1589,106 @@ def oracle_sql() -> dict[str, str]:
                    END AS split,
                    count(*) AS n
             FROM h GROUP BY 1
+        """,
+        "dedup_resolve": f"""
+            WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+            w AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM corpus
+            ), sh AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(words) - 3, 0)),
+                         i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS shs
+              FROM w
+            ), sig AS (
+              SELECT doc_id, [
+                {", ".join(f"list_min(list_transform(shs, s -> md5('mh{i}:' || s)))" for i in range(16))}
+              ] AS s
+              FROM sh
+            ), banded AS (
+              SELECT doc_id, b.band,
+                     md5(array_to_string(list_slice(s, b.band * 4 + 1, b.band * 4 + 4), ',')) AS bh
+              FROM sig, (SELECT unnest(range(4)) AS band) b
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+            ), clusters AS (
+              SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT c.doc_id,
+                   coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
+                   coalesce(cl.cluster_id, c.doc_id) = c.doc_id AS is_keeper
+            FROM corpus c LEFT JOIN clusters cl ON cl.node = c.doc_id
+        """,
+        "decontaminate": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(words) - 8, 0)),
+                         i -> array_to_string(list_slice(words, i + 1, i + 8), ' ')) AS shs
+              FROM w
+            ), dsh AS (
+              SELECT doc_id, unnest(list_distinct(shs)) AS g FROM sh
+            ), bg AS (
+              SELECT DISTINCT g FROM dsh WHERE doc_id % 53 = 0
+            ), hits AS (
+              SELECT d.doc_id, count(*) AS n
+              FROM dsh d JOIN bg USING (g) GROUP BY d.doc_id
+            )
+            SELECT w.doc_id,
+                   coalesce(h.n, 0) AS n_contaminated_ngrams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM w LEFT JOIN hits h USING (doc_id)
+        """,
+        "repetition_stats": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+            ), bgl AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(ws) - 2, 0)),
+                         i -> array_to_string(list_slice(ws, i + 1, i + 2), ' ')) AS bgs
+              FROM w
+            ), bg AS (
+              SELECT doc_id, unnest(bgs) AS g FROM bgl
+            ), cnt AS (
+              SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+            ), top AS (
+              SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM cnt GROUP BY 1
+            )
+            SELECT w.doc_id,
+                   round(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6)
+                       AS dup_word_frac,
+                   round(top_c / CAST(tot AS DOUBLE), 6) AS top_bigram_frac
+            FROM w JOIN top USING (doc_id)
+        """,
+        "redact_pii": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com from 10.1.'
+                          || (doc_id % 250) || '.9 call +1 555-12'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' end' AS t
+              FROM documents
+            ), staged AS (
+              SELECT doc_id, t,
+                     regexp_replace(
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS no_ip
+              FROM seeded
+            )
+            SELECT doc_id,
+                   regexp_replace(no_ip, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                   len(regexp_extract_all(no_ip, '\+?\d[\d\- ]{7,}\d')) AS n_phones
+            FROM staged
         """,
     }

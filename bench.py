@@ -53,6 +53,8 @@ HEADLINE = [
     "group_by_quantiles",
     "interval_join",
     "ev_window_sliding",
+    "dedup_resolve",  # LSH pairs -> connected components -> keepers
+    "redact_pii",
 ]
 
 

@@ -8,4 +8,10 @@ all hot paths in native Column expressions (JVM codegen) or Arrow
 pandas UDFs.
 """
 
-from earthmover_spark.llm import dedup, multimodal, similarity, textstats  # noqa: F401
+from earthmover_spark.llm import (  # noqa: F401
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)

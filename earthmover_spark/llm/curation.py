@@ -1,0 +1,268 @@
+"""Corpus-curation operators: duplicate-cluster resolution (connected
+components), benchmark decontamination, repetition statistics, and PII
+redaction.
+
+These close the loop the pair-finding operators in
+``earthmover_spark.llm.dedup`` open: LSH gives near-duplicate *pairs*;
+a training pipeline needs per-document decisions (which single document
+survives each duplicate cluster, which documents leak benchmark data,
+which are degenerate repetition).
+
+Scale design notes (the 100 TB story):
+
+- **Connected components** run as iterative DataFrame joins keyed on the
+  node id — each round is one hash-shuffle of the (node, label) frame,
+  which holds only documents that appear in a candidate pair (a tiny
+  fraction of the corpus). One hop of min-label propagation is fused
+  with one pointer-jumping step (label <- label(label)) per round, so
+  path lengths halve each round and convergence is O(log diameter);
+  real dup clusters are near-cliques from LSH, so 2-3 rounds in
+  practice. ``localCheckpoint`` truncates lineage each round — without
+  it the plan doubles per iteration and the driver dies long before the
+  data does.
+- **Decontamination** broadcasts the benchmark's n-gram set (benchmarks
+  are thousands of documents; the corpus is the big side) so the
+  overlap join is map-side — the 100 TB corpus never shuffles.
+- **Repetition stats** need the modal bigram per document, which is an
+  explode + two hash aggregations with map-side partial combine; the
+  word-level ratios never leave the codegen'd row (pure array
+  expressions).
+- **PII redaction** is a chain of JVM ``regexp_replace`` calls — no
+  Python, no shuffle, scales with scan bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from earthmover_spark.llm.textstats import normalize_text, shingles
+
+# ---------------------------------------------------------------------------
+# connected components over near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve (id_a, id_b) near-duplicate pairs into connected
+    components. Returns (node, cluster_id) for every node that appears
+    in a pair, where cluster_id is the minimum id reachable through the
+    pair graph — i.e. the canonical survivor of the cluster.
+
+    Min-label propagation with pointer jumping, all in DataFrame joins
+    (no GraphFrames dependency): per round, every node takes the min of
+    its own label, its neighbors' labels (one hop), and its label's
+    label (path doubling). Iterates until a fixpoint, capped at
+    ``max_iter`` (2^25-diameter graphs don't happen in dedup).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # one hop: min label over neighbors
+        hop = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(hop, labels["node"] == hop["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+        )
+        # pointer jump: label <- label(label). Labels are themselves
+        # node ids, so a self-join resolves one more level of
+        # indirection and halves remaining path lengths.
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("p_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-document dedup decision: annotate every row of ``df`` with
+    its duplicate cluster_id (its own id when it's in no pair) and
+    ``is_keeper`` — True for exactly one document per cluster (the
+    minimum id). ``df.filter("is_keeper")`` is the deduplicated corpus.
+
+    The cluster frame holds only paired documents, so the annotation
+    join is a broadcast at any realistic duplicate rate."""
+    clusters = dedup_clusters(pairs, id_a, id_b).withColumnRenamed("node", id_col)
+    out = df.join(F.broadcast(clusters), id_col, "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return out.withColumn("cluster_id", cluster).withColumn(
+        "is_keeper", F.col(id_col) == F.col("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark_text_col: str | None = None,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Flag corpus documents that share any word ``shingle_n``-gram with
+    a benchmark/eval set (training-data leakage). Adds
+    ``n_contaminated_ngrams`` (0 for clean docs) and ``contaminated``;
+    ``df.filter("not contaminated")`` is the decontaminated corpus.
+
+    The benchmark n-gram set is broadcast (eval sets are small); the
+    corpus side is an explode + broadcast-hash-join + re-aggregation on
+    the id — no corpus shuffle."""
+    bcol = benchmark_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(bcol), shingle_n))).alias(
+                "__g__"
+            )
+        )
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias(
+            "__g__"
+        ),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__g__")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        df.join(F.broadcast(hits), id_col, "left")
+        .withColumn(
+            "n_contaminated_ngrams",
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).cast("bigint"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_ngrams") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition ratios over the normalized text:
+
+    - ``dup_word_frac`` — fraction of word occurrences that are repeats
+      of an earlier word (1 - distinct/total); pure array expressions.
+    - ``top_bigram_frac`` — occurrences of the modal word bigram over
+      total bigrams; explode + count + max (map-side combined).
+
+    High values indicate degenerate, loopy text (the Gopher repetition
+    filters)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col),
+        F.round(
+            1.0 - F.size(F.array_distinct(words)) / F.size(words).cast("double"), 6
+        ).alias("dup_word_frac"),
+    )
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), 2)).alias("__g__"),
+    )
+    counts = bigrams.groupBy(id_col, "__g__").agg(F.count(F.lit(1)).alias("__c__"))
+    top = counts.groupBy(id_col).agg(
+        F.round(F.max("__c__") / F.sum("__c__").cast("double"), 6).alias(
+            "top_bigram_frac"
+        )
+    )
+    return base.join(top, id_col)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: engine-portable patterns: no lookaround/backreferences, so Java regex
+#: (Spark) and RE2 (DuckDB oracle) agree.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_PATTERN = r"\+?\d[\d\- ]{7,}\d"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone-like digit runs from a
+    text column, with per-type match counts (``n_emails``, ``n_ips``,
+    ``n_phones``). Replacement order matters: emails first (they contain
+    digit runs), then IPs (dotted digits), then bare phone runs.
+
+    Pure JVM regexp_replace/regexp_count chain — whole-stage-codegen'd,
+    no shuffle, scan-bandwidth bound at any scale."""
+    out_col = out_col or text_col
+    text = F.col(text_col)
+    counted = df.withColumns(
+        {
+            "n_emails": F.regexp_count(text, F.lit(EMAIL_PATTERN)),
+            "n_ips": F.regexp_count(text, F.lit(IPV4_PATTERN)),
+        }
+    )
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, IPV4_PATTERN, "<IP>")
+    counted = counted.withColumn(
+        "n_phones", F.regexp_count(no_ip, F.lit(PHONE_PATTERN))
+    )
+    return counted.withColumn(
+        out_col, F.regexp_replace(no_ip, PHONE_PATTERN, "<PHONE>")
+    )

@@ -1,0 +1,86 @@
+"""Corpus-curation operators: cluster resolution, decontamination,
+repetition stats, PII redaction."""
+
+from pyspark.sql import functions as F
+
+from earthmover_spark.llm import curation
+
+
+def test_dedup_clusters_chain_and_island(spark):
+    # chain 1-2-3 plus island 7-8: min-id labels {1,2,3}->1, {7,8}->7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    got = {
+        r.node: r.cluster_id for r in curation.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_dedup_clusters_long_path_converges(spark):
+    # a 12-node path stresses the pointer-jumping: O(log n) rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    got = curation.dedup_clusters(pairs)
+    assert got.select(F.countDistinct("cluster_id")).first()[0] == 1
+    assert got.agg(F.min("cluster_id"), F.max("cluster_id")).first() == (0, 0)
+
+
+def test_resolve_duplicates_keeper_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 7)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (4, 5)], ["id_a", "id_b"])
+    got = curation.resolve_duplicates(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[2].cluster_id == 1 and not by_id[2].is_keeper
+    assert by_id[1].is_keeper and by_id[4].is_keeper
+    assert by_id[3].cluster_id == 3 and by_id[3].is_keeper  # singleton
+    keepers = [r.doc_id for r in got if r.is_keeper]
+    assert sorted(keepers) == [1, 3, 4, 6]
+
+
+def test_decontaminate_flags_overlap(spark):
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words {shared} suffix words"),
+            (2, "totally different content with no benchmark overlap at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(f"intro {shared} outro",)], ["text"])
+    got = {r.doc_id: r for r in curation.decontaminate(docs, bench).collect()}
+    assert got[1].contaminated and got[1].n_contaminated_ngrams >= 1
+    assert not got[2].contaminated and got[2].n_contaminated_ngrams == 0
+
+
+def test_repetition_stats(spark):
+    # "a b a b a": 5 words, 2 distinct -> dup 0.6; bigrams
+    # [a b, b a, a b, b a] -> top 2/4 = 0.5
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in curation.repetition_stats(docs).collect()}
+    assert got[1].dup_word_frac == 0.6
+    assert got[1].top_bigram_frac == 0.5
+    assert got[2].dup_word_frac == 0.0
+    assert got[2].top_bigram_frac == 0.333333  # all bigrams unique, rounded
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-ample.org now"),
+            (2, "server 192.168.0.1 called +1 555-123-4567 twice"),
+            (3, "clean text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in curation.redact_pii(docs).collect()}
+    assert got[1].text == "mail <EMAIL> now"
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (1, 0, 0)
+    assert got[2].text == "server <IP> called <PHONE> twice"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 1, 1)
+    assert got[3].text == "clean text" and got[3].n_phones == 0
