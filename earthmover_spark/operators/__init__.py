@@ -9,6 +9,7 @@ Each operator is ``fn(df: DataFrame, *, config...) -> DataFrame`` (joins
 and unions additionally take a ``registry`` of named DataFrames).
 """
 
+from earthmover_spark.llm import curation, dedup, sampling, textstats
 from earthmover_spark.operators import column, dataframe, groupby, row, skew
 
 OPERATIONS = {
@@ -51,6 +52,22 @@ OPERATIONS = {
     "unnest_struct": row.unnest_struct,
     "window_calc": groupby.window_calc,
     "top_n_rows": groupby.top_n_rows,
+    # LLM-pipeline extensions, driveable from YAML like any operation.
+    # `resolve_duplicates` takes `pairs:` and `decontaminate` takes
+    # `benchmark:` node references, resolved by the executor like join
+    # `sources:`.
+    "exact_dedup": dedup.exact_dedup,
+    "lsh_pairs": dedup.lsh_candidate_pairs,
+    "resolve_duplicates": curation.resolve_duplicates,
+    "decontaminate": curation.decontaminate,
+    "repetition_stats": curation.repetition_stats,
+    "redact_pii": curation.redact_pii,
+    "quality_score": textstats.quality_score,
+    "lang_id": textstats.lang_id,
+    "fingerprint": textstats.fingerprint,
+    "chunk_documents": sampling.chunk_documents,
+    "deterministic_sample": sampling.deterministic_sample,
+    "split_dataset": sampling.split_dataset,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

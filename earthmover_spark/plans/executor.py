@@ -91,6 +91,10 @@ class Executor:
                 kwargs["sources"] = [self._resolve(s) for s in op_cfg["sources"]]
             if op_name == "semi_join":
                 kwargs["source"] = self._resolve(op_cfg["source"])
+            if op_name == "resolve_duplicates":
+                kwargs["pairs"] = self._resolve(op_cfg["pairs"])
+            if op_name == "decontaminate":
+                kwargs["benchmark"] = self._resolve(op_cfg["benchmark"])
             if op_name in ("add_columns", "modify_columns"):
                 kwargs.setdefault("macros", self.project.macros)
             if df is None:

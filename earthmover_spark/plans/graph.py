@@ -24,8 +24,11 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
     for op in cfg.get("operations") or []:
         for s in op.get("sources") or []:
             refs.append(s)
-        if op.get("source"):  # e.g. semi_join's single right side
-            refs.append(op["source"])
+        # single-frame side inputs: semi_join's `source`,
+        # resolve_duplicates' `pairs`, decontaminate's `benchmark`
+        for key in ("source", "pairs", "benchmark"):
+            if op.get(key):
+                refs.append(op[key])
     return [r for r in refs if isinstance(r, str) and r.startswith("$")]
 
 

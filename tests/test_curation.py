@@ -27,6 +27,43 @@ def test_dedup_clusters_long_path_converges(spark):
     assert got.agg(F.min("cluster_id"), F.max("cluster_id")).first() == (0, 0)
 
 
+def test_dedup_clusters_random_graphs_match_union_find(spark):
+    """Randomized check: distributed label propagation == classic
+    union-find on the driver, over several random pair graphs."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 40
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, 35))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes_in_pairs = {v for e in edges for v in e}
+        want = {v: find(v) for v in nodes_in_pairs}
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r.node: r.cluster_id
+            for r in curation.dedup_clusters(pairs).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
 def test_resolve_duplicates_keeper_per_cluster(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(1, 7)], ["doc_id", "text"]
