@@ -86,3 +86,21 @@ def test_scan_no_python_in_relational_ops(plans):
     for name in ("join_suffix", "group_by_stats", "melt", "sort_limit_rows",
                  "set_except", "group_by_cube"):
         assert "EvalPython" not in plans(name), name
+
+
+def test_decontaminate_is_all_broadcast(plans):
+    """The benchmark n-gram set and per-doc hit counts broadcast — the
+    corpus side never shuffles for a join (only for its own aggs)."""
+    p = plans("decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_redact_pii_is_single_stage_jvm(plans):
+    """PII redaction is a pure regexp chain: no shuffle, no Python —
+    scan-bandwidth bound at any scale."""
+    p = plans("redact_pii")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" not in p and "SortMergeJoin" not in p
