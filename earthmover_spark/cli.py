@@ -9,7 +9,13 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> int:
+    from earthmover_spark import __version__
+
     parser = argparse.ArgumentParser(prog="earthmover_spark")
+    parser.add_argument(
+        "-v", "--version", action="version",
+        version=f"earthmover_spark {__version__}",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     run_p = sub.add_parser("run", help="compile + execute a project")
@@ -25,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument(
         "--results-file", default=None,
         help="write per-node row counts and timings as JSON",
+    )
+    run_p.add_argument(
+        "-g", "--show-graph", action="store_true",
+        help="write the node DAG as Graphviz DOT next to the outputs "
+             "(with row counts when --results-file is also set)",
     )
 
     comp_p = sub.add_parser("compile", help="compile only; print the plan")
@@ -94,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         output_dir=args.output_dir,
         skip_if_unchanged=args.skip_if_unchanged,
         results_file=args.results_file,
+        show_graph=args.show_graph,
     )
     if "__skipped__" in results:
         print(f"skipping run: {results['__skipped__']}")

@@ -131,6 +131,7 @@ class Executor:
         selector: str = "*",
         output_dir: str | None = None,
         results_file: str | None = None,
+        show_graph: bool = False,
     ) -> dict[str, str]:
         import json
         import time
@@ -182,6 +183,17 @@ class Executor:
                     fh,
                     indent=2,
                 )
+        if show_graph:
+            # DOT DAG next to the outputs (reference -g/--show-graph,
+            # earthmover/__main__.py:94); row counts included when a
+            # results run computed them.
+            from earthmover_spark.plans.graph import to_dot
+
+            os.makedirs(out_dir, exist_ok=True)
+            graph_path = os.path.join(out_dir, "graph.dot")
+            with open(graph_path, "w") as fh:
+                fh.write(to_dot(self.graph, subset, node_stats))
+            self.results["__graph__"] = graph_path
         return self.results
 
     def _write_destination(self, name: str, cfg: dict, out_dir: str) -> None:
@@ -226,6 +238,7 @@ def run_project(
     skip_if_unchanged: bool = False,
     runs_file: str | None = None,
     results_file: str | None = None,
+    show_graph: bool = False,
 ) -> dict[str, str]:
     """Compile + execute a YAML project; returns {destination: path}.
 
@@ -243,7 +256,9 @@ def run_project(
         prior = tracker.find_matching_run(hashes)
         if prior:
             return {"__skipped__": f"inputs unchanged since run {prior['run_timestamp']}"}
-    results = Executor(spark, project).run(selector, output_dir, results_file)
+    results = Executor(spark, project).run(
+        selector, output_dir, results_file, show_graph=show_graph
+    )
     if tracker is not None:
         tracker.write_run(hashes)
     return results

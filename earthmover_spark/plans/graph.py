@@ -112,3 +112,34 @@ class Graph:
             n: sum(1 for c in self.edges[n] if c in subset)
             for n in subset
         }
+
+def to_dot(
+    graph: "Graph",
+    subset: set[str] | None = None,
+    stats: dict[str, dict] | None = None,
+) -> str:
+    """Render the node DAG as Graphviz DOT text (the reference's
+    --show-graph draws a PNG via pygraphviz, earthmover/__main__.py:94;
+    DOT text needs no native dependency and diffs cleanly). Row counts
+    from a results run are embedded in node labels when available."""
+    names = sorted(subset if subset is not None else set(graph.nodes))
+    shapes = {
+        "sources": "ellipse",
+        "transformations": "box",
+        "destinations": "note",
+    }
+    lines = ["digraph earthmover_spark {", "  rankdir=LR;"]
+    for name in names:
+        node = graph.nodes[name]
+        label = name
+        rows = (stats or {}).get(name, {}).get("rows")
+        if rows is not None:
+            label += f"\\n{rows} rows"
+        shape = shapes.get(node.kind, "box")
+        lines.append(f'  "{name}" [shape={shape}, label="{label}"];')
+    for name in names:
+        for parent in graph.parents.get(name, []):
+            if subset is None or parent in subset:
+                lines.append(f'  "{parent}" -> "{name}";')
+    lines.append("}")
+    return "\n".join(lines) + "\n"

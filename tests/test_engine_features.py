@@ -99,6 +99,21 @@ def test_results_file(spark, pkg_project, tmp_path):
     assert "$destinations.fruit_list" in doc["destinations"]
 
 
+def test_show_graph_dot(spark, pkg_project, tmp_path):
+    rf = str(tmp_path / "results.json")
+    results = run_project(
+        spark, str(pkg_project / "earthmover.yaml"),
+        output_dir=str(tmp_path / "o"), results_file=rf, show_graph=True,
+    )
+    dot = open(results["__graph__"]).read()
+    assert dot.startswith("digraph earthmover_spark {")
+    # an edge from the transformation into its destination
+    assert '"$transformations.colored" ->' in dot
+    # row counts from the results run are embedded in labels
+    assert "2 rows" in dot
+    assert dot.rstrip().endswith("}")
+
+
 def test_sql_connection_source_in_yaml(spark, tmp_path):
     import duckdb
 
