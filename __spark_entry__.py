@@ -823,6 +823,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "bin_id")
 
 
+def q_pack_sequences_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic packing twin: greedy next-fit in doc_id order
+    within id-range groups — fully value-checkable (recursive-CTE
+    oracle), unlike the partition-greedy pack_sequences."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    return sampling.pack_sequences_ordered(
+        docs, max_length=2000, group_size=100
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode plumbing: binary payloads -> fixed-length feature
     vectors via mapInPandas (stub codec, real Arrow batch plumbing)."""
@@ -993,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_sample": q_det_sample,
         "split_dataset": q_split_dataset,
         "pack_sequences": q_pack_sequences,  # rows-only (partition-dependent)
+        "pack_sequences_ordered": q_pack_sequences_ordered,
         # corpus curation
         "dedup_resolve": q_dedup_resolve,
         "decontaminate": q_decontaminate,
@@ -1589,6 +1602,27 @@ def oracle_sql() -> dict[str, str]:
                    END AS split,
                    count(*) AS n
             FROM h GROUP BY 1
+        """,
+        "pack_sequences_ordered": """
+            WITH RECURSIVE ordered AS (
+              SELECT doc_id, n_chars, doc_id // 100 AS grp,
+                     row_number() OVER (PARTITION BY doc_id // 100
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), packed AS (
+              SELECT grp, rn, doc_id, n_chars,
+                     0 AS bin, n_chars AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT x.grp, x.rn, x.doc_id, x.n_chars,
+                     CASE WHEN p.fill + x.n_chars <= 2000
+                          THEN p.bin ELSE p.bin + 1 END,
+                     CASE WHEN p.fill + x.n_chars <= 2000
+                          THEN p.fill + x.n_chars ELSE x.n_chars END
+              FROM packed p JOIN ordered x
+                ON x.grp = p.grp AND x.rn = p.rn + 1
+            )
+            SELECT doc_id, n_chars, grp * 1048576 + bin AS bin_id FROM packed
         """,
         "dedup_resolve": f"""
             WITH RECURSIVE corpus AS ({_CORPUS_SQL}),

@@ -148,3 +148,57 @@ def pack_sequences(
             yield pdf
 
     return df.mapInPandas(_pack, schema=out_schema)
+
+
+def pack_sequences_ordered(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    max_length: int = 8192,
+    group_size: int = 1000,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Deterministic sequence packing: greedy next-fit in ``id_col``
+    order within fixed id-range groups (``id // group_size``). Unlike
+    :func:`pack_sequences` (fastest, but bin assignment depends on the
+    physical partitioning), this variant's output is a pure function of
+    the data — reproducible across engines, partition counts, and runs,
+    so it can be verified value-for-value against a SQL oracle.
+
+    Each group packs independently (``applyInPandas``: one shuffle on
+    the group key, then embarrassingly parallel), so the sequential scan
+    is bounded by group_size rows, not corpus size. Bin ids are globally
+    unique: ``group * 2^20 + bin-within-group``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    GROUP_STRIDE = 1 << 20
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            df.schema[length_col],
+            T.StructField(bin_col, T.LongType()),
+        ]
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        grp = int(pdf["__grp__"].iloc[0])
+        bins, local_bin, fill = [], 0, 0
+        for n in pdf[length_col]:
+            n = int(n) if n == n else 0  # NaN-safe
+            if fill > 0 and fill + n > max_length:
+                local_bin += 1
+                fill = n
+            else:
+                fill += n
+            bins.append(grp * GROUP_STRIDE + local_bin)
+        out = pdf[[id_col, length_col]].copy()
+        out[bin_col] = pd.Series(bins, index=out.index, dtype="int64")
+        return out
+
+    grouped = df.select(
+        id_col, length_col,
+        (F.col(id_col) / group_size).cast("bigint").alias("__grp__"),
+    )
+    return grouped.groupBy("__grp__").applyInPandas(_pack, schema=out_schema)

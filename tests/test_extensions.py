@@ -370,6 +370,33 @@ def test_pack_sequences(spark):
     assert out4.select("bin_id").distinct().count() == 40  # 600>400 room: 1 doc/bin
 
 
+def test_pack_sequences_ordered_deterministic(spark):
+    """Ordered packing is a pure function of the data: same result at
+    any partition count, and it matches a driver-side greedy next-fit."""
+    from earthmover_spark.llm.sampling import pack_sequences_ordered
+
+    data = [(i, (i * 37) % 900 + 100) for i in range(25)]
+    want = {}
+    # driver-side greedy next-fit per id-range group of 10
+    for grp in (0, 1, 2):
+        fill, local = 0, 0
+        for i, n in data:
+            if i // 10 != grp:
+                continue
+            if fill > 0 and fill + n > 1000:
+                local, fill = local + 1, n
+            else:
+                fill += n
+            want[i] = grp * (1 << 20) + local
+    for nparts in (1, 7):
+        df = spark.createDataFrame(data, ["doc_id", "n_chars"]).repartition(nparts)
+        out = pack_sequences_ordered(
+            df, max_length=1000, group_size=10
+        )
+        got = {r.doc_id: r.bin_id for r in out.collect()}
+        assert got == want, f"nparts={nparts}"
+
+
 def test_layout_for_scan_range_partitions(spark):
     from earthmover_spark.sources.bucketed import layout_for_scan
 
