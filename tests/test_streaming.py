@@ -114,3 +114,40 @@ def test_running_counts_stream(spark, events_dir):
     }
     assert got["7"] == (3, "2024-01-01 10:00:00", "2024-01-01 10:50:00")
     assert got["8"] == (2, "2024-01-01 11:40:00", "2024-01-01 11:45:00")
+
+
+def test_curation_ops_compose_with_streams(spark, tmp_path_factory):
+    """Stateless curation transforms (PII redaction, quality scoring,
+    fingerprinting) run unchanged on a streaming DataFrame — the same
+    plan works under readStream, so a batch-validated cleaning pipeline
+    is a streaming ingest pipeline for free."""
+    from earthmover_spark.llm import curation, textstats
+    from earthmover_spark.streaming import read_stream_source
+
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = spark.createDataFrame(
+        [
+            (1, "write to ann@example.com about the quick brown fox"),
+            (2, "server 10.0.0.7 and phone +1 555-123-9876 here"),
+            (3, "plain prose with the usual words and nothing secret"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+
+    def pipeline(df):
+        out = curation.redact_pii(df)
+        out = textstats.quality_score(out)
+        return textstats.fingerprint(out).select(
+            "doc_id", "text", "n_emails", "n_ips", "n_phones", "quality", "fp"
+        )
+
+    stream = pipeline(read_stream_source(spark, d))
+    got = {
+        r.doc_id: r for r in _run_to_memory(stream, spark, "cur_out").collect()
+    }
+    want = {r.doc_id: r for r in pipeline(spark.read.parquet(d)).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]
+    assert "<EMAIL>" in got[1].text and got[2].n_ips == 1 and got[2].n_phones == 1
