@@ -823,6 +823,33 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "bin_id")
 
 
+def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization — per-row array expressions, zero shuffle."""
+    from earthmover_spark.llm import embeddings as E
+
+    emb = _p(spark, sf_dir, "embeddings")
+    return E.l2_normalize(emb).select("vec_id", "unit")
+
+
+def q_emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk->doc mean pooling over synthetic groups of 10 vectors;
+    (group, dim) partial sums combine map-side."""
+    from earthmover_spark.llm import embeddings as E
+
+    emb = _p(spark, sf_dir, "embeddings").withColumn(
+        "grp", (F.col("vec_id") / 10).cast("bigint")
+    )
+    return E.mean_pool(emb, "grp")
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with dequant scale."""
+    from earthmover_spark.llm import embeddings as E
+
+    emb = _p(spark, sf_dir, "embeddings")
+    return E.quantize_int8(emb).select("vec_id", "q", "scale")
+
+
 def q_pack_sequences_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic packing twin: greedy next-fit in doc_id order
     within id-range groups — fully value-checkable (recursive-CTE
@@ -1006,6 +1033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_dataset": q_split_dataset,
         "pack_sequences": q_pack_sequences,  # rows-only (partition-dependent)
         "pack_sequences_ordered": q_pack_sequences_ordered,
+        # embedding vector ops
+        "emb_normalize": q_emb_normalize,
+        "emb_mean_pool": q_emb_mean_pool,
+        "emb_quantize": q_emb_quantize,
         # corpus curation
         "dedup_resolve": q_dedup_resolve,
         "decontaminate": q_decontaminate,
@@ -1602,6 +1633,46 @@ def oracle_sql() -> dict[str, str]:
                    END AS split,
                    count(*) AS n
             FROM h GROUP BY 1
+        """,
+        "emb_normalize": """
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) = 0
+                        THEN embedding::DOUBLE[]
+                        ELSE list_transform(embedding,
+                            x -> round(x::DOUBLE / sqrt(list_sum(
+                                list_transform(embedding,
+                                    y -> y::DOUBLE * y::DOUBLE))), 6))
+                   END AS unit
+            FROM embeddings
+        """,
+        "emb_mean_pool": """
+            WITH e AS (
+              SELECT vec_id // 10 AS grp, embedding FROM embeddings
+            ), x AS (
+              SELECT grp, i, embedding[i]::DOUBLE AS val
+              FROM e, generate_series(1, 64) AS t(i)
+            ), m AS (
+              SELECT grp, i, avg(val) AS mv FROM x GROUP BY 1, 2
+            )
+            SELECT grp, list(round(mv, 6) ORDER BY i) AS pooled
+            FROM m GROUP BY grp
+        """,
+        "emb_quantize": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                         x -> abs(x::DOUBLE))) AS vmax
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   CASE WHEN vmax = 0
+                        THEN list_transform(embedding, x -> 0)
+                        ELSE list_transform(embedding,
+                            x -> round(x::DOUBLE / vmax * 127)::INTEGER)
+                   END AS q,
+                   round(vmax / 127.0, 6) AS scale
+            FROM s
         """,
         "pack_sequences_ordered": """
             WITH RECURSIVE ordered AS (

@@ -11,6 +11,7 @@ pandas UDFs.
 from earthmover_spark.llm import (  # noqa: F401
     curation,
     dedup,
+    embeddings,
     multimodal,
     similarity,
     textstats,

@@ -1,0 +1,97 @@
+"""Embedding vector operators: L2 normalization, group mean-pooling
+(chunk embeddings -> document embedding), and int8 quantization.
+
+All three are the standard prep steps between an embedding model and a
+vector index / training store. Everything here is native Column
+expressions over ``array`` columns (``transform`` / ``aggregate`` /
+``posexplode``) — no Python in the loop, no UDFs.
+
+Scale notes (the 100 TB story):
+
+- Normalization and quantization are per-row array expressions: zero
+  shuffle, codegen'd, scan-bandwidth bound.
+- Mean-pooling shuffles (group, dim) partial sums with map-side
+  combine — shuffle volume is |groups| x dims doubles, independent of
+  how many chunk vectors each group has.
+- Arithmetic is promoted to double before any reduction so results are
+  reproducible against other engines (float32 partial sums are not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dvec(vec_col: str) -> Column:
+    return F.col(vec_col).cast("array<double>")
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
+) -> DataFrame:
+    """Unit-normalize each vector (cosine-ready). Zero vectors stay
+    zero. Components are rounded to 6 places for cross-engine
+    reproducibility."""
+    v = _dvec(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(norm == 0, v).otherwise(
+        F.transform(v, lambda x: F.round(x / norm, 6))
+    )
+    return df.withColumn(out_col, unit)
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Element-wise mean of all vectors in a group — the standard
+    chunk-embeddings -> document-embedding pooling. Returns one row per
+    group: (group_col, out_col).
+
+    Shape: posexplode to (group, dim, value), hash-aggregate the means
+    (partial sums combine map-side), then reassemble the array in dim
+    order with ``array_sort(collect_list(struct(pos, mean)))`` — the
+    struct sort keys on pos, so the result is deterministic."""
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(_dvec(vec_col)).alias("__pos__", "__val__"),
+    )
+    means = ex.groupBy(group_col, "__pos__").agg(
+        F.avg("__val__").alias("__m__")
+    )
+    return (
+        means.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos__", "__m__"))
+            ).alias("__s__")
+        )
+        .select(
+            group_col,
+            F.transform("__s__", lambda s: F.round(s["__m__"], 6)).alias(out_col),
+        )
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(127 * v_i /
+    max|v|), with the dequantization scale (max|v| / 127) kept
+    alongside. Zero vectors quantize to zeros with scale 0."""
+    v = _dvec(vec_col)
+    vmax = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        vmax == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x / vmax * 127).cast("int"))
+    )
+    return df.withColumn(out_col, q).withColumn(
+        scale_col, F.round(vmax / 127.0, 6)
+    )

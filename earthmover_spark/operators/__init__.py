@@ -9,7 +9,7 @@ Each operator is ``fn(df: DataFrame, *, config...) -> DataFrame`` (joins
 and unions additionally take a ``registry`` of named DataFrames).
 """
 
-from earthmover_spark.llm import curation, dedup, sampling, textstats
+from earthmover_spark.llm import curation, dedup, embeddings, sampling, textstats
 from earthmover_spark.operators import column, dataframe, groupby, row, skew
 
 OPERATIONS = {
@@ -68,6 +68,9 @@ OPERATIONS = {
     "chunk_documents": sampling.chunk_documents,
     "deterministic_sample": sampling.deterministic_sample,
     "split_dataset": sampling.split_dataset,
+    "l2_normalize": embeddings.l2_normalize,
+    "mean_pool": embeddings.mean_pool,
+    "quantize_int8": embeddings.quantize_int8,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]
