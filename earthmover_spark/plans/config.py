@@ -108,6 +108,22 @@ def compile_config(
         base_dir = "."
         text = path_or_text
 
+    # `config.parameter_defaults` fill in ${VAR}s the caller didn't pass
+    # (reference earthmover.py:133-135: defaults beat the environment,
+    # explicit params beat defaults). Fished out of a pre-parse of the
+    # raw text so they apply to the substitution pass itself.
+    try:
+        pre0 = yaml.safe_load(render_compile_time_jinja_safe(text)) or {}
+    except yaml.YAMLError:
+        pre0 = {}
+    defaults = (
+        (pre0.get("config") or {}).get("parameter_defaults") or {}
+        if isinstance(pre0, dict)
+        else {}
+    )
+    if defaults:
+        params = {**{k: str(v) for k, v in defaults.items()}, **(params or {})}
+
     text = substitute_params(text, params)
     # pull macros out before the compile-time render so they're usable in it
     try:

@@ -247,6 +247,13 @@ def run_project(
     file and an unchanged run is skipped entirely, returning
     ``{"__skipped__": ...}`` (reference earthmover.py:282-341)."""
     project = compile_config(config_path, params)
+    # config-level toggles (reference docs/configuration.md:39-74)
+    show_graph = show_graph or bool(project.config.get("show_graph"))
+    log_level = project.config.get("log_level")
+    if log_level:
+        spark.sparkContext.setLogLevel(
+            {"WARNING": "WARN"}.get(str(log_level).upper(), str(log_level).upper())
+        )
     tracker = None
     if skip_if_unchanged:
         from earthmover_spark.plans.runs import RunsFile, compute_hashes

@@ -85,6 +85,14 @@ class RunsFile:
     """Append-only CSV of run hashes next to the project config."""
 
     def __init__(self, project: ProjectConfig, path: str | None = None):
+        # explicit path > config `state_file` (reference
+        # docs/configuration.md:65, default ~/.earthmover.csv) > project-dir
+        state_file = project.config.get("state_file")
+        if path is None and state_file:
+            state_file = os.path.expanduser(state_file)
+            if not os.path.isabs(state_file):
+                state_file = os.path.join(project.base_dir, state_file)
+            path = state_file
         self.path = path or os.path.join(project.base_dir, RUNS_FILE)
 
     def rows(self) -> list[dict]:

@@ -249,3 +249,113 @@ def test_golden_test_harness(spark, tmp_path):
     )
     failures = run_golden_test(spark, str(tmp_path / "earthmover.yaml"))
     assert "pets_out.jsonl" in failures
+
+
+def test_parameter_defaults(spark, tmp_path):
+    (tmp_path / "data.csv").write_text("a,b\n1,x\n2,y\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        config:
+          output_dir: ./out
+          parameter_defaults:
+            DATA_FILE: data.csv
+            SUFFIX: _dflt
+
+        sources:
+          d:
+            file: ${DATA_FILE}
+
+        transformations:
+          t:
+            source: $sources.d
+            operations:
+              - operation: add_columns
+                columns:
+                  tag: "v${SUFFIX}"
+
+        destinations:
+          o:
+            source: $transformations.t
+            extension: jsonl
+    """))
+    # defaults fill the unset params
+    results = run_project(spark, str(tmp_path / "earthmover.yaml"))
+    lines = [json.loads(x) for x in open(results["$destinations.o"])]
+    assert {l["tag"] for l in lines} == {"v_dflt"}
+    # explicit params beat defaults
+    results = run_project(
+        spark, str(tmp_path / "earthmover.yaml"),
+        params={"SUFFIX": "_cli"},
+    )
+    lines = [json.loads(x) for x in open(results["$destinations.o"])]
+    assert {l["tag"] for l in lines} == {"v_cli"}
+
+
+def test_definitions_yaml_anchors(spark, tmp_path):
+    (tmp_path / "p.csv").write_text("id,v\n1,aa\n2,bb\n3,aa\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        config:
+          output_dir: ./out
+
+        definitions:
+          ops:
+            - &keep_v
+              operation: keep_columns
+              columns: [v]
+
+        sources:
+          p:
+            file: p.csv
+
+        transformations:
+          t1:
+            source: $sources.p
+            operations:
+              - <<: *keep_v
+              - operation: distinct_rows
+          t2:
+            source: $sources.p
+            operations:
+              - <<: *keep_v
+                columns: [id, v]   # merge-key override
+
+        destinations:
+          o1:
+            source: $transformations.t1
+            extension: jsonl
+          o2:
+            source: $transformations.t2
+            extension: jsonl
+    """))
+    results = run_project(spark, str(tmp_path / "earthmover.yaml"))
+    o1 = sorted(open(results["$destinations.o1"]).read().splitlines())
+    assert [json.loads(x)["v"] for x in o1] == ["aa", "bb"]
+    o2 = [json.loads(x) for x in open(results["$destinations.o2"])]
+    assert all(set(r) == {"id", "v"} for r in o2) and len(o2) == 3
+
+
+def test_state_file_from_config(spark, tmp_path):
+    state = tmp_path / "custom_state.csv"
+    (tmp_path / "s.csv").write_text("a\n1\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent(f"""
+        config:
+          output_dir: ./out
+          state_file: {state}
+
+        sources:
+          s:
+            file: s.csv
+
+        destinations:
+          o:
+            source: $sources.s
+            extension: jsonl
+    """))
+    r1 = run_project(
+        spark, str(tmp_path / "earthmover.yaml"), skip_if_unchanged=True
+    )
+    assert "__skipped__" not in r1
+    assert state.exists()  # runs recorded at the configured path
+    r2 = run_project(
+        spark, str(tmp_path / "earthmover.yaml"), skip_if_unchanged=True
+    )
+    assert "__skipped__" in r2

@@ -18,6 +18,11 @@ SF_DIR = "/root/testdata/sf0.001"
     ("02_documents_quality", "$destinations.top_docs",
      lambda rows: all(r["lang"] == "en" and r["size_bucket"] in ("long", "short")
                       for r in rows)),
+    ("03_llm_curation", "$destinations.curated_corpus",
+     lambda rows: {"doc_id", "text", "lang", "quality"} == set(rows[0])
+     and all(float(r["quality"]) >= 0 for r in rows)
+     # every 53rd doc is benchmark-contaminated, so filtered out
+     and not any(int(r["doc_id"]) % 53 == 0 for r in rows)),
 ])
 def test_example_runs(spark, tmp_path, name, dest, check):
     cfg = os.path.join(EXAMPLES, name, "earthmover.yaml")
