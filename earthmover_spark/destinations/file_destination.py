@@ -49,6 +49,15 @@ def render_lines(
     return casted.select(line.alias("line"))
 
 
+def estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (bytes). Driver
+    -side metadata only — nothing executes. Upper-bound-ish for scans
+    with filters; good enough to size output files."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
 def write_columnar(
     df: DataFrame,
     name: str,
@@ -58,13 +67,26 @@ def write_columnar(
     partition_by: list[str] | None = None,
     compression: str | None = None,
     mode: str = "overwrite",
+    target_file_mb: int | None = None,
 ) -> str:
     """Columnar destination (engine extension — the reference renders
     text only). Writes parquet/orc/csv part files fully in parallel;
     ``partition_by`` gives hive-style directory partitioning so
     downstream scans prune partitions for free. This is the sink a
-    100 TB training-data pipeline should use."""
+    100 TB training-data pipeline should use.
+
+    ``target_file_mb`` fights the small-files problem: the part count
+    is derived from Catalyst's size estimate so each output file lands
+    near the target (e.g. 256 MB for a healthy object-store layout)
+    instead of one tiny file per upstream task. Uses ``coalesce`` when
+    shrinking (no shuffle) and ``repartition`` only when more files
+    than partitions are needed."""
     out_path = os.path.join(output_dir, f"{name}.{format}.d")
+    if target_file_mb:
+        est = estimated_plan_bytes(df)
+        want = max(1, -(-est // (target_file_mb * 1024 * 1024)))
+        have = df.rdd.getNumPartitions()
+        df = df.coalesce(want) if want < have else df.repartition(want)
     writer = df.write.mode(mode).format(format)
     if compression:
         writer = writer.option("compression", compression)

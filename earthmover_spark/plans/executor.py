@@ -208,6 +208,7 @@ class Executor:
                 format=cfg["format"],
                 partition_by=cfg.get("partition_by"),
                 compression=cfg.get("compression"),
+                target_file_mb=cfg.get("target_file_mb"),
             )
             return
         template_file = cfg.get("template")

@@ -359,3 +359,19 @@ def test_state_file_from_config(spark, tmp_path):
         spark, str(tmp_path / "earthmover.yaml"), skip_if_unchanged=True
     )
     assert "__skipped__" in r2
+
+
+def test_columnar_target_file_size(spark, tmp_path):
+    """target_file_mb sizes the output part count from Catalyst's plan
+    estimate — a 200-partition tiny frame coalesces to one file instead
+    of 200 shards."""
+    from earthmover_spark.destinations.file_destination import write_columnar
+
+    df = spark.range(0, 10000).repartition(200)
+    out = write_columnar(
+        df, "sized", str(tmp_path), format="parquet", target_file_mb=64
+    )
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(parts) == 1
+    got = spark.read.parquet(out)
+    assert got.count() == 10000
