@@ -823,6 +823,35 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "bin_id")
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf-idf: two hash aggs with
+    map-side combine + per-doc window, term-keyed joins only."""
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(docs, k=3)
+
+
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/URL boilerplate stripping over seeded markup — zero-shuffle
+    JVM regexp chain."""
+    from earthmover_spark.llm import curation
+
+    docs = _p(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="doc">'),
+            F.col("text"),
+            F.lit("</p> via https://example.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" <br/>"),
+        ).alias("text"),
+    )
+    out = curation.strip_markup(seeded)
+    return out.select("doc_id", "text", "n_tags", "n_urls")
+
+
 def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization — per-row array expressions, zero shuffle."""
     from earthmover_spark.llm import embeddings as E
@@ -1037,6 +1066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_normalize": q_emb_normalize,
         "emb_mean_pool": q_emb_mean_pool,
         "emb_quantize": q_emb_quantize,
+        # text analysis extensions
+        "text_tfidf": q_text_tfidf,
+        "strip_markup": q_strip_markup,
         # corpus curation
         "dedup_resolve": q_dedup_resolve,
         "decontaminate": q_decontaminate,
@@ -1633,6 +1665,45 @@ def oracle_sql() -> dict[str, str]:
                    END AS split,
                    count(*) AS n
             FROM h GROUP BY 1
+        """,
+        "text_tfidf": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ), ranked AS (
+              SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC) AS "rank"
+              FROM scored
+            )
+            SELECT doc_id, term, score, "rank" FROM ranked WHERE "rank" <= 3
+        """,
+        "strip_markup": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     '<p class="doc">' || text || '</p> via https://example.org/d/'
+                         || doc_id || ' <br/>' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t, '<[^>]+>', ' ', 'g'),
+                           'https?://[^\s]+', ' ', 'g'),
+                       '\s+', ' ', 'g')) AS text,
+                   len(regexp_extract_all(t, '<[^>]+>')) AS n_tags,
+                   len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls
+            FROM seeded
         """,
         "emb_normalize": """
             SELECT vec_id,

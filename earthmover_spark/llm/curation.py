@@ -266,3 +266,38 @@ def redact_pii(
     return counted.withColumn(
         out_col, F.regexp_replace(no_ip, PHONE_PATTERN, "<PHONE>")
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate stripping
+# ---------------------------------------------------------------------------
+
+#: engine-portable (Java regex == RE2): no lookaround, no backrefs
+TAG_PATTERN = r"<[^>]+>"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def strip_markup(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove HTML/XML tags and URLs from a text column and collapse
+    the leftover whitespace — the first-pass boilerplate cleanup for
+    scraped corpora. Adds ``n_tags``/``n_urls`` counts.
+
+    Pure JVM regexp chain like :func:`redact_pii`: zero shuffle,
+    codegen'd, scan-bandwidth bound."""
+    out_col = out_col or text_col
+    text = F.col(text_col)
+    counted = df.withColumns(
+        {
+            "n_tags": F.regexp_count(text, F.lit(TAG_PATTERN)),
+            "n_urls": F.regexp_count(text, F.lit(URL_PATTERN)),
+        }
+    )
+    cleaned = F.regexp_replace(
+        F.regexp_replace(text, TAG_PATTERN, " "), URL_PATTERN, " "
+    )
+    squeezed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return counted.withColumn(out_col, squeezed)

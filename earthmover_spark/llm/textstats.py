@@ -163,3 +163,46 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(
         F.size(F.split(norm, " ")) < n, F.array(norm)
     ).otherwise(F.regexp_extract_all(norm, F.lit(pat), 1))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf (idf =
+    ln(N/df), ties broken by term for determinism). Returns
+    (id, term, score, rank).
+
+    Shape: one explode over normalized words, a (doc, term) hash
+    aggregate for tf, a (term) hash aggregate for document frequency —
+    both with map-side partial combine — and a per-doc window for the
+    top-k. The corpus-size scalar rides a broadcast cross join, and the
+    (term -> df) join keys on the term, so nothing ever pairs all
+    documents."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
+    )

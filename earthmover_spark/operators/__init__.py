@@ -62,6 +62,8 @@ OPERATIONS = {
     "decontaminate": curation.decontaminate,
     "repetition_stats": curation.repetition_stats,
     "redact_pii": curation.redact_pii,
+    "strip_markup": curation.strip_markup,
+    "tfidf_top_terms": textstats.tfidf_top_terms,
     "quality_score": textstats.quality_score,
     "lang_id": textstats.lang_id,
     "fingerprint": textstats.fingerprint,

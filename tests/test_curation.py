@@ -121,3 +121,40 @@ def test_redact_pii(spark):
     assert got[2].text == "server <IP> called <PHONE> twice"
     assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 1, 1)
     assert got[3].text == "clean text" and got[3].n_phones == 0
+
+
+def test_strip_markup(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, '<p class="x">hello <b>world</b></p> see https://ex.org/a?q=1 now'),
+            (2, "no markup here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in curation.strip_markup(docs).collect()}
+    assert got[1].text == "hello world see now"
+    assert (got[1].n_tags, got[1].n_urls) == (4, 1)
+    assert got[2].text == "no markup here" and got[2].n_tags == 0
+
+
+def test_tfidf_top_terms(spark):
+    from earthmover_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry date common"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = textstats.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    # 'common' appears in all docs -> idf = ln(1) = 0, never top
+    for doc, terms in by_doc.items():
+        assert all(t != "common" for _, t, _ in terms)
+    # doc 1's top term is apple (tf=2, df=1)
+    assert sorted(by_doc[1])[0][1] == "apple"
+    assert len(by_doc[1]) == 2
