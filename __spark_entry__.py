@@ -852,6 +852,40 @@ def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_tags", "n_urls")
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average token log-prob under the corpus unigram LM —
+    the classic quality filter; tf-compressed join, term-keyed only."""
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    return textstats.unigram_logprob(docs)
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab build (top-500 terms, TakeOrdered) + broadcast-join
+    tokenization to dense ids; OOV -> -1."""
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    vocab = textstats.build_vocab(docs, max_size=500)
+    return textstats.tokenize_to_ids(docs, vocab)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (corpus rebalancing) — one
+    codegen'd CASE-threshold filter, zero shuffle."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions={"en": 0.5, "fr": 0.25},
+        key_col="doc_id",
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
 def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization — per-row array expressions, zero shuffle."""
     from earthmover_spark.llm import embeddings as E
@@ -1069,6 +1103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis extensions
         "text_tfidf": q_text_tfidf,
         "strip_markup": q_strip_markup,
+        "unigram_logprob": q_unigram_logprob,
+        "tokenize_ids": q_tokenize_ids,
+        "stratified_sample": q_stratified_sample,
         # corpus curation
         "dedup_resolve": q_dedup_resolve,
         "decontaminate": q_decontaminate,
@@ -1704,6 +1741,54 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '<[^>]+>')) AS n_tags,
                    len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls
             FROM seeded
+        """,
+        "unigram_logprob": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+            ), c AS (
+              SELECT term, sum(tf) AS c FROM tf GROUP BY 1
+            ), tot AS (
+              SELECT sum(c)::DOUBLE AS total FROM c
+            )
+            SELECT tf.doc_id,
+                   sum(tf)::BIGINT AS n_tokens,
+                   round(sum(tf * ln(c.c / tot.total)) / sum(tf), 6)
+                       AS avg_logprob
+            FROM tf JOIN c USING (term) CROSS JOIN tot
+            GROUP BY 1
+        """,
+        "tokenize_ids": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+              FROM documents
+            ), t AS (
+              SELECT doc_id, unnest(toks) AS term,
+                     unnest(generate_series(0, len(toks) - 1)) AS pos
+              FROM w
+            ), c AS (
+              SELECT term, count(*) AS cnt
+              FROM (SELECT unnest(toks) AS term FROM w) GROUP BY 1
+            ), v AS (
+              SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) - 1
+                         AS token_id
+              FROM c ORDER BY cnt DESC, term ASC LIMIT 500
+            )
+            SELECT t.doc_id, t.pos, t.term,
+                   coalesce(v.token_id, -1) AS token_id
+            FROM t LEFT JOIN v USING (term)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT)::BIGINT
+                  < CASE CAST(lang AS VARCHAR)
+                      WHEN 'en' THEN CAST(0.5  * 1152921504606846976 AS BIGINT)
+                      WHEN 'fr' THEN CAST(0.25 * 1152921504606846976 AS BIGINT)
+                      ELSE CAST(0.1 * 1152921504606846976 AS BIGINT)
+                    END
         """,
         "emb_normalize": """
             SELECT vec_id,

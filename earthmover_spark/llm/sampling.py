@@ -67,6 +67,44 @@ def deterministic_sample(
     return df.filter(_h60(F.col(key_col), f"{salt}:") < F.lit(threshold))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[stratum]``
+    of each stratum's rows (``default_fraction`` for unlisted strata),
+    chosen by key hash. The standard corpus-rebalancing step (e.g.
+    downsample English to upweight low-resource languages) — and unlike
+    ``df.sampleBy`` it is reproducible across runs, engines, and
+    partitionings, and consistent per key.
+
+    The per-stratum threshold is a CASE expression on the stratum
+    column, so the whole sample is still a single codegen'd filter over
+    the scan — zero shuffle, no per-stratum passes."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise EarthmoverSparkError(
+                f"stratified_sample: fraction for {name!r} must be in [0,1]"
+            )
+    if not 0.0 <= default_fraction <= 1.0:
+        raise EarthmoverSparkError(
+            "stratified_sample: default_fraction must be in [0,1]"
+        )
+    h = _h60(F.col(key_col), f"{salt}:")
+    expr = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col).cast("string") == str(name)
+        bound = F.lit(int(frac * _HASH_SPACE))
+        expr = F.when(cond, bound) if expr is None else expr.when(cond, bound)
+    default_bound = F.lit(int(default_fraction * _HASH_SPACE))
+    threshold = default_bound if expr is None else expr.otherwise(default_bound)
+    return df.filter(h < threshold)
+
+
 def split_dataset(
     df: DataFrame,
     key_col: str,

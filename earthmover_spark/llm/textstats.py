@@ -165,6 +165,105 @@ def shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.regexp_extract_all(norm, F.lit(pat), 1))
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "avg_logprob",
+) -> DataFrame:
+    """Per-document average token log-probability under the corpus's
+    own unigram distribution — the language-model quality filter used
+    by corpus-curation pipelines (documents far below the corpus mean
+    are gibberish/boilerplate candidates; KenLM-style scoring reduces
+    to this shape with a different probability table). Returns
+    (id, n_tokens, avg_logprob), score rounded to 6 places.
+
+    Shape: explode → (doc, term) tf aggregate → (term) count aggregate
+    (both hash aggs with map-side combine) → term-keyed join of the
+    tf rows against the unigram table (corpus-size scalar rides a
+    broadcast) → per-doc weighted mean. The join input is distinct
+    (doc, term) pairs, not raw tokens, so the shuffled volume is the
+    compressed tf representation."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("total"))
+    scored = tf.join(counts, "term").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("tf") * F.log(F.col("c") / F.col("total")))
+            / F.sum("tf"),
+            6,
+        ).alias(out_col),
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_size: int = 30000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: the ``max_size`` most frequent normalized
+    terms (ties broken lexicographically), densely numbered
+    ``token_id`` 0..N-1 in frequency order. Returns (term, c, token_id).
+
+    The frequency table shrinks via a hash aggregate, the top-N uses
+    ``orderBy().limit()`` — Spark plans that as TakeOrdered (per-
+    partition partial top-N, no global sort of the full term table) —
+    and only the ≤max_size survivors pass through the single-partition
+    row_number window, so the sequential step is bounded by vocabulary
+    size, not corpus size."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term")
+    )
+    counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    if min_count > 1:
+        counts = counts.filter(F.col("c") >= min_count)
+    top = counts.orderBy(F.desc("c"), F.asc("term")).limit(max_size)
+    win = Window.orderBy(F.desc("c"), F.asc("term"))
+    return top.withColumn("token_id", F.row_number().over(win) - 1)
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_size: int = 30000,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Tokenize documents to id sequences against a vocabulary (built
+    from the corpus itself via :func:`build_vocab` when not supplied);
+    out-of-vocabulary terms map to ``unk_id``. Returns one row per
+    token: (id, pos, term, token_id) with 0-based positions.
+
+    The vocabulary is bounded (≤max_size rows) so the term lookup is a
+    broadcast hash join — tokenization of a 100 TB corpus is a single
+    pass with zero shuffle of the token stream."""
+    if vocab is None:
+        vocab = build_vocab(df, text_col=text_col, max_size=max_size)
+    tokens = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "term"
+        ),
+    )
+    joined = tokens.join(F.broadcast(vocab.select("term", "token_id")), "term", "left")
+    return joined.select(
+        id_col,
+        "pos",
+        "term",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("token_id"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -69,7 +69,10 @@ OPERATIONS = {
     "fingerprint": textstats.fingerprint,
     "chunk_documents": sampling.chunk_documents,
     "deterministic_sample": sampling.deterministic_sample,
+    "stratified_sample": sampling.stratified_sample,
     "split_dataset": sampling.split_dataset,
+    "unigram_logprob": textstats.unigram_logprob,
+    "tokenize_to_ids": textstats.tokenize_to_ids,
     "l2_normalize": embeddings.l2_normalize,
     "mean_pool": embeddings.mean_pool,
     "quantize_int8": embeddings.quantize_int8,

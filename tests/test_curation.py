@@ -137,6 +137,40 @@ def test_strip_markup(spark):
     assert got[2].text == "no markup here" and got[2].n_tags == 0
 
 
+def test_unigram_logprob(spark):
+    import math
+
+    from earthmover_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    # corpus counts: a=3, b=1, c=1, total=5
+    got = {r.doc_id: r for r in textstats.unigram_logprob(docs).collect()}
+    exp1 = (2 * math.log(3 / 5) + math.log(1 / 5)) / 3
+    exp2 = (math.log(3 / 5) + math.log(1 / 5)) / 2
+    assert got[1].n_tokens == 3 and abs(got[1].avg_logprob - exp1) < 1e-6
+    assert got[2].n_tokens == 2 and abs(got[2].avg_logprob - exp2) < 1e-6
+
+
+def test_vocab_and_tokenize(spark):
+    from earthmover_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog emu")], ["doc_id", "text"]
+    )
+    vocab = {r.term: (r.token_id, r.c)
+             for r in textstats.build_vocab(docs, max_size=2).collect()}
+    # cat/dog tie at 2 -> lexicographic tie-break; emu cut by max_size
+    assert vocab == {"cat": (0, 2), "dog": (1, 2)}
+    toks = textstats.tokenize_to_ids(docs, max_size=2).collect()
+    seq = {(r.doc_id, r.pos): (r.term, r.token_id) for r in toks}
+    assert seq[(1, 0)] == ("cat", 0)
+    assert seq[(1, 1)] == ("dog", 1)
+    assert seq[(2, 1)] == ("emu", -1)  # OOV -> unk
+    assert len(seq) == 5
+
+
 def test_tfidf_top_terms(spark):
     from earthmover_spark.llm import textstats
 

@@ -340,6 +340,30 @@ def test_deterministic_sample_and_split(spark):
     assert len(labels) == 1
 
 
+def test_stratified_sample(spark):
+    from earthmover_spark.llm import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)], ["k", "lang"]
+    )
+    out = sampling.stratified_sample(
+        df, strata_col="lang", fractions={"en": 0.5, "fr": 0.1}, key_col="k"
+    )
+    counts = {r.lang: r.cnt for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert 0.4 < counts["en"] / 1000 < 0.6
+    assert 0.05 < counts["fr"] / 1000 < 0.16
+    # stable across runs
+    s1 = {r.k for r in out.collect()}
+    s2 = {r.k for r in out.collect()}
+    assert s1 == s2
+    # unlisted strata default to 0.0 -> dropped entirely
+    df2 = df.withColumn("lang", F.lit("de"))
+    assert sampling.stratified_sample(
+        df2, strata_col="lang", fractions={"en": 0.5}, key_col="k"
+    ).count() == 0
+
+
 def test_pack_sequences(spark):
     from earthmover_spark.llm.sampling import pack_sequences
 
