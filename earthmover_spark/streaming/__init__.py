@@ -1,5 +1,7 @@
 from earthmover_spark.streaming.ops import (  # noqa: F401
     dedup_stream,
+    enrich_stream,
+    join_streams,
     read_stream_source,
     running_counts_stream,
     sessionize_stream,

@@ -126,6 +126,62 @@ def write_stream_destination(
     return writer.start()
 
 
+def enrich_stream(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to
+    each event as it arrives (the streaming twin of ``operators
+    .dataframe.join`` against a small source). The static side is
+    re-evaluated per micro-batch, so a dimension table refreshed on
+    disk is picked up without restarting the query; ``broadcast=True``
+    (the default) keeps it a stateless broadcast hash join — no
+    watermarks and no state store involved."""
+    keys = [on] if isinstance(on, str) else list(on)
+    right = F.broadcast(static_df) if broadcast else static_df
+    return stream_df.join(right, keys, how)
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    within: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time bound: rows pair only
+    when ``right_ts`` lands within [left_ts - within, left_ts + within].
+    Both sides carry watermarks and the range condition bounds how long
+    either side's rows wait in the state store — without it a
+    stream-stream join would buffer forever. Outer variants emit the
+    unmatched side once the watermark passes the bound."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else cond & c
+    iv = F.expr(f"INTERVAL {within}")
+    cond = (
+        cond
+        & (rw[right_ts] >= lw[left_ts] - iv)
+        & (rw[right_ts] <= lw[left_ts] + iv)
+    )
+    joined = lw.join(rw, cond, how)
+    # drop the duplicated right-side key columns (earthmover-style equi-join
+    # output: one key column per name)
+    for k in keys:
+        joined = joined.drop(rw[k])
+    return joined
+
+
 def dedup_stream(
     df: DataFrame,
     key_cols: list[str] | str = "digest",

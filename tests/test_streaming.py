@@ -116,6 +116,56 @@ def test_running_counts_stream(spark, events_dir):
     assert got["8"] == (2, "2024-01-01 11:40:00", "2024-01-01 11:45:00")
 
 
+def test_enrich_stream_matches_batch_join(spark, events_dir):
+    from earthmover_spark.streaming import enrich_stream, read_stream_source
+
+    users = spark.createDataFrame(
+        [(7, "ann"), (9, "cyd")], ["user_id", "name"]
+    )
+    stream = read_stream_source(spark, events_dir)
+    out = enrich_stream(stream, users, on="user_id", how="left")
+    got = {
+        (r.event_id, r.name)
+        for r in _run_to_memory(out.select("event_id", "name"), spark, "enr_out")
+        .collect()
+    }
+    want = {
+        (r.event_id, r.name)
+        for r in spark.read.parquet(events_dir)
+        .join(users, "user_id", "left")
+        .select("event_id", "name")
+        .collect()
+    }
+    assert got == want
+    assert (1, "ann") in got and (4, None) in got  # user 8 unmatched
+
+
+def test_join_streams(spark, events_dir, tmp_path_factory):
+    from earthmover_spark.streaming import join_streams, read_stream_source
+
+    d = str(tmp_path_factory.mktemp("purchases_stream"))
+    purchases = spark.createDataFrame(
+        [
+            (7, "2024-01-01 10:01:00", 9.99),   # within 30m of events 1,2
+            (8, "2024-01-01 13:00:00", 5.00),   # >30m after user 8's events
+        ],
+        ["user_id", "pts_s", "amount"],
+    ).withColumn("pts", F.to_timestamp("pts_s")).drop("pts_s")
+    purchases.coalesce(1).write.mode("overwrite").parquet(d)
+
+    ev = read_stream_source(spark, events_dir)
+    pu = read_stream_source(spark, d)
+    joined = join_streams(
+        ev, pu, on="user_id", left_ts="ts", right_ts="pts",
+        watermark="0 seconds", within="30 minutes",
+    )
+    rows = _run_to_memory(
+        joined.select("event_id", "user_id", "amount"), spark, "ss_out"
+    ).collect()
+    # only events 1 & 2 (10:00, 10:02) are within 30m of the 10:01 purchase
+    assert {(r.event_id, r.amount) for r in rows} == {(1, 9.99), (2, 9.99)}
+
+
 def test_curation_ops_compose_with_streams(spark, tmp_path_factory):
     """Stateless curation transforms (PII redaction, quality scoring,
     fingerprinting) run unchanged on a streaming DataFrame — the same
