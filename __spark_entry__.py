@@ -852,6 +852,15 @@ def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_tags", "n_urls")
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k-gram rolling hashes, window
+    minima) — native array exprs, zero shuffle."""
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    return textstats.winnow_fingerprints(docs, k=5, w=4)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc average token log-prob under the corpus unigram LM —
     the classic quality filter; tf-compressed join, term-keyed only."""
@@ -1106,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "tokenize_ids": q_tokenize_ids,
         "stratified_sample": q_stratified_sample,
+        "winnow_fp": q_winnow_fp,
         # corpus curation
         "dedup_resolve": q_dedup_resolve,
         "decontaminate": q_decontaminate,
@@ -1741,6 +1751,25 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '<[^>]+>')) AS n_tags,
                    len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls
             FROM seeded
+        """,
+        "winnow_fp": f"""
+            WITH n AS (
+              SELECT doc_id, {_NORM_SQL} AS t FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(t) - 5, 0)),
+                         p -> CAST(('0x' || substr(md5(substr(t, p + 1, 5)), 1, 15))
+                                   AS UBIGINT)::BIGINT) AS hashes
+              FROM n
+            )
+            SELECT DISTINCT doc_id, fp
+            FROM (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, greatest(len(hashes) - 3, 1)),
+                         s -> list_min(list_slice(hashes, s, s + 3)))) AS fp
+              FROM h
+            )
         """,
         "unigram_logprob": f"""
             WITH w AS (

@@ -55,6 +55,11 @@ HEADLINE = [
     "ev_window_sliding",
     "dedup_resolve",  # LSH pairs -> connected components -> keepers
     "redact_pii",
+    "text_tfidf",
+    "unigram_logprob",
+    "tokenize_ids",
+    "stratified_sample",
+    "winnow_fp",
 ]
 
 

@@ -165,6 +165,41 @@ def shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.regexp_extract_all(norm, F.lit(pat), 1))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (the MOSS
+    scheme): hash every character ``k``-gram of the normalized text,
+    slide a window of ``w`` consecutive hashes, and keep each window's
+    minimum — a position-robust fingerprint set that survives edits
+    outside the changed region, guaranteed to share fingerprints with
+    any copy of a run longer than ``w + k - 1`` chars. Near-dup pairs
+    are then an equi-join on ``fp``. Returns one row per distinct
+    (id, fp).
+
+    Entirely native array expressions (transform/slice/array_min over
+    the k-gram hash array) — no explode-to-rows, no per-doc window
+    sort, zero shuffle: fingerprinting a 100 TB corpus runs inside the
+    scan's codegen stage. Texts shorter than ``k`` hash as a single
+    partial gram."""
+    norm = normalize_text(F.col(text_col))
+    hashes = f"""transform(sequence(0, greatest(length(__t__) - {k}, 0)),
+        p -> cast(conv(substring(md5(substring(__t__, p + 1, {k})), 1, 15),
+                       16, 10) as bigint))"""
+    minima = f"""array_distinct(transform(
+        sequence(1, greatest(size(__h__) - {w - 1}, 1)),
+        s -> array_min(slice(__h__, s, {w}))))"""
+    return (
+        df.withColumn("__t__", norm)
+        .withColumn("__h__", F.expr(hashes))
+        .select(F.col(id_col), F.explode(F.expr(minima)).alias("fp"))
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -67,6 +67,7 @@ OPERATIONS = {
     "quality_score": textstats.quality_score,
     "lang_id": textstats.lang_id,
     "fingerprint": textstats.fingerprint,
+    "winnow_fingerprints": textstats.winnow_fingerprints,
     "chunk_documents": sampling.chunk_documents,
     "deterministic_sample": sampling.deterministic_sample,
     "stratified_sample": sampling.stratified_sample,

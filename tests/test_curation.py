@@ -137,6 +137,35 @@ def test_strip_markup(spark):
     assert got[2].text == "no markup here" and got[2].n_tags == 0
 
 
+def test_winnow_fingerprints(spark):
+    from earthmover_spark.llm import textstats
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with a small tail edit"),  # near-dup of 1
+            (3, "completely different content about spark engines"),
+            (4, "ab"),  # shorter than k -> one partial-gram fingerprint
+        ],
+        ["doc_id", "text"],
+    )
+    fps = textstats.winnow_fingerprints(docs, k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # determinism
+    by_doc2 = {}
+    for r in textstats.winnow_fingerprints(docs, k=5, w=4).collect():
+        by_doc2.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc == by_doc2
+    # near-dups share most fingerprints; unrelated docs share none
+    overlap_near = len(by_doc[1] & by_doc[2]) / len(by_doc[1])
+    assert overlap_near > 0.8
+    assert not (by_doc[1] & by_doc[3])
+    assert len(by_doc[4]) == 1
+
+
 def test_unigram_logprob(spark):
     import math
 
