@@ -861,6 +861,15 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.winnow_fingerprints(docs, k=5, w=4)
 
 
+def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints over the seeded
+    corpus — rare-fp equi-join (hot fps pruned), never all-pairs."""
+    from earthmover_spark.llm import textstats
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    return textstats.winnow_near_dups(corpus, min_shared=5)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc average token log-prob under the corpus unigram LM —
     the classic quality filter; tf-compressed join, term-keyed only."""
@@ -1116,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": q_tokenize_ids,
         "stratified_sample": q_stratified_sample,
         "winnow_fp": q_winnow_fp,
+        "winnow_near_dups": q_winnow_near_dups,
         # corpus curation
         "dedup_resolve": q_dedup_resolve,
         "decontaminate": q_decontaminate,
@@ -1770,6 +1780,36 @@ def oracle_sql() -> dict[str, str]:
                          s -> list_min(list_slice(hashes, s, s + 3)))) AS fp
               FROM h
             )
+        """,
+        "winnow_near_dups": f"""
+            WITH corpus AS ({_CORPUS_SQL}),
+            n AS (
+              SELECT doc_id, {_NORM_SQL} AS t FROM corpus
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(t) - 5, 0)),
+                         p -> CAST(('0x' || substr(md5(substr(t, p + 1, 5)), 1, 15))
+                                   AS UBIGINT)::BIGINT) AS hashes
+              FROM n
+            ), fps AS (
+              SELECT DISTINCT doc_id, fp
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(hashes) - 3, 1)),
+                           s -> list_min(list_slice(hashes, s, s + 3)))) AS fp
+                FROM h
+              )
+            ), rare AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100
+            ), pruned AS (
+              SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM pruned a JOIN pruned b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
         """,
         "unigram_logprob": f"""
             WITH w AS (

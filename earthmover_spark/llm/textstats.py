@@ -200,6 +200,46 @@ def winnow_fingerprints(
     )
 
 
+def winnow_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_freq: int = 100,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint overlap: documents
+    sharing ≥ ``min_shared`` fingerprints. Returns (id_a, id_b,
+    n_shared) with id_a < id_b.
+
+    Fingerprints appearing in more than ``max_fp_freq`` documents are
+    dropped before the self-join — they carry no dedup signal (boiler-
+    plate phrases) and are exactly the keys that would skew an fp-keyed
+    self-join at corpus scale. What remains is an equi-join on rare
+    fingerprints plus a pair-keyed count — the same candidate-pair
+    shape as LSH banding, never all-pairs."""
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, w=w
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") <= max_fp_freq)
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp")
+    a = pruned.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = pruned.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -68,6 +68,7 @@ OPERATIONS = {
     "lang_id": textstats.lang_id,
     "fingerprint": textstats.fingerprint,
     "winnow_fingerprints": textstats.winnow_fingerprints,
+    "winnow_near_dups": textstats.winnow_near_dups,
     "chunk_documents": sampling.chunk_documents,
     "deterministic_sample": sampling.deterministic_sample,
     "stratified_sample": sampling.stratified_sample,

@@ -166,6 +166,28 @@ def test_winnow_fingerprints(spark):
     assert len(by_doc[4]) == 1
 
 
+def test_winnow_near_dups(spark):
+    from earthmover_spark.llm import textstats
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with a small tail edit"),
+            (3, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = textstats.winnow_near_dups(docs, min_shared=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].n_shared >= 3
+    # a hot-fingerprint cap of 1 prunes everything shared -> no pairs
+    assert (
+        textstats.winnow_near_dups(docs, min_shared=1, max_fp_freq=1).count()
+        == 0
+    )
+
+
 def test_unigram_logprob(spark):
     import math
 

@@ -104,3 +104,31 @@ def test_redact_pii_is_single_stage_jvm(plans):
     assert "Exchange" not in p
     assert "EvalPython" not in p
     assert "BroadcastHashJoin" not in p and "SortMergeJoin" not in p
+
+
+def test_stratified_sample_is_single_stage_filter(plans):
+    """Per-stratum sampling compiles to one CASE-threshold filter over
+    the scan: no shuffle, no Python, no per-stratum passes."""
+    p = plans("stratified_sample")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    assert "Filter" in p
+
+
+def test_winnow_fingerprints_zero_shuffle(plans):
+    """Winnowing is pure array expressions: the corpus never shuffles
+    and never leaves the JVM."""
+    p = plans("winnow_fp")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_tokenize_ids_broadcasts_vocab(plans):
+    """The bounded vocabulary broadcast-joins into the token stream —
+    tokenization must never plan a sort-merge join of the tokens."""
+    p = plans("tokenize_ids")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+    # the single-partition window runs on the <=max_size vocab rows only
+    assert "TakeOrdered" in p or "partial" in p.lower()
