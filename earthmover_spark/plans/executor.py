@@ -155,6 +155,8 @@ class Executor:
             else:
                 self._write_destination(name, node.config, out_dir)
                 node_stats[name] = {"seconds": round(time.time() - t0, 3)}
+                if self._show_progress(node.config):
+                    print(f"-- {name}: written in {node_stats[name]['seconds']}s")
                 continue
             self._check_expectations(name, node.config, df)
             if node.config.get("debug"):
@@ -196,7 +198,27 @@ class Executor:
             self.results["__graph__"] = graph_path
         return self.results
 
+    def _show_progress(self, cfg: dict) -> bool:
+        """Node-level ``show_progress`` with a config-level default —
+        reference node.py:59 (ProgressBar per node). The Spark mapping
+        is job-group tagging (every node's stages are attributed to it
+        in the Spark UI) plus an opt-in per-node timing line here."""
+        return bool(
+            cfg.get("show_progress", self.project.config.get("show_progress"))
+        )
+
     def _write_destination(self, name: str, cfg: dict, out_dir: str) -> None:
+        # Attribute all jobs this destination triggers to the node name
+        # (Spark UI: job group = node), the engine's ProgressBar analog.
+        sc = self.spark.sparkContext
+        sc.setJobGroup(name, f"earthmover_spark destination {name}")
+        try:
+            self._write_destination_inner(name, cfg, out_dir)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+
+    def _write_destination_inner(self, name: str, cfg: dict, out_dir: str) -> None:
         df = self._resolve(cfg["source"])
         if cfg.get("format") in ("parquet", "orc", "csv"):
             from earthmover_spark.destinations.file_destination import write_columnar

@@ -70,6 +70,27 @@ def test_package_merge_and_override(spark, pkg_project, tmp_path):
     assert names == ["kiwi", "plum"]  # parent filter, package data
 
 
+def test_show_progress_logs_node_timing(spark, tmp_path, capsys):
+    import textwrap
+
+    proj = tmp_path / "prog"
+    proj.mkdir()
+    (proj / "data.csv").write_text("a,b\n1,x\n2,y\n")
+    (proj / "earthmover.yaml").write_text(textwrap.dedent("""
+        config:
+          show_progress: True
+        sources:
+          rows:
+            file: data.csv
+        destinations:
+          rows_out:
+            source: $sources.rows
+    """))
+    run_project(spark, str(proj / "earthmover.yaml"), output_dir=str(tmp_path / "o"))
+    out = capsys.readouterr().out
+    assert "$destinations.rows_out: written in" in out
+
+
 def test_package_missing_dir_errors(tmp_path):
     (tmp_path / "earthmover.yaml").write_text(
         "packages:\n  nope:\n    local: ./missing\nsources:\n  a:\n    optional: True\n"
