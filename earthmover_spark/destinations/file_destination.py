@@ -37,15 +37,25 @@ def render_lines(
     linearize: bool = True,
 ) -> DataFrame:
     """Render each row to a one-column ('line') DataFrame."""
+    import re
+
     cols = df.columns
     # all-string view with '' for missing (reference destination.py:57)
     casted = df.select(*[string_view(F.col(c)).alias(c) for c in cols])
     if template is None:
         line = F.to_json(F.struct(*[F.col(c) for c in cols]))
     else:
-        line = template_column(template, cols, macros=macros, loader_dir=loader_dir)
-    if linearize:
-        line = F.trim(F.regexp_replace(line, r"\s+", " "))
+        if linearize:
+            # the reference flattens the TEMPLATE source, not the
+            # rendered row (destination.py:94-96) — whitespace inside
+            # rendered values survives, and Jinja tag trim markers
+            # ({%- -%}) interact with the collapsed source. Rendering
+            # then collapsing would not be byte-identical.
+            template = re.sub(r"\s+", " ", template)
+        line = template_column(
+            template, cols, macros=macros, loader_dir=loader_dir,
+            self_row_data=True,
+        )
     return casted.select(line.alias("line"))
 
 

@@ -46,17 +46,26 @@ _BLOCK_RE = re.compile(r"\{%|\{#")
 # may only be lowered inside comparisons/arithmetic — rendered directly
 # they'd hit Spark's scientific notation (1.0E7) where Python prints
 # 10000000.0, so direct float renders fall back to the Jinja UDF.
+def _num(c: Column) -> Column:
+    """ANSI-safe numeric view of an all-string cell: unparseable input
+    (incl. the data model's ``''`` for missing) becomes NULL instead of
+    an ANSI cast error."""
+    return c.cast("string").try_cast("double")
+
+
+#: Jinja's |int and |float return 0 / 0.0 for unparseable input
+#: (jinja2 do_int/do_float default) — the goldens rely on ''|int == 0.
 _NATIVE_FILTERS = {
-    "int": lambda c: (c.cast("string").cast("double").cast("long"), "int"),
-    "float": lambda c: (c.cast("string").cast("double"), "float"),
+    "int": lambda c: (F.coalesce(_num(c), F.lit(0.0)).cast("long"), "int"),
+    "float": lambda c: (F.coalesce(_num(c), F.lit(0.0)), "float"),
     "upper": lambda c: (F.upper(c.cast("string")), "str"),
     "lower": lambda c: (F.lower(c.cast("string")), "str"),
     "trim": lambda c: (F.trim(c.cast("string")), "str"),
     "title": lambda c: (F.initcap(c.cast("string")), "str"),
     "length": lambda c: (F.length(c.cast("string")), "int"),
     "string": lambda c: (c.cast("string"), "str"),
-    "abs": lambda c: (F.abs(c.cast("double")), "float"),
-    "round": lambda c: (F.round(c.cast("double")), "float"),
+    "abs": lambda c: (F.abs(_num(c)), "float"),
+    "round": lambda c: (F.round(_num(c)), "float"),
 }
 
 _SLICE_RE = re.compile(rf"^({_IDENT})\[(-?\d*):(-?\d*)\]$")
@@ -231,7 +240,7 @@ def _apply_filter(f: str, col: Column, kind: str):
         # unknown column name already failed lowering -> full Jinja.)
         return col, kind
     if name == "round" and len(lits) == 1 and "." not in lits[0]:
-        return F.round(col.cast("double"), int(lits[0])), "float"
+        return F.round(_num(col), int(lits[0])), "float"
     raise _NotLowerable(f)
 
 
@@ -352,6 +361,7 @@ def jinja_udf_column(
     value_col: str | None = None,
     macros: str = "",
     loader_dir: str | None = None,
+    self_row_data: bool = False,
 ) -> Column:
     """Render `template` per row via an Arrow-batched pandas UDF.
 
@@ -364,6 +374,7 @@ def jinja_udf_column(
     cluster: ship via SparkFiles).
     """
     tmpl_str, macro_str, vcol, ldir = template, macros, value_col, loader_dir
+    self_rd = self_row_data
 
     def _render_batch(pdf: pd.Series) -> pd.Series:
         # a struct column arrives as a pd.DataFrame despite the Series hint
@@ -371,7 +382,16 @@ def jinja_udf_column(
         out = []
         for rec in pdf.to_dict("records"):
             ctx = dict(rec)
-            ctx["__row_data__"] = rec
+            if self_rd:
+                # destination renders: __row_data__ contains itself
+                # (reference destination.py:170) — golden templates
+                # iterate keys and skip '__row_data__', emitting that
+                # iteration's whitespace
+                ctx["__row_data__"] = ctx
+            else:
+                # transformation renders: a plain copy without the self
+                # key (reference util.py:83-84)
+                ctx["__row_data__"] = rec
             if vcol is not None:
                 ctx["value"] = rec.get(vcol)
             out.append(tmpl.render(**ctx))
@@ -382,12 +402,63 @@ def jinja_udf_column(
     return render(F.struct(*struct_cols))
 
 
+def jinja_udf_struct(
+    entries: list,
+    columns: list[str],
+    macros: str = "",
+    loader_dir: str | None = None,
+) -> Column:
+    """Render MANY templates in one Arrow pandas-UDF pass, returning a
+    struct with one string field per entry. ``entries`` is a list of
+    ``(out_name, template, value_col_or_None)``.
+
+    Templates render sequentially per row and each result is written
+    back into the row context, so a later template sees earlier
+    results — the reference's semantics, which iterates column
+    assignments one at a time (earthmover/operations/column.py:53-59).
+    Batching matters beyond the single JVM→Python crossing: N chained
+    struct-input UDFs nest each UDF's output inside the next one's
+    input struct, and Catalyst's analysis of that tower is
+    super-linear — a 39-template ``add_columns`` (reference test suite,
+    cities weather) plans in milliseconds as one batch where the
+    chained form hangs the planner."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField(name, StringType()) for name, _, _ in entries]
+    )
+    entry_spec = [(n, t, v) for n, t, v in entries]
+    macro_str, ldir = macros, loader_dir
+
+    def _render_batch(pdf: pd.Series) -> pd.DataFrame:
+        # struct input arrives as a pd.DataFrame despite the Series hint
+        tmpls = [
+            (n, _compile(t, macro_str, ldir), v) for n, t, v in entry_spec
+        ]
+        out: dict[str, list] = {n: [] for n, _, _ in entry_spec}
+        for rec in pdf.to_dict("records"):
+            ctx = dict(rec)
+            ctx["__row_data__"] = rec
+            for n, tmpl, vcol in tmpls:
+                if vcol is not None:
+                    ctx["value"] = rec.get(vcol)
+                rendered = tmpl.render(**ctx)
+                ctx[n] = rendered
+                rec[n] = rendered
+                out[n].append(rendered)
+        return pd.DataFrame(out, index=pdf.index)
+
+    render = F.pandas_udf(_render_batch, schema)
+    return render(F.struct(*[F.col(c).alias(c) for c in columns]))
+
+
 def template_column(
     template: str,
     columns: list[str],
     value_col: str | None = None,
     macros: str = "",
     loader_dir: str | None = None,
+    self_row_data: bool = False,
 ) -> Column:
     """Compile a Jinja template to a Column: native when lowerable
     (macros/includes force the fallback), else the pandas_udf renderer."""
@@ -395,4 +466,6 @@ def template_column(
         lowered = lower_template(template, columns, value_col)
         if lowered is not None:
             return lowered
-    return jinja_udf_column(template, columns, value_col, macros, loader_dir)
+    return jinja_udf_column(
+        template, columns, value_col, macros, loader_dir, self_row_data
+    )

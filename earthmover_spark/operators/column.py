@@ -29,19 +29,67 @@ def _is_template(value) -> bool:
     return isinstance(value, str) and ("{{" in value or "{%" in value)
 
 
+def _needs_jinja_udf(value: str, columns: list[str], value_col: str | None,
+                     macros: str) -> bool:
+    """True when `template_column` would fall back to the pandas UDF."""
+    from earthmover_spark.functions.jinja_compute import lower_template
+
+    if macros or "{% include" in value:
+        return True
+    return lower_template(value, columns, value_col) is None
+
+
+def _flush_jinja_batch(out: DataFrame, pending: list, macros: str) -> DataFrame:
+    """Apply accumulated UDF-bound templates as ONE multi-output pandas
+    UDF (single JVM→Python crossing; chained per-column UDFs nest each
+    output into the next input struct and blow up Catalyst analysis)."""
+    from earthmover_spark.functions.jinja_compute import (
+        jinja_udf_column,
+        jinja_udf_struct,
+    )
+
+    if not pending:
+        return out
+    if len(pending) == 1:
+        name, tmpl, vcol = pending[0]
+        return out.withColumn(
+            name, jinja_udf_column(tmpl, out.columns, vcol, macros)
+        )
+    batch = jinja_udf_struct(pending, out.columns, macros)
+    out = out.withColumn("__jinja_batch__", batch)
+    for name, _, _ in pending:
+        out = out.withColumn(name, F.col("__jinja_batch__").getField(name))
+    return out.drop("__jinja_batch__")
+
+
 def add_columns(
     df: DataFrame, *, columns: Mapping[str, object], macros: str = ""
 ) -> DataFrame:
     """Add new columns; values are static strings or row-wise Jinja
-    templates seeing all columns (reference earthmover/operations/column.py:16-61)."""
+    templates seeing all columns (reference earthmover/operations/column.py:16-61).
+    Consecutive non-lowerable templates render in one batched UDF;
+    grouping stays consecutive so later items still see earlier ones
+    and output column order matches the reference."""
     out = df
+    pending: list = []
     for name, value in columns.items():
         if _is_template(value):
-            col = template_column(str(value), out.columns, macros=macros)
+            tmpl = str(value)
+            if _needs_jinja_udf(tmpl, out.columns, None, macros):
+                pending.append((name, tmpl, None))
+                continue
+            out = _flush_jinja_batch(out, pending, macros)
+            pending = []
+            out = out.withColumn(
+                name, template_column(tmpl, out.columns, macros=macros)
+            )
         else:
-            col = F.lit(str(value) if value is not None else "")
-        out = out.withColumn(name, col)
-    return out
+            out = _flush_jinja_batch(out, pending, macros)
+            pending = []
+            out = out.withColumn(
+                name, F.lit(str(value) if value is not None else "")
+            )
+    return _flush_jinja_batch(out, pending, macros)
 
 
 def modify_columns(
@@ -49,18 +97,30 @@ def modify_columns(
 ) -> DataFrame:
     """Overwrite existing columns; Jinja sees ``{{value}}`` = old cell plus
     all other columns; wildcard column specs supported
-    (reference earthmover/operations/column.py:64-122)."""
+    (reference earthmover/operations/column.py:64-122). Non-lowerable
+    templates batch like :func:`add_columns`."""
     out = df
+    pending: list = []
     for spec, value in columns.items():
         for name in expand_column_specs([spec], out.columns):
             if _is_template(value):
-                col = template_column(
-                    str(value), out.columns, value_col=name, macros=macros
+                tmpl = str(value)
+                if _needs_jinja_udf(tmpl, out.columns, name, macros):
+                    pending.append((name, tmpl, name))
+                    continue
+                out = _flush_jinja_batch(out, pending, macros)
+                pending = []
+                out = out.withColumn(
+                    name,
+                    template_column(tmpl, out.columns, value_col=name, macros=macros),
                 )
             else:
-                col = F.lit(str(value) if value is not None else "")
-            out = out.withColumn(name, col)
-    return out
+                out = _flush_jinja_batch(out, pending, macros)
+                pending = []
+                out = out.withColumn(
+                    name, F.lit(str(value) if value is not None else "")
+                )
+    return _flush_jinja_batch(out, pending, macros)
 
 
 def duplicate_columns(df: DataFrame, *, columns: Mapping[str, str]) -> DataFrame:
@@ -152,7 +212,9 @@ def map_values(
     out = df
     if len(mapping) > _BROADCAST_MAP_THRESHOLD:
         spark = df.sparkSession
-        items = [(str(k), str(v)) for k, v in mapping.items()]
+        # YAML `key:` with no value maps to None -> '' (the all-string
+        # model's missing value; reference replaces with NaN, rendered '')
+        items = [(str(k), "" if v is None else str(v)) for k, v in mapping.items()]
         for c in targets:
             map_df = spark.createDataFrame(items, [f"__mk_{c}__", f"__mv_{c}__"])
             out = (
@@ -171,8 +233,9 @@ def map_values(
         src = F.col(c)
         expr = None
         for k, v in mapping.items():
+            tgt = F.lit("" if v is None else str(v))
             cond = src.cast("string") == F.lit(str(k))
-            expr = F.when(cond, F.lit(str(v))) if expr is None else expr.when(cond, F.lit(str(v)))
+            expr = F.when(cond, tgt) if expr is None else expr.when(cond, tgt)
         out = out.withColumn(c, expr.otherwise(src.cast("string")))
     return out
 
