@@ -132,8 +132,17 @@ def write_destination(
     default for big outputs.
     """
     if template_file is not None:
-        if loader_dir is None:
-            loader_dir = os.path.dirname(os.path.abspath(template_file))
+        # {% include %} search path: config dir first (reference
+        # destination.py:74 resolves relative to the config file), then
+        # the template's own directory (template-relative includes)
+        tdir = os.path.dirname(os.path.abspath(template_file))
+        search = (
+            [loader_dir] if isinstance(loader_dir, str)
+            else list(loader_dir or [])
+        )
+        if tdir not in search:
+            search.append(tdir)
+        loader_dir = search
         with open(template_file) as fh:
             template = fh.read()
     lines = render_lines(
@@ -148,6 +157,7 @@ def write_destination(
     os.makedirs(output_dir, exist_ok=True)
     if mode == "directory":
         out_path = os.path.join(output_dir, f"{name}.{extension}.d")
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
         lines.write.mode("overwrite").text(out_path)
         return out_path
 
@@ -159,8 +169,13 @@ def write_destination(
     import shutil
     import tempfile
 
+    # destination names may contain '/' (reference writes them as
+    # subdirectories: destination.py:124 makedirs the dirname)
     out_path = os.path.join(output_dir, f"{name}.{extension}")
-    tmp_dir = tempfile.mkdtemp(prefix=f"em_dest_{name}_", dir=output_dir)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp_dir = tempfile.mkdtemp(
+        prefix=f"em_dest_{name.replace(os.sep, '_')}_", dir=output_dir
+    )
     parts_dir = os.path.join(tmp_dir, "parts")
     try:
         lines.write.mode("overwrite").text(parts_dir)

@@ -341,13 +341,20 @@ def _jinja_globals() -> dict:
     }
 
 
-def _compile(template: str, macros: str, loader_dir: str | None = None):
-    key = (template, macros, loader_dir)
+def _compile(template: str, macros: str, loader_dir=None):
+    """``loader_dir`` may be one directory or a search-path list —
+    `{% include %}` resolves against the config dir first (reference
+    destination.py:74) and the template's own dir second."""
+    dirs = (
+        tuple(loader_dir) if isinstance(loader_dir, (list, tuple))
+        else (loader_dir,) if loader_dir else ()
+    )
+    key = (template, macros, dirs)
     tmpl = _TEMPLATE_CACHE.get(key)
     if tmpl is None:
         import jinja2
 
-        loader = jinja2.FileSystemLoader(loader_dir) if loader_dir else None
+        loader = jinja2.FileSystemLoader(list(dirs)) if dirs else None
         env = jinja2.Environment(undefined=jinja2.Undefined, loader=loader)
         env.globals.update(_jinja_globals())
         tmpl = env.from_string(macros + template)

@@ -84,14 +84,19 @@ def substitute_params(text: str, params: dict[str, str] | None = None) -> str:
     return _PARAM_RE.sub(repl, text)
 
 
-def render_compile_time_jinja(text: str, macros: str = "") -> str:
+def render_compile_time_jinja(
+    text: str, macros: str = "", base_dir: str | None = None
+) -> str:
     """Render the YAML itself through Jinja (loops generating repeated
-    nodes, conditional config — reference yaml_parser.py:126-129)."""
+    nodes, conditional config — reference yaml_parser.py:126-129).
+    ``base_dir`` enables {% include %}/{% from %} of files next to the
+    config (reference 09_edfi imports_test.jinja)."""
     if "{{" not in text and "{%" not in text:
         return text
     import jinja2
 
-    env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+    loader = jinja2.FileSystemLoader(base_dir) if base_dir else None
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined, loader=loader)
     return env.from_string(macros + text).render()
 
 
@@ -113,7 +118,7 @@ def compile_config(
     # explicit params beat defaults). Fished out of a pre-parse of the
     # raw text so they apply to the substitution pass itself.
     try:
-        pre0 = yaml.safe_load(render_compile_time_jinja_safe(text)) or {}
+        pre0 = yaml.safe_load(render_compile_time_jinja_safe(text, base_dir)) or {}
     except yaml.YAMLError:
         pre0 = {}
     defaults = (
@@ -127,11 +132,11 @@ def compile_config(
     text = substitute_params(text, params)
     # pull macros out before the compile-time render so they're usable in it
     try:
-        pre = yaml.safe_load(render_compile_time_jinja_safe(text)) or {}
+        pre = yaml.safe_load(render_compile_time_jinja_safe(text, base_dir)) or {}
     except yaml.YAMLError:
         pre = {}
     macros = ((pre.get("config") or {}).get("macros") or "") if isinstance(pre, dict) else ""
-    text = render_compile_time_jinja(text, macros)
+    text = render_compile_time_jinja(text, macros, base_dir)
     raw = yaml.safe_load(text) or {}
 
     project = ProjectConfig(
@@ -221,10 +226,10 @@ def compile_to_disk(
     return out_path
 
 
-def render_compile_time_jinja_safe(text: str) -> str:
+def render_compile_time_jinja_safe(text: str, base_dir: str | None = None) -> str:
     """Best-effort first Jinja pass used only to extract macros."""
     try:
-        return render_compile_time_jinja(text)
+        return render_compile_time_jinja(text, base_dir=base_dir)
     except Exception:
         return text
 

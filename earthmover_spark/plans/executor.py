@@ -244,6 +244,7 @@ class Executor:
             template_file=template_file,
             extension=cfg.get("extension", "jsonl"),
             macros=self.project.macros,
+            loader_dir=self.project.base_dir,
             linearize=cfg.get("linearize", True),
             header=cfg.get("header"),
             footer=cfg.get("footer"),

@@ -1,0 +1,55 @@
+"""Run the reference's example projects end-to-end through this engine
+(reference example_projects/run_all.sh runs them as smoke tests with no
+output verification — same bar here, plus minimal sanity checks).
+
+Covered: CSV sources with explicit columns, joins, group_by(+rank),
+subtemplate includes, compile-time Jinja loops + {% from %} imports of
+files next to the config, map_files, melt/pivot, multi-line + sparse
+headers, HTML table scan, package composition, and destination names
+containing '/' (written as subdirectories).
+
+Skipped: 04_sqlalchemy (needs sqlalchemy+postgres), 05_ftp (network),
+07_filetypes (downloads a parquet over https).
+"""
+
+import os
+
+import pytest
+
+EXAMPLES = "/root/reference/example_projects"
+
+RUNNABLE = [
+    "01_simple",
+    "02_join",
+    "03_groupby",
+    "03a_groupby_with_rank",
+    "06_subtemplates",
+    "08_html",
+    "09_edfi",
+    "10_jinja",
+    "11_composition",
+    "12_melt_pivot",
+    "13_multiline_sparse_headers",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(EXAMPLES), reason="reference checkout not available"
+)
+
+
+@pytest.mark.parametrize("project", RUNNABLE)
+def test_example_project_runs(spark, tmp_path, project):
+    from earthmover_spark.plans.executor import run_project
+
+    results = run_project(
+        spark,
+        os.path.join(EXAMPLES, project, "earthmover.yaml"),
+        output_dir=str(tmp_path / project),
+    )
+    assert results, project
+    for path in results.values():
+        assert os.path.exists(path)
+    # every project produces at least one non-empty output (empty ones
+    # are legitimate: 01_simple's testing_destination feeds from an
+    # `optional` source with no file)
+    assert any(os.path.getsize(p) > 0 for p in results.values())
