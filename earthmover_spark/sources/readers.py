@@ -267,11 +267,47 @@ def read_source(
 ) -> DataFrame:
     """Dispatch a source read by extension or explicit type
     (reference source.py:102-268)."""
-    if not file or (optional and not os.path.exists(file)):
+    is_url = bool(file) and file.split("://", 1)[0] in ("http", "https", "ftp")
+    if not file or (optional and not is_url and not os.path.exists(file)):
         if optional:
             df = empty_source(spark, list(columns or []))
             return add_optional_fields(df, list(optional_fields or []))
         raise EarthmoverSparkError(f"source file missing: {file!r}")
+
+    if is_url:
+        # the reference accepts URLs for `file:` (pandas readers fetch
+        # them, e.g. example_projects/07_filetypes). Fetch driver-side
+        # to a temp file, then dispatch on the URL's extension —
+        # URL sources are dimension-scale by nature.
+        import tempfile
+        import urllib.request
+        from urllib.parse import urlparse
+
+        suffix = os.path.splitext(urlparse(file).path)[1]
+        tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+        try:
+            with urllib.request.urlopen(file, timeout=60) as resp:
+                tmp.write(resp.read())
+            tmp.close()
+        except Exception as err:
+            tmp.close()
+            os.unlink(tmp.name)
+            if optional:
+                df = empty_source(spark, list(columns or []))
+                return add_optional_fields(df, list(optional_fields or []))
+            raise EarthmoverSparkError(
+                f"source URL fetch failed: {file!r} ({err})"
+            ) from err
+        ftype = type or _EXT_TYPES.get(suffix.lower())
+        if ftype is None:
+            raise EarthmoverSparkError(f"cannot infer source type for {file!r}")
+        return read_source(
+            spark, tmp.name, type=ftype, columns=columns,
+            optional_fields=optional_fields, encoding=encoding,
+            header_rows=header_rows, fill_sparse_headers=fill_sparse_headers,
+            sheet=sheet, match=match, xpath=xpath, orientation=orientation,
+            object_type=object_type, **kwargs,
+        )
 
     ftype = type or _EXT_TYPES.get(os.path.splitext(file)[1].lower())
     if ftype is None:

@@ -100,3 +100,31 @@ def test_read_ftp_end_to_end(spark):
     assert [(r.id, r.name) for r in df.orderBy("id").collect()] == [
         ("1", "ann"), ("2", "bob")
     ]
+
+
+def test_read_url_source(spark, tmp_path):
+    """`file:` may be an http(s) URL (reference example_projects/
+    07_filetypes uses remote CSVs/parquet) — fetched driver-side,
+    dispatched on the URL's extension. Served from a localhost HTTP
+    server so no external network is needed."""
+    import http.server
+    import threading
+
+    from earthmover_spark.sources.readers import read_source
+
+    (tmp_path / "users.csv").write_text("id,name\n1,ann\n2,bo\n")
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/users.csv"
+        df = read_source(spark, url)
+        assert {(r.id, r.name) for r in df.collect()} == {("1", "ann"), ("2", "bo")}
+        # optional URL that 404s -> empty frame from declared columns
+        bad = f"http://127.0.0.1:{srv.server_address[1]}/missing.csv"
+        empty = read_source(spark, bad, optional=True, columns=["id", "name"])
+        assert empty.columns == ["id", "name"] and empty.count() == 0
+    finally:
+        srv.shutdown()
