@@ -37,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
         help="write the node DAG as Graphviz DOT next to the outputs "
              "(with row counts when --results-file is also set)",
     )
+    run_p.add_argument(
+        "--set", nargs="*", default=None, dest="set_pairs", metavar="PATH VALUE",
+        help="override config YAML settings by dotted path, e.g. "
+             "--set config.log_level DEBUG sources.x.file /tmp/y.csv",
+    )
 
     comp_p = sub.add_parser("compile", help="compile only; print the plan")
     comp_p.add_argument("-c", "--config", required=True)
@@ -96,11 +101,19 @@ def main(argv: list[str] | None = None) -> int:
     from earthmover_spark import get_spark
     from earthmover_spark.plans.executor import run_project
 
+    overrides = None
+    if getattr(args, "set_pairs", None):
+        pairs = args.set_pairs
+        if len(pairs) % 2:
+            parser.error("--set expects PATH VALUE pairs")
+        overrides = dict(zip(pairs[::2], pairs[1::2]))
+
     spark = get_spark("earthmover_spark.cli")
     results = run_project(
         spark,
         args.config,
         params,
+        overrides=overrides,
         selector=args.select,
         output_dir=args.output_dir,
         skip_if_unchanged=args.skip_if_unchanged,

@@ -103,8 +103,14 @@ def render_compile_time_jinja(
 def compile_config(
     path_or_text: str,
     params: dict[str, str] | None = None,
+    overrides: dict[str, object] | None = None,
 ) -> ProjectConfig:
-    """Compile a YAML project file (or literal YAML text) into the IR."""
+    """Compile a YAML project file (or literal YAML text) into the IR.
+
+    ``overrides`` maps dotted paths to replacement values — the
+    reference's ``--set config.tmp_dir /tmp`` CLI flag
+    (earthmover/__main__.py:106-110). Applied after parse, before
+    package merge and validation."""
     if "\n" not in path_or_text and os.path.exists(path_or_text):
         base_dir = os.path.dirname(os.path.abspath(path_or_text))
         with open(path_or_text) as fh:
@@ -138,6 +144,12 @@ def compile_config(
     macros = ((pre.get("config") or {}).get("macros") or "") if isinstance(pre, dict) else ""
     text = render_compile_time_jinja(text, macros, base_dir)
     raw = yaml.safe_load(text) or {}
+    for path, value in (overrides or {}).items():
+        node = raw
+        keys = path.split(".")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
 
     project = ProjectConfig(
         config=raw.get("config") or {},

@@ -257,6 +257,7 @@ def run_project(
     spark: SparkSession,
     config_path: str,
     params: dict[str, str] | None = None,
+    overrides: dict[str, object] | None = None,
     selector: str = "*",
     output_dir: str | None = None,
     skip_if_unchanged: bool = False,
@@ -270,7 +271,7 @@ def run_project(
     templates, map files, params) are checked against the project's runs
     file and an unchanged run is skipped entirely, returning
     ``{"__skipped__": ...}`` (reference earthmover.py:282-341)."""
-    project = compile_config(config_path, params)
+    project = compile_config(config_path, params, overrides)
     # config-level toggles (reference docs/configuration.md:39-74)
     show_graph = show_graph or bool(project.config.get("show_graph"))
     log_level = project.config.get("log_level")

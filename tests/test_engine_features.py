@@ -396,3 +396,29 @@ def test_columnar_target_file_size(spark, tmp_path):
     assert len(parts) == 1
     got = spark.read.parquet(out)
     assert got.count() == 10000
+
+
+def test_set_overrides(spark, tmp_path):
+    """`--set path value` dotted-path config overrides (reference
+    earthmover/__main__.py:106-110) — applied post-parse, so they can
+    retarget a source file or flip any config key."""
+    from earthmover_spark.cli import main as cli_main
+
+    (tmp_path / "a.csv").write_text("x\n1\n")
+    (tmp_path / "b.csv").write_text("x\n2\n3\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          rows:
+            file: a.csv
+        destinations:
+          rows_out:
+            source: $sources.rows
+    """))
+    rc = cli_main([
+        "run", "-c", str(tmp_path / "earthmover.yaml"),
+        "-o", str(tmp_path / "o"),
+        "--set", "sources.rows.file", str(tmp_path / "b.csv"),
+    ])
+    assert rc == 0
+    lines = open(tmp_path / "o" / "rows_out.jsonl").read().splitlines()
+    assert len(lines) == 2  # b.csv (2 rows), not a.csv (1 row)
