@@ -183,6 +183,57 @@ def _absolutize_paths(cfg: dict, base_dir: str) -> dict:
     return out
 
 
+def _install_git_package(
+    base_dir: str,
+    pkg_name: str,
+    git_url: str,
+    branch: str | None = None,
+    subdirectory: str | None = None,
+    timeout: int = 60,
+) -> str:
+    """Clone a git package into ``<project>/packages/<name>`` (the
+    reference's `earthmover deps` behavior — package.py:173-213: system
+    git client, optional branch and subdirectory, timeout so credential
+    prompts can't hang automated runs). A fresh clone replaces any
+    prior install. Returns the installed package directory."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    packages_dir = os.path.join(base_dir, "packages")
+    pkg_path = os.path.join(packages_dir, pkg_name)
+    os.makedirs(packages_dir, exist_ok=True)
+    if os.path.lexists(pkg_path):
+        shutil.rmtree(pkg_path, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="em_git_", dir=packages_dir)
+    try:
+        cmd = ["git", "clone", "--depth", "1"]
+        if branch:
+            cmd += ["-b", branch]
+        cmd += [git_url, "."]
+        proc = subprocess.run(
+            cmd, cwd=tmp, timeout=timeout, capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            raise EarthmoverSparkError(
+                f"package {pkg_name!r}: git clone failed: {proc.stderr.strip()}"
+            )
+        src = os.path.join(tmp, subdirectory) if subdirectory else tmp
+        if not os.path.isdir(src):
+            raise EarthmoverSparkError(
+                f"package {pkg_name!r}: subdirectory {subdirectory!r} not in repo"
+            )
+        shutil.copytree(src, pkg_path, ignore=shutil.ignore_patterns(".git"))
+    except subprocess.TimeoutExpired:
+        raise EarthmoverSparkError(
+            f"package {pkg_name!r}: git clone timed out for {git_url!r} — "
+            "are git credentials configured?"
+        ) from None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return pkg_path
+
+
 def _merge_package(
     project: ProjectConfig,
     pkg_name: str,
@@ -192,9 +243,18 @@ def _merge_package(
     """Merge one package (recursively compiled, so nested packages land
     first) under the project; the installing project wins collisions."""
     local = (pkg_cfg or {}).get("local")
+    git_url = (pkg_cfg or {}).get("git")
+    if git_url:
+        local = _install_git_package(
+            project.base_dir,
+            pkg_name,
+            git_url,
+            branch=(pkg_cfg or {}).get("branch"),
+            subdirectory=(pkg_cfg or {}).get("subdirectory"),
+        )
     if not local:
         raise EarthmoverSparkError(
-            f"package {pkg_name!r}: only `local: <dir>` packages are supported"
+            f"package {pkg_name!r}: needs `local: <dir>` or `git: <url>`"
         )
     if not os.path.isabs(local):
         local = os.path.join(project.base_dir, local)

@@ -422,3 +422,41 @@ def test_set_overrides(spark, tmp_path):
     assert rc == 0
     lines = open(tmp_path / "o" / "rows_out.jsonl").read().splitlines()
     assert len(lines) == 2  # b.csv (2 rows), not a.csv (1 row)
+
+
+def test_git_package(spark, tmp_path):
+    """`packages: {git: <url>, branch:, subdirectory:}` clones with the
+    system git client into <project>/packages/<name> (reference
+    package.py:173-213) — tested against a local git repo, no network."""
+    import subprocess
+
+    repo = tmp_path / "pkg_repo"
+    (repo / "bundle" / "data").mkdir(parents=True)
+    (repo / "bundle" / "data" / "pets.csv").write_text("name\nrex\nfifi\n")
+    (repo / "bundle" / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          pets:
+            file: data/pets.csv
+        destinations:
+          pets_out:
+            source: $sources.pets
+    """))
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t", "HOME": str(tmp_path),
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t", "PATH": os.environ["PATH"]}
+    for cmd in (["git", "init", "-q", "-b", "main"], ["git", "add", "-A"],
+                ["git", "commit", "-q", "-m", "pkg"]):
+        subprocess.run(cmd, cwd=repo, check=True, env=env)
+
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    (proj / "earthmover.yaml").write_text(textwrap.dedent(f"""
+        packages:
+          pet_pkg:
+            git: file://{repo}
+            branch: main
+            subdirectory: bundle
+    """))
+    results = run_project(spark, str(proj / "earthmover.yaml"),
+                          output_dir=str(tmp_path / "o"))
+    lines = open(results["$destinations.pets_out"]).read().splitlines()
+    assert sorted(json.loads(ln)["name"] for ln in lines) == ["fifi", "rex"]
