@@ -879,6 +879,15 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_logprob(docs)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average conditional log-prob under the corpus bigram LM
+    — array-expression bigrams, tf-compressed keyed joins."""
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    return textstats.bigram_logprob(docs)
+
+
 def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocab build (top-500 terms, TakeOrdered) + broadcast-join
     tokenization to dense ids; OOV -> -1."""
@@ -1122,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "strip_markup": q_strip_markup,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "tokenize_ids": q_tokenize_ids,
         "stratified_sample": q_stratified_sample,
         "winnow_fp": q_winnow_fp,
@@ -1827,6 +1837,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(tf * ln(c.c / tot.total)) / sum(tf), 6)
                        AS avg_logprob
             FROM tf JOIN c USING (term) CROSS JOIN tot
+            GROUP BY 1
+        """,
+        "bigram_logprob": f"""
+            WITH n AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS arr
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(arr) - 1),
+                         i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+              FROM n WHERE len(arr) >= 2
+            ), tf AS (
+              SELECT doc_id, bigram, count(*) AS tf FROM g GROUP BY 1, 2
+            ), cbig AS (
+              SELECT bigram, sum(tf) AS c_big FROM tf GROUP BY 1
+            ), cleft AS (
+              SELECT string_split(bigram, ' ')[1] AS w, sum(c_big) AS c_left
+              FROM cbig GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   sum(tf)::BIGINT AS n_bigrams,
+                   round(sum(tf * ln(c_big::DOUBLE / c_left)) / sum(tf), 6)
+                       AS avg_logprob
+            FROM tf
+            JOIN cbig USING (bigram)
+            JOIN cleft ON string_split(tf.bigram, ' ')[1] = cleft.w
             GROUP BY 1
         """,
         "tokenize_ids": f"""

@@ -57,6 +57,7 @@ HEADLINE = [
     "redact_pii",
     "text_tfidf",
     "unigram_logprob",
+    "bigram_logprob",
     "tokenize_ids",
     "stratified_sample",
     "winnow_fp",

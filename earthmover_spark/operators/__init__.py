@@ -74,6 +74,7 @@ OPERATIONS = {
     "stratified_sample": sampling.stratified_sample,
     "split_dataset": sampling.split_dataset,
     "unigram_logprob": textstats.unigram_logprob,
+    "bigram_logprob": textstats.bigram_logprob,
     "tokenize_to_ids": textstats.tokenize_to_ids,
     "l2_normalize": embeddings.l2_normalize,
     "mean_pool": embeddings.mean_pool,

@@ -243,3 +243,23 @@ def test_tfidf_top_terms(spark):
     # doc 1's top term is apple (tf=2, df=1)
     assert sorted(by_doc[1])[0][1] == "apple"
     assert len(by_doc[1]) == 2
+
+
+def test_bigram_logprob(spark):
+    import math
+
+    from earthmover_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    # bigrams: doc1 = [a b, b a, a b]; doc2 = [a b, b c]; doc3 = none
+    # c(a b)=3, c(b a)=1, c(b c)=1; left: c(a .)=3+1? no: c_left(a)=3, wait
+    # bigrams starting 'a': 'a b' x3 -> c_left(a)=3; starting 'b': 'b a'
+    # + 'b c' -> c_left(b)=2
+    got = {r.doc_id: r for r in textstats.bigram_logprob(docs).collect()}
+    assert set(got) == {1, 2}  # doc 3 has no bigrams
+    exp1 = (2 * math.log(3 / 3) + math.log(1 / 2)) / 3
+    exp2 = (math.log(3 / 3) + math.log(1 / 2)) / 2
+    assert got[1].n_bigrams == 3 and abs(got[1].avg_logprob - exp1) < 1e-6
+    assert got[2].n_bigrams == 2 and abs(got[2].avg_logprob - exp2) < 1e-6
