@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
         help="also write the merged, Jinja-expanded YAML next to the config",
     )
 
+    deps_p = sub.add_parser(
+        "deps",
+        help="install project packages (git clone / local merge) without "
+             "running — the reference's `earthmover deps`",
+    )
+    deps_p.add_argument("-c", "--config", required=True)
+    deps_p.add_argument("-p", "--params", default=None)
+
     test_p = sub.add_parser(
         "test",
         help="run the project and compare each output to expected/<name> "
@@ -81,6 +89,15 @@ def main(argv: list[str] | None = None) -> int:
             from earthmover_spark.plans.config import compile_to_disk
 
             print(compile_to_disk(args.config, params))
+        return 0
+
+    if args.command == "deps":
+        # compiling installs git packages and validates local ones
+        project = compile_config(args.config, params)
+        n = len(project.sources) + len(project.transformations) + len(
+            project.destinations
+        )
+        print(f"packages installed; project compiles to {n} nodes")
         return 0
 
     if args.command == "test":

@@ -43,6 +43,38 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    format: str = "parquet",  # noqa: A002
+    out_path: str | None = None,
+) -> str:
+    """Rewrite a many-small-files dataset into ~``target_file_mb``
+    files — the maintenance pass every long-running ingest needs (a
+    100 TB table accreted from thousands of micro-batches reads 10-50×
+    slower through a million 1 MB files than through 256 MB ones:
+    per-file open/footer overhead dominates the scan).
+
+    Part count derives from Catalyst's size estimate (driver-side
+    metadata, nothing executes); shrinking uses ``coalesce`` (no
+    shuffle — tasks just read several input files each). Writes to
+    ``<path>.compact`` (or ``out_path``) rather than swapping in place,
+    so the caller controls the cutover."""
+    from earthmover_spark.destinations.file_destination import (
+        estimated_plan_bytes,
+    )
+
+    df = spark.read.format(format).load(path)
+    est = estimated_plan_bytes(df)
+    want = max(1, -(-est // (target_file_mb * 1024 * 1024)))
+    have = df.rdd.getNumPartitions()
+    df = df.coalesce(int(want)) if want < have else df
+    dest = out_path or (path.rstrip("/") + ".compact")
+    df.write.mode("overwrite").format(format).save(dest)
+    return dest
+
+
 def layout_for_scan(
     df: DataFrame, sort_cols: str | list[str], n_partitions: int | None = None
 ) -> DataFrame:

@@ -48,3 +48,19 @@ def test_bucketed_groupby_has_no_shuffle(spark, bucketed_tables):
     agg = read_table(spark, t1).groupBy("order_id").agg(F.sum("amount"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_compact_dataset(spark, tmp_path):
+    import os
+
+    from earthmover_spark.sources.bucketed import compact_dataset
+
+    src = str(tmp_path / "many_parts")
+    # 32 tiny part files
+    spark.range(10000).repartition(32).write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.startswith("part-")])
+    assert n_before >= 16
+    out = compact_dataset(spark, src, target_file_mb=256)
+    n_after = len([f for f in os.listdir(out) if f.startswith("part-")])
+    assert n_after == 1  # 10k longs << 256MB
+    assert spark.read.parquet(out).count() == 10000

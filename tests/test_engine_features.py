@@ -460,3 +460,20 @@ def test_git_package(spark, tmp_path):
                           output_dir=str(tmp_path / "o"))
     lines = open(results["$destinations.pets_out"]).read().splitlines()
     assert sorted(json.loads(ln)["name"] for ln in lines) == ["fifi", "rex"]
+
+
+def test_deps_subcommand(tmp_path, capsys):
+    from earthmover_spark.cli import main as cli_main
+
+    (tmp_path / "a.csv").write_text("x\n1\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          rows:
+            file: a.csv
+        destinations:
+          out:
+            source: $sources.rows
+    """))
+    rc = cli_main(["deps", "-c", str(tmp_path / "earthmover.yaml")])
+    assert rc == 0
+    assert "2 nodes" in capsys.readouterr().out
