@@ -781,6 +781,26 @@ def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: mapInPandas codec call (stub digest),
+    native meta update (width/height/n_bytes)."""
+    from earthmover_spark.llm import multimodal as M
+
+    docs = (
+        _p(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    media = M.attach_media_meta(docs, "payload", "image", "png")
+    out = M.resize_images(media, "payload", width=64, height=64)
+    return out.select(
+        "doc_id",
+        F.col("payload_meta.width").alias("width"),
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.lower(F.hex("payload")).alias("resized_hex"),
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character chunking with overlap: one row per chunk, pure
     explode(sequence)+substring codegen."""
@@ -1117,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         # training-data pipeline
         "chunk_documents": q_chunk_documents,
         "det_sample": q_det_sample,
@@ -1704,6 +1725,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(range(0,
                    (octet_length(encode(text)) // 256) * 100 + 1, 100)) AS frame_ts_ms
             FROM documents WHERE doc_id < 200
+        """,
+        "multimodal_resize": """
+            SELECT doc_id, 64 AS width, 32::BIGINT AS n_bytes,
+                   sha256(text || ':64x64') AS resized_hex
+            FROM documents WHERE doc_id < 300
         """,
         # ---- training-data pipeline ---------------------------------------
         "chunk_documents": """

@@ -94,6 +94,78 @@ def extract_features(
     return df.mapInPandas(_extract, schema=out_schema)
 
 
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize: a deterministic 32-byte digest of (payload, target
+    size). Replace with a real codec (PIL ``Image.resize`` + re-encode)
+    when available — the signature (bytes, w, h -> bytes) is the
+    contract."""
+    return hashlib.sha256(
+        (payload or b"") + f":{width}x{height}".encode()
+    ).digest()
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    width: int,
+    height: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Resize image blobs via ``mapInPandas`` (Arrow batches in/out,
+    per-row codec call — the stub above stands in for PIL). The
+    ``<binary_col>_meta`` struct, when present, is updated natively
+    afterwards: width/height set to the target, ``n_bytes`` to the
+    resized payload size."""
+    out_col = out_col or binary_col
+    tmp = "__resized__"
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(tmp, T.BinaryType())]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[tmp] = [
+                _fake_resize(
+                    b if isinstance(b, (bytes, bytearray)) else bytes(b or b""),
+                    width, height,
+                )
+                for b in pdf[binary_col]
+            ]
+            yield pdf
+
+    out = df.mapInPandas(_resize, schema=out_schema)
+    out = out.withColumn(out_col, F.col(tmp)).drop(tmp)
+    meta = f"{binary_col}_meta"
+    if meta in df.columns:
+        out = out.withColumn(
+            meta,
+            F.struct(
+                F.col(f"{meta}.media_type").alias("media_type"),
+                F.col(f"{meta}.format").alias("format"),
+                F.lit(width).alias("width"),
+                F.lit(height).alias("height"),
+                F.col(f"{meta}.duration_ms").alias("duration_ms"),
+                F.length(F.col(out_col)).cast("long").alias("n_bytes"),
+            ),
+        )
+    return out
+
+
+def repartition_for_media(
+    df: DataFrame, binary_col: str, target_partition_mb: int = 256
+) -> DataFrame:
+    """Partition-size a media frame by PAYLOAD bytes, not row count —
+    the row-count heuristics that work for tabular data produce
+    multi-GB partitions when each row carries a video blob, and a
+    single oversized partition OOMs its executor at 100 TB. One
+    lightweight scalar aggregate (sum of blob lengths) picks the
+    partition count; the blobs themselves shuffle once, evenly."""
+    total = df.agg(F.sum(F.length(F.col(binary_col)))).first()[0] or 0
+    n = max(1, -(-int(total) // (target_partition_mb * 1024 * 1024)))
+    return df.repartition(n)
+
+
 def frame_sample_plan(
     df: DataFrame, binary_col: str, every_ms: int = 1000, bytes_per_frame: int = 65536
 ) -> DataFrame:
