@@ -781,6 +781,18 @@ def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ approximate top-k (ADC over m-byte codes + exact re-rank) —
+    rows-only check: the seeded k-means codebooks are deterministic but
+    not SQL-expressible; recall vs brute force is asserted in
+    tests/test_extensions.py."""
+    from earthmover_spark.llm import similarity as S
+
+    emb = _p(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(10)
+    return S.pq_topk(queries, emb, k=5, m=8, rerank=100)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing: mapInPandas codec call (stub digest),
     native meta update (width/height/n_bytes)."""
@@ -1116,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_pq_topk": q_sim_pq_topk,  # rows-only (k-means codebooks)
         # temporal / events
         "ev_window_agg": q_ev_window_agg,
         "ev_sessionize": q_ev_sessionize,

@@ -170,6 +170,145 @@ def ivf_index(
     return emb.withColumn("cell", cell.cast("int")), centroids
 
 
+def pq_index(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+    code_col: str = "pq_code",
+) -> tuple[DataFrame, "list[list[list[float]]]"]:
+    """Product quantization: split each vector into ``m`` subvectors,
+    k-means each subspace (MLlib, seeded), store each vector as ``m``
+    small codes — the memory step of the billion-scale IVF-PQ recipe
+    (a 64-dim float vector compresses to m=4 bytes-ish of codes, so a
+    100 TB embedding corpus's index fits in a fraction of the space
+    and ADC scans touch codes, not vectors).
+
+    Returns (corpus + ``code_col`` array<int>, codebooks[m][k][dim/m]).
+    Training is distributed per subspace; encoding is a native argmin
+    expression per subspace — one narrow pass, no Python, no shuffle."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as e:  # pragma: no cover - mllib ships with pyspark
+        raise EarthmoverSparkError(f"pq_index requires pyspark.ml: {e}") from e
+
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % m:
+        raise EarthmoverSparkError(f"pq_index: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        train = emb.select(array_to_vector(sub).alias("features"))
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(train)
+        codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
+
+    def _sqdist_to(sub):
+        # plain closure: a 2-arg lambda would be read as (value, index)
+        return lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    code_exprs = []
+    for j in range(m):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebooks[j]])
+        dists = F.transform(cents, _sqdist_to(sub))
+        code_exprs.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return emb.withColumn(code_col, F.array(*code_exprs)), codebooks
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    m: int = 4,
+    n_codes: int = 16,
+    rerank: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """PQ approximate top-k with exact re-rank: score every corpus code
+    against each query by asymmetric distance (query subvector vs the
+    centroid each code names — native array expressions), shortlist the
+    ``rerank`` best per query, then exact-cosine re-rank to the final
+    ``k``. Same output schema as ``cosine_topk``.
+
+    The ADC scan reads only the m-code column (not the vectors), so
+    at scale the first stage is bandwidth-proportional to the
+    compressed index; only the shortlist touches full vectors."""
+    rerank = rerank or max(8 * k, 100)
+    encoded, codebooks = pq_index(
+        corpus, vec_col=vec_col, m=m, k=n_codes, seed=seed
+    )
+    dim = len(codebooks[0][0]) * m
+    dsub = dim // m
+    cb_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(x) for x in c]) for c in sub])
+        for sub in codebooks
+    ])
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv__"),
+    )
+    # ADC stage reads ONLY (id, codes) — the compressed index, not the
+    # vectors; full vectors join back for the shortlist re-rank only
+    cand = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("pq_code").alias("__code__"),
+    )
+    pairs = cand.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    qv, code = F.col("__qv__"), F.col("__code__")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.aggregate(
+            F.zip_with(
+                F.slice(qv, j * dsub + 1, dsub),
+                F.element_at(F.element_at(cb_lit, j + 1), F.element_at(code, j + 1) + 1),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    scored = pairs.withColumn("__adc__", adc)
+    w1 = Window.partitionBy(query_id_col).orderBy(
+        F.asc("__adc__"), F.asc("neighbor_id")
+    )
+    shortlist = scored.withColumn("__r__", F.row_number().over(w1)).filter(
+        F.col("__r__") <= rerank
+    )
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    exact = shortlist.join(vectors, "neighbor_id").withColumn(
+        "score", F.round(cosine(qv, F.col("__cv__")), 6)
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "score", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -469,3 +469,27 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         per_q.setdefault(r.query_id, 0)
         per_q[r.query_id] += 1
     assert all(v <= 3 for v in per_q.values())
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    """PQ ADC + exact re-rank: decent recall vs brute force on the
+    synthetic embeddings, deterministic across runs (seeded k-means,
+    tie-broken ranks)."""
+    from earthmover_spark.llm import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(queries, emb, k=5).collect()
+    }
+    got1 = S.pq_topk(queries, emb, k=5, m=8, rerank=100).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got1}
+    assert len(approx) == len(exact) == 50
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, recall
+    got2 = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_topk(queries, emb, k=5, m=8, rerank=100).collect()
+    }
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in got1} == got2
