@@ -219,9 +219,12 @@ def winnow_near_dups(
     self-join at corpus scale. What remains is an equi-join on rare
     fingerprints plus a pair-keyed count — the same candidate-pair
     shape as LSH banding, never all-pairs."""
+    # the fingerprint frame feeds the frequency filter AND both sides
+    # of the self-join — four plan references; without truncation the
+    # whole hash scan re-runs each time
     fps = winnow_fingerprints(
         df, text_col=text_col, id_col=id_col, k=k, w=w
-    )
+    ).localCheckpoint(eager=False)
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__n__"))
@@ -295,7 +298,11 @@ def bigram_logprob(
     the unigram scorer: (doc, bigram) hash agg, bigram-count and
     left-context-count tables, two bigram/word-keyed joins, per-doc
     weighted mean."""
-    arr = F.split(normalize_text(F.col(text_col)), " ")
+    # materialize the token array as a named column FIRST: expressions
+    # referenced inside transform() lambdas are re-evaluated per element
+    # (no CSE through lambda scopes), so inlining the split would make
+    # bigram construction O(tokens^2) per document
+    arr = F.col("__arr__")
     big = F.when(
         F.size(arr) >= 2,
         F.transform(
@@ -304,7 +311,10 @@ def bigram_logprob(
                                   F.element_at(arr, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(F.col(id_col), F.explode(big).alias("bigram"))
+    grams = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__arr__"),
+    ).select(F.col(id_col), F.explode(big).alias("bigram"))
     tf = grams.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
     cbig = tf.groupBy("bigram").agg(F.sum("tf").alias("c_big"))
     left = F.split(F.col("bigram"), " ").getItem(0)
