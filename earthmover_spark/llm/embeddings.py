@@ -34,11 +34,15 @@ def l2_normalize(
     zero. Components are rounded to 6 places for cross-engine
     reproducibility."""
     v = _dvec(vec_col)
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.when(norm == 0, v).otherwise(
-        F.transform(v, lambda x: F.round(x / norm, 6))
+    # materialize the norm as a column: an aggregate referenced inside
+    # the transform lambda would re-run per element (O(d^2) per vector)
+    norm_expr = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    out = df.withColumn("__norm__", norm_expr)
+    n = F.col("__norm__")
+    unit = F.when(n == 0, v).otherwise(
+        F.transform(v, lambda x: F.round(x / n, 6))
     )
-    return df.withColumn(out_col, unit)
+    return out.withColumn(out_col, unit).drop("__norm__")
 
 
 def mean_pool(
@@ -86,12 +90,17 @@ def quantize_int8(
     max|v|), with the dequantization scale (max|v| / 127) kept
     alongside. Zero vectors quantize to zeros with scale 0."""
     v = _dvec(vec_col)
-    vmax = F.array_max(F.transform(v, F.abs))
+    # materialized for the same per-element re-evaluation reason as
+    # l2_normalize
+    out = df.withColumn("__vmax__", F.array_max(F.transform(v, F.abs)))
+    vmax = F.col("__vmax__")
     q = F.when(
         vmax == 0, F.transform(v, lambda x: F.lit(0))
     ).otherwise(
         F.transform(v, lambda x: F.round(x / vmax * 127).cast("int"))
     )
-    return df.withColumn(out_col, q).withColumn(
-        scale_col, F.round(vmax / 127.0, 6)
+    return (
+        out.withColumn(out_col, q)
+        .withColumn(scale_col, F.round(vmax / 127.0, 6))
+        .drop("__vmax__")
     )
