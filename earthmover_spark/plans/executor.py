@@ -45,6 +45,22 @@ class Executor:
 
     def _eval_source(self, name: str, cfg: dict) -> DataFrame:
         cfg = dict(cfg)
+        if cfg.get("stream"):
+            # `stream: True` — engine extension (the reference is batch-
+            # only): the source becomes a Structured Streaming file
+            # source, and with the destination's checkpoint each run
+            # processes only files that arrived since the last run —
+            # per-file incremental pipelines instead of the reference's
+            # all-or-nothing run skip.
+            from earthmover_spark.streaming import read_stream_source
+
+            file = cfg.get("file")
+            if not file:
+                raise EarthmoverSparkError(f"{name}: streaming source needs `file`")
+            if not os.path.isabs(file):
+                file = os.path.join(self.project.base_dir, file)
+            fmt = cfg.get("type") or "parquet"
+            return read_stream_source(self.spark, file, format=fmt)
         connection = cfg.get("connection")
         if connection:
             if connection.startswith("ftp://"):
@@ -158,14 +174,15 @@ class Executor:
                 if self._show_progress(node.config):
                     print(f"-- {name}: written in {node_stats[name]['seconds']}s")
                 continue
-            self._check_expectations(name, node.config, df)
-            if node.config.get("debug"):
-                print(f"-- {name}: {len(df.columns)} columns {df.columns}")
-                df.show(5, truncate=False)
-            if node.config.get("repartition"):
-                df = df.repartition(int(node.config["repartition"]))
-            if consumers.get(name, 0) > 1:
-                df = df.persist()
+            if not df.isStreaming:
+                self._check_expectations(name, node.config, df)
+                if node.config.get("debug"):
+                    print(f"-- {name}: {len(df.columns)} columns {df.columns}")
+                    df.show(5, truncate=False)
+                if node.config.get("repartition"):
+                    df = df.repartition(int(node.config["repartition"]))
+                if consumers.get(name, 0) > 1:
+                    df = df.persist()
             self.data[name] = df
             node_stats[name] = {"seconds": round(time.time() - t0, 3)}
 
@@ -173,7 +190,7 @@ class Executor:
             # row counts force one count per node — opt-in, like the
             # reference's --results-file (earthmover.py:409-419)
             for name, df in self.data.items():
-                if name in node_stats:
+                if name in node_stats and not df.isStreaming:
                     node_stats[name]["rows"] = df.count()
             with open(results_file, "w") as fh:
                 json.dump(
@@ -198,6 +215,48 @@ class Executor:
             self.results["__graph__"] = graph_path
         return self.results
 
+    def _write_streaming(
+        self, name: str, cfg: dict, df: DataFrame, out_dir: str
+    ) -> str:
+        """Streaming destination: availableNow trigger drains whatever
+        is new, the checkpoint remembers processed files, and the query
+        stops — batch ergonomics, per-file incremental semantics.
+        Text destinations render through the same ``render_lines`` path
+        (template exprs and the Jinja pandas_udf both compose onto
+        streaming frames); columnar formats write part files."""
+        from earthmover_spark.destinations.file_destination import render_lines
+        from earthmover_spark.streaming import write_stream_destination
+
+        short = name.split(".", 1)[1]
+        fmt = cfg.get("format")
+        checkpoint = os.path.join(out_dir, ".checkpoints", short)
+        if fmt in ("parquet", "orc", "csv"):
+            out_path = os.path.join(out_dir, f"{short}.{fmt}.d")
+        else:
+            template_file = cfg.get("template")
+            template = None
+            if template_file:
+                if not os.path.isabs(template_file):
+                    template_file = os.path.join(self.project.base_dir, template_file)
+                with open(template_file) as fh:
+                    template = fh.read()
+            df = render_lines(
+                df, template, macros=self.project.macros,
+                loader_dir=self.project.base_dir,
+                linearize=cfg.get("linearize", True),
+            )
+            fmt = "text"
+            out_path = os.path.join(
+                out_dir, f"{short}.{cfg.get('extension', 'jsonl')}.d"
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        q = write_stream_destination(
+            df, path=out_path, format=fmt, checkpoint=checkpoint,
+            trigger_once=True,
+        )
+        q.awaitTermination()
+        return out_path
+
     def _show_progress(self, cfg: dict) -> bool:
         """Node-level ``show_progress`` with a config-level default —
         reference node.py:59 (ProgressBar per node). The Spark mapping
@@ -220,6 +279,9 @@ class Executor:
 
     def _write_destination_inner(self, name: str, cfg: dict, out_dir: str) -> None:
         df = self._resolve(cfg["source"])
+        if df.isStreaming:
+            self.results[name] = self._write_streaming(name, cfg, df, out_dir)
+            return
         if cfg.get("format") in ("parquet", "orc", "csv"):
             from earthmover_spark.destinations.file_destination import write_columnar
 
