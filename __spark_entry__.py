@@ -884,6 +884,18 @@ def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_tags", "n_urls")
 
 
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact char-budget sampling in key-hash order —
+    one window per stratum, reproducible on any engine."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    return sampling.budget_sample(
+        docs, key_col="doc_id", size_col="n_chars",
+        budget=50_000, strata_col="lang",
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprints (k-gram rolling hashes, window
     minima) — native array exprs, zero shuffle."""
@@ -1168,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "tokenize_ids": q_tokenize_ids,
         "stratified_sample": q_stratified_sample,
+        "budget_sample": q_budget_sample,
         "winnow_fp": q_winnow_fp,
         "winnow_near_dups": q_winnow_near_dups,
         # corpus curation
@@ -1810,6 +1823,22 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '<[^>]+>')) AS n_tags,
                    len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls
             FROM seeded
+        """,
+        "budget_sample": """
+            WITH h AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT AS hh
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_chars,
+                     sum(CAST(n_chars AS BIGINT)) OVER (
+                         PARTITION BY lang ORDER BY hh ASC, doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM h
+            )
+            SELECT doc_id, lang, n_chars FROM c WHERE cum <= 50000
         """,
         "winnow_fp": f"""
             WITH n AS (

@@ -105,6 +105,44 @@ def stratified_sample(
     return df.filter(h < threshold)
 
 
+def budget_sample(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    strata_col: str | None = None,
+    salt: str = "budget",
+) -> DataFrame:
+    """Budget-capped deterministic sampling: take rows in key-hash
+    order until the cumulative ``size_col`` fills ``budget`` (per
+    stratum when ``strata_col`` is given) — "give me 10B tokens of
+    each language, chosen stably" — the exact-budget counterpart of
+    :func:`stratified_sample`'s fixed fractions. A row is in or out
+    independent of partitioning, runs, or engine.
+
+    Shape: one hash-partition + per-stratum sort for the running-sum
+    window. The sort is the price of exactness; when an approximate
+    budget is fine, estimate the fraction from a count and use
+    :func:`stratified_sample` instead (zero shuffle)."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise EarthmoverSparkError("budget_sample: budget must be > 0")
+    h = _h60(F.col(key_col), f"{salt}:")
+    part = [strata_col] if strata_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(size_col).cast("long")).over(w)
+    return (
+        df.withColumn("__cum__", cum)
+        .filter(F.col("__cum__") <= budget)
+        .drop("__cum__")
+    )
+
+
 def split_dataset(
     df: DataFrame,
     key_col: str,

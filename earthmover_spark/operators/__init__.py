@@ -72,6 +72,7 @@ OPERATIONS = {
     "chunk_documents": sampling.chunk_documents,
     "deterministic_sample": sampling.deterministic_sample,
     "stratified_sample": sampling.stratified_sample,
+    "budget_sample": sampling.budget_sample,
     "split_dataset": sampling.split_dataset,
     "unigram_logprob": textstats.unigram_logprob,
     "bigram_logprob": textstats.bigram_logprob,

@@ -493,3 +493,29 @@ def test_pq_topk_recall_and_determinism(spark):
         for r in S.pq_topk(queries, emb, k=5, m=8, rerank=100).collect()
     }
     assert {(r.query_id, r.neighbor_id, r.rank) for r in got1} == got2
+
+
+def test_budget_sample(spark):
+    from earthmover_spark.llm import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr", 100) for i in range(100)],
+        ["k", "lang", "n"],
+    )
+    out = sampling.budget_sample(
+        df, key_col="k", size_col="n", budget=1000, strata_col="lang"
+    )
+    counts = {r.lang: r.cnt for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # exactly 10 rows of 100 units per stratum fill the 1000 budget
+    assert counts == {"en": 10, "fr": 10}
+    # stable selection across runs and partitionings
+    s1 = {r.k for r in out.collect()}
+    s2 = {r.k for r in sampling.budget_sample(
+        df.repartition(13), key_col="k", size_col="n",
+        budget=1000, strata_col="lang").collect()}
+    assert s1 == s2
+    # growing the budget only ADDS rows (prefix property)
+    s3 = {r.k for r in sampling.budget_sample(
+        df, key_col="k", size_col="n", budget=2000, strata_col="lang").collect()}
+    assert s1 <= s3 and len(s3) == 40
