@@ -884,6 +884,17 @@ def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_tags", "n_urls")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling of the language mix (p_s -> p_s^0.7) —
+    tiny count aggregate + one CASE-threshold filter."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    return sampling.temperature_mix(
+        docs, strata_col="lang", key_col="doc_id", temperature=0.7
+    ).select("doc_id", "lang")
+
+
 def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact char-budget sampling in key-hash order —
     one window per stratum, reproducible on any engine."""
@@ -1181,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": q_tokenize_ids,
         "stratified_sample": q_stratified_sample,
         "budget_sample": q_budget_sample,
+        "temperature_mix": q_temperature_mix,
         "winnow_fp": q_winnow_fp,
         "winnow_near_dups": q_winnow_near_dups,
         # corpus curation
@@ -1823,6 +1835,22 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '<[^>]+>')) AS n_tags,
                    len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls
             FROM seeded
+        """,
+        "temperature_mix": """
+            WITH c AS (
+              SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1
+            ), t AS (
+              SELECT sum(n) AS tot FROM c
+            ), w AS (
+              SELECT lang, power(n / tot, 0.7 - 1.0) AS wt FROM c, t
+            ), f AS (
+              SELECT lang, wt / (SELECT max(wt) FROM w) AS frac FROM w
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN f USING (lang)
+            WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT)::BIGINT
+                  < CAST(floor(frac * 1152921504606846976) AS BIGINT)
         """,
         "budget_sample": """
             WITH h AS (

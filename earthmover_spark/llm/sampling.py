@@ -105,6 +105,43 @@ def stratified_sample(
     return df.filter(h < threshold)
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    temperature: float = 0.7,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the multinomial smoothing
+    used for multilingual/multi-source pretraining mixes): resample so
+    stratum shares go from p_s to ∝ p_s^T. T=1 keeps the natural mix;
+    T→0 flattens toward uniform. The smallest stratum is kept whole and
+    larger ones downsample deterministically by key hash.
+
+    Per-stratum keep fractions derive from one tiny count aggregate
+    (#strata rows to the driver); the resample itself is a single
+    codegen'd CASE-threshold filter like :func:`stratified_sample` —
+    zero data-scale shuffle."""
+    if temperature <= 0:
+        raise EarthmoverSparkError("temperature_mix: temperature must be > 0")
+    rows = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    if not rows:
+        return df
+    total = float(sum(r["n"] for r in rows))
+    weights = {
+        r[strata_col]: (r["n"] / total) ** (temperature - 1.0) for r in rows
+    }
+    wmax = max(weights.values())
+    fractions = {s: w / wmax for s, w in weights.items()}
+    return stratified_sample(
+        df,
+        strata_col=strata_col,
+        fractions=fractions,
+        key_col=key_col,
+        salt=salt,
+    )
+
+
 def budget_sample(
     df: DataFrame,
     key_col: str,

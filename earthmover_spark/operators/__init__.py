@@ -73,6 +73,7 @@ OPERATIONS = {
     "deterministic_sample": sampling.deterministic_sample,
     "stratified_sample": sampling.stratified_sample,
     "budget_sample": sampling.budget_sample,
+    "temperature_mix": sampling.temperature_mix,
     "split_dataset": sampling.split_dataset,
     "unigram_logprob": textstats.unigram_logprob,
     "bigram_logprob": textstats.bigram_logprob,

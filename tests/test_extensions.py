@@ -519,3 +519,21 @@ def test_budget_sample(spark):
     s3 = {r.k for r in sampling.budget_sample(
         df, key_col="k", size_col="n", budget=2000, strata_col="lang").collect()}
     assert s1 <= s3 and len(s3) == 40
+
+
+def test_temperature_mix(spark):
+    from earthmover_spark.llm import sampling
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    out = sampling.temperature_mix(df, strata_col="src", key_col="k",
+                                   temperature=0.5)
+    counts = {r.src: r.cnt for r in
+              out.groupBy("src").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # smallest stratum kept whole; big downsampled toward (0.9/0.1)^-0.5 = 1/3
+    assert counts["small"] == 100
+    assert 200 < counts["big"] < 400
+    # T=1 keeps the natural mix untouched
+    same = sampling.temperature_mix(df, strata_col="src", key_col="k",
+                                    temperature=1.0)
+    assert same.count() == 1000
