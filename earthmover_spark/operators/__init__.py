@@ -10,7 +10,7 @@ and unions additionally take a ``registry`` of named DataFrames).
 """
 
 from earthmover_spark.llm import curation, dedup, embeddings, sampling, textstats
-from earthmover_spark.operators import column, dataframe, groupby, row, skew
+from earthmover_spark.operators import column, dataframe, groupby, row, skew, temporal
 
 OPERATIONS = {
     # column ops (earthmover/operations/column.py)
@@ -52,6 +52,13 @@ OPERATIONS = {
     "unnest_struct": row.unnest_struct,
     "window_calc": groupby.window_calc,
     "top_n_rows": groupby.top_n_rows,
+    "window_agg": temporal.window_agg,
+    "sessionize": temporal.sessionize,
+    "asof_join": temporal.asof_join,
+    "interval_join": temporal.interval_join,
+    # streaming-only helper: bound state for windowed aggs on `stream:`
+    # sources (no-op semantics change on batch frames)
+    "with_watermark": lambda df, *, column, delay: df.withWatermark(column, delay),
     # LLM-pipeline extensions, driveable from YAML like any operation.
     # `resolve_duplicates` takes `pairs:` and `decontaminate` takes
     # `benchmark:` node references, resolved by the executor like join

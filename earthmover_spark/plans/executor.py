@@ -107,6 +107,8 @@ class Executor:
                 kwargs["sources"] = [self._resolve(s) for s in op_cfg["sources"]]
             if op_name == "semi_join":
                 kwargs["source"] = self._resolve(op_cfg["source"])
+            if op_name in ("asof_join", "interval_join"):
+                kwargs["right"] = self._resolve(op_cfg["right"])
             if op_name == "resolve_duplicates":
                 kwargs["pairs"] = self._resolve(op_cfg["pairs"])
             if op_name == "decontaminate":

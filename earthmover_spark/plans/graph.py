@@ -25,8 +25,9 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
         for s in op.get("sources") or []:
             refs.append(s)
         # single-frame side inputs: semi_join's `source`,
-        # resolve_duplicates' `pairs`, decontaminate's `benchmark`
-        for key in ("source", "pairs", "benchmark"):
+        # resolve_duplicates' `pairs`, decontaminate's `benchmark`,
+        # asof/interval joins' `right`
+        for key in ("source", "pairs", "benchmark", "right"):
             if op.get(key):
                 refs.append(op[key])
     return [r for r in refs if isinstance(r, str) and r.startswith("$")]

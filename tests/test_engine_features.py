@@ -477,3 +477,65 @@ def test_deps_subcommand(tmp_path, capsys):
     rc = cli_main(["deps", "-c", str(tmp_path / "earthmover.yaml")])
     assert rc == 0
     assert "2 nodes" in capsys.readouterr().out
+
+
+def test_temporal_ops_in_yaml(spark, tmp_path):
+    """Temporal operators (window_agg, sessionize, asof_join) are
+    YAML-drivable; asof_join resolves its `right:` node reference like
+    join's sources."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7.0, "a"), (2, "2024-01-01 10:20:00", 8.0, "a"),
+         (3, "2024-01-01 11:10:00", 9.0, "a")],
+        ["event_id", "ts_s", "value", "sym"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    quotes = spark.createDataFrame(
+        [("2024-01-01 09:55:00", 100.0, "a"), ("2024-01-01 10:15:00", 200.0, "a")],
+        ["qts_s", "px", "sym"],
+    ).withColumn("qts", F.to_timestamp("qts_s")).drop("qts_s")
+    quotes.write.mode("overwrite").parquet(str(tmp_path / "quotes"))
+
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          events:
+            file: events
+            type: parquet
+          quotes:
+            file: quotes
+            type: parquet
+        transformations:
+          hourly:
+            source: $sources.events
+            operations:
+              - operation: window_agg
+                ts_col: ts
+                window_duration: 1 hour
+                aggs: {sv: "sum(value)"}
+          priced:
+            source: $sources.events
+            operations:
+              - operation: asof_join
+                right: $sources.quotes
+                left_ts: ts
+                right_ts: qts
+                left_on: sym
+                right_on: sym
+                right_cols: [px]
+        destinations:
+          hourly_out:
+            source: $transformations.hourly
+          priced_out:
+            source: $transformations.priced
+    """))
+    results = run_project(spark, str(tmp_path / "earthmover.yaml"),
+                          output_dir=str(tmp_path / "o"))
+    hourly = [json.loads(ln) for ln in
+              open(results["$destinations.hourly_out"]).read().splitlines()]
+    assert {(h["window_start"][:19], h["sv"]) for h in hourly} == {
+        ("2024-01-01 10:00:00", "15.0"), ("2024-01-01 11:00:00", "9.0")
+    }
+    priced = {json.loads(ln)["event_id"]: json.loads(ln)["px"] for ln in
+              open(results["$destinations.priced_out"]).read().splitlines()}
+    assert priced == {"1": "100.0", "2": "200.0", "3": "200.0"}
