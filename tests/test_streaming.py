@@ -255,3 +255,53 @@ def test_yaml_streaming_incremental_pipeline(spark, tmp_path):
     got2 = read_lines(r2["$destinations.events_out"])
     assert {g["tag"] for g in got2} == {"alpha:1", "beta:2", "gamma:3"}
     assert len(got2) == 3  # no reprocessing duplicates
+
+
+def test_yaml_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """A watermarked windowed aggregation in YAML over a `stream: True`
+    source: append mode emits only windows the final watermark has
+    closed (the last open window stays in state for the next run)."""
+    import glob
+    import json
+    import textwrap
+
+    from earthmover_spark.plans.executor import run_project
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7.0), (2, "2024-01-01 10:20:00", 8.0),
+         (3, "2024-01-01 11:10:00", 9.0)],
+        ["event_id", "ts_s", "value"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s") \
+        .coalesce(1).write.mode("append").parquet(str(inbox))
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          events:
+            file: inbox
+            type: parquet
+            stream: True
+        transformations:
+          hourly:
+            source: $sources.events
+            operations:
+              - operation: with_watermark
+                column: ts
+                delay: 0 seconds
+              - operation: window_agg
+                ts_col: ts
+                window_duration: 1 hour
+                aggs: {sv: "sum(value)"}
+        destinations:
+          hourly_out:
+            source: $transformations.hourly
+    """))
+    r = run_project(spark, str(tmp_path / "earthmover.yaml"),
+                    output_dir=str(tmp_path / "o"))
+    rows = []
+    for part in glob.glob(r["$destinations.hourly_out"] + "/part-*"):
+        rows += [json.loads(ln) for ln in open(part).read().splitlines()]
+    # watermark lands at 11:10 -> only the closed 10:00 window emits
+    assert len(rows) == 1
+    assert rows[0]["window_start"][:19] == "2024-01-01 10:00:00"
+    assert rows[0]["sv"] == "15.0"
