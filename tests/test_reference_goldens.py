@@ -35,6 +35,19 @@ def golden_outputs(spark, tmp_path_factory):
     return out_dir
 
 
+def test_golden_harness_on_reference_suite(spark):
+    """The engine's own `test` harness (the reference's `earthmover -t`
+    equivalent) passes against the reference's expected/ directory."""
+    from earthmover_spark.plans.executor import run_golden_test
+
+    failures = run_golden_test(
+        spark,
+        os.path.join(REF_TESTS, "earthmover.yaml"),
+        expected_dir=os.path.join(REF_TESTS, "expected"),
+    )
+    assert failures == {}
+
+
 def test_all_reference_goldens_match(golden_outputs):
     expected_dir = os.path.join(REF_TESTS, "expected")
     names = sorted(os.listdir(expected_dir))
