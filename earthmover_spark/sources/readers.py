@@ -261,7 +261,7 @@ def read_source(
     sheet=0,
     match: str | None = None,
     xpath: str | None = None,
-    orientation: str = "columns",
+    orientation: str | None = None,
     object_type: str = "frame",
     **kwargs,
 ) -> DataFrame:
@@ -329,7 +329,17 @@ def read_source(
     elif ftype == "jsonl":
         df = spark.read.json(file)  # native nested StructType
     elif ftype == "json":
-        df = spark.read.option("multiLine", "true").json(file)
+        if orientation is not None or object_type == "series":
+            # pandas-layout JSON orientations (reference source.py:412:
+            # pd.read_json(typ, orient)) — driver-side, dimension-scale
+            df = _pandas_bridge(
+                spark, file, "json",
+                sheet=sheet, match=match, xpath=xpath, encoding=encoding,
+                header_rows=header_rows, orientation=orientation,
+                object_type=object_type,
+            )
+        else:
+            df = spark.read.option("multiLine", "true").json(file)
     elif ftype == "parquet":
         df = spark.read.parquet(file)
     elif ftype == "orc":
@@ -345,13 +355,20 @@ def read_source(
 
 def _pandas_bridge(
     spark: SparkSession, file: str, ftype: str, *, sheet, match, xpath,
-    encoding, header_rows, orientation,
+    encoding, header_rows, orientation, object_type="frame",
 ) -> DataFrame:
     """Driver-side pandas read for non-splittable formats
     (reference source.py:407-418) -> Arrow createDataFrame."""
     import pandas as pd
 
-    if ftype == "excel":
+    if ftype == "json":
+        # pandas-layout orientations (columns/index/split/values) and
+        # typ='series' (reference source.py:412)
+        out = pd.read_json(
+            file, orient=orientation, typ=object_type or "frame"
+        )
+        pdf = out.to_frame("value").reset_index() if object_type == "series" else out
+    elif ftype == "excel":
         try:
             pdf = pd.read_excel(file, sheet_name=sheet, dtype=str, keep_default_na=False)
         except ImportError as e:  # openpyxl not in container

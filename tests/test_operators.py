@@ -199,3 +199,24 @@ def test_melt_defaults(spark):
     out = D.melt(df, id_vars=["id"])
     assert set(out.columns) == {"id", "melt_variable", "melt_value"}
     assert out.count() == 2
+
+
+def test_json_orientations(spark, tmp_path):
+    """pandas-layout JSON orientations and typ='series' route through
+    the driver-side bridge (reference source.py:412); array/records
+    JSON stays on the native distributed reader."""
+    import json as _json
+
+    from earthmover_spark.sources.readers import read_source
+
+    cols = tmp_path / "c.json"
+    cols.write_text(_json.dumps({"a": {"0": 1, "1": 2}, "b": {"0": "x", "1": "y"}}))
+    df = read_source(spark, str(cols), orientation="columns")
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+    ser = tmp_path / "s.json"
+    ser.write_text(_json.dumps({"feb": 5, "jan": 3}))
+    df2 = read_source(spark, str(ser), object_type="series")
+    assert sorted((r["index"], r.value) for r in df2.collect()) == [
+        ("feb", 5), ("jan", 3)
+    ]
