@@ -320,7 +320,9 @@ def _validate(project: ProjectConfig) -> None:
                 f"transformation {name!r}: needs an `operations` list"
             )
         if "source" not in cfg and not any(
-            op.get("sources") for op in cfg["operations"] if isinstance(op, dict)
+            op.get("sources") or op.get("operation") == "sql"
+            for op in cfg["operations"]
+            if isinstance(op, dict)
         ):
             raise EarthmoverSparkError(f"transformation {name!r}: needs a `source`")
         for op in cfg["operations"]:

@@ -88,11 +88,33 @@ class Executor:
         }
         return read_source(self.spark, file, **kwargs)
 
+    def _sql_operation(self, name: str, query: str) -> DataFrame:
+        """dbt-style SQL transformation (engine extension): the query
+        references upstream nodes as ``$sources.x`` / ``$transformations.y``;
+        each is registered as a temp view and the reference rewritten, so
+        the full Spark SQL surface (CTEs, window functions, lateral
+        views) composes with YAML operations — Catalyst optimizes across
+        the boundary since views are just plans."""
+        def _sub(m: "re.Match[str]") -> str:
+            ref = m.group(0)
+            df = self._resolve(ref)
+            view = ref.replace("$", "em_").replace(".", "__")
+            df.createOrReplaceTempView(view)
+            return view
+
+        rewritten = re.sub(
+            r"\$(?:sources|transformations)\.\w+", _sub, query
+        )
+        return self.spark.sql(rewritten)
+
     def _eval_transformation(self, name: str, cfg: dict) -> DataFrame:
         df = self._resolve(cfg["source"]) if cfg.get("source") else None
         for op_cfg in cfg["operations"]:
             op_cfg = dict(op_cfg)
             op_name = op_cfg.pop("operation")
+            if op_name == "sql":
+                df = self._sql_operation(name, op_cfg["query"])
+                continue
             fn = OPERATIONS.get(op_name)
             if fn is None:
                 raise EarthmoverSparkError(f"{name}: unknown operation {op_name!r}")

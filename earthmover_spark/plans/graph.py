@@ -30,6 +30,13 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
         for key in ("source", "pairs", "benchmark", "right"):
             if op.get(key):
                 refs.append(op[key])
+        # sql operations embed $node references inside the query text
+        if op.get("operation") == "sql" and isinstance(op.get("query"), str):
+            import re as _re
+
+            refs.extend(
+                _re.findall(r"\$(?:sources|transformations)\.\w+", op["query"])
+            )
     return [r for r in refs if isinstance(r, str) and r.startswith("$")]
 
 

@@ -539,3 +539,42 @@ def test_temporal_ops_in_yaml(spark, tmp_path):
     priced = {json.loads(ln)["event_id"]: json.loads(ln)["px"] for ln in
               open(results["$destinations.priced_out"]).read().splitlines()}
     assert priced == {"1": "100.0", "2": "200.0", "3": "200.0"}
+
+
+def test_sql_transformation(spark, tmp_path):
+    """`operation: sql` — dbt-style SQL transformations over upstream
+    nodes referenced as $sources.x/$transformations.y (engine
+    extension). References are rewritten to temp views, so full Spark
+    SQL (CTEs, windows, joins) composes with YAML operations and
+    Catalyst optimizes across the boundary."""
+    (tmp_path / "orders.csv").write_text(
+        "oid,cust,amt\n1,a,10\n2,a,20\n3,b,5\n"
+    )
+    (tmp_path / "names.csv").write_text("cust,full\na,Ann\nb,Bo\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          orders:
+            file: orders.csv
+          names:
+            file: names.csv
+        transformations:
+          spend:
+            operations:
+              - operation: sql
+                query: >
+                  SELECT n.full, sum(CAST(o.amt AS DOUBLE)) AS total
+                  FROM $sources.orders o
+                  JOIN $sources.names n USING (cust)
+                  GROUP BY n.full
+              - operation: filter_rows
+                query: total > "6"
+                behavior: include
+        destinations:
+          spend_out:
+            source: $transformations.spend
+    """))
+    results = run_project(spark, str(tmp_path / "earthmover.yaml"),
+                          output_dir=str(tmp_path / "o"))
+    rows = {json.loads(ln)["full"]: json.loads(ln)["total"] for ln in
+            open(results["$destinations.spend_out"]).read().splitlines()}
+    assert rows == {"Ann": "30.0"}
