@@ -23,6 +23,9 @@ SF_DIR = "/root/testdata/sf0.001"
      and all(float(r["quality"]) >= 0 for r in rows)
      # every 53rd doc is benchmark-contaminated, so filtered out
      and not any(int(r["doc_id"]) % 53 == 0 for r in rows)),
+    ("05_sql_transform", "$destinations.top_spenders_out",
+     lambda rows: len(rows) == 10
+     and sorted(int(r["spend_rank"]) for r in rows) == list(range(1, 11))),
 ])
 def test_example_runs(spark, tmp_path, name, dest, check):
     cfg = os.path.join(EXAMPLES, name, "earthmover.yaml")
