@@ -504,7 +504,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from earthmover_spark.llm import dedup
 
     emb = _p(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups(emb, threshold=0.2, band_dims=4)
+    return dedup.embedding_near_dups(emb, threshold=0.2, band_dims=4, n_bands=4)
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1100,8 +1100,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the driver's per-round snapshot records a prefix of
+    # this dict, so the queries NOT captured in CORRECTNESS_r01.json
+    # (temporal, curation, sampling, multimodal, relational/text
+    # extensions) come right after the flagship; the reference-surface
+    # operators and dedup/ANN stack — all green in r01 — follow.
     return {
         "flagship": q_flagship,
+        # temporal / events
+        "ev_window_agg": q_ev_window_agg,
+        "ev_sessionize": q_ev_sessionize,
+        "ev_asof_join": q_ev_asof_join,
+        "ev_window_sliding": q_ev_window_sliding,
+        # corpus curation
+        "dedup_resolve": q_dedup_resolve,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
+        # training-data pipeline
+        "chunk_documents": q_chunk_documents,
+        "det_sample": q_det_sample,
+        "split_dataset": q_split_dataset,
+        "pack_sequences": q_pack_sequences,  # rows-only (partition-dependent)
+        "pack_sequences_ordered": q_pack_sequences_ordered,
+        "stratified_sample": q_stratified_sample,
+        "budget_sample": q_budget_sample,
+        "temperature_mix": q_temperature_mix,
+        # multimodal plumbing
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        # embedding vector ops
+        "emb_normalize": q_emb_normalize,
+        "emb_mean_pool": q_emb_mean_pool,
+        "emb_quantize": q_emb_quantize,
+        # relational extensions
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "group_by_rollup": q_group_by_rollup,
+        "group_by_cube": q_group_by_cube,
+        "group_by_salted": q_group_by_salted,
+        "explode_array": q_explode_array,
+        "window_calc": q_window_calc,
+        "top_n": q_top_n,
+        "group_by_quantiles": q_group_by_quantiles,
+        "interval_join": q_interval_join,
+        # text analysis extensions
+        "text_tfidf": q_text_tfidf,
+        "strip_markup": q_strip_markup,
+        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "tokenize_ids": q_tokenize_ids,
+        "winnow_fp": q_winnow_fp,
+        "winnow_near_dups": q_winnow_near_dups,
+        # reference-surface operators (all green in CORRECTNESS_r01)
         "src_parquet_scan": q_src_parquet_scan,
         "keep_columns": q_keep_columns,
         "drop_columns": q_drop_columns,
@@ -1136,7 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "jinja_conditional": q_jinja_conditional,
         "jinja_md5": q_jinja_md5,
-        # LLM-pipeline extensions
+        # LLM-pipeline dedup / similarity
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "text_tokens": q_text_tokens,
@@ -1152,54 +1206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_pq_topk": q_sim_pq_topk,  # rows-only (k-means codebooks)
-        # temporal / events
-        "ev_window_agg": q_ev_window_agg,
-        "ev_sessionize": q_ev_sessionize,
-        "ev_asof_join": q_ev_asof_join,
-        "ev_window_sliding": q_ev_window_sliding,
-        # relational extensions
-        "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
-        "set_intersect": q_set_intersect,
-        "set_except": q_set_except,
-        "group_by_rollup": q_group_by_rollup,
-        "group_by_cube": q_group_by_cube,
-        "group_by_salted": q_group_by_salted,
-        "explode_array": q_explode_array,
-        "window_calc": q_window_calc,
-        "top_n": q_top_n,
-        "group_by_quantiles": q_group_by_quantiles,
-        "interval_join": q_interval_join,
-        # multimodal plumbing
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        # training-data pipeline
-        "chunk_documents": q_chunk_documents,
-        "det_sample": q_det_sample,
-        "split_dataset": q_split_dataset,
-        "pack_sequences": q_pack_sequences,  # rows-only (partition-dependent)
-        "pack_sequences_ordered": q_pack_sequences_ordered,
-        # embedding vector ops
-        "emb_normalize": q_emb_normalize,
-        "emb_mean_pool": q_emb_mean_pool,
-        "emb_quantize": q_emb_quantize,
-        # text analysis extensions
-        "text_tfidf": q_text_tfidf,
-        "strip_markup": q_strip_markup,
-        "unigram_logprob": q_unigram_logprob,
-        "bigram_logprob": q_bigram_logprob,
-        "tokenize_ids": q_tokenize_ids,
-        "stratified_sample": q_stratified_sample,
-        "budget_sample": q_budget_sample,
-        "temperature_mix": q_temperature_mix,
-        "winnow_fp": q_winnow_fp,
-        "winnow_near_dups": q_winnow_near_dups,
-        # corpus curation
-        "dedup_resolve": q_dedup_resolve,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "redact_pii": q_redact_pii,
     }
 
 
@@ -1559,20 +1565,29 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
         """,
         "dedup_embedding": """
+            -- multi-band sign LSH: band b buckets on the sign pattern of
+            -- dims [b*4, (b+1)*4); candidate = collision in ANY band.
             WITH v AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v,
-                     (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
-                     || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
-                     || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
-                     || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-              FROM embeddings
-            ), scored AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(list_cosine_similarity(a.v, b.v), 6) AS cos
-              FROM v a JOIN v b
-                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), banded AS (
+              SELECT vec_id, b.band,
+                     list_aggregate(
+                       [CASE WHEN v[b.band*4 + i] >= 0 THEN '1' ELSE '0' END
+                        FOR i IN [1, 2, 3, 4]],
+                       'string_agg', '') AS chunk
+              FROM v, (SELECT unnest(range(4)) AS band) b
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+              FROM banded a JOIN banded b2
+                ON a.band = b2.band AND a.chunk = b2.chunk
+               AND a.vec_id < b2.vec_id
             )
-            SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.2
+            SELECT c.id_a, c.id_b,
+                   round(list_cosine_similarity(va.v, vb.v), 6) AS cos
+            FROM cand c
+            JOIN v va ON c.id_a = va.vec_id
+            JOIN v vb ON c.id_b = vb.vec_id
+            WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.2
         """,
         "sim_topk": """
             WITH q AS (

@@ -27,9 +27,20 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition narrow inputs up to cluster parallelism before
     CPU-heavy hash derivations. A small parquet file arrives as 1-2
     partitions; hashing must not inherit that. At real scale (many
-    files) this is a no-op."""
+    files) this is a no-op.
+
+    Uses ``inputFiles()`` metadata to detect narrow scans — no
+    plan->RDD conversion (``df.rdd`` forces one just to read a
+    partition count). Frames backed by many files, or not backed by
+    files at all (in-memory test frames, post-shuffle plans), pass
+    through untouched; the one-big-file case is already split by
+    ``spark.sql.files.maxPartitionBytes``."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -323,45 +334,94 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def sign_bands(
+    v: DataFrame,
+    id_col: str,
+    vec_col: str,
+    band_dims: int,
+    n_bands: int,
+) -> DataFrame:
+    """Explode each vector to ``n_bands`` (band, chunk) bucket keys,
+    where chunk is the '1'/'0' sign pattern of dimensions
+    ``[band*band_dims, (band+1)*band_dims)``. Pure column expressions —
+    no shuffle, no Python."""
+    return v.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.when(
+                                    F.col(vec_col)[b * band_dims + i] >= 0, F.lit("1")
+                                )
+                                .otherwise(F.lit("0"))
+                                for i in range(band_dims)
+                            ],
+                        ).alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.chunk")
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     band_dims: int = 8,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Near-identical vectors by cosine >= threshold.
 
-    Candidate generation uses sign-bucket LSH (the sign pattern of the
-    first `band_dims` dimensions): near-identical vectors almost surely
-    share the bucket, and the join is keyed on the bucket — no cross
-    join. Exact cosine verifies."""
+    Candidate generation uses multi-band sign LSH (same banding shape as
+    ``lsh_candidate_pairs``/``simhash_near_dups``): band ``b`` buckets on
+    the sign pattern of dimensions ``[b*band_dims, (b+1)*band_dims)``, so
+    there are ``n_bands * 2^band_dims`` buckets and a pair is a candidate
+    if it collides in ANY band. Bucket width scales with ``band_dims``
+    (not fixed at 2^8 for the whole corpus) while multiple independent
+    bands preserve recall — for a 100 TB corpus raise ``band_dims`` so
+    per-bucket populations stay bounded and the within-bucket self-join
+    never tends quadratic. Candidate pairs are distinct-ed *before* the
+    exact-cosine verify, so each pair's dot product is computed once and
+    the vectors re-enter via two id-keyed joins instead of riding through
+    the distinct's shuffle."""
     from earthmover_spark.llm.similarity import cosine
 
     v = emb.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        F.concat_ws(
-            "",
-            *[
-                F.when(F.col(vec_col)[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
-                for i in range(band_dims)
-            ],
-        ).alias("bucket"),
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    a, b = v.alias("a"), v.alias("b")
-    return (
+    banded = sign_bands(v, id_col, "v", band_dims, n_bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             b,
             on=[
-                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.chunk") == F.col("b.chunk"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -8,6 +8,7 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from earthmover_spark.operators.row import ROW_ORDER
 from earthmover_spark.util import EarthmoverSparkError, ensure_list, string_view
 
 JOIN_TYPES = {"inner": "inner", "left": "left", "right": "right", "outer": "full_outer"}
@@ -209,7 +210,14 @@ def debug(
     transpose: bool = False,
 ) -> DataFrame:
     """Print head/tail/describe/columns and pass data through unchanged
-    (reference earthmover/operations/dataframe.py:192-248)."""
+    (reference earthmover/operations/dataframe.py:192-248).
+
+    All three variants are driver-bounded: head/tail pull at most
+    ``rows`` rows (tail via a reverse-order bounded limit, or Spark's
+    last-partitions ``DataFrame.tail`` when no order column exists) and
+    describe runs the distributed ``summary()`` aggregate, collecting
+    only its ≤10-row result — a stray debug node on a 100 TB frame never
+    materializes the dataset on the driver."""
     if function not in ("head", "tail", "describe", "columns"):
         raise EarthmoverSparkError(f"debug type `{function}` not defined")
     if function == "columns":
@@ -221,9 +229,21 @@ def debug(
     if function == "head":
         pdf = view.limit(rows).toPandas()
     elif function == "tail":
-        pdf = view.toPandas().tail(rows)
+        if ROW_ORDER in df.columns:
+            pdf = (
+                df.orderBy(F.col(ROW_ORDER).desc())
+                .limit(rows)
+                .select(*selected)
+                .toPandas()
+                .iloc[::-1]
+                .reset_index(drop=True)
+            )
+        else:
+            import pandas as pd
+
+            pdf = pd.DataFrame(view.tail(rows), columns=view.columns)
     else:
-        pdf = view.toPandas().describe()
+        pdf = view.summary().toPandas()
     if transpose:
         pdf = pdf.transpose().reset_index(names="column")
     print(pdf.to_string(index=False))

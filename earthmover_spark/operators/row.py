@@ -93,16 +93,17 @@ def limit_rows(df: DataFrame, *, count: int, offset: int = 0) -> DataFrame:
 
     With a captured ``__row_order__`` the slice is deterministic (input
     order, like the reference); otherwise Spark's offset/limit picks an
-    arbitrary-but-stable prefix."""
+    arbitrary-but-stable prefix.
+
+    The ordered path is a sort + offset/limit, which Spark plans as a
+    bounded TakeOrdered (each partition keeps at most offset+count rows,
+    then the driver merges) — never a single-partition window over the
+    whole table."""
     if count < 1:
         raise EarthmoverSparkError("limit_rows: count must be a positive integer")
     if ROW_ORDER in df.columns:
-        w = Window.orderBy(F.col(ROW_ORDER))
-        return (
-            df.withColumn("__rn__", F.row_number().over(w))
-            .filter((F.col("__rn__") > offset) & (F.col("__rn__") <= offset + count))
-            .drop("__rn__")
-        )
+        ordered = df.orderBy(F.col(ROW_ORDER))
+        return ordered.offset(offset).limit(count) if offset else ordered.limit(count)
     return df.offset(offset).limit(count) if offset else df.limit(count)
 
 
