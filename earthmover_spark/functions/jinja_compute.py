@@ -166,10 +166,13 @@ def _lower_expr(expr: str, columns: list[str], value_col: str | None):
     if "~" in expr:
         segs = _split_top_level(expr, "~")
         if len(segs) > 1:
-            cols = [
-                string_view(_lower_expr(seg, columns, value_col)[0]) for seg in segs
-            ]
-            return F.concat(*cols), "str"
+            lowered = [_lower_expr(seg, columns, value_col) for seg in segs]
+            if any(kind == "float" for _, kind in lowered):
+                # Spark stringifies large doubles as 1.0E7 where Jinja
+                # renders 10000000.0 — same guard as the direct-render
+                # and inline-if paths: fall back to the Jinja UDF.
+                raise _NotLowerable(expr)
+            return F.concat(*[string_view(col) for col, _ in lowered]), "str"
     # filter chain:  term|f1|f2('arg')
     parts = [p.strip() for p in _split_top_level(expr, "|")]
     base, filters = parts[0], parts[1:]

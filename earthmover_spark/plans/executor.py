@@ -126,7 +126,13 @@ class Executor:
                     )
             kwargs = {k: v for k, v in op_cfg.items() if k not in ("sources",)}
             if op_name in ("join", "union", "intersect_rows", "except_rows"):
-                kwargs["sources"] = [self._resolve(s) for s in op_cfg["sources"]]
+                srcs = [self._resolve(s) for s in op_cfg["sources"]]
+                if df is None and srcs:
+                    # source-less transformation (valid when the first op
+                    # carries op-level `sources`): the first source is the
+                    # left frame, like the reference's multi-source fold.
+                    df, srcs = srcs[0], srcs[1:]
+                kwargs["sources"] = srcs
             if op_name == "semi_join":
                 kwargs["source"] = self._resolve(op_cfg["source"])
             if op_name in ("asof_join", "interval_join"):

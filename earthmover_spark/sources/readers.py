@@ -38,6 +38,21 @@ from pyspark.sql import types as T
 
 from earthmover_spark.util import EarthmoverSparkError, string_view
 
+#: process-lifetime cache dir for URL-source fetches (see read_source)
+_URL_CACHE: str | None = None
+
+
+def _url_cache_dir() -> str:
+    global _URL_CACHE
+    if _URL_CACHE is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _URL_CACHE = tempfile.mkdtemp(prefix="em_spark_url_cache_")
+        atexit.register(shutil.rmtree, _URL_CACHE, ignore_errors=True)
+    return _URL_CACHE
+
 _EXT_TYPES = {
     ".csv": "csv",
     ".tsv": "tsv",
@@ -277,32 +292,44 @@ def read_source(
     if is_url:
         # the reference accepts URLs for `file:` (pandas readers fetch
         # them, e.g. example_projects/07_filetypes). Fetch driver-side
-        # to a temp file, then dispatch on the URL's extension —
-        # URL sources are dimension-scale by nature.
-        import tempfile
+        # into a process-lifetime cache dir (removed at exit), then
+        # dispatch on the URL's extension. The file must outlive this
+        # call: distributed formats (csv/jsonl/parquet) return lazy
+        # scans that re-read it at action time, so a fetch-and-unlink
+        # temp file would break execution — and leaking one file per
+        # fetch (the round-1 behavior) accumulates over long sessions.
+        # Cache key = md5(url): repeated reads of the same URL in one
+        # run fetch once.
+        import hashlib
         import urllib.request
         from urllib.parse import urlparse
 
         suffix = os.path.splitext(urlparse(file).path)[1]
-        tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
-        try:
-            with urllib.request.urlopen(file, timeout=60) as resp:
-                tmp.write(resp.read())
-            tmp.close()
-        except Exception as err:
-            tmp.close()
-            os.unlink(tmp.name)
-            if optional:
-                df = empty_source(spark, list(columns or []))
-                return add_optional_fields(df, list(optional_fields or []))
-            raise EarthmoverSparkError(
-                f"source URL fetch failed: {file!r} ({err})"
-            ) from err
+        local = os.path.join(
+            _url_cache_dir(), hashlib.md5(file.encode()).hexdigest() + suffix
+        )
+        if not os.path.exists(local):
+            part = local + ".part"
+            try:
+                with urllib.request.urlopen(file, timeout=60) as resp, open(
+                    part, "wb"
+                ) as out:
+                    out.write(resp.read())
+                os.rename(part, local)
+            except Exception as err:
+                if os.path.exists(part):
+                    os.unlink(part)
+                if optional:
+                    df = empty_source(spark, list(columns or []))
+                    return add_optional_fields(df, list(optional_fields or []))
+                raise EarthmoverSparkError(
+                    f"source URL fetch failed: {file!r} ({err})"
+                ) from err
         ftype = type or _EXT_TYPES.get(suffix.lower())
         if ftype is None:
             raise EarthmoverSparkError(f"cannot infer source type for {file!r}")
         return read_source(
-            spark, tmp.name, type=ftype, columns=columns,
+            spark, local, type=ftype, columns=columns,
             optional_fields=optional_fields, encoding=encoding,
             header_rows=header_rows, fill_sparse_headers=fill_sparse_headers,
             sheet=sheet, match=match, xpath=xpath, orientation=orientation,

@@ -175,11 +175,13 @@ def join_streams(
         & (rw[right_ts] <= lw[left_ts] + iv)
     )
     joined = lw.join(rw, cond, how)
-    # drop the duplicated right-side key columns (earthmover-style equi-join
-    # output: one key column per name)
-    for k in keys:
-        joined = joined.drop(rw[k])
-    return joined
+    # earthmover-style equi-join output: one key column per name. The
+    # key coalesces both sides so right/full-outer unmatched right rows
+    # keep their key value instead of emitting NULL.
+    key_cols_out = [F.coalesce(lw[k], rw[k]).alias(k) for k in keys]
+    left_rest = [lw[c] for c in left.columns if c not in keys]
+    right_rest = [rw[c] for c in right.columns if c not in keys]
+    return joined.select(*key_cols_out, *left_rest, *right_rest)
 
 
 def dedup_stream(
@@ -190,13 +192,15 @@ def dedup_stream(
 ) -> DataFrame:
     """Streaming exact dedup — the streaming twin of
     ``llm.dedup.exact_dedup``. Emits the first row per key; with a
-    timestamp + watermark, per-key state is dropped once the key is
-    older than the watermark, so state size tracks the dedup window,
-    not the whole stream. Without ``ts_col`` state grows with distinct
-    keys (exact global dedup)."""
+    timestamp + watermark, ``dropDuplicatesWithinWatermark`` dedups *per
+    key* (duplicate keys at different event times are still dropped) and
+    expires per-key state once the key's first event falls behind the
+    watermark, so state size tracks the dedup window, not the whole
+    stream. Without ``ts_col`` state grows with distinct keys (exact
+    global dedup)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if ts_col:
-        return df.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
 
 

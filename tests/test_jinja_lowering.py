@@ -43,6 +43,7 @@ LOWERABLE = [
 ]
 
 NOT_LOWERABLE = [
+    "{{qty|float ~ '-k'}}",  # float segment: Spark renders 1.0E7, Jinja 10000000.0
     "{{unknown_filter|wat}}",
     "{% for x in items %}{{x}}{% endfor %}",
     "{{md5(name)}}",
@@ -68,6 +69,18 @@ def test_lowered_matches_jinja(df, template):
 @pytest.mark.parametrize("template", NOT_LOWERABLE)
 def test_not_lowerable_falls_back(df, template):
     assert lower_template(template, df.columns) is None
+
+
+def test_float_concat_renders_python_style(spark):
+    """`~` with a float segment must take the UDF path so large doubles
+    render 10000000.0 (Python) rather than 1.0E7 (Spark)."""
+    from earthmover_spark.functions.jinja_compute import template_column
+
+    sdf = spark.createDataFrame([("10000000",)], ["qty"])
+    out = sdf.select(
+        template_column("{{qty|float ~ '-k'}}", sdf.columns).alias("v")
+    ).collect()
+    assert out[0].v == "10000000.0-k"
 
 
 def test_value_col_in_modify_context(df):

@@ -126,5 +126,16 @@ def test_read_url_source(spark, tmp_path):
         bad = f"http://127.0.0.1:{srv.server_address[1]}/missing.csv"
         empty = read_source(spark, bad, optional=True, columns=["id", "name"])
         assert empty.columns == ["id", "name"] and empty.count() == 0
+        # fetches land in the managed cache dir: a second read of the
+        # same URL reuses the cached file (no per-fetch temp leak) and
+        # the failed fetch left no .part residue
+        import os as _os
+
+        from earthmover_spark.sources import readers
+
+        df2 = read_source(spark, url)
+        assert df2.count() == 2
+        entries = _os.listdir(readers._url_cache_dir())
+        assert len(entries) == 1 and not entries[0].endswith(".part")
     finally:
         srv.shutdown()

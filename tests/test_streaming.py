@@ -103,6 +103,47 @@ def test_dedup_stream(spark, events_dir):
     }
 
 
+def test_dedup_stream_with_ts_dedups_per_key(spark, events_dir):
+    """With a timestamp + watermark, dedup is still *per key*: user 7's
+    three events at three different times collapse to one row
+    (dropDuplicatesWithinWatermark, not dropDuplicates(keys+[ts]))."""
+    from earthmover_spark.streaming import dedup_stream, read_stream_source
+
+    stream = read_stream_source(spark, events_dir)
+    deduped = dedup_stream(
+        stream, key_cols=["user_id"], ts_col="ts", watermark="4 hours"
+    )
+    rows = _run_to_memory(deduped, spark, "dedup_ts_out").collect()
+    assert sorted(r.user_id for r in rows) == [7, 8]
+
+
+def test_join_streams_outer_keeps_right_key(spark, events_dir):
+    """Full-outer bounded join: an unmatched right row must keep its
+    equi-join key (coalesced output key), not emit NULL. Verified in
+    batch mode — join_streams builds the same plan for batch frames."""
+    from earthmover_spark.streaming import join_streams
+
+    ev = spark.read.parquet(events_dir)
+    purchases = spark.createDataFrame(
+        [
+            (7, "2024-01-01 10:01:00", 9.99),
+            (99, "2024-01-01 10:05:00", 1.25),  # no user-99 events
+        ],
+        ["user_id", "pts_s", "amount"],
+    ).withColumn("pts", F.to_timestamp("pts_s")).drop("pts_s")
+    out = join_streams(
+        ev, purchases, on="user_id", left_ts="ts", right_ts="pts",
+        watermark="0 seconds", within="30 minutes", how="full_outer",
+    ).select("user_id", "event_id", "amount")
+    rows = out.collect()
+    unmatched_right = [r for r in rows if r.event_id is None]
+    assert {(r.user_id, r.amount) for r in unmatched_right} == {(99, 1.25)}
+    # matched rows keep the key too
+    assert {(r.user_id, r.event_id) for r in rows if r.amount == 9.99} == {
+        (7, 1), (7, 2)
+    }
+
+
 def test_running_counts_stream(spark, events_dir):
     from earthmover_spark.streaming import read_stream_source, running_counts_stream
 

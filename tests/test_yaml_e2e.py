@@ -162,6 +162,36 @@ def test_yaml_project_end_to_end(spark, project_dir):
     assert all(isinstance(v, str) for r in stock for v in r.values())
 
 
+def test_sourceless_transformation_with_op_sources(spark, tmp_path):
+    """A transformation with no `source:` whose first op carries
+    op-level `sources` passes validation AND runs: the first source is
+    taken as the left frame (multi-source fold semantics)."""
+    from earthmover_spark.plans.executor import run_project
+
+    (tmp_path / "sources").mkdir()
+    (tmp_path / "sources" / "a.csv").write_text("id,v\n1,x\n")
+    (tmp_path / "sources" / "b.csv").write_text("id,v\n2,y\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        config:
+          output_dir: ./outputs
+        sources:
+          a: {file: sources/a.csv}
+          b: {file: sources/b.csv}
+        transformations:
+          both:
+            operations:
+              - operation: union
+                sources: [$sources.a, $sources.b]
+        destinations:
+          out:
+            source: $transformations.both
+            extension: jsonl
+    """))
+    results = run_project(spark, str(tmp_path / "earthmover.yaml"))
+    rows = [json.loads(ln) for ln in open(results["$destinations.out"])]
+    assert {(r["id"], r["v"]) for r in rows} == {("1", "x"), ("2", "y")}
+
+
 def test_compile_only(project_dir):
     from earthmover_spark.plans.config import compile_config
     from earthmover_spark.plans.graph import Graph
