@@ -26,7 +26,18 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument(
         "--skip-if-unchanged",
         action="store_true",
-        help="skip the run (exit 99) when all input hashes match a prior run",
+        help="enable hashing + skip (exit 99) even without a config "
+             "`state_file` (hashing is on by default when one is set)",
+    )
+    run_p.add_argument(
+        "-f", "--force", action="store_true",
+        help="force regeneration even if data and configs have not changed "
+             "(still logs the run)",
+    )
+    run_p.add_argument(
+        "-k", "--skip-hashing", action="store_true",
+        help="skip computing input hashes for change detection and prevent "
+             "the run-log write",
     )
     run_p.add_argument(
         "--results-file", default=None,
@@ -41,6 +52,16 @@ def main(argv: list[str] | None = None) -> int:
         "--set", nargs="*", default=None, dest="set_pairs", metavar="PATH VALUE",
         help="override config YAML settings by dotted path, e.g. "
              "--set config.log_level DEBUG sources.x.file /tmp/y.csv",
+    )
+
+    init_p = sub.add_parser(
+        "init",
+        help="scaffold a runnable starter project (README, earthmover.yaml, "
+             "sources, templates) — the reference's `earthmover init`",
+    )
+    init_p.add_argument(
+        "name", nargs="?", default=None,
+        help="project directory name (prompted interactively if omitted)",
     )
 
     comp_p = sub.add_parser("compile", help="compile only; print the plan")
@@ -72,6 +93,22 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = parser.parse_args(argv)
+
+    if args.command == "init":
+        from earthmover_spark.scaffold import run_init
+        from earthmover_spark.util import EarthmoverSparkError
+
+        try:
+            path = run_init(args.name)
+        except EarthmoverSparkError as err:
+            print(f"ERROR: {err}")
+            return 1
+        print(
+            "Successfully initialized new project! You can test it out by "
+            f"running:\n\ncd {path}\npython -m earthmover_spark run -c earthmover.yaml\n"
+        )
+        return 0
+
     params = json.loads(args.params) if args.params else None
 
     from earthmover_spark.plans.config import compile_config
@@ -136,6 +173,8 @@ def main(argv: list[str] | None = None) -> int:
         skip_if_unchanged=args.skip_if_unchanged,
         results_file=args.results_file,
         show_graph=args.show_graph,
+        force=args.force,
+        skip_hashing=args.skip_hashing,
     )
     if "__skipped__" in results:
         print(f"skipping run: {results['__skipped__']}")

@@ -235,14 +235,20 @@ class Executor:
         if show_graph:
             # DOT DAG next to the outputs (reference -g/--show-graph,
             # earthmover/__main__.py:94); row counts included when a
-            # results run computed them.
-            from earthmover_spark.plans.graph import to_dot
+            # results run computed them. A PNG render is attempted too
+            # (reference graph.py:116-160) when a renderer exists.
+            from earthmover_spark.plans.graph import render_png, to_dot
 
             os.makedirs(out_dir, exist_ok=True)
             graph_path = os.path.join(out_dir, "graph.dot")
             with open(graph_path, "w") as fh:
                 fh.write(to_dot(self.graph, subset, node_stats))
             self.results["__graph__"] = graph_path
+            png = render_png(
+                self.graph, os.path.join(out_dir, "graph.png"), subset, node_stats
+            )
+            if png:
+                self.results["__graph_png__"] = png
         return self.results
 
     def _write_streaming(
@@ -356,13 +362,19 @@ def run_project(
     runs_file: str | None = None,
     results_file: str | None = None,
     show_graph: bool = False,
+    force: bool = False,
+    skip_hashing: bool = False,
 ) -> dict[str, str]:
     """Compile + execute a YAML project; returns {destination: path}.
 
-    With ``skip_if_unchanged``, input hashes (config, source files,
-    templates, map files, params) are checked against the project's runs
-    file and an unchanged run is skipped entirely, returning
-    ``{"__skipped__": ...}`` (reference earthmover.py:282-341)."""
+    Run-state semantics match the reference (earthmover.py:282-341 +
+    __main__.py:82-89): when the config declares a ``state_file`` (or
+    ``skip_if_unchanged``/``runs_file`` opt in), input hashes (config,
+    source files, templates, map files, params) are computed, an
+    unchanged run is skipped entirely — returning ``{"__skipped__":
+    ...}``, exit code 99 at the CLI — and every executed run is appended
+    to the runs file. ``force`` executes regardless but still logs the
+    run; ``skip_hashing`` disables hashing AND the run-log write."""
     project = compile_config(config_path, params, overrides)
     # config-level toggles (reference docs/configuration.md:39-74)
     show_graph = show_graph or bool(project.config.get("show_graph"))
@@ -372,14 +384,22 @@ def run_project(
             {"WARNING": "WARN"}.get(str(log_level).upper(), str(log_level).upper())
         )
     tracker = None
-    if skip_if_unchanged:
+    hashing = not skip_hashing and (
+        skip_if_unchanged
+        or runs_file is not None
+        or bool(project.config.get("state_file"))
+    )
+    if hashing:
         from earthmover_spark.plans.runs import RunsFile, compute_hashes
 
         hashes = compute_hashes(project, params, selector)
         tracker = RunsFile(project, runs_file)
-        prior = tracker.find_matching_run(hashes)
-        if prior:
-            return {"__skipped__": f"inputs unchanged since run {prior['run_timestamp']}"}
+        if not force:
+            prior = tracker.find_matching_run(hashes)
+            if prior:
+                return {
+                    "__skipped__": f"inputs unchanged since run {prior['run_timestamp']}"
+                }
     results = Executor(spark, project).run(
         selector, output_dir, results_file, show_graph=show_graph
     )

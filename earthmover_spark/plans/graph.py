@@ -151,3 +151,70 @@ def to_dot(
                 lines.append(f'  "{parent}" -> "{name}";')
     lines.append("}")
     return "\n".join(lines) + "\n"
+
+
+def render_png(
+    graph: "Graph",
+    path: str,
+    subset: set[str] | None = None,
+    stats: dict[str, dict] | None = None,
+) -> str | None:
+    """Render the DAG to a PNG like the reference's --show-graph
+    (reference earthmover/graph.py:116-160, which uses matplotlib +
+    pygraphviz). Tries the graphviz ``dot`` binary first, then
+    networkx + matplotlib; returns the written path, or None when no
+    renderer is available (callers keep the DOT fallback — this
+    container ships neither renderer, so the PNG path is exercised only
+    where one is installed)."""
+    import shutil as _shutil
+    import subprocess
+
+    dot_src = to_dot(graph, subset, stats)
+    exe = _shutil.which("dot")
+    if exe:
+        try:
+            subprocess.run(
+                [exe, "-Tpng", "-o", path], input=dot_src.encode(),
+                check=True, capture_output=True,
+            )
+            return path
+        except (OSError, subprocess.CalledProcessError):
+            pass
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import networkx as nx
+    except ImportError:
+        return None
+    names = sorted(subset if subset is not None else set(graph.nodes))
+    g = nx.DiGraph()
+    layer_of = {"sources": 0, "transformations": 1, "destinations": 2}
+    colors = {"sources": "#8bd3c7", "transformations": "#ffee93", "destinations": "#f4a5ae"}
+    for name in names:
+        node = graph.nodes[name]
+        label = name
+        rows = (stats or {}).get(name, {}).get("rows")
+        if rows is not None:
+            label += f"\n{rows} rows"
+        g.add_node(
+            name, layer=layer_of.get(node.kind, 1),
+            color=colors.get(node.kind, "#cccccc"), label=label,
+        )
+    for name in names:
+        for parent in graph.parents.get(name, []):
+            if subset is None or parent in subset:
+                g.add_edge(parent, name)
+    pos = nx.multipartite_layout(g, subset_key="layer")
+    fig, ax = plt.subplots(figsize=(max(8, len(names)), max(6, len(names) // 2)))
+    nx.draw_networkx(
+        g, pos, ax=ax, with_labels=True,
+        labels={n: g.nodes[n]["label"] for n in g},
+        node_color=[g.nodes[n]["color"] for n in g],
+        node_size=2200, font_size=7, arrows=True,
+    )
+    ax.axis("off")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -382,6 +382,141 @@ def test_state_file_from_config(spark, tmp_path):
     assert "__skipped__" in r2
 
 
+def test_hashing_default_force_and_skip_flags(spark, tmp_path):
+    """Reference flag parity (__main__.py:82-89): with a config
+    `state_file`, hashing + skip is the DEFAULT (no opt-in flag);
+    --force re-runs anyway but still logs; --skip-hashing disables
+    hashing and the run-log write entirely."""
+    state = tmp_path / "state.csv"
+    (tmp_path / "s.csv").write_text("a\n1\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent(f"""
+        config:
+          output_dir: ./out
+          state_file: {state}
+
+        sources:
+          s:
+            file: s.csv
+
+        destinations:
+          o:
+            source: $sources.s
+            extension: jsonl
+    """))
+    cfg = str(tmp_path / "earthmover.yaml")
+    # hashing-by-default: no skip_if_unchanged flag passed
+    r1 = run_project(spark, cfg)
+    assert "__skipped__" not in r1 and state.exists()
+    r2 = run_project(spark, cfg)
+    assert "__skipped__" in r2
+    # -f/--force: executes despite matching hashes, appends to the log
+    n_runs_before = len(state.read_text().splitlines())
+    r3 = run_project(spark, cfg, force=True)
+    assert "__skipped__" not in r3
+    assert len(state.read_text().splitlines()) == n_runs_before + 1
+    # -k/--skip-hashing: no skip AND no run-log write
+    n_runs_before = len(state.read_text().splitlines())
+    r4 = run_project(spark, cfg, skip_hashing=True)
+    assert "__skipped__" not in r4
+    assert len(state.read_text().splitlines()) == n_runs_before
+
+
+def test_cli_force_skip_hashing_exit_codes(spark, tmp_path, capsys):
+    """CLI surface: second identical run exits 99; -f exits 0; -k exits
+    0 without touching the runs file."""
+    from earthmover_spark.cli import main as cli_main
+
+    state = tmp_path / "state.csv"
+    (tmp_path / "s.csv").write_text("a\n1\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent(f"""
+        config:
+          output_dir: ./out
+          state_file: {state}
+
+        sources:
+          s:
+            file: s.csv
+
+        destinations:
+          o:
+            source: $sources.s
+            extension: jsonl
+    """))
+    cfg = ["-c", str(tmp_path / "earthmover.yaml")]
+    assert cli_main(["run", *cfg]) == 0
+    assert cli_main(["run", *cfg]) == 99
+    assert cli_main(["run", *cfg, "--force"]) == 0
+    mtime = state.stat().st_mtime_ns
+    assert cli_main(["run", *cfg, "-k"]) == 0
+    assert state.stat().st_mtime_ns == mtime
+    capsys.readouterr()
+
+
+def test_init_scaffold_runs_end_to_end(spark, tmp_path, capsys):
+    """`init` writes a starter project that runs unmodified
+    (reference init.py:1-35)."""
+    import json as _json
+
+    from earthmover_spark.cli import main as cli_main
+    from earthmover_spark.plans.executor import run_project as _run
+
+    import os as _os
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)
+    try:
+        assert cli_main(["init", "zoo demo!"]) == 0  # sanitized -> zoodemo
+    finally:
+        _os.chdir(cwd)
+    proj = tmp_path / "zoodemo"
+    assert (proj / "earthmover.yaml").exists()
+    assert (proj / "README.md").exists()
+    results = _run(spark, str(proj / "earthmover.yaml"))
+    rows = [
+        _json.loads(ln)
+        for ln in open(results["$destinations.animals"]).read().splitlines()
+    ]
+    assert len(rows) == 6
+    assert {r["kingdom"] for r in rows} == {"animalia"}
+    assert {r["family"] for r in rows} >= {"Mustelidae", "Salmonidae"}
+    # name with no valid characters errors like the reference
+    assert cli_main(["init", "!!!"]) == 1
+    capsys.readouterr()
+
+
+def test_render_png_when_renderer_available(spark, tmp_path):
+    """PNG graph parity (reference graph.py:116-160) — gated on a
+    renderer being installed (graphviz `dot` or matplotlib)."""
+    import shutil as _shutil
+
+    have_renderer = bool(_shutil.which("dot"))
+    if not have_renderer:
+        try:
+            import matplotlib  # noqa: F401
+
+            have_renderer = True
+        except ImportError:
+            pass
+    if not have_renderer:
+        pytest.skip("no PNG renderer in this environment (DOT fallback covered)")
+
+    from earthmover_spark.plans.config import compile_config
+    from earthmover_spark.plans.graph import Graph, render_png
+
+    (tmp_path / "s.csv").write_text("a\n1\n")
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          s:
+            file: s.csv
+        destinations:
+          o:
+            source: $sources.s
+            extension: jsonl
+    """))
+    project = compile_config(str(tmp_path / "earthmover.yaml"))
+    out = render_png(Graph(project), str(tmp_path / "g.png"))
+    assert out and (tmp_path / "g.png").stat().st_size > 0
+
+
 def test_columnar_target_file_size(spark, tmp_path):
     """target_file_mb sizes the output part count from Catalyst's plan
     estimate — a 200-partition tiny frame coalesces to one file instead
