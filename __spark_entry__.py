@@ -782,15 +782,17 @@ def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ approximate top-k (ADC over m-byte codes + exact re-rank) —
-    rows-only check: the seeded k-means codebooks are deterministic but
-    not SQL-expressible; recall vs brute force is asserted in
-    tests/test_extensions.py."""
+    """PQ approximate top-k (ADC over m-byte codes + exact re-rank),
+    full value-hash oracle: sample-strategy codebooks (subvectors of the
+    16 lowest-id corpus rows) are engine-portable, so DuckDB reproduces
+    encode -> ADC -> shortlist -> exact re-rank exactly. The k-means
+    codebook path keeps its recall>=0.7 pytest
+    (tests/test_extensions.py)."""
     from earthmover_spark.llm import similarity as S
 
     emb = _p(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(10)
-    return S.pq_topk(queries, emb, k=5, m=8, rerank=100)
+    return S.pq_topk(queries, emb, k=5, m=8, rerank=100, strategy="sample")
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,7 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_pq_topk": q_sim_pq_topk,  # rows-only (k-means codebooks)
+        "sim_pq_topk": q_sim_pq_topk,  # full oracle via sample-strategy codebooks
     }
 
 
@@ -1639,6 +1641,59 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+        """,
+        "sim_pq_topk": """
+            -- full PQ twin of llm/similarity.py pq_topk(strategy='sample'):
+            -- m=8 subspaces of 8 dims; codebooks = subvectors of the 16
+            -- lowest-id rows; encode by nearest centroid; ADC shortlist
+            -- of 100 by asymmetric distance; exact-cosine re-rank to 5.
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), subs AS (
+              SELECT vec_id, j.j, v[j.j*8+1 : j.j*8+8] AS sub
+              FROM v, (SELECT unnest(range(8)) AS j) j
+            ), cb AS (
+              SELECT j, vec_id AS code, sub AS cent
+              FROM subs WHERE vec_id < 16
+            ), enc AS (
+              SELECT vec_id, j, code FROM (
+                SELECT s.vec_id, s.j, cb.code,
+                       row_number() OVER (
+                         PARTITION BY s.vec_id, s.j
+                         ORDER BY list_distance(s.sub, cb.cent), cb.code
+                       ) AS rn
+                FROM subs s JOIN cb ON s.j = cb.j
+              ) WHERE rn = 1
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10
+            ), adc AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     sum(pow(list_distance(q.qv[e.j*8+1 : e.j*8+8], cb.cent), 2)) AS dist
+              FROM q CROSS JOIN enc e
+              JOIN cb ON cb.j = e.j AND cb.code = e.code
+              WHERE e.vec_id != q.query_id
+              GROUP BY q.query_id, e.vec_id
+            ), short AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY dist, neighbor_id
+                     ) AS rn
+              FROM adc
+            ), exact AS (
+              SELECT s.query_id, s.neighbor_id,
+                     round(list_cosine_similarity(qv.v, nv.v), 6) AS score
+              FROM short s
+              JOIN v qv ON qv.vec_id = s.query_id
+              JOIN v nv ON nv.vec_id = s.neighbor_id
+              WHERE s.rn <= 100
+            ), ranked AS (
+              SELECT query_id, neighbor_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, neighbor_id
+                     ) AS rank
+              FROM exact
+            )
+            SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
         """,
         "ev_window_agg": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -178,6 +178,8 @@ def pq_index(
     seed: int = 7,
     max_iter: int = 10,
     code_col: str = "pq_code",
+    strategy: str = "kmeans",
+    id_col: str = "vec_id",
 ) -> tuple[DataFrame, "list[list[list[float]]]"]:
     """Product quantization: split each vector into ``m`` subvectors,
     k-means each subspace (MLlib, seeded), store each vector as ``m``
@@ -188,13 +190,14 @@ def pq_index(
 
     Returns (corpus + ``code_col`` array<int>, codebooks[m][k][dim/m]).
     Training is distributed per subspace; encoding is a native argmin
-    expression per subspace — one narrow pass, no Python, no shuffle."""
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-    except ImportError as e:  # pragma: no cover - mllib ships with pyspark
-        raise EarthmoverSparkError(f"pq_index requires pyspark.ml: {e}") from e
+    expression per subspace — one narrow pass, no Python, no shuffle.
 
+    ``strategy`` selects codebook training: ``"kmeans"`` (default,
+    MLlib per-subspace k-means) or ``"sample"`` — centroids are the
+    subvectors of the ``k`` lowest-``id_col`` corpus rows. The sample
+    strategy is engine-portable (a SQL oracle can reproduce it exactly,
+    so the full PQ pipeline gets a value-hash twin) at some recall cost;
+    both only ever collect ``k`` codebook rows to the driver."""
     dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if dim % m:
         raise EarthmoverSparkError(f"pq_index: dim {dim} not divisible by m={m}")
@@ -202,11 +205,38 @@ def pq_index(
     v = F.col(vec_col).cast("array<double>")
 
     codebooks: list[list[list[float]]] = []
-    for j in range(m):
-        sub = F.slice(v, j * dsub + 1, dsub)
-        train = emb.select(array_to_vector(sub).alias("features"))
-        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(train)
-        codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
+    if strategy == "sample":
+        rows = (
+            emb.select(F.col(id_col), v.alias("__v__"))
+            .orderBy(id_col)
+            .limit(k)
+            .collect()
+        )
+        if len(rows) < k:
+            raise EarthmoverSparkError(
+                f"pq_index: corpus has {len(rows)} rows < k={k} sample centroids"
+            )
+        for j in range(m):
+            codebooks.append(
+                [
+                    [float(x) for x in r["__v__"][j * dsub : (j + 1) * dsub]]
+                    for r in rows
+                ]
+            )
+    elif strategy == "kmeans":
+        try:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+        except ImportError as e:  # pragma: no cover - mllib ships with pyspark
+            raise EarthmoverSparkError(f"pq_index requires pyspark.ml: {e}") from e
+
+        for j in range(m):
+            sub = F.slice(v, j * dsub + 1, dsub)
+            train = emb.select(array_to_vector(sub).alias("features"))
+            model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(train)
+            codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
+    else:
+        raise EarthmoverSparkError(f"pq_index: unknown strategy {strategy!r}")
 
     def _sqdist_to(sub):
         # plain closure: a 2-arg lambda would be read as (value, index)
@@ -236,6 +266,7 @@ def pq_topk(
     n_codes: int = 16,
     rerank: int | None = None,
     seed: int = 7,
+    strategy: str = "kmeans",
 ) -> DataFrame:
     """PQ approximate top-k with exact re-rank: score every corpus code
     against each query by asymmetric distance (query subvector vs the
@@ -248,7 +279,8 @@ def pq_topk(
     compressed index; only the shortlist touches full vectors."""
     rerank = rerank or max(8 * k, 100)
     encoded, codebooks = pq_index(
-        corpus, vec_col=vec_col, m=m, k=n_codes, seed=seed
+        corpus, vec_col=vec_col, m=m, k=n_codes, seed=seed,
+        strategy=strategy, id_col=id_col,
     )
     dim = len(codebooks[0][0]) * m
     dsub = dim // m
