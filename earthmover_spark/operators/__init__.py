@@ -11,6 +11,7 @@ and unions additionally take a ``registry`` of named DataFrames).
 
 from earthmover_spark.llm import curation, dedup, embeddings, sampling, textstats
 from earthmover_spark.operators import column, dataframe, groupby, row, skew, temporal
+from earthmover_spark.streaming import ops as streaming_ops
 
 OPERATIONS = {
     # column ops (earthmover/operations/column.py)
@@ -59,6 +60,16 @@ OPERATIONS = {
     # streaming-only helper: bound state for windowed aggs on `stream:`
     # sources (no-op semantics change on batch frames)
     "with_watermark": lambda df, *, column, delay: df.withWatermark(column, delay),
+    # streaming surface as YAML operations (over `stream: True` sources):
+    # watermarked window/session aggs, bounded-state dedup, stream-stream
+    # join (`right:` node ref), stream-static enrichment (`static_df:`
+    # node ref), and the applyInPandasWithState running counter
+    "windowed_agg_stream": streaming_ops.windowed_agg_stream,
+    "sessionize_stream": streaming_ops.sessionize_stream,
+    "dedup_stream": streaming_ops.dedup_stream,
+    "join_stream": streaming_ops.join_streams,
+    "enrich_stream": streaming_ops.enrich_stream,
+    "running_counts": streaming_ops.running_counts_stream,
     # LLM-pipeline extensions, driveable from YAML like any operation.
     # `resolve_duplicates` takes `pairs:` and `decontaminate` takes
     # `benchmark:` node references, resolved by the executor like join

@@ -281,3 +281,60 @@ def top_n_rows(
         columns={tmp: "row_number()"},
     ).filter(F.col(tmp) <= n)
     return out if rank_column else out.drop(tmp)
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    n: int,
+    out_col: str = "bucket",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) over a *global* ordering without a
+    single-partition window.
+
+    Classic distributed ranking: range-repartition on the ordering
+    (every partition holds a contiguous key range), count each
+    partition (collect is bounded by the partition COUNT, not data),
+    broadcast the prefix offsets, then rank within partitions and add
+    the offset. Bucket assignment follows SQL NTILE semantics (the
+    first ``total % n`` buckets get one extra row).
+
+    The ordering must be total (include a unique tiebreaker column) —
+    ties straddling a range boundary would otherwise get
+    nondeterministic buckets.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *cols).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    sizes = {
+        r["__pid__"]: r["cnt"]
+        for r in ranged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total, acc, offsets = sum(sizes.values()), 0, {}
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid__").orderBy(*cols)
+    ranked = ranged.withColumn(
+        "__grank__",
+        F.row_number().over(w) + F.coalesce(off_map[F.col("__pid__")], F.lit(0)),
+    )
+    q, rem = divmod(total, n)
+    rank = F.col("__grank__")
+    if q == 0:  # n > total: row i -> bucket i
+        bucket = rank
+    else:
+        bucket = F.when(
+            rank <= (q + 1) * rem, F.ceil(rank / F.lit(q + 1))
+        ).otherwise(F.lit(rem) + F.ceil((rank - (q + 1) * rem) / F.lit(q)))
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "__pid__", "__grank__"
+    )

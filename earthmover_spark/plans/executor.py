@@ -110,7 +110,9 @@ class Executor:
     def _eval_transformation(self, name: str, cfg: dict) -> DataFrame:
         df = self._resolve(cfg["source"]) if cfg.get("source") else None
         for op_cfg in cfg["operations"]:
-            op_cfg = dict(op_cfg)
+            # YAML 1.1 reads a bare `on:` key as boolean True — map it
+            # back (join_stream / enrich_stream use an `on` parameter)
+            op_cfg = {("on" if k is True else k): v for k, v in op_cfg.items()}
             op_name = op_cfg.pop("operation")
             if op_name == "sql":
                 df = self._sql_operation(name, op_cfg["query"])
@@ -135,8 +137,10 @@ class Executor:
                 kwargs["sources"] = srcs
             if op_name == "semi_join":
                 kwargs["source"] = self._resolve(op_cfg["source"])
-            if op_name in ("asof_join", "interval_join"):
+            if op_name in ("asof_join", "interval_join", "join_stream"):
                 kwargs["right"] = self._resolve(op_cfg["right"])
+            if op_name == "enrich_stream":
+                kwargs["static_df"] = self._resolve(op_cfg["static_df"])
             if op_name == "resolve_duplicates":
                 kwargs["pairs"] = self._resolve(op_cfg["pairs"])
             if op_name == "decontaminate":
@@ -286,10 +290,28 @@ class Executor:
                 out_dir, f"{short}.{cfg.get('extension', 'jsonl')}.d"
             )
         os.makedirs(out_dir, exist_ok=True)
-        q = write_stream_destination(
-            df, path=out_path, format=fmt, checkpoint=checkpoint,
-            trigger_once=True,
-        )
+        output_mode = cfg.get("output_mode", "append")
+        if output_mode != "append":
+            # file sinks only accept append; update/complete-mode plans
+            # (applyInPandasWithState, non-watermarked aggs) route
+            # through foreachBatch, appending each micro-batch's rows.
+            sink_fmt = fmt
+
+            def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+                batch_df.write.mode("append").format(sink_fmt).save(out_path)
+
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .option("checkpointLocation", checkpoint)
+                .foreachBatch(_sink)
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            q = write_stream_destination(
+                df, path=out_path, format=fmt, checkpoint=checkpoint,
+                trigger_once=True,
+            )
         q.awaitTermination()
         return out_path
 

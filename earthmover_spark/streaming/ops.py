@@ -209,13 +209,24 @@ def running_counts_stream(
     key_col: str,
     ts_col: str,
     watermark: str = "1 hour",
-    timeout_minutes: int = 60,
+    timeout_minutes: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     running per-key event counter with first/last-seen timestamps.
     This is the template for operators Spark lacks natively — state is
     an explicit tuple, timeouts bound state lifetime, and each
-    micro-batch updates keys it actually saw."""
+    micro-batch updates keys it actually saw.
+
+    The operator runs in ``update`` output mode; to land it in a file
+    destination use a YAML destination with ``output_mode: update``
+    (the executor routes update-mode queries through ``foreachBatch``,
+    appending each micro-batch's refreshed per-key rows).
+
+    ``timeout_minutes`` arms a processing-time state timeout for
+    continuously-running queries. Leave it None for availableNow
+    drain-style runs: a ProcessingTimeTimeout keeps the availableNow
+    trigger from ever reaching termination (the timer re-arms each
+    batch), so the timeout is opt-in."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
@@ -249,7 +260,8 @@ def running_counts_stream(
             first_seen = lo if first_seen is None or lo < first_seen else first_seen
             last_seen = hi if last_seen is None or hi > last_seen else last_seen
         state.update((n, first_seen, last_seen))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {key_col: [str(key[0])], "n_events": [n],
              "first_seen": [first_seen], "last_seen": [last_seen]}
@@ -263,6 +275,10 @@ def running_counts_stream(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

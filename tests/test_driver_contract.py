@@ -5,7 +5,7 @@ oracles, and the entry() smoke query is registered."""
 import __spark_entry__ as entry
 
 #: genuinely non-SQL-expressible queries (driver records rows-only)
-ROWS_ONLY = {"pack_sequences", "sim_pq_topk"}
+ROWS_ONLY = {"pack_sequences"}  # partition-dependent by design
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():

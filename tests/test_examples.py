@@ -33,3 +33,56 @@ def test_example_runs(spark, tmp_path, name, dest, check):
                           output_dir=str(tmp_path))
     rows = [json.loads(ln) for ln in open(results[dest]).read().splitlines()]
     assert rows and check(rows)
+
+
+def test_stream_analytics_example(spark, tmp_path):
+    """examples/06_stream_analytics: stream-stream join, session agg,
+    and the stateful running counter all run from YAML over two
+    parquet inboxes."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    ev = tmp_path / "events_inbox"
+    pu = tmp_path / "purchases_inbox"
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7),
+            (2, "2024-01-01 10:02:00", 7),
+            (3, "2024-01-01 10:50:00", 7),
+            (4, "2024-01-01 11:40:00", 8),
+        ],
+        ["event_id", "ts_s", "user_id"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s") \
+        .coalesce(1).write.parquet(str(ev))
+    spark.createDataFrame(
+        [(7, "2024-01-01 10:01:00", 9.99)],
+        ["user_id", "pts_s", "amount"],
+    ).withColumn("purchase_ts", F.to_timestamp("pts_s")).drop("pts_s") \
+        .coalesce(1).write.parquet(str(pu))
+
+    cfg = os.path.join(EXAMPLES, "06_stream_analytics", "earthmover.yaml")
+    results = run_project(
+        spark, cfg,
+        overrides={
+            "sources.events.file": str(ev),
+            "sources.purchases.file": str(pu),
+        },
+        output_dir=str(tmp_path / "out"),
+    )
+
+    def read_dir(path):
+        rows = []
+        for part in glob.glob(path + "/part-*"):
+            rows += [json.loads(ln) for ln in open(part).read().splitlines()]
+        return rows
+
+    attributed = read_dir(results["$destinations.attributed_events"])
+    assert {a["event_id"] for a in attributed} == {"1", "2"}
+    sessions = read_dir(results["$destinations.user_sessions"])
+    # watermark passes 11:40 -> user 7's two closed sessions emit
+    assert [s["n_events"] for s in sessions
+            if s["user_id"] == "7"] and len(sessions) >= 1
+    counts = {c["user_id"]: c for c in
+              read_dir(results["$destinations.activity_counts"])}
+    assert counts["7"]["n_events"] == "3" and counts["8"]["n_events"] == "1"

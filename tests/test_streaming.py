@@ -346,3 +346,91 @@ def test_yaml_streaming_windowed_agg_with_watermark(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["window_start"][:19] == "2024-01-01 10:00:00"
     assert rows[0]["sv"] == "15.0"
+
+
+def test_yaml_stream_stream_join_and_stateful_counts(spark, tmp_path):
+    """YAML surface depth: a stream-stream bounded join (`join_stream`
+    with a `right:` node ref) and an applyInPandasWithState operator
+    (`running_counts`) both drive from YAML over `stream: True`
+    sources, end-to-end into file destinations."""
+    import glob
+    import json
+    import textwrap
+
+    from earthmover_spark.plans.executor import run_project
+
+    ev_inbox = tmp_path / "inbox_events"
+    pu_inbox = tmp_path / "inbox_purchases"
+    ev_inbox.mkdir()
+    pu_inbox.mkdir()
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7),
+            (2, "2024-01-01 10:02:00", 7),
+            (3, "2024-01-01 10:50:00", 7),
+            (4, "2024-01-01 11:40:00", 8),
+            (5, "2024-01-01 11:45:00", 8),
+        ],
+        ["event_id", "ts_s", "user_id"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s") \
+        .coalesce(1).write.mode("append").parquet(str(ev_inbox))
+    spark.createDataFrame(
+        [(7, "2024-01-01 10:01:00", 9.99), (8, "2024-01-01 13:00:00", 5.0)],
+        ["user_id", "pts_s", "amount"],
+    ).withColumn("pts", F.to_timestamp("pts_s")).drop("pts_s") \
+        .coalesce(1).write.mode("append").parquet(str(pu_inbox))
+    (tmp_path / "earthmover.yaml").write_text(textwrap.dedent("""
+        sources:
+          events:
+            file: inbox_events
+            type: parquet
+            stream: True
+          purchases:
+            file: inbox_purchases
+            type: parquet
+            stream: True
+        transformations:
+          attributed:
+            source: $sources.events
+            operations:
+              - operation: join_stream
+                right: $sources.purchases
+                on: user_id
+                left_ts: ts
+                right_ts: pts
+                watermark: 0 seconds
+                within: 30 minutes
+          counts:
+            source: $sources.events
+            operations:
+              - operation: running_counts
+                key_col: user_id
+                ts_col: ts
+                watermark: 0 seconds
+        destinations:
+          attributed_out:
+            source: $transformations.attributed
+          counts_out:
+            source: $transformations.counts
+            output_mode: update
+    """))
+    r = run_project(
+        spark, str(tmp_path / "earthmover.yaml"), output_dir=str(tmp_path / "o")
+    )
+
+    def read_lines(out_path):
+        rows = []
+        for part in glob.glob(out_path + "/part-*"):
+            rows += [json.loads(ln) for ln in open(part).read().splitlines()]
+        return rows
+
+    joined = read_lines(r["$destinations.attributed_out"])
+    # only events 1 & 2 land within 30m of user 7's 10:01 purchase
+    assert {(j["event_id"], j["amount"]) for j in joined} == {
+        ("1", "9.99"), ("2", "9.99")
+    }
+    counts = {c["user_id"]: c for c in read_lines(r["$destinations.counts_out"])}
+    assert counts["7"]["n_events"] == "3"
+    assert counts["8"]["n_events"] == "2"
+    assert counts["7"]["first_seen"][:19] == "2024-01-01 10:00:00"
+    assert counts["7"]["last_seen"][:19] == "2024-01-01 10:50:00"
