@@ -21,13 +21,21 @@ from earthmover_spark.operators.row import ROW_ORDER
 
 def _p(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) which Spark's vectorized parquet
-        # reader rejects; read nanos as long and rebuild a (micro) timestamp.
+        # events.ts has varied across driver testdata generations:
+        # TIMESTAMP(NANOS) (rounds 1-2; Spark's vectorized reader rejects
+        # it, so read nanos as long and rebuild) vs timestamp[us]
+        # (round 3+; arrives as TIMESTAMP_NTZ or TIMESTAMP directly).
+        # Sniff the landed dtype and only rebuild when it is a long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            return df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        if ts_type.startswith("timestamp_ntz"):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -971,30 +979,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 normalization — per-row array expressions, zero shuffle."""
+    """L2 normalization — per-row array expressions, zero shuffle.
+
+    Output is posexploded to scalar (vec_id, dim, u) rows so the
+    driver's pandas-based canonicalizer can sort/hash it (raw
+    ``array<double>`` columns are unhashable there)."""
     from earthmover_spark.llm import embeddings as E
 
     emb = _p(spark, sf_dir, "embeddings")
-    return E.l2_normalize(emb).select("vec_id", "unit")
+    u = E.l2_normalize(emb).select(
+        "vec_id", F.posexplode("unit").alias("dim", "u")
+    )
+    return u.select("vec_id", "dim", F.round("u", 6).alias("u"))
 
 
 def q_emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk->doc mean pooling over synthetic groups of 10 vectors;
-    (group, dim) partial sums combine map-side."""
+    (group, dim) partial sums combine map-side. Scalar-exploded output
+    (grp, dim, mv) for oracle canonicalization."""
     from earthmover_spark.llm import embeddings as E
 
     emb = _p(spark, sf_dir, "embeddings").withColumn(
         "grp", (F.col("vec_id") / 10).cast("bigint")
     )
-    return E.mean_pool(emb, "grp")
+    pooled = E.mean_pool(emb, "grp")
+    ex = pooled.select("grp", F.posexplode("pooled").alias("dim", "mv"))
+    return ex.select("grp", "dim", F.round("mv", 6).alias("mv"))
 
 
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-vector int8 quantization with dequant scale."""
+    """Symmetric per-vector int8 quantization with dequant scale.
+    Scalar-exploded output (vec_id, dim, qv, scale) for oracle
+    canonicalization."""
     from earthmover_spark.llm import embeddings as E
 
     emb = _p(spark, sf_dir, "embeddings")
-    return E.quantize_int8(emb).select("vec_id", "q", "scale")
+    q = E.quantize_int8(emb).select("vec_id", "q", "scale")
+    return q.select(
+        "vec_id", F.posexplode("q").alias("dim", "qv"), "scale"
+    ).select("vec_id", "dim", "qv", "scale")
 
 
 def q_pack_sequences_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2062,16 +2085,17 @@ def oracle_sql() -> dict[str, str]:
                     END
         """,
         "emb_normalize": """
-            SELECT vec_id,
-                   CASE WHEN sqrt(list_sum(list_transform(embedding,
-                            x -> x::DOUBLE * x::DOUBLE))) = 0
-                        THEN embedding::DOUBLE[]
-                        ELSE list_transform(embedding,
-                            x -> round(x::DOUBLE / sqrt(list_sum(
-                                list_transform(embedding,
-                                    y -> y::DOUBLE * y::DOUBLE))), 6))
-                   END AS unit
-            FROM embeddings
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                         x -> x::DOUBLE * x::DOUBLE))) AS nrm
+              FROM embeddings
+            )
+            SELECT vec_id, i - 1 AS dim,
+                   CASE WHEN nrm = 0 THEN round(embedding[i]::DOUBLE, 6)
+                        ELSE round(embedding[i]::DOUBLE / nrm, 6)
+                   END AS u
+            FROM s, generate_series(1, 64) AS t(i)
         """,
         "emb_mean_pool": """
             WITH e AS (
@@ -2079,11 +2103,9 @@ def oracle_sql() -> dict[str, str]:
             ), x AS (
               SELECT grp, i, embedding[i]::DOUBLE AS val
               FROM e, generate_series(1, 64) AS t(i)
-            ), m AS (
-              SELECT grp, i, avg(val) AS mv FROM x GROUP BY 1, 2
             )
-            SELECT grp, list(round(mv, 6) ORDER BY i) AS pooled
-            FROM m GROUP BY grp
+            SELECT grp, i - 1 AS dim, round(avg(val), 6) AS mv
+            FROM x GROUP BY grp, i
         """,
         "emb_quantize": """
             WITH s AS (
@@ -2092,14 +2114,12 @@ def oracle_sql() -> dict[str, str]:
                          x -> abs(x::DOUBLE))) AS vmax
               FROM embeddings
             )
-            SELECT vec_id,
-                   CASE WHEN vmax = 0
-                        THEN list_transform(embedding, x -> 0)
-                        ELSE list_transform(embedding,
-                            x -> round(x::DOUBLE / vmax * 127)::INTEGER)
-                   END AS q,
+            SELECT vec_id, i - 1 AS dim,
+                   CASE WHEN vmax = 0 THEN 0
+                        ELSE round(embedding[i]::DOUBLE / vmax * 127)::INTEGER
+                   END AS qv,
                    round(vmax / 127.0, 6) AS scale
-            FROM s
+            FROM s, generate_series(1, 64) AS t(i)
         """,
         "pack_sequences_ordered": """
             WITH RECURSIVE ordered AS (
