@@ -105,18 +105,29 @@ def main() -> None:
     # for startup
     spark.range(1).count()
 
+    # one failing query must never zero the whole suite: time what runs,
+    # record errors per-query, and always emit the JSON line
+    errors: dict[str, str] = {}
+
     for name in HEADLINE:
-        fn = qmap[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn = qmap[name]
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — bench must survive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # reference-comparable throughput pipeline (plan execution only)
+    em_sec = em_write_sec = None
     li_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
-    t0 = time.perf_counter()
-    _force(em_pipeline(spark, SF_DIR))
-    em_sec = time.perf_counter() - t0
-    timings["em_pipeline"] = round(em_sec, 3)
+    try:
+        t0 = time.perf_counter()
+        _force(em_pipeline(spark, SF_DIR))
+        em_sec = time.perf_counter() - t0
+        timings["em_pipeline"] = round(em_sec, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["em_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # ...and with the actual JSONL file write, like the reference's
     # published 3.3GB->30GB scenario (docs/design.md:50)
@@ -131,24 +142,27 @@ def main() -> None:
         )
         em_write_sec = time.perf_counter() - t0
         timings["em_pipeline_write"] = round(em_write_sec, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["em_pipeline_write"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "em_pipeline_rows_per_sec": int(li_rows / em_sec),
-                "em_pipeline_write_rows_per_sec": int(li_rows / em_write_sec),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if em_sec:
+        payload["em_pipeline_rows_per_sec"] = int(li_rows / em_sec)
+    if em_write_sec:
+        payload["em_pipeline_write_rows_per_sec"] = int(li_rows / em_write_sec)
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

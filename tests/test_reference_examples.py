@@ -38,13 +38,20 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.parametrize("project", RUNNABLE)
-def test_example_project_runs(spark, tmp_path, project):
+def test_example_project_runs(spark, tmp_path, monkeypatch, project):
     from earthmover_spark.plans.executor import run_project
 
+    # point ~ at tmp_path so the run-log append lands in the sandbox
+    monkeypatch.setenv("HOME", str(tmp_path))
+    # force=True: 01_simple's config declares state_file ~/.earthmover.csv,
+    # so a stale run log from any earlier invocation would silently skip
+    # the run and flake the output assertions. Force keeps the test
+    # hermetic regardless of HOME state.
     results = run_project(
         spark,
         os.path.join(EXAMPLES, project, "earthmover.yaml"),
         output_dir=str(tmp_path / project),
+        force=True,
     )
     assert results, project
     for path in results.values():
