@@ -1119,6 +1119,47 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_emails", "n_ips", "n_phones")
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global duplicated-span removal: 3-word spans occurring
+    more than once corpus-wide are dropped except their first
+    occurrence; documents are rebuilt from surviving spans."""
+    from earthmover_spark.llm import curation
+
+    docs = _p(spark, sf_dir, "documents")
+    return curation.dedup_spans(docs, span_words=3, max_occurrences=1)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style hashed linear quality model: md5-bucketed bag of
+    words, broadcast weight lookup, sigmoid of the per-doc mean weight.
+    Weights are a deterministic md5-derived table so the DuckDB twin
+    reproduces the exact model."""
+    from earthmover_spark.llm import textstats as T
+
+    n_buckets = 4096
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        F.round(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(float(1 << 60))
+            - 0.5,
+            6,
+        ).alias("weight"),
+    )
+    docs = _p(spark, sf_dir, "documents")
+    return T.quality_classifier(
+        docs, weights, n_buckets=n_buckets, bias=0.0
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1182,6 +1223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": q_tokenize_ids,
         "winnow_fp": q_winnow_fp,
         "winnow_near_dups": q_winnow_near_dups,
+        # round-4 additions (inside the recorded prefix for a first row)
+        "dedup_spans": q_dedup_spans,
+        "quality_classifier": q_quality_classifier,
         # reference-surface operators (all green in CORRECTNESS_r01)
         "src_parquet_scan": q_src_parquet_scan,
         "keep_columns": q_keep_columns,
@@ -2246,5 +2290,59 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
                    len(regexp_extract_all(no_ip, '\+?\d[\d\- ]{7,}\d')) AS n_phones
             FROM staged
+        """,
+        "dedup_spans": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+              FROM documents
+            ), ix AS (
+              SELECT doc_id, words,
+                     unnest(generate_series(
+                       1, CAST(ceil(len(words) / 3.0) AS BIGINT))) AS i
+              FROM w
+            ), s AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(
+                       list_slice(words, (i-1)*3 + 1, (i-1)*3 + 3), ' '
+                     ) AS span
+              FROM ix
+            ), c AS (
+              SELECT span, count(*) AS cnt,
+                     min(doc_id * 1073741824 + pos) AS keeper
+              FROM s GROUP BY span
+            )
+            SELECT s.doc_id,
+                   coalesce(string_agg(
+                     CASE WHEN cnt <= 1
+                               OR s.doc_id * 1073741824 + pos = keeper
+                          THEN span END, ' ' ORDER BY pos), '') AS dedup_text,
+                   count(*) - count(
+                     CASE WHEN cnt <= 1
+                               OR s.doc_id * 1073741824 + pos = keeper
+                          THEN 1 END) AS n_spans_removed
+            FROM s JOIN c USING (span)
+            GROUP BY s.doc_id
+        """,
+        "quality_classifier": f"""
+            WITH wt AS (
+              SELECT id AS bucket,
+                     round(CAST(('0x' || substr(md5('w:' || CAST(id AS VARCHAR)), 1, 15))
+                                AS UBIGINT)::BIGINT / 1152921504606846976.0 - 0.5,
+                           6) AS weight
+              FROM range(4096) AS r(id)
+            ), toks AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('feat:' || tok), 1, 15))
+                          AS UBIGINT)::BIGINT % 4096 AS bucket
+              FROM (
+                SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents
+              )
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(1.0 / (1.0 + exp(-(0.0 + avg(coalesce(weight, 0.0))))), 6)
+                       AS quality_score
+            FROM toks LEFT JOIN wt USING (bucket)
+            GROUP BY doc_id
         """,
     }

@@ -269,6 +269,96 @@ def redact_pii(
 
 
 # ---------------------------------------------------------------------------
+# global duplicated-span removal (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 3,
+    max_occurrences: int = 1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove globally-duplicated text spans from every document, C4
+    style (the C4 pipeline drops any three-sentence span occurring more
+    than once in the corpus; RefinedWeb does the same with substrings).
+    Documents here are segmented into non-overlapping ``span_words``-word
+    windows of the normalized text; any span occurring more than
+    ``max_occurrences`` times corpus-wide is removed from every document
+    EXCEPT its first occurrence (minimum ``(doc_id, position)``), and
+    each document's text is rebuilt from its surviving spans in order.
+
+    Returns ``df``'s ``id_col`` plus ``out_col`` (default
+    ``dedup_text``) and ``n_spans_removed``.
+
+    Scale shape (100 TB): one posexplode, one hash aggregation on the
+    span string (map-side partial combine — the one unavoidable global
+    shuffle any corpus-wide dedup has), one shuffle-join back on the
+    span, and a per-document reassembly agg on ``id_col``. No
+    driver-side data, no Python. The keeper rank packs (doc_id, pos)
+    into one BIGINT — valid while doc_id < 2^33 and a document has
+    < 2^30 spans."""
+    out_col = out_col or "dedup_text"
+    # materialize the word array before the chunking lambda closes over
+    # it (lambda-scope rule: aggregates referenced inside transform()
+    # re-evaluate per element)
+    base = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w__"),
+    ).withColumn(
+        "__spans__",
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("__w__") / span_words).cast("int") - 1,
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice("__w__", i * span_words + 1, span_words)
+            ),
+        ),
+    )
+    spans = base.select(
+        F.col(id_col),
+        F.posexplode("__spans__").alias("__pos__", "__span__"),
+    )
+    rank = (F.col(id_col) * F.lit(2**30) + F.col("__pos__")).alias("__rank__")
+    counts = (
+        spans.select("__span__", rank)
+        .groupBy("__span__")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt__"),
+            F.min("__rank__").alias("__keeper__"),
+        )
+    )
+    keep = (F.col("__cnt__") <= max_occurrences) | (
+        F.col("__rank__") == F.col("__keeper__")
+    )
+    flagged = spans.withColumn("__rank__", rank).join(counts, "__span__")
+    # collect_list skips NULLs, so aggregating over ALL spans with a
+    # conditional struct keeps fully-emptied documents in the output
+    # (empty text) instead of silently dropping them
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.array_sort(
+            F.collect_list(
+                F.when(keep, F.struct("__pos__", "__span__"))
+            )
+        ).alias("__kept__"),
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform("__kept__", lambda s: s["__span__"])
+        ).alias(out_col),
+        (F.col("__n__") - F.size("__kept__")).cast("bigint").alias(
+            "n_spans_removed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # boilerplate stripping
 # ---------------------------------------------------------------------------
 

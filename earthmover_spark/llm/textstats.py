@@ -78,6 +78,66 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality", F.round(score, 6))
 
 
+def hash_bucket(col: Column, n_buckets: int, salt: str = "feat:") -> Column:
+    """Engine-portable feature hash: bucket = 60-bit md5 hash mod
+    ``n_buckets`` (the fasttext/vowpal hashing trick, reproducible on
+    any engine that has md5 — no JVM-specific hash in the model)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % n_buckets).alias("bucket")
+
+
+def quality_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 16,
+    bias: float = 0.0,
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Score documents with a learned linear classifier over hashed
+    bag-of-words features — the fasttext-style quality model used by
+    GPT-3/LLaMA-era pipelines to keep "looks like good prose" pages.
+    ``weights`` is a (bucket: long, weight: double) table of learned
+    coefficients; the logit is the mean weight of the document's token
+    buckets plus ``bias``, squashed through a sigmoid.
+
+    Returns (id_col, n_tokens, out_col) — join back on ``id_col`` to
+    filter the corpus.
+
+    Scale shape (100 TB): token explode stays in codegen; the weight
+    lookup is a broadcast hash join (the model is at most ``n_buckets``
+    rows — fasttext uses 2M buckets ≈ 16 MB of doubles); the per-doc
+    mean is one hash agg on the id with map-side partial combine. No
+    corpus shuffle other than the id agg, no Python."""
+    # coerce so all-string sources (CSV via YAML) work unmodified
+    wt = weights.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__t__"),
+    ).withColumn("bucket", hash_bucket(F.col("__t__"), n_buckets))
+    looked = toks.join(F.broadcast(wt), "bucket", "left").withColumn(
+        "__w__", F.coalesce("weight", F.lit(0.0))
+    )
+    agg = looked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("__w__").alias("__z__"),
+    )
+    logit = F.lit(float(bias)) + F.col("__z__")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(out_col),
+    )
+
+
 # ---------------------------------------------------------------------------
 # language identification (stopword-profile heuristic)
 # ---------------------------------------------------------------------------

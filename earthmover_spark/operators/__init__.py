@@ -81,6 +81,8 @@ OPERATIONS = {
     "repetition_stats": curation.repetition_stats,
     "redact_pii": curation.redact_pii,
     "strip_markup": curation.strip_markup,
+    "dedup_spans": curation.dedup_spans,
+    "quality_classifier": textstats.quality_classifier,
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "quality_score": textstats.quality_score,
     "lang_id": textstats.lang_id,

@@ -145,6 +145,8 @@ class Executor:
                 kwargs["pairs"] = self._resolve(op_cfg["pairs"])
             if op_name == "decontaminate":
                 kwargs["benchmark"] = self._resolve(op_cfg["benchmark"])
+            if op_name == "quality_classifier":
+                kwargs["weights"] = self._resolve(op_cfg["weights"])
             if op_name in ("add_columns", "modify_columns"):
                 kwargs.setdefault("macros", self.project.macros)
             if df is None:

@@ -26,8 +26,9 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
             refs.append(s)
         # single-frame side inputs: semi_join's `source`,
         # resolve_duplicates' `pairs`, decontaminate's `benchmark`,
-        # asof/interval joins' `right`
-        for key in ("source", "pairs", "benchmark", "right"):
+        # asof/interval joins' `right`, quality_classifier's `weights`,
+        # enrich_stream's `static_df`
+        for key in ("source", "pairs", "benchmark", "right", "weights", "static_df"):
             if op.get(key):
                 refs.append(op[key])
         # sql operations embed $node references inside the query text

@@ -263,3 +263,99 @@ def test_bigram_logprob(spark):
     exp2 = (math.log(3 / 3) + math.log(1 / 2)) / 2
     assert got[1].n_bigrams == 3 and abs(got[1].avg_logprob - exp1) < 1e-6
     assert got[2].n_bigrams == 2 and abs(got[2].avg_logprob - exp2) < 1e-6
+
+
+def test_dedup_spans_keeps_first_occurrence(spark):
+    # span_words=2: doc1 = [aa bb, cc dd], doc2 = [aa bb, ee ff],
+    # doc3 = [aa bb]. 'aa bb' occurs 3x -> survives only at its first
+    # occurrence (doc1 pos0); everything else unique.
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),
+            (2, "aa bb ee ff"),
+            (3, "aa bb"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in curation.dedup_spans(docs, span_words=2).collect()
+    }
+    assert got[1].dedup_text == "aa bb cc dd"
+    assert got[1].n_spans_removed == 0
+    assert got[2].dedup_text == "ee ff"
+    assert got[2].n_spans_removed == 1
+    # doc3 loses its only span but MUST still appear (empty text)
+    assert got[3].dedup_text == ""
+    assert got[3].n_spans_removed == 1
+
+
+def test_dedup_spans_partial_tail_span(spark):
+    # 5 words with span_words=3 -> spans of 3 and 2 words; all unique
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], ["doc_id", "text"]
+    )
+    row = curation.dedup_spans(docs, span_words=3).first()
+    assert row.dedup_text == "a b c d e"
+    assert row.n_spans_removed == 0
+
+
+def test_dedup_spans_max_occurrences(spark):
+    # with max_occurrences=2 a twice-occurring span survives everywhere
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r
+        for r in curation.dedup_spans(
+            docs, span_words=2, max_occurrences=2
+        ).collect()
+    }
+    assert got[1].dedup_text == "aa bb" and got[2].dedup_text == "aa bb"
+
+
+def test_quality_classifier_known_weights(spark):
+    import math
+
+    from earthmover_spark.llm import textstats
+
+    # one-token docs: score = sigmoid(weight of that token's bucket)
+    docs = spark.createDataFrame(
+        [(1, "good"), (2, "bad"), (3, "good good")], ["doc_id", "text"]
+    )
+    n_buckets = 64
+    b = {
+        r.t: r.bucket
+        for r in docs.select(
+            F.explode(F.split("text", " ")).alias("t")
+        )
+        .distinct()
+        .withColumn(
+            "bucket", textstats.hash_bucket(F.col("t"), n_buckets)
+        )
+        .collect()
+    }
+    weights = spark.createDataFrame(
+        [(int(b["good"]), 2.0), (int(b["bad"]), -2.0)],
+        ["bucket", "weight"],
+    )
+    got = {
+        r.doc_id: r
+        for r in textstats.quality_classifier(
+            docs, weights, n_buckets=n_buckets
+        ).collect()
+    }
+    sig = lambda z: 1.0 / (1.0 + math.exp(-z))
+    assert abs(got[1].quality_score - sig(2.0)) < 1e-6
+    assert abs(got[2].quality_score - sig(-2.0)) < 1e-6
+    assert got[3].n_tokens == 2
+    assert abs(got[3].quality_score - sig(2.0)) < 1e-6
+
+
+def test_quality_classifier_unseen_tokens_get_zero_weight(spark):
+    from earthmover_spark.llm import textstats
+
+    docs = spark.createDataFrame([(1, "zz qq")], ["doc_id", "text"])
+    weights = spark.createDataFrame([], "bucket long, weight double")
+    row = textstats.quality_classifier(docs, weights).first()
+    assert row.quality_score == 0.5 and row.n_tokens == 2

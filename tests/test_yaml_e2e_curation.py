@@ -23,6 +23,11 @@ def project_dir(tmp_path_factory):
         "3,totally different content about database engines and query plans\n"
         "4,email me at ann@example.com for details\n"
     )
+    # every bucket carries weight 0.1 -> every doc scores sigmoid(0.1)
+    (d / "sources" / "weights.csv").write_text(
+        "bucket,weight\n"
+        + "".join(f"{b},0.1\n" for b in range(64))
+    )
     (d / "earthmover.yaml").write_text(textwrap.dedent("""
         config:
           output_dir: ./outputs
@@ -30,6 +35,8 @@ def project_dir(tmp_path_factory):
         sources:
           docs:
             file: sources/docs.csv
+          weights:
+            file: sources/weights.csv
 
         transformations:
           pairs:
@@ -57,6 +64,19 @@ def project_dir(tmp_path_factory):
                 text_col: text
               - operation: keep_columns
                 columns: [id, text, n_emails]
+          span_deduped:
+            source: $sources.docs
+            operations:
+              - operation: dedup_spans
+                id_col: id
+                span_words: 4
+          scored:
+            source: $sources.docs
+            operations:
+              - operation: quality_classifier
+                weights: $sources.weights
+                id_col: id
+                n_buckets: 64
 
         destinations:
           dedup_out:
@@ -64,6 +84,12 @@ def project_dir(tmp_path_factory):
             extension: jsonl
           cleaned_out:
             source: $transformations.cleaned
+            extension: jsonl
+          span_out:
+            source: $transformations.span_deduped
+            extension: jsonl
+          scored_out:
+            source: $transformations.scored
             extension: jsonl
     """))
     return d
@@ -86,3 +112,20 @@ def test_curation_yaml_pipeline(spark, project_dir):
     assert "<EMAIL>" in cleaned["4"]["text"]
     assert str(cleaned["4"]["n_emails"]) == "1"
     assert "@" not in cleaned["4"]["text"].replace("<EMAIL>", "")
+
+    # dedup_spans: docs 1 and 2 are identical -> doc 2 loses its
+    # duplicated 4-word spans, doc 1 (first occurrence) keeps them
+    spans = {
+        json.loads(line)["id"]: json.loads(line)
+        for line in open(results["$destinations.span_out"]).read().splitlines()
+    }
+    assert str(spans["1"]["n_spans_removed"]) == "0"
+    assert int(spans["2"]["n_spans_removed"]) > 0
+
+    # quality_classifier: every bucket has weight 0.1, so every doc
+    # scores sigmoid(0.1) = 0.524979
+    scored = {
+        json.loads(line)["id"]: json.loads(line)
+        for line in open(results["$destinations.scored_out"]).read().splitlines()
+    }
+    assert all(str(r["quality_score"]) == "0.524979" for r in scored.values())
