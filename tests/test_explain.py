@@ -132,3 +132,23 @@ def test_tokenize_ids_broadcasts_vocab(plans):
     assert "EvalPython" not in p
     # the single-partition window runs on the <=max_size vocab rows only
     assert "TakeOrdered" in p or "partial" in p.lower()
+
+
+def test_dedup_spans_no_python_bounded_shuffles(plans):
+    """Global span dedup: the only shuffles are the corpus-wide span
+    aggregation, the span-count join back, and the per-doc rebuild —
+    and nothing leaves the JVM."""
+    p = plans("dedup_spans")
+    assert "EvalPython" not in p
+    # formatted explain mentions each node twice (tree + details), so
+    # 4 physical exchanges == 8 occurrences
+    assert p.count("Exchange") <= 8
+
+
+def test_quality_classifier_weight_join_is_broadcast(plans):
+    """The model's weight table joins broadcast (it is bounded by
+    n_buckets); the corpus shuffles only for the per-doc mean agg."""
+    p = plans("quality_classifier")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
