@@ -1119,6 +1119,17 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_emails", "n_ips", "n_phones")
 
 
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain row cap: at most 10 docs per source, chosen by
+    stable md5 hash — WindowGroupLimit prunes map-side."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    return sampling.cap_per_group(docs, "source", 10, "doc_id").select(
+        "doc_id", "source"
+    )
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global duplicated-span removal: 3-word spans occurring
     more than once corpus-wide are dropped except their first
@@ -1226,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions (inside the recorded prefix for a first row)
         "dedup_spans": q_dedup_spans,
         "quality_classifier": q_quality_classifier,
+        "cap_per_group": q_cap_per_group,
         # reference-surface operators (all green in CORRECTNESS_r01)
         "src_parquet_scan": q_src_parquet_scan,
         "keep_columns": q_keep_columns,
@@ -2322,6 +2334,20 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 END) AS n_spans_removed
             FROM s JOIN c USING (span)
             GROUP BY s.doc_id
+        """,
+        "cap_per_group": """
+            WITH h AS (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT AS hv
+              FROM documents
+            )
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY hv, doc_id) AS rn
+              FROM h
+            ) WHERE rn <= 10
         """,
         "quality_classifier": f"""
             WITH wt AS (

@@ -189,16 +189,14 @@ shuffle strategies are actually exercised):
 | fact-dim join, AQE skew split | {r['join_aqe']} |
 | salted_join (explicit, no AQE) | {r['join_salted_noaqe']} |
 | pre-bucketed join (zero Exchange) | {r['join_bucketed']} |
-
-Reading: AQE's runtime skew split and the explicit salting paths bound
-the hot key's reducer; bucketing removes the per-query shuffle entirely
-(amortized into the one-time bucketed write). At 100 TB the same knobs
-apply per-operator via `salted_group_by`/`salted_join` in YAML and
-`save_bucketed` for repeated join pipelines.
 """
     if marker in text:
-        head = text.split(marker)[0]
-        text = head + section
+        # replace only the header+table; keep the hand-written analysis
+        # prose that follows the table intact
+        head, rest = text.split(marker, 1)
+        tail = rest[rest.rindex("|") + 1:]
+        after = tail.split("\n\n", 1)[1] if "\n\n" in tail else ""
+        text = head + section + "\n" + after
     else:
         text = text.rstrip() + "\n\n" + section
     open(path, "w").write(text)

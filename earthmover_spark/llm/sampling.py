@@ -315,3 +315,36 @@ def pack_sequences_ordered(
         (F.col(id_col) / group_size).cast("bigint").alias("__grp__"),
     )
     return grouped.groupBy("__grp__").applyInPandas(_pack, schema=out_schema)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: str | list[str],
+    k: int,
+    key_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group row cap: keep at most ``k`` rows from
+    every group, chosen uniformly by a stable md5 hash of the key — the
+    "at most N pages per domain" rule every web-corpus pipeline applies
+    (over-represented hosts otherwise dominate training mixes).
+
+    Ordering by (hash, key) is a total order, so the same rows survive
+    on any engine, any partitioning, any run.
+
+    Scale shape (100 TB): one shuffle on the group columns; the
+    row_number filter compiles to WindowGroupLimit, so every map-side
+    partition pre-prunes to its local top-k per group before the
+    shuffle — a hot domain ships k rows per input partition, not its
+    whole group."""
+    from earthmover_spark.operators.groupby import top_n_rows
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    hashed = df.withColumn("__cap_h__", _h60(F.col(key_col), f"{salt}:"))
+    capped = top_n_rows(
+        hashed,
+        group_by_columns=groups,
+        order_by=["+__cap_h__", f"+{key_col}"],
+        n=k,
+    )
+    return capped.drop("__cap_h__")

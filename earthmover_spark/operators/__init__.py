@@ -92,6 +92,7 @@ OPERATIONS = {
     "chunk_documents": sampling.chunk_documents,
     "deterministic_sample": sampling.deterministic_sample,
     "stratified_sample": sampling.stratified_sample,
+    "cap_per_group": sampling.cap_per_group,
     "budget_sample": sampling.budget_sample,
     "temperature_mix": sampling.temperature_mix,
     "split_dataset": sampling.split_dataset,

@@ -537,3 +537,38 @@ def test_temperature_mix(spark):
     same = sampling.temperature_mix(df, strata_col="src", key_col="k",
                                     temperature=1.0)
     assert same.count() == 1000
+
+
+def test_cap_per_group_deterministic_and_capped(spark):
+    from earthmover_spark.llm import sampling
+
+    rows = [(i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    a = sampling.cap_per_group(df, "grp", 4, "doc_id")
+    b = sampling.cap_per_group(df.repartition(7), "grp", 4, "doc_id")
+    got_a = sorted((r.grp, r.doc_id) for r in a.collect())
+    got_b = sorted((r.grp, r.doc_id) for r in b.collect())
+    # partition-invariant and capped at 4 per group
+    assert got_a == got_b
+    from collections import Counter
+    counts = Counter(g for g, _ in got_a)
+    assert all(v == 4 for v in counts.values())
+    # a group smaller than k keeps everything
+    small = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "grp"])
+    assert sampling.cap_per_group(small, "grp", 10, "doc_id").count() == 2
+
+
+def test_cap_per_group_plan_has_window_group_limit(spark):
+    from earthmover_spark.llm import sampling
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("grp"),
+        F.col("id").alias("doc_id"),
+    )
+    plan = (
+        sampling.cap_per_group(df, "grp", 3, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
