@@ -148,13 +148,15 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(SF_DIR.rstrip("/")))
     payload = {
         "metric": "headline suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": float(m.group(1)) if m else os.path.basename(SF_DIR.rstrip("/")),
     }
     if em_sec:
         payload["em_pipeline_rows_per_sec"] = int(li_rows / em_sec)
