@@ -1119,6 +1119,41 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_emails", "n_ips", "n_phones")
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals per user over the event_type attribute:
+    consecutive same-type events collapse to one interval; windows
+    partition by user (no global window)."""
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    out = temporal.scd2_history(
+        ev,
+        key_cols=["user_id"],
+        change_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "event_type",
+        "n_rows",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+def q_latest_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most recent event (CDC-log compaction);
+    WindowGroupLimit prunes map-side."""
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    return temporal.latest_rows(
+        ev, key_cols=["user_id"], ts_col="ts", tiebreak_col="event_id"
+    ).select("user_id", "event_id", "event_type", "value")
+
+
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain row cap: at most 10 docs per source, chosen by
     stable md5 hash — WindowGroupLimit prunes map-side."""

@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from earthmover_spark.llm.textstats import normalize_text, shingles
+from earthmover_spark.llm.textstats import (
+    normalize_text,
+    shingles,
+    spread_narrow_scan,
+)
 
 # ---------------------------------------------------------------------------
 # connected components over near-duplicate pairs
@@ -169,7 +173,7 @@ def decontaminate(
         )
         .distinct()
     )
-    doc_grams = df.select(
+    doc_grams = spread_narrow_scan(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias(
             "__g__"
@@ -214,7 +218,7 @@ def repetition_stats(
             1.0 - F.size(F.array_distinct(words)) / F.size(words).cast("double"), 6
         ).alias("dup_word_frac"),
     )
-    bigrams = df.select(
+    bigrams = spread_narrow_scan(df).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), 2)).alias("__g__"),
     )
@@ -304,7 +308,7 @@ def dedup_spans(
     # materialize the word array before the chunking lambda closes over
     # it (lambda-scope rule: aggregates referenced inside transform()
     # re-evaluate per element)
-    base = df.select(
+    base = spread_narrow_scan(df).select(
         F.col(id_col),
         F.split(normalize_text(F.col(text_col)), " ").alias("__w__"),
     ).withColumn(

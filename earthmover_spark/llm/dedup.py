@@ -20,29 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from earthmover_spark.llm.textstats import normalize_text, shingles
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition narrow inputs up to cluster parallelism before
-    CPU-heavy hash derivations. A small parquet file arrives as 1-2
-    partitions; hashing must not inherit that. At real scale (many
-    files) this is a no-op.
-
-    Uses ``inputFiles()`` metadata to detect narrow scans — no
-    plan->RDD conversion (``df.rdd`` forces one just to read a
-    partition count). Frames backed by many files, or not backed by
-    files at all (in-memory test frames, post-shuffle plans), pass
-    through untouched; the one-big-file case is already split by
-    ``spark.sql.files.maxPartitionBytes``."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        return df
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+from earthmover_spark.llm.textstats import (
+    normalize_text,
+    shingles,
+    spread_narrow_scan as _spread,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedup

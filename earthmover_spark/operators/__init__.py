@@ -57,6 +57,8 @@ OPERATIONS = {
     "sessionize": temporal.sessionize,
     "asof_join": temporal.asof_join,
     "interval_join": temporal.interval_join,
+    "scd2_history": temporal.scd2_history,
+    "latest_rows": temporal.latest_rows,
     # streaming-only helper: bound state for windowed aggs on `stream:`
     # sources (no-op semantics change on batch frames)
     "with_watermark": lambda df, *, column, delay: df.withWatermark(column, delay),

@@ -359,3 +359,33 @@ def test_quality_classifier_unseen_tokens_get_zero_weight(spark):
     weights = spark.createDataFrame([], "bucket long, weight double")
     row = textstats.quality_classifier(docs, weights).first()
     assert row.quality_score == 0.5 and row.n_tokens == 2
+
+
+def test_winnow_xxhash64_variant_finds_exact_duplicates(spark):
+    """The winnowing guarantee (shared fingerprints for any common run
+    longer than w+k-1 chars) holds under either hash; exact duplicates
+    MUST pair under both. Fingerprint VALUES differ across hashes by
+    design (md5 = engine-portable, xxhash64 = fast JVM-native), so pair
+    sets near the min_shared threshold may differ — but not for full
+    copies."""
+    from earthmover_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"completely unique document number {i} with plenty of "
+                f"distinct words to fingerprint {i * 7919}")
+            for i in range(8)
+        ],
+        ["doc_id", "text"],
+    )
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    corpus = docs.union(dup)
+    expected = {(i, i + 1000) for i in range(8)}
+    for fn in ("md5", "xxhash64"):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in textstats.winnow_near_dups(
+                corpus, min_shared=3, hash_fn=fn
+            ).collect()
+        }
+        assert expected <= pairs, fn

@@ -53,6 +53,13 @@ def scale_table(spark, src: str, dst: str, name: str, k: int) -> int:
         for c in shift_cols:
             out = out.withColumn(c, F.col(c) + F.col("__rep__") * STRIDE)
         out = out.drop("__rep__")
+    # the broadcast cross-join inherits the (tiny) source partitioning —
+    # written as-is, a CPU-heavy scan over the result runs as ONE task.
+    # Spread fact-scale tables across the cluster's parallelism so the
+    # synthetic SF has a realistic layout.
+    parts = min(spark.sparkContext.defaultParallelism, max(1, k * 2))
+    if shift_cols and k > 1:
+        out = out.repartition(parts)
     out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     return out.count()
 
