@@ -1273,6 +1273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "quality_classifier": q_quality_classifier,
         "cap_per_group": q_cap_per_group,
+        "scd2_history": q_scd2_history,
+        "latest_rows": q_latest_rows,
         # reference-surface operators (all green in CORRECTNESS_r01)
         "src_parquet_scan": q_src_parquet_scan,
         "keep_columns": q_keep_columns,
@@ -2369,6 +2371,44 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 END) AS n_spans_removed
             FROM s JOIN c USING (span)
             GROUP BY s.doc_id
+        """,
+        "scd2_history": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER w AS prev_type,
+                     lag(ts) OVER w AS prev_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+              SELECT user_id, event_type, ts,
+                     sum(CASE WHEN prev_ts IS NULL
+                                   OR event_type IS DISTINCT FROM prev_type
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS run
+              FROM o
+            ), h AS (
+              SELECT user_id, run, min(ts) AS vf,
+                     min(event_type) AS event_type,
+                     count(*) AS n_rows
+              FROM r GROUP BY user_id, run
+            )
+            SELECT user_id,
+                   strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                            '%Y-%m-%d %H:%M:%S') AS valid_to,
+                   event_type, n_rows,
+                   CASE WHEN lead(vf) OVER (PARTITION BY user_id ORDER BY vf)
+                             IS NULL THEN 1 ELSE 0 END AS is_current
+            FROM h
+        """,
+        "latest_rows": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "cap_per_group": """
             WITH h AS (

@@ -572,3 +572,54 @@ def test_cap_per_group_plan_has_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_scd2_history_runs_and_intervals(spark):
+    from datetime import datetime
+
+    from earthmover_spark.operators import temporal as T
+
+    ts = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    rows = [
+        # user 1: A A B A -> three runs
+        (1, 1, ts("00:00"), "A"),
+        (1, 2, ts("01:00"), "A"),
+        (1, 3, ts("02:00"), "B"),
+        (1, 4, ts("03:00"), "A"),
+        # user 2: single row -> one current run
+        (2, 5, ts("00:30"), "X"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "state"])
+    hist = T.scd2_history(
+        df, key_cols=["user_id"], change_cols=["state"],
+        ts_col="ts", tiebreak_col="event_id",
+    )
+    got = sorted(
+        (r.user_id, r.state, str(r.valid_from), str(r.valid_to),
+         r.n_rows, r.is_current)
+        for r in hist.collect()
+    )
+    assert got == [
+        (1, "A", "2024-01-01 00:00:00", "2024-01-01 02:00:00", 2, False),
+        (1, "A", "2024-01-01 03:00:00", "None", 1, True),
+        (1, "B", "2024-01-01 02:00:00", "2024-01-01 03:00:00", 1, False),
+        (2, "X", "2024-01-01 00:30:00", "None", 1, True),
+    ]
+
+
+def test_latest_rows_ties_and_window_group_limit(spark):
+    from earthmover_spark.operators import temporal as T
+
+    rows = [(1, 10, 100.0), (1, 20, 200.0), (2, 5, 50.0), (1, 20, 150.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    # tiebreak on v picks the max-v row among equal ts
+    got = {
+        r.k: (r.ts, r.v)
+        for r in T.latest_rows(df, ["k"], "ts", tiebreak_col="v").collect()
+    }
+    assert got == {1: (20, 200.0), 2: (5, 50.0)}
+    plan = (
+        T.latest_rows(df, ["k"], "ts", tiebreak_col="v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
