@@ -1154,6 +1154,57 @@ def q_latest_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "event_type", "value")
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE: a deterministic changeset against orders — priority
+    rewrites for ~1/8 of keys, 100 inserted keys, deletes for another
+    ~1/16 — applied via anti-join + union (base never shuffles when the
+    changeset broadcasts)."""
+    from earthmover_spark.operators import dataframe as DD
+
+    orders = _p(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mu:"), F.col("o_orderkey").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    changes = (
+        orders.withColumn("__h__", h % 16)
+        .filter(F.col("__h__") <= 2)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.when(F.col("__h__") <= 1, F.lit("0-REWRITTEN"))
+            .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+            (F.col("__h__") == 2).alias("deleted"),
+        )
+    )
+    inserts = spark.range(100).select(
+        (F.col("id") + 900000000).alias("o_orderkey"),
+        F.lit(1).cast("long").alias("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("9-NEW").alias("o_orderpriority"),
+        F.lit(False).alias("deleted"),
+    )
+    merged = DD.merge_upsert(
+        orders, changes.unionByName(inserts),
+        key_cols=["o_orderkey"], delete_col="deleted",
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+def q_flag_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier screen over events.value — one
+    moments agg + broadcast join back, no windows."""
+    from earthmover_spark.operators import groupby as GG
+
+    ev = _p(spark, sf_dir, "events")
+    out = GG.flag_outliers(ev, "value", group_cols=["event_type"], z=2.0)
+    return out.select(
+        "event_id", "event_type", "zscore",
+        F.col("is_outlier").cast("int").alias("is_outlier"),
+    )
+
+
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain row cap: at most 10 docs per source, chosen by
     stable md5 hash — WindowGroupLimit prunes map-side."""
@@ -1275,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "scd2_history": q_scd2_history,
         "latest_rows": q_latest_rows,
+        "merge_upsert": q_merge_upsert,
+        "flag_outliers": q_flag_outliers,
         # reference-surface operators (all green in CORRECTNESS_r01)
         "src_parquet_scan": q_src_parquet_scan,
         "keep_columns": q_keep_columns,
@@ -2371,6 +2424,46 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 END) AS n_spans_removed
             FROM s JOIN c USING (span)
             GROUP BY s.doc_id
+        """,
+        "merge_upsert": """
+            WITH hashed AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                     CAST(('0x' || substr(md5('mu:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT % 16 AS h
+              FROM orders
+            ), changes AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN h <= 1 THEN '0-REWRITTEN'
+                          ELSE o_orderpriority END AS o_orderpriority,
+                     h = 2 AS deleted
+              FROM hashed WHERE h <= 2
+            ), inserts AS (
+              SELECT id + 900000000 AS o_orderkey,
+                     'N' AS o_orderstatus, '9-NEW' AS o_orderpriority,
+                     false AS deleted
+              FROM range(100) AS r(id)
+            ), all_changes AS (
+              SELECT * FROM changes UNION ALL SELECT * FROM inserts
+            )
+            SELECT o_orderkey, o_orderstatus, o_orderpriority
+            FROM hashed
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM all_changes)
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_orderpriority
+            FROM all_changes WHERE NOT deleted
+        """,
+        "flag_outliers": """
+            WITH s AS (
+              SELECT event_type, avg(value) AS mu,
+                     stddev_pop(value) AS sd
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type,
+                   CASE WHEN sd > 0 THEN round((value - mu) / sd, 6)
+                        ELSE 0.0 END AS zscore,
+                   CASE WHEN sd > 0 AND abs(round((value - mu) / sd, 6)) > 2.0
+                        THEN 1 ELSE 0 END AS is_outlier
+            FROM events e JOIN s USING (event_type)
         """,
         "scd2_history": """
             WITH o AS (

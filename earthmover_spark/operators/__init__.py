@@ -59,6 +59,8 @@ OPERATIONS = {
     "interval_join": temporal.interval_join,
     "scd2_history": temporal.scd2_history,
     "latest_rows": temporal.latest_rows,
+    "merge_upsert": dataframe.merge_upsert,
+    "flag_outliers": groupby.flag_outliers,
     # streaming-only helper: bound state for windowed aggs on `stream:`
     # sources (no-op semantics change on batch frames)
     "with_watermark": lambda df, *, column, delay: df.withWatermark(column, delay),

@@ -338,3 +338,42 @@ def global_ntile(
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
         "__pid__", "__grank__"
     )
+
+
+def flag_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    z: float = 3.0,
+    out_col: str = "is_outlier",
+    score_col: str = "zscore",
+) -> DataFrame:
+    """Flag rows whose ``value_col`` deviates more than ``z`` population
+    standard deviations from their group's mean (global when no
+    ``group_cols``) — the standard numeric-sanity screen in data-quality
+    pipelines. Adds ``zscore`` (rounded to 6, 0.0 in zero-variance
+    groups) and ``out_col``.
+
+    Scale shape: one hash aggregation for the per-group moments
+    (map-side combined; the stats frame is |groups| rows, so the join
+    back is a broadcast in any realistic case), zero windows — a window
+    formulation would sort every group; moments don't need order."""
+    groups = list(group_cols)
+    aggs = [
+        F.avg(value_col).alias("__mu__"),
+        F.stddev_pop(value_col).alias("__sd__"),
+    ]
+    v = F.col(value_col).cast("double")
+    if groups:
+        stats = df.groupBy(*groups).agg(*aggs)
+        joined = df.join(F.broadcast(stats), groups)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    score = F.when(
+        F.col("__sd__") > 0, F.round((v - F.col("__mu__")) / F.col("__sd__"), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn(score_col, score)
+        .withColumn(out_col, F.abs(F.col(score_col)) > z)
+        .drop("__mu__", "__sd__")
+    )

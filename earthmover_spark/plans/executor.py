@@ -147,6 +147,8 @@ class Executor:
                 kwargs["benchmark"] = self._resolve(op_cfg["benchmark"])
             if op_name == "quality_classifier":
                 kwargs["weights"] = self._resolve(op_cfg["weights"])
+            if op_name == "merge_upsert":
+                kwargs["updates"] = self._resolve(op_cfg["updates"])
             if op_name in ("add_columns", "modify_columns"):
                 kwargs.setdefault("macros", self.project.macros)
             if df is None:

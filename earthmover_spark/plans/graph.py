@@ -28,7 +28,8 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
         # resolve_duplicates' `pairs`, decontaminate's `benchmark`,
         # asof/interval joins' `right`, quality_classifier's `weights`,
         # enrich_stream's `static_df`
-        for key in ("source", "pairs", "benchmark", "right", "weights", "static_df"):
+        for key in ("source", "pairs", "benchmark", "right", "weights",
+                    "static_df", "updates"):
             if op.get(key):
                 refs.append(op[key])
         # sql operations embed $node references inside the query text

@@ -623,3 +623,49 @@ def test_latest_rows_ties_and_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        ["k", "v", "deleted"],
+    )
+    got = {
+        r.k: r.v
+        for r in D.merge_upsert(
+            base, updates, key_cols=["k"], delete_col="deleted"
+        ).collect()
+    }
+    # 1 untouched, 2 updated, 3 deleted, 4 inserted
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_upsert_without_delete_col(spark):
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    updates = spark.createDataFrame([(1, "A"), (2, "b")], ["k", "v"])
+    got = {r.k: r.v for r in D.merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: "A", 2: "b"}
+
+
+def test_merge_upsert_rejects_unknown_columns(spark):
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    updates = spark.createDataFrame([(1, "A", "x")], ["k", "v", "extra"])
+    with pytest.raises(EarthmoverSparkError, match="extra"):
+        D.merge_upsert(base, updates, ["k"])
+
+
+def test_flag_outliers_grouped_and_global(spark):
+    rows = [("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 100.0),
+            ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = G.flag_outliers(df, "v", group_cols=["g"], z=1.5).collect()
+    flagged = sorted((r.g, r.v) for r in got if r.is_outlier)
+    assert flagged == [("a", 100.0)]
+    # zero-variance group b -> zscore 0.0, never flagged
+    assert all(r.zscore == 0.0 for r in got if r.g == "b")
+    # global mode: one stats row, no group columns needed
+    glob = G.flag_outliers(df, "v", z=1.5).collect()
+    assert sorted(r.v for r in glob if r.is_outlier) == [100.0]
