@@ -1154,6 +1154,23 @@ def q_latest_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "event_type", "value")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization: merges learned from the corpus's own word
+    counts (distributed agg + driver-side learning on the vocab), then
+    Arrow-batched greedy encoding. Deterministic but not
+    SQL-expressible (iterative merge learning) — rows-only check."""
+    from earthmover_spark.llm import bpe
+
+    docs = _p(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe(docs, num_merges=60)
+    out = bpe.bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        F.concat_ws("|", "bpe_pieces").alias("pieces"),
+        "n_pieces",
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE: a deterministic changeset against orders — priority
     rewrites for ~1/8 of keys, 100 inserted keys, deletes for another
@@ -1378,9 +1395,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
-        # rows-only by design (bin ids are partition-dependent); kept
-        # LAST so it never occupies a recorded full-oracle slot
+        # rows-only by design, kept LAST so they never occupy recorded
+        # full-oracle slots: pack_sequences bin ids are
+        # partition-dependent; bpe merge learning is iterative (not
+        # SQL-expressible)
         "pack_sequences": q_pack_sequences,
+        "bpe_encode": q_bpe_encode,
     }
 
 
