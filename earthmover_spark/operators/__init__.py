@@ -87,6 +87,7 @@ OPERATIONS = {
     "strip_markup": curation.strip_markup,
     "dedup_spans": curation.dedup_spans,
     "quality_classifier": textstats.quality_classifier,
+    "compression_ratio": textstats.compression_ratio,
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "quality_score": textstats.quality_score,
     "lang_id": textstats.lang_id,

@@ -344,8 +344,11 @@ def merge_upsert(
             f"merge_upsert: key columns missing from a side: {missing}"
         )
     if delete_col:
+        # truthiness over the all-string data model: '' / NULL / 'false'
+        # keep the row; 'true'/'t'/'1'/'yes' (any case) delete it
+        flag = F.lower(F.trim(F.coalesce(F.col(delete_col).cast("string"), F.lit(""))))
         upserts = updates.filter(
-            ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            ~flag.isin("true", "t", "1", "yes")
         ).drop(delete_col)
     else:
         upserts = updates

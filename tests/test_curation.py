@@ -449,3 +449,24 @@ def test_bpe_roundtrip_reconstructs_text(spark):
     enc = {r.doc_id: r.bpe_pieces for r in bpe.bpe_encode(docs, merges).collect()}
     rebuilt = "".join(enc[1]).replace(bpe.EOW, " ").strip()
     assert rebuilt == "the quick brownfox jumps" or rebuilt == "the quick brown foxjumps"
+
+
+def test_compression_ratio_separates_repetition_from_noise(spark):
+    from earthmover_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 500),                      # repetitive
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "discusses query planning with a colleague at length"),
+            (3, "kq8x!rz0vw9$yd3j&mb7n1c4f6g5h2t"),  # high entropy
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.compression_ratio
+           for r in textstats.compression_ratio(docs).collect()}
+    assert got[1] < 0.05          # boilerplate crushes
+    assert 0.3 < got[2] < 1.0     # prose
+    assert got[3] > 0.9           # noise barely compresses
+    assert got[4] == 0.0

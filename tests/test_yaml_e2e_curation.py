@@ -28,6 +28,13 @@ def project_dir(tmp_path_factory):
         "bucket,weight\n"
         + "".join(f"{b},0.1\n" for b in range(64))
     )
+    # changeset: rewrite doc 3, delete doc 2, insert doc 9
+    (d / "sources" / "doc_updates.csv").write_text(
+        "id,text,deleted\n"
+        "3,rewritten content,\n"
+        "2,,True\n"
+        "9,brand new document,\n"
+    )
     (d / "earthmover.yaml").write_text(textwrap.dedent("""
         config:
           output_dir: ./outputs
@@ -37,6 +44,8 @@ def project_dir(tmp_path_factory):
             file: sources/docs.csv
           weights:
             file: sources/weights.csv
+          doc_updates:
+            file: sources/doc_updates.csv
 
         transformations:
           pairs:
@@ -77,6 +86,15 @@ def project_dir(tmp_path_factory):
                 weights: $sources.weights
                 id_col: id
                 n_buckets: 64
+          merged:
+            source: $sources.docs
+            operations:
+              - operation: merge_upsert
+                updates: $sources.doc_updates
+                key_cols: [id]
+                delete_col: deleted
+              - operation: keep_columns
+                columns: [id, text]
 
         destinations:
           dedup_out:
@@ -90,6 +108,9 @@ def project_dir(tmp_path_factory):
             extension: jsonl
           scored_out:
             source: $transformations.scored
+            extension: jsonl
+          merged_out:
+            source: $transformations.merged
             extension: jsonl
     """))
     return d
@@ -129,3 +150,13 @@ def test_curation_yaml_pipeline(spark, project_dir):
         for line in open(results["$destinations.scored_out"]).read().splitlines()
     }
     assert all(str(r["quality_score"]) == "0.524979" for r in scored.values())
+
+    # merge_upsert changeset: doc 3 rewritten, doc 2 deleted, doc 9 new
+    merged = {
+        json.loads(line)["id"]: json.loads(line)["text"]
+        for line in open(results["$destinations.merged_out"]).read().splitlines()
+    }
+    assert merged["3"] == "rewritten content"
+    assert "2" not in merged
+    assert merged["9"] == "brand new document"
+    assert set(merged) == {"1", "3", "4", "9"}
