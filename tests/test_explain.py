@@ -116,10 +116,12 @@ def test_stratified_sample_is_single_stage_filter(plans):
 
 
 def test_winnow_fingerprints_zero_shuffle(plans):
-    """Winnowing is pure array expressions: the corpus never shuffles
-    and never leaves the JVM."""
+    """Winnowing is pure array expressions: no hash shuffle of the
+    corpus, no Python. (One RoundRobin exchange is allowed — that's
+    spread_narrow_scan fanning a single-row-group file out to the
+    cluster, a no-op on real many-file inputs.)"""
     p = plans("winnow_fp")
-    assert "Exchange" not in p
+    assert "Exchange hashpartitioning" not in p
     assert "EvalPython" not in p
 
 
@@ -140,9 +142,9 @@ def test_dedup_spans_no_python_bounded_shuffles(plans):
     and nothing leaves the JVM."""
     p = plans("dedup_spans")
     assert "EvalPython" not in p
-    # formatted explain mentions each node twice (tree + details), so
-    # 4 physical exchanges == 8 occurrences
-    assert p.count("Exchange") <= 8
+    # hash shuffles only: span count agg, span join back, per-doc
+    # rebuild (the RoundRobin spread of narrow scans doesn't count)
+    assert p.count("Exchange hashpartitioning") <= 4
 
 
 def test_quality_classifier_weight_join_is_broadcast(plans):
@@ -152,3 +154,31 @@ def test_quality_classifier_weight_join_is_broadcast(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_merge_upsert_base_side_broadcast_antijoin(plans):
+    """The base table anti-joins against the broadcast changeset key
+    set — the 100 TB side never shuffles for the merge."""
+    p = plans("merge_upsert")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_flag_outliers_stats_join_is_broadcast(plans):
+    """The |groups|-row moments frame broadcasts back onto the fact
+    side; no window, no sort of the fact table."""
+    p = plans("flag_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+
+
+def test_scd2_windows_are_key_partitioned(plans):
+    """Every window in the SCD2 build partitions by the key — a global
+    (unpartitioned) window would serialize the corpus through one
+    task."""
+    p = plans("scd2_history")
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "user_id" in spec, spec
