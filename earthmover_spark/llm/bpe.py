@@ -172,3 +172,20 @@ def bpe_encode(
     id_type = dict(norm_df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, {out_col} array<string>, n_pieces long"
     return norm_df.mapInPandas(encode, schema=schema)
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 200,
+    min_pair_count: int = 2,
+    max_vocab_words: int = 100_000,
+    out_col: str = "bpe_pieces",
+) -> DataFrame:
+    """One-shot YAML-friendly surface: learn merges from the input
+    corpus, then encode it (two corpus passes — the count agg and the
+    encode). For a frozen tokenizer across pipelines, call
+    :func:`learn_bpe` once and :func:`bpe_encode` per dataset."""
+    merges = learn_bpe(df, text_col, num_merges, min_pair_count, max_vocab_words)
+    return bpe_encode(df, merges, text_col, id_col, out_col)

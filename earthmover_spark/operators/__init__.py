@@ -9,7 +9,7 @@ Each operator is ``fn(df: DataFrame, *, config...) -> DataFrame`` (joins
 and unions additionally take a ``registry`` of named DataFrames).
 """
 
-from earthmover_spark.llm import curation, dedup, embeddings, sampling, textstats
+from earthmover_spark.llm import bpe, curation, dedup, embeddings, sampling, textstats
 from earthmover_spark.operators import column, dataframe, groupby, row, skew, temporal
 from earthmover_spark.streaming import ops as streaming_ops
 
@@ -88,6 +88,7 @@ OPERATIONS = {
     "dedup_spans": curation.dedup_spans,
     "quality_classifier": textstats.quality_classifier,
     "compression_ratio": textstats.compression_ratio,
+    "bpe_tokenize": bpe.bpe_tokenize,
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "quality_score": textstats.quality_score,
     "lang_id": textstats.lang_id,

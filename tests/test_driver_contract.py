@@ -5,7 +5,9 @@ oracles, and the entry() smoke query is registered."""
 import __spark_entry__ as entry
 
 #: genuinely non-SQL-expressible queries (driver records rows-only)
-ROWS_ONLY = {"pack_sequences"}  # partition-dependent by design
+#: pack_sequences is partition-dependent by design; bpe_encode's merge
+#: learning is iterative and not SQL-expressible
+ROWS_ONLY = {"pack_sequences", "bpe_encode"}
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():

@@ -86,6 +86,21 @@ def project_dir(tmp_path_factory):
                 weights: $sources.weights
                 id_col: id
                 n_buckets: 64
+          tokenized:
+            source: $sources.docs
+            operations:
+              - operation: bpe_tokenize
+                id_col: id
+                num_merges: 30
+                min_pair_count: 1
+              - operation: drop_columns
+                columns: [bpe_pieces]
+          compressibility:
+            source: $sources.docs
+            operations:
+              - operation: compression_ratio
+              - operation: keep_columns
+                columns: [id, compression_ratio]
           merged:
             source: $sources.docs
             operations:
@@ -111,6 +126,12 @@ def project_dir(tmp_path_factory):
             extension: jsonl
           merged_out:
             source: $transformations.merged
+            extension: jsonl
+          tokenized_out:
+            source: $transformations.tokenized
+            extension: jsonl
+          compress_out:
+            source: $transformations.compressibility
             extension: jsonl
     """))
     return d
@@ -160,3 +181,18 @@ def test_curation_yaml_pipeline(spark, project_dir):
     assert "2" not in merged
     assert merged["9"] == "brand new document"
     assert set(merged) == {"1", "3", "4", "9"}
+
+    # bpe_tokenize: piece counts exist and duplicate docs 1/2 match
+    toks = {
+        json.loads(line)["id"]: int(json.loads(line)["n_pieces"])
+        for line in open(results["$destinations.tokenized_out"]).read().splitlines()
+    }
+    assert set(toks) == {"1", "2", "3", "4"} and all(v > 0 for v in toks.values())
+    assert toks["1"] == toks["2"]
+
+    # compression_ratio: every doc scored in (0, 1.5]
+    comp = {
+        json.loads(line)["id"]: float(json.loads(line)["compression_ratio"])
+        for line in open(results["$destinations.compress_out"]).read().splitlines()
+    }
+    assert all(0 < v <= 1.5 for v in comp.values())
