@@ -26,6 +26,10 @@ SF_DIR = "/root/testdata/sf0.001"
     ("05_sql_transform", "$destinations.top_spenders_out",
      lambda rows: len(rows) == 10
      and sorted(int(r["spend_rank"]) for r in rows) == list(range(1, 11))),
+    ("07_cdc_warehouse", "$destinations.merged_out",
+     lambda rows: {"o_orderkey", "o_orderstatus"} == set(rows[0])
+     # every urgent order was rewritten by the changeset; others never are
+     and any(r["o_orderstatus"] == "RUSHED" for r in rows)),
 ])
 def test_example_runs(spark, tmp_path, name, dest, check):
     cfg = os.path.join(EXAMPLES, name, "earthmover.yaml")
