@@ -1171,6 +1171,22 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> view -> purchase per user: one shuffle,
+    chained strictly-after step minima from a sorted per-user event
+    array."""
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    out = temporal.funnel(ev, steps=["signup", "view", "purchase"])
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c)  # noqa: E731
+    return out.select(
+        "user_id",
+        fmt("step_1_ts"), fmt("step_2_ts"), fmt("step_3_ts"),
+        "steps_completed",
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE: a deterministic changeset against orders — priority
     rewrites for ~1/8 of keys, 100 inserted keys, deletes for another
@@ -1345,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_rows": q_latest_rows,
         "merge_upsert": q_merge_upsert,
         "flag_outliers": q_flag_outliers,
+        "funnel": q_funnel,
         # reference-surface operators (all green in CORRECTNESS_r01)
         "src_parquet_scan": q_src_parquet_scan,
         "keep_columns": q_keep_columns,
@@ -2444,6 +2461,32 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 END) AS n_spans_removed
             FROM s JOIN c USING (span)
             GROUP BY s.doc_id
+        """,
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT s1.user_id,
+                   strftime(t1, '%Y-%m-%d %H:%M:%S') AS step_1_ts,
+                   strftime(t2, '%Y-%m-%d %H:%M:%S') AS step_2_ts,
+                   strftime(t3, '%Y-%m-%d %H:%M:%S') AS step_3_ts,
+                   1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END
+                       AS steps_completed
+            FROM s1
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
         "merge_upsert": """
             WITH hashed AS (

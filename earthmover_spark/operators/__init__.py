@@ -59,6 +59,7 @@ OPERATIONS = {
     "interval_join": temporal.interval_join,
     "scd2_history": temporal.scd2_history,
     "latest_rows": temporal.latest_rows,
+    "funnel": temporal.funnel,
     "merge_upsert": dataframe.merge_upsert,
     "flag_outliers": groupby.flag_outliers,
     # streaming-only helper: bound state for windowed aggs on `stream:`

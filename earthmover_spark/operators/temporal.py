@@ -283,3 +283,68 @@ def latest_rows(
     return top_n_rows(
         df, group_by_columns=list(key_cols), order_by=order, n=1
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest completion
+    time of every step such that it strictly follows the previous
+    step's completion (view -> click -> purchase, etc.). Returns one
+    row per user who completed step 1: ``step_1_ts .. step_k_ts``
+    (NULL once the funnel breaks) and ``steps_completed``.
+
+    Shape: pre-filter to funnel events (pushed to the scan), one hash
+    aggregation per step keyed on the user — min(ts) conditioned on the
+    previous step's time — folded left to right as chained aggregate
+    expressions over ONE groupBy (not k self-joins): a single shuffle
+    of (user, step-relevant events), each step's min combining
+    map-side. Strictly-after semantics: ties on ts do not advance the
+    funnel."""
+    if not steps:
+        raise EarthmoverSparkError("funnel: steps must be non-empty")
+    ev = df.filter(F.col(event_col).isin(*steps)).select(
+        F.col(user_col),
+        F.col(event_col).alias("__e__"),
+        F.col(ts_col).alias("__ts__"),
+    )
+    # one collect_list per user of (ts, event), sorted; then each step
+    # time derives from the previous via native array expressions —
+    # zero Python, one shuffle, per-user state bounded by that user's
+    # funnel events
+    grouped = ev.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__ts__"), F.col("__e__")))
+        ).alias("__seq__")
+    )
+    # one-arg closures: pyspark derives the lambda's arity from the
+    # Python signature, so default-arg tricks would register as
+    # multi-argument HOF lambdas and fail analysis
+    def _step_cond(step, prev):
+        if prev is None:
+            return lambda x: x["__e__"] == step
+        return lambda x: (x["__e__"] == step) & (x["__ts__"] > prev)
+
+    out = grouped
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        col_name = f"step_{i}_ts"
+        first = F.filter(F.col("__seq__"), _step_cond(step, prev))
+        out = out.withColumn(
+            col_name,
+            F.when(F.size(first) > 0, F.element_at(first, 1)["__ts__"]),
+        )
+        prev = F.col(col_name)
+    done = sum(
+        F.when(F.col(f"step_{i}_ts").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return (
+        out.withColumn("steps_completed", done.cast("int"))
+        .filter(F.col("step_1_ts").isNotNull())
+        .drop("__seq__")
+    )

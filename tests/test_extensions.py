@@ -669,3 +669,32 @@ def test_flag_outliers_grouped_and_global(spark):
     # global mode: one stats row, no group columns needed
     glob = G.flag_outliers(df, "v", z=1.5).collect()
     assert sorted(r.v for r in glob if r.is_outlier) == [100.0]
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime
+
+    from earthmover_spark.operators import temporal as T
+
+    ts = lambda h: datetime(2024, 1, 1, h)
+    rows = [
+        # user 1 completes all three in order
+        (1, ts(1), "signup"), (1, ts(2), "view"), (1, ts(3), "purchase"),
+        # user 2: purchase BEFORE view -> funnel stops after signup+view
+        (2, ts(1), "signup"), (2, ts(3), "view"), (2, ts(2), "purchase"),
+        # user 3 never signs up -> excluded entirely
+        (3, ts(1), "view"), (3, ts(2), "purchase"),
+        # user 4: view at the SAME instant as signup does not count
+        # (strictly-after), later view does
+        (4, ts(1), "signup"), (4, ts(1), "view"), (4, ts(5), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: r
+        for r in T.funnel(df, ["signup", "view", "purchase"]).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert got[1].steps_completed == 3
+    assert got[2].steps_completed == 2 and got[2].step_3_ts is None
+    assert got[4].steps_completed == 2
+    assert got[4].step_2_ts.hour == 5
