@@ -1187,6 +1187,21 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention matrix: cohort by first active day, count
+    distinct users per (cohort, offset) — two hash aggs + user-keyed
+    join, no windows."""
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    out = temporal.retention_cohorts(ev, max_offset_days=30)
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE: a deterministic changeset against orders — priority
     rewrites for ~1/8 of keys, 100 inserted keys, deletes for another
@@ -1337,7 +1352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": q_sim_pq_topk,
         # relational extensions
         "join_semi": q_join_semi,
-        "set_intersect": q_set_intersect,
         "set_except": q_set_except,
         "group_by_rollup": q_group_by_rollup,
         "group_by_cube": q_group_by_cube,
@@ -1364,10 +1378,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "flag_outliers": q_flag_outliers,
         "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
         # reference-surface operators (all green in CORRECTNESS_r01;
-        # join_anti green r1+r3, displaced from the prefix by
-        # src_parquet_scan which needs a fresh row)
+        # join_anti/set_intersect green r1+r3, displaced from the
+        # prefix by src_parquet_scan/retention_cohorts which need
+        # fresh rows)
         "join_anti": q_join_anti,
+        "set_intersect": q_set_intersect,
         "keep_columns": q_keep_columns,
         "drop_columns": q_drop_columns,
         "rename_columns": q_rename_columns,
@@ -2465,6 +2482,20 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 END) AS n_spans_removed
             FROM s JOIN c USING (span)
             GROUP BY s.doc_id
+        """,
+        "retention_cohorts": """
+            WITH first AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+              FROM events GROUP BY user_id
+            ), active AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            )
+            SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                   d - cohort_day AS day_offset,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM active a JOIN first USING (user_id)
+            WHERE d - cohort_day <= 30
+            GROUP BY first.cohort_day, d - cohort_day
         """,
         "funnel": """
             WITH s1 AS (

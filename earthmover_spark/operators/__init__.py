@@ -60,6 +60,7 @@ OPERATIONS = {
     "scd2_history": temporal.scd2_history,
     "latest_rows": temporal.latest_rows,
     "funnel": temporal.funnel,
+    "retention_cohorts": temporal.retention_cohorts,
     "merge_upsert": dataframe.merge_upsert,
     "flag_outliers": groupby.flag_outliers,
     # streaming-only helper: bound state for windowed aggs on `stream:`

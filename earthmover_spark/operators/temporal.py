@@ -348,3 +348,34 @@ def funnel(
         .filter(F.col("step_1_ts").isNotNull())
         .drop("__seq__")
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    max_offset_days: int = 30,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their first
+    active day; each (cohort_day, day_offset) cell counts the distinct
+    users from that cohort active ``day_offset`` days later — the
+    standard day-N retention table.
+
+    Shape: one hash agg for first-activity per user, one distinct over
+    (user, day) — both map-side combined — a user-keyed join (the
+    per-user cohort frame is |users| rows), and a final (cohort,
+    offset) count agg. No windows, no Python."""
+    day = F.to_date(F.col(ts_col))
+    first = df.groupBy(user_col).agg(F.min(day).alias("__cohort__"))
+    active = df.select(F.col(user_col), day.alias("__day__")).distinct()
+    joined = active.join(first, user_col).withColumn(
+        "__offset__", F.datediff(F.col("__day__"), F.col("__cohort__"))
+    )
+    return (
+        joined.filter(F.col("__offset__") <= max_offset_days)
+        .groupBy(
+            F.col("__cohort__").alias("cohort_day"),
+            F.col("__offset__").alias("day_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -698,3 +698,30 @@ def test_funnel_strict_ordering(spark):
     assert got[2].steps_completed == 2 and got[2].step_3_ts is None
     assert got[4].steps_completed == 2
     assert got[4].step_2_ts.hour == 5
+
+
+def test_retention_cohorts_matrix(spark):
+    from datetime import datetime
+
+    from earthmover_spark.operators import temporal as T
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)
+    rows = [
+        # cohort jan-1: users 1,2 — user1 returns day1 and day2,
+        # user2 returns day2 only; two events same day collapse
+        (1, d(1)), (1, d(1, 5)), (1, d(2)), (1, d(3)),
+        (2, d(1)), (2, d(3)),
+        # cohort jan-2: user 3 never returns
+        (3, d(2)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in T.retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 2,
+        ("2024-01-02", 0): 1,
+    }
