@@ -204,3 +204,95 @@ def test_lowered_jinja_matches_full_engine(spark, template):
     ).collect()
     for r in rows:
         assert r.low == r.full, template
+
+
+# ---------------------------------------------------------------------------
+# randomized twins for the round-4 relational operators
+# ---------------------------------------------------------------------------
+
+
+def _scd2_reference(rows):
+    """Pure-Python SCD2: rows = [(key, ts, state)] -> {(key, valid_from):
+    (state, valid_to, n_rows)} with runs of equal state collapsed."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, ts, state in rows:
+        by_key[k].append((ts, state))
+    out = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        runs = []
+        for ts, state in evs:
+            if runs and runs[-1][1] == state:
+                runs[-1][2] += 1
+            else:
+                runs.append([ts, state, 1])
+        for i, (vf, state, n) in enumerate(runs):
+            vt = runs[i + 1][0] if i + 1 < len(runs) else None
+            out[(k, vf)] = (state, vt, n)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                       # key
+            st.integers(0, 50),                      # ts (seconds)
+            st.sampled_from(["a", "b", "c"]),        # state
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),            # unique (key, ts)
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_scd2_history_matches_python_reference(spark, rows):
+    from datetime import datetime, timedelta
+
+    from earthmover_spark.operators import temporal as T
+
+    base = datetime(2024, 1, 1)
+    data = [(k, base + timedelta(seconds=ts), s) for k, ts, s in rows]
+    df = spark.createDataFrame(data, ["k", "ts", "state"])
+    got = {
+        (r.k, r.valid_from): (r.state, r.valid_to, r.n_rows)
+        for r in T.scd2_history(
+            df, key_cols=["k"], change_cols=["state"], ts_col="ts"
+        ).collect()
+    }
+    # the reference stores raw second offsets; rebase onto datetimes
+    want = {
+        (k, base + timedelta(seconds=ts)): (
+            s,
+            None if vt is None else base + timedelta(seconds=vt),
+            n,
+        )
+        for (k, ts), (s, vt, n) in _scd2_reference(rows).items()
+    }
+    assert got == want
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 15), st.text("xy", min_size=1, max_size=3)),
+                  min_size=0, max_size=20, unique_by=lambda r: r[0]),
+    ups=st.lists(st.tuples(st.integers(0, 15), st.text("xy", min_size=1, max_size=3),
+                           st.booleans()),
+                 min_size=0, max_size=20, unique_by=lambda r: r[0]),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_merge_upsert_matches_python_reference(spark, base, ups):
+    from earthmover_spark.operators import dataframe as D
+
+    bdf = spark.createDataFrame(base, "k long, v string")
+    udf_ = spark.createDataFrame(ups, "k long, v string, deleted boolean")
+    got = {r.k: r.v for r in D.merge_upsert(
+        bdf, udf_, key_cols=["k"], delete_col="deleted").collect()}
+    want = {k: v for k, v in base}
+    for k, v, deleted in ups:
+        want.pop(k, None)
+        if not deleted:
+            want[k] = v
+    assert got == want
