@@ -1187,6 +1187,15 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram frequency table (count >= 3) — one explode + one
+    map-side-combined hash agg."""
+    from earthmover_spark.llm import textstats as T
+
+    docs = _p(spark, sf_dir, "documents")
+    return T.ngram_counts(docs, n=3, min_count=3).select("ngram", "count")
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-N retention matrix: cohort by first active day, count
     distinct users per (cohort, offset) — two hash aggs + user-keyed
@@ -1433,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "ngram_counts": q_ngram_counts,
         # rows-only by design, kept LAST so they never occupy recorded
         # full-oracle slots: pack_sequences bin ids are
         # partition-dependent; bpe merge learning is iterative (not
@@ -2482,6 +2492,19 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 END) AS n_spans_removed
             FROM s JOIN c USING (span)
             GROUP BY s.doc_id
+        """,
+        "ngram_counts": f"""
+            WITH w AS (
+              SELECT string_split({_NORM_SQL}, ' ') AS words FROM documents
+            ), g AS (
+              SELECT unnest(list_transform(
+                       generate_series(0, greatest(len(words) - 3, 0)),
+                       i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')
+                     )) AS ngram
+              FROM w
+            )
+            SELECT ngram, count(*) AS count
+            FROM g GROUP BY ngram HAVING count(*) >= 3
         """,
         "retention_cohorts": """
             WITH first AS (

@@ -575,3 +575,26 @@ def compression_ratio(
 
     ratio = F.pandas_udf(_ratio_batch, DoubleType())
     return df.withColumn(out_col, ratio(F.col(text_col)))
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide word n-gram frequency table — the data product LM
+    smoothing tables, autocomplete models, and collocation mining are
+    built from (the unigram/bigram logprob scorers compute these
+    internally; this exposes the table itself). Returns (ngram, count)
+    with ``count >= min_count``.
+
+    One explode over the shingle array + one hash aggregation with
+    map-side partial combine; the narrow-scan spread applies as
+    everywhere else. The count filter prunes the long tail BEFORE any
+    consumer join."""
+    grams = spread_narrow_scan(df).select(
+        F.explode(shingles(F.col(text_col), n)).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("count"))
+    return counts.filter(F.col("count") >= min_count)

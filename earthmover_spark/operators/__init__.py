@@ -106,6 +106,7 @@ OPERATIONS = {
     "split_dataset": sampling.split_dataset,
     "unigram_logprob": textstats.unigram_logprob,
     "bigram_logprob": textstats.bigram_logprob,
+    "ngram_counts": textstats.ngram_counts,
     "tokenize_to_ids": textstats.tokenize_to_ids,
     "l2_normalize": embeddings.l2_normalize,
     "mean_pool": embeddings.mean_pool,

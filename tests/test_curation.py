@@ -470,3 +470,22 @@ def test_compression_ratio_separates_repetition_from_noise(spark):
     assert 0.3 < got[2] < 1.0     # prose
     assert got[3] > 0.9           # noise barely compresses
     assert got[4] == 0.0
+
+
+def test_ngram_counts(spark):
+    from earthmover_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c")], ["doc_id", "text"]
+    )
+    got = {
+        r.ngram: r["count"]
+        for r in textstats.ngram_counts(docs, n=2).collect()
+    }
+    # doc1 bigrams: [a b, b a, a b, b a]; doc2: [a b, b c]
+    assert got == {"a b": 3, "b a": 2, "b c": 1}
+    filtered = {
+        r.ngram
+        for r in textstats.ngram_counts(docs, n=2, min_count=2).collect()
+    }
+    assert filtered == {"a b", "b a"}
