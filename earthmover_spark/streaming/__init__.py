@@ -2,6 +2,7 @@ from earthmover_spark.streaming.ops import (  # noqa: F401
     dedup_stream,
     enrich_stream,
     join_streams,
+    latest_state_stream,
     read_stream_source,
     running_counts_stream,
     sessionize_stream,

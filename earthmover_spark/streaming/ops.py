@@ -11,6 +11,8 @@ same semantics plus late-data handling.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -280,5 +282,70 @@ def running_counts_stream(
                 if timeout_minutes
                 else GroupStateTimeout.NoTimeout
             ),
+        )
+    )
+
+
+def latest_state_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    watermark: str = "1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch ``latest_rows`` compaction: maintain
+    each key's most recent row as events arrive (the continuously-
+    maintained CDC current-state table). Emits refreshed (key, ts,
+    values...) rows per micro-batch in ``update`` mode via
+    ``applyInPandasWithState``; state per key is one row.
+
+    Ordering matches the batch twin: latest ``ts_col`` wins, with
+    ``tiebreak_col`` (descending, stringified) breaking exact ts ties
+    so replays are deterministic."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    vals = list(value_cols)
+    out_schema = T.StructType(
+        [T.StructField(key_col, T.StringType()),
+         T.StructField(ts_col, T.StringType())]
+        + [T.StructField(c, T.StringType()) for c in vals]
+    )
+    state_schema = T.StructType(
+        [T.StructField("ts", T.StringType()),
+         T.StructField("tie", T.StringType())]
+        + [T.StructField(c, T.StringType()) for c in vals]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            best = list(state.get)
+        else:
+            best = [None, None] + [None] * len(vals)
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                ts = str(row[ts_col])
+                tie = str(row[tiebreak_col]) if tiebreak_col else ""
+                if best[0] is None or (ts, tie) > (best[0], best[1] or ""):
+                    best = [ts, tie] + [
+                        None if pd.isna(row[c]) else str(row[c]) for c in vals
+                    ]
+        state.update(tuple(best))
+        yield pd.DataFrame(
+            {key_col: [str(key[0])], ts_col: [best[0]],
+             **{c: [best[2 + i]] for i, c in enumerate(vals)}}
+        )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -434,3 +434,29 @@ def test_yaml_stream_stream_join_and_stateful_counts(spark, tmp_path):
     assert counts["8"]["n_events"] == "2"
     assert counts["7"]["first_seen"][:19] == "2024-01-01 10:00:00"
     assert counts["7"]["last_seen"][:19] == "2024-01-01 10:50:00"
+
+
+def test_latest_state_stream_matches_batch_latest_rows(spark, events_dir):
+    from earthmover_spark.operators.temporal import latest_rows
+    from earthmover_spark.streaming import latest_state_stream, read_stream_source
+
+    stream = read_stream_source(spark, events_dir)
+    out = latest_state_stream(
+        stream, "user_id", "ts", ["event_type", "value"],
+        watermark="0 seconds", tiebreak_col="event_id",
+    )
+    got = {
+        r.user_id: (r.ts[:19], r.event_type, r.value)
+        for r in _run_to_memory(out, spark, "ls_out", "update").collect()
+    }
+    want = {
+        str(r.user_id): (
+            str(r.ts)[:19], r.event_type, str(r.value)
+        )
+        for r in latest_rows(
+            spark.read.parquet(events_dir), ["user_id"], "ts",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got == want
+    assert got["7"] == ("2024-01-01 10:50:00", "click", "3.0")
