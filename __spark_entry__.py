@@ -1321,45 +1321,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's per-round snapshot records a 50-query
-    # prefix of this dict. Queries needing a fresh green row on the
-    # official record (temporal, curation, sampling, multimodal,
-    # emb_*, sim_pq_topk) lead; long-green reference-surface operators
-    # follow; the one rows-only query (pack_sequences) is last.
+    # prefix of this dict, so coverage ROTATES across rounds (see the
+    # rotation log in COVERAGE.md for when each query last held an
+    # official green row). r5 prefix = queries changed this round
+    # (ev_sessionize, scd2_history, dedup_spans), queries with no
+    # official row yet (ngram_counts), and 10 core reference-surface
+    # operators whose newest green row was r1; the 11 queries that got
+    # fresh r4 rows and are unchanged since rotated out.
     return {
         "flagship": q_flagship,
-        # temporal / events
         "ev_window_agg": q_ev_window_agg,
         "ev_sessionize": q_ev_sessionize,
         "ev_asof_join": q_ev_asof_join,
         "ev_window_sliding": q_ev_window_sliding,
-        # red in r3 alongside the ev_* queries (same _p() root cause) —
-        # needs its green row on the official record
-        "src_parquet_scan": q_src_parquet_scan,
-        # corpus curation
         "dedup_resolve": q_dedup_resolve,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "redact_pii": q_redact_pii,
-        # training-data pipeline
-        "chunk_documents": q_chunk_documents,
-        "det_sample": q_det_sample,
-        "split_dataset": q_split_dataset,
         "pack_sequences_ordered": q_pack_sequences_ordered,
         "stratified_sample": q_stratified_sample,
         "budget_sample": q_budget_sample,
         "temperature_mix": q_temperature_mix,
-        # multimodal plumbing
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        # embedding vector ops
-        "emb_normalize": q_emb_normalize,
         "emb_mean_pool": q_emb_mean_pool,
         "emb_quantize": q_emb_quantize,
-        # PQ/ADC top-k (fixed in r2 commit 1c8d37c; kept inside the
-        # driver's recorded 50-query prefix until a green row is on record)
         "sim_pq_topk": q_sim_pq_topk,
-        # relational extensions
         "join_semi": q_join_semi,
         "set_except": q_set_except,
         "group_by_rollup": q_group_by_rollup,
@@ -1370,7 +1352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_n": q_top_n,
         "group_by_quantiles": q_group_by_quantiles,
         "interval_join": q_interval_join,
-        # text analysis extensions
         "text_tfidf": q_text_tfidf,
         "strip_markup": q_strip_markup,
         "unigram_logprob": q_unigram_logprob,
@@ -1378,7 +1359,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": q_tokenize_ids,
         "winnow_fp": q_winnow_fp,
         "winnow_near_dups": q_winnow_near_dups,
-        # round-4 additions (inside the recorded prefix for a first row)
         "dedup_spans": q_dedup_spans,
         "quality_classifier": q_quality_classifier,
         "cap_per_group": q_cap_per_group,
@@ -1388,15 +1368,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flag_outliers": q_flag_outliers,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
-        # reference-surface operators (all green in CORRECTNESS_r01;
-        # join_anti/set_intersect green r1+r3, displaced from the
-        # prefix by src_parquet_scan/retention_cohorts which need
-        # fresh rows)
-        "join_anti": q_join_anti,
-        "set_intersect": q_set_intersect,
+        "ngram_counts": q_ngram_counts,
         "keep_columns": q_keep_columns,
         "drop_columns": q_drop_columns,
         "rename_columns": q_rename_columns,
+        "filter_rows": q_filter_rows,
+        "join_inner": q_join_inner,
+        "union": q_union,
+        "melt": q_melt,
+        "pivot": q_pivot,
+        "group_by_stats": q_group_by_stats,
+        "jinja_conditional": q_jinja_conditional,
+        # --- end of recorded 50-query prefix ---
+        # rotated OUT of the prefix in r5: fresh green rows on
+        # CORRECTNESS_r04, implementations unchanged since
+        "src_parquet_scan": q_src_parquet_scan,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
+        "det_sample": q_det_sample,
+        "split_dataset": q_split_dataset,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "emb_normalize": q_emb_normalize,
+        # reference-surface + LLM-pipeline queries, all with official
+        # green rows (r1 or later); still verified every round locally
+        # via tools/compare.py
+        "join_anti": q_join_anti,
+        "set_intersect": q_set_intersect,
         "duplicate_columns": q_duplicate_columns,
         "add_columns": q_add_columns,
         "add_columns_jinja_arith": q_add_columns_jinja_arith,
@@ -1406,28 +1407,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_format": q_date_format,
         "snake_case_columns": q_snake_case_columns,
         "uppercase_columns": q_uppercase_columns,
-        "filter_rows": q_filter_rows,
         "filter_rows_exclude": q_filter_rows_exclude,
         "filter_rows_contains": q_filter_rows_contains,
         "distinct_rows": q_distinct_rows,
         "sort_limit_rows": q_sort_limit_rows,
         "flatten": q_flatten,
         "flatten_wrapped": q_flatten_wrapped,
-        "join_inner": q_join_inner,
         "join_left": q_join_left,
         "join_suffix": q_join_suffix,
         "join_outer": q_join_outer,
-        "union": q_union,
-        "group_by_stats": q_group_by_stats,
         "group_by_str": q_group_by_str,
         "group_by_agg_concat": q_group_by_agg_concat,
         "json_array_agg": q_json_array_agg,
         "group_by_with_rank": q_group_by_with_rank,
-        "melt": q_melt,
-        "pivot": q_pivot,
-        "jinja_conditional": q_jinja_conditional,
         "jinja_md5": q_jinja_md5,
-        # LLM-pipeline dedup / similarity
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "text_tokens": q_text_tokens,
@@ -1442,7 +1435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "ngram_counts": q_ngram_counts,
         # rows-only by design, kept LAST so they never occupy recorded
         # full-oracle slots: pack_sequences bin ids are
         # partition-dependent; bpe merge learning is iterative (not
@@ -1945,12 +1937,14 @@ def oracle_sql() -> dict[str, str]:
             WITH x AS (
               SELECT user_id,
                      CASE WHEN lag(ts) OVER w IS NULL
-                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800 * 1000000
                           THEN 1 ELSE 0 END AS ns
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM x GROUP BY user_id
         """,
         "ev_asof_join": """
@@ -2609,10 +2603,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id,
                    strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
-                   strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                   strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY run),
                             '%Y-%m-%d %H:%M:%S') AS valid_to,
                    event_type, n_rows,
-                   CASE WHEN lead(vf) OVER (PARTITION BY user_id ORDER BY vf)
+                   CASE WHEN lead(vf) OVER (PARTITION BY user_id ORDER BY run)
                              IS NULL THEN 1 ELSE 0 END AS is_current
             FROM h
         """,

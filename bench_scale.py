@@ -191,12 +191,17 @@ shuffle strategies are actually exercised):
 | pre-bucketed join (zero Exchange) | {r['join_bucketed']} |
 """
     if marker in text:
-        # replace only the header+table; keep the hand-written analysis
-        # prose that follows the table intact
+        # replace only the header+table WITHIN this marker's section;
+        # later '## ' sections (and their tables) must stay intact
         head, rest = text.split(marker, 1)
-        tail = rest[rest.rindex("|") + 1:]
-        after = tail.split("\n\n", 1)[1] if "\n\n" in tail else ""
-        text = head + section + "\n" + after
+        nxt = rest.find("\n## ")
+        own, after_sections = (
+            (rest, "") if nxt < 0 else (rest[:nxt], rest[nxt:])
+        )
+        last_pipe = own.rfind("|")
+        tail = own[last_pipe + 1:] if last_pipe >= 0 else own
+        prose = tail.split("\n\n", 1)[1] if "\n\n" in tail else ""
+        text = head + section + "\n" + prose + after_sections
     else:
         text = text.rstrip() + "\n\n" + section
     open(path, "w").write(text)

@@ -301,9 +301,10 @@ def dedup_spans(
     span string (map-side partial combine — the one unavoidable global
     shuffle any corpus-wide dedup has), one shuffle-join back on the
     span, and a per-document reassembly agg on ``id_col``. No
-    driver-side data, no Python. The keeper rank packs (doc_id, pos)
-    into one BIGINT — valid while doc_id < 2^33 and a document has
-    < 2^30 spans."""
+    driver-side data, no Python. The keeper is ``min(struct(doc_id,
+    pos))`` — struct comparison is type-native, so string/UUID doc ids
+    work (keeper = lexicographically-least id) with no numeric-cast
+    precision loss or silent NULLs."""
     out_col = out_col or "dedup_text"
     # materialize the word array before the chunking lambda closes over
     # it (lambda-scope rule: aggregates referenced inside transform()
@@ -327,7 +328,9 @@ def dedup_spans(
         F.col(id_col),
         F.posexplode("__spans__").alias("__pos__", "__span__"),
     )
-    rank = (F.col(id_col) * F.lit(2**30) + F.col("__pos__")).alias("__rank__")
+    rank = F.struct(
+        F.col(id_col).alias("__rid__"), F.col("__pos__").alias("__rpos__")
+    ).alias("__rank__")
     counts = (
         spans.select("__span__", rank)
         .groupBy("__span__")

@@ -8,30 +8,87 @@ documents limited only by scan throughput.
 
 from __future__ import annotations
 
+import math
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(v) -> int:
+    """Parse a Spark size conf value ('134217728', '128m', '4194304b')."""
+    m = re.match(r"^\s*(\d+)\s*([a-z]*)\s*$", str(v).lower())
+    if not m:
+        raise ValueError(f"unparseable size: {v!r}")
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
+
+
+def _total_file_bytes(spark, files) -> int:
+    """Sum file lengths via the Hadoop FileSystem (works for any
+    scheme). Driver-side, but only ever called for < defaultParallelism
+    files, so the status-call count is bounded."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        total += fs.getFileStatus(p).getLen()
+    return total
+
 
 def spread_narrow_scan(df: DataFrame) -> DataFrame:
-    """Repartition narrow inputs up to cluster parallelism before
-    CPU-heavy per-row derivations (k-gram hashing, token explodes). A
-    small parquet file arrives as 1-2 partitions — a single row group
-    cannot split, so without this every core but one idles through the
-    expensive scan stage. At real scale (many files) this is a no-op.
+    """Repartition genuinely narrow inputs up to cluster parallelism
+    before CPU-heavy per-row derivations (k-gram hashing, token
+    explodes). A tiny parquet file arrives as 1 partition, so without
+    this every core but one idles through the expensive stage.
 
-    Uses ``inputFiles()`` metadata to detect narrow scans — no
-    plan->RDD conversion (``df.rdd`` forces one just to read a
-    partition count). Frames backed by many files, or not backed by
-    files at all (in-memory test frames, post-shuffle plans), pass
-    through untouched."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    File COUNT alone is a bad proxy for scan width: parquet/ORC split
+    by row group at ``maxPartitionBytes`` boundaries, so a corpus of a
+    few hundred multi-GB files on a 1000-core cluster already scans at
+    full width — force-shuffling it would be the single most expensive
+    operation at 100 TB. Instead this estimates the number of scan
+    partitions Spark will actually produce (the
+    ``FilePartition.maxSplitBytes`` formula: ``min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore))``) from driver-side file
+    metadata, and only spreads when that estimate falls short of
+    ``defaultParallelism``. Frames not backed by files (in-memory test
+    frames, post-shuffle plans) pass through untouched; so does any
+    scan whose file sizes cannot be cheaply determined."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
         return df
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+    n_files = len(files)
+    if n_files == 0 or n_files >= target:
+        return df
+    try:
+        total = _total_file_bytes(spark, files)
+        open_cost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+    except Exception:
+        return df
+    bytes_per_core = (total + n_files * open_cost) // max(target, 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core, 1))
+    est_partitions = math.ceil(total / max_split) if total else n_files
+    if est_partitions >= target:
+        return df
+    return df.repartition(target)
 
 # ---------------------------------------------------------------------------
 # token counting

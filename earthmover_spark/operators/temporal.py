@@ -76,9 +76,13 @@ def sessionize(
         order_cols.append(F.col(order_tiebreak))
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    # Exact microsecond arithmetic: cast("long") truncates to seconds,
+    # which could flip a session whose gap straddles a second boundary.
+    gap_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
     new_session = F.when(
-        prev_ts.isNull() | (gap > gap_minutes * 60), F.lit(1)
+        prev_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn(
         "session_id", F.sum(new_session).over(w) - F.lit(1)
@@ -259,7 +263,11 @@ def scd2_history(
         *[F.first(c).alias(c) for c in changes],
         F.count(F.lit(1)).alias("n_rows"),
     )
-    w2 = Window.partitionBy(*keys).orderBy(valid_from)
+    # order the successor window by the run index, not valid_from:
+    # __run__ is assigned in (ts, tiebreak) order, so it stays a total
+    # order even when two runs of a key share a valid_from timestamp
+    # (lead() over valid_from alone would be nondeterministic there)
+    w2 = Window.partitionBy(*keys).orderBy("__run__")
     return (
         history.withColumn(valid_to, F.lead(valid_from).over(w2))
         .withColumn(current_col, F.col(valid_to).isNull())

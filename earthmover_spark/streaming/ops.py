@@ -301,8 +301,10 @@ def latest_state_stream(
     ``applyInPandasWithState``; state per key is one row.
 
     Ordering matches the batch twin: latest ``ts_col`` wins, with
-    ``tiebreak_col`` (descending, stringified) breaking exact ts ties
-    so replays are deterministic."""
+    ``tiebreak_col`` breaking exact ts ties in its NATIVE type (state
+    keeps ts/tie typed — a stringified numeric tiebreak would compare
+    '10' < '9' and diverge from ``latest_rows`` whenever widths
+    differ), so replays are deterministic."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     vals = list(value_cols)
@@ -311,31 +313,61 @@ def latest_state_stream(
          T.StructField(ts_col, T.StringType())]
         + [T.StructField(c, T.StringType()) for c in vals]
     )
+    ts_type = df.schema[ts_col].dataType
+    tie_type = (
+        df.schema[tiebreak_col].dataType if tiebreak_col else T.StringType()
+    )
     state_schema = T.StructType(
-        [T.StructField("ts", T.StringType()),
-         T.StructField("tie", T.StringType())]
+        [T.StructField("ts", ts_type), T.StructField("tie", tie_type)]
         + [T.StructField(c, T.StringType()) for c in vals]
     )
+
+    def _py(v):
+        # numpy/pandas scalars -> plain python for the state tuple
+        if v is None:
+            return None
+        item = getattr(v, "item", None)
+        if item is not None and type(v).__module__.startswith("numpy"):
+            return v.item()
+        to_py = getattr(v, "to_pydatetime", None)
+        return to_py() if to_py is not None else v
 
     def _update(key, pdfs, state: GroupState):
         import pandas as pd
 
         if state.exists:
-            best = list(state.get)
+            st = list(state.get)
+            best_ts, best_tie, best_vals = st[0], st[1], list(st[2:])
         else:
-            best = [None, None] + [None] * len(vals)
+            best_ts, best_tie, best_vals = None, None, [None] * len(vals)
+        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                ts = str(row[ts_col])
-                tie = str(row[tiebreak_col]) if tiebreak_col else ""
-                if best[0] is None or (ts, tie) > (best[0], best[1] or ""):
-                    best = [ts, tie] + [
-                        None if pd.isna(row[c]) else str(row[c]) for c in vals
-                    ]
-        state.update(tuple(best))
+            if not len(pdf):
+                continue
+            # vectorized per-batch max: one stable sort, take last row
+            top = pdf.sort_values(order, kind="stable").iloc[-1]
+            c_ts, c_tie = top[ts_col], (
+                top[tiebreak_col] if tiebreak_col else None
+            )
+            wins = (
+                best_ts is None
+                or c_ts > best_ts
+                or (
+                    c_ts == best_ts
+                    and tiebreak_col is not None
+                    and c_tie > best_tie
+                )
+            )
+            if wins:
+                best_ts, best_tie = _py(c_ts), _py(c_tie)
+                best_vals = [
+                    None if pd.isna(top[c]) else str(top[c]) for c in vals
+                ]
+        state.update(tuple([best_ts, best_tie] + best_vals))
         yield pd.DataFrame(
-            {key_col: [str(key[0])], ts_col: [best[0]],
-             **{c: [best[2 + i]] for i, c in enumerate(vals)}}
+            {key_col: [str(key[0])],
+             ts_col: [None if best_ts is None else str(best_ts)],
+             **{c: [best_vals[i]] for i, c in enumerate(vals)}}
         )
 
     return (

@@ -314,6 +314,41 @@ def test_dedup_spans_max_occurrences(spark):
     assert got[1].dedup_text == "aa bb" and got[2].dedup_text == "aa bb"
 
 
+def test_dedup_spans_string_uuid_ids(spark):
+    """String/UUID doc ids (the common case for web corpora) must keep
+    exactly one copy of a duplicated span — the keeper is
+    min(struct(doc_id, pos)), never a numeric cast of the id."""
+    docs = spark.createDataFrame(
+        [
+            ("0b1c2d3e-aaaa-4bbb-8ccc-000000000001", "aa bb cc dd"),
+            ("0a9f8e7d-aaaa-4bbb-8ccc-000000000002", "aa bb ee ff"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in curation.dedup_spans(docs, span_words=2).collect()
+    }
+    # keeper = lexicographically-least doc_id ("0a9f..." < "0b1c...")
+    assert got["0a9f8e7d-aaaa-4bbb-8ccc-000000000002"].dedup_text == "aa bb ee ff"
+    assert got["0b1c2d3e-aaaa-4bbb-8ccc-000000000001"].dedup_text == "cc dd"
+    assert got["0b1c2d3e-aaaa-4bbb-8ccc-000000000001"].n_spans_removed == 1
+
+
+def test_dedup_spans_large_numeric_ids_no_precision_loss(spark):
+    """Ids above 2^53 would collide under a double cast; the struct
+    keeper must distinguish them exactly."""
+    big = 2**60
+    docs = spark.createDataFrame(
+        [(big, "aa bb"), (big + 1, "aa bb")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r for r in curation.dedup_spans(docs, span_words=2).collect()
+    }
+    assert got[big].dedup_text == "aa bb"
+    assert got[big + 1].dedup_text == ""
+
+
 def test_quality_classifier_known_weights(spark):
     import math
 

@@ -182,3 +182,42 @@ def test_scd2_windows_are_key_partitioned(plans):
     import re
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "user_id" in spec, spec
+
+
+def test_spread_narrow_scan_gates_on_bytes_not_file_count(spark, tmp_path):
+    """A single large-relative-to-split-size file must NOT be
+    force-shuffled (parquet splits by row group, so the scan is already
+    wide); a genuinely tiny file still gets spread. File count alone is
+    the wrong signal — at 100 TB a few hundred multi-GB files would
+    otherwise eat a full corpus shuffle before every text op."""
+    from earthmover_spark.llm.textstats import spread_narrow_scan
+
+    path = str(tmp_path / "docs")
+    (
+        spark.range(100_000)
+        .selectExpr("id", "sha2(cast(id AS string), 256) AS text")
+        .coalesce(1)
+        .write.parquet(path)
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # (a) split size small vs file bytes -> scan already >= target
+        # partitions wide -> passthrough, no Exchange inserted
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16k")
+        wide = spread_narrow_scan(spark.read.parquet(path))
+        assert "Exchange" not in plan(wide)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # (b) default split size: the same file is a narrow scan -> spread
+    narrow = spread_narrow_scan(spark.read.parquet(path))
+    p = plan(narrow)
+    assert "Exchange" in p and "RoundRobinPartitioning" in p

@@ -607,6 +607,35 @@ def test_scd2_history_runs_and_intervals(spark):
     ]
 
 
+def test_scd2_history_same_ts_runs_deterministic(spark):
+    """Two runs of one key sharing a valid_from (same-timestamp rows
+    with different change values, split by the tiebreak): the successor
+    window orders by run index, so valid_to/is_current are stable
+    across partitionings instead of lead() picking arbitrarily."""
+    from datetime import datetime
+
+    from earthmover_spark.operators import temporal as T
+
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    rows = [(1, 1, t0, "A"), (1, 2, t0, "B")]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "state"])
+    for _ in range(3):  # stable across repeated plans/shuffles
+        got = sorted(
+            (r.state, str(r.valid_to), r.is_current)
+            for r in T.scd2_history(
+                df.repartition(8), key_cols=["user_id"],
+                change_cols=["state"], ts_col="ts",
+                tiebreak_col="event_id",
+            ).collect()
+        )
+        # run A (event 1) precedes run B (event 2): A closes at B's
+        # start even though the timestamps are equal; B is current
+        assert got == [
+            ("A", "2024-01-01 00:00:00", False),
+            ("B", "None", True),
+        ]
+
+
 def test_latest_rows_ties_and_window_group_limit(spark):
     from earthmover_spark.operators import temporal as T
 

@@ -460,3 +460,51 @@ def test_latest_state_stream_matches_batch_latest_rows(spark, events_dir):
     }
     assert got == want
     assert got["7"] == ("2024-01-01 10:50:00", "click", "3.0")
+
+
+def test_latest_state_stream_numeric_tiebreak_mixed_widths(
+    spark, tmp_path_factory
+):
+    """Exact-ts ties with numeric ids of different widths: 10 must beat
+    9 (native comparison), which a stringified tiebreak would get
+    backwards ('10' < '9')."""
+    from earthmover_spark.operators.temporal import latest_rows
+    from earthmover_spark.streaming import (
+        latest_state_stream,
+        read_stream_source,
+    )
+
+    d = str(tmp_path_factory.mktemp("tie_stream"))
+    rows = [
+        (9, "2024-01-01 10:00:00", 1, "a", 1.0),
+        (10, "2024-01-01 10:00:00", 1, "b", 2.0),
+        (100, "2024-01-01 10:00:00", 2, "c", 3.0),
+        (99, "2024-01-01 10:00:00", 2, "d", 4.0),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, ["event_id", "ts_s", "user_id", "event_type", "value"]
+        )
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = read_stream_source(spark, d)
+    out = latest_state_stream(
+        stream, "user_id", "ts", ["event_type", "value"],
+        watermark="0 seconds", tiebreak_col="event_id",
+    )
+    got = {
+        r.user_id: (r.event_type, r.value)
+        for r in _run_to_memory(out, spark, "tie_out", "update").collect()
+    }
+    want = {
+        str(r.user_id): (r.event_type, str(r.value))
+        for r in latest_rows(
+            spark.read.parquet(d), ["user_id"], "ts", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == want
+    assert got["1"] == ("b", "2.0")
+    assert got["2"] == ("c", "3.0")
