@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from earthmover_spark.llm.textstats import (
+    LIGHT_SPREAD_MIN_BYTES,
     normalize_text,
     shingles,
     spread_narrow_scan,
@@ -218,7 +219,7 @@ def repetition_stats(
             1.0 - F.size(F.array_distinct(words)) / F.size(words).cast("double"), 6
         ).alias("dup_word_frac"),
     )
-    bigrams = spread_narrow_scan(df).select(
+    bigrams = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), 2)).alias("__g__"),
     )

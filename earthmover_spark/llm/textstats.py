@@ -46,7 +46,16 @@ def _total_file_bytes(spark, files) -> int:
     return total
 
 
-def spread_narrow_scan(df: DataFrame) -> DataFrame:
+#: below this input size, a round-robin exchange's fixed cost (extra
+#: stage + tasks) exceeds what explode+agg-shaped operators save by
+#: parallelizing the scan — measured at sf0.1: tfidf 1.2s unspread vs
+#: 2.1s spread, tokenize_ids 0.6 vs 1.5. Hash-dense operators (minhash
+#: 16 md5s/shingle, winnowing rolling hashes) pass 0 and always spread:
+#: measured 2-4x the other way (winnow_fp 1.1s spread vs 4.0s not).
+LIGHT_SPREAD_MIN_BYTES = 8 << 20
+
+
+def spread_narrow_scan(df: DataFrame, min_total_bytes: int = 0) -> DataFrame:
     """Repartition genuinely narrow inputs up to cluster parallelism
     before CPU-heavy per-row derivations (k-gram hashing, token
     explodes). A tiny parquet file arrives as 1 partition, so without
@@ -63,7 +72,14 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
     metadata, and only spreads when that estimate falls short of
     ``defaultParallelism``. Frames not backed by files (in-memory test
     frames, post-shuffle plans) pass through untouched; so does any
-    scan whose file sizes cannot be cheaply determined."""
+    scan whose file sizes cannot be cheaply determined.
+
+    ``min_total_bytes``: callers whose per-byte CPU cost is low
+    (explode + aggregate shapes) pass ``LIGHT_SPREAD_MIN_BYTES`` so a
+    tiny input is never spread — below that size the exchange's fixed
+    cost exceeds the parallelism gain. CPU-dense callers (k-gram
+    hashing) keep the default 0: for them the spread pays at any size.
+    At real scale neither path triggers (the scan is already wide)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
@@ -82,6 +98,8 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
     except Exception:
+        return df
+    if total < min_total_bytes:
         return df
     bytes_per_core = (total + n_files * open_cost) // max(target, 1)
     max_split = min(max_pb, max(open_cost, bytes_per_core, 1))
@@ -198,7 +216,7 @@ def quality_classifier(
         F.col("bucket").cast("bigint").alias("bucket"),
         F.col("weight").cast("double").alias("weight"),
     )
-    toks = spread_narrow_scan(df).select(
+    toks = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__t__"),
     ).withColumn("bucket", hash_bucket(F.col("__t__"), n_buckets))
@@ -420,7 +438,7 @@ def unigram_logprob(
     broadcast) → per-doc weighted mean. The join input is distinct
     (doc, term) pairs, not raw tokens, so the shuffled volume is the
     compressed tf representation."""
-    words = spread_narrow_scan(df).select(
+    words = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     )
@@ -469,7 +487,7 @@ def bigram_logprob(
                                   F.element_at(arr, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = spread_narrow_scan(df).select(
+    grams = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES).select(
         F.col(id_col),
         F.split(normalize_text(F.col(text_col)), " ").alias("__arr__"),
     ).select(F.col(id_col), F.explode(big).alias("bigram"))
@@ -576,7 +594,7 @@ def tfidf_top_terms(
     documents."""
     from pyspark.sql import Window
 
-    words = spread_narrow_scan(df).select(
+    words = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     )
@@ -650,7 +668,7 @@ def ngram_counts(
     map-side partial combine; the narrow-scan spread applies as
     everywhere else. The count filter prunes the long tail BEFORE any
     consumer join."""
-    grams = spread_narrow_scan(df).select(
+    grams = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES).select(
         F.explode(shingles(F.col(text_col), n)).alias("ngram")
     )
     counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("count"))
