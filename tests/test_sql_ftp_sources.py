@@ -139,3 +139,59 @@ def test_read_url_source(spark, tmp_path):
         assert len(entries) == 1 and not entries[0].endswith(".part")
     finally:
         srv.shutdown()
+
+
+def test_read_sql_real_jdbc_derby(spark, tmp_path):
+    """REAL JDBC end-to-end: Spark's JDBC relation reading from an
+    embedded Derby database (ships in Spark's classpath for the Hive
+    metastore) — exercises the same executor-side JDBC scan a
+    postgres/mysql read uses, minus the network."""
+    db = str(tmp_path / "derbydb")
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    con = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{db};create=true"
+    )
+    st = con.createStatement()
+    st.execute("CREATE TABLE pets (name VARCHAR(20), species VARCHAR(10), age INT)")
+    st.execute(
+        "INSERT INTO pets VALUES ('rex','dog',4), ('tom','cat',3), "
+        "('ada','dog',7)"
+    )
+    st.close()
+    con.close()
+
+    df = read_sql(
+        spark, f"jdbc:derby:{db}",
+        "SELECT name, age FROM pets WHERE species = 'dog'",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    assert sorted((r.NAME, r.AGE) for r in df.collect()) == [
+        ("ada", 7), ("rex", 4)
+    ]
+
+
+def test_read_sql_real_jdbc_partitioned(spark, tmp_path):
+    """Partitioned JDBC read (the 100 TB ingest path: numPartitions
+    parallel range-queries instead of one connection): same Derby DB,
+    partition_column/bounds produce multiple executor-side scans whose
+    union matches the unpartitioned result."""
+    db = str(tmp_path / "derbydb2")
+    jvm = spark._jvm
+    con = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{db};create=true"
+    )
+    st = con.createStatement()
+    st.execute("CREATE TABLE nums (n INT, label VARCHAR(10))")
+    for i in range(20):
+        st.execute(f"INSERT INTO nums VALUES ({i}, 'v{i}')")
+    st.close()
+    con.close()
+
+    df = read_sql(
+        spark, f"jdbc:derby:{db}", "SELECT n, label FROM nums",
+        partition_column="n", num_partitions=4, lower_bound=0,
+        upper_bound=20, driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert sorted(r.N for r in df.collect()) == list(range(20))
