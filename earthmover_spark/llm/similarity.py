@@ -401,3 +401,88 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "score", "rank")
     )
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: "list[list[float]]",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its highest-cosine centroid (first centroid
+    wins rounded ties). The centroid list is a broadcast literal; the
+    assignment is one codegen'd map pass — no shuffle, no Python.
+    Cosines are rounded to 6 decimals before the argmax so the choice
+    is reproducible across engines regardless of float summation
+    order."""
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    v = F.col(vec_col).cast("array<double>")
+    coss = F.transform(cent_arr, lambda c: F.round(cosine(v, c), 6))
+    cell = (F.array_position(coss, F.array_max(coss)) - 1).cast("bigint")
+    return emb.withColumn("cell", cell)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    centroids: "list[list[float]] | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then within each
+    cluster mark every vector that has a LOWER-id neighbor with cosine
+    >= ``threshold`` as a near-duplicate (greedy keep-first, the same
+    keeper rule as the MinHash/SimHash family). Returns one row per
+    input vector: (id, cell, n_near, max_cos, is_keeper);
+    ``filter("is_keeper")`` is the semantically deduplicated corpus.
+
+    ``centroids`` may be passed explicitly (deterministic, e.g. a fixed
+    sample — how the oracle-checked query runs it); when omitted they
+    are trained with distributed k-means (``ivf_index``).
+
+    Scale shape (100 TB): assignment is a broadcast argmax map pass;
+    the only pairwise work is the within-cell self-join — the SemDeDup
+    design point is that ``n_clusters`` scales with the corpus so the
+    expected cell stays bounded (the paper runs 50k clusters over 5B
+    embeddings), making the join cost ~N * avg_cell, never N^2. Cell
+    skew is the hazard: a degenerate embedding model can pile vectors
+    into one cell, and the cell self-join inherits that quadratically —
+    AQE skew-split covers moderate skew; re-train with more centroids
+    (or sub-split hot cells on a secondary hash) for pathological
+    models. No driver-side data beyond the centroid list."""
+    if centroids is None:
+        _, centroids = ivf_index(emb, vec_col, n_clusters)
+    assigned = assign_cells(emb, centroids, vec_col).select(
+        F.col(id_col), F.col("cell"),
+        F.col(vec_col).cast("array<double>").alias("__v__"),
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .withColumn(
+            "__cos__", F.round(cosine(F.col("x.__v__"), F.col("y.__v__")), 6)
+        )
+        .filter(F.col("__cos__") >= threshold)
+    )
+    dups = pairs.groupBy(F.col(f"y.{id_col}").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.max("__cos__").alias("max_cos"),
+    )
+    return (
+        assigned.drop("__v__")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce("n_near", F.lit(0)).cast("bigint").alias("n_near"),
+            F.col("max_cos"),
+            (F.coalesce("n_near", F.lit(0)) == 0).alias("is_keeper"),
+        )
+    )

@@ -221,3 +221,13 @@ def test_spread_narrow_scan_gates_on_bytes_not_file_count(spark, tmp_path):
     narrow = spread_narrow_scan(spark.read.parquet(path))
     p = plan(narrow)
     assert "Exchange" in p and "RoundRobinPartitioning" in p
+
+
+def test_semantic_dedup_no_cartesian_assignment_stays_narrow(plans):
+    """SemDeDup's pairwise work must stay an equi-join on the cell id —
+    a cartesian product would be N^2 over the corpus; the centroid
+    assignment is a broadcast-literal argmax with no Python."""
+    p = plans("semantic_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
