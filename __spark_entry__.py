@@ -1333,6 +1333,60 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profiler: per-column null/distinct counts,
+    string-form min/max, mean length — all expressions of a single
+    aggregation (map-side combine; one row crosses the reduce)."""
+    from earthmover_spark.operators.profile import profile_table
+
+    orders = _p(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export: (shard, pos) is a uniform md5-derived permutation, one
+    shuffle, per-shard (never global) sort."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    return sampling.shuffle_shard(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+def q_emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide per-dimension z-score of embeddings: per-dim moments
+    from ONE aggregation pass (no corpus explode), broadcast back and
+    applied in an index-aware transform."""
+    from earthmover_spark.llm import embeddings
+
+    emb = _p(spark, sf_dir, "embeddings")
+    std = embeddings.standardize(emb, "embedding", out_col="z", dims=64)
+    return std.select(
+        "vec_id", F.posexplode("z").alias("dim", "z")
+    )
+
+
+def q_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch logistic regression over md5-hashed
+    bag-of-words features (3 GD iterations, zero init) — the fastText-
+    style quality-filter TRAINING loop, as pure DataFrame aggregations.
+    Label: document length > 300 chars. The DuckDB twin unrolls the
+    same 3 iterations in chained CTEs and reproduces every weight."""
+    from earthmover_spark.llm import training
+
+    docs = _p(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("n_chars") > 300).cast("double")
+    )
+    return training.train_logreg_hashed(
+        docs, "label", n_buckets=512, lr=1.0, iters=3
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1344,9 +1398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation log in COVERAGE.md for when each query last held an
     # official green row). r5 prefix = queries changed this round
     # (ev_sessionize, scd2_history, dedup_spans), queries with no
-    # official row yet (ngram_counts), and 10 core reference-surface
-    # operators whose newest green row was r1; the 11 queries that got
-    # fresh r4 rows and are unchanged since rotated out.
+    # official row yet (ngram_counts + the four NEW r5 operators:
+    # profile_table, shuffle_shard, emb_standardize, train_lr), and 10
+    # core reference-surface operators whose newest green row was r1;
+    # queries with fresh r4 rows and unchanged implementations rotated
+    # out (pack_sequences_ordered, stratified_sample, budget_sample,
+    # temperature_mix yielded their slots to the new operators).
     return {
         "flagship": q_flagship,
         "ev_window_agg": q_ev_window_agg,
@@ -1354,10 +1411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_join": q_ev_asof_join,
         "ev_window_sliding": q_ev_window_sliding,
         "dedup_resolve": q_dedup_resolve,
-        "pack_sequences_ordered": q_pack_sequences_ordered,
-        "stratified_sample": q_stratified_sample,
-        "budget_sample": q_budget_sample,
-        "temperature_mix": q_temperature_mix,
+        "profile_table": q_profile_table,
+        "shuffle_shard": q_shuffle_shard,
+        "emb_standardize": q_emb_standardize,
+        "train_lr": q_train_lr,
         "emb_mean_pool": q_emb_mean_pool,
         "emb_quantize": q_emb_quantize,
         "sim_pq_topk": q_sim_pq_topk,
@@ -1404,6 +1461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_stats": q_group_by_stats,
         # rotated OUT of the prefix in r5: fresh green rows on
         # CORRECTNESS_r04, implementations unchanged since
+        "pack_sequences_ordered": q_pack_sequences_ordered,
+        "stratified_sample": q_stratified_sample,
+        "budget_sample": q_budget_sample,
+        "temperature_mix": q_temperature_mix,
         "src_parquet_scan": q_src_parquet_scan,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
@@ -2714,5 +2775,113 @@ def oracle_sql() -> dict[str, str]:
                        AS quality_score
             FROM toks LEFT JOIN wt USING (bucket)
             GROUP BY doc_id
+        """,
+        "profile_table": """
+            SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   min(CAST(o_orderkey AS VARCHAR)) AS min_value,
+                   max(CAST(o_orderkey AS VARCHAR)) AS max_value,
+                   round(avg(length(CAST(o_orderkey AS VARCHAR))), 4) AS avg_len
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey),
+                   min(CAST(o_custkey AS VARCHAR)),
+                   max(CAST(o_custkey AS VARCHAR)),
+                   round(avg(length(CAST(o_custkey AS VARCHAR))), 4)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   min(o_orderstatus), max(o_orderstatus),
+                   round(avg(length(o_orderstatus)), 4)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   min(o_orderpriority), max(o_orderpriority),
+                   round(avg(length(o_orderpriority)), 4)
+            FROM orders
+        """,
+        "shuffle_shard": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                           1, 15)) AS UBIGINT)::BIGINT AS hh
+              FROM documents
+            )
+            SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+                   row_number() OVER (PARTITION BY hh % 8
+                                      ORDER BY hh, doc_id) - 1 AS pos
+            FROM h
+        """,
+        "emb_standardize": """
+            WITH x AS (
+              SELECT vec_id, i, embedding[i]::DOUBLE AS val
+              FROM embeddings, generate_series(1, 64) AS t(i)
+            ), s AS (
+              SELECT i, avg(val) AS mu, stddev_pop(val) AS sd
+              FROM x GROUP BY i
+            )
+            SELECT vec_id, i - 1 AS dim,
+                   CASE WHEN sd = 0 THEN 0.0
+                        ELSE round((val - mu) / sd, 6) END AS z
+            FROM x JOIN s USING (i)
+        """,
+        "train_lr": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('feat:' || tok), 1, 15))
+                          AS UBIGINT)::BIGINT % 512 AS bucket
+              FROM (
+                SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents
+              )
+            ), dlen AS (
+              SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+            ), tf AS (
+              SELECT doc_id, bucket, count(*) AS tf
+              FROM tok GROUP BY doc_id, bucket
+            ), x AS (
+              SELECT doc_id, bucket, tf::DOUBLE / dl AS x
+              FROM tf JOIN dlen USING (doc_id)
+            ), lab AS (
+              SELECT doc_id,
+                     CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+              FROM documents
+            ), nd AS (
+              SELECT count(*) AS n FROM dlen
+            ), g1 AS (
+              SELECT bucket, sum((0.5 - y) * x) / (SELECT n FROM nd) AS g
+              FROM x JOIN lab USING (doc_id) GROUP BY bucket
+            ), w1 AS (
+              SELECT bucket, -1.0 * g AS w FROM g1
+            ), s2 AS (
+              SELECT x.doc_id, sum(x.x * coalesce(w1.w, 0)) AS s
+              FROM x LEFT JOIN w1 USING (bucket) GROUP BY x.doc_id
+            ), g2 AS (
+              SELECT bucket,
+                     sum((1.0 / (1.0 + exp(-s)) - y) * x.x)
+                         / (SELECT n FROM nd) AS g
+              FROM x JOIN s2 USING (doc_id) JOIN lab USING (doc_id)
+              GROUP BY bucket
+            ), w2 AS (
+              SELECT bucket, w1.w - 1.0 * g2.g AS w
+              FROM g2 JOIN w1 USING (bucket)
+            ), s3 AS (
+              SELECT x.doc_id, sum(x.x * coalesce(w2.w, 0)) AS s
+              FROM x LEFT JOIN w2 USING (bucket) GROUP BY x.doc_id
+            ), g3 AS (
+              SELECT bucket,
+                     sum((1.0 / (1.0 + exp(-s)) - y) * x.x)
+                         / (SELECT n FROM nd) AS g
+              FROM x JOIN s3 USING (doc_id) JOIN lab USING (doc_id)
+              GROUP BY bucket
+            ), w3 AS (
+              SELECT bucket, w2.w - 1.0 * g3.g AS w
+              FROM g3 JOIN w2 USING (bucket)
+            )
+            SELECT bucket, round(w, 6) AS weight FROM w3
         """,
     }

@@ -80,6 +80,52 @@ def mean_pool(
     )
 
 
+def standardize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "z",
+    dims: int | None = None,
+) -> DataFrame:
+    """Per-dimension z-score standardization across the whole corpus
+    (feature scaling before clustering / linear probes): ``z_i = (v_i -
+    mu_i) / sigma_i`` with corpus-wide per-dim mean and population
+    stddev. Dims whose stddev is 0 standardize to 0.
+
+    Shape: the per-dim moments come from ONE aggregation pass whose
+    expressions are ``avg(v[i])`` / ``stddev_pop(v[i])`` per dimension
+    — partial aggregates combine map-side, so the reduce moves a single
+    ``2 x dims``-double row no matter the corpus size (no posexplode of
+    the corpus, unlike mean_pool which must group). The stats row is
+    then broadcast-cross-joined back (never collected to the driver)
+    and applied with an index-aware ``transform`` lambda — zero
+    additional shuffle, codegen'd, scan-bound at 100 TB.
+
+    ``dims``: vector width; inferred from the first row if omitted
+    (one bounded ``head()``)."""
+    v = _dvec(vec_col)
+    if dims is None:
+        first = df.select(F.size(vec_col).alias("d")).head()
+        if first is None:
+            return df.withColumn(out_col, v)
+        dims = first["d"]
+    stats = df.agg(
+        F.array(*[F.avg(v[i]) for i in range(dims)]).alias("__mu__"),
+        F.array(*[F.stddev_pop(v[i]) for i in range(dims)]).alias("__sd__"),
+    )
+    mu, sd = F.col("__mu__"), F.col("__sd__")
+    z = F.transform(
+        v,
+        lambda x, i: F.when(F.get(sd, i) == 0, F.lit(0.0)).otherwise(
+            F.round((x - F.get(mu, i)) / F.get(sd, i), 6)
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, z)
+        .drop("__mu__", "__sd__")
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -317,6 +317,45 @@ def pack_sequences_ordered(
     return grouped.groupBy("__grp__").applyInPandas(_pack, schema=out_schema)
 
 
+def shuffle_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shard",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export: the
+    last step before writing a corpus as N training shards. Every row
+    gets a ``shard`` in ``[0, n_shards)`` and a ``pos`` (0-based read
+    order within its shard), both derived purely from
+    ``md5(salt:key)`` — so the global read order ``(shard, pos)`` is a
+    uniform pseudo-random permutation of the corpus that is identical
+    on any cluster, any partitioning, any run (epoch reshuffles = new
+    salt). Hash ties break on the key itself, making the order total.
+
+    Scale shape (100 TB): ONE shuffle, keyed on the shard id; ``pos``
+    is a row_number over (hash, key) within each shard — the sort is
+    per-shard, never global, so 100 TB sharded 10k ways sorts 10 GB per
+    task. Downstream, ``.repartition(shard_col)`` +
+    ``partitionBy(shard_col)`` on write gives one file per shard with
+    rows already in position order."""
+    if n_shards <= 0:
+        raise EarthmoverSparkError("shuffle_shard: n_shards must be positive")
+    from pyspark.sql import Window
+
+    h = _h60(F.col(key_col), f"{salt}:")
+    out = df.withColumn("__sh__", h)
+    w = Window.partitionBy(F.col("__sh__") % n_shards).orderBy(
+        "__sh__", key_col
+    )
+    return (
+        out.withColumn(shard_col, (F.col("__sh__") % n_shards).cast("int"))
+        .withColumn(pos_col, F.row_number().over(w) - 1)
+        .drop("__sh__")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: str | list[str],

@@ -1,0 +1,135 @@
+"""Distributed training of the hashed linear quality classifier.
+
+``textstats.quality_classifier`` APPLIES a hashed linear model; this
+module TRAINS one, end-to-end in Spark: full-batch logistic regression
+by gradient descent over md5-hashed bag-of-words features. This is the
+fastText-style quality-filter training loop every corpus pipeline runs
+(positives = curated reference text, negatives = raw crawl), expressed
+as pure DataFrame aggregations so it scales with the corpus.
+
+Scale shape (100 TB):
+
+- The feature table (doc, bucket, tf/|doc|) is built once — explode +
+  two hash aggregations — and persisted; every GD iteration reuses it.
+- One iteration = one broadcast join (weights are ``n_buckets`` rows,
+  always broadcast, never shuffled), one hash agg to score docs
+  (map-side partial sums), one join + hash agg for the per-bucket
+  gradient. Corpus-sized data shuffles only on (doc) and (bucket) —
+  both bounded-cardinality keys with map-side combine.
+- The ONLY driver-side data is the weight vector itself —
+  ``n_buckets`` floats per iteration (deliberately collected so each
+  iteration's plan starts from literals: lineage stays flat, no
+  ever-growing DAG, no checkpoint needed).
+
+Everything is deterministic: md5 bucketing, no RNG, zero-initialized
+weights — the DuckDB oracle unrolls the same iterations and reproduces
+the weights to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from earthmover_spark.llm.textstats import (
+    hash_bucket,
+    normalize_text,
+    spread_narrow_scan,
+)
+
+
+def hashed_tf_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    salt: str = "feat:",
+) -> DataFrame:
+    """(id, bucket, x) hashed bag-of-words features, x = tf / |doc|
+    (L1-normalized term frequency). Docs with no tokens yield no rows."""
+    toks = spread_narrow_scan(df).select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok__"),
+    )
+    by_bucket = toks.select(
+        id_col, hash_bucket(F.col("__tok__"), n_buckets, salt).alias("bucket")
+    )
+    tf = by_bucket.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("__tf__")
+    )
+    dlen = by_bucket.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl__"))
+    return tf.join(dlen, id_col).select(
+        id_col,
+        "bucket",
+        (F.col("__tf__").cast("double") / F.col("__dl__")).alias("x"),
+    )
+
+
+def train_logreg_hashed(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    lr: float = 1.0,
+    iters: int = 3,
+    salt: str = "feat:",
+) -> DataFrame:
+    """Full-batch logistic-regression GD: ``w -= lr * mean_docs((p -
+    y) * x)`` with ``p = sigmoid(x . w)``, zero-initialized, no
+    intercept. ``label_col`` must be 0/1 (numeric or boolean). Returns
+    ``(bucket, weight)`` rounded to 6 places, one row per bucket that
+    appears in the corpus.
+
+    The weight vector is collected each iteration (bounded:
+    ``n_buckets`` rows) and re-broadcast as literals — see module
+    docstring for why this is the scalable shape."""
+    spark: SparkSession = df.sparkSession
+    feats = hashed_tf_features(
+        df, text_col=text_col, id_col=id_col, n_buckets=n_buckets, salt=salt
+    ).persist()
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("__y__")
+    )
+    n_docs = feats.select(id_col).distinct().count()  # bounded: one long
+    if n_docs == 0:
+        feats.unpersist()
+        return spark.createDataFrame([], "bucket bigint, weight double")
+
+    weights: dict[int, float] = {}
+    for _ in range(iters):
+        if weights:
+            wdf = spark.createDataFrame(
+                list(weights.items()), "bucket bigint, __w__ double"
+            )
+            scored = feats.join(F.broadcast(wdf), "bucket", "left").groupBy(
+                id_col
+            ).agg(
+                F.sum(F.col("x") * F.coalesce(F.col("__w__"), F.lit(0.0))).alias(
+                    "__s__"
+                )
+            )
+        else:  # zero init: skip the join, score is 0 for every doc
+            scored = feats.groupBy(id_col).agg(
+                F.lit(0.0).alias("__s__")
+            )
+        errs = scored.join(labels, id_col).select(
+            id_col,
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__s__"))) - F.col("__y__")
+            ).alias("__e__"),
+        )
+        grad = (
+            feats.join(errs, id_col)
+            .groupBy("bucket")
+            .agg((F.sum(F.col("x") * F.col("__e__")) / n_docs).alias("__g__"))
+            .collect()  # bounded: <= n_buckets rows
+        )
+        for r in grad:
+            weights[r["bucket"]] = weights.get(r["bucket"], 0.0) - lr * r["__g__"]
+
+    feats.unpersist()
+    out = spark.createDataFrame(
+        sorted(weights.items()), "bucket bigint, weight double"
+    )
+    return out.select("bucket", F.round("weight", 6).alias("weight"))

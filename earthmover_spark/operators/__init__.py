@@ -9,8 +9,24 @@ Each operator is ``fn(df: DataFrame, *, config...) -> DataFrame`` (joins
 and unions additionally take a ``registry`` of named DataFrames).
 """
 
-from earthmover_spark.llm import bpe, curation, dedup, embeddings, sampling, textstats
-from earthmover_spark.operators import column, dataframe, groupby, row, skew, temporal
+from earthmover_spark.llm import (
+    bpe,
+    curation,
+    dedup,
+    embeddings,
+    sampling,
+    textstats,
+    training,
+)
+from earthmover_spark.operators import (
+    column,
+    dataframe,
+    groupby,
+    profile,
+    row,
+    skew,
+    temporal,
+)
 from earthmover_spark.streaming import ops as streaming_ops
 
 OPERATIONS = {
@@ -112,6 +128,10 @@ OPERATIONS = {
     "l2_normalize": embeddings.l2_normalize,
     "mean_pool": embeddings.mean_pool,
     "quantize_int8": embeddings.quantize_int8,
+    "standardize_embeddings": embeddings.standardize,
+    "shuffle_shard": sampling.shuffle_shard,
+    "profile_table": profile.profile_table,
+    "train_logreg": training.train_logreg_hashed,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

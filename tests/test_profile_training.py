@@ -1,0 +1,200 @@
+"""New r5 operators: dataset profiler, shuffle+shard, per-dim
+embedding standardization, distributed logistic-regression training."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from earthmover_spark.llm import embeddings, sampling, training
+from earthmover_spark.operators.profile import profile_table
+
+
+# ---------------------------------------------------------------------------
+# profile_table
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "bb", 1.5), (2, None, 2.5)],
+        ["k", "s", "v"],
+    )
+    rows = {r.col_name: r for r in profile_table(df).collect()}
+    assert set(rows) == {"k", "s", "v"}
+    k = rows["k"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct) == (3, 0, 2)
+    assert (k.min_value, k.max_value) == ("1", "2")
+    assert k.avg_len == 1.0
+    s = rows["s"]
+    assert (s.n_nulls, s.n_distinct) == (1, 2)
+    assert (s.min_value, s.max_value) == ("a", "bb")
+    assert s.avg_len == 1.5  # mean over non-null strings only
+    assert rows["v"].n_nulls == 1
+
+
+def test_profile_table_subset_and_approx(spark):
+    df = spark.createDataFrame([(i, i % 10) for i in range(1000)], ["a", "b"])
+    rows = profile_table(df, ["b"], exact_distinct=False).collect()
+    assert len(rows) == 1
+    # HLL estimate of 10 distinct values at 5% rsd is exact-ish
+    assert abs(rows[0].n_distinct - 10) <= 1
+
+
+def test_profile_table_single_pass_plan(spark):
+    # all statistics must come from ONE aggregation over ONE scan:
+    # no join, no union of per-column subplans
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert "Union" not in plan
+
+
+# ---------------------------------------------------------------------------
+# shuffle_shard
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shard_is_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+    out = sampling.shuffle_shard(df, "id", n_shards=8).collect()
+    assert len(out) == 500
+    shards = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        shards.setdefault(r.shard, []).append(r.pos)
+    # every shard's positions are exactly 0..len-1 (a dense read order)
+    for positions in shards.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # roughly uniform occupancy
+    sizes = [len(v) for v in shards.values()]
+    assert len(sizes) == 8 and min(sizes) > 20
+
+
+def test_shuffle_shard_deterministic_across_partitionings(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], ["id"])
+    a = {
+        (r.id): (r.shard, r.pos)
+        for r in sampling.shuffle_shard(df, "id", 4).collect()
+    }
+    b = {
+        (r.id): (r.shard, r.pos)
+        for r in sampling.shuffle_shard(df.repartition(16), "id", 4).collect()
+    }
+    assert a == b
+    # a different salt is a different permutation (epoch reshuffle)
+    c = {
+        (r.id): (r.shard, r.pos)
+        for r in sampling.shuffle_shard(df, "id", 4, salt="epoch1").collect()
+    }
+    assert a != c
+
+
+def test_shuffle_shard_rejects_bad_shards(spark):
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(EarthmoverSparkError):
+        sampling.shuffle_shard(df, "id", 0)
+
+
+# ---------------------------------------------------------------------------
+# embeddings.standardize
+# ---------------------------------------------------------------------------
+
+
+def test_standardize_zscores(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0, 5.0]), (2, [3.0, 10.0, 7.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {r.vec_id: r.z for r in embeddings.standardize(df).collect()}
+    # dim0: mean 2, std 1 -> z = -1, +1 ; dim1: std 0 -> 0 ; dim2: same shape
+    assert got[1] == [-1.0, 0.0, -1.0]
+    assert got[2] == [1.0, 0.0, 1.0]
+
+
+def test_standardize_no_corpus_explode(spark):
+    # the moments must come from a single agg of per-dim expressions,
+    # not a posexplode of the corpus
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    plan = (
+        embeddings.standardize(df, dims=2)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan  # no explode anywhere
+
+
+# ---------------------------------------------------------------------------
+# training.train_logreg_hashed
+# ---------------------------------------------------------------------------
+
+
+def _toy_docs(spark):
+    rows = []
+    for i in range(30):
+        rows.append((i, "good clean prose text here", 1.0))
+    for i in range(30, 60):
+        rows.append((i, "spam junk garbage noise", 0.0))
+    return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+
+def test_train_logreg_separates_classes(spark):
+    docs = _toy_docs(spark)
+    w = training.train_logreg_hashed(
+        docs, "label", n_buckets=64, lr=2.0, iters=5
+    )
+    weights = {r.bucket: r.weight for r in w.collect()}
+    from earthmover_spark.llm.textstats import hash_bucket
+
+    buckets = {
+        r.tok: r.bucket
+        for r in spark.createDataFrame(
+            [("good",), ("spam",)], ["tok"]
+        ).select("tok", hash_bucket(F.col("tok"), 64)).collect()
+    }
+    # positive-class tokens get positive weight, negative negative
+    assert weights[buckets["good"]] > 0.05
+    assert weights[buckets["spam"]] < -0.05
+
+
+def test_train_logreg_matches_numpy_reference(spark):
+    """Exact parity with a literal NumPy-free reference implementation
+    of the same full-batch GD on the same hashed features."""
+    docs = _toy_docs(spark)
+    got = {
+        r.bucket: r.weight
+        for r in training.train_logreg_hashed(
+            docs, "label", n_buckets=32, lr=1.0, iters=3
+        ).collect()
+    }
+
+    # reference: build features in pandas via the same md5 bucketing
+    feats = training.hashed_tf_features(docs, n_buckets=32).collect()
+    labels = {r.doc_id: float(r.label) for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in feats:
+        by_doc.setdefault(r.doc_id, []).append((r.bucket, r.x))
+    n = len(by_doc)
+    w: dict[int, float] = {}
+    for _ in range(3):
+        grad: dict[int, float] = {}
+        for d, fs in by_doc.items():
+            s = sum(x * w.get(b, 0.0) for b, x in fs)
+            p = 1.0 / (1.0 + math.exp(-s))
+            e = p - labels[d]
+            for b, x in fs:
+                grad[b] = grad.get(b, 0.0) + e * x
+        for b, g in grad.items():
+            w[b] = w.get(b, 0.0) - 1.0 * g / n
+    want = {b: round(v, 6) for b, v in w.items()}
+    assert got.keys() == want.keys()
+    for b in want:
+        assert abs(got[b] - want[b]) < 2e-6, b
+
+
+def test_train_logreg_empty(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string, label double")
+    assert training.train_logreg_hashed(docs, "label").count() == 0
