@@ -1387,6 +1387,22 @@ def q_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream transition-graph PageRank (the domain-centrality
+    quality prior web-corpus pipelines use): per-user consecutive-event
+    edges over props.k nodes, 3 power iterations at d=0.85, GraphX
+    staticPageRank semantics (no dangling redistribution). The DuckDB
+    twin unrolls the same 3 iterations."""
+    from earthmover_spark.operators import graph
+
+    ev = _p(spark, sf_dir, "events")
+    node = F.get_json_object("props", "$.k").cast("bigint")
+    edges = graph.transition_edges(
+        ev, "user_id", "ts", node, tiebreak_col="event_id"
+    )
+    return graph.pagerank(edges, iters=3, damping=0.85)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1416,7 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_standardize": q_emb_standardize,
         "train_lr": q_train_lr,
         "emb_mean_pool": q_emb_mean_pool,
-        "emb_quantize": q_emb_quantize,
+        "pagerank": q_pagerank,
         "sim_pq_topk": q_sim_pq_topk,
         "join_semi": q_join_semi,
         "set_except": q_set_except,
@@ -1461,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_stats": q_group_by_stats,
         # rotated OUT of the prefix in r5: fresh green rows on
         # CORRECTNESS_r04, implementations unchanged since
+        "emb_quantize": q_emb_quantize,
         "pack_sequences_ordered": q_pack_sequences_ordered,
         "stratified_sample": q_stratified_sample,
         "budget_sample": q_budget_sample,
@@ -2883,5 +2900,60 @@ def oracle_sql() -> dict[str, str]:
               FROM g3 JOIN w2 USING (bucket)
             )
             SELECT bucket, round(w, 6) AS weight FROM w3
+        """,
+        "pagerank": """
+            WITH ev AS (
+              SELECT user_id, ts, event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+              FROM events
+            ), st AS (
+              SELECT user_id, node,
+                     lag(node) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+              FROM ev WHERE node IS NOT NULL
+            ), edges AS (
+              SELECT prev AS src, node AS dst FROM st WHERE prev IS NOT NULL
+            ), nodes AS (
+              SELECT DISTINCT src AS v FROM edges
+              UNION
+              SELECT DISTINCT dst FROM edges
+            ), nv AS (
+              SELECT count(*) AS n FROM nodes
+            ), outdeg AS (
+              SELECT src, count(*) AS deg FROM edges GROUP BY src
+            ), r0 AS (
+              SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM nodes
+            ), c1 AS (
+              SELECT dst AS v, sum(r / deg) AS c
+              FROM edges JOIN outdeg USING (src)
+                         JOIN r0 ON r0.v = edges.src
+              GROUP BY dst
+            ), r1 AS (
+              SELECT nodes.v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * coalesce(c1.c, 0) AS r
+              FROM nodes LEFT JOIN c1 ON c1.v = nodes.v
+            ), c2 AS (
+              SELECT dst AS v, sum(r / deg) AS c
+              FROM edges JOIN outdeg USING (src)
+                         JOIN r1 ON r1.v = edges.src
+              GROUP BY dst
+            ), r2 AS (
+              SELECT nodes.v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * coalesce(c2.c, 0) AS r
+              FROM nodes LEFT JOIN c2 ON c2.v = nodes.v
+            ), c3 AS (
+              SELECT dst AS v, sum(r / deg) AS c
+              FROM edges JOIN outdeg USING (src)
+                         JOIN r2 ON r2.v = edges.src
+              GROUP BY dst
+            ), r3 AS (
+              SELECT nodes.v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * coalesce(c3.c, 0) AS r
+              FROM nodes LEFT JOIN c3 ON c3.v = nodes.v
+            )
+            SELECT v AS node, round(r, 6) AS rank FROM r3
         """,
     }

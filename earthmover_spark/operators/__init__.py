@@ -21,6 +21,7 @@ from earthmover_spark.llm import (
 from earthmover_spark.operators import (
     column,
     dataframe,
+    graph,
     groupby,
     profile,
     row,
@@ -132,6 +133,7 @@ OPERATIONS = {
     "shuffle_shard": sampling.shuffle_shard,
     "profile_table": profile.profile_table,
     "train_logreg": training.train_logreg_hashed,
+    "pagerank": graph.pagerank,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

@@ -1,0 +1,110 @@
+"""Graph analytics over event streams: transition-graph extraction and
+PageRank.
+
+Web-corpus pipelines rank hosts/domains by link-graph centrality
+(Common Crawl publishes host-level PageRank-style ranks; curation
+pipelines use them as a quality prior). This module expresses the same
+computation Spark-first: edges and ranks are DataFrames, one GD-style
+power iteration = two hash aggregations and one join, unrolled a fixed
+number of rounds.
+
+Scale shape (100 TB of events / billions of edges):
+
+- Edge extraction is one window (lag) over (user, ts) — a single
+  shuffle on the user key.
+- The edge list is repartitioned on ``src`` ONCE and persisted; every
+  power iteration then joins the (small, |V|-row) rank frame against
+  co-located edges — per-iteration shuffle volume is O(|V|), never
+  O(|E|).
+- Like GraphX's ``staticPageRank``, dangling-node mass is not
+  redistributed (it decays into the teleport term) — the standard
+  large-scale simplification, documented here so the DuckDB twin can
+  reproduce ranks exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_edges(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    node: Column,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Directed (src, dst) edges from consecutive per-user events
+    ordered by (ts, tiebreak): the clickstream transition graph. Rows
+    whose node expression is NULL are dropped; multi-edges are KEPT so
+    frequent transitions weigh proportionally in PageRank."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = (
+        df.select(F.col(user_col), *order[1:], F.col(ts_col), node.alias("__n__"))
+        .filter(F.col("__n__").isNotNull())
+        .withColumn("__p__", F.lag("__n__").over(w))
+    )
+    return steps.filter(F.col("__p__").isNotNull()).select(
+        F.col("__p__").alias("src"), F.col("__n__").alias("dst")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    node_col: str = "node",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank over an edge list
+    (columns ``src``, ``dst``; duplicates act as weights). Returns
+    ``(node, rank)`` with ranks rounded to 6 places. Deterministic:
+    uniform ``1/N`` init, no RNG, fixed iteration count."""
+    e = edges.repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    try:
+        n = nodes.count()  # bounded: one long
+        if n == 0:
+            return edges.sparkSession.createDataFrame(
+                [], f"{node_col} long, {rank_col} double"
+            )
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg__"))
+        contrib_edges = e.join(outdeg, "src")  # co-located: both keyed on src
+        teleport = (1.0 - damping) / n
+
+        ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
+        for _ in range(iters):
+            c = (
+                contrib_edges.join(
+                    ranks.withColumnRenamed("v", "src"), "src"
+                )
+                .groupBy("dst")
+                .agg(F.sum(F.col("r") / F.col("__deg__")).alias("__c__"))
+            )
+            ranks = nodes.join(
+                c.withColumnRenamed("dst", "v"), "v", "left"
+            ).select(
+                "v",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("__c__", F.lit(0.0))
+                ).alias("r"),
+            )
+        # materialize the (bounded, |V|-row) result while the edge cache
+        # is still live, then release it — the caller gets a flat,
+        # lineage-free frame instead of 3 unrolled iterations
+        return ranks.select(
+            F.col("v").alias(node_col), F.round("r", 6).alias(rank_col)
+        ).localCheckpoint()
+    finally:
+        e.unpersist()
+        nodes.unpersist()

@@ -1,0 +1,68 @@
+"""Graph operators: transition-edge extraction and PageRank."""
+
+from pyspark.sql import functions as F
+
+from earthmover_spark.operators import graph
+
+
+def test_transition_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+            (2, 1, "c"), (2, 2, None), (2, 3, "d"),
+        ],
+        ["user", "ts", "page"],
+    )
+    edges = graph.transition_edges(df, "user", "ts", F.col("page"))
+    got = sorted((r.src, r.dst) for r in edges.collect())
+    # user 2's NULL row is dropped BEFORE lag, so c -> d survives
+    assert got == [("a", "b"), ("b", "a"), ("c", "d")]
+
+
+def _reference_pagerank(edges, iters=3, d=0.85):
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        c = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            c[t] += r[s] / outdeg[s]
+        r = {v: (1.0 - d) / n + d * c[v] for v in nodes}
+    return {v: round(x, 6) for v, x in r.items()}
+
+
+def test_pagerank_matches_reference(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (1, 2)]  # multi-edge
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in graph.pagerank(df, iters=3).collect()}
+    want = _reference_pagerank(edges)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert abs(got[v] - want[v]) < 2e-6, v
+
+
+def test_pagerank_sink_node_keeps_teleport_rank(spark):
+    # node 3 has no out-edges (dangling): its mass leaks (GraphX
+    # staticPageRank semantics), others keep teleport + inflow
+    df = spark.createDataFrame([(1, 3), (2, 3)], ["src", "dst"])
+    got = {r.node: r.rank for r in graph.pagerank(df, iters=2).collect()}
+    assert got[3] > got[1] == got[2] > 0
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(df).count() == 0
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    edges = [(i % 7, (i * 3) % 7) for i in range(100)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r.node: r.rank for r in graph.pagerank(df).collect()}
+    b = {
+        r.node: r.rank
+        for r in graph.pagerank(df.repartition(16)).collect()
+    }
+    assert a == b
