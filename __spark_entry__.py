@@ -1403,6 +1403,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iters=3, damping=0.85)
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (o_custkey, o_orderkey):
+    min/max scale each to 8 bits from one agg pass, interleave — the
+    lakehouse OPTIMIZE ZORDER BY primitive for multi-column data
+    skipping, as native bit arithmetic."""
+    from earthmover_spark.operators import zorder
+
+    orders = _p(spark, sf_dir, "orders")
+    return zorder.zorder_key(
+        orders, ["o_custkey", "o_orderkey"], bits=8
+    ).select("o_orderkey", "zkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1431,7 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shard": q_shuffle_shard,
         "emb_standardize": q_emb_standardize,
         "train_lr": q_train_lr,
-        "emb_mean_pool": q_emb_mean_pool,
+        "zorder_key": q_zorder_key,
         "pagerank": q_pagerank,
         "sim_pq_topk": q_sim_pq_topk,
         "join_semi": q_join_semi,
@@ -1477,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_stats": q_group_by_stats,
         # rotated OUT of the prefix in r5: fresh green rows on
         # CORRECTNESS_r04, implementations unchanged since
+        "emb_mean_pool": q_emb_mean_pool,
         "emb_quantize": q_emb_quantize,
         "pack_sequences_ordered": q_pack_sequences_ordered,
         "stratified_sample": q_stratified_sample,
@@ -1545,6 +1559,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Morton interleave for the zorder_key twin: output bit (i*2 + 1-j)
+    # = bit i of scaled column j, mirroring operators/zorder._interleave
+    _zbits = " + ".join(
+        f"(((s{j} >> {i}) & 1) << {i * 2 + 1 - j})"
+        for i in range(8)
+        for j in range(2)
+    )
     return {
         "flagship": """
             SELECT l_returnflag, l_linestatus,
@@ -2955,5 +2976,22 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes LEFT JOIN c3 ON c3.v = nodes.v
             )
             SELECT v AS node, round(r, 6) AS rank FROM r3
+        """,
+        "zorder_key": f"""
+            WITH mm AS (
+              SELECT min(CAST(o_custkey AS DOUBLE)) AS mn0,
+                     max(CAST(o_custkey AS DOUBLE)) AS mx0,
+                     min(CAST(o_orderkey AS DOUBLE)) AS mn1,
+                     max(CAST(o_orderkey AS DOUBLE)) AS mx1
+              FROM orders
+            ), s AS (
+              SELECT o_orderkey,
+                     CAST(floor((CAST(o_custkey AS DOUBLE) - mn0)
+                          / (mx0 - mn0 + 1.0) * 256.0) AS BIGINT) AS s0,
+                     CAST(floor((CAST(o_orderkey AS DOUBLE) - mn1)
+                          / (mx1 - mn1 + 1.0) * 256.0) AS BIGINT) AS s1
+              FROM orders, mm
+            )
+            SELECT o_orderkey, {_zbits} AS zkey FROM s
         """,
     }

@@ -27,6 +27,7 @@ from earthmover_spark.operators import (
     row,
     skew,
     temporal,
+    zorder,
 )
 from earthmover_spark.streaming import ops as streaming_ops
 
@@ -134,6 +135,8 @@ OPERATIONS = {
     "profile_table": profile.profile_table,
     "train_logreg": training.train_logreg_hashed,
     "pagerank": graph.pagerank,
+    "zorder_key": zorder.zorder_key,
+    "cluster_by_zorder": zorder.cluster_by_zorder,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]
