@@ -61,6 +61,13 @@ HEADLINE = [
     "tokenize_ids",
     "stratified_sample",
     "winnow_fp",
+    # r5 additions: one per new operator family
+    "profile_table",
+    "shuffle_shard",
+    "emb_standardize",
+    "train_lr",  # iterative: 3 GD rounds, bounded weight collects
+    "pagerank",  # iterative: 3 power rounds over cached edges
+    "zorder_key",
 ]
 
 
