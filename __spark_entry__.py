@@ -1416,6 +1416,19 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "zkey")
 
 
+def q_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the middle [0.1, 0.9] quantile band of event values per
+    event_type (the 'keep the middle perplexity band' curation screen):
+    interpolated per-group quantiles from one agg, broadcast back,
+    no window / no global sort."""
+    from earthmover_spark.operators.groupby import filter_percentile_band
+
+    ev = _p(spark, sf_dir, "events")
+    return filter_percentile_band(
+        ev, "value", 0.1, 0.9, group_cols=["event_type"]
+    ).select("event_id", "event_type", "value")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1446,7 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_lr": q_train_lr,
         "zorder_key": q_zorder_key,
         "pagerank": q_pagerank,
-        "sim_pq_topk": q_sim_pq_topk,
+        "percentile_band": q_percentile_band,
         "join_semi": q_join_semi,
         "set_except": q_set_except,
         "group_by_rollup": q_group_by_rollup,
@@ -1492,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r04, implementations unchanged since
         "emb_mean_pool": q_emb_mean_pool,
         "emb_quantize": q_emb_quantize,
+        "sim_pq_topk": q_sim_pq_topk,
         "pack_sequences_ordered": q_pack_sequences_ordered,
         "stratified_sample": q_stratified_sample,
         "budget_sample": q_budget_sample,
@@ -2993,5 +3007,16 @@ def oracle_sql() -> dict[str, str]:
               FROM orders, mm
             )
             SELECT o_orderkey, {_zbits} AS zkey FROM s
+        """,
+        "percentile_band": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.1) AS ql,
+                     quantile_cont(value, 0.9) AS qh
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type, value
+            FROM events e JOIN q USING (event_type)
+            WHERE value >= ql AND value <= qh
         """,
     }

@@ -68,6 +68,7 @@ HEADLINE = [
     "train_lr",  # iterative: 3 GD rounds, bounded weight collects
     "pagerank",  # iterative: 3 power rounds over cached edges
     "zorder_key",
+    "percentile_band",
 ]
 
 

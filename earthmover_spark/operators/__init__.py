@@ -81,6 +81,7 @@ OPERATIONS = {
     "retention_cohorts": temporal.retention_cohorts,
     "merge_upsert": dataframe.merge_upsert,
     "flag_outliers": groupby.flag_outliers,
+    "filter_percentile_band": groupby.filter_percentile_band,
     # streaming-only helper: bound state for windowed aggs on `stream:`
     # sources (no-op semantics change on batch frames)
     "with_watermark": lambda df, *, column, delay: df.withWatermark(column, delay),

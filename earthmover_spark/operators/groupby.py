@@ -340,6 +340,48 @@ def global_ntile(
     )
 
 
+def filter_percentile_band(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    group_cols: Sequence[str] = (),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies inside the [lo, hi] quantile
+    band of their group (global when no ``group_cols``) — the standard
+    "keep the middle perplexity band" screen corpus pipelines apply
+    (both tails are bad: low-perplexity = boilerplate/repetition,
+    high = noise).
+
+    Cutoffs are linearly-interpolated quantiles (percentile_cont
+    semantics) from one aggregation; the corpus is then filtered
+    against the broadcast per-group cutoffs. NO window, NO global sort
+    — a percent_rank formulation would sort every group end-to-end.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (per-group
+    value-frequency map in the agg buffer — fine up to ~millions of
+    distinct values per group, and reproducible against DuckDB's
+    ``quantile_cont``); pass ``exact=False`` for ``approx_percentile``
+    (t-digest sketch, mergeable, bounded memory) at full 100 TB scale."""
+    groups = list(group_cols)
+    v = F.col(value_col).cast("double")
+    pcts = F.array(F.lit(float(lo)), F.lit(float(hi)))
+    q = (
+        F.percentile(v, pcts)
+        if exact
+        else F.approx_percentile(v, pcts, accuracy)
+    ).alias("__q__")
+    if groups:
+        joined = df.join(F.broadcast(df.groupBy(*groups).agg(q)), groups)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(q)))
+    return joined.filter(
+        (v >= F.col("__q__")[0]) & (v <= F.col("__q__")[1])
+    ).drop("__q__")
+
+
 def flag_outliers(
     df: DataFrame,
     value_col: str,

@@ -99,6 +99,66 @@ def test_shuffle_shard_rejects_bad_shards(spark):
 
 
 # ---------------------------------------------------------------------------
+# filter_percentile_band
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_band_global(spark):
+    from earthmover_spark.operators.groupby import filter_percentile_band
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["id", "v"])
+    got = sorted(
+        r.id for r in filter_percentile_band(df, "v", 0.25, 0.75).collect()
+    )
+    # interpolated cutoffs: q25 = 2.25, q75 = 6.75 -> keep 3..6
+    assert got == [3, 4, 5, 6]
+
+
+def test_percentile_band_grouped(spark):
+    from earthmover_spark.operators.groupby import filter_percentile_band
+
+    rows = [("a", float(i)) for i in range(11)] + [
+        ("b", float(100 + i)) for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = filter_percentile_band(df, "v", 0.1, 0.9, group_cols=["g"]).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append(r.v)
+    # each group's band is computed on ITS OWN distribution: q10=1, q90=9
+    assert sorted(by_g["a"]) == [float(i) for i in range(1, 10)]
+    assert sorted(by_g["b"]) == [float(100 + i) for i in range(1, 10)]
+
+
+def test_percentile_band_no_window_no_sort(spark):
+    from earthmover_spark.operators.groupby import filter_percentile_band
+
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    plan = (
+        filter_percentile_band(df, "v", 0.1, 0.9, group_cols=["g"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_percentile_band_approx_path(spark):
+    from earthmover_spark.operators.groupby import filter_percentile_band
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["id", "v"])
+    exact = {
+        r.id for r in filter_percentile_band(df, "v", 0.2, 0.8).collect()
+    }
+    approx = {
+        r.id
+        for r in filter_percentile_band(df, "v", 0.2, 0.8, exact=False).collect()
+    }
+    # t-digest at default accuracy is exact-ish on 100 uniform points
+    assert len(exact.symmetric_difference(approx)) <= 4
+
+
+# ---------------------------------------------------------------------------
 # embeddings.standardize
 # ---------------------------------------------------------------------------
 
