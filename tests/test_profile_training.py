@@ -90,6 +90,24 @@ def test_shuffle_shard_deterministic_across_partitionings(spark):
     assert a != c
 
 
+def test_shuffle_shard_xxhash64_fast_path(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["id"])
+    a = {
+        r.id: (r.shard, r.pos)
+        for r in sampling.shuffle_shard(df, "id", 4, algo="xxhash64").collect()
+    }
+    b = {
+        r.id: (r.shard, r.pos)
+        for r in sampling.shuffle_shard(
+            df.repartition(8), "id", 4, algo="xxhash64"
+        ).collect()
+    }
+    assert a == b  # deterministic across partitionings
+    for shard in range(4):
+        poss = sorted(p for s, p in a.values() if s == shard)
+        assert poss == list(range(len(poss)))  # dense positions
+
+
 def test_shuffle_shard_rejects_bad_shards(spark):
     from earthmover_spark.util import EarthmoverSparkError
 
