@@ -1429,6 +1429,22 @@ def q_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "value")
 
 
+def q_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs with doc_id % 3 == 0 stand in for the
+    existing corpus state; the rest are 'today's batch'. Keep batch
+    docs whose normalized-content md5 was never seen — an anti join on
+    32-byte digests, no text ever shuffles."""
+    from earthmover_spark.llm import dedup
+    from earthmover_spark.llm.textstats import normalize_text
+
+    docs = _p(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(normalize_text(F.col("text"))).alias("content_hash")
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.novel_docs(batch, seen).select("doc_id", "content_hash")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1460,7 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "pagerank": q_pagerank,
         "percentile_band": q_percentile_band,
-        "join_semi": q_join_semi,
+        "novel_docs": q_novel_docs,
         "set_except": q_set_except,
         "group_by_rollup": q_group_by_rollup,
         "group_by_cube": q_group_by_cube,
@@ -1506,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mean_pool": q_emb_mean_pool,
         "emb_quantize": q_emb_quantize,
         "sim_pq_topk": q_sim_pq_topk,
+        "join_semi": q_join_semi,
         "pack_sequences_ordered": q_pack_sequences_ordered,
         "stratified_sample": q_stratified_sample,
         "budget_sample": q_budget_sample,
@@ -3018,5 +3035,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, e.event_type, value
             FROM events e JOIN q USING (event_type)
             WHERE value >= ql AND value <= qh
+        """,
+        "novel_docs": f"""
+            WITH seen AS (
+              SELECT DISTINCT md5({_NORM_SQL}) AS content_hash
+              FROM documents WHERE doc_id % 3 = 0
+            ), batch AS (
+              SELECT doc_id, md5({_NORM_SQL}) AS content_hash
+              FROM documents WHERE doc_id % 3 <> 0
+            )
+            SELECT doc_id, content_hash FROM batch b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM seen s WHERE s.content_hash = b.content_hash
+            )
         """,
     }

@@ -55,6 +55,37 @@ def exact_dedup_normalized(
     )
 
 
+def novel_docs(
+    df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    hash_col: str = "content_hash",
+    normalized: bool = True,
+) -> DataFrame:
+    """Incremental dedup: keep only documents whose content hash does
+    NOT appear in ``seen`` — the daily-crawl-vs-existing-corpus filter
+    every continuously-updated training set runs. ``seen`` is any frame
+    carrying ``hash_col`` (e.g. the persisted output of a previous
+    ``novel_docs`` run, or ``exact_dedup``'s digests renamed). The
+    output carries ``hash_col`` so it can be unioned into the seen
+    state for the next increment.
+
+    Scale shape (100 TB corpus state): a LEFT ANTI join keyed on the
+    md5 digest — both sides shuffle on the hash (broadcast when `seen`
+    is small enough; at full scale keep the seen state bucketed by
+    ``hash_col`` so only the new batch shuffles). No text comparison
+    ever happens: 32-byte digests move, not documents."""
+    h = (
+        F.md5(normalize_text(F.col(text_col)))
+        if normalized
+        else F.md5(F.col(text_col).cast("string"))
+    )
+    batch = df.withColumn(hash_col, h)
+    return batch.join(
+        seen.select(hash_col).distinct(), hash_col, "left_anti"
+    )
+
+
 # ---------------------------------------------------------------------------
 # md5-derived integer hashes (engine-portable)
 # ---------------------------------------------------------------------------

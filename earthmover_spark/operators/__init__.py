@@ -25,6 +25,7 @@ from earthmover_spark.operators import (
     groupby,
     profile,
     row,
+    sketch,
     skew,
     temporal,
     zorder,
@@ -138,6 +139,10 @@ OPERATIONS = {
     "pagerank": graph.pagerank,
     "zorder_key": zorder.zorder_key,
     "cluster_by_zorder": zorder.cluster_by_zorder,
+    "novel_docs": dedup.novel_docs,
+    "distinct_sketch": sketch.distinct_sketch,
+    "merge_sketches": sketch.merge_sketches,
+    "sketch_estimate": sketch.sketch_estimate,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]
