@@ -231,3 +231,55 @@ def test_semantic_dedup_no_cartesian_assignment_stays_narrow(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_shuffle_shard_single_exchange(plans):
+    """The deterministic permutation must cost exactly ONE shuffle (the
+    shard-key exchange feeding the per-shard row_number sort) — a
+    second Exchange would mean the global order is being re-sorted."""
+    p = plans("shuffle_shard")
+    # formatted mode prints each node twice (tree line + detail block);
+    # exactly one Exchange node means exactly one shuffle
+    assert p.count("Exchange") == 2
+    assert "hashpartitioning" in p
+    assert "rangepartitioning" not in p  # no global sort
+    assert "EvalPython" not in p
+
+
+def test_zorder_stats_join_is_broadcast_no_shuffle(plans):
+    """zorder_key's min/max pre-pass joins back as a 1-row broadcast;
+    the key computation itself must be pure codegen arithmetic with no
+    shuffle of the fact table."""
+    p = plans("zorder_key")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "EvalPython" not in p
+
+
+def test_percentile_band_cutoff_join_is_broadcast(plans):
+    """Per-group quantile cutoffs are |groups| rows — the join back to
+    the corpus must broadcast, and no Window/sort may appear."""
+    p = plans("percentile_band")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_novel_docs_is_hash_anti_join_no_python(plans):
+    """Incremental dedup must plan as an anti hash join on the digest
+    (broadcast at this seen-state size) with zero Python stages."""
+    p = plans("novel_docs")
+    assert "LeftAnti" in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_profile_table_is_single_scan(plans):
+    """All per-column statistics must come from one aggregation over
+    one scan: no join, no union of per-column subplans. (The Expand for
+    multi-column exact count_distinct is expected and allowed.)"""
+    p = plans("profile_table")
+    # one scan node (formatted mode prints tree line + detail block)
+    assert p.count("Scan parquet") == 2
+    assert "Join" not in p
+    assert "Union" not in p
