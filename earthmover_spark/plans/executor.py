@@ -149,6 +149,8 @@ class Executor:
                 kwargs["weights"] = self._resolve(op_cfg["weights"])
             if op_name == "merge_upsert":
                 kwargs["updates"] = self._resolve(op_cfg["updates"])
+            if op_name == "novel_docs":
+                kwargs["seen"] = self._resolve(op_cfg["seen"])
             if op_name in ("add_columns", "modify_columns"):
                 kwargs.setdefault("macros", self.project.macros)
             if df is None:

@@ -29,7 +29,7 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
         # asof/interval joins' `right`, quality_classifier's `weights`,
         # enrich_stream's `static_df`
         for key in ("source", "pairs", "benchmark", "right", "weights",
-                    "static_df", "updates"):
+                    "static_df", "updates", "seen"):
             if op.get(key):
                 refs.append(op[key])
         # sql operations embed $node references inside the query text
