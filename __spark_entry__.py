@@ -1445,6 +1445,31 @@ def q_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.novel_docs(batch, seen).select("doc_id", "content_hash")
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip event values to the per-type [0.05, 0.95] quantile band
+    (winsorization): same one-agg broadcast-cutoff shape as the band
+    filter, but rows are kept and tails are tamed."""
+    from earthmover_spark.operators.groupby import winsorize
+
+    ev = _p(spark, sf_dir, "events")
+    return winsorize(
+        ev, "value", 0.05, 0.95, group_cols=["event_type"], out_col="value_w"
+    ).select("event_id", "event_type", F.round("value_w", 6).alias("value_w"))
+
+
+def q_trend_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over day index (the
+    'which segments are growing' screen): five moments from one hash
+    agg, closed-form slope/intercept/r2 on the tiny result."""
+    from earthmover_spark.operators.groupby import trend_per_key
+
+    ev = _p(spark, sf_dir, "events").withColumn(
+        "day",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+    )
+    return trend_per_key(ev, "day", "value", ["event_type"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1477,8 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "percentile_band": q_percentile_band,
         "novel_docs": q_novel_docs,
-        "set_except": q_set_except,
-        "group_by_rollup": q_group_by_rollup,
+        "winsorize": q_winsorize,
+        "trend_per_key": q_trend_per_key,
         "group_by_cube": q_group_by_cube,
         "group_by_salted": q_group_by_salted,
         "explode_array": q_explode_array,
@@ -1523,6 +1548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "sim_pq_topk": q_sim_pq_topk,
         "join_semi": q_join_semi,
+        "set_except": q_set_except,
+        "group_by_rollup": q_group_by_rollup,
         "pack_sequences_ordered": q_pack_sequences_ordered,
         "stratified_sample": q_stratified_sample,
         "budget_sample": q_budget_sample,
@@ -3048,5 +3075,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM seen s WHERE s.content_hash = b.content_hash
             )
+        """,
+        "winsorize": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS ql,
+                     quantile_cont(value, 0.95) AS qh
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type,
+                   round(least(greatest(value, ql), qh), 6) AS value_w
+            FROM events e JOIN q USING (event_type)
+        """,
+        "trend_per_key": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(date_diff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) AS DOUBLE) AS x,
+                     value AS y
+              FROM events
+            ), m AS (
+              SELECT event_type, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx,
+                     sum(y * y) AS syy
+              FROM d GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                         / n, 6) AS intercept,
+                   round(pow(n * sxy - sx * sy, 2)
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                       AS r2
+            FROM m
         """,
     }

@@ -83,6 +83,8 @@ OPERATIONS = {
     "merge_upsert": dataframe.merge_upsert,
     "flag_outliers": groupby.flag_outliers,
     "filter_percentile_band": groupby.filter_percentile_band,
+    "winsorize": groupby.winsorize,
+    "trend_per_key": groupby.trend_per_key,
     # streaming-only helper: bound state for windowed aggs on `stream:`
     # sources (no-op semantics change on batch frames)
     "with_watermark": lambda df, *, column, delay: df.withWatermark(column, delay),

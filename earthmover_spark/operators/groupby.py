@@ -382,6 +382,94 @@ def filter_percentile_band(
     ).drop("__q__")
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    group_cols: Sequence[str] = (),
+    out_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Clip ``value_col`` to its group's [lo, hi] quantile band
+    (winsorization — the keep-the-row cousin of
+    ``filter_percentile_band``: tame the tails without losing data).
+    Writes the clipped value to ``out_col`` (default: in place). Same
+    scale shape as the band filter: one quantile aggregation, broadcast
+    cutoffs, no window, no sort; ``exact=False`` switches to the
+    t-digest sketch for bounded memory at full scale."""
+    groups = list(group_cols)
+    out_col = out_col or value_col
+    v = F.col(value_col).cast("double")
+    pcts = F.array(F.lit(float(lo)), F.lit(float(hi)))
+    q = (
+        F.percentile(v, pcts)
+        if exact
+        else F.approx_percentile(v, pcts, accuracy)
+    ).alias("__q__")
+    if groups:
+        joined = df.join(F.broadcast(df.groupBy(*groups).agg(q)), groups)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(q)))
+    clipped = F.least(F.greatest(v, F.col("__q__")[0]), F.col("__q__")[1])
+    return joined.withColumn(out_col, clipped).drop("__q__")
+
+
+def trend_per_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str],
+    slope_col: str = "slope",
+    intercept_col: str = "intercept",
+    r2_col: str = "r2",
+) -> DataFrame:
+    """Closed-form per-group ordinary-least-squares line y = a + b*x
+    (metric trend per segment — the 'which domains are growing/rotting'
+    screen over time-keyed quality metrics). Returns one row per group:
+    (group_cols, n, slope, intercept, r2), all rounded to 6 places;
+    degenerate groups (n < 2 or zero x-variance) get NULL slope.
+
+    Scale shape: the five OLS moments (n, Σx, Σy, Σxy, Σx²[, Σy²]) are
+    ONE hash aggregation with map-side partial combine — no window, no
+    sort, no second pass; the closed form is plain arithmetic on the
+    |groups|-row result."""
+    groups = list(group_cols)
+    if not groups:
+        raise EarthmoverSparkError("trend_per_key: group_cols required")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx__"),
+        F.sum(y).alias("__sy__"),
+        F.sum(x * y).alias("__sxy__"),
+        F.sum(x * x).alias("__sxx__"),
+        F.sum(y * y).alias("__syy__"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx__"), F.col("__sy__")
+    sxy, sxx, syy = F.col("__sxy__"), F.col("__sxx__"), F.col("__syy__")
+    den = n * sxx - sx * sx
+    slope = F.when(
+        (n >= 2) & (den != 0), (n * sxy - sx * sy) / den
+    )
+    intercept = (sy - slope * sx) / n
+    ss_tot = n * syy - sy * sy
+    r2 = F.when(
+        slope.isNotNull() & (ss_tot != 0),
+        F.pow(n * sxy - sx * sy, 2) / (den * ss_tot),
+    )
+    return agg.select(
+        *groups,
+        F.col("n"),
+        F.round(slope, 6).alias(slope_col),
+        F.round(intercept, 6).alias(intercept_col),
+        F.round(r2, 6).alias(r2_col),
+    )
+
+
 def flag_outliers(
     df: DataFrame,
     value_col: str,

@@ -177,6 +177,63 @@ def test_percentile_band_approx_path(spark):
 
 
 # ---------------------------------------------------------------------------
+# winsorize / trend_per_key
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_clips_to_band(spark):
+    from earthmover_spark.operators.groupby import winsorize
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(11)], ["id", "v"])
+    got = {r.id: r.w for r in winsorize(df, "v", 0.25, 0.75, out_col="w").collect()}
+    # q25 = 2.5, q75 = 7.5: tails clip, middle passes through
+    assert got[0] == 2.5 and got[1] == 2.5 and got[2] == 2.5
+    assert got[5] == 5.0
+    assert got[9] == 7.5 and got[10] == 7.5
+    assert len(got) == 11  # every row kept
+
+
+def test_winsorize_in_place_and_grouped(spark):
+    from earthmover_spark.operators.groupby import winsorize
+
+    rows = [("a", float(i)) for i in range(11)] + [("b", float(i * 100)) for i in range(11)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = winsorize(df, "v", 0.0, 0.5, group_cols=["g"]).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, set()).add(r.v)
+    assert max(by_g["a"]) == 5.0  # group-a median is its own
+    assert max(by_g["b"]) == 500.0
+
+
+def test_trend_per_key_recovers_line(spark):
+    from earthmover_spark.operators.groupby import trend_per_key
+
+    rows = [("up", float(x), 2.0 * x + 1.0) for x in range(20)] + [
+        ("down", float(x), -0.5 * x + 3.0) for x in range(20)
+    ] + [("flat", float(x), 7.0) for x in range(20)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r.g: r for r in trend_per_key(df, "x", "y", ["g"]).collect()}
+    assert got["up"].slope == 2.0 and got["up"].intercept == 1.0
+    assert got["up"].r2 == 1.0
+    assert got["down"].slope == -0.5 and got["down"].intercept == 3.0
+    assert got["flat"].slope == 0.0
+    assert got["flat"].r2 is None  # zero y-variance: r2 undefined
+
+
+def test_trend_per_key_degenerate_groups(spark):
+    from earthmover_spark.operators.groupby import trend_per_key
+
+    df = spark.createDataFrame(
+        [("one", 1.0, 5.0), ("same_x", 2.0, 1.0), ("same_x", 2.0, 9.0)],
+        ["g", "x", "y"],
+    )
+    got = {r.g: r for r in trend_per_key(df, "x", "y", ["g"]).collect()}
+    assert got["one"].slope is None  # n < 2
+    assert got["same_x"].slope is None  # zero x-variance
+
+
+# ---------------------------------------------------------------------------
 # embeddings.standardize
 # ---------------------------------------------------------------------------
 
