@@ -30,6 +30,12 @@ SF_DIR = "/root/testdata/sf0.001"
      lambda rows: {"o_orderkey", "o_orderstatus"} == set(rows[0])
      # every urgent order was rewritten by the changeset; others never are
      and any(r["o_orderstatus"] == "RUSHED" for r in rows)),
+    ("08_training_export", "$destinations.shards",
+     lambda rows: {"doc_id", "text", "shard", "pos", "content_hash"}
+     == set(rows[0])
+     # seen-state docs (every 7th) never reach the export
+     and not any(int(r["doc_id"]) % 7 == 0 for r in rows)
+     and {r["shard"] for r in rows} <= {"0", "1", "2", "3"}),
 ])
 def test_example_runs(spark, tmp_path, name, dest, check):
     cfg = os.path.join(EXAMPLES, name, "earthmover.yaml")
