@@ -1470,6 +1470,77 @@ def q_trend_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_per_key(ev, "day", "value", ["event_type"])
 
 
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to a fixed topical query
+    ('query table spark'): term-filtered posting join, broadcast idf,
+    one doc-keyed agg — per-query cost is the query terms' posting
+    lists, never the corpus."""
+    from earthmover_spark.llm import retrieval
+
+    docs = _p(spark, sf_dir, "documents")
+    return retrieval.bm25_scores(docs, ["query", "table", "spark"])
+
+
+def q_inverted_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus (min_df=2): per-term df + sorted
+    posting list, one term-keyed shuffle, lists never on the driver."""
+    from earthmover_spark.llm import retrieval
+
+    docs = _p(spark, sf_dir, "documents")
+    return retrieval.inverted_index(docs, min_df=2)
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings (k=8, 2
+    iterations, init = 8 lowest vec_ids): per-iteration driver traffic
+    is the k x 64 centroid matrix only; the oracle unrolls the exact
+    same iterations in SQL."""
+    from earthmover_spark.llm import clustering
+
+    emb = _p(spark, sf_dir, "embeddings")
+    return clustering.kmeans_lloyd(emb, k=8, iters=2)
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance self-match over DISTINCT part names
+    (entity-resolution shape). Deduping to distinct strings first —
+    id = min part key per name — bounds the pair space by vocabulary,
+    not row count, so the block sizes are scale-invariant; then block
+    on first token + length bucket and run JVM-side levenshtein <= 3
+    inside blocks only."""
+    from earthmover_spark.operators import fuzzy
+
+    part = _p(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    return fuzzy.fuzzy_self_pairs(
+        names, "p_name", "name_id", max_distance=3, max_block=1000
+    )
+
+
+def q_snap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff of orders vs a deterministically perturbed copy
+    (keys %97 removed, %89 repriced, %101 mirrored in as additions):
+    both sides reduce to (key, md5 fingerprint) scan-side, one full
+    outer join, narrow shuffle regardless of row width."""
+    from earthmover_spark.operators import diff
+
+    orders = _p(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    new = (
+        orders.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 89 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            orders.filter(k % 101 == 0).withColumn("o_orderkey", -k)
+        )
+    )
+    return diff.snapshot_diff(orders, new, ["o_orderkey"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1482,11 +1553,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # official green row). r5 prefix = queries changed this round
     # (ev_sessionize, scd2_history, dedup_spans), queries with no
     # official row yet (ngram_counts + the four NEW r5 operators:
-    # profile_table, shuffle_shard, emb_standardize, train_lr), and 10
-    # core reference-surface operators whose newest green row was r1;
-    # queries with fresh r4 rows and unchanged implementations rotated
-    # out (pack_sequences_ordered, stratified_sample, budget_sample,
-    # temperature_mix yielded their slots to the new operators).
+    # profile_table, shuffle_shard, emb_standardize, train_lr, plus the
+    # five r5b additions bm25_rank / inverted_idx / kmeans_clusters /
+    # fuzzy_pairs / snap_diff), and 10 core reference-surface operators
+    # whose newest green row was r1; queries with fresh r4 rows and
+    # unchanged implementations rotated out (pack_sequences_ordered,
+    # stratified_sample, budget_sample, temperature_mix, group_by_cube,
+    # group_by_salted, explode_array, window_calc, top_n yielded their
+    # slots to the new operators).
     return {
         "flagship": q_flagship,
         "ev_window_agg": q_ev_window_agg,
@@ -1504,11 +1578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novel_docs": q_novel_docs,
         "winsorize": q_winsorize,
         "trend_per_key": q_trend_per_key,
-        "group_by_cube": q_group_by_cube,
-        "group_by_salted": q_group_by_salted,
-        "explode_array": q_explode_array,
-        "window_calc": q_window_calc,
-        "top_n": q_top_n,
+        "bm25_rank": q_bm25_rank,
+        "inverted_idx": q_inverted_idx,
+        "kmeans_clusters": q_kmeans_clusters,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "snap_diff": q_snap_diff,
         "group_by_quantiles": q_group_by_quantiles,
         "interval_join": q_interval_join,
         "text_tfidf": q_text_tfidf,
@@ -1541,6 +1615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- end of recorded 50-query prefix ---
         # group_by_stats (green r1) yielded its r5 prefix slot to
         # semantic_dedup's first row; rotate it back in r6
+        "group_by_cube": q_group_by_cube,
+        "group_by_salted": q_group_by_salted,
+        "explode_array": q_explode_array,
+        "window_calc": q_window_calc,
+        "top_n": q_top_n,
         "group_by_stats": q_group_by_stats,
         # rotated OUT of the prefix in r5: fresh green rows on
         # CORRECTNESS_r04, implementations unchanged since
@@ -3110,5 +3189,177 @@ def oracle_sql() -> dict[str, str]:
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                        AS r2
             FROM m
+        """,
+        "bm25_rank": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM norm
+            ), dt0 AS (
+              SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM norm
+            ), dt AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM dt0
+              WHERE term != '' AND term IN ('query', 'table', 'spark')
+              GROUP BY 1, 2, 3
+            ), idf AS (
+              SELECT term,
+                     ln(1 + (stats.n - count(DISTINCT doc_id) + 0.5)
+                            / (count(DISTINCT doc_id) + 0.5)) AS idf
+              FROM dt, stats GROUP BY term, stats.n
+            )
+            SELECT dt.doc_id,
+                   round(sum(idf.idf * dt.tf * 2.2
+                             / (dt.tf + 1.2 * (0.25 + 0.75 * dt.dl
+                                                      / stats.avgdl))), 6)
+                       AS score
+            FROM dt JOIN idf USING (term), stats
+            GROUP BY dt.doc_id
+        """,
+        "inverted_idx": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split({_NORM_SQL}, ' ')) AS term
+              FROM documents
+            ), dt AS (
+              SELECT DISTINCT doc_id, term FROM toks WHERE term != ''
+            )
+            SELECT term, count(*) AS df,
+                   list(doc_id ORDER BY doc_id) AS postings
+            FROM dt GROUP BY term HAVING count(*) >= 2
+        """,
+        # Lloyd's k-means unrolled: init = 8 lowest vec_ids, two
+        # (assign, recompute) rounds, final assignment — mirrors
+        # llm/clustering.kmeans_lloyd exactly (strict-< argmin = order
+        # by (distance, cluster); empty clusters keep prior centroid
+        # via the LEFT JOIN + coalesce).
+        "kmeans_clusters": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), vd AS (
+              SELECT vec_id, generate_subscripts(v, 1) AS dim,
+                     unnest(v) AS x
+              FROM v
+            ), init AS (
+              SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8
+            ), cents0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                     v AS cv
+              FROM init
+            ), cd0 AS (
+              SELECT cluster, generate_subscripts(cv, 1) AS dim,
+                     unnest(cv) AS y
+              FROM cents0
+            ), d0 AS (
+              SELECT vd.vec_id, cd0.cluster,
+                     sum((vd.x - cd0.y) * (vd.x - cd0.y)) AS d
+              FROM vd JOIN cd0 USING (dim) GROUP BY 1, 2
+            ), a0 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cluster) AS rn
+                FROM d0) WHERE rn = 1
+            ), m1 AS (
+              SELECT a0.cluster, vd.dim, avg(vd.x) AS m
+              FROM a0 JOIN vd USING (vec_id) GROUP BY 1, 2
+            ), n1 AS (
+              SELECT cluster, list(m ORDER BY dim) AS cv FROM m1
+              GROUP BY cluster
+            ), cents1 AS (
+              SELECT c.cluster, coalesce(n.cv, c.cv) AS cv
+              FROM cents0 c LEFT JOIN n1 n USING (cluster)
+            ), cd1 AS (
+              SELECT cluster, generate_subscripts(cv, 1) AS dim,
+                     unnest(cv) AS y
+              FROM cents1
+            ), d1 AS (
+              SELECT vd.vec_id, cd1.cluster,
+                     sum((vd.x - cd1.y) * (vd.x - cd1.y)) AS d
+              FROM vd JOIN cd1 USING (dim) GROUP BY 1, 2
+            ), a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cluster) AS rn
+                FROM d1) WHERE rn = 1
+            ), m2 AS (
+              SELECT a1.cluster, vd.dim, avg(vd.x) AS m
+              FROM a1 JOIN vd USING (vec_id) GROUP BY 1, 2
+            ), n2 AS (
+              SELECT cluster, list(m ORDER BY dim) AS cv FROM m2
+              GROUP BY cluster
+            ), cents2 AS (
+              SELECT c.cluster, coalesce(n.cv, c.cv) AS cv
+              FROM cents1 c LEFT JOIN n2 n USING (cluster)
+            ), cd2 AS (
+              SELECT cluster, generate_subscripts(cv, 1) AS dim,
+                     unnest(cv) AS y
+              FROM cents2
+            ), d2 AS (
+              SELECT vd.vec_id, cd2.cluster,
+                     sum((vd.x - cd2.y) * (vd.x - cd2.y)) AS d
+              FROM vd JOIN cd2 USING (dim) GROUP BY 1, 2
+            )
+            SELECT vec_id, cluster FROM (
+              SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cluster) AS rn
+              FROM d2) WHERE rn = 1
+        """,
+        "fuzzy_pairs": """
+            WITH d AS (
+              SELECT p_name, min(p_partkey) AS p_partkey FROM part
+              GROUP BY p_name
+            ), s AS (
+              SELECT p_partkey AS id, p_name AS name,
+                     concat(string_split(trim(lower(p_name)), ' ')[1], '#',
+                            CAST(CAST(floor(length(trim(lower(p_name))) / 4)
+                                      AS BIGINT) AS VARCHAR)) AS blk
+              FROM d
+            ), ok AS (
+              SELECT blk FROM s GROUP BY blk HAVING count(*) <= 1000
+            ), t AS (
+              SELECT s.* FROM s JOIN ok USING (blk)
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.name AS text_a, b.name AS text_b,
+                   levenshtein(a.name, b.name) AS distance
+            FROM t a JOIN t b USING (blk)
+            WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 3
+        """,
+        # change detection is per-column IS DISTINCT FROM (semantics of
+        # the engine's md5 fingerprint, without assuming cross-engine
+        # string-cast equality)
+        "snap_diff": """
+            WITH n AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 89 = 0
+                          THEN o_totalprice + 1.0 ELSE o_totalprice END
+                         AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 97 != 0
+              UNION ALL
+              SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 101 = 0
+            ), j AS (
+              SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE
+                       WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                         OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                         OR o.o_orderpriority
+                            IS DISTINCT FROM n.o_orderpriority
+                       THEN 'changed'
+                     END AS change
+              FROM orders o FULL OUTER JOIN n
+                ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
         """,
     }

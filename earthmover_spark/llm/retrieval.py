@@ -1,0 +1,141 @@
+"""Sparse lexical retrieval: BM25 scoring and inverted-index build.
+
+Corpus pipelines use BM25 twice: to pull topical subsets out of a raw
+crawl ("find me all documents about X" seeds for classifier training),
+and as the retrieval half of RAG-style eval-set construction. Both
+reduce to the same primitives — per-term document frequencies, per-doc
+term frequencies, an inverted index — which are plain aggregations, so
+they scale as hash-shuffles on the term key.
+
+Scale shape (100 TB):
+
+- The corpus is tokenized once (native ``split``/``explode``); the
+  (doc, term, tf) table is the ONLY corpus-sized intermediate, and it
+  shuffles once, keyed on term, with map-side combine.
+- Scoring a query filters that table to the query's terms FIRST (a
+  handful of literals, pushed to the scan side of the shuffle), so the
+  per-query work is proportional to the query terms' posting lists,
+  never the corpus. IDF stats for query terms are a broadcast join.
+- The inverted index is the same (term, postings) aggregation with
+  ``sort_array(collect_list(...))`` — per-term posting lists stay
+  distributed; no driver materialization.
+
+No reference-engine counterpart (the reference is a row-transform
+engine); this is beyond-reference surface for training-data curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from earthmover_spark.llm.textstats import normalize_text, spread_narrow_scan
+
+
+def _doc_terms(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, term, tf) with one row per distinct term per doc, plus the
+    doc length |d| (token count) on every row."""
+    toks = spread_narrow_scan(df).select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks__"),
+    ).select(
+        id_col,
+        F.size("__toks__").alias("__dl__"),
+        F.explode("__toks__").alias("term"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy(id_col, "term", "__dl__").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Score every document against ``query_terms`` with BM25
+    (Robertson/Sparck Jones idf: ``ln(1 + (N - df + .5)/(df + .5))``).
+    Returns ``(id, score)`` for docs matching >= 1 term, score rounded
+    to 6 places; with ``top_k``, the k best by (score desc, id).
+
+    The corpus-wide constants (N, avgdl) are one bounded aggregation
+    (single row to the driver); df counts for the query's terms are a
+    broadcast join. Only rows whose term is in the query survive to the
+    first shuffle — the filter sits below the groupBy, so Catalyst
+    pushes it into the scan-side stage.
+    """
+    terms = sorted({t for t in query_terms if t})
+    if not terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    dt = _doc_terms(df, text_col, id_col)
+    qt = dt.filter(F.col("term").isin(terms)).persist()
+    try:
+        # bounded: one row (corpus size + mean doc length)
+        stats = spread_narrow_scan(df).select(
+            F.size(F.split(normalize_text(F.col(text_col)), " ")).alias("__l__")
+        ).agg(
+            F.count(F.lit(1)).alias("__n__"), F.avg("__l__").alias("__avgdl__")
+        ).collect()[0]
+        n_docs, avgdl = stats["__n__"], float(stats["__avgdl__"] or 1.0)
+
+        dfreq = qt.groupBy("term").agg(
+            F.count_distinct(id_col).alias("__df__")
+        )
+        idf = dfreq.select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("__df__") + 0.5)
+                / (F.col("__df__") + 0.5)
+            ).alias("__idf__"),
+        )
+        tf_part: Column = (
+            F.col("tf") * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("__dl__") / F.lit(avgdl))
+            )
+        )
+        scored = (
+            qt.join(F.broadcast(idf), "term")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.col("__idf__") * tf_part), 6).alias("score"))
+        )
+        if top_k is not None:
+            scored = scored.orderBy(
+                F.desc("score"), F.col(id_col)
+            ).limit(top_k)
+        # materialize while the filtered postings cache is live
+        return scored.localCheckpoint()
+    finally:
+        qt.unpersist()
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Posting lists: ``(term, df, postings)`` where ``postings`` is the
+    sorted array of doc ids containing the term. ``min_df`` drops
+    hapax/rare terms (at corpus scale most of the vocabulary is noise;
+    dropping df < k early keeps the index bounded). One term-keyed
+    shuffle; posting lists never visit the driver."""
+    dt = _doc_terms(df, text_col, id_col)
+    idx = dt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+    )
+    if min_df > 1:
+        idx = idx.filter(F.col("df") >= min_df)
+    return idx
+
+
+__all__ = ["bm25_scores", "inverted_index"]

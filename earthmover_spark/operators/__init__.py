@@ -11,9 +11,11 @@ and unions additionally take a ``registry`` of named DataFrames).
 
 from earthmover_spark.llm import (
     bpe,
+    clustering,
     curation,
     dedup,
     embeddings,
+    retrieval,
     sampling,
     textstats,
     training,
@@ -21,6 +23,8 @@ from earthmover_spark.llm import (
 from earthmover_spark.operators import (
     column,
     dataframe,
+    diff,
+    fuzzy,
     graph,
     groupby,
     profile,
@@ -145,6 +149,12 @@ OPERATIONS = {
     "distinct_sketch": sketch.distinct_sketch,
     "merge_sketches": sketch.merge_sketches,
     "sketch_estimate": sketch.sketch_estimate,
+    "bm25_scores": retrieval.bm25_scores,
+    "inverted_index": retrieval.inverted_index,
+    "kmeans_lloyd": clustering.kmeans_lloyd,
+    "fuzzy_self_pairs": fuzzy.fuzzy_self_pairs,
+    "snapshot_diff": diff.snapshot_diff,
+    "diff_summary": diff.diff_summary,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

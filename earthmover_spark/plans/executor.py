@@ -151,6 +151,8 @@ class Executor:
                 kwargs["updates"] = self._resolve(op_cfg["updates"])
             if op_name == "novel_docs":
                 kwargs["seen"] = self._resolve(op_cfg["seen"])
+            if op_name == "snapshot_diff":
+                kwargs["new"] = self._resolve(op_cfg["new"])
             if op_name in ("add_columns", "modify_columns"):
                 kwargs.setdefault("macros", self.project.macros)
             if df is None:
