@@ -69,6 +69,11 @@ HEADLINE = [
     "pagerank",  # iterative: 3 power rounds over cached edges
     "zorder_key",
     "percentile_band",
+    # r5b additions
+    "bm25_rank",  # term-filtered posting join + broadcast idf
+    "kmeans_clusters",  # iterative: 2 Lloyd rounds, HOF argmin assign
+    "fuzzy_pairs",  # blocked levenshtein over distinct names
+    "snap_diff",  # one full-outer join on (key, fingerprint)
 ]
 
 

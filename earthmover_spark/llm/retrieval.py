@@ -58,6 +58,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Score every document against ``query_terms`` with BM25
     (Robertson/Sparck Jones idf: ``ln(1 + (N - df + .5)/(df + .5))``).
@@ -74,7 +75,11 @@ def bm25_scores(
     if not terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
     dt = _doc_terms(df, text_col, id_col)
-    qt = dt.filter(F.col("term").isin(terms)).persist()
+    qt = dt.filter(F.col("term").isin(terms))
+    if materialize:
+        # the filtered postings feed BOTH the df-count agg and the
+        # scoring join — cache them so the corpus is tokenized once
+        qt = qt.persist()
     try:
         # bounded: one row (corpus size + mean doc length)
         stats = spread_narrow_scan(df).select(
@@ -111,10 +116,14 @@ def bm25_scores(
             scored = scored.orderBy(
                 F.desc("score"), F.col(id_col)
             ).limit(top_k)
+        if not materialize:
+            # lazy plan for audits/composition; caller owns execution
+            return scored
         # materialize while the filtered postings cache is live
         return scored.localCheckpoint()
     finally:
-        qt.unpersist()
+        if materialize:
+            qt.unpersist()
 
 
 def inverted_index(

@@ -28,8 +28,9 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
         # resolve_duplicates' `pairs`, decontaminate's `benchmark`,
         # asof/interval joins' `right`, quality_classifier's `weights`,
         # enrich_stream's `static_df`
+        # snapshot_diff's `new`
         for key in ("source", "pairs", "benchmark", "right", "weights",
-                    "static_df", "updates", "seen"):
+                    "static_df", "updates", "seen", "new"):
             if op.get(key):
                 refs.append(op[key])
         # sql operations embed $node references inside the query text

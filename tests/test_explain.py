@@ -283,3 +283,69 @@ def test_profile_table_is_single_scan(plans):
     assert p.count("Scan parquet") == 2
     assert "Join" not in p
     assert "Union" not in p
+
+
+def _lazy_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_bm25_term_filter_pushed_below_shuffle(spark):
+    """BM25 (audited lazy, pre-localCheckpoint) must filter postings to
+    the query's terms BEFORE the first shuffle — the isin() sits in the
+    scan-side stage, so per-query cost is the matching posting lists —
+    with idf joined back as a broadcast and no Python stage."""
+    from earthmover_spark.llm import retrieval
+
+    docs = entry._p(spark, SF_DIR, "documents")
+    df = retrieval.bm25_scores(
+        docs, ["query", "table", "spark"], materialize=False
+    )
+    p = _lazy_plan(spark, df)
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the term filter appears below the first Exchange in the tree
+    tree = p[: p.index("(1) Scan")]
+    assert tree.index("Filter") > tree.index("Exchange")  # tree prints top-down
+
+
+def test_kmeans_assignment_stays_narrow_no_python(spark):
+    """k-means assignment is a map over a literal centroid matrix:
+    no join, no exchange, no Python stage — the corpus never shuffles
+    during Lloyd iterations."""
+    from earthmover_spark.llm import clustering
+
+    emb = entry._p(spark, SF_DIR, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    p = _lazy_plan(spark, clustering.kmeans_assign(emb, cents))
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert "Exchange" not in p
+
+
+def test_fuzzy_pairs_is_blocked_equi_join_not_cartesian(plans):
+    """The fuzzy match must plan as an equi-join on the block key —
+    never a cartesian/nested-loop over the name space."""
+    p = plans("fuzzy_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_snap_diff_single_outer_join_on_narrow_columns(plans):
+    """Snapshot diff must shuffle only (key, md5 fingerprint) — the
+    fingerprint computed below the exchange — with exactly one
+    (full-outer) join in the plan."""
+    p = plans("snap_diff")
+    # formatted mode prints each node in the tree and the detail block
+    assert p.count("SortMergeJoin FullOuter") >= 1
+    assert "BroadcastHashJoin" not in p and "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    # md5 is computed pre-shuffle: the exchange carries the fingerprint
+    assert "md5" in p
