@@ -16,7 +16,19 @@ The interesting numbers:
                          (Catalyst Expand: k-way row multiplication)
   profile_approx         same with HLL approx_count_distinct (no Expand)
 
+r5b probes (synthetic text corpus / snapshots, same scale intent):
+
+  bm25_score             BM25 over a synthetic corpus: per-query cost
+                         must track matching posting lists, not corpus
+  inverted_index         full posting-list build (min_df=2 tail prune)
+  kmeans_assign          2 Lloyd rounds over synthetic embeddings
+                         (corpus never shuffles during assignment)
+  fuzzy_pairs            blocked edit-distance self-join w/ skew guard
+  snapshot_diff          10M-vs-10M key diff (two narrow fp columns
+                         through ONE full-outer join)
+
 Usage: python bench_scale_ops.py [--rows 10000000] [--edges 5000000]
+                                 [--docs 2000000] [--vecs 1000000]
 """
 
 from __future__ import annotations
@@ -44,15 +56,25 @@ def _t(fn) -> float:
 def main() -> None:
     rows = 10_000_000
     edges_n = 5_000_000
+    docs_n = 2_000_000
+    vecs_n = 1_000_000
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
     if "--edges" in sys.argv:
         edges_n = int(sys.argv[sys.argv.index("--edges") + 1])
+    if "--docs" in sys.argv:
+        docs_n = int(sys.argv[sys.argv.index("--docs") + 1])
+    if "--vecs" in sys.argv:
+        vecs_n = int(sys.argv[sys.argv.index("--vecs") + 1])
 
     from pyspark.sql import functions as F
 
     from earthmover_spark import get_spark
+    from earthmover_spark.llm.clustering import kmeans_lloyd
+    from earthmover_spark.llm.retrieval import bm25_scores, inverted_index
     from earthmover_spark.llm.sampling import shuffle_shard
+    from earthmover_spark.operators.diff import snapshot_diff
+    from earthmover_spark.operators.fuzzy import fuzzy_self_pairs
     from earthmover_spark.operators.graph import pagerank
     from earthmover_spark.operators.profile import profile_table
     from earthmover_spark.operators.zorder import cluster_by_zorder
@@ -111,6 +133,101 @@ def main() -> None:
                 plain, ["a", "b", "row_id"], exact_distinct=False
             ).collect()
         )
+
+        # --- r5b: synthetic text corpus (vocab-driven, fully native) ----
+        # ~12 words/doc drawn from a 5k-word zipf-ish vocab; written to
+        # parquet so every probe starts from a real scan.
+        vocab_n = 5_000
+        word = lambda seed: F.concat(  # noqa: E731
+            F.lit("w"),
+            # square the hash draw so low ids dominate (zipf-ish head)
+            (
+                F.pow(
+                    F.pmod(F.hash(F.col("id") * seed), F.lit(vocab_n))
+                    / vocab_n,
+                    F.lit(2.0),
+                )
+                * vocab_n
+            ).cast("int"),
+        )
+        corpus = spark.range(docs_n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ", *[word(s) for s in (3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41)]
+            ).alias("text"),
+        )
+        corpus.write.mode("overwrite").parquet(f"{base}/corpus")
+        corpus = spark.read.parquet(f"{base}/corpus")
+        r["bm25_score"] = _t(
+            lambda: _force(bm25_scores(corpus, ["w10", "w250", "w4800"], top_k=100))
+        )
+        r["inverted_index"] = _t(
+            lambda: _force(inverted_index(corpus, min_df=2))
+        )
+
+        # --- r5b: k-means assignment over synthetic embeddings ----------
+        vecs = spark.range(vecs_n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (F.pmod(F.hash(F.col("id") * s), F.lit(1000)) / 500.0 - 1.0).cast(
+                        "float"
+                    )
+                    for s in range(2, 18)
+                ]
+            ).alias("embedding"),
+        )
+        vecs.write.mode("overwrite").parquet(f"{base}/vecs")
+        vecs = spark.read.parquet(f"{base}/vecs")
+        r["kmeans_assign"] = _t(
+            lambda: _force(kmeans_lloyd(vecs, k=16, iters=2))
+        )
+
+        # --- r5b: blocked fuzzy self-join (names-like short strings) ----
+        names = spark.range(docs_n // 2).select(
+            F.col("id").alias("name_id"),
+            F.concat(
+                F.lit("name"),
+                F.pmod(F.hash("id"), F.lit(200_000)),
+                F.lit(" v"),
+                F.pmod(F.hash(F.col("id") * 3), F.lit(10)),
+            ).alias("name"),
+        )
+        names.write.mode("overwrite").parquet(f"{base}/names")
+        names = spark.read.parquet(f"{base}/names")
+        r["fuzzy_pairs"] = _t(
+            lambda: _force(
+                fuzzy_self_pairs(names, "name", "name_id", max_distance=2)
+            )
+        )
+
+        # --- r5b: snapshot diff, 1% churn --------------------------------
+        old_snap = spark.range(rows).select(
+            F.col("id").alias("k"),
+            F.pmod(F.hash("id"), F.lit(1_000_000)).alias("v1"),
+            F.md5(F.col("id").cast("string")).alias("v2"),
+        )
+        new_snap = spark.range(rows // 100, rows + rows // 100).select(
+            F.col("id").alias("k"),
+            F.when(
+                F.pmod(F.col("id"), F.lit(100)) == 0,
+                F.pmod(F.hash("id"), F.lit(1_000_000)) + 1,
+            )
+            .otherwise(F.pmod(F.hash("id"), F.lit(1_000_000)))
+            .alias("v1"),
+            F.md5(F.col("id").cast("string")).alias("v2"),
+        )
+        old_snap.write.mode("overwrite").parquet(f"{base}/snap_old")
+        new_snap.write.mode("overwrite").parquet(f"{base}/snap_new")
+        r["snapshot_diff"] = _t(
+            lambda: _force(
+                snapshot_diff(
+                    spark.read.parquet(f"{base}/snap_old"),
+                    spark.read.parquet(f"{base}/snap_new"),
+                    ["k"],
+                )
+            )
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -123,6 +240,8 @@ def main() -> None:
                 "queries": r,
                 "rows": rows,
                 "edges": edges_n,
+                "docs": docs_n,
+                "vecs": vecs_n,
             }
         )
     )

@@ -299,6 +299,10 @@ def test_bm25_term_filter_pushed_below_shuffle(spark):
     with idf joined back as a broadcast and no Python stage."""
     from earthmover_spark.llm import retrieval
 
+    # earlier tests may have run bm25 with materialize=True, leaving the
+    # tokenized corpus persisted — which would swap this audit's scan
+    # subtree for an InMemoryTableScan and hide the real plan shape.
+    spark.catalog.clearCache()
     docs = entry._p(spark, SF_DIR, "documents")
     df = retrieval.bm25_scores(
         docs, ["query", "table", "spark"], materialize=False
@@ -308,7 +312,8 @@ def test_bm25_term_filter_pushed_below_shuffle(spark):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     # the term filter appears below the first Exchange in the tree
-    tree = p[: p.index("(1) Scan")]
+    # (slice at the first node-detail block, whatever node it is)
+    tree = p[: p.index("\n\n(1) ")]
     assert tree.index("Filter") > tree.index("Exchange")  # tree prints top-down
 
 
