@@ -401,3 +401,40 @@ def cap_per_group(
         n=k,
     )
     return capped.drop("__cap_h__")
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: draw ``n``
+    rows where each row's inclusion probability is proportional to
+    ``weight_col``, reproducibly (same engine, any partitioning, any
+    run) via the Efraimidis-Spirakis exponential-key trick (A-ES,
+    IPL 2006; public algorithm): give every row the key ``u^(1/w)``
+    with ``u`` a stable hash-uniform in (0, 1], and keep the n largest
+    keys. Quality upsampling ("sample 10M docs, weighted by quality
+    score") without an RNG anywhere.
+
+    Rows with NULL, zero, or negative weight are excluded (never
+    sampled). Ties on the key break by ``key_col`` for a total order.
+
+    Scale shape (100 TB): the key is narrow codegen over the scan and
+    the top-n is TakeOrdered — per-partition heaps of n, one n-row
+    merge at the driver boundary, never a global sort of the corpus."""
+    if n < 1:
+        raise EarthmoverSparkError("weighted_sample: n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    # (h + 1) / 2^60 in (0, 1] — u == 0 would make ln(u) blow up
+    u = (_h60(F.col(key_col), f"{salt}:") + 1) / F.lit(_HASH_SPACE)
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("__ws_key__", key)
+        .orderBy(F.desc("__ws_key__"), F.col(key_col))
+        .limit(n)
+        .drop("__ws_key__")
+    )

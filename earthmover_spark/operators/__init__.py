@@ -29,9 +29,12 @@ from earthmover_spark.operators import (
     groupby,
     profile,
     row,
+    setsim,
     sketch,
     skew,
     temporal,
+    url,
+    validate,
     zorder,
 )
 from earthmover_spark.streaming import ops as streaming_ops
@@ -155,6 +158,13 @@ OPERATIONS = {
     "fuzzy_self_pairs": fuzzy.fuzzy_self_pairs,
     "snapshot_diff": diff.snapshot_diff,
     "diff_summary": diff.diff_summary,
+    "validate_table": validate.validate_table,
+    "parse_urls": url.parse_urls,
+    "filter_domains": url.filter_domains,
+    "jaccard_pairs": setsim.jaccard_self_pairs,
+    "weighted_sample": sampling.weighted_sample,
+    "attribution": temporal.attribution,
+    "histogram": profile.histogram,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

@@ -24,6 +24,8 @@ from typing import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from earthmover_spark.util import EarthmoverSparkError
+
 
 def profile_table(
     df: DataFrame,
@@ -66,3 +68,51 @@ def profile_table(
         for i, c in enumerate(cols)
     ]
     return one.select(F.inline(F.array(*structs)))
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 10,
+    min_value: float | None = None,
+    max_value: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: ``(bin, lo, hi, n)``
+    for every non-empty bin, ``bin`` in ``[0, bins)``. Bounds default
+    to the column's observed min/max (one bounded pre-aggregation —
+    two doubles to the driver); values outside explicit bounds clamp
+    into the edge bins, NULLs are dropped. ``lo``/``hi`` are rounded
+    to 6 places for cross-engine stability.
+
+    Scale shape (100 TB): the bin id is narrow arithmetic over the
+    scan; the count is ONE hash agg keyed on at most ``bins`` values —
+    partial counts combine map-side, the reduce moves <= bins rows."""
+    if bins < 1:
+        raise EarthmoverSparkError("histogram: bins must be >= 1")
+    col = F.col(column).cast("double")
+    if min_value is None or max_value is None:
+        row = df.agg(
+            F.min(col).alias("__lo__"), F.max(col).alias("__hi__")
+        ).collect()[0]
+        if row["__lo__"] is None:
+            return df.sparkSession.createDataFrame(
+                [], "bin int, lo double, hi double, n bigint"
+            )
+        min_value = min_value if min_value is not None else float(row["__lo__"])
+        max_value = max_value if max_value is not None else float(row["__hi__"])
+    lo, hi = float(min_value), float(max_value)
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bin_id = F.least(
+        F.greatest(F.floor((col - lo) / width), F.lit(0)), F.lit(bins - 1)
+    ).cast("int")
+    return (
+        df.filter(col.isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * width, 6).alias("lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * width, 6).alias("hi"),
+            "n",
+        )
+    )

@@ -387,3 +387,67 @@ def retention_cohorts(
         )
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def attribution(
+    df: DataFrame,
+    conversion_types: Sequence[str],
+    touch_types: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    model: str = "last_touch",
+    lookback: str | None = None,
+) -> DataFrame:
+    """Conversion attribution: for every conversion event, which
+    touchpoint gets the credit? ``model='last_touch'`` credits the
+    latest touch-type event STRICTLY before the conversion;
+    ``'first_touch'`` the earliest. ``lookback`` (e.g. ``"7 days"``)
+    bounds how far back a touch may be. Returns one row per conversion:
+    ``(user, conversion_ts, conversion_type, touch_type, touch_ts)``
+    with NULL touch columns for unattributable conversions.
+
+    Determinism: the window frame is a RANGE over epoch microseconds
+    ending at 1 microsecond before the conversion, so equal-timestamp
+    touches are excluded symmetrically on every engine; among the
+    remaining touches an exact-tie on ``ts`` resolves to the
+    max (last_touch) / min (first_touch) ``(ts, type)`` struct.
+
+    Scale shape (100 TB): pre-filter to the union of the two type sets
+    (pushed into the scan), ONE user-keyed shuffle, one window pass —
+    no self-join of the events table against itself."""
+    if model not in ("last_touch", "first_touch"):
+        raise EarthmoverSparkError(
+            "attribution: model must be last_touch or first_touch"
+        )
+    conv = list(conversion_types)
+    touch = list(touch_types)
+    if not conv or not touch:
+        raise EarthmoverSparkError(
+            "attribution: conversion_types and touch_types must be non-empty"
+        )
+    ev = df.filter(F.col(event_col).isin(conv + touch)).select(
+        F.col(user_col),
+        F.col(event_col),
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us__"),
+    )
+    lo = Window.unboundedPreceding
+    if lookback is not None:
+        lo = -_duration_seconds(lookback) * 1_000_000
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("__us__")
+        .rangeBetween(lo, -1)
+    )
+    is_touch = F.col(event_col).isin(touch)
+    pick = F.when(is_touch, F.struct(F.col("__us__"), F.col(event_col)))
+    best = F.max(pick).over(w) if model == "last_touch" else F.min(pick).over(w)
+    out = ev.withColumn("__best__", best).filter(F.col(event_col).isin(conv))
+    return out.select(
+        F.col(user_col),
+        F.col(ts_col).alias("conversion_ts"),
+        F.col(event_col).alias("conversion_type"),
+        F.col("__best__")[event_col].alias("touch_type"),
+        F.timestamp_micros(F.col("__best__")["__us__"]).alias("touch_ts"),
+    )

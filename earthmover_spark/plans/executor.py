@@ -153,6 +153,16 @@ class Executor:
                 kwargs["seen"] = self._resolve(op_cfg["seen"])
             if op_name == "snapshot_diff":
                 kwargs["new"] = self._resolve(op_cfg["new"])
+            if op_name == "validate_table" and op_cfg.get("references"):
+                kwargs["references"] = {
+                    k: self._resolve(v)
+                    for k, v in op_cfg["references"].items()
+                }
+            if op_name == "filter_domains":
+                for side in ("blocklist", "allowlist"):
+                    v = op_cfg.get(side)
+                    if isinstance(v, str) and v.startswith("$"):
+                        kwargs[side] = self._resolve(v)
             if op_name in ("add_columns", "modify_columns"):
                 kwargs.setdefault("macros", self.project.macros)
             if df is None:

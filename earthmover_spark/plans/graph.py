@@ -33,6 +33,12 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
                     "static_df", "updates", "seen", "new"):
             if op.get(key):
                 refs.append(op[key])
+        # validate_table's `references` map; filter_domains' list refs
+        for v in (op.get("references") or {}).values():
+            refs.append(v)
+        for key in ("blocklist", "allowlist"):
+            if isinstance(op.get(key), str):
+                refs.append(op[key])
         # sql operations embed $node references inside the query text
         if op.get("operation") == "sql" and isinstance(op.get("query"), str):
             import re as _re

@@ -354,3 +354,69 @@ def test_snap_diff_single_outer_join_on_narrow_columns(plans):
     assert "EvalPython" not in p
     # md5 is computed pre-shuffle: the exchange carries the fingerprint
     assert "md5" in p
+
+
+def test_validate_inline_rules_single_pass(spark):
+    """All non-referential validation rules fold into ONE aggregation
+    over ONE scan — no join, no union, no Python — so a 6-rule QA gate
+    costs a single table pass."""
+    from earthmover_spark.operators import validate
+
+    orders = entry._p(spark, SF_DIR, "orders")
+    df = validate.validate_table(
+        orders,
+        [
+            {"column": "o_orderdate", "rule": "not_null"},
+            {"column": "o_totalprice", "rule": "in_range", "min": 0.0},
+            {"column": "o_orderstatus", "rule": "in_set", "values": ["O"]},
+        ],
+    )
+    p = _lazy_plan(spark, df)
+    assert p.count("Scan parquet") == 2  # tree line + detail block
+    assert "Join" not in p and "Union" not in p
+    assert "EvalPython" not in p
+
+
+def test_parse_urls_is_narrow_codegen(spark):
+    """URL parsing is regexp projection over the scan: no exchange, no
+    join, no Python stage — safe to run inline at any scale."""
+    from pyspark.sql import functions as F
+
+    from earthmover_spark.operators import url
+
+    docs = entry._p(spark, SF_DIR, "documents").select(
+        "doc_id", F.concat(F.lit("https://h.example.com/"), "doc_id").alias("url")
+    )
+    p = _lazy_plan(spark, url.parse_urls(docs))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_jaccard_pairs_no_cartesian(plans):
+    """The exact-Jaccard join must come from prefix-token equi-joins —
+    never a cartesian or nested-loop pairing of the corpus."""
+    p = plans("jaccard_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_weighted_sample_take_ordered_not_global_sort(plans):
+    """A-ES weighted sampling must plan as TakeOrdered (per-partition
+    heaps + driver merge of n rows), never a full global Sort of the
+    corpus."""
+    p = plans("weighted_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p
+
+
+def test_attribution_single_window_no_self_join(plans):
+    """Attribution is one user-keyed window pass over the type-filtered
+    events — no events-x-events join, and the type filter reaches the
+    scan."""
+    p = plans("attribution")
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert p.count("Window") >= 1
+    assert "PushedFilters" in p and "In(event_type" in p
