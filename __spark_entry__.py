@@ -1683,6 +1683,75 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.histogram(ev, "value", bins=12)
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis report: top-20 heaviest users by event count —
+    one count agg + TakeOrdered + broadcast single-row total."""
+    from earthmover_spark.operators import skew
+
+    ev = _p(spark, sf_dir, "events")
+    return skew.key_skew_report(ev, "user_id", top_k=20)
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (ties to smallest value): two hash
+    aggs, argmax folded into min(struct(-n, v)) — no window."""
+    from earthmover_spark.operators import groupby
+
+    ev = _p(spark, sf_dir, "events")
+    return groupby.mode_per_group(ev, "user_id", "event_type")
+
+
+def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile assignment of order totals within each
+    status: ONE quantile agg, broadcast cutoffs, narrow fold — no
+    ntile/global sort."""
+    from earthmover_spark.operators import groupby
+
+    orders = _p(spark, sf_dir, "orders")
+    return groupby.quantile_bucket(
+        orders, "o_totalprice", k=4, group_cols=["o_orderstatus"]
+    ).select("o_orderkey", "o_orderstatus", "bucket")
+
+
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (portable regex, no lookaround): pure
+    split+posexplode codegen; punctuation synthesized into the corpus
+    so the split is exercised."""
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit(". "),
+            F.substring("text", 61, 50), F.lit("! "),
+            F.substring("text", 111, 40),
+        ).alias("text"),
+    )
+    return textstats.split_sentences(docs)
+
+
+def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path promotion of the events props payload — JVM
+    get_json_object over the scan, no shuffle, no Python."""
+    from earthmover_spark.operators import dataframe
+
+    ev = _p(spark, sf_dir, "events")
+    return dataframe.extract_json(
+        ev, "props", {"k": "$.k"}, types={"k": "bigint"}
+    ).select("event_id", "k")
+
+
+def q_downsample_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily compaction: keep the latest event per (user,
+    day); WindowGroupLimit pre-prunes map-side before the shuffle."""
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    return temporal.downsample_latest(
+        ev, ["user_id"], "ts", every="1 day", tiebreak_col="event_id"
+    ).select("user_id", "bucket_start", "event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1714,7 +1783,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "attribution": q_attribution,
         "histogram_value": q_histogram,
-        "dedup_resolve": q_dedup_resolve,
+        # r5d additions (no official row yet — recorded this round):
+        "skew_report": q_skew_report,
+        "mode_per_group": q_mode_per_group,
+        "quantile_bucket": q_quantile_bucket,
+        "split_sentences": q_split_sentences,
+        "extract_json": q_extract_json,
+        "downsample_latest": q_downsample_latest,
         "profile_table": q_profile_table,
         "shuffle_shard": q_shuffle_shard,
         "emb_standardize": q_emb_standardize,
@@ -1738,12 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "winnow_near_dups": q_winnow_near_dups,
         "dedup_spans": q_dedup_spans,
-        "quality_classifier": q_quality_classifier,
-        "cap_per_group": q_cap_per_group,
         "scd2_history": q_scd2_history,
-        "merge_upsert": q_merge_upsert,
-        "flag_outliers": q_flag_outliers,
-        "retention_cohorts": q_retention_cohorts,
         "ngram_counts": q_ngram_counts,
         "keep_columns": q_keep_columns,
         "drop_columns": q_drop_columns,
@@ -1756,6 +1826,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "jinja_conditional": q_jinja_conditional,
         # --- end of recorded 50-query prefix ---
+        # rotated OUT of the prefix for the 6 r5d additions
+        # (skew_report/mode_per_group/quantile_bucket/split_sentences/
+        # extract_json/downsample_latest): all six below hold green r4
+        # rows and their implementations are unchanged since
+        "dedup_resolve": q_dedup_resolve,
+        "quality_classifier": q_quality_classifier,
+        "cap_per_group": q_cap_per_group,
+        "merge_upsert": q_merge_upsert,
+        "flag_outliers": q_flag_outliers,
+        "retention_cohorts": q_retention_cohorts,
         # rotated OUT of the prefix for the 7 r5c additions
         # (val_report/url_parse/url_filter/jaccard_pairs/
         # weighted_sample/attribution/histogram_value): all seven below
@@ -3761,5 +3841,81 @@ def oracle_sql() -> dict[str, str]:
                    round(any_value(vlo) + (bin + 1) * any_value(wd), 6) AS hi,
                    count(*) AS n
             FROM p GROUP BY bin
+        """,
+        "skew_report": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+              FROM events GROUP BY 1
+            ), t AS (SELECT sum(n) AS total FROM c),
+            top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20)
+            SELECT row_number() OVER (ORDER BY n DESC, key) AS rank,
+                   key, n,
+                   round(n * 1.0 / (SELECT total FROM t), 6) AS frac
+            FROM top
+        """,
+        "mode_per_group": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+            ), r AS (
+              SELECT user_id, event_type, n,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, event_type
+                     ) AS rn
+              FROM c
+            )
+            SELECT user_id, event_type AS mode, CAST(n AS BIGINT) AS n_mode
+            FROM r WHERE rn = 1
+        """,
+        "quantile_bucket": """
+            WITH q AS (
+              SELECT o_orderstatus,
+                     [quantile_cont(o_totalprice, 0.25),
+                      quantile_cont(o_totalprice, 0.5),
+                      quantile_cont(o_totalprice, 0.75)] AS qs
+              FROM orders GROUP BY 1
+            )
+            SELECT o.o_orderkey, o.o_orderstatus,
+                   CAST(CASE WHEN o.o_totalprice IS NULL THEN NULL
+                        ELSE len(list_filter(q.qs,
+                                             c -> o.o_totalprice >= c))
+                        END AS INT) AS bucket
+            FROM orders o JOIN q USING (o_orderstatus)
+        """,
+        "split_sentences": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     substr(text, 1, 60) || '. ' || substr(text, 61, 50)
+                       || '! ' || substr(text, 111, 40) AS text
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     string_split_regex(coalesce(text, ''),
+                                        '[.!?]+\s+|[.!?]+$') AS l
+              FROM d
+            )
+            SELECT doc_id, g.i - 1 AS sentence_id, trim(l[g.i]) AS sentence
+            FROM w, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) g
+            WHERE trim(l[g.i]) <> ''
+        """,
+        "extract_json": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "downsample_latest": """
+            WITH b AS (
+              SELECT event_id, user_id, ts,
+                     make_timestamp(
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                       * 86400000000) AS bucket_start
+              FROM events
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY user_id, bucket_start
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM b
+            )
+            SELECT user_id, bucket_start, event_id FROM r WHERE rn = 1
         """,
     }

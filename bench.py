@@ -74,6 +74,12 @@ HEADLINE = [
     "kmeans_clusters",  # iterative: 2 Lloyd rounds, HOF argmin assign
     "fuzzy_pairs",  # blocked levenshtein over distinct names
     "snap_diff",  # one full-outer join on (key, fingerprint)
+    # r5c additions
+    "val_report",  # 5 inline QA rules in ONE agg + referential anti-join
+    "url_filter",  # regexp parse + scan-predicate blocklist + count
+    "weighted_sample",  # A-ES keys + TakeOrdered
+    "attribution",  # RANGE-frame window, no self-join
+    "histogram_value",  # bounded pre-agg + <=bins-key hash agg
 ]
 
 

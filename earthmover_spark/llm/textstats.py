@@ -673,3 +673,27 @@ def ngram_counts(
     )
     counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("count"))
     return counts.filter(F.col("count") >= min_count)
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = r"[.!?]+\s+|[.!?]+$",
+) -> DataFrame:
+    """Explode documents into sentences: one row per non-empty
+    sentence, ``(id, sentence_id, sentence)`` where ``sentence_id`` is
+    the sentence's position in the raw split (gaps where empty
+    fragments were dropped — stable under any partitioning).
+    ``pattern`` is engine-portable regex (no lookaround), so the DuckDB
+    twin splits identically. Pure split+posexplode codegen over the
+    scan — no shuffle, no Python."""
+    parts = F.split(F.coalesce(F.col(text_col), F.lit("")), pattern)
+    out = df.select(
+        F.col(id_col), F.posexplode(parts).alias("sentence_id", "__s__")
+    )
+    return (
+        out.withColumn("sentence", F.trim(F.col("__s__")))
+        .filter(F.col("sentence") != "")
+        .drop("__s__")
+    )

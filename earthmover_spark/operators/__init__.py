@@ -165,6 +165,12 @@ OPERATIONS = {
     "weighted_sample": sampling.weighted_sample,
     "attribution": temporal.attribution,
     "histogram": profile.histogram,
+    "key_skew_report": skew.key_skew_report,
+    "mode_per_group": groupby.mode_per_group,
+    "quantile_bucket": groupby.quantile_bucket,
+    "split_sentences": textstats.split_sentences,
+    "extract_json": dataframe.extract_json,
+    "downsample_latest": temporal.downsample_latest,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

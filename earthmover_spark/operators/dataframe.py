@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Sequence
+from collections.abc import Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -360,3 +360,27 @@ def merge_upsert(
     touched = updates.select(*keys).distinct()
     kept = df.join(touched, keys, "left_anti")
     return kept.unionByName(upserts.select(*df.columns))
+
+
+def extract_json(
+    df: DataFrame,
+    column: str,
+    fields: Mapping[str, str],
+    types: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Pull JSON-path values out of a JSON-string column into
+    first-class columns: ``fields`` maps output name -> JSONPath
+    (``$.a.b``), ``types`` optionally casts each output (default
+    string; malformed JSON / missing paths yield NULL). The
+    semi-structured props/payload column every event log carries,
+    promoted without a Python stage: ``get_json_object`` is JVM
+    codegen over the scan — no shuffle, nothing leaves the executors.
+    """
+    if not fields:
+        raise EarthmoverSparkError("extract_json: fields must be non-empty")
+    types = dict(types or {})
+    out = df
+    for name, path in fields.items():
+        col = F.get_json_object(F.col(column), path)
+        out = out.withColumn(name, col.cast(types.get(name, "string")))
+    return out

@@ -507,3 +507,77 @@ def flag_outliers(
         .withColumn(out_col, F.abs(F.col(score_col)) > z)
         .drop("__mu__", "__sd__")
     )
+
+
+def mode_per_group(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    out_col: str = "mode",
+) -> DataFrame:
+    """Most frequent ``value_col`` per group (ties break to the
+    SMALLEST value, a total order on any engine). Returns one row per
+    group: ``(*group_cols, {out_col}, n_mode)``. NULL values never win
+    (they are dropped before counting).
+
+    Scale shape (100 TB): two hash aggregations — (group, value)
+    counts, then an argmax folded into ``min(struct(-n, value))`` — no
+    window, no sort of the fact table; both aggs combine map-side."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*groups, value_col)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    best = counts.groupBy(*groups).agg(
+        F.min(
+            F.struct((-F.col("__n__")).alias("__negn__"), F.col(value_col))
+        ).alias("__best__")
+    )
+    return best.select(
+        *groups,
+        F.col("__best__")[value_col].alias(out_col),
+        (-F.col("__best__")["__negn__"]).cast("long").alias("n_mode"),
+    )
+
+
+def quantile_bucket(
+    df: DataFrame,
+    value_col: str,
+    k: int = 4,
+    group_cols: Sequence[str] = (),
+    out_col: str = "bucket",
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Assign every row its ``k``-quantile bucket (0..k-1) within its
+    group (global when no ``group_cols``) — equi-DEPTH binning for
+    feature bucketing / difficulty tiers, the cousin of
+    ``histogram``'s equi-width bins. A value equal to an interior
+    cutoff lands in the upper bucket; NULL values get NULL buckets.
+
+    Scale shape (100 TB): interior cutoffs come from ONE quantile
+    aggregation (exact ``percentile`` or t-digest
+    ``approx_percentile``), broadcast back; the assignment is a narrow
+    fold over the k-1 cutoff array — NO window, NO ntile (an ntile
+    formulation would globally sort every group through one task)."""
+    if k < 2:
+        raise EarthmoverSparkError("quantile_bucket: k must be >= 2")
+    groups = list(group_cols)
+    v = F.col(value_col).cast("double")
+    pcts = F.array(*[F.lit(i / k) for i in range(1, k)])
+    q = (
+        F.percentile(v, pcts) if exact else F.approx_percentile(v, pcts, accuracy)
+    ).alias("__q__")
+    if groups:
+        joined = df.join(F.broadcast(df.groupBy(*groups).agg(q)), groups)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(q)))
+    bucket = F.aggregate(
+        F.col("__q__"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(v >= c, 1).otherwise(0),
+    )
+    return joined.withColumn(
+        out_col, F.when(v.isNotNull(), bucket).cast("int")
+    ).drop("__q__")

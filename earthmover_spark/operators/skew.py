@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from earthmover_spark.operators.groupby import parse_agg_spec
@@ -100,3 +100,36 @@ def salted_join(
     cond = (left[left_key] == right[right_key]) & (left[_SALT] == right[_SALT])
     out = left.join(right, on=cond, how=join_type)
     return out.drop(left[_SALT]).drop(right[_SALT])
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: str | list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Hot-key diagnosis: the ``top_k`` heaviest keys with their row
+    counts and fraction of the table — the report you read BEFORE
+    deciding whether a join/agg needs ``salted_join``/``salted_group_by``
+    or an AQE skew hint. Returns ``(rank, key, n, frac)`` ordered by
+    ``(n desc, key)``; multi-column keys are ``|``-joined strings.
+
+    Scale shape (100 TB): ONE key-keyed count agg (map-side combined),
+    a TakeOrdered of k rows, and a broadcast of the single-row total —
+    the report never materializes more than |distinct keys| counts and
+    ships k rows to the driver boundary."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    counts = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total__"))
+    top = counts.orderBy(F.desc("n"), F.col("key")).limit(top_k)
+    w = Window.orderBy(F.desc("n"), F.col("key"))  # <= top_k rows
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__total__"), 6).alias("frac"),
+        )
+    )

@@ -451,3 +451,29 @@ def attribution(
         F.col("__best__")[event_col].alias("touch_type"),
         F.timestamp_micros(F.col("__best__")["__us__"]).alias("touch_ts"),
     )
+
+
+def downsample_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    every: str = "1 hour",
+    tiebreak_col: str | None = None,
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Time-bucket downsampling: keep each key's LATEST row per
+    ``every`` bucket (metrics thinning / CDC compaction by period).
+    Adds ``bucket_col`` = the bucket's start timestamp. Rides
+    ``latest_rows``/``top_n_rows``, so the rank filter compiles to
+    WindowGroupLimit — map-side partitions pre-prune to one row per
+    (key, bucket) before the single shuffle."""
+    us = _duration_seconds(every) * 1_000_000
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(us)
+    ).cast("long")
+    with_bucket = df.withColumn(
+        bucket_col, F.timestamp_micros(bucket * us)
+    )
+    return latest_rows(
+        with_bucket, [*key_cols, bucket_col], ts_col, tiebreak_col
+    )

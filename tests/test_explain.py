@@ -420,3 +420,39 @@ def test_attribution_single_window_no_self_join(plans):
     assert "EvalPython" not in p
     assert p.count("Window") >= 1
     assert "PushedFilters" in p and "In(event_type" in p
+
+
+def test_quantile_bucket_no_window_no_sort(plans):
+    """Equi-depth bucketing must be one quantile agg + broadcast join +
+    narrow fold — an ntile formulation would globally sort every group
+    through one task."""
+    p = plans("quantile_bucket")
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_mode_per_group_two_hash_aggs_no_window(plans):
+    p = plans("mode_per_group")
+    assert "Window" not in p
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p
+
+
+def test_extract_json_narrow_codegen(plans):
+    """JSON-path promotion stays in the scan stage: no exchange, no
+    join, no Python."""
+    p = plans("extract_json")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_downsample_latest_window_group_limit(plans):
+    """The per-(key, bucket) latest-row filter must compile to
+    WindowGroupLimit so map-side partitions pre-prune before the
+    shuffle."""
+    p = plans("downsample_latest")
+    assert "WindowGroupLimit" in p
+    assert "EvalPython" not in p

@@ -1,0 +1,143 @@
+"""r5d operators: key-skew report, group mode, quantile bucketing,
+sentence splitting, JSON extraction, time-bucket downsampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from earthmover_spark.llm import textstats
+from earthmover_spark.operators import dataframe, groupby, skew, temporal
+from earthmover_spark.util import EarthmoverSparkError
+
+
+def test_key_skew_report(spark):
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",)] * 1 + [("b",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = skew.key_skew_report(df, "k", top_k=3).collect()
+    assert [(r["rank"], r["key"], r["n"]) for r in got] == [
+        (1, "hot", 6), (2, "warm", 3), (3, "a", 1)  # tie a/b -> key asc
+    ]
+    assert got[0]["frac"] == pytest.approx(6 / 11, abs=1e-6)
+
+
+def test_key_skew_report_multi_column_key(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "a bigint, b string"
+    )
+    got = skew.key_skew_report(df, ["a", "b"], top_k=5).collect()
+    assert got[0]["key"] == "1|x" and got[0]["n"] == 2
+
+
+def test_mode_per_group(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x"), (1, "x"), (1, "y"),
+            (2, "a"), (2, "b"),            # tie -> smallest value wins
+            (3, None), (3, "z"),           # NULLs never win
+        ],
+        "g bigint, v string",
+    )
+    got = {r["g"]: (r["mode"], r["n_mode"])
+           for r in groupby.mode_per_group(df, "g", "v").collect()}
+    assert got == {1: ("x", 2), 2: ("a", 1), 3: ("z", 1)}
+
+
+def test_quantile_bucket_global_and_grouped(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 9)], "v double"
+    )
+    got = {r["v"]: r["bucket"]
+           for r in groupby.quantile_bucket(df, "v", k=4).collect()}
+    # cutoffs (percentile_cont over 1..8): 2.75 / 4.5 / 6.25
+    assert got == {1.0: 0, 2.0: 0, 3.0: 1, 4.0: 1,
+                   5.0: 2, 6.0: 2, 7.0: 3, 8.0: 3}
+    gdf = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 100.0), ("b", 200.0)],
+        "g string, v double",
+    )
+    grouped = {
+        (r["g"], r["v"]): r["bucket"]
+        for r in groupby.quantile_bucket(
+            gdf, "v", k=2, group_cols=["g"]
+        ).collect()
+    }
+    # per-group medians: a=2.5, b=150 — value >= cutoff -> upper bucket
+    assert grouped == {("a", 1.0): 0, ("a", 2.0): 0, ("a", 3.0): 1,
+                       ("a", 4.0): 1, ("b", 100.0): 0, ("b", 200.0): 1}
+    with pytest.raises(EarthmoverSparkError):
+        groupby.quantile_bucket(df, "v", k=1)
+
+
+def test_quantile_bucket_nulls(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
+    got = {r["v"]: r["bucket"]
+           for r in groupby.quantile_bucket(df, "v", k=2).collect()}
+    assert got[None] is None
+
+
+def test_split_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second!  Third thing? done"),
+            (2, "no punctuation here"),
+            (3, ""),
+            (4, None),
+            (5, "Trailing stop."),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["doc_id"], r["sentence_id"], r["sentence"])
+        for r in textstats.split_sentences(df)
+        .orderBy("doc_id", "sentence_id")
+        .collect()
+    ]
+    assert got == [
+        (1, 0, "First one"), (1, 1, "Second"), (1, 2, "Third thing"),
+        (1, 3, "done"),
+        (2, 0, "no punctuation here"),
+        (5, 0, "Trailing stop"),
+    ]
+
+
+def test_extract_json(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 5, "b": {"c": "x"}}'),
+            (2, '{"a": null}'),
+            (3, "not json"),
+            (4, None),
+        ],
+        "id bigint, payload string",
+    )
+    got = {
+        r["id"]: (r["a"], r["c"])
+        for r in dataframe.extract_json(
+            df, "payload", {"a": "$.a", "c": "$.b.c"}, types={"a": "bigint"}
+        ).collect()
+    }
+    assert got[1] == (5, "x")
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+    with pytest.raises(EarthmoverSparkError):
+        dataframe.extract_json(df, "payload", {})
+
+
+def test_downsample_latest(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 08:00:00"),
+            (2, 10, "2024-01-01 17:00:00"),  # same day: latest wins
+            (3, 10, "2024-01-02 01:00:00"),  # next day
+            (4, 11, "2024-01-01 09:00:00"),
+        ],
+        "event_id bigint, user_id bigint, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        (r["user_id"], r["event_id"])
+        for r in temporal.downsample_latest(
+            df, ["user_id"], "ts", every="1 day", tiebreak_col="event_id"
+        ).collect()
+    )
+    assert got == [(10, 2), (10, 3), (11, 4)]
