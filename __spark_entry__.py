@@ -1741,6 +1741,15 @@ def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k")
 
 
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine similarity self-join (exact, max_df=None):
+    partial products keyed on shared terms, one pair-keyed agg."""
+    from earthmover_spark.operators import setsim
+
+    docs = _p(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return setsim.tfidf_cosine_pairs(docs, threshold=0.6)
+
+
 def q_downsample_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily compaction: keep the latest event per (user,
     day); WindowGroupLimit pre-prunes map-side before the shuffle."""
@@ -1790,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": q_split_sentences,
         "extract_json": q_extract_json,
         "downsample_latest": q_downsample_latest,
+        "tfidf_pairs": q_tfidf_pairs,
         "profile_table": q_profile_table,
         "shuffle_shard": q_shuffle_shard,
         "emb_standardize": q_emb_standardize,
@@ -1806,7 +1816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "snap_diff": q_snap_diff,
         "text_tfidf": q_text_tfidf,
-        "strip_markup": q_strip_markup,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
         "tokenize_ids": q_tokenize_ids,
@@ -1826,6 +1835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "jinja_conditional": q_jinja_conditional,
         # --- end of recorded 50-query prefix ---
+        # strip_markup (green r4, implementation unchanged) yielded its
+        # slot to tfidf_pairs (new in r5e, no official row yet)
+        "strip_markup": q_strip_markup,
         # rotated OUT of the prefix for the 6 r5d additions
         # (skew_report/mode_per_group/quantile_bucket/split_sentences/
         # extract_json/downsample_latest): all six below hold green r4
@@ -3902,6 +3914,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "tfidf_pairs": r"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200
+            ), w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(
+                       lower(coalesce(text, '')),
+                       '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS l
+              FROM d
+            ), t AS (
+              SELECT doc_id, unnest(l) AS term FROM w
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM t WHERE term <> '' GROUP BY 1, 2
+            ), n AS (
+              SELECT count(DISTINCT doc_id) AS nd FROM tf
+            ), dfq AS (
+              SELECT term, count(*) AS dfc FROM tf GROUP BY 1
+            ), wv AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * (ln((1.0 + n.nd) / (1.0 + d2.dfc)) + 1.0) AS w
+              FROM tf JOIN dfq d2 ON tf.term = d2.term CROSS JOIN n
+            ), nm AS (
+              SELECT doc_id, sqrt(sum(w * w)) AS norm FROM wv GROUP BY 1
+            ), wn AS (
+              SELECT wv.doc_id, wv.term, wv.w / nm.norm AS wn
+              FROM wv JOIN nm USING (doc_id)
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(sum(a.wn * b.wn), 6) AS cosine
+              FROM wn a JOIN wn b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.6
         """,
         "downsample_latest": """
             WITH b AS (

@@ -165,6 +165,8 @@ OPERATIONS = {
     "weighted_sample": sampling.weighted_sample,
     "attribution": temporal.attribution,
     "histogram": profile.histogram,
+    "tfidf_cosine_pairs": setsim.tfidf_cosine_pairs,
+    "downsample_latest_stream": streaming_ops.downsample_latest_stream,
     "key_skew_report": skew.key_skew_report,
     "mode_per_group": groupby.mode_per_group,
     "quantile_bucket": groupby.quantile_bucket,

@@ -113,4 +113,74 @@ def jaccard_self_pairs(
     )
 
 
-__all__ = ["jaccard_self_pairs"]
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs ``(id_a, id_b, cosine)`` with ``id_a < id_b`` whose
+    tf-idf vectors have cosine similarity ``>= threshold`` — the
+    WEIGHTED companion to ``jaccard_self_pairs`` (token sets) and the
+    sparse counterpart to the dense embedding ANN in
+    ``llm/similarity.py``. Uses smooth idf ``ln((1+N)/(1+df)) + 1``
+    (the scikit-learn formulation; public) and L2-normalized vectors,
+    so the pair sum IS the cosine. ``cosine`` is rounded to 6 places.
+
+    Exact when ``max_df is None``. Scale shape (100 TB): partial
+    products are keyed on the shared term, so pair volume tracks
+    term co-occurrence; unlike the Jaccard prefix filter there is no
+    lossless pruning bound for weighted cosine, which is why
+    ``max_df`` exists — dropping ubiquitous terms (idf ~ 0, near-zero
+    contribution) bounds the hot-term blowup at a documented,
+    deliberate accuracy cost. Norms are one doc-keyed agg; the
+    corpus-size N is a single-row collect.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise EarthmoverSparkError(
+            "tfidf_cosine_pairs: threshold must be in (0, 1]"
+        )
+    from earthmover_spark.llm.retrieval import _doc_terms
+
+    dt = _doc_terms(df, text_col, id_col).select(
+        F.col(id_col).alias("__id__"), "term", "tf"
+    )
+    n_docs = dt.select("__id__").distinct().count()  # bounded: one long
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("__df__"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df__") <= max_df)
+    idf = F.log(
+        (F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("__df__"))
+    ) + F.lit(1.0)
+    w = dt.join(dfreq, "term").select(
+        "__id__", "term", (F.col("tf") * idf).alias("__w__")
+    )
+    norms = w.groupBy("__id__").agg(
+        F.sqrt(F.sum(F.col("__w__") * F.col("__w__"))).alias("__norm__")
+    )
+    wn = w.join(norms, "__id__").select(
+        "__id__", "term", (F.col("__w__") / F.col("__norm__")).alias("__wn__")
+    )
+    a = wn.select(
+        F.col("term"),
+        F.col("__id__").alias("id_a"),
+        F.col("__wn__").alias("__wa__"),
+    )
+    b = wn.select(
+        F.col("term"),
+        F.col("__id__").alias("id_b"),
+        F.col("__wn__").alias("__wb__"),
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.sum(F.col("__wa__") * F.col("__wb__")), 6).alias("cosine"))
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+__all__ = ["jaccard_self_pairs", "tfidf_cosine_pairs"]

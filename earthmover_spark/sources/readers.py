@@ -160,7 +160,7 @@ def read_csv(
         parsed = F.from_csv(
             F.col("value"),
             ", ".join(f"`{n}` string" for n in names),
-            {"sep": sep},
+            {"sep": sep, "escape": '"'},
         )
         df = lines.select(parsed.alias("__row__")).select(
             *[F.col(f"__row__.{n}").alias(n) for n in names]
@@ -170,7 +170,10 @@ def read_csv(
             raise EarthmoverSparkError("headerless CSV requires `columns`")
         df = (
             spark.read.schema(_all_string_schema(columns))
-            .options(sep=sep, header=False, encoding=encoding, emptyValue="")
+            .options(
+                sep=sep, header=False, encoding=encoding, emptyValue="",
+                escape='"',  # RFC-4180 doubled quotes, like pandas
+            )
             .csv(path)
         )
         columns = None  # already applied
@@ -183,7 +186,10 @@ def read_csv(
             names = next(_csv.reader(fh, delimiter=sep))
         df = (
             spark.read.schema(_all_string_schema(names))
-            .options(sep=sep, header=True, encoding=encoding, emptyValue="")
+            .options(
+                sep=sep, header=True, encoding=encoding, emptyValue="",
+                escape='"',  # RFC-4180 doubled quotes, like pandas
+            )
             .csv(path)
         )
     if columns:

@@ -1,5 +1,6 @@
 from earthmover_spark.streaming.ops import (  # noqa: F401
     dedup_stream,
+    downsample_latest_stream,
     enrich_stream,
     join_streams,
     latest_state_stream,

@@ -381,3 +381,38 @@ def latest_state_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def downsample_latest_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    every: str = "1 hour",
+    watermark: str = "1 hour",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.downsample_latest``: keep
+    each key's LATEST row per ``every`` bucket, emitted once the bucket
+    falls below the watermark (append mode). The kept row's
+    ``payload_cols`` ride along; exact-timestamp ties resolve by the
+    payload columns IN ORDER (put the tiebreak column first to match
+    the batch twin's ``tiebreak_col``).
+
+    State is one struct per (key, bucket) — bounded by watermark
+    horizon x key cardinality, independent of event volume."""
+    payload = list(payload_cols or [])
+    pick = F.max(
+        F.struct(F.col(ts_col), *[F.col(c) for c in payload])
+    ).alias("__last__")
+    w = F.window(F.col(ts_col), every)
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(w, *[F.col(k) for k in key_cols])
+        .agg(pick)
+    )
+    return out.select(
+        F.col("window.start").alias("bucket_start"),
+        *key_cols,
+        F.col(f"__last__.{ts_col}").alias(ts_col),
+        *[F.col(f"__last__.{c}").alias(c) for c in payload],
+    )

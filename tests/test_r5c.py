@@ -315,3 +315,55 @@ def test_histogram_empty_and_errors(spark):
     assert profile.histogram(df, "x").count() == 0
     with pytest.raises(EarthmoverSparkError):
         profile.histogram(df, "x", bins=0)
+
+
+# -------------------------------------------------------- tfidf cosine
+
+def _brute_tfidf_cosine(docs, t, max_df=None):
+    import math
+    import re
+    from collections import Counter
+
+    def toks(s):
+        s = re.sub(r"[^\w\s]", "", (s or "").lower())
+        return [w for w in re.sub(r"\s+", " ", s).strip().split(" ") if w]
+
+    tfs = {i: Counter(toks(txt)) for i, txt in docs}
+    tfs = {i: c for i, c in tfs.items() if c}
+    n = len(tfs)
+    dfreq = Counter(t for c in tfs.values() for t in c)
+    vecs = {}
+    for i, c in tfs.items():
+        v = {
+            term: tf * (math.log((1 + n) / (1 + dfreq[term])) + 1)
+            for term, tf in c.items()
+            if max_df is None or dfreq[term] <= max_df
+        }
+        norm = math.sqrt(sum(x * x for x in v.values()))
+        vecs[i] = {k: x / norm for k, x in v.items()} if norm else {}
+    out = {}
+    ids = sorted(vecs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            cos = round(
+                sum(vecs[a][k] * vecs[b].get(k, 0.0) for k in vecs[a]), 6
+            )
+            if cos >= t:
+                out[(a, b)] = cos
+    return out
+
+
+@pytest.mark.parametrize("t,max_df", [(0.3, None), (0.6, None), (0.3, 3)])
+def test_tfidf_cosine_pairs_matches_brute_force(spark, t, max_df):
+    df = spark.createDataFrame(JDOCS, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in setsim.tfidf_cosine_pairs(
+            df, threshold=t, max_df=max_df
+        ).collect()
+    }
+    want = _brute_tfidf_cosine(JDOCS, t, max_df)
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)

@@ -508,3 +508,35 @@ def test_latest_state_stream_numeric_tiebreak_mixed_widths(
     assert got == want
     assert got["1"] == ("b", "2.0")
     assert got["2"] == ("c", "3.0")
+
+
+def test_downsample_latest_stream_matches_batch(spark, events_dir):
+    from earthmover_spark.operators.temporal import downsample_latest
+    from earthmover_spark.streaming import (
+        downsample_latest_stream,
+        read_stream_source,
+    )
+
+    stream = read_stream_source(spark, events_dir)
+    thinned = downsample_latest_stream(
+        stream, ["user_id"], "ts", every="1 hour", watermark="0 seconds",
+        payload_cols=["event_id", "value"],
+    )
+    got = {
+        (str(r.bucket_start), r.user_id, r.event_id, r.value)
+        for r in _run_to_memory(
+            thinned, spark, "down_out", "complete"
+        ).collect()
+    }
+    batch = downsample_latest(
+        spark.read.parquet(events_dir), ["user_id"], "ts",
+        every="1 hour", tiebreak_col="event_id",
+    )
+    want = {
+        (str(r.bucket_start), r.user_id, r.event_id, r.value)
+        for r in batch.collect()
+    }
+    assert got == want
+    # user 7's 10:00 bucket keeps ONLY the 10:50 click (event 3)
+    assert ("2024-01-01 10:00:00", 7, 3, 3.0) in got
+    assert ("2024-01-01 10:00:00", 7, 1, 1.0) not in got
