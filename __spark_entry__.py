@@ -1634,7 +1634,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions, verified with array_intersect."""
     from earthmover_spark.operators import setsim
 
-    docs = _p(spark, sf_dir, "documents")
+    # bounded corpus slice so the pair space (the synthetic docs are
+    # highly self-similar) stays constant across scale factors
+    docs = _p(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     # seed guaranteed near-dups: 15 docs re-appear lightly edited
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") < 15).select(
@@ -3767,7 +3769,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jaccard_pairs": r"""
             WITH corpus AS (
-              SELECT doc_id, text FROM documents
+              SELECT doc_id, text FROM documents WHERE doc_id < 300
               UNION ALL
               SELECT doc_id + 20000, text || ' tail token'
               FROM documents WHERE doc_id < 15
