@@ -1743,6 +1743,24 @@ def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k")
 
 
+def q_bin_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC (tie-corrected rank statistic) + threshold metrics in
+    one pass over per-distinct-score counts; label/score synthesized
+    deterministically from doc ids (mirrored in the oracle)."""
+    from earthmover_spark.llm import training
+
+    docs = _p(spark, sf_dir, "documents").select(
+        (F.pmod(F.col("doc_id"), F.lit(3)) == 0).cast("int").alias("label"),
+        F.round(
+            F.pmod(F.col("doc_id"), F.lit(100)) / 200.0
+            + (F.pmod(F.col("doc_id"), F.lit(3)) == 0).cast("int") * 0.4
+            + F.pmod(F.col("doc_id"), F.lit(7)) / 70.0,
+            6,
+        ).alias("score"),
+    )
+    return training.binary_metrics(docs, "label", "score", threshold=0.5)
+
+
 def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse tf-idf cosine similarity self-join (exact, max_df=None):
     partial products keyed on shared terms, one pair-keyed agg."""
@@ -1784,8 +1802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # group_by_salted, explode_array, window_calc, top_n yielded their
     # slots to the new operators).
     return {
-        "flagship": q_flagship,
         "ev_sessionize": q_ev_sessionize,
+        "bin_metrics": q_bin_metrics,
         # r5c additions (no official row yet — recorded this round):
         "val_report": q_validate_report,
         "url_parse": q_url_parse,
@@ -1837,8 +1855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "jinja_conditional": q_jinja_conditional,
         # --- end of recorded 50-query prefix ---
-        # strip_markup (green r4, implementation unchanged) yielded its
-        # slot to tfidf_pairs (new in r5e, no official row yet)
+        # flagship (green r4, unchanged, STILL smoke-run every round by
+        # the driver via entry()) yielded its slot to bin_metrics;
+        # strip_markup (green r4, unchanged) yielded its slot to
+        # tfidf_pairs — both new in r5e with no official row yet
+        "flagship": q_flagship,
         "strip_markup": q_strip_markup,
         # rotated OUT of the prefix for the 6 r5d additions
         # (skew_report/mode_per_group/quantile_bucket/split_sentences/
@@ -3916,6 +3937,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "bin_metrics": """
+            WITH d AS (
+              SELECT CAST(doc_id % 3 = 0 AS INT) AS label,
+                     round((doc_id % 100) / 200.0
+                           + CAST(doc_id % 3 = 0 AS INT) * 0.4
+                           + (doc_id % 7) / 70.0, 6) AS score
+              FROM documents
+            ), ps AS (
+              SELECT score AS s, sum(label) AS cp,
+                     sum(1 - label) AS cn
+              FROM d GROUP BY score
+            ), r AS (
+              SELECT s, cp, cn,
+                     coalesce(sum(cn) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS negbelow
+              FROM ps
+            ), agg AS (
+              SELECT sum(cp) + sum(cn) AS n,
+                     sum(cp) AS n_pos, sum(cn) AS n_neg,
+                     sum(cp * (negbelow + cn / 2.0)) AS u,
+                     sum(CASE WHEN s >= 0.5 THEN cp ELSE 0 END) AS tp,
+                     sum(CASE WHEN s >= 0.5 THEN cn ELSE 0 END) AS fp,
+                     sum(CASE WHEN s < 0.5 THEN cp ELSE 0 END) AS fn,
+                     sum(CASE WHEN s < 0.5 THEN cn ELSE 0 END) AS tn
+              FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   round(u / (n_pos * n_neg), 6) AS auc,
+                   round(tp * 1.0 / (tp + fp), 6) AS precision,
+                   round(tp * 1.0 / (tp + fn), 6) AS recall,
+                   round(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+                         / ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn))),
+                         6) AS f1,
+                   round((tp + tn) * 1.0 / n, 6) AS accuracy
+            FROM agg
         """,
         "tfidf_pairs": r"""
             WITH d AS (

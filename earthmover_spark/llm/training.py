@@ -133,3 +133,77 @@ def train_logreg_hashed(
         sorted(weights.items()), "bucket bigint, weight double"
     )
     return out.select("bucket", F.round("weight", 6).alias("weight"))
+
+
+def binary_metrics(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    threshold: float = 0.5,
+    round_scores: int | None = 6,
+) -> DataFrame:
+    """Exact binary-classifier evaluation in one pass: returns a single
+    row ``(n, n_pos, n_neg, auc, precision, recall, f1, accuracy)``.
+    AUC is the exact rank statistic (Mann-Whitney with the standard
+    tie correction: each tied block contributes ``pos * (neg_below +
+    neg_tied / 2)``); the threshold metrics count ``score >=
+    threshold`` as positive. Labels must be 0/1; metrics are rounded
+    to 6 places, undefined ratios (no positives predicted, one-class
+    input) come back NULL.
+
+    Scale shape (100 TB): rows collapse to per-DISTINCT-SCORE (pos,
+    neg) counts in ONE hash agg — everything after runs on that
+    compressed frame. For continuous scores ``round_scores`` (default
+    6 decimals) bounds the distinct-score count, so the single cumsum
+    window pass is over a bounded frame, never the corpus; set
+    ``round_scores=None`` for already-discrete scores."""
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("double")
+    if round_scores is not None:
+        s = F.round(s, round_scores)
+    y = F.col(label_col).cast("int")
+    per_score = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("__s__"))
+        .agg(
+            F.sum(y).alias("__cp__"),
+            F.sum(1 - y).alias("__cn__"),
+        )
+    )
+    w = Window.orderBy("__s__").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "__negbelow__", F.coalesce(F.sum("__cn__").over(w), F.lit(0))
+    )
+    pred_pos = F.col("__s__") >= F.lit(float(threshold))
+    agg = ranked.agg(
+        (F.sum("__cp__") + F.sum("__cn__")).alias("n"),
+        F.sum("__cp__").alias("n_pos"),
+        F.sum("__cn__").alias("n_neg"),
+        F.sum(
+            F.col("__cp__")
+            * (F.col("__negbelow__") + F.col("__cn__") / 2.0)
+        ).alias("__u__"),
+        F.sum(F.when(pred_pos, F.col("__cp__")).otherwise(0)).alias("__tp__"),
+        F.sum(F.when(pred_pos, F.col("__cn__")).otherwise(0)).alias("__fp__"),
+        F.sum(F.when(~pred_pos, F.col("__cp__")).otherwise(0)).alias("__fn__"),
+        F.sum(F.when(~pred_pos, F.col("__cn__")).otherwise(0)).alias("__tn__"),
+    )
+    # try_divide: undefined ratios (one-class input, nothing predicted
+    # positive) come back NULL instead of tripping ANSI div-by-zero
+    prec = F.try_divide(F.col("__tp__"), F.col("__tp__") + F.col("__fp__"))
+    rec = F.try_divide(F.col("__tp__"), F.col("__tp__") + F.col("__fn__"))
+    return agg.select(
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.try_divide(F.col("__u__"), F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.try_divide(2 * prec * rec, prec + rec), 6).alias("f1"),
+        F.round(
+            F.try_divide(F.col("__tp__") + F.col("__tn__"), F.col("n")), 6
+        ).alias("accuracy"),
+    )

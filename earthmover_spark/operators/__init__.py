@@ -145,6 +145,7 @@ OPERATIONS = {
     "shuffle_shard": sampling.shuffle_shard,
     "profile_table": profile.profile_table,
     "train_logreg": training.train_logreg_hashed,
+    "binary_metrics": training.binary_metrics,
     "pagerank": graph.pagerank,
     "zorder_key": zorder.zorder_key,
     "cluster_by_zorder": zorder.cluster_by_zorder,

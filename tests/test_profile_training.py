@@ -333,3 +333,59 @@ def test_train_logreg_matches_numpy_reference(spark):
 def test_train_logreg_empty(spark):
     docs = spark.createDataFrame([], "doc_id long, text string, label double")
     assert training.train_logreg_hashed(docs, "label").count() == 0
+
+
+def _auc_reference(pairs):
+    """Tie-corrected rank AUC, brute force: P(s_pos > s_neg) + 0.5 P(=)."""
+    pos = [s for y, s in pairs if y == 1]
+    neg = [s for y, s in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+def test_binary_metrics_matches_reference(spark):
+    import random
+
+    from earthmover_spark.llm import training
+
+    rng = random.Random(7)
+    pairs = [
+        (y, round(rng.random() * 0.6 + y * 0.3, 2))  # coarse: forces ties
+        for y in [rng.randint(0, 1) for _ in range(400)]
+    ]
+    df = spark.createDataFrame(pairs, "label int, score double")
+    row = training.binary_metrics(df, "label", "score", threshold=0.5).collect()[0]
+    assert row["auc"] == pytest.approx(_auc_reference(pairs), abs=1e-6)
+    tp = sum(1 for y, s in pairs if y == 1 and s >= 0.5)
+    fp = sum(1 for y, s in pairs if y == 0 and s >= 0.5)
+    fn = sum(1 for y, s in pairs if y == 1 and s < 0.5)
+    assert row["precision"] == pytest.approx(tp / (tp + fp), abs=1e-6)
+    assert row["recall"] == pytest.approx(tp / (tp + fn), abs=1e-6)
+    assert row["n"] == 400
+
+
+def test_binary_metrics_degenerate_one_class(spark):
+    from earthmover_spark.llm import training
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.2)], "label int, score double"
+    )
+    row = training.binary_metrics(df, "label", "score").collect()[0]
+    assert row["auc"] is None          # no negatives: AUC undefined
+    assert row["recall"] is not None   # tp/(tp+fn) still defined
+    assert row["n_neg"] == 0
+
+
+def test_binary_metrics_perfect_separation(spark):
+    from earthmover_spark.llm import training
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "label int, score double"
+    )
+    row = training.binary_metrics(df, "label", "score").collect()[0]
+    assert row["auc"] == 1.0
+    assert row["f1"] == 1.0 and row["accuracy"] == 1.0
