@@ -27,6 +27,20 @@ r5b probes (synthetic text corpus / snapshots, same scale intent):
   snapshot_diff          10M-vs-10M key diff (two narrow fp columns
                          through ONE full-outer join)
 
+r5c-r5e probes:
+
+  validate_rules         4 QA rules over 10M rows (ONE agg pass incl.
+                         the count-distinct Expand for `unique`)
+  attribution            last-touch over 10M synthetic events, 100k
+                         users (one shuffle + RANGE window)
+  quantile_bucket        equi-depth quartiles within 10k groups
+                         (one percentile agg + broadcast + fold)
+  jaccard_pairs_09       exact Jaccard>=0.9 over 200k docs — the
+                         prefix filter's pruning payoff (2-token
+                         prefixes at t=0.9)
+  binary_metrics         exact AUC over 10M scored rows (distinct-
+                         score compression + bounded cumsum window)
+
 Usage: python bench_scale_ops.py [--rows 10000000] [--edges 5000000]
                                  [--docs 2000000] [--vecs 1000000]
 """
@@ -226,6 +240,103 @@ def main() -> None:
                     spark.read.parquet(f"{base}/snap_new"),
                     ["k"],
                 )
+            )
+        )
+
+        # --- r5c-r5e: QA rules, attribution, buckets, metrics ----------
+        from earthmover_spark.llm.training import binary_metrics
+        from earthmover_spark.operators.groupby import quantile_bucket
+        from earthmover_spark.operators.setsim import jaccard_self_pairs
+        from earthmover_spark.operators.temporal import attribution
+        from earthmover_spark.operators.validate import validate_table
+
+        r["validate_rules"] = _t(
+            lambda: validate_table(
+                plain,
+                [
+                    {"column": "a", "rule": "not_null"},
+                    {"column": "b", "rule": "in_range", "min": 0, "max": 9000},
+                    {"column": "a", "rule": "in_set",
+                     "values": list(range(0, 5000))},
+                    {"column": "row_id", "rule": "unique"},
+                ],
+            ).collect()
+        )
+        r["quantile_bucket"] = _t(
+            lambda: _force(
+                quantile_bucket(plain, "b", k=4, group_cols=["a"])
+            )
+        )
+        scored = plain.select(
+            (F.pmod(F.col("row_id"), F.lit(3)) == 0).cast("int").alias("label"),
+            F.round(
+                F.pmod(F.hash("row_id"), F.lit(10_000)) / 20_000.0
+                + (F.pmod(F.col("row_id"), F.lit(3)) == 0).cast("int") * 0.3,
+                4,
+            ).alias("score"),
+        )
+        r["binary_metrics"] = _t(
+            lambda: binary_metrics(
+                scored, "label", "score", round_scores=4
+            ).collect()
+        )
+        events = spark.range(rows).select(
+            F.pmod(F.hash("id"), F.lit(100_000)).alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in
+                          ("view", "click", "signup", "purchase", "error")]),
+                (F.pmod(F.hash(F.col("id") * 3), F.lit(5)) + 1).cast("int"),
+            ).alias("event_type"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.pmod(F.hash(F.col("id") * 5), F.lit(2_592_000)).cast(
+                    "long"
+                ) * 1_000_000
+            ).alias("ts"),
+        )
+        events.write.mode("overwrite").parquet(f"{base}/events")
+        ev = spark.read.parquet(f"{base}/events")
+        r["attribution"] = _t(
+            lambda: _force(
+                attribution(
+                    ev, ["purchase", "signup"], ["view", "click"],
+                    lookback="7 days",
+                )
+            )
+        )
+        # realistic regime for prefix filtering: vocabulary >> corpus
+        # (web text), uniform draws, 1% seeded exact dups. A tiny
+        # hot vocabulary degrades AllPairs toward all-pairs (prefix
+        # tokens stop being rare) — that regime belongs to LSH, and
+        # SCALE.md documents the boundary.
+        jvocab = 200_000
+        jword = lambda seed: F.concat(  # noqa: E731
+            F.lit("t"),
+            F.pmod(F.hash(F.col("base") * seed), F.lit(jvocab)),
+        )
+        jcorpus = (
+            spark.range(docs_n)
+            .select(
+                F.col("id").alias("doc_id"),
+                # 1% of docs duplicate their neighbor's token seed
+                F.when(
+                    F.pmod(F.col("id"), F.lit(100)) == 99, F.col("id") - 1
+                ).otherwise(F.col("id")).alias("base"),
+            )
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    " ",
+                    *[jword(s) for s in (3, 5, 7, 11, 13, 17, 19, 23, 29,
+                                         31, 37, 41)],
+                ).alias("text"),
+            )
+        )
+        jcorpus.write.mode("overwrite").parquet(f"{base}/jcorpus")
+        jc = spark.read.parquet(f"{base}/jcorpus")
+        r["jaccard_pairs_09"] = _t(
+            lambda: _force(
+                jaccard_self_pairs(jc, "text", "doc_id", threshold=0.9)
             )
         )
     finally:
