@@ -79,19 +79,40 @@ def jaccard_self_pairs(
         "__id__",
         "__sz__",
         "__toks__",
-        F.explode(F.slice("__toks__", 1, prefix_n)).alias("__tok__"),
+        F.posexplode(F.slice("__toks__", 1, prefix_n)).alias(
+            "__pos__", "__tok__"
+        ),
     )
     a = pref.select(
         F.col("__tok__"),
         F.col("__id__").alias("id_a"),
         F.col("__sz__").alias("__sa__"),
+        (F.col("__pos__") + 1).alias("__pa__"),
         F.col("__toks__").alias("__ta__"),
     )
     b = pref.select(
         F.col("__tok__"),
         F.col("__id__").alias("id_b"),
         F.col("__sz__").alias("__sb__"),
+        (F.col("__pos__") + 1).alias("__pb__"),
         F.col("__toks__").alias("__tb__"),
+    )
+    # PPJoin positional bound (Xiao et al., WWW'08; public): for the
+    # FIRST token two truly-similar sets share, every overlapping token
+    # sits at or after that position in both orderings, so
+    # overlap <= min(|a| - pa + 1, |b| - pb + 1). Requiring that bound
+    # to reach the minimum overlap ceil(t/(1+t) * (|a|+|b|)) prunes
+    # candidates from hot-token buckets BEFORE the pair dedup — the
+    # occurrence at the first shared token always survives, so the
+    # candidate set stays a superset of the true result.
+    min_overlap = (
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__sa__") + F.col("__sb__"))
+        - F.lit(1e-9)
+    )
+    pos_bound = F.least(
+        F.col("__sa__") - F.col("__pa__") + 1,
+        F.col("__sb__") - F.col("__pb__") + 1,
     )
     cand = (
         a.join(b, "__tok__")
@@ -101,6 +122,7 @@ def jaccard_self_pairs(
             (F.col("__sb__") >= F.lit(threshold) * F.col("__sa__") - 1e-9)
             & (F.col("__sa__") >= F.lit(threshold) * F.col("__sb__") - 1e-9)
         )
+        .filter(pos_bound >= min_overlap)
         .select("id_a", "id_b", "__sa__", "__sb__", "__ta__", "__tb__")
         .dropDuplicates(["id_a", "id_b"])
     )
