@@ -182,3 +182,102 @@ def test_r5c_yaml_pipeline(spark, project_dir):
     binned = {r["bin"]: r["n"] for r in _rows(results, "$destinations.binned_out")}
     # amounts -1..250, width 125.5: [-1,124.5) has 3, [124.5,250] has 1
     assert binned == {"0": "3", "1": "1"}
+
+
+@pytest.fixture(scope="module")
+def compose_dir(tmp_path_factory):
+    """Exact-Jaccard pairs feeding resolve_duplicates, tf-idf cosine
+    pairs, and classifier metrics — all composed in YAML."""
+    d = tmp_path_factory.mktemp("r5e_project")
+    (d / "sources").mkdir()
+    (d / "sources" / "docs.csv").write_text(
+        "doc_id,text\n"
+        "1,alpha beta gamma delta\n"
+        "2,alpha beta gamma delta epsilon\n"
+        "3,alpha beta gamma delta\n"
+        "4,zeta eta theta\n"
+    )
+    (d / "sources" / "preds.csv").write_text(
+        "label,score\n1,0.9\n1,0.8\n0,0.3\n0,0.6\n"
+    )
+    (d / "earthmover.yaml").write_text(textwrap.dedent("""
+        config:
+          output_dir: ./outputs
+
+        sources:
+          docs:
+            file: sources/docs.csv
+          preds:
+            file: sources/preds.csv
+
+        transformations:
+          typed:
+            operations:
+              - operation: sql
+                query: >
+                  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                  FROM $sources.docs
+          pairs:
+            source: $transformations.typed
+            operations:
+              - operation: jaccard_pairs
+                threshold: 0.75
+          deduped:
+            source: $transformations.typed
+            operations:
+              - operation: resolve_duplicates
+                pairs: $transformations.pairs
+              - operation: filter_rows
+                query: is_keeper == True
+                behavior: include
+              - operation: keep_columns
+                columns: [doc_id, cluster_id]
+          cosine:
+            source: $transformations.typed
+            operations:
+              - operation: tfidf_cosine_pairs
+                threshold: 0.9
+          evaluated:
+            operations:
+              - operation: sql
+                query: >
+                  SELECT CAST(label AS INT) AS label,
+                         CAST(score AS DOUBLE) AS score
+                  FROM $sources.preds
+              - operation: binary_metrics
+                label_col: label
+                score_col: score
+
+        destinations:
+          deduped_out:
+            source: $transformations.deduped
+            extension: jsonl
+          cosine_out:
+            source: $transformations.cosine
+            extension: jsonl
+          evaluated_out:
+            source: $transformations.evaluated
+            extension: jsonl
+    """))
+    return d
+
+
+def test_r5e_yaml_composition(spark, compose_dir):
+    results = run_project(spark, str(compose_dir / "earthmover.yaml"))
+
+    # docs 1/2/3 cluster together (J(1,3)=1.0, J(1,2)=0.8 >= 0.75);
+    # keeper = min id; doc 4 is its own cluster
+    deduped = {r["doc_id"]: r["cluster_id"] for r in _rows(results, "$destinations.deduped_out")}
+    assert deduped == {"1": "1", "4": "4"}
+
+    cosine = [
+        (r["id_a"], r["id_b"]) for r in _rows(results, "$destinations.cosine_out")
+    ]
+    assert ("1", "3") in cosine  # identical docs -> cosine 1.0
+    assert ("1", "4") not in cosine
+
+    ev = _rows(results, "$destinations.evaluated_out")[0]
+    # scores 0.9,0.8 (pos) vs 0.3,0.6 (neg): AUC = 1.0; at t=0.5 one FP
+    assert ev["auc"] == "1.0"
+    assert ev["precision"] == "0.666667"
+    assert ev["recall"] == "1.0"
