@@ -1743,6 +1743,19 @@ def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k")
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular daily grid per user with forward-filled last value:
+    grid = explode(sequence) sized by the output, fill = one key-
+    partitioned window pass."""
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    return temporal.resample_ffill(
+        ev, ["user_id"], "ts", ["value"], every="1 day",
+        tiebreak_col="event_id",
+    )
+
+
 def q_bin_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact AUC (tie-corrected rank statistic) + threshold metrics in
     one pass over per-distinct-score counts; label/score synthesized
@@ -1820,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_json": q_extract_json,
         "downsample_latest": q_downsample_latest,
         "tfidf_pairs": q_tfidf_pairs,
+        "resample_ffill": q_resample_ffill,
         "profile_table": q_profile_table,
         "shuffle_shard": q_shuffle_shard,
         "emb_standardize": q_emb_standardize,
@@ -1840,7 +1854,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "tokenize_ids": q_tokenize_ids,
         "winnow_fp": q_winnow_fp,
-        "winnow_near_dups": q_winnow_near_dups,
         "dedup_spans": q_dedup_spans,
         "scd2_history": q_scd2_history,
         "ngram_counts": q_ngram_counts,
@@ -1861,6 +1874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tfidf_pairs — both new in r5e with no official row yet
         "flagship": q_flagship,
         "strip_markup": q_strip_markup,
+        # winnow_near_dups (green r4; winnowing itself unchanged, and
+        # winnow_fp stays in the prefix to re-prove the spread-gate
+        # change for this family) yielded its slot to resample_ffill
+        "winnow_near_dups": q_winnow_near_dups,
         # rotated OUT of the prefix for the 6 r5d additions
         # (skew_report/mode_per_group/quantile_bucket/split_sentences/
         # extract_json/downsample_latest): all six below hold green r4
@@ -3937,6 +3954,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "resample_ffill": """
+            WITH b AS (
+              SELECT user_id, event_id, value, ts,
+                     CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS bk
+              FROM events
+            ), obs AS (
+              SELECT user_id, bk, value FROM (
+                SELECT user_id, bk, value,
+                       row_number() OVER (
+                         PARTITION BY user_id, bk
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM b
+              ) WHERE rn = 1
+            ), bounds AS (
+              SELECT user_id, min(bk) AS b0, max(bk) AS b1
+              FROM b GROUP BY 1
+            ), grid AS (
+              SELECT user_id, g.bk
+              FROM bounds,
+                   LATERAL (SELECT unnest(range(b0, b1 + 1)) AS bk) g
+            ), j AS (
+              SELECT g.user_id, g.bk, o.value
+              FROM grid g LEFT JOIN obs o
+                ON o.user_id = g.user_id AND o.bk = g.bk
+            )
+            SELECT user_id,
+                   make_timestamp(bk * 86400000000) AS bucket_start,
+                   last_value(value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value
+            FROM j
         """,
         "bin_metrics": """
             WITH d AS (

@@ -174,6 +174,7 @@ OPERATIONS = {
     "split_sentences": textstats.split_sentences,
     "extract_json": dataframe.extract_json,
     "downsample_latest": temporal.downsample_latest,
+    "resample_ffill": temporal.resample_ffill,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

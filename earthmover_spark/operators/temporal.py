@@ -477,3 +477,61 @@ def downsample_latest(
     return latest_rows(
         with_bucket, [*key_cols, bucket_col], ts_col, tiebreak_col
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_cols: Sequence[str] = (),
+    every: str = "1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Resample each key's series onto a regular ``every`` grid with
+    forward fill: one row per (key, bucket) from the key's first to
+    last observation, carrying the latest observed ``value_cols`` at
+    or before that bucket (NULL until the first observation — which
+    cannot happen here since grids start at an observation). The
+    standard gap-filling step before window features / joins against
+    regular series.
+
+    Scale shape (100 TB): per-bucket compaction rides
+    ``downsample_latest`` (WindowGroupLimit); per-key grid bounds are
+    one hash agg; the grid itself is ``explode(sequence(...))`` —
+    sized by the OUTPUT (keys x buckets), not the input; the forward
+    fill is one key-partitioned window pass in bucket order. Nothing
+    global, no Python."""
+    keys = list(key_cols)
+    vals = list(value_cols)
+    if not vals:
+        raise EarthmoverSparkError("resample_ffill: value_cols must be non-empty")
+    us = _duration_seconds(every) * 1_000_000
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(us)
+    ).cast("long")
+    obs = latest_rows(
+        df.withColumn("__bk__", bucket), [*keys, "__bk__"], ts_col,
+        tiebreak_col,
+    ).select(*keys, "__bk__", *vals)
+    bounds = df.select(*keys, bucket.alias("__bk__")).groupBy(*keys).agg(
+        F.min("__bk__").alias("__b0__"), F.max("__bk__").alias("__b1__")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("__b0__"), F.col("__b1__"))).alias("__bk__"),
+    )
+    joined = grid.join(obs, [*keys, "__bk__"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__bk__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.select(
+        *keys,
+        F.timestamp_micros(F.col("__bk__") * us).alias("bucket_start"),
+        *[
+            F.last(F.col(v), ignorenulls=True).over(w).alias(v)
+            for v in vals
+        ],
+    )
+    return out

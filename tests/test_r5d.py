@@ -141,3 +141,31 @@ def test_downsample_latest(spark):
         ).collect()
     )
     assert got == [(10, 2), (10, 3), (11, 4)]
+
+
+def test_resample_ffill(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 08:00:00", 1.0),
+            (2, 10, "2024-01-01 17:00:00", 2.0),   # same day: latest wins
+            (3, 10, "2024-01-04 01:00:00", 9.0),   # 2-day gap -> filled
+            (4, 11, "2024-01-02 09:00:00", 5.0),   # single-point series
+        ],
+        "event_id bigint, user_id bigint, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        (r["user_id"], str(r["bucket_start"]), r["value"])
+        for r in temporal.resample_ffill(
+            df, ["user_id"], "ts", ["value"], every="1 day",
+            tiebreak_col="event_id",
+        ).collect()
+    )
+    assert got == [
+        (10, "2024-01-01 00:00:00", 2.0),
+        (10, "2024-01-02 00:00:00", 2.0),  # gap forward-filled
+        (10, "2024-01-03 00:00:00", 2.0),
+        (10, "2024-01-04 00:00:00", 9.0),
+        (11, "2024-01-02 00:00:00", 5.0),
+    ]
+    with pytest.raises(EarthmoverSparkError):
+        temporal.resample_ffill(df, ["user_id"], "ts", [], every="1 day")
