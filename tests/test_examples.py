@@ -96,3 +96,26 @@ def test_stream_analytics_example(spark, tmp_path):
     counts = {c["user_id"]: c for c in
               read_dir(results["$destinations.activity_counts"])}
     assert counts["7"]["n_events"] == "3" and counts["8"]["n_events"] == "1"
+
+
+def test_web_corpus_qa_example(spark, tmp_path):
+    """examples/09_web_corpus_qa: URL parse + blocklist + per-domain
+    cap, validation report, skew report, quality tiers, weighted
+    sample."""
+    cfg = os.path.join(EXAMPLES, "09_web_corpus_qa", "earthmover.yaml")
+    results = run_project(spark, cfg, params={"SF_DIR": SF_DIR},
+                          output_dir=str(tmp_path))
+    sample = [json.loads(ln) for ln in
+              open(results["$destinations.sample"]).read().splitlines()]
+    assert len(sample) == 25
+    assert all(r["url_domain"] != "src0-site.co.uk" for r in sample)
+    assert all(int(r["quality_tier"]) >= 1 for r in sample)
+    qa = {(r["column"], r["rule"]): r for r in
+          [json.loads(ln) for ln in
+           open(results["$destinations.qa"]).read().splitlines()]}
+    assert qa[("doc_id", "unique")]["n_violations"] == "0"
+    assert qa[("lang", "in_set")]["n_violations"] == "0"
+    skew = [json.loads(ln) for ln in
+            open(results["$destinations.skew"]).read().splitlines()]
+    assert 0 < len(skew) <= 10
+    assert all(int(r["n"]) <= 40 for r in skew)  # the per-domain cap held
