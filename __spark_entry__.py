@@ -1804,16 +1804,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prefix of this dict, so coverage ROTATES across rounds (see the
     # rotation log in COVERAGE.md for when each query last held an
     # official green row). r5 prefix = queries changed this round
-    # (ev_sessionize, scd2_history, dedup_spans), queries with no
-    # official row yet (ngram_counts + the four NEW r5 operators:
-    # profile_table, shuffle_shard, emb_standardize, train_lr, plus the
-    # five r5b additions bm25_rank / inverted_idx / kmeans_clusters /
-    # fuzzy_pairs / snap_diff), and 10 core reference-surface operators
-    # whose newest green row was r1; queries with fresh r4 rows and
-    # unchanged implementations rotated out (pack_sequences_ordered,
-    # stratified_sample, budget_sample, temperature_mix, group_by_cube,
-    # group_by_salted, explode_array, window_calc, top_n yielded their
-    # slots to the new operators).
+    # (ev_sessionize, scd2_history, dedup_spans, the spread-gated text
+    # ops), every operator NEW in r5/r5b/r5c/r5d/r5e (no official row
+    # yet), and the core reference-surface operators whose newest green
+    # row was r1 (keep/drop/rename_columns, filter_rows, join_inner,
+    # union, melt, pivot, jinja_conditional). Queries with fresh r4
+    # rows and unchanged implementations rotated out — each move is
+    # logged in COVERAGE.md's rotation table.
     return {
         "ev_sessionize": q_ev_sessionize,
         "bin_metrics": q_bin_metrics,

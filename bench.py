@@ -80,6 +80,14 @@ HEADLINE = [
     "weighted_sample",  # A-ES keys + TakeOrdered
     "attribution",  # RANGE-frame window, no self-join
     "histogram_value",  # bounded pre-agg + <=bins-key hash agg
+    # r5d/r5e additions
+    "skew_report",  # count agg + TakeOrdered + broadcast total
+    "mode_per_group",  # two hash aggs, min(struct(-n, v)) argmax
+    "quantile_bucket",  # one percentile agg + broadcast + fold
+    "extract_json",  # get_json_object scan-stage codegen
+    "downsample_latest",  # WindowGroupLimit per (key, bucket)
+    "resample_ffill",  # output-sized grid + key-partitioned fill
+    "bin_metrics",  # distinct-score compression + bounded cumsum
 ]
 
 

@@ -106,6 +106,7 @@ OPERATIONS = {
     "enrich_stream": streaming_ops.enrich_stream,
     "running_counts": streaming_ops.running_counts_stream,
     "latest_state_stream": streaming_ops.latest_state_stream,
+    "attribution_stream": streaming_ops.attribution_stream,
     # LLM-pipeline extensions, driveable from YAML like any operation.
     # `resolve_duplicates` takes `pairs:` and `decontaminate` takes
     # `benchmark:` node references, resolved by the executor like join

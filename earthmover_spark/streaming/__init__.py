@@ -1,4 +1,5 @@
 from earthmover_spark.streaming.ops import (  # noqa: F401
+    attribution_stream,
     dedup_stream,
     downsample_latest_stream,
     enrich_stream,

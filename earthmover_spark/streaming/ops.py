@@ -416,3 +416,97 @@ def downsample_latest_stream(
         F.col(f"__last__.{ts_col}").alias(ts_col),
         *[F.col(f"__last__.{c}").alias(c) for c in payload],
     )
+
+
+def attribution_stream(
+    df: DataFrame,
+    conversion_types: Sequence[str],
+    touch_types: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming last-touch attribution via ``applyInPandasWithState``:
+    per-user state is ONE (touch_us, touch_type) tuple; each conversion
+    emits a row credited to the latest touch seen strictly before it.
+    Matches the batch ``attribution`` twin (last_touch, no lookback)
+    when events arrive in order: within a micro-batch rows process in
+    timestamp order with conversions before same-instant touches (the
+    batch twin's strictly-before RANGE frame), and same-instant touch
+    ties resolve to the greater type. Cross-batch LATE touches cannot
+    retro-credit already-emitted conversions — the inherent streaming
+    approximation, called out here rather than hidden.
+
+    State per user is one tuple regardless of event volume; the type
+    filter runs scan-side before grouping."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    conv, touch = list(conversion_types), list(touch_types)
+    if not conv or not touch:
+        raise EarthmoverSparkError(
+            "attribution_stream: conversion_types and touch_types must be "
+            "non-empty"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, T.StringType()),
+            T.StructField("conversion_ts", T.StringType()),
+            T.StructField("conversion_type", T.StringType()),
+            T.StructField("touch_type", T.StringType()),
+            T.StructField("touch_ts", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("touch_ts", T.StringType()),
+            T.StructField("touch_type", T.StringType()),
+        ]
+    )
+    conv_set, touch_set = set(conv), set(touch)
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        s_ts, s_type = state.get if state.exists else (None, None)
+        out: dict[str, list] = {c.name: [] for c in out_schema.fields}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["__ts_s__"] = pdf[ts_col].astype(str)
+            pdf["__is_touch__"] = pdf[event_col].isin(touch_set).astype(int)
+            # conversions before same-instant touches = strictly-before
+            pdf = pdf.sort_values(
+                ["__ts_s__", "__is_touch__", event_col], kind="stable"
+            )
+            for _, row in pdf.iterrows():  # per-user batches are small
+                ev, ts_s = row[event_col], row["__ts_s__"]
+                if ev in conv_set:
+                    out[user_col].append(str(key[0]))
+                    out["conversion_ts"].append(ts_s)
+                    out["conversion_type"].append(ev)
+                    out["touch_type"].append(s_type)
+                    out["touch_ts"].append(s_ts)
+                if ev in touch_set:
+                    if (
+                        s_ts is None
+                        or ts_s > s_ts
+                        or (ts_s == s_ts and ev > s_type)
+                    ):
+                        s_ts, s_type = ts_s, ev
+        state.update((s_ts, s_type))
+        yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col(event_col).isin(conv + touch))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col).cast("string").alias(user_col))
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -540,3 +540,31 @@ def test_downsample_latest_stream_matches_batch(spark, events_dir):
     # user 7's 10:00 bucket keeps ONLY the 10:50 click (event 3)
     assert ("2024-01-01 10:00:00", 7, 3, 3.0) in got
     assert ("2024-01-01 10:00:00", 7, 1, 1.0) not in got
+
+
+def test_attribution_stream_matches_batch(spark, events_dir):
+    from earthmover_spark.operators.temporal import attribution
+    from earthmover_spark.streaming import attribution_stream, read_stream_source
+
+    stream = read_stream_source(spark, events_dir)
+    attributed = attribution_stream(
+        stream, ["click"], ["view"], watermark="0 seconds"
+    )
+    got = {
+        (r.user_id, r.conversion_ts, r.touch_type or None)
+        for r in _run_to_memory(
+            attributed, spark, "attr_out", "update"
+        ).collect()
+    }
+    batch = attribution(
+        spark.read.parquet(events_dir), ["click"], ["view"]
+    )
+    want = {
+        (str(r.user_id), str(r.conversion_ts), r.touch_type)
+        for r in batch.collect()
+    }
+    assert got == want
+    # user 7's 10:00 click is preceded only by... nothing (view at 10:02
+    # is later): unattributed; the 10:50 click credits the 10:02 view
+    assert ("7", "2024-01-01 10:00:00", None) in got
+    assert ("7", "2024-01-01 10:50:00", "view") in got
