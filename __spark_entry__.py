@@ -1743,6 +1743,25 @@ def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k")
 
 
+def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-hour per-user features: one key-partitioned RANGE
+    window shares a single shuffle across all three aggregates."""
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    return temporal.rolling_agg(
+        ev, ["user_id"], "ts",
+        aggs={"roll_n": "count()", "roll_avg": "avg(value)",
+              "roll_max": "max(value)"},
+        trailing="6 hours",
+    ).select(
+        "event_id", "user_id",
+        F.col("roll_n"),
+        F.round("roll_avg", 6).alias("roll_avg"),
+        F.col("roll_max"),
+    )
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular daily grid per user with forward-filled last value:
     grid = explode(sequence) sized by the output, fill = one key-
@@ -1831,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_latest": q_downsample_latest,
         "tfidf_pairs": q_tfidf_pairs,
         "resample_ffill": q_resample_ffill,
+        "rolling_agg": q_rolling_agg,
         "profile_table": q_profile_table,
         "shuffle_shard": q_shuffle_shard,
         "emb_standardize": q_emb_standardize,
@@ -1848,7 +1868,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_diff": q_snap_diff,
         "text_tfidf": q_text_tfidf,
         "unigram_logprob": q_unigram_logprob,
-        "bigram_logprob": q_bigram_logprob,
         "tokenize_ids": q_tokenize_ids,
         "winnow_fp": q_winnow_fp,
         "dedup_spans": q_dedup_spans,
@@ -1875,6 +1894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnow_fp stays in the prefix to re-prove the spread-gate
         # change for this family) yielded its slot to resample_ffill
         "winnow_near_dups": q_winnow_near_dups,
+        # bigram_logprob (green r4; unigram_logprob stays in to re-prove
+        # the spread-gated LM-scoring path) yielded its slot to
+        # rolling_agg
+        "bigram_logprob": q_bigram_logprob,
         # rotated OUT of the prefix for the 6 r5d additions
         # (skew_report/mode_per_group/quantile_bucket/split_sentences/
         # extract_json/downsample_latest): all six below hold green r4
@@ -3951,6 +3974,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "rolling_agg": """
+            WITH b AS (
+              SELECT event_id, user_id, value, epoch_us(ts) AS us
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   count(*) OVER w AS roll_n,
+                   round(avg(value) OVER w, 6) AS roll_avg,
+                   max(value) OVER w AS roll_max
+            FROM b
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW
+            )
         """,
         "resample_ffill": """
             WITH b AS (

@@ -176,6 +176,7 @@ OPERATIONS = {
     "extract_json": dataframe.extract_json,
     "downsample_latest": temporal.downsample_latest,
     "resample_ffill": temporal.resample_ffill,
+    "rolling_agg": temporal.rolling_agg,
 }
 
 __all__ = ["OPERATIONS", "column", "row", "dataframe", "groupby", "skew"]

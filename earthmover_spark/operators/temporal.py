@@ -9,7 +9,7 @@ native window/aggregate expressions.
 from __future__ import annotations
 
 import re
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -535,3 +535,49 @@ def resample_ffill(
         ],
     )
     return out
+
+
+_ROLL_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    aggs: Mapping[str, str] | None = None,
+    trailing: str = "1 hour",
+) -> DataFrame:
+    """Trailing time-window features: for every row, aggregates over
+    its key's rows in the ``trailing`` interval ending at (and
+    including) the row itself — ``aggs`` maps output name ->
+    ``fn(col)`` with fn in avg/sum/min/max/count. The "activity in the
+    last hour" feature family for monitoring and model inputs.
+
+    Implemented as ONE key-partitioned RANGE window over epoch
+    microseconds (ties all inside the frame -> deterministic on any
+    engine), so every aggregate shares a single shuffle and a single
+    sort — never a self-join of the series against itself."""
+    if not aggs:
+        raise EarthmoverSparkError("rolling_agg: aggs must be non-empty")
+    us = _duration_seconds(trailing) * 1_000_000
+    out = df.withColumn(
+        "__us__", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__us__")
+        .rangeBetween(-us, 0)
+    )
+    for name, spec in aggs.items():
+        fn, _, arg = spec.partition("(")
+        fn, arg = fn.strip(), arg.rstrip(")").strip()
+        if fn == "count":
+            col = F.count(F.lit(1)).over(w)
+        elif fn in _ROLL_FNS:
+            col = _ROLL_FNS[fn](F.col(arg).cast("double")).over(w)
+        else:
+            raise EarthmoverSparkError(
+                f"rolling_agg: unsupported agg {spec!r}"
+            )
+        out = out.withColumn(name, col)
+    return out.drop("__us__")

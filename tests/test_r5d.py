@@ -169,3 +169,31 @@ def test_resample_ffill(spark):
     ]
     with pytest.raises(EarthmoverSparkError):
         temporal.resample_ffill(df, ["user_id"], "ts", [], every="1 day")
+
+
+def test_rolling_agg(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00", 1.0),
+            (2, 10, "2024-01-01 10:30:00", 3.0),
+            (3, 10, "2024-01-01 11:30:00", 5.0),  # 10:00 outside 1h window
+            (4, 11, "2024-01-01 10:15:00", 7.0),
+        ],
+        "event_id bigint, user_id bigint, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: (r["n1h"], r["avg1h"])
+        for r in temporal.rolling_agg(
+            df, ["user_id"], "ts",
+            aggs={"n1h": "count()", "avg1h": "avg(value)"},
+            trailing="1 hour",
+        ).collect()
+    }
+    assert got[1] == (1, 1.0)
+    assert got[2] == (2, 2.0)          # includes 10:00 (exactly 1h? no: 30m)
+    assert got[3] == (2, 4.0)          # 10:30 + 11:30; 10:00 aged out
+    assert got[4] == (1, 7.0)
+    with pytest.raises(EarthmoverSparkError):
+        temporal.rolling_agg(df, ["user_id"], "ts", aggs={})
+    with pytest.raises(EarthmoverSparkError):
+        temporal.rolling_agg(df, ["user_id"], "ts", aggs={"x": "median(value)"})
