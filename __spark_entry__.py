@@ -1743,6 +1743,17 @@ def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k")
 
 
+def q_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch weighting: src1 x2.5, src2 x0.5, rest x1 —
+    copy count is narrow codegen + explode(sequence), zero shuffle."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    return sampling.epoch_repeat(
+        docs, "source", {"src1": 2.5, "src2": 0.5}, key_col="doc_id"
+    ).select("doc_id", "source", "copy_id")
+
+
 def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 6-hour per-user features: one key-partitioned RANGE
     window shares a single shuffle across all three aggregates."""
@@ -1851,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pairs": q_tfidf_pairs,
         "resample_ffill": q_resample_ffill,
         "rolling_agg": q_rolling_agg,
+        "epoch_repeat": q_epoch_repeat,
         "profile_table": q_profile_table,
         "shuffle_shard": q_shuffle_shard,
         "emb_standardize": q_emb_standardize,
@@ -1868,7 +1880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_diff": q_snap_diff,
         "text_tfidf": q_text_tfidf,
         "unigram_logprob": q_unigram_logprob,
-        "tokenize_ids": q_tokenize_ids,
         "winnow_fp": q_winnow_fp,
         "dedup_spans": q_dedup_spans,
         "scd2_history": q_scd2_history,
@@ -1898,6 +1909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the spread-gated LM-scoring path) yielded its slot to
         # rolling_agg
         "bigram_logprob": q_bigram_logprob,
+        # tokenize_ids (green r4; the spread gate is re-proven by the
+        # three text queries still in the prefix) yielded its slot to
+        # epoch_repeat
+        "tokenize_ids": q_tokenize_ids,
         # rotated OUT of the prefix for the 6 r5d additions
         # (skew_report/mode_per_group/quantile_bucket/split_sentences/
         # extract_json/downsample_latest): all six below hold green r4
@@ -3974,6 +3989,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "epoch_repeat": """
+            WITH f AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src1' THEN 2.5
+                                 WHEN 'src2' THEN 0.5
+                                 ELSE 1.0 END AS fac,
+                     CAST(('0x' || substr(md5('epoch:'
+                          || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT
+                       / 1152921504606846976.0 AS u
+              FROM documents
+            ), n AS (
+              SELECT doc_id, source,
+                     CAST(floor(fac) AS INT)
+                     + CASE WHEN u < fac - floor(fac) THEN 1 ELSE 0 END
+                       AS nc
+              FROM f
+            )
+            SELECT doc_id, source, g.i AS copy_id
+            FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i) g
+            WHERE nc > 0
         """,
         "rolling_agg": """
             WITH b AS (

@@ -438,3 +438,43 @@ def weighted_sample(
         .limit(n)
         .drop("__ws_key__")
     )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    group_col: str,
+    factors: dict[str, float],
+    key_col: str,
+    default_factor: float = 1.0,
+    salt: str = "epoch",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Fractional epoch weighting for training mixes: repeat each
+    group's rows ``factors[group]`` times (e.g. ``{"wiki": 2.5}`` =
+    every wiki row twice, plus a deterministic md5-chosen half of them
+    a third time). Factors < 1 downsample; 0 drops the group. Output
+    rows carry ``copy_col`` (0-based) so downstream shuffling treats
+    copies as distinct examples.
+
+    Scale shape (100 TB): pure narrow codegen — the copy count is
+    ``floor(f) + (hash-uniform < frac)`` per row and the duplication is
+    ``explode(sequence(...))``; output size is exactly the weighted
+    sum, no shuffle, no join, no driver state."""
+    if any(f < 0 for f in factors.values()) or default_factor < 0:
+        raise EarthmoverSparkError("epoch_repeat: factors must be >= 0")
+    f = F.lit(float(default_factor))
+    for g, v in factors.items():
+        f = F.when(F.col(group_col) == g, F.lit(float(v))).otherwise(f)
+    u = _h60(F.col(key_col), f"{salt}:") / F.lit(_HASH_SPACE)
+    n_copies = (
+        F.floor(f).cast("int")
+        + F.when(u < f - F.floor(f), 1).otherwise(0)
+    )
+    out = df.withColumn("__nc__", n_copies).filter(F.col("__nc__") > 0)
+    return (
+        out.withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0), F.col("__nc__") - 1)),
+        )
+        .drop("__nc__")
+    )

@@ -165,6 +165,7 @@ OPERATIONS = {
     "filter_domains": url.filter_domains,
     "jaccard_pairs": setsim.jaccard_self_pairs,
     "weighted_sample": sampling.weighted_sample,
+    "epoch_repeat": sampling.epoch_repeat,
     "attribution": temporal.attribution,
     "histogram": profile.histogram,
     "tfidf_cosine_pairs": setsim.tfidf_cosine_pairs,

@@ -367,3 +367,53 @@ def test_tfidf_cosine_pairs_matches_brute_force(spark, t, max_df):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+# ---------------------------------------------------------- epoch repeat
+
+def test_epoch_repeat_factors(spark):
+    rows = [(i, "wiki" if i < 100 else "web") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = sampling.epoch_repeat(
+        df, "source", {"wiki": 2.5, "web": 0.0}, key_col="doc_id"
+    ).collect()
+    wiki = [r for r in out if r["source"] == "wiki"]
+    assert not any(r["source"] == "web" for r in out)  # factor 0 drops
+    # every wiki doc appears 2 or 3 times; mean ~2.5
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in wiki)
+    assert set(per_doc.values()) <= {2, 3}
+    assert 2.2 < sum(per_doc.values()) / 100 < 2.8
+    # copy ids are 0..n-1 per doc
+    assert sorted(
+        r["copy_id"] for r in wiki if r["doc_id"] == wiki[0]["doc_id"]
+    ) == list(range(per_doc[wiki[0]["doc_id"]]))
+
+
+def test_epoch_repeat_deterministic_and_default(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(50)], "doc_id bigint, source string"
+    )
+    a = sorted(
+        (r["doc_id"], r["copy_id"])
+        for r in sampling.epoch_repeat(
+            df, "source", {"b": 9.0}, key_col="doc_id"  # default 1.0 applies
+        ).collect()
+    )
+    assert a == [(i, 0) for i in range(50)]
+    b = sorted(
+        (r["doc_id"], r["copy_id"])
+        for r in sampling.epoch_repeat(
+            df.repartition(7), "source", {"a": 1.5}, key_col="doc_id"
+        ).collect()
+    )
+    c = sorted(
+        (r["doc_id"], r["copy_id"])
+        for r in sampling.epoch_repeat(
+            df, "source", {"a": 1.5}, key_col="doc_id"
+        ).collect()
+    )
+    assert b == c  # partition-invariant
+    with pytest.raises(EarthmoverSparkError):
+        sampling.epoch_repeat(df, "source", {"a": -1.0}, key_col="doc_id")
