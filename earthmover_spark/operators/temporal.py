@@ -568,6 +568,7 @@ def rolling_agg(
         .orderBy("__us__")
         .rangeBetween(-us, 0)
     )
+    cols = []
     for name, spec in aggs.items():
         fn, _, arg = spec.partition("(")
         fn, arg = fn.strip(), arg.rstrip(")").strip()
@@ -579,5 +580,7 @@ def rolling_agg(
             raise EarthmoverSparkError(
                 f"rolling_agg: unsupported agg {spec!r}"
             )
-        out = out.withColumn(name, col)
-    return out.drop("__us__")
+        cols.append(col.alias(name))
+    # ONE select -> one Window node (chained withColumn would plan a
+    # Window per aggregate and defeat CollapseWindow)
+    return out.select("*", *cols).drop("__us__")

@@ -456,3 +456,32 @@ def test_downsample_latest_window_group_limit(plans):
     p = plans("downsample_latest")
     assert "WindowGroupLimit" in p
     assert "EvalPython" not in p
+
+
+def test_rolling_agg_single_shared_window(plans):
+    """All rolling aggregates must share ONE key-partitioned RANGE
+    window — one exchange, one sort, no self-join."""
+    p = plans("rolling_agg")
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert p.count("Window") <= 2  # tree line + detail block, one node
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_epoch_repeat_zero_shuffle(plans):
+    """Epoch weighting is narrow codegen + explode: no exchange, no
+    join, no Python."""
+    p = plans("epoch_repeat")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "Generate" in p  # the explode
+
+
+def test_bin_metrics_compressed_frame_no_python(plans):
+    """AUC runs on the per-distinct-score frame: hash agg first, then
+    the bounded window; nothing leaves the JVM."""
+    p = plans("bin_metrics")
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p
+    assert "Join" not in p
