@@ -1743,6 +1743,19 @@ def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k")
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over a synthetic order-part co-occurrence
+    graph — degree-oriented wedges, O(|E|^1.5) bound, no cartesian."""
+    from earthmover_spark.operators import graph
+
+    li = _p(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(300)).alias("src"),
+        F.pmod(F.col("l_partkey"), F.lit(300)).alias("dst"),
+    )
+    return graph.triangle_count(edges)
+
+
 def q_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional epoch weighting: src1 x2.5, src2 x0.5, rest x1 —
     copy count is narrow codegen + explode(sequence), zero shuffle."""
@@ -1863,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,
         "rolling_agg": q_rolling_agg,
         "epoch_repeat": q_epoch_repeat,
+        "triangles": q_triangles,
         "profile_table": q_profile_table,
         "shuffle_shard": q_shuffle_shard,
         "emb_standardize": q_emb_standardize,
@@ -1880,7 +1894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_diff": q_snap_diff,
         "text_tfidf": q_text_tfidf,
         "unigram_logprob": q_unigram_logprob,
-        "winnow_fp": q_winnow_fp,
         "dedup_spans": q_dedup_spans,
         "scd2_history": q_scd2_history,
         "ngram_counts": q_ngram_counts,
@@ -1913,6 +1926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # three text queries still in the prefix) yielded its slot to
         # epoch_repeat
         "tokenize_ids": q_tokenize_ids,
+        # winnow_fp (green r4; unigram_logprob and text_tfidf remain in
+        # the prefix to re-prove the spread-gate change) yielded its
+        # slot to triangles
+        "winnow_fp": q_winnow_fp,
         # rotated OUT of the prefix for the 6 r5d additions
         # (skew_report/mode_per_group/quantile_bucket/split_sentences/
         # extract_json/downsample_latest): all six below hold green r4
@@ -3989,6 +4006,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "triangles": """
+            WITH e AS (
+              SELECT DISTINCT
+                     least(l_orderkey % 300, l_partkey % 300) AS a,
+                     greatest(l_orderkey % 300, l_partkey % 300) AS b
+              FROM lineitem
+              WHERE l_orderkey % 300 <> l_partkey % 300
+            )
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
         "epoch_repeat": """
             WITH f AS (

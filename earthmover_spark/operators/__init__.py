@@ -148,6 +148,7 @@ OPERATIONS = {
     "train_logreg": training.train_logreg_hashed,
     "binary_metrics": training.binary_metrics,
     "pagerank": graph.pagerank,
+    "triangle_count": graph.triangle_count,
     "zorder_key": zorder.zorder_key,
     "cluster_by_zorder": zorder.cluster_by_zorder,
     "novel_docs": dedup.novel_docs,

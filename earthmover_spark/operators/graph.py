@@ -108,3 +108,62 @@ def pagerank(
     finally:
         e.unpersist()
         nodes.unpersist()
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of the undirected simple graph induced by
+    ``edges`` (self-loops dropped, duplicates/direction collapsed).
+    Returns one row: ``(n_triangles)``.
+
+    Degree-oriented algorithm (the standard distributed formulation,
+    cf. Suri & Vassilvitskii, WWW'11 — public): orient every edge from
+    its lower-(degree, id) endpoint to the higher one, enumerate
+    wedges only from each node's ORIENTED out-neighbors, and close
+    them against the oriented edge set. Out-degrees are bounded by
+    O(sqrt(|E|)) regardless of hub size, so wedge volume — the cost
+    driver — is O(|E|^1.5) worst case instead of sum(deg^2) with raw
+    hubs: the hub-skew guard is the orientation itself.
+
+    Three equi-joins total: degree annotate (x2), wedge self-join,
+    wedge close. No cartesian, no Python, bounded single-row output."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("__da__"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("__db__"))
+    ann = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("__da__") < F.col("__db__")) | (
+        (F.col("__da__") == F.col("__db__")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ann.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("__db__")).otherwise(F.col("__da__")).alias(
+            "__dv__"
+        ),
+    )
+    o1 = oriented.select("u", F.col("v").alias("w1"), F.col("__dv__").alias("__d1__"))
+    o2 = oriented.select("u", F.col("v").alias("w2"), F.col("__dv__").alias("__d2__"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("__d1__") < F.col("__d2__"))
+        | ((F.col("__d1__") == F.col("__d2__")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tri = wedges.join(closing, ["w1", "w2"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

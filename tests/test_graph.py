@@ -66,3 +66,42 @@ def test_pagerank_deterministic_across_partitionings(spark):
         for r in graph.pagerank(df.repartition(16)).collect()
     }
     assert a == b
+
+
+def _brute_triangles(edges):
+    import itertools
+
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    return sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in es and (x, z) in es and (y, z) in es
+    )
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import random
+
+    from earthmover_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_count_known_shapes(spark):
+    from earthmover_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; duplicate/reversed/self-loop edges ignored
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    noisy = k4 + [(0, 0), (1, 1), (2, 1), (3, 0)]
+    df = spark.createDataFrame(noisy, "src bigint, dst bigint")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+    # a path graph has none
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0
