@@ -88,6 +88,9 @@ HEADLINE = [
     "downsample_latest",  # WindowGroupLimit per (key, bucket)
     "resample_ffill",  # output-sized grid + key-partitioned fill
     "bin_metrics",  # distinct-score compression + bounded cumsum
+    "rolling_agg",  # one shared RANGE window for all aggregates
+    "epoch_repeat",  # narrow codegen + explode, zero shuffle
+    "triangles",  # degree-oriented wedges, O(E^1.5)
 ]
 
 

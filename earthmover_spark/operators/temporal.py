@@ -98,10 +98,14 @@ def asof_join(
     right_on: str,
     right_cols: Sequence[str] = (),
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` (direction='backward'; 'forward' takes the
     earliest with ``right_ts >= left_ts``), sharing the join key.
+    ``tolerance`` (e.g. ``"2 hours"``, pandas ``merge_asof`` parity)
+    rejects matches farther than that from the left timestamp — the
+    matched columns come back NULL, the left row survives.
 
     Scale shape — the merge-sort formulation, NOT a range join: union
     both sides tagged by origin, then one window per key ordered by
@@ -115,7 +119,10 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise EarthmoverSparkError("asof_join: direction must be backward|forward")
     rcols = list(right_cols or right.columns)
-    payload = F.struct(*[F.col(c) for c in rcols])
+    payload = F.struct(
+        *[F.col(c) for c in rcols],
+        F.col(right_ts).cast("timestamp").alias("__rt__"),
+    )
     r_side = right.select(
         F.col(right_on).alias("__key__"),
         F.col(right_ts).cast("timestamp").alias("__t__"),
@@ -148,6 +155,15 @@ def asof_join(
         )
         carried = F.last("__payload__", ignorenulls=True).over(w)
     matched = both.withColumn("__m__", carried).filter(F.col("__is_left__") == 1)
+    if tolerance is not None:
+        tol_us = _duration_seconds(tolerance) * 1_000_000
+        diff = F.abs(
+            F.unix_micros(F.col("__t__"))
+            - F.unix_micros(F.col("__m__.__rt__"))
+        )
+        matched = matched.withColumn(
+            "__m__", F.when(diff <= tol_us, F.col("__m__"))
+        )
     return matched.select(
         *left.columns,
         *[F.col(f"__m__.{c}").alias(c) for c in rcols],

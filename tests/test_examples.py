@@ -119,3 +119,29 @@ def test_web_corpus_qa_example(spark, tmp_path):
             open(results["$destinations.skew"]).read().splitlines()]
     assert 0 < len(skew) <= 10
     assert all(int(r["n"]) <= 40 for r in skew)  # the per-domain cap held
+
+
+def test_metrics_rollup_example(spark, tmp_path):
+    """examples/10_metrics_rollup: rolling features, daily compaction,
+    forward-filled grid, attribution, modal report."""
+    cfg = os.path.join(EXAMPLES, "10_metrics_rollup", "earthmover.yaml")
+    results = run_project(spark, cfg, params={"SF_DIR": SF_DIR},
+                          output_dir=str(tmp_path))
+    feats = [json.loads(ln) for ln in
+             open(results["$destinations.features_out"]).read().splitlines()]
+    assert feats and all(int(r["n_6h"]) >= 1 for r in feats)
+    grid = [json.loads(ln) for ln in
+            open(results["$destinations.daily_grid_out"]).read().splitlines()]
+    daily = [json.loads(ln) for ln in
+             open(results["$destinations.daily_latest_out"]).read().splitlines()]
+    # the filled grid covers at least as many (user, day) cells as the
+    # observed compaction, and fills every cell with a value
+    assert len(grid) >= len(daily)
+    assert all(r["value"] != "" for r in grid)
+    credited = [json.loads(ln) for ln in
+                open(results["$destinations.credited_out"]).read().splitlines()]
+    assert credited and any(r["touch_type"] in ("view", "click")
+                            for r in credited)
+    modal = [json.loads(ln) for ln in
+             open(results["$destinations.modal_out"]).read().splitlines()]
+    assert modal and all(int(r["n_mode"]) >= 1 for r in modal)

@@ -197,3 +197,33 @@ def test_rolling_agg(spark):
         temporal.rolling_agg(df, ["user_id"], "ts", aggs={})
     with pytest.raises(EarthmoverSparkError):
         temporal.rolling_agg(df, ["user_id"], "ts", aggs={"x": "median(value)"})
+
+
+def test_asof_join_tolerance(spark):
+    from earthmover_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 12:00:00"), (2, 7, "2024-01-03 12:00:00")],
+        "lid bigint, k bigint, lts string",
+    ).withColumn("lts", F.to_timestamp("lts"))
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 11:00:00", "x")],
+        "k bigint, rts string, tag string",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    got = {
+        r["lid"]: r["tag"]
+        for r in asof_join(
+            left, right, "lts", "rts", "k", "k",
+            right_cols=["tag"], tolerance="2 hours",
+        ).collect()
+    }
+    # row 1 is 1h after the right row (within 2h); row 2 is 2 days out
+    assert got == {1: "x", 2: None}
+    # without tolerance both match
+    got2 = {
+        r["lid"]: r["tag"]
+        for r in asof_join(
+            left, right, "lts", "rts", "k", "k", right_cols=["tag"]
+        ).collect()
+    }
+    assert got2 == {1: "x", 2: "x"}
