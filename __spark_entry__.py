@@ -1743,6 +1743,18 @@ def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k")
 
 
+def q_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event table over the clickstream: two
+    map-side-combined aggs + a src-keyed join of answer-sized frames."""
+    from earthmover_spark.operators import graph
+
+    ev = _p(spark, sf_dir, "events")
+    edges = graph.transition_edges(
+        ev, "user_id", "ts", F.col("event_type"), tiebreak_col="event_id"
+    )
+    return graph.transition_probs(edges)
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over a synthetic order-part co-occurrence
     graph — degree-oriented wedges, O(|E|^1.5) bound, no cartesian."""
@@ -1877,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_agg": q_rolling_agg,
         "epoch_repeat": q_epoch_repeat,
         "triangles": q_triangles,
+        "transition_probs": q_transition_probs,
         "profile_table": q_profile_table,
         "shuffle_shard": q_shuffle_shard,
         "emb_standardize": q_emb_standardize,
@@ -1892,7 +1905,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "fuzzy_pairs": q_fuzzy_pairs,
         "snap_diff": q_snap_diff,
-        "text_tfidf": q_text_tfidf,
         "unigram_logprob": q_unigram_logprob,
         "dedup_spans": q_dedup_spans,
         "scd2_history": q_scd2_history,
@@ -1930,6 +1942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the prefix to re-prove the spread-gate change) yielded its
         # slot to triangles
         "winnow_fp": q_winnow_fp,
+        # text_tfidf (green r4; unigram_logprob stays in as the spread-
+        # gate re-proof) yielded its slot to transition_probs
+        "text_tfidf": q_text_tfidf,
         # rotated OUT of the prefix for the 6 r5d additions
         # (skew_report/mode_per_group/quantile_bucket/split_sentences/
         # extract_json/downsample_latest): all six below hold green r4
@@ -4006,6 +4021,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "transition_probs": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            ), pair AS (
+              SELECT prev AS src, event_type AS dst, count(*) AS n
+              FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+            ), o AS (
+              SELECT src, sum(n) AS outn FROM pair GROUP BY 1
+            )
+            SELECT p.src, p.dst, p.n,
+                   round(p.n * 1.0 / o.outn, 6) AS prob
+            FROM pair p JOIN o USING (src)
         """,
         "triangles": """
             WITH e AS (

@@ -167,3 +167,30 @@ def triangle_count(
     )
     tri = wedges.join(closing, ["w1", "w2"])
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def transition_probs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition probabilities from a directed
+    multi-edge list: ``(src, dst, n, prob)`` with ``prob`` =
+    n / out-count(src), rounded to 6 places. ``min_count`` prunes rare
+    transitions AFTER the probabilities are computed (so pruning never
+    re-normalizes what the model says). The "what do users do next"
+    table behind next-event prediction and funnel design.
+
+    Scale shape: one (src, dst) count agg + one src-keyed out-count agg
+    joined back — both map-side combined; the join key is src, so the
+    probability table shuffles by rows-of-the-answer, not events."""
+    pair = edges.groupBy(src, dst).agg(F.count(F.lit(1)).alias("n"))
+    out = pair.groupBy(src).agg(F.sum("n").alias("__out__"))
+    res = pair.join(out, src).select(
+        src, dst, "n",
+        F.round(F.col("n") / F.col("__out__"), 6).alias("prob"),
+    )
+    if min_count > 1:
+        res = res.filter(F.col("n") >= min_count)
+    return res

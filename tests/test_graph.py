@@ -1,5 +1,6 @@
 """Graph operators: transition-edge extraction and PageRank."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from earthmover_spark.operators import graph
@@ -105,3 +106,25 @@ def test_triangle_count_known_shapes(spark):
         [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
     )
     assert triangle_count(path).collect()[0]["n_triangles"] == 0
+
+
+def test_transition_probs(spark):
+    from earthmover_spark.operators.graph import transition_probs
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("x", "x")],
+        "src string, dst string",
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["prob"])
+        for r in transition_probs(edges).collect()
+    }
+    assert got[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-6))
+    assert got[("a", "c")] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert got[("x", "x")] == (1, 1.0)  # self-transitions allowed
+    pruned = transition_probs(edges, min_count=2).collect()
+    # pruning happens AFTER normalization: prob unchanged
+    assert [(r["src"], r["dst"], r["prob"]) for r in pruned] == [
+        ("a", "b", pytest.approx(2 / 3, abs=1e-6))
+    ]
