@@ -1743,6 +1743,15 @@ def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k")
 
 
+def q_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per user with counts and ranks — answer-shaped
+    count frame through a WindowGroupLimit top-k."""
+    from earthmover_spark.operators import groupby
+
+    ev = _p(spark, sf_dir, "events")
+    return groupby.top_values_per_group(ev, "user_id", "event_type", k=3)
+
+
 def q_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov next-event table over the clickstream: two
     map-side-combined aggs + a src-keyed join of answer-sized frames."""
@@ -1920,6 +1929,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "jinja_conditional": q_jinja_conditional,
         # --- end of recorded 50-query prefix ---
+        # top_values (new in r5e) did NOT get a prefix slot: every
+        # remaining slot-holder needs its own FIRST official row this
+        # round (every r5-new operator) or re-proves changed code
+        # (sessionize/scd2/dedup_spans/spread-gated unigram) or is an
+        # r1-stale core op due a refresh. Rotate top_values in FIRST
+        # in r6; it is locally oracle-verified (tools/compare.py).
+        "top_values": q_top_values,
         # flagship (green r4, unchanged, STILL smoke-run every round by
         # the driver via entry()) yielded its slot to bin_metrics;
         # strip_markup (green r4, unchanged) yielded its slot to
@@ -4021,6 +4037,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "top_values": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+            ), r AS (
+              SELECT user_id, event_type, n,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, event_type
+                     ) AS rank
+              FROM c
+            )
+            SELECT user_id, event_type AS value, n,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
         """,
         "transition_probs": """
             WITH s AS (

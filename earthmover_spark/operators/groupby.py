@@ -581,3 +581,41 @@ def quantile_bucket(
     return joined.withColumn(
         out_col, F.when(v.isNotNull(), bucket).cast("int")
     ).drop("__q__")
+
+
+def top_values_per_group(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    k: int = 5,
+    out_col: str = "value",
+) -> DataFrame:
+    """The ``k`` most frequent values of ``value_col`` per group with
+    counts and in-group rank (ties total-ordered by value asc) — the
+    k-deep generalization of ``mode_per_group`` and the per-group
+    version of ``key_skew_report``. NULL values are dropped before
+    counting.
+
+    Scale shape (100 TB): one (group, value) count agg (map-side
+    combined), then the per-group top-k rides ``top_n_rows`` so the
+    rank filter compiles to WindowGroupLimit — every map-side partition
+    pre-prunes to its local k before the shuffle of the count frame
+    (already answer-shaped, not event-shaped)."""
+    if k < 1:
+        raise EarthmoverSparkError("top_values_per_group: k must be >= 1")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*groups, value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = top_n_rows(
+        counts,
+        group_by_columns=groups,
+        order_by=["-n", f"+{value_col}"],
+        n=k,
+        rank_column="rank",
+    )
+    return top.select(
+        *groups, F.col(value_col).alias(out_col), "n", "rank"
+    )

@@ -227,3 +227,23 @@ def test_asof_join_tolerance(spark):
         ).collect()
     }
     assert got2 == {1: "x", 2: "x"}
+
+
+def test_top_values_per_group(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x"), (1, "x"), (1, "y"), (1, "y"), (1, "z"),
+            (2, None), (2, "a"),
+        ],
+        "g bigint, v string",
+    )
+    got = [
+        (r["g"], r["value"], r["n"], r["rank"])
+        for r in groupby.top_values_per_group(df, "g", "v", k=2)
+        .orderBy("g", "rank")
+        .collect()
+    ]
+    # g=1: x and y tie at 2 -> value asc breaks the tie; z cut at k=2
+    assert got == [(1, "x", 2, 1), (1, "y", 2, 2), (2, "a", 1, 1)]
+    with pytest.raises(EarthmoverSparkError):
+        groupby.top_values_per_group(df, "g", "v", k=0)
