@@ -194,3 +194,63 @@ def transition_probs(
     if min_count > 1:
         res = res.filter(F.col("n") >= min_count)
     return res
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The ``k``-core of the undirected simple graph induced by
+    ``edges``: the maximal subgraph where every node has degree >= k,
+    found by iterative peeling (repeatedly drop nodes below k until a
+    fixpoint). Returns the surviving nodes with their in-core degree:
+    ``(node, degree)``. The classic "dense enough to matter" filter
+    before community/embedding work.
+
+    Scale shape (100 TB): each round is one degree agg + one broadcast-
+    able semi-join of the edge list against the surviving node set
+    (nodes <= |V| rows — the small side); the edge list only shrinks.
+    Lineage is cut with localCheckpoint every round (the connected-
+    components pattern, `llm/curation.py:dedup_clusters`); rounds
+    needed = peeling depth, typically tens even on web graphs. The
+    fixpoint test is one bounded count per round."""
+    if k < 1:
+        raise EarthmoverSparkError("kcore: k must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_cnt = e.count()  # bounded: one long per round
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+        cnt = e.count()
+        if cnt == prev_cnt:
+            break
+        prev_cnt = cnt
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

@@ -128,3 +128,43 @@ def test_transition_probs(spark):
     assert [(r["src"], r["dst"], r["prob"]) for r in pruned] == [
         ("a", "b", pytest.approx(2 / 3, abs=1e-6))
     ]
+
+
+def _brute_kcore(edges, k):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        es = {e for e in es if e[0] not in drop and e[1] not in drop}
+        if not es:
+            return {}
+
+
+def test_kcore_matches_brute_force(spark):
+    import random
+
+    from earthmover_spark.operators.graph import kcore
+
+    rng = random.Random(13)
+    edges = [(rng.randint(0, 24), rng.randint(0, 24)) for _ in range(90)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for k in (2, 3, 4):
+        got = {r["node"]: r["degree"] for r in kcore(df, k=k).collect()}
+        assert got == _brute_kcore(edges, k), k
+
+
+def test_kcore_peeling_cascade(spark):
+    from earthmover_spark.operators.graph import kcore
+
+    # triangle + pendant chain: the chain peels away in cascading
+    # rounds, the triangle is the 2-core
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["degree"] for r in kcore(df, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    assert kcore(df, k=3).count() == 0  # no 3-core anywhere

@@ -417,3 +417,17 @@ def test_epoch_repeat_deterministic_and_default(spark):
     assert b == c  # partition-invariant
     with pytest.raises(EarthmoverSparkError):
         sampling.epoch_repeat(df, "source", {"a": -1.0}, key_col="doc_id")
+
+
+def test_pair_joins_partition_invariant(spark):
+    """jaccard and tfidf pair joins must produce identical result SETS
+    under any input partitioning (candidate generation and dedup must
+    not depend on physical layout)."""
+    df = spark.createDataFrame(JDOCS, "doc_id bigint, text string")
+    for fn, kw in (
+        (setsim.jaccard_self_pairs, {"threshold": 0.5}),
+        (setsim.tfidf_cosine_pairs, {"threshold": 0.3}),
+    ):
+        a = sorted(map(tuple, fn(df, **kw).collect()))
+        b = sorted(map(tuple, fn(df.repartition(7), **kw).collect()))
+        assert a == b, fn.__name__
