@@ -304,6 +304,50 @@ def main() -> None:
                 )
             )
         )
+        from earthmover_spark.operators.graph import (
+            kcore,
+            transition_probs,
+            triangle_count,
+        )
+        from earthmover_spark.operators.temporal import (
+            resample_ffill,
+            rolling_agg,
+        )
+
+        ev_val = ev.withColumn(
+            "value", (F.pmod(F.hash("user_id"), F.lit(1000)) / 10.0)
+        ).withColumn("event_id", F.monotonically_increasing_id())
+        r["rolling_agg"] = _t(
+            lambda: _force(
+                rolling_agg(
+                    ev_val, ["user_id"], "ts",
+                    aggs={"n_1d": "count()", "avg_1d": "avg(value)"},
+                    trailing="1 day",
+                )
+            )
+        )
+        r["resample_ffill"] = _t(
+            lambda: _force(
+                resample_ffill(
+                    ev_val, ["user_id"], "ts", ["value"], every="1 day"
+                )
+            )
+        )
+        r["transition_probs"] = _t(
+            lambda: _force(
+                transition_probs(
+                    spark.read.parquet(f"{base}/edges"), "src", "dst"
+                )
+            )
+        )
+        r["triangle_count"] = _t(
+            lambda: triangle_count(
+                spark.read.parquet(f"{base}/edges")
+            ).collect()
+        )
+        r["kcore_k20"] = _t(
+            lambda: _force(kcore(spark.read.parquet(f"{base}/edges"), k=20))
+        )
         # realistic regime for prefix filtering: vocabulary >> corpus
         # (web text), uniform draws, 1% seeded exact dups. A tiny
         # hot vocabulary degrades AllPairs toward all-pairs (prefix
