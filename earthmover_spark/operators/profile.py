@@ -101,6 +101,10 @@ def histogram(
         min_value = min_value if min_value is not None else float(row["__lo__"])
         max_value = max_value if max_value is not None else float(row["__hi__"])
     lo, hi = float(min_value), float(max_value)
+    if hi < lo:
+        raise EarthmoverSparkError(
+            f"histogram: max_value {hi} < min_value {lo}"
+        )
     width = (hi - lo) / bins if hi > lo else 1.0
     bin_id = F.least(
         F.greatest(F.floor((col - lo) / width), F.lit(0)), F.lit(bins - 1)

@@ -177,9 +177,11 @@ def validate_table(
         "rule",
         "n_rows",
         "n_violations",
-        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
-            "violation_frac"
-        ),
+        # try_divide: an EMPTY table (n_rows=0) reports NULL fractions
+        # instead of tripping ANSI div-by-zero
+        F.round(
+            F.try_divide(F.col("n_violations"), F.col("n_rows")), 6
+        ).alias("violation_frac"),
         "sample_violation",
     )
 

@@ -431,3 +431,13 @@ def test_pair_joins_partition_invariant(spark):
         a = sorted(map(tuple, fn(df, **kw).collect()))
         b = sorted(map(tuple, fn(df.repartition(7), **kw).collect()))
         assert a == b, fn.__name__
+
+
+def test_validate_table_empty_input(spark):
+    df = spark.createDataFrame([], "a bigint")
+    rows = validate.validate_table(
+        df, [{"column": "a", "rule": "not_null"}]
+    ).collect()
+    assert rows[0]["n_rows"] == 0
+    assert rows[0]["n_violations"] == 0
+    assert rows[0]["violation_frac"] is None  # 0/0 -> NULL, not a crash
