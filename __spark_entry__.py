@@ -1743,6 +1743,24 @@ def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k")
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals duration per user (overlap counted once):
+    one-window sweep line; intervals synthesized as value-second spans
+    from each event (mirrored in the oracle)."""
+    from earthmover_spark.operators import temporal
+
+    ev = _p(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value") * 1_000_000).cast("long")
+        ).alias("end"),
+    )
+    return temporal.interval_coverage(iv, ["user_id"])
+
+
 def q_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 event types per user with counts and ranks — answer-shaped
     count frame through a WindowGroupLimit top-k."""
@@ -1935,7 +1953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (sessionize/scd2/dedup_spans/spread-gated unigram) or is an
         # r1-stale core op due a refresh. Rotate top_values in FIRST
         # in r6; it is locally oracle-verified (tools/compare.py).
+        # Same story for interval_coverage (also new in r5e).
         "top_values": q_top_values,
+        "interval_coverage": q_interval_coverage,
         # flagship (green r4, unchanged, STILL smoke-run every round by
         # the driver via entry()) yielded its slot to bin_metrics;
         # strip_markup (green r4, unchanged) yielded its slot to
@@ -4037,6 +4057,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "interval_coverage": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                     + CAST(floor(value * 1000000) AS BIGINT) AS e
+              FROM events
+            ), f AS (
+              SELECT * FROM iv WHERE e > s
+            ), c AS (
+              SELECT user_id, s, e,
+                     greatest(0, e - greatest(s,
+                       coalesce(max(e) OVER (
+                         PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), s))) AS contrib
+              FROM f
+            )
+            SELECT user_id,
+                   round(sum(contrib) / 1000000.0, 6) AS covered_seconds,
+                   count(*) AS n_intervals
+            FROM c GROUP BY user_id
         """,
         "top_values": """
             WITH c AS (

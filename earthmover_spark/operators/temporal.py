@@ -600,3 +600,48 @@ def rolling_agg(
     # ONE select -> one Window node (chained withColumn would plan a
     # Window per aggregate and defeat CollapseWindow)
     return out.select("*", *cols).drop("__us__")
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Total time covered by the UNION of each key's intervals — overlap
+    counted once ("total watch time", "machine uptime"). Returns one
+    row per key: ``(*key_cols, covered_seconds, n_intervals)``;
+    ``covered_seconds`` is rounded to 6 places. Empty/inverted
+    intervals (``end <= start``) are dropped.
+
+    Sweep-line as ONE window pass: order each key's intervals by
+    (start, end); a row's new contribution is
+    ``end - max(start, max_end_of_all_previous)`` clipped at 0 —
+    summing those equals the measure of the union without ever
+    materializing merged intervals. One key shuffle, one sort, one
+    window, one agg."""
+    keys = list(key_cols)
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    rows = df.select(
+        *keys, s_us.alias("__s__"), e_us.alias("__e__")
+    ).filter(F.col("__e__") > F.col("__s__"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__s__", "__e__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max("__e__").over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("__e__")
+        - F.greatest(F.col("__s__"), F.coalesce(prev_max_end, F.col("__s__"))),
+    )
+    return (
+        rows.withColumn("__c__", contrib)
+        .groupBy(*keys)
+        .agg(
+            F.round(F.sum("__c__") / 1_000_000.0, 6).alias("covered_seconds"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )

@@ -247,3 +247,26 @@ def test_top_values_per_group(spark):
     assert got == [(1, "x", 2, 1), (1, "y", 2, 2), (2, "a", 1, 1)]
     with pytest.raises(EarthmoverSparkError):
         groupby.top_values_per_group(df, "g", "v", k=0)
+
+
+def test_interval_coverage(spark):
+    df = spark.createDataFrame(
+        [
+            # key 1: [0,10] + [5,15] overlap -> 15s; [20,25] disjoint -> +5
+            (1, "2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+            (1, "2024-01-01 00:00:05", "2024-01-01 00:00:15"),
+            (1, "2024-01-01 00:00:20", "2024-01-01 00:00:25"),
+            # key 2: nested interval adds nothing
+            (2, "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
+            (2, "2024-01-01 00:00:10", "2024-01-01 00:00:20"),
+            # inverted interval dropped
+            (3, "2024-01-01 00:00:10", "2024-01-01 00:00:05"),
+        ],
+        "k bigint, start string, end string",
+    ).selectExpr("k", "CAST(start AS TIMESTAMP) AS start",
+                 "CAST(end AS TIMESTAMP) AS end")
+    got = {
+        r["k"]: (r["covered_seconds"], r["n_intervals"])
+        for r in temporal.interval_coverage(df, ["k"]).collect()
+    }
+    assert got == {1: (20.0, 3), 2: (60.0, 2)}
