@@ -77,7 +77,14 @@ def kmeans_lloyd(
     for every input row. Empty clusters keep their previous centroid.
 
     Driver traffic per iteration is exactly k * dim doubles (the
-    centroid matrix); corpus rows never leave the executors."""
+    centroid matrix); corpus rows never leave the executors.
+
+    EAGER by nature: Lloyd's algorithm is iterative, so this runs
+    ``iters + 1`` Spark jobs when *called* and returns a materialized
+    (``localCheckpoint``-ed, lineage-cut) assignment — in a YAML plan
+    this node executes at plan-build time. There is no lazy
+    formulation; the centroid matrix must round-trip the driver each
+    round."""
     if k < 1:
         raise EarthmoverSparkError("kmeans_lloyd: k must be >= 1")
     dim_row = df.select(

@@ -70,6 +70,16 @@ def bm25_scores(
     broadcast join. Only rows whose term is in the query survive to the
     first shuffle — the filter sits below the groupBy, so Catalyst
     pushes it into the scan-side stage.
+
+    EAGER by design: even with ``materialize=False`` this runs one
+    bounded Spark job when *called* (the N/avgdl scalars must be baked
+    into the scoring expression), and the default ``materialize=True``
+    additionally persists the filtered postings and returns a
+    ``localCheckpoint`` — the result no longer re-derives from lineage.
+    In a YAML plan this node therefore executes at plan-build time;
+    pass ``materialize: false`` in the node config to keep the scoring
+    plan itself lazy/composable (the corpus is then tokenized once per
+    downstream action instead of once total).
     """
     terms = sorted({t for t in query_terms if t})
     if not terms:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Mapping, Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -555,6 +556,10 @@ def quantile_bucket(
     feature bucketing / difficulty tiers, the cousin of
     ``histogram``'s equi-width bins. A value equal to an interior
     cutoff lands in the upper bucket; NULL values get NULL buckets.
+    A NULL *group key* is a group like any other (``groupBy`` keeps
+    it): its rows keep their bucket, binned against the NULL-key
+    group's own cutoffs — the cutoff join is null-safe, so no row is
+    silently dropped.
 
     Scale shape (100 TB): interior cutoffs come from ONE quantile
     aggregation (exact ``percentile`` or t-digest
@@ -570,7 +575,22 @@ def quantile_bucket(
         F.percentile(v, pcts) if exact else F.approx_percentile(v, pcts, accuracy)
     ).alias("__q__")
     if groups:
-        joined = df.join(F.broadcast(df.groupBy(*groups).agg(q)), groups)
+        # eqNullSafe, NOT `on=groups`: an equi-join never matches NULL
+        # keys, which would silently drop every NULL-key-group row
+        cuts = df.groupBy(*groups).agg(q).select(
+            *[F.col(g).alias(f"__qg{i}__") for i, g in enumerate(groups)],
+            "__q__",
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                df[g].eqNullSafe(cuts[f"__qg{i}__"])
+                for i, g in enumerate(groups)
+            ],
+        )
+        joined = df.join(F.broadcast(cuts), cond, "left").drop(
+            *[f"__qg{i}__" for i in range(len(groups))]
+        )
     else:
         joined = df.crossJoin(F.broadcast(df.agg(q)))
     bucket = F.aggregate(

@@ -111,14 +111,24 @@ def key_skew_report(
     counts and fraction of the table — the report you read BEFORE
     deciding whether a join/agg needs ``salted_join``/``salted_group_by``
     or an AQE skew hint. Returns ``(rank, key, n, frac)`` ordered by
-    ``(n desc, key)``; multi-column keys are ``|``-joined strings.
+    ``(n desc, key)``; multi-column keys are ``|``-joined strings with
+    NULL parts rendered as ``\\x00NULL`` (mirroring
+    ``diff.row_fingerprint``) so ``('a', NULL)`` and ``(NULL, 'a')``
+    stay distinct keys — ``concat_ws`` alone would silently merge
+    their counts.
 
     Scale shape (100 TB): ONE key-keyed count agg (map-side combined),
     a TakeOrdered of k rows, and a broadcast of the single-row total —
     the report never materializes more than |distinct keys| counts and
     ships k rows to the driver boundary."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    key = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(k).cast("string"), F.lit("\x00NULL"))
+            for k in keys
+        ],
+    )
     counts = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("__total__"))
     top = counts.orderBy(F.desc("n"), F.col("key")).limit(top_k)

@@ -507,9 +507,14 @@ def resample_ffill(
     forward fill: one row per (key, bucket) from the key's first to
     last observation, carrying the latest observed ``value_cols`` at
     or before that bucket (NULL until the first observation — which
-    cannot happen here since grids start at an observation). The
-    standard gap-filling step before window features / joins against
-    regular series.
+    cannot happen here since grids start at an observation). An
+    *observed* NULL is an observation: each value rides a per-bucket
+    struct wrapper, so a sensor that reports NULL shows NULL from that
+    bucket forward (until its next report) instead of being silently
+    overwritten by the previous bucket's stale value — a bare
+    ``last(ignorenulls=True)`` over the raw column cannot tell the two
+    apart. The standard gap-filling step before window features /
+    joins against regular series.
 
     Scale shape (100 TB): per-bucket compaction rides
     ``downsample_latest`` (WindowGroupLimit); per-key grid bounds are
@@ -528,7 +533,17 @@ def resample_ffill(
     obs = latest_rows(
         df.withColumn("__bk__", bucket), [*keys, "__bk__"], ts_col,
         tiebreak_col,
-    ).select(*keys, "__bk__", *vals)
+    ).select(
+        *keys,
+        "__bk__",
+        # non-NULL struct per observed bucket, even when the observed
+        # value itself is NULL — the fill below fills the STRUCT, so
+        # only truly missing buckets inherit the previous value
+        *[
+            F.struct(F.col(v).alias("v")).alias(f"__obs_{v}__")
+            for v in vals
+        ],
+    )
     bounds = df.select(*keys, bucket.alias("__bk__")).groupBy(*keys).agg(
         F.min("__bk__").alias("__b0__"), F.max("__bk__").alias("__b1__")
     )
@@ -546,7 +561,9 @@ def resample_ffill(
         *keys,
         F.timestamp_micros(F.col("__bk__") * us).alias("bucket_start"),
         *[
-            F.last(F.col(v), ignorenulls=True).over(w).alias(v)
+            F.last(F.col(f"__obs_{v}__"), ignorenulls=True)
+            .over(w)["v"]
+            .alias(v)
             for v in vals
         ],
     )

@@ -39,6 +39,13 @@ def _violation(rule: Mapping[str, Any], col: Column) -> Column:
         return col.isNull()
     if kind == "in_range":
         lo, hi = rule.get("min"), rule.get("max")
+        if lo is None and hi is None:
+            # a boundless range is almost certainly a typo'd rule —
+            # it would vacuously report zero violations forever
+            raise EarthmoverSparkError(
+                "validate_table: in_range rule on column "
+                f"{rule.get('column')!r} needs at least one of min/max"
+            )
         cond = F.lit(False)
         if lo is not None:
             cond = cond | (col < F.lit(lo))
