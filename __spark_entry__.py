@@ -1483,11 +1483,23 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_inverted_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index over the corpus (min_df=2): per-term df + sorted
-    posting list, one term-keyed shuffle, lists never on the driver."""
+    posting list, one term-keyed shuffle, lists never on the driver.
+    Driver-facing reshape ONLY: the engine returns ``postings`` as a
+    sorted array, but the driver's canonicalizer cannot hash list
+    cells (pandas ``unhashable type`` — the red r5 row), so the query
+    joins it to a comma-separated string, same as the emb_* queries'
+    scalar-exploded reshape."""
     from earthmover_spark.llm import retrieval
 
     docs = _p(spark, sf_dir, "documents")
-    return retrieval.inverted_index(docs, min_df=2)
+    idx = retrieval.inverted_index(docs, min_df=2)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings"
+        ),
+    )
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1882,163 +1894,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
     # Ordering note: the driver's per-round snapshot records a 50-query
     # prefix of this dict, so coverage ROTATES across rounds (see the
-    # rotation log in COVERAGE.md for when each query last held an
-    # official green row). r5 prefix = queries changed this round
-    # (ev_sessionize, scd2_history, dedup_spans, the spread-gated text
-    # ops), every operator NEW in r5/r5b/r5c/r5d/r5e (no official row
-    # yet), and the core reference-surface operators whose newest green
-    # row was r1 (keep/drop/rename_columns, filter_rows, join_inner,
-    # union, melt, pivot, jinja_conditional). Queries with fresh r4
-    # rows and unchanged implementations rotated out — each move is
-    # logged in COVERAGE.md's rotation table.
-    return {
-        "ev_sessionize": q_ev_sessionize,
-        "bin_metrics": q_bin_metrics,
-        # r5c additions (no official row yet — recorded this round):
-        "val_report": q_validate_report,
-        "url_parse": q_url_parse,
-        "url_filter": q_url_filter,
-        "jaccard_pairs": q_jaccard_pairs,
-        "weighted_sample": q_weighted_sample,
-        "attribution": q_attribution,
-        "histogram_value": q_histogram,
-        # r5d additions (no official row yet — recorded this round):
-        "skew_report": q_skew_report,
-        "mode_per_group": q_mode_per_group,
-        "quantile_bucket": q_quantile_bucket,
-        "split_sentences": q_split_sentences,
-        "extract_json": q_extract_json,
-        "downsample_latest": q_downsample_latest,
-        "tfidf_pairs": q_tfidf_pairs,
-        "resample_ffill": q_resample_ffill,
-        "rolling_agg": q_rolling_agg,
-        "epoch_repeat": q_epoch_repeat,
-        "triangles": q_triangles,
-        "transition_probs": q_transition_probs,
-        "profile_table": q_profile_table,
-        "shuffle_shard": q_shuffle_shard,
-        "emb_standardize": q_emb_standardize,
-        "train_lr": q_train_lr,
-        "zorder_key": q_zorder_key,
-        "pagerank": q_pagerank,
-        "percentile_band": q_percentile_band,
-        "novel_docs": q_novel_docs,
-        "winsorize": q_winsorize,
-        "trend_per_key": q_trend_per_key,
-        "bm25_rank": q_bm25_rank,
-        "inverted_idx": q_inverted_idx,
-        "kmeans_clusters": q_kmeans_clusters,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "snap_diff": q_snap_diff,
-        "unigram_logprob": q_unigram_logprob,
-        "dedup_spans": q_dedup_spans,
-        "scd2_history": q_scd2_history,
-        "ngram_counts": q_ngram_counts,
-        "keep_columns": q_keep_columns,
-        "drop_columns": q_drop_columns,
-        "rename_columns": q_rename_columns,
-        "filter_rows": q_filter_rows,
-        "join_inner": q_join_inner,
-        "union": q_union,
-        "melt": q_melt,
-        "pivot": q_pivot,
-        "semantic_dedup": q_semantic_dedup,
-        "jinja_conditional": q_jinja_conditional,
-        # --- end of recorded 50-query prefix ---
-        # top_values (new in r5e) did NOT get a prefix slot: every
-        # remaining slot-holder needs its own FIRST official row this
-        # round (every r5-new operator) or re-proves changed code
-        # (sessionize/scd2/dedup_spans/spread-gated unigram) or is an
-        # r1-stale core op due a refresh. Rotate top_values in FIRST
-        # in r6; it is locally oracle-verified (tools/compare.py).
-        # Same story for interval_coverage (also new in r5e).
+    # rotation log in COVERAGE.md). r6 prefix = (a) the 2 r5e additions
+    # that missed the full r5 prefix (top_values, interval_coverage) +
+    # inverted_idx, whose driver-facing query was reshaped this round
+    # (array_join'd postings) to clear the r5 canonicalizer red row;
+    # (b) the 4 operators whose implementations changed this round
+    # (quantile_bucket, skew_report, resample_ffill, val_report —
+    # NULL-handling fixes); (c) every query whose newest official green
+    # row was r1 (the 37 core reference-surface + first-wave dedup/
+    # text/sim queries) plus group_by_stats (r1, rotate-back promised
+    # in COVERAGE.md) and join_anti/set_intersect (r3) and 3 of the
+    # oldest-r4 group (cube/salted/explode_array). Everything rotated
+    # out holds a green r5 row with an unchanged implementation.
+    # --- r6 records: new/reshaped/fixed this round ---
         "top_values": q_top_values,
         "interval_coverage": q_interval_coverage,
-        # flagship (green r4, unchanged, STILL smoke-run every round by
-        # the driver via entry()) yielded its slot to bin_metrics;
-        # strip_markup (green r4, unchanged) yielded its slot to
-        # tfidf_pairs — both new in r5e with no official row yet
-        "flagship": q_flagship,
-        "strip_markup": q_strip_markup,
-        # winnow_near_dups (green r4; winnowing itself unchanged, and
-        # winnow_fp stays in the prefix to re-prove the spread-gate
-        # change for this family) yielded its slot to resample_ffill
-        "winnow_near_dups": q_winnow_near_dups,
-        # bigram_logprob (green r4; unigram_logprob stays in to re-prove
-        # the spread-gated LM-scoring path) yielded its slot to
-        # rolling_agg
-        "bigram_logprob": q_bigram_logprob,
-        # tokenize_ids (green r4; the spread gate is re-proven by the
-        # three text queries still in the prefix) yielded its slot to
-        # epoch_repeat
-        "tokenize_ids": q_tokenize_ids,
-        # winnow_fp (green r4; unigram_logprob and text_tfidf remain in
-        # the prefix to re-prove the spread-gate change) yielded its
-        # slot to triangles
-        "winnow_fp": q_winnow_fp,
-        # text_tfidf (green r4; unigram_logprob stays in as the spread-
-        # gate re-proof) yielded its slot to transition_probs
-        "text_tfidf": q_text_tfidf,
-        # rotated OUT of the prefix for the 6 r5d additions
-        # (skew_report/mode_per_group/quantile_bucket/split_sentences/
-        # extract_json/downsample_latest): all six below hold green r4
-        # rows and their implementations are unchanged since
-        "dedup_resolve": q_dedup_resolve,
-        "quality_classifier": q_quality_classifier,
-        "cap_per_group": q_cap_per_group,
-        "merge_upsert": q_merge_upsert,
-        "flag_outliers": q_flag_outliers,
-        "retention_cohorts": q_retention_cohorts,
-        # rotated OUT of the prefix for the 7 r5c additions
-        # (val_report/url_parse/url_filter/jaccard_pairs/
-        # weighted_sample/attribution/histogram_value): all seven below
-        # hold green r4 rows and their implementations are unchanged
-        # since; rotate back in r6
-        "ev_window_agg": q_ev_window_agg,
-        "ev_asof_join": q_ev_asof_join,
-        "ev_window_sliding": q_ev_window_sliding,
-        "group_by_quantiles": q_group_by_quantiles,
-        "interval_join": q_interval_join,
-        "latest_rows": q_latest_rows,
-        "funnel": q_funnel,
-        # group_by_stats (green r1) yielded its r5 prefix slot to
-        # semantic_dedup's first row; rotate it back in r6
-        "group_by_cube": q_group_by_cube,
-        "group_by_salted": q_group_by_salted,
-        "explode_array": q_explode_array,
-        "window_calc": q_window_calc,
-        "top_n": q_top_n,
+        "inverted_idx": q_inverted_idx,
+        "quantile_bucket": q_quantile_bucket,
+        "skew_report": q_skew_report,
+        "resample_ffill": q_resample_ffill,
+        "val_report": q_validate_report,
         "group_by_stats": q_group_by_stats,
-        # rotated OUT of the prefix in r5: fresh green rows on
-        # CORRECTNESS_r04, implementations unchanged since
-        "emb_mean_pool": q_emb_mean_pool,
-        "emb_quantize": q_emb_quantize,
-        "sim_pq_topk": q_sim_pq_topk,
-        "join_semi": q_join_semi,
-        "set_except": q_set_except,
-        "group_by_rollup": q_group_by_rollup,
-        "pack_sequences_ordered": q_pack_sequences_ordered,
-        "stratified_sample": q_stratified_sample,
-        "budget_sample": q_budget_sample,
-        "temperature_mix": q_temperature_mix,
-        "src_parquet_scan": q_src_parquet_scan,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "redact_pii": q_redact_pii,
-        "chunk_documents": q_chunk_documents,
-        "det_sample": q_det_sample,
-        "split_dataset": q_split_dataset,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        "emb_normalize": q_emb_normalize,
-        # reference-surface + LLM-pipeline queries, all with official
-        # green rows (r1 or later); still verified every round locally
-        # via tools/compare.py
-        "join_anti": q_join_anti,
-        "set_intersect": q_set_intersect,
+    # --- stale-r1 refresh block ---
         "duplicate_columns": q_duplicate_columns,
         "add_columns": q_add_columns,
         "add_columns_jinja_arith": q_add_columns_jinja_arith,
@@ -2076,10 +1956,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
-        # rows-only by design, kept LAST so they never occupy recorded
-        # full-oracle slots: pack_sequences bin ids are
-        # partition-dependent; bpe merge learning is iterative (not
-        # SQL-expressible)
+    # --- r3/oldest-r4 refresh block ---
+        "join_anti": q_join_anti,
+        "set_intersect": q_set_intersect,
+        "group_by_cube": q_group_by_cube,
+        "group_by_salted": q_group_by_salted,
+        "explode_array": q_explode_array,
+    # --- end of recorded 50-query prefix ---
+    # (everything below holds a green r4/r5 official row with an
+    # unchanged implementation; still verified every round locally
+    # via tools/compare.py over the full matrix)
+        "ev_sessionize": q_ev_sessionize,
+        "bin_metrics": q_bin_metrics,
+        "url_parse": q_url_parse,
+        "url_filter": q_url_filter,
+        "jaccard_pairs": q_jaccard_pairs,
+        "weighted_sample": q_weighted_sample,
+        "attribution": q_attribution,
+        "histogram_value": q_histogram,
+        "mode_per_group": q_mode_per_group,
+        "split_sentences": q_split_sentences,
+        "extract_json": q_extract_json,
+        "downsample_latest": q_downsample_latest,
+        "tfidf_pairs": q_tfidf_pairs,
+        "rolling_agg": q_rolling_agg,
+        "epoch_repeat": q_epoch_repeat,
+        "triangles": q_triangles,
+        "transition_probs": q_transition_probs,
+        "profile_table": q_profile_table,
+        "shuffle_shard": q_shuffle_shard,
+        "emb_standardize": q_emb_standardize,
+        "train_lr": q_train_lr,
+        "zorder_key": q_zorder_key,
+        "pagerank": q_pagerank,
+        "percentile_band": q_percentile_band,
+        "novel_docs": q_novel_docs,
+        "winsorize": q_winsorize,
+        "trend_per_key": q_trend_per_key,
+        "bm25_rank": q_bm25_rank,
+        "kmeans_clusters": q_kmeans_clusters,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "snap_diff": q_snap_diff,
+        "unigram_logprob": q_unigram_logprob,
+        "dedup_spans": q_dedup_spans,
+        "scd2_history": q_scd2_history,
+        "ngram_counts": q_ngram_counts,
+        "keep_columns": q_keep_columns,
+        "drop_columns": q_drop_columns,
+        "rename_columns": q_rename_columns,
+        "filter_rows": q_filter_rows,
+        "join_inner": q_join_inner,
+        "union": q_union,
+        "melt": q_melt,
+        "pivot": q_pivot,
+        "semantic_dedup": q_semantic_dedup,
+        "jinja_conditional": q_jinja_conditional,
+        "flagship": q_flagship,
+        "strip_markup": q_strip_markup,
+        "winnow_near_dups": q_winnow_near_dups,
+        "bigram_logprob": q_bigram_logprob,
+        "tokenize_ids": q_tokenize_ids,
+        "winnow_fp": q_winnow_fp,
+        "text_tfidf": q_text_tfidf,
+        "dedup_resolve": q_dedup_resolve,
+        "quality_classifier": q_quality_classifier,
+        "cap_per_group": q_cap_per_group,
+        "merge_upsert": q_merge_upsert,
+        "flag_outliers": q_flag_outliers,
+        "retention_cohorts": q_retention_cohorts,
+        "ev_window_agg": q_ev_window_agg,
+        "ev_asof_join": q_ev_asof_join,
+        "ev_window_sliding": q_ev_window_sliding,
+        "group_by_quantiles": q_group_by_quantiles,
+        "interval_join": q_interval_join,
+        "latest_rows": q_latest_rows,
+        "funnel": q_funnel,
+        "window_calc": q_window_calc,
+        "top_n": q_top_n,
+        "emb_mean_pool": q_emb_mean_pool,
+        "emb_quantize": q_emb_quantize,
+        "sim_pq_topk": q_sim_pq_topk,
+        "join_semi": q_join_semi,
+        "set_except": q_set_except,
+        "group_by_rollup": q_group_by_rollup,
+        "pack_sequences_ordered": q_pack_sequences_ordered,
+        "stratified_sample": q_stratified_sample,
+        "budget_sample": q_budget_sample,
+        "temperature_mix": q_temperature_mix,
+        "src_parquet_scan": q_src_parquet_scan,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
+        "det_sample": q_det_sample,
+        "split_dataset": q_split_dataset,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "emb_normalize": q_emb_normalize,
+    # rows-only by design, kept LAST so they never occupy
+    # recorded full-oracle slots: pack_sequences bin ids are
+    # partition-dependent; bpe merge learning is iterative (not
+    # SQL-expressible)
         "pack_sequences": q_pack_sequences,
         "bpe_encode": q_bpe_encode,
     }
@@ -3616,7 +3594,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id, term FROM toks WHERE term != ''
             )
             SELECT term, count(*) AS df,
-                   list(doc_id ORDER BY doc_id) AS postings
+                   array_to_string(list(doc_id ORDER BY doc_id), ',')
+                     AS postings
             FROM dt GROUP BY term HAVING count(*) >= 2
         """,
         # Lloyd's k-means unrolled: init = 8 lowest vec_ids, two
