@@ -833,7 +833,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     media = M.attach_media_meta(docs, "payload", "image", "png")
-    out = M.resize_images(media, "payload", width=64, height=64)
+    # codec pinned to the stub so the DuckDB digest twin holds even
+    # when Pillow is installed in the environment
+    out = M.resize_images(media, "payload", width=64, height=64, codec="stub")
     return out.select(
         "doc_id",
         F.col("payload_meta.width").alias("width"),
@@ -1061,7 +1063,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 500)
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
-    feats = M.extract_features(docs, "payload", n_features=16)
+    feats = M.extract_features(docs, "payload", n_features=16, codec="stub")
     return feats.select(
         "doc_id",
         F.size("features").alias("n_feat"),

@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (deterministic fake features keyed on the content
-digest). Everything Spark-side — schemas, Arrow batch shapes,
-``mapInPandas`` plumbing, partition sizing — is real and tested, so
-swapping the stub for PIL/librosa/ffmpeg is a one-function change.
+The decode step has TWO interchangeable codecs behind one contract:
+``decode_real``/``resize_real`` (Pillow, optional import — used when
+``codec='real'`` or ``'auto'`` with Pillow installed) and a
+clearly-marked deterministic stub (digest-keyed fake, the default in
+codec-less containers). Everything Spark-side — schemas, Arrow batch
+shapes, ``mapInPandas`` plumbing, partition sizing — is identical on
+both paths and tested on the stub path everywhere; the real path has
+Pillow-gated tests.
 
 Scale notes: media blobs ride in parquet binary columns; decode runs
 per-partition over Arrow batches (``mapInPandas``), which at 100 TB
@@ -16,12 +19,21 @@ touches the driver.
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional real image codec — absent in the test container
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised when Pillow present
+    _PILImage = None
+    HAS_PIL = False
 
 #: metadata schema attached to every media column
 MEDIA_META_SCHEMA = T.StructType(
@@ -67,26 +79,47 @@ def _fake_decode(payload: bytes, n_features: int) -> list[float]:
     ]
 
 
+def _pick_codec(codec: str) -> bool:
+    """Resolve ``codec`` ('stub' | 'real' | 'auto') to use_real."""
+    if codec == "stub":
+        return False
+    if codec == "real":
+        if not HAS_PIL:
+            raise NotImplementedError(
+                "codec='real' requires Pillow, which is not installed; "
+                "pass codec='stub' (deterministic fake) or 'auto'"
+            )
+        return True
+    if codec == "auto":
+        return HAS_PIL
+    raise ValueError(f"codec must be stub|real|auto, got {codec!r}")
+
+
 def extract_features(
     df: DataFrame,
     binary_col: str,
     n_features: int = 16,
     out_col: str = "features",
+    codec: str = "auto",
 ) -> DataFrame:
     """Decode + feature-extract media blobs via ``mapInPandas``.
 
     Real plumbing: Arrow batches in, per-row decode, Arrow batches out
-    with an appended ``array<float>`` column. The decode itself is the
-    stub above (no codecs in this container)."""
+    with an appended ``array<float>`` column. ``codec`` picks the
+    decoder: ``'real'`` (Pillow, optional import — ``decode_real``
+    below), ``'stub'`` (deterministic digest fake), or ``'auto'``
+    (real when Pillow is installed, stub otherwise)."""
+    use_real = _pick_codec(codec)
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
     )
+    decode = decode_real if use_real else _fake_decode
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
             pdf[out_col] = [
-                _fake_decode(b if isinstance(b, (bytes, bytearray)) else bytes(b or b""), n_features)
+                decode(b if isinstance(b, (bytes, bytearray)) else bytes(b or b""), n_features)
                 for b in pdf[binary_col]
             ]
             yield pdf
@@ -110,23 +143,27 @@ def resize_images(
     width: int,
     height: int,
     out_col: str | None = None,
+    codec: str = "auto",
 ) -> DataFrame:
     """Resize image blobs via ``mapInPandas`` (Arrow batches in/out,
-    per-row codec call — the stub above stands in for PIL). The
+    per-row codec call — ``codec`` picks Pillow ``resize_real`` or the
+    digest stub, as in ``extract_features``). The
     ``<binary_col>_meta`` struct, when present, is updated natively
     afterwards: width/height set to the target, ``n_bytes`` to the
     resized payload size."""
+    use_real = _pick_codec(codec)
     out_col = out_col or binary_col
     tmp = "__resized__"
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(tmp, T.BinaryType())]
     )
+    resize = resize_real if use_real else _fake_resize
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
             pdf[tmp] = [
-                _fake_resize(
+                resize(
                     b if isinstance(b, (bytes, bytearray)) else bytes(b or b""),
                     width, height,
                 )
@@ -184,9 +221,45 @@ def frame_sample_plan(
     )
 
 
-def decode_real(payload: bytes):  # pragma: no cover - documentation stub
-    """Placeholder for the real codec integration."""
-    raise NotImplementedError(
-        "media decode requires image/audio codecs not present in this "
-        "container; extract_features uses a deterministic fake instead"
-    )
+def decode_real(payload: bytes, n_features: int = 16) -> list[float]:
+    """Real image decode + feature extraction (Pillow, optional
+    import): grayscale the image, average-pool it onto a fixed
+    ``ceil(sqrt(n))``-square grid, and return the first ``n_features``
+    cell means normalized to [0, 1]. Same contract as ``_fake_decode``
+    (bytes -> fixed-length float vector), so the two are drop-in
+    interchangeable via ``extract_features(codec=...)``."""
+    if not HAS_PIL:  # pragma: no cover - container has no Pillow
+        raise NotImplementedError(
+            "decode_real requires Pillow (pip install pillow); "
+            "extract_features(codec='stub') uses a deterministic fake"
+        )
+    side = max(1, int(n_features**0.5 + 0.9999))
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        pooled = im.convert("L").resize((side, side))
+        px = list(pooled.getdata())
+    feats = [v / 255.0 for v in px]
+    # pad (tiny images) / trim to the exact contract length
+    feats = (feats + [0.0] * n_features)[:n_features]
+    return feats
+
+
+def resize_real(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize (Pillow, optional import): decode, bilinear
+    resize to (width, height), re-encode in the source format (PNG
+    fallback for formats Pillow cannot write). Same contract as
+    ``_fake_resize``."""
+    if not HAS_PIL:  # pragma: no cover - container has no Pillow
+        raise NotImplementedError(
+            "resize_real requires Pillow (pip install pillow); "
+            "resize_images(codec='stub') uses a deterministic fake"
+        )
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        fmt = im.format or "PNG"
+        resized = im.resize((width, height))
+        buf = io.BytesIO()
+        try:
+            resized.save(buf, format=fmt)
+        except (KeyError, OSError):
+            buf = io.BytesIO()
+            resized.save(buf, format="PNG")
+    return buf.getvalue()

@@ -439,7 +439,9 @@ def attribution_stream(
     approximation, called out here rather than hidden.
 
     State per user is one tuple regardless of event volume; the type
-    filter runs scan-side before grouping."""
+    filter runs scan-side before grouping. The per-batch update is
+    fully vectorized (cumulative-max over touch positions after the
+    stable sort) — no per-row Python loop."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     conv, touch = list(conversion_types), list(touch_types)
@@ -466,10 +468,11 @@ def attribution_stream(
     conv_set, touch_set = set(conv), set(touch)
 
     def _update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         s_ts, s_type = state.get if state.exists else (None, None)
-        out: dict[str, list] = {c.name: [] for c in out_schema.fields}
+        frames: list[pd.DataFrame] = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -479,24 +482,58 @@ def attribution_stream(
             # conversions before same-instant touches = strictly-before
             pdf = pdf.sort_values(
                 ["__ts_s__", "__is_touch__", event_col], kind="stable"
+            ).reset_index(drop=True)
+            ts_a = pdf["__ts_s__"].to_numpy(dtype=object)
+            ev_a = pdf[event_col].to_numpy(dtype=object)
+            touch_mask = pdf["__is_touch__"].to_numpy() == 1
+            n = len(pdf)
+            # the sort puts touches in (ts, type)-ascending order, so
+            # each touch beats every earlier one under the update rule
+            # (later ts, or same ts + greater type) — the running
+            # "best touch so far" at row i is simply the LAST touch at
+            # a position < i, against the carried-in state
+            pos = np.where(touch_mask, np.arange(n), -1)
+            best_before = np.concatenate(
+                ([-1], np.maximum.accumulate(pos)[:-1])
             )
-            for _, row in pdf.iterrows():  # per-user batches are small
-                ev, ts_s = row[event_col], row["__ts_s__"]
-                if ev in conv_set:
-                    out[user_col].append(str(key[0]))
-                    out["conversion_ts"].append(ts_s)
-                    out["conversion_type"].append(ev)
-                    out["touch_type"].append(s_type)
-                    out["touch_ts"].append(s_ts)
-                if ev in touch_set:
-                    if (
-                        s_ts is None
-                        or ts_s > s_ts
-                        or (ts_s == s_ts and ev > s_type)
-                    ):
-                        s_ts, s_type = ts_s, ev
+            conv_mask = pdf[event_col].isin(conv_set).to_numpy()
+            cp = best_before[conv_mask]
+            wins = np.zeros(len(cp), dtype=bool)
+            has_batch = np.flatnonzero(cp >= 0)
+            if len(has_batch):
+                bt = cp[has_batch]
+                if s_ts is None:
+                    wins[has_batch] = True
+                else:
+                    wins[has_batch] = (ts_a[bt] > s_ts) | (
+                        (ts_a[bt] == s_ts) & (ev_a[bt] > s_type)
+                    )
+            safe = np.clip(cp, 0, None)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        user_col: str(key[0]),
+                        "conversion_ts": ts_a[conv_mask],
+                        "conversion_type": ev_a[conv_mask],
+                        "touch_type": np.where(wins, ev_a[safe], s_type),
+                        "touch_ts": np.where(wins, ts_a[safe], s_ts),
+                    }
+                )
+            )
+            if touch_mask.any():
+                li = int(np.flatnonzero(touch_mask)[-1])
+                lt_ts, lt_ev = ts_a[li], ev_a[li]
+                if (
+                    s_ts is None
+                    or lt_ts > s_ts
+                    or (lt_ts == s_ts and lt_ev > s_type)
+                ):
+                    s_ts, s_type = lt_ts, lt_ev
         state.update((s_ts, s_type))
-        yield pd.DataFrame(out)
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+        else:
+            yield pd.DataFrame({c.name: [] for c in out_schema.fields})
 
     return (
         df.filter(F.col(event_col).isin(conv + touch))
