@@ -1,0 +1,165 @@
+"""Decade-apart scale probe for the three candidate-pair-driven
+operators: exact Jaccard self-join (AllPairs prefix filter + PPJoin
+positional bound), sparse tf-idf cosine pair join, and the blocked
+fuzzy (edit-distance) self-join.
+
+These are the only operators whose cost is driven by CANDIDATE PAIR
+count rather than row count, so row-linear probes (bench_scale_ops.py,
+10M rows) cannot show whether the pruning bounds actually hold the
+pair space sub-quadratic. This harness runs each op at a small and a
+10x corpus with the SAME corpus shape (vocab/doc ratio, dup rate,
+block-size distribution held constant) and reports the runtime growth
+factor: ~10x growth = linear in candidates (the bounds hold); ~100x =
+quadratic (they don't).
+
+Corpus shape matches bench_scale_ops.py's realistic regime: vocabulary
+proportional to corpus (web text), uniform token draws, 1% seeded
+near-dups. Fuzzy names reuse the 200-per-block hash pattern so block
+sizes stay constant as the corpus grows (more blocks, not bigger
+ones — the operator's intended scaling mode).
+
+Usage:
+    python bench_scale_pairwise.py [--docs-small 2000000] [--factor 10]
+Prints one JSON line; paste results into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from earthmover_spark import get_spark
+from earthmover_spark.operators.fuzzy import fuzzy_self_pairs
+from earthmover_spark.operators.setsim import (
+    jaccard_self_pairs,
+    tfidf_cosine_pairs,
+)
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def _t(fn):
+    t0 = time.monotonic()
+    n = fn()
+    return round(time.monotonic() - t0, 2), n
+
+
+def _jaccard_corpus(spark, docs_n: int):
+    """Uniform 12-token docs, vocab = docs/10 (rarity held constant
+    across scales), 1% of docs duplicate their neighbor's token seed."""
+    vocab = max(1, docs_n // 10)
+    word = lambda seed: F.concat(  # noqa: E731
+        F.lit("t"), F.pmod(F.hash(F.col("base") * seed), F.lit(vocab))
+    )
+    return (
+        spark.range(docs_n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.pmod(F.col("id"), F.lit(100)) == 99, F.col("id") - 1
+            ).otherwise(F.col("id")).alias("base"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                *[word(s) for s in (3, 5, 7, 11, 13, 17, 19, 23, 29,
+                                    31, 37, 41)],
+            ).alias("text"),
+        )
+    )
+
+
+def _names_corpus(spark, names_n: int):
+    """Short strings, ~200 rows per (first-token, length) block
+    regardless of corpus size: the block-count grows with the corpus,
+    block SIZE does not (the fuzzy join's intended scaling mode)."""
+    return spark.range(names_n).select(
+        F.col("id").alias("name_id"),
+        F.concat(
+            F.lit("name"),
+            F.pmod(F.hash("id"), F.lit(names_n // 5)),
+            F.lit(" v"),
+            F.pmod(F.hash(F.col("id") * 3), F.lit(10)),
+        ).alias("name"),
+    )
+
+
+def main() -> None:
+    docs_small = 2_000_000
+    factor = 10
+    if "--docs-small" in sys.argv:
+        docs_small = int(sys.argv[sys.argv.index("--docs-small") + 1])
+    if "--factor" in sys.argv:
+        factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    docs_big = docs_small * factor
+
+    spark = get_spark("bench-scale-pairwise")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="emspark_pairwise_")
+    out: dict[str, dict] = {}
+    try:
+        for tag, n in (("small", docs_small), ("big", docs_big)):
+            _jaccard_corpus(spark, n).write.mode("overwrite").parquet(
+                f"{base}/jc_{tag}"
+            )
+            _names_corpus(spark, n // 2).write.mode("overwrite").parquet(
+                f"{base}/nm_{tag}"
+            )
+        for tag, n in (("small", docs_small), ("big", docs_big)):
+            jc = spark.read.parquet(f"{base}/jc_{tag}")
+            nm = spark.read.parquet(f"{base}/nm_{tag}")
+            sec, pairs = _t(
+                lambda: _count(
+                    jaccard_self_pairs(jc, "text", "doc_id", threshold=0.9)
+                )
+            )
+            out.setdefault("jaccard_pairs_09", {})[tag] = {
+                "docs": n, "sec": sec, "pairs": pairs
+            }
+            sec, pairs = _t(
+                lambda: _count(
+                    tfidf_cosine_pairs(
+                        jc, "text", "doc_id", threshold=0.9
+                    )
+                )
+            )
+            out.setdefault("tfidf_pairs_09", {})[tag] = {
+                "docs": n, "sec": sec, "pairs": pairs
+            }
+            sec, pairs = _t(
+                lambda: _count(
+                    fuzzy_self_pairs(nm, "name", "name_id", max_distance=2)
+                )
+            )
+            out.setdefault("fuzzy_pairs_d2", {})[tag] = {
+                "names": n // 2, "sec": sec, "pairs": pairs
+            }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    for op, row in out.items():
+        row["growth"] = round(
+            row["big"]["sec"] / max(row["small"]["sec"], 1e-9), 2
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "pairwise_scale_probe",
+                "factor": factor,
+                "unit": "sec",
+                "ops": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

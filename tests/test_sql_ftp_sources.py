@@ -195,3 +195,21 @@ def test_read_sql_real_jdbc_partitioned(spark, tmp_path):
     )
     assert df.rdd.getNumPartitions() == 4
     assert sorted(r.N for r in df.collect()) == list(range(20))
+
+
+def test_read_sql_real_jdbc_postgres(spark):
+    """Network-postgres integration, env-var-gated: set
+    EARTHMOVER_SPARK_PG_URL to a JDBC url (e.g.
+    ``jdbc:postgresql://host:5432/db?user=u&password=p``) to run.
+    Skipped in CI containers with no database; the executor-side JDBC
+    scan itself is covered by the embedded-Derby tests above."""
+    import os
+
+    url = os.environ.get("EARTHMOVER_SPARK_PG_URL")
+    if not url:
+        pytest.skip("EARTHMOVER_SPARK_PG_URL not set; no postgres available")
+    df = read_sql(
+        spark, url, "SELECT 1 AS one, 'x' AS label",
+        driver="org.postgresql.Driver",
+    )
+    assert [(r.one, r.label) for r in df.collect()] == [(1, "x")]
