@@ -1447,6 +1447,48 @@ def q_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.novel_docs(batch, seen).select("doc_id", "content_hash")
 
 
+def q_lsh_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash-LSH join with exact-Jaccard verification:
+    documents vs a synthetic benchmark (every 10th doc, half verbatim,
+    half with an appended tail) — fuzzy train-vs-benchmark matching.
+    Banded signatures on both sides; the join is bucket-keyed, never
+    |corpus| x |benchmark|."""
+    from earthmover_spark.llm import dedup
+
+    docs = _p(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(
+        (F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 200)
+    ).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 20 == 3,
+            F.concat(F.col("text"), F.lit(" extra tail words")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.lsh_join(docs, bench, threshold=0.5)
+
+
+def q_decon_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup decontamination: drop documents whose shingles LSH-match
+    the synthetic benchmark above at verified Jaccard >= 0.5 — the
+    fuzzy companion to q_decontaminate's exact n-gram membership."""
+    from earthmover_spark.llm import dedup
+
+    docs = _p(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(
+        (F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 200)
+    ).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 20 == 3,
+            F.concat(F.col("text"), F.lit(" extra tail words")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.decontaminate_near(docs, bench, threshold=0.5).select(
+        "doc_id"
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clip event values to the per-type [0.05, 0.95] quantile band
     (winsorization): same one-agg broadcast-cutoff shape as the band
@@ -2056,6 +2098,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "emb_normalize": q_emb_normalize,
+    # NEW in r6 (added after the r6 prefix was committed to the
+    # stale-r1 refresh): first official rows due r7 — rotate these in
+    # FIRST next round; both locally oracle-verified (tools/compare.py)
+        "lsh_cross": q_lsh_cross,
+        "decon_near": q_decon_near,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2390,6 +2437,114 @@ def oracle_sql() -> dict[str, str]:
               JOIN dsh b ON b.doc_id = p.id_b
             )
             SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        # cross-corpus LSH: same sig/band machinery as dedup_minhash_lsh,
+        # run once per side; bench derivation mirrors q_lsh_cross exactly
+        "lsh_cross": f"""
+            WITH corpus AS (SELECT doc_id, text FROM documents),
+            bench AS (
+              SELECT doc_id + 50000 AS doc_id,
+                     CASE WHEN doc_id % 20 = 3
+                          THEN text || ' extra tail words' ELSE text END AS text
+              FROM documents WHERE doc_id % 10 = 3 AND doc_id < 200
+            ),
+            wl AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM corpus),
+            wr AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM bench),
+            shl AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(words) - 3, 0)),
+                         i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS shs
+              FROM wl
+            ), shr AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(words) - 3, 0)),
+                         i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS shs
+              FROM wr
+            ), sigl AS (
+              SELECT doc_id, [
+                {", ".join(f"list_min(list_transform(shs, s -> md5('mh{i}:' || s)))" for i in range(16))}
+              ] AS s FROM shl
+            ), sigr AS (
+              SELECT doc_id, [
+                {", ".join(f"list_min(list_transform(shs, s -> md5('mh{i}:' || s)))" for i in range(16))}
+              ] AS s FROM shr
+            ), bl AS (
+              SELECT doc_id, b.band,
+                     md5(array_to_string(list_slice(s, b.band * 4 + 1, b.band * 4 + 4), ',')) AS bh
+              FROM sigl, (SELECT unnest(range(4)) AS band) b
+            ), br AS (
+              SELECT doc_id, b.band,
+                     md5(array_to_string(list_slice(s, b.band * 4 + 1, b.band * 4 + 4), ',')) AS bh
+              FROM sigr, (SELECT unnest(range(4)) AS band) b
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM bl a JOIN br b ON a.band = b.band AND a.bh = b.bh
+            ), dsl AS (SELECT doc_id, list_distinct(shs) AS ds FROM shl),
+            dsr AS (SELECT doc_id, list_distinct(shs) AS ds FROM shr),
+            scored AS (
+              SELECT p.left_id, p.right_id,
+                     round(len(list_intersect(a.ds, b.ds))
+                           / len(list_distinct(list_concat(a.ds, b.ds))), 6) AS jaccard
+              FROM pairs p
+              JOIN dsl a ON a.doc_id = p.left_id
+              JOIN dsr b ON b.doc_id = p.right_id
+            )
+            SELECT left_id, right_id, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        # near-dup decontamination = corpus anti-join on the verified
+        # lsh_cross hit set
+        "decon_near": f"""
+            WITH corpus AS (SELECT doc_id, text FROM documents),
+            bench AS (
+              SELECT doc_id + 50000 AS doc_id,
+                     CASE WHEN doc_id % 20 = 3
+                          THEN text || ' extra tail words' ELSE text END AS text
+              FROM documents WHERE doc_id % 10 = 3 AND doc_id < 200
+            ),
+            wl AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM corpus),
+            wr AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM bench),
+            shl AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(words) - 3, 0)),
+                         i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS shs
+              FROM wl
+            ), shr AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(words) - 3, 0)),
+                         i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS shs
+              FROM wr
+            ), sigl AS (
+              SELECT doc_id, [
+                {", ".join(f"list_min(list_transform(shs, s -> md5('mh{i}:' || s)))" for i in range(16))}
+              ] AS s FROM shl
+            ), sigr AS (
+              SELECT doc_id, [
+                {", ".join(f"list_min(list_transform(shs, s -> md5('mh{i}:' || s)))" for i in range(16))}
+              ] AS s FROM shr
+            ), bl AS (
+              SELECT doc_id, b.band,
+                     md5(array_to_string(list_slice(s, b.band * 4 + 1, b.band * 4 + 4), ',')) AS bh
+              FROM sigl, (SELECT unnest(range(4)) AS band) b
+            ), br AS (
+              SELECT doc_id, b.band,
+                     md5(array_to_string(list_slice(s, b.band * 4 + 1, b.band * 4 + 4), ',')) AS bh
+              FROM sigr, (SELECT unnest(range(4)) AS band) b
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM bl a JOIN br b ON a.band = b.band AND a.bh = b.bh
+            ), dsl AS (SELECT doc_id, list_distinct(shs) AS ds FROM shl),
+            dsr AS (SELECT doc_id, list_distinct(shs) AS ds FROM shr),
+            scored AS (
+              SELECT p.left_id,
+                     round(len(list_intersect(a.ds, b.ds))
+                           / len(list_distinct(list_concat(a.ds, b.ds))), 6) AS jaccard
+              FROM pairs p
+              JOIN dsl a ON a.doc_id = p.left_id
+              JOIN dsr b ON b.doc_id = p.right_id
+            )
+            SELECT doc_id FROM corpus
+            WHERE doc_id NOT IN (
+              SELECT left_id FROM scored WHERE jaccard >= 0.5)
         """,
         "dedup_simhash": f"""
             WITH corpus AS ({_CORPUS_SQL}),

@@ -113,42 +113,44 @@ def main() -> None:
             _names_corpus(spark, n // 2).write.mode("overwrite").parquet(
                 f"{base}/nm_{tag}"
             )
+        # cheapest op first so partial results survive a disk blowout
+        # on the most shuffle-heavy joins; failures are recorded, not
+        # fatal
         for tag, n in (("small", docs_small), ("big", docs_big)):
             jc = spark.read.parquet(f"{base}/jc_{tag}")
             nm = spark.read.parquet(f"{base}/nm_{tag}")
-            sec, pairs = _t(
-                lambda: _count(
-                    jaccard_self_pairs(jc, "text", "doc_id", threshold=0.9)
-                )
-            )
-            out.setdefault("jaccard_pairs_09", {})[tag] = {
-                "docs": n, "sec": sec, "pairs": pairs
-            }
-            sec, pairs = _t(
-                lambda: _count(
-                    tfidf_cosine_pairs(
-                        jc, "text", "doc_id", threshold=0.9
-                    )
-                )
-            )
-            out.setdefault("tfidf_pairs_09", {})[tag] = {
-                "docs": n, "sec": sec, "pairs": pairs
-            }
-            sec, pairs = _t(
-                lambda: _count(
-                    fuzzy_self_pairs(nm, "name", "name_id", max_distance=2)
-                )
-            )
-            out.setdefault("fuzzy_pairs_d2", {})[tag] = {
-                "names": n // 2, "sec": sec, "pairs": pairs
-            }
+            cases = [
+                ("fuzzy_pairs_d2", {"names": n // 2},
+                 lambda: _count(
+                     fuzzy_self_pairs(nm, "name", "name_id", max_distance=2)
+                 )),
+                ("jaccard_pairs_09", {"docs": n},
+                 lambda: _count(
+                     jaccard_self_pairs(jc, "text", "doc_id", threshold=0.9)
+                 )),
+                ("tfidf_pairs_09", {"docs": n},
+                 lambda: _count(
+                     tfidf_cosine_pairs(jc, "text", "doc_id", threshold=0.9)
+                 )),
+            ]
+            for name, size, fn in cases:
+                try:
+                    sec, pairs = _t(fn)
+                    out.setdefault(name, {})[tag] = {
+                        **size, "sec": sec, "pairs": pairs
+                    }
+                except Exception as exc:  # noqa: BLE001 - record & go on
+                    out.setdefault(name, {})[tag] = {
+                        **size, "error": str(exc)[:200]
+                    }
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
     for op, row in out.items():
-        row["growth"] = round(
-            row["big"]["sec"] / max(row["small"]["sec"], 1e-9), 2
-        )
+        if "sec" in row.get("big", {}) and "sec" in row.get("small", {}):
+            row["growth"] = round(
+                row["big"]["sec"] / max(row["small"]["sec"], 1e-9), 2
+            )
     print(
         json.dumps(
             {

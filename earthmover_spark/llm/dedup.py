@@ -137,24 +137,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_n: int = 3,
+def _banded(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """LSH banding: split the signature into `bands` rows of
-    num_hashes/bands values, bucket-join docs sharing any band hash.
-
-    The join is keyed on (band_index, band_hash) — only docs colliding
-    in a bucket are paired, so the shuffle is proportional to bucket
-    sizes, not |docs|^2. Returns distinct (id_a, id_b) with id_a < id_b.
-    """
+    """Band a signature frame: one ``(id, band, bh)`` row per band,
+    ``bh = md5`` of the band's signature slice. The banding is a pure
+    per-row projection (no shuffle) — the bucket-join downstream is the
+    only exchange."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sigs.select(
+    return sigs.select(
         id_col,
         F.explode(
             F.array(
@@ -176,6 +167,25 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` rows of
+    num_hashes/bands values, bucket-join docs sharing any band hash.
+
+    The join is keyed on (band_index, band_hash) — only docs colliding
+    in a bucket are paired, so the shuffle is proportional to bucket
+    sizes, not |docs|^2. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = _banded(sigs, id_col, num_hashes, bands)
     # the self-join consumes `banded` twice; persist so the signature
     # pipeline (the expensive md5 pass over every shingle) runs once.
     # banded is tiny relative to the corpus: bands x 1 hash per doc.
@@ -236,6 +246,106 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float | None = None,
+) -> DataFrame:
+    """CROSS-corpus MinHash-LSH join: ``(left_id, right_id)`` pairs of
+    docs whose banded signatures collide in any bucket — the
+    two-corpus companion to ``lsh_candidate_pairs`` (self-join), for
+    fuzzy train-vs-benchmark matching where ``novel_docs``' exact
+    digest anti-join is too strict. With ``threshold``, candidates are
+    verified with exact distinct-shingle Jaccard (computed on the
+    CONCATENATED corpora's shingle sets — the same shingling both
+    signatures used) and a ``jaccard`` column is kept.
+
+    Scale shape (100 TB): both sides reduce to (id, bands x 1 hash)
+    below the join; the join is keyed on (band, band_hash), so the
+    shuffle is bucket-sized, never |left| x |right|. The verify join
+    ships shingle arrays only for candidate ids (semi-join pruned).
+    No reference equivalent — beyond-reference surface."""
+    banded_l = _banded(
+        minhash_signatures(left, text_col, id_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands,
+    )
+    banded_r = _banded(
+        minhash_signatures(right, text_col, id_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands,
+    )
+    a, b = banded_l.alias("a"), banded_r.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+        )
+        .distinct()
+    )
+    if threshold is None:
+        return pairs
+
+    def _sh(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias(
+                out_sh
+            ),
+        )
+
+    return (
+        pairs.join(_sh(left, "left_id", "sh_l"), "left_id")
+        .join(_sh(right, "right_id", "sh_r"), "right_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_l", "sh_r"))
+                / F.size(F.array_union("sh_l", "sh_r")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def decontaminate_near(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float | None = 0.7,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: drop corpus docs whose shingled
+    text LSH-collides with any benchmark doc (verified to exact
+    Jaccard >= ``threshold`` unless None) — the fuzzy companion to
+    ``curation.decontaminate`` (exact broadcast n-gram membership),
+    for benchmarks that appear lightly paraphrased in training data.
+
+    The contaminated-id set is an anti-join key frame (ids only, never
+    documents); corpus rows shuffle zero extra times beyond the LSH
+    bucket join."""
+    hits = lsh_join(
+        corpus, benchmark, text_col, id_col,
+        num_hashes, bands, shingle_n, threshold,
+    ).select(F.col("left_id").alias(id_col)).distinct()
+    return corpus.join(hits, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
