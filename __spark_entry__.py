@@ -1373,6 +1373,42 @@ def q_emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance sub-matrix (first 8 dims) of the corpus
+    embeddings — the bounded ONE-aggregation reduction that
+    ``embeddings.pca_fit`` eigendecomposes on the driver. The
+    eigendecomposition itself is not SQL-expressible, so the oracle
+    twin checks this data-dependent stage in full and
+    ``tests/test_r6_ops.py`` pins the fit/projection invariants
+    (orthonormality, eigenvalue ordering, numpy parity)."""
+    emb = _p(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    d = 8
+    aggs = [F.avg(v[i]).alias(f"m{i}") for i in range(d)] + [
+        F.avg(v[i] * v[j]).alias(f"s{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.round(
+                    F.col(f"s{i}_{j}") - F.col(f"m{i}") * F.col(f"m{j}"), 6
+                ).alias("cov"),
+            )
+            for i in range(d)
+            for j in range(i, d)
+        ]
+    )
+    return (
+        emb.agg(*aggs)
+        .select(F.explode(entries).alias("e"))
+        .select("e.i", "e.j", "e.cov")
+    )
+
+
 def q_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed full-batch logistic regression over md5-hashed
     bag-of-words features (3 GD iterations, zero init) — the fastText-
@@ -1523,6 +1559,37 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _p(spark, sf_dir, "documents")
     return retrieval.bm25_scores(docs, ["query", "table", "spark"])
+
+
+def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25: three topical queries scored in ONE corpus pass
+    (shared postings + broadcast (query_id, term) map), per-query
+    top-20 via WindowGroupLimit — the retrieval-eval shape where
+    per-query re-tokenization would be the scale killer."""
+    from earthmover_spark.llm import retrieval
+
+    docs = _p(spark, sf_dir, "documents")
+    return retrieval.bm25_batch(
+        docs,
+        {
+            "q1": ["query", "table", "spark"],
+            "q2": ["join", "hash", "merge"],
+            "q3": ["stream", "window"],
+        },
+        top_k=20,
+    )
+
+
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of lineitem's numeric columns
+    from ONE moment aggregation (zero-variance pairs -> NULL) — the
+    pre-training feature cross-check."""
+    from earthmover_spark.operators import profile
+
+    li = _p(spark, sf_dir, "lineitem")
+    return profile.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
 
 
 def q_inverted_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2100,9 +2167,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_normalize": q_emb_normalize,
     # NEW in r6 (added after the r6 prefix was committed to the
     # stale-r1 refresh): first official rows due r7 — rotate these in
-    # FIRST next round; both locally oracle-verified (tools/compare.py)
+    # FIRST next round; all five locally oracle-verified
+    # (tools/compare.py)
         "lsh_cross": q_lsh_cross,
         "decon_near": q_decon_near,
+        "emb_pca_cov": q_emb_pca_cov,
+        "bm25_multi": q_bm25_multi,
+        "corr_pairs": q_corr_pairs,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2545,6 +2616,130 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM corpus
             WHERE doc_id NOT IN (
               SELECT left_id FROM scored WHERE jaccard >= 0.5)
+        """,
+        # pca_fit's covariance reduction, first 8 dims: one agg of
+        # means + upper-triangle second moments, then 36 entry rows
+        "emb_pca_cov": """
+            WITH agg AS (
+              SELECT avg(embedding[1]) AS m0, avg(embedding[2]) AS m1, avg(embedding[3]) AS m2, avg(embedding[4]) AS m3, avg(embedding[5]) AS m4, avg(embedding[6]) AS m5, avg(embedding[7]) AS m6, avg(embedding[8]) AS m7,
+                     avg(embedding[1] * embedding[1]) AS s0_0, avg(embedding[1] * embedding[2]) AS s0_1, avg(embedding[1] * embedding[3]) AS s0_2, avg(embedding[1] * embedding[4]) AS s0_3, avg(embedding[1] * embedding[5]) AS s0_4, avg(embedding[1] * embedding[6]) AS s0_5, avg(embedding[1] * embedding[7]) AS s0_6, avg(embedding[1] * embedding[8]) AS s0_7, avg(embedding[2] * embedding[2]) AS s1_1, avg(embedding[2] * embedding[3]) AS s1_2, avg(embedding[2] * embedding[4]) AS s1_3, avg(embedding[2] * embedding[5]) AS s1_4, avg(embedding[2] * embedding[6]) AS s1_5, avg(embedding[2] * embedding[7]) AS s1_6, avg(embedding[2] * embedding[8]) AS s1_7, avg(embedding[3] * embedding[3]) AS s2_2, avg(embedding[3] * embedding[4]) AS s2_3, avg(embedding[3] * embedding[5]) AS s2_4, avg(embedding[3] * embedding[6]) AS s2_5, avg(embedding[3] * embedding[7]) AS s2_6, avg(embedding[3] * embedding[8]) AS s2_7, avg(embedding[4] * embedding[4]) AS s3_3, avg(embedding[4] * embedding[5]) AS s3_4, avg(embedding[4] * embedding[6]) AS s3_5, avg(embedding[4] * embedding[7]) AS s3_6, avg(embedding[4] * embedding[8]) AS s3_7, avg(embedding[5] * embedding[5]) AS s4_4, avg(embedding[5] * embedding[6]) AS s4_5, avg(embedding[5] * embedding[7]) AS s4_6, avg(embedding[5] * embedding[8]) AS s4_7, avg(embedding[6] * embedding[6]) AS s5_5, avg(embedding[6] * embedding[7]) AS s5_6, avg(embedding[6] * embedding[8]) AS s5_7, avg(embedding[7] * embedding[7]) AS s6_6, avg(embedding[7] * embedding[8]) AS s6_7, avg(embedding[8] * embedding[8]) AS s7_7
+              FROM embeddings
+            )
+            SELECT 0 AS i, 0 AS j, round(s0_0 - m0 * m0, 6) AS cov FROM agg
+              UNION ALL SELECT 0 AS i, 1 AS j, round(s0_1 - m0 * m1, 6) AS cov FROM agg
+              UNION ALL SELECT 0 AS i, 2 AS j, round(s0_2 - m0 * m2, 6) AS cov FROM agg
+              UNION ALL SELECT 0 AS i, 3 AS j, round(s0_3 - m0 * m3, 6) AS cov FROM agg
+              UNION ALL SELECT 0 AS i, 4 AS j, round(s0_4 - m0 * m4, 6) AS cov FROM agg
+              UNION ALL SELECT 0 AS i, 5 AS j, round(s0_5 - m0 * m5, 6) AS cov FROM agg
+              UNION ALL SELECT 0 AS i, 6 AS j, round(s0_6 - m0 * m6, 6) AS cov FROM agg
+              UNION ALL SELECT 0 AS i, 7 AS j, round(s0_7 - m0 * m7, 6) AS cov FROM agg
+              UNION ALL SELECT 1 AS i, 1 AS j, round(s1_1 - m1 * m1, 6) AS cov FROM agg
+              UNION ALL SELECT 1 AS i, 2 AS j, round(s1_2 - m1 * m2, 6) AS cov FROM agg
+              UNION ALL SELECT 1 AS i, 3 AS j, round(s1_3 - m1 * m3, 6) AS cov FROM agg
+              UNION ALL SELECT 1 AS i, 4 AS j, round(s1_4 - m1 * m4, 6) AS cov FROM agg
+              UNION ALL SELECT 1 AS i, 5 AS j, round(s1_5 - m1 * m5, 6) AS cov FROM agg
+              UNION ALL SELECT 1 AS i, 6 AS j, round(s1_6 - m1 * m6, 6) AS cov FROM agg
+              UNION ALL SELECT 1 AS i, 7 AS j, round(s1_7 - m1 * m7, 6) AS cov FROM agg
+              UNION ALL SELECT 2 AS i, 2 AS j, round(s2_2 - m2 * m2, 6) AS cov FROM agg
+              UNION ALL SELECT 2 AS i, 3 AS j, round(s2_3 - m2 * m3, 6) AS cov FROM agg
+              UNION ALL SELECT 2 AS i, 4 AS j, round(s2_4 - m2 * m4, 6) AS cov FROM agg
+              UNION ALL SELECT 2 AS i, 5 AS j, round(s2_5 - m2 * m5, 6) AS cov FROM agg
+              UNION ALL SELECT 2 AS i, 6 AS j, round(s2_6 - m2 * m6, 6) AS cov FROM agg
+              UNION ALL SELECT 2 AS i, 7 AS j, round(s2_7 - m2 * m7, 6) AS cov FROM agg
+              UNION ALL SELECT 3 AS i, 3 AS j, round(s3_3 - m3 * m3, 6) AS cov FROM agg
+              UNION ALL SELECT 3 AS i, 4 AS j, round(s3_4 - m3 * m4, 6) AS cov FROM agg
+              UNION ALL SELECT 3 AS i, 5 AS j, round(s3_5 - m3 * m5, 6) AS cov FROM agg
+              UNION ALL SELECT 3 AS i, 6 AS j, round(s3_6 - m3 * m6, 6) AS cov FROM agg
+              UNION ALL SELECT 3 AS i, 7 AS j, round(s3_7 - m3 * m7, 6) AS cov FROM agg
+              UNION ALL SELECT 4 AS i, 4 AS j, round(s4_4 - m4 * m4, 6) AS cov FROM agg
+              UNION ALL SELECT 4 AS i, 5 AS j, round(s4_5 - m4 * m5, 6) AS cov FROM agg
+              UNION ALL SELECT 4 AS i, 6 AS j, round(s4_6 - m4 * m6, 6) AS cov FROM agg
+              UNION ALL SELECT 4 AS i, 7 AS j, round(s4_7 - m4 * m7, 6) AS cov FROM agg
+              UNION ALL SELECT 5 AS i, 5 AS j, round(s5_5 - m5 * m5, 6) AS cov FROM agg
+              UNION ALL SELECT 5 AS i, 6 AS j, round(s5_6 - m5 * m6, 6) AS cov FROM agg
+              UNION ALL SELECT 5 AS i, 7 AS j, round(s5_7 - m5 * m7, 6) AS cov FROM agg
+              UNION ALL SELECT 6 AS i, 6 AS j, round(s6_6 - m6 * m6, 6) AS cov FROM agg
+              UNION ALL SELECT 6 AS i, 7 AS j, round(s6_7 - m6 * m7, 6) AS cov FROM agg
+              UNION ALL SELECT 7 AS i, 7 AS j, round(s7_7 - m7 * m7, 6) AS cov FROM agg
+        """,
+        # bm25_batch: shared postings + (query_id, term) VALUES map,
+        # per-query top-20 over the ROUNDED score (same tie order as
+        # top_n_rows: score desc, doc_id asc)
+        "bm25_multi": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM norm
+            ), dt0 AS (
+              SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM norm
+            ), dt AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM dt0
+              WHERE term != '' AND term IN
+                    ('query', 'table', 'spark', 'join', 'hash', 'merge',
+                     'stream', 'window')
+              GROUP BY 1, 2, 3
+            ), idf AS (
+              SELECT term,
+                     ln(1 + (stats.n - count(DISTINCT doc_id) + 0.5)
+                            / (count(DISTINCT doc_id) + 0.5)) AS idf
+              FROM dt, stats GROUP BY term, stats.n
+            ), q(query_id, term) AS (
+              VALUES ('q1', 'query'), ('q1', 'table'), ('q1', 'spark'),
+                     ('q2', 'join'), ('q2', 'hash'), ('q2', 'merge'),
+                     ('q3', 'stream'), ('q3', 'window')
+            ), scored AS (
+              SELECT q.query_id, dt.doc_id,
+                     round(sum(idf.idf * dt.tf * 2.2
+                               / (dt.tf + 1.2 * (0.25 + 0.75 * dt.dl
+                                                        / stats.avgdl))), 6)
+                         AS score
+              FROM dt JOIN idf USING (term) JOIN q USING (term), stats
+              GROUP BY q.query_id, dt.doc_id
+            ), ranked AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, doc_id, score, rank FROM ranked
+            WHERE rank <= 20
+        """,
+        # corr_matrix: one-agg moments, zero-variance guard -> NULL
+        "corr_pairs": """
+            WITH agg AS (
+              SELECT avg(l_quantity) AS m0, stddev_pop(l_quantity) AS sd0,
+                     avg(l_extendedprice) AS m1, stddev_pop(l_extendedprice) AS sd1,
+                     avg(l_discount) AS m2, stddev_pop(l_discount) AS sd2,
+                     avg(l_tax) AS m3, stddev_pop(l_tax) AS sd3,
+                     avg(l_quantity * l_extendedprice) AS p0_1,
+                     avg(l_quantity * l_discount) AS p0_2,
+                     avg(l_quantity * l_tax) AS p0_3,
+                     avg(l_extendedprice * l_discount) AS p1_2,
+                     avg(l_extendedprice * l_tax) AS p1_3,
+                     avg(l_discount * l_tax) AS p2_3
+              FROM lineitem
+            ), names(i, col_name) AS (
+              VALUES (0, 'l_quantity'), (1, 'l_extendedprice'),
+                     (2, 'l_discount'), (3, 'l_tax')
+            ), entries AS (
+              SELECT 0 AS i, 0 AS j, CASE WHEN sd0 > 0 THEN 1.0 END AS corr FROM agg
+              UNION ALL SELECT 0, 1, CASE WHEN sd0 * sd1 > 0 THEN round((p0_1 - m0 * m1) / (sd0 * sd1), 6) END FROM agg
+              UNION ALL SELECT 0, 2, CASE WHEN sd0 * sd2 > 0 THEN round((p0_2 - m0 * m2) / (sd0 * sd2), 6) END FROM agg
+              UNION ALL SELECT 0, 3, CASE WHEN sd0 * sd3 > 0 THEN round((p0_3 - m0 * m3) / (sd0 * sd3), 6) END FROM agg
+              UNION ALL SELECT 1, 1, CASE WHEN sd1 > 0 THEN 1.0 END FROM agg
+              UNION ALL SELECT 1, 2, CASE WHEN sd1 * sd2 > 0 THEN round((p1_2 - m1 * m2) / (sd1 * sd2), 6) END FROM agg
+              UNION ALL SELECT 1, 3, CASE WHEN sd1 * sd3 > 0 THEN round((p1_3 - m1 * m3) / (sd1 * sd3), 6) END FROM agg
+              UNION ALL SELECT 2, 2, CASE WHEN sd2 > 0 THEN 1.0 END FROM agg
+              UNION ALL SELECT 2, 3, CASE WHEN sd2 * sd3 > 0 THEN round((p2_3 - m2 * m3) / (sd2 * sd3), 6) END FROM agg
+              UNION ALL SELECT 3, 3, CASE WHEN sd3 > 0 THEN 1.0 END FROM agg
+            )
+            SELECT a.col_name AS col_a, b.col_name AS col_b, e.corr
+            FROM entries e
+            JOIN names a ON a.i = e.i
+            JOIN names b ON b.i = e.j
         """,
         "dedup_simhash": f"""
             WITH corpus AS ({_CORPUS_SQL}),

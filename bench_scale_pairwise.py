@@ -95,10 +95,15 @@ def _names_corpus(spark, names_n: int):
 def main() -> None:
     docs_small = 2_000_000
     factor = 10
+    only_ops: set[str] | None = None
     if "--docs-small" in sys.argv:
         docs_small = int(sys.argv[sys.argv.index("--docs-small") + 1])
     if "--factor" in sys.argv:
         factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    if "--ops" in sys.argv:
+        only_ops = set(
+            sys.argv[sys.argv.index("--ops") + 1].split(",")
+        )
     docs_big = docs_small * factor
 
     spark = get_spark("bench-scale-pairwise")
@@ -134,6 +139,8 @@ def main() -> None:
                  )),
             ]
             for name, size, fn in cases:
+                if only_ops is not None and name not in only_ops:
+                    continue
                 try:
                     sec, pairs = _t(fn)
                     out.setdefault(name, {})[tag] = {

@@ -150,3 +150,92 @@ def quantize_int8(
         .withColumn(scale_col, F.round(vmax / 127.0, 6))
         .drop("__vmax__")
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    dims: int | None = None,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit corpus-wide PCA: returns ``(mean [d], components [k][d],
+    explained_variance [k])`` with components ordered by eigenvalue
+    descending and sign-fixed (largest-|coefficient| entry positive)
+    so the fit is deterministic.
+
+    Scale shape (100 TB): the d x d population covariance comes from
+    ONE aggregation — d means + d(d+1)/2 upper-triangle second
+    moments, all map-side combined, so the reduce moves a single
+    O(d^2)-double row regardless of corpus size; the eigendecomposition
+    runs on the driver over that bounded d x d matrix (numpy ``eigh``,
+    d <= a few hundred). Corpus vectors never leave the executors.
+
+    EAGER by nature (like ``clustering.kmeans_lloyd``): the covariance
+    row must round-trip the driver to be eigendecomposed."""
+    import numpy as np
+
+    v = _dvec(vec_col)
+    if dims is None:
+        first = df.select(F.size(vec_col).alias("d")).head()
+        if first is None:
+            raise ValueError("pca_fit: empty input")
+        dims = first["d"]
+    if not (1 <= k <= dims):
+        raise ValueError(f"pca_fit: need 1 <= k <= dims, got k={k}")
+    aggs = [F.avg(v[i]).alias(f"m{i}") for i in range(dims)] + [
+        F.avg(v[i] * v[j]).alias(f"s{i}_{j}")
+        for i in range(dims)
+        for j in range(i, dims)
+    ]
+    row = df.agg(*aggs).collect()[0]  # bounded: one O(d^2) row
+    mu = np.array([float(row[f"m{i}"]) for i in range(dims)])
+    cov = np.zeros((dims, dims))
+    for i in range(dims):
+        for j in range(i, dims):
+            c = float(row[f"s{i}_{j}"]) - mu[i] * mu[j]
+            cov[i, j] = cov[j, i] = c
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        e = vecs[:, idx]
+        if e[int(np.argmax(np.abs(e)))] < 0:  # deterministic sign
+            e = -e
+        comps.append([float(x) for x in e])
+    return (
+        [float(x) for x in mu],
+        comps,
+        [max(0.0, float(vals[idx])) for idx in order],
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    out_col: str = "pc",
+    dims: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Project every vector onto the corpus's top-``k`` principal
+    components (dimensionality reduction before clustering / ANN /
+    dedup): ``pc[j] = sum_i (v[i] - mean[i]) * component_j[i]``.
+
+    The fit is ``pca_fit`` above (one bounded aggregation + driver
+    eigendecomposition); the projection itself embeds mean and
+    components as LITERALS in native array expressions — zero joins,
+    zero shuffle, codegen'd, scan-bound. EAGER like the fit."""
+    mean, comps, _ = pca_fit(df, vec_col, k, dims)
+    v = _dvec(vec_col)
+    cols = []
+    for comp in comps:
+        terms = [
+            (v[i] - F.lit(mean[i])) * F.lit(comp[i])
+            for i in range(len(comp))
+            if comp[i] != 0.0
+        ]
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr + t
+        cols.append(F.round(expr, round_to))
+    return df.withColumn(out_col, F.array(*cols))

@@ -26,6 +26,8 @@ engine); this is beyond-reference surface for training-data curation.
 
 from __future__ import annotations
 
+from collections.abc import Mapping, Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -136,6 +138,96 @@ def bm25_scores(
             qt.unpersist()
 
 
+def bm25_batch(
+    df: DataFrame,
+    queries: Mapping[str, Sequence[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Score every document against MANY queries in ONE corpus pass —
+    the retrieval-eval workhorse (``bm25_scores`` run per-query would
+    re-tokenize the corpus per query). Returns ``(query_id, id,
+    score)`` for docs matching >= 1 of their query's terms; with
+    ``top_k``, each query keeps its k best by (score desc, id) plus a
+    ``rank`` column.
+
+    Scale shape (100 TB): the corpus tokenizes once; only postings
+    whose term appears in ANY query survive to the first shuffle
+    (scan-side filter); idf and the (query_id, term) map are broadcast
+    (bounded by total query terms, not the corpus); per-query top-k
+    rides a WindowGroupLimit window, never a global sort. Same
+    eagerness contract as ``bm25_scores`` (N/avgdl are baked-in
+    scalars; ``materialize=True`` persists the shared postings and
+    checkpoints the result)."""
+    qterms = {
+        qid: sorted({t for t in ts if t}) for qid, ts in queries.items()
+    }
+    qterms = {qid: ts for qid, ts in qterms.items() if ts}
+    if not qterms:
+        raise ValueError("bm25_batch: queries must contain >= 1 term")
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    spark = df.sparkSession
+    qt_df = spark.createDataFrame(
+        [(qid, t) for qid, ts in qterms.items() for t in ts],
+        "query_id string, term string",
+    )
+    dt = _doc_terms(df, text_col, id_col).filter(
+        F.col("term").isin(all_terms)
+    )
+    if materialize:
+        dt = dt.persist()
+    try:
+        stats = spread_narrow_scan(df).select(
+            F.size(F.split(normalize_text(F.col(text_col)), " ")).alias("__l__")
+        ).agg(
+            F.count(F.lit(1)).alias("__n__"), F.avg("__l__").alias("__avgdl__")
+        ).collect()[0]
+        n_docs, avgdl = stats["__n__"], float(stats["__avgdl__"] or 1.0)
+        idf = dt.groupBy("term").agg(
+            F.count_distinct(id_col).alias("__df__")
+        ).select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("__df__") + 0.5)
+                / (F.col("__df__") + 0.5)
+            ).alias("__idf__"),
+        )
+        tf_part: Column = (
+            F.col("tf") * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("__dl__") / F.lit(avgdl))
+            )
+        )
+        scored = (
+            dt.join(F.broadcast(idf), "term")
+            .join(F.broadcast(qt_df), "term")
+            .groupBy("query_id", id_col)
+            .agg(F.round(F.sum(F.col("__idf__") * tf_part), 6).alias("score"))
+        )
+        if top_k is not None:
+            from earthmover_spark.operators.groupby import top_n_rows
+
+            scored = top_n_rows(
+                scored,
+                group_by_columns=["query_id"],
+                order_by=["-score", f"+{id_col}"],
+                n=top_k,
+                rank_column="rank",
+            )
+        if not materialize:
+            return scored
+        return scored.localCheckpoint()
+    finally:
+        if materialize:
+            dt.unpersist()
+
+
 def inverted_index(
     df: DataFrame,
     text_col: str = "text",
@@ -157,4 +249,4 @@ def inverted_index(
     return idx
 
 
-__all__ = ["bm25_scores", "inverted_index"]
+__all__ = ["bm25_scores", "bm25_batch", "inverted_index"]

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from earthmover_spark.util import EarthmoverSparkError
@@ -120,3 +120,68 @@ def histogram(
             "n",
         )
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Iterable[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns — the feature
+    cross-check run alongside ``profile_table`` before training
+    (redundant features, leakage candidates). Returns one row per
+    unordered pair (upper triangle, ``col_a < col_b`` positionally,
+    diagonal included): ``(col_a, col_b, corr)``, NULL when either
+    side is constant.
+
+    Scale shape (100 TB): all moments (per-column mean + population
+    stddev, per-pair product mean) are expressions of ONE aggregation
+    over ONE scan — partials combine map-side, so the reduce moves a
+    single O(k^2)-double row no matter the table size; the entry
+    reshape is an ``inline`` over that one-row frame. No joins, no
+    second scan. The correlation is assembled from the moments with an
+    explicit zero-variance guard (NULL) rather than ``F.corr``, which
+    raises under ANSI mode on constant columns."""
+    names = list(cols)
+    if len(names) < 2:
+        raise EarthmoverSparkError("corr_matrix: need >= 2 columns")
+    missing = [c for c in names if c not in df.columns]
+    if missing:
+        raise EarthmoverSparkError(f"corr_matrix: unknown columns {missing}")
+    d = {c: F.col(c).cast("double") for c in names}
+    aggs = (
+        [F.avg(d[c]).alias(f"__m{i}__") for i, c in enumerate(names)]
+        + [
+            F.stddev_pop(d[c]).alias(f"__sd{i}__")
+            for i, c in enumerate(names)
+        ]
+        + [
+            F.avg(d[a] * d[b]).alias(f"__p{i}_{j}__")
+            for i, a in enumerate(names)
+            for j, b in enumerate(names)
+            if i < j
+        ]
+    )
+
+    def _corr(i: int, j: int) -> Column:
+        if i == j:
+            return F.when(F.col(f"__sd{i}__") > 0, F.lit(1.0))
+        denom = F.col(f"__sd{i}__") * F.col(f"__sd{j}__")
+        cov = F.col(f"__p{i}_{j}__") - F.col(f"__m{i}__") * F.col(
+            f"__m{j}__"
+        )
+        return F.when(denom > 0, F.round(cov / denom, round_to))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                _corr(i, j).alias("corr"),
+            )
+            for i, a in enumerate(names)
+            for j, b in enumerate(names)
+            if i <= j
+        ]
+    )
+    return df.agg(*aggs).select(F.inline(entries))

@@ -18,13 +18,14 @@ Scale shape (100 TB): the frequency ranking is one term-keyed agg; the
 candidate join is keyed on single (rare-biased) tokens, so bucket sizes
 track token rarity, never corpus size — the df-ascending order pushes
 hot tokens OUT of prefixes, which is the skew guard built into the
-algorithm itself. Token arrays ride the candidate shuffle once;
-verification is a narrow ``array_intersect`` with no further shuffle.
+algorithm itself. Candidates dedup as bare id pairs; token arrays / sparse vectors
+attach by id-join only at the final exact verification (payload-last —
+the bucket join fans out 16-byte rows, never array payloads).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from earthmover_spark.llm.textstats import normalize_text, spread_narrow_scan
@@ -42,7 +43,16 @@ def jaccard_self_pairs(
     whitespace tokens) is ``>= threshold``. Exact — no LSH
     approximation — with prefix-filtered candidate generation.
     ``jaccard`` is rounded to 6 places. Empty-token docs never pair.
-    """
+
+    Scale shape (100 TB): the prefix-token join sides carry ONLY
+    ``(token, id, size, position)`` — token arrays never enter the
+    bucket join, so a hot prefix token fans out 16-byte rows, not
+    array payloads (measured: the array-carrying formulation spilled
+    ~10x the narrow one and was the operator's disk ceiling). The
+    surviving candidate pairs dedup as bare ``(id_a, id_b)`` and the
+    arrays attach once per side via id-keyed joins only for the final
+    exact intersection — the same payload-last discipline the LSH
+    pipeline uses (signatures shuffle, documents don't)."""
     if not (0.0 < threshold <= 1.0):
         raise EarthmoverSparkError(
             "jaccard_self_pairs: threshold must be in (0, 1]"
@@ -67,6 +77,10 @@ def jaccard_self_pairs(
         ).alias("__toks__"),
         F.count(F.lit(1)).alias("__sz__"),
     )
+    # consumed three times (prefix explode + both verify sides): persist
+    # so the tokenize/rank/agg pipeline runs once — same pattern as
+    # lsh_candidate_pairs' banded frame; MEMORY_AND_DISK spills cleanly
+    docs = docs.persist()
     # prefix length |s| - ceil(t*|s|) + 1 (epsilon inside ceil only ever
     # LENGTHENS the prefix — stays a candidate superset under fp error)
     prefix_n = F.greatest(
@@ -88,14 +102,12 @@ def jaccard_self_pairs(
         F.col("__id__").alias("id_a"),
         F.col("__sz__").alias("__sa__"),
         (F.col("__pos__") + 1).alias("__pa__"),
-        F.col("__toks__").alias("__ta__"),
     )
     b = pref.select(
         F.col("__tok__"),
         F.col("__id__").alias("id_b"),
         F.col("__sz__").alias("__sb__"),
         (F.col("__pos__") + 1).alias("__pb__"),
-        F.col("__toks__").alias("__tb__"),
     )
     # PPJoin positional bound (Xiao et al., WWW'08; public): for the
     # FIRST token two truly-similar sets share, every overlapping token
@@ -123,13 +135,30 @@ def jaccard_self_pairs(
             & (F.col("__sa__") >= F.lit(threshold) * F.col("__sb__") - 1e-9)
         )
         .filter(pos_bound >= min_overlap)
-        .select("id_a", "id_b", "__sa__", "__sb__", "__ta__", "__tb__")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify: arrays attach by id ONCE per side, post-dedup
+    arrs = docs.select("__id__", "__sz__", "__toks__")
+    verified = cand.join(
+        arrs.select(
+            F.col("__id__").alias("id_a"),
+            F.col("__sz__").alias("__sa__"),
+            F.col("__toks__").alias("__ta__"),
+        ),
+        "id_a",
+    ).join(
+        arrs.select(
+            F.col("__id__").alias("id_b"),
+            F.col("__sz__").alias("__sb__"),
+            F.col("__toks__").alias("__tb__"),
+        ),
+        "id_b",
     )
     inter = F.size(F.array_intersect("__ta__", "__tb__"))
     jac = inter / (F.col("__sa__") + F.col("__sb__") - inter)
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -152,14 +181,24 @@ def tfidf_cosine_pairs(
     (the scikit-learn formulation; public) and L2-normalized vectors,
     so the pair sum IS the cosine. ``cosine`` is rounded to 6 places.
 
-    Exact when ``max_df is None``. Scale shape (100 TB): partial
-    products are keyed on the shared term, so pair volume tracks
-    term co-occurrence; unlike the Jaccard prefix filter there is no
-    lossless pruning bound for weighted cosine, which is why
-    ``max_df`` exists — dropping ubiquitous terms (idf ~ 0, near-zero
-    contribution) bounds the hot-term blowup at a documented,
-    deliberate accuracy cost. Norms are one doc-keyed agg; the
-    corpus-size N is a single-row collect.
+    Exact when ``max_df is None``. Scale shape (100 TB) — the WEIGHTED
+    prefix filter (Cauchy-Schwarz suffix-norm bound; same family as
+    AllPairs, Bayardo et al. WWW'07, public): terms sort rarest-first
+    per doc; a doc only emits join rows for its PREFIX — the positions
+    whose tail (suffix including the position) still has L2 norm >=
+    t. If two unit vectors share no prefix term of either side, every
+    shared term lies in a sub-t-norm suffix, so cos <= ||suffix|| < t
+    — the prefix join is a lossless candidate superset. A positional
+    bound prunes further: at the first shared term, cos <=
+    sn_a(pos_a) * sn_b(pos_b), and the first-shared-term row always
+    survives for a truly similar pair. Candidates dedup as bare
+    ``(id_a, id_b)`` and the full sparse vectors attach by id-join
+    ONLY for the exact dot product (payload-last, like
+    ``jaccard_self_pairs``) — no corpus-sized partial-product stream,
+    no arrays through the hot-token buckets. ``max_df`` still
+    optionally drops ubiquitous near-zero-idf terms (documented
+    accuracy trade); norms are one doc-keyed agg; corpus-size N is a
+    single-row collect.
     """
     if not (0.0 < threshold <= 1.0):
         raise EarthmoverSparkError(
@@ -178,31 +217,90 @@ def tfidf_cosine_pairs(
         (F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("__df__"))
     ) + F.lit(1.0)
     w = dt.join(dfreq, "term").select(
-        "__id__", "term", (F.col("tf") * idf).alias("__w__")
+        "__id__", "term", "__df__", (F.col("tf") * idf).alias("__w__")
     )
     norms = w.groupBy("__id__").agg(
         F.sqrt(F.sum(F.col("__w__") * F.col("__w__"))).alias("__norm__")
     )
     wn = w.join(norms, "__id__").select(
-        "__id__", "term", (F.col("__w__") / F.col("__norm__")).alias("__wn__")
+        "__id__",
+        "term",
+        "__df__",
+        (F.col("__w__") / F.col("__norm__")).alias("__wn__"),
     )
-    a = wn.select(
-        F.col("term"),
-        F.col("__id__").alias("id_a"),
-        F.col("__wn__").alias("__wa__"),
+    # per-doc sparse vector, rarest term first (ties by term); consumed
+    # by the prefix explode and both verify sides — persist so the
+    # tokenize/idf/normalize pipeline runs once
+    vec = wn.groupBy("__id__").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(__df__, term, __wn__))),"
+            " s -> struct(s.term AS term, s.__wn__ AS wn))"
+        ).alias("__v__")
+    ).persist()
+    # suffix norm INCLUDING each position: one id-keyed window pass
+    # (pos desc running sum of wn^2) — the O(m) formulation, no O(m^2)
+    # per-row re-aggregation
+    pos = vec.select(
+        "__id__", F.posexplode("__v__").alias("__pos__", "__e__")
+    ).select(
+        "__id__", "__pos__",
+        F.col("__e__.term").alias("term"),
+        F.col("__e__.wn").alias("__wn__"),
     )
-    b = wn.select(
-        F.col("term"),
-        F.col("__id__").alias("id_b"),
-        F.col("__wn__").alias("__wb__"),
+    wsuf = (
+        Window.partitionBy("__id__")
+        .orderBy(F.col("__pos__"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    pairs = (
+    sn = pos.withColumn(
+        "__sn__", F.sqrt(F.sum(F.col("__wn__") * F.col("__wn__")).over(wsuf))
+    )
+    # prefix rows: suffix-from-here still >= t (epsilon only ever
+    # LENGTHENS the prefix — stays a candidate superset under fp error)
+    pref = sn.filter(F.col("__sn__") >= F.lit(threshold) - F.lit(1e-9)).select(
+        "__id__", "term", "__sn__"
+    )
+    a = pref.select(
+        "term", F.col("__id__").alias("id_a"), F.col("__sn__").alias("__na__")
+    )
+    b = pref.select(
+        "term", F.col("__id__").alias("id_b"), F.col("__sn__").alias("__nb__")
+    )
+    cand = (
         a.join(b, "term")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.round(F.sum(F.col("__wa__") * F.col("__wb__")), 6).alias("cosine"))
+        # positional bound: cos <= sn_a(pos_a) * sn_b(pos_b)
+        .filter(
+            F.col("__na__") * F.col("__nb__")
+            >= F.lit(threshold) - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    # verify: full vectors attach by id once per side; exact dot
+    # product over the term intersection, all native expressions
+    va = vec.select(
+        F.col("__id__").alias("id_a"),
+        F.expr("transform(__v__, s -> s.term)").alias("__ta__"),
+        F.expr("map_from_entries(__v__)").alias("__ma__"),
+    )
+    vb = vec.select(
+        F.col("__id__").alias("id_b"),
+        F.expr("transform(__v__, s -> s.term)").alias("__tb__"),
+        F.expr("map_from_entries(__v__)").alias("__mb__"),
+    )
+    dot = F.expr(
+        "aggregate(array_intersect(__ta__, __tb__), 0D,"
+        " (acc, t) -> acc + __ma__[t] * __mb__[t])"
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(dot, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 __all__ = ["jaccard_self_pairs", "tfidf_cosine_pairs"]

@@ -91,3 +91,133 @@ def test_decontaminate_near_empty_benchmark(spark):
         corpus, bench.filter(F.lit(False)), threshold=0.5
     )
     assert kept.count() == 3
+
+
+def test_pca_fit_hand_computed(spark):
+    import math
+
+    from earthmover_spark.llm import embeddings as E
+
+    # points on the line y = 2x (plus a perpendicular pair): the first
+    # component must align with (1, 2)/sqrt(5)
+    pts = [(-2.0, -4.0), (0.0, 0.0), (2.0, 4.0), (-0.4, 0.2), (0.4, -0.2)]
+    df = spark.createDataFrame(
+        [(i, list(p)) for i, p in enumerate(pts)],
+        "vec_id bigint, embedding array<double>",
+    )
+    mean, comps, var = E.pca_fit(df, k=2)
+    assert mean == [0.0, 0.0]
+    s5 = math.sqrt(5)
+    assert abs(comps[0][0] - 1 / s5) < 1e-9
+    assert abs(comps[0][1] - 2 / s5) < 1e-9
+    # second component is the perpendicular, sign-fixed
+    assert abs(abs(comps[1][0]) - 2 / s5) < 1e-9
+    assert var[0] > var[1] >= 0
+
+
+def test_pca_project_invariants(spark):
+    import numpy as np
+
+    from earthmover_spark.llm import embeddings as E
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 3)) @ np.diag([5.0, 1.0, 0.2])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id bigint, embedding array<double>",
+    )
+    mean, comps, var = E.pca_fit(df, k=3)
+    C = np.array(comps)
+    # components orthonormal
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-8)
+    # eigenvalues sorted descending
+    assert var[0] >= var[1] >= var[2] >= 0
+    out = E.pca_project(df, k=2, round_to=9)
+    rows = {r["vec_id"]: r["pc"] for r in out.collect()}
+    P = np.array([rows[i] for i in range(200)])
+    # projected per-component population variance == eigenvalues, and
+    # components are uncorrelated in projection space
+    got_cov = np.cov(P.T, bias=True)
+    assert np.allclose(np.diag(got_cov), var[:2], rtol=1e-5)
+    assert abs(got_cov[0, 1]) < 1e-6
+    # spark projection matches the numpy projection exactly
+    exp = (base - np.array(mean)) @ C[:2].T
+    assert np.allclose(P, exp, atol=1e-6)
+    # determinism across refits
+    mean2, comps2, var2 = E.pca_fit(df, k=3)
+    assert comps == comps2 and var == var2
+
+
+def test_pca_validation(spark):
+    import pytest
+
+    from earthmover_spark.llm import embeddings as E
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k"):
+        E.pca_fit(df, k=3)
+    with pytest.raises(ValueError, match="empty"):
+        E.pca_fit(df.filter("vec_id < 0"))
+
+
+def test_bm25_batch_matches_per_query(spark):
+    from earthmover_spark.llm import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark sql engine for big data"),
+            (2, "spark streaming state store"),
+            (3, "cooking recipes with garlic"),
+            (4, "data store for recipes"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = {"q1": ["spark", "data"], "q2": ["recipes", "garlic"]}
+    batch = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in retrieval.bm25_batch(docs, queries).collect()
+    }
+    for qid, terms in queries.items():
+        solo = {
+            r["doc_id"]: r["score"]
+            for r in retrieval.bm25_scores(docs, terms).collect()
+        }
+        got = {d: s for (q, d), s in batch.items() if q == qid}
+        assert got == solo, f"batch != per-query for {qid}"
+    # top_k keeps each query's best and ranks within query
+    top = retrieval.bm25_batch(docs, queries, top_k=1).collect()
+    by_q = {r["query_id"]: r for r in top}
+    assert len(top) == 2
+    assert by_q["q2"]["doc_id"] == 3 and by_q["q2"]["rank"] == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="term"):
+        retrieval.bm25_batch(docs, {"q": []})
+
+
+def test_corr_matrix(spark):
+    import pytest
+
+    from earthmover_spark.operators import profile
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+         (3.0, 6.0, -3.0, 5.0)],
+        "a double, b double, c double, k double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in profile.corr_matrix(df, ["a", "b", "c", "k"]).collect()
+    }
+    assert len(got) == 10  # 4*(4+1)/2 incl. diagonal
+    assert got[("a", "a")] == 1.0
+    assert got[("a", "b")] == 1.0    # b = 2a
+    assert got[("a", "c")] == -1.0   # c = -a
+    assert got[("a", "k")] is None   # constant column
+    with pytest.raises(EarthmoverSparkError, match=">= 2"):
+        profile.corr_matrix(df, ["a"])
+    with pytest.raises(EarthmoverSparkError, match="unknown"):
+        profile.corr_matrix(df, ["a", "zzz"])
