@@ -91,6 +91,14 @@ HEADLINE = [
     "rolling_agg",  # one shared RANGE window for all aggregates
     "epoch_repeat",  # narrow codegen + explode, zero shuffle
     "triangles",  # degree-oriented wedges, O(E^1.5)
+    # r6 additions: payload-free pair joins + new operator families
+    "jaccard_pairs",  # AllPairs+PPJoin, narrow candidates, id-join verify
+    "tfidf_pairs",  # weighted suffix-norm prefix filter (r6 rewrite)
+    "lsh_cross",  # cross-corpus banded LSH join + exact verify
+    "decon_near",  # near-dup decontamination anti-join
+    "emb_pca_cov",  # one O(d^2) covariance agg (PCA fit stage)
+    "bm25_multi",  # 3 queries, one corpus pass, WindowGroupLimit top-k
+    "corr_pairs",  # one O(k^2) moment agg
 ]
 
 

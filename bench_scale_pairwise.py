@@ -77,6 +77,49 @@ def _jaccard_corpus(spark, docs_n: int):
     )
 
 
+def _zipf_corpus(spark, docs_n: int):
+    """Zipf-shaped docs for the WEIGHTED (tf-idf cosine) probe: 4 rare
+    tokens (vocab = 2x docs, df ~ 2), 4 mid (vocab = docs/100), 4
+    common (vocab = 50) — the realistic web-text shape where rare
+    terms dominate the tf-idf norm, so the suffix-norm prefix
+    collapses to the 1-2 rarest tokens and buckets stay tiny. A FLAT
+    corpus (every token equally rare, as in ``_jaccard_corpus``) is
+    the degenerate adversary for ANY lossless cosine bound: with all
+    weights equal the suffix norm decays as sqrt((m-p)/m), prefixes
+    stay ~m(1-t^2) tokens wide, and the candidate superset tends
+    toward every pair sharing any token — that regime belongs to the
+    LSH/SimHash pipeline and is documented in SCALE.md, not probed
+    here. 1% of docs duplicate their neighbor (true pairs at cos 1)."""
+    rare = lambda s: F.concat(  # noqa: E731
+        F.lit("r"), F.pmod(F.hash(F.col("base") * s), F.lit(docs_n * 2))
+    )
+    mid = lambda s: F.concat(  # noqa: E731
+        F.lit("m"),
+        F.pmod(F.hash(F.col("base") * s), F.lit(max(docs_n // 100, 10))),
+    )
+    com = lambda s: F.concat(  # noqa: E731
+        F.lit("c"), F.pmod(F.hash(F.col("base") * s), F.lit(50))
+    )
+    return (
+        spark.range(docs_n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.pmod(F.col("id"), F.lit(100)) == 99, F.col("id") - 1
+            ).otherwise(F.col("id")).alias("base"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                *[rare(s) for s in (3, 5, 7, 11)],
+                *[mid(s) for s in (13, 17, 19, 23)],
+                *[com(s) for s in (29, 31, 37, 41)],
+            ).alias("text"),
+        )
+    )
+
+
 def _names_corpus(spark, names_n: int):
     """Short strings, ~200 rows per (first-token, length) block
     regardless of corpus size: the block-count grows with the corpus,
@@ -115,6 +158,9 @@ def main() -> None:
             _jaccard_corpus(spark, n).write.mode("overwrite").parquet(
                 f"{base}/jc_{tag}"
             )
+            _zipf_corpus(spark, n).write.mode("overwrite").parquet(
+                f"{base}/zc_{tag}"
+            )
             _names_corpus(spark, n // 2).write.mode("overwrite").parquet(
                 f"{base}/nm_{tag}"
             )
@@ -123,6 +169,7 @@ def main() -> None:
         # fatal
         for tag, n in (("small", docs_small), ("big", docs_big)):
             jc = spark.read.parquet(f"{base}/jc_{tag}")
+            zc = spark.read.parquet(f"{base}/zc_{tag}")
             nm = spark.read.parquet(f"{base}/nm_{tag}")
             cases = [
                 ("fuzzy_pairs_d2", {"names": n // 2},
@@ -133,9 +180,9 @@ def main() -> None:
                  lambda: _count(
                      jaccard_self_pairs(jc, "text", "doc_id", threshold=0.9)
                  )),
-                ("tfidf_pairs_09", {"docs": n},
+                ("tfidf_pairs_09_zipf", {"docs": n},
                  lambda: _count(
-                     tfidf_cosine_pairs(jc, "text", "doc_id", threshold=0.9)
+                     tfidf_cosine_pairs(zc, "text", "doc_id", threshold=0.9)
                  )),
             ]
             for name, size, fn in cases:

@@ -206,9 +206,14 @@ def tfidf_cosine_pairs(
         )
     from earthmover_spark.llm.retrieval import _doc_terms
 
+    # (id, term, tf): consumed by the corpus-size count, the df agg and
+    # the weight join — persist so the tokenize/agg pipeline runs once
+    # (uncached it re-derives three times and every re-derivation
+    # re-writes its shuffle files, which at 10M docs tripled the disk
+    # footprint of the whole job)
     dt = _doc_terms(df, text_col, id_col).select(
         F.col(id_col).alias("__id__"), "term", "tf"
-    )
+    ).persist()
     n_docs = dt.select("__id__").distinct().count()  # bounded: one long
     dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("__df__"))
     if max_df is not None:
@@ -219,25 +224,30 @@ def tfidf_cosine_pairs(
     w = dt.join(dfreq, "term").select(
         "__id__", "term", "__df__", (F.col("tf") * idf).alias("__w__")
     )
-    norms = w.groupBy("__id__").agg(
-        F.sqrt(F.sum(F.col("__w__") * F.col("__w__"))).alias("__norm__")
-    )
-    wn = w.join(norms, "__id__").select(
-        "__id__",
-        "term",
-        "__df__",
-        (F.col("__w__") / F.col("__norm__")).alias("__wn__"),
-    )
-    # per-doc sparse vector, rarest term first (ties by term); consumed
-    # by the prefix explode and both verify sides — persist so the
-    # tokenize/idf/normalize pipeline runs once
-    vec = wn.groupBy("__id__").agg(
+    # per-doc sparse vector, rarest term first (ties by term); the L2
+    # norm folds into the per-row array (aggregate + transform) instead
+    # of a separate norm agg + re-join — two fewer corpus-sized
+    # shuffles. Persisted: consumed by the prefix explode and both
+    # verify sides
+    raw = w.groupBy("__id__").agg(
         F.expr(
-            "transform(array_sort(collect_list("
-            "struct(__df__, term, __wn__))),"
-            " s -> struct(s.term AS term, s.__wn__ AS wn))"
-        ).alias("__v__")
-    ).persist()
+            "array_sort(collect_list(struct(__df__, term, __w__)))"
+        ).alias("__r__")
+    )
+    nrm = F.expr(
+        "sqrt(aggregate(__r__, 0D, (acc, s) -> acc + s.__w__ * s.__w__))"
+    )
+    vec = (
+        raw.withColumn("__nrm__", nrm)
+        .select(
+            "__id__",
+            F.expr(
+                "transform(__r__, s -> struct(s.term AS term,"
+                " s.__w__ / __nrm__ AS wn))"
+            ).alias("__v__"),
+        )
+        .persist()
+    )
     # suffix norm INCLUDING each position: one id-keyed window pass
     # (pos desc running sum of wn^2) — the O(m) formulation, no O(m^2)
     # per-row re-aggregation

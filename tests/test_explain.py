@@ -485,3 +485,67 @@ def test_bin_metrics_compressed_frame_no_python(plans):
     assert "EvalPython" not in p
     assert "HashAggregate" in p
     assert "Join" not in p
+
+
+def test_tfidf_pairs_no_cartesian_no_python(plans):
+    """The weighted prefix filter must keep tfidf_cosine_pairs an
+    equi-join pipeline: no cartesian/BNLJ pairing, no Python stage
+    (the dot product is map_from_entries + aggregate, all native)."""
+    p = plans("tfidf_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_lsh_cross_bucket_join_no_cartesian(plans):
+    """Cross-corpus LSH must join on (band, band-hash) buckets — never
+    pair corpus x benchmark directly."""
+    p = plans("lsh_cross")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_corr_pairs_single_agg_no_join(plans):
+    """corr_matrix is ONE aggregation: no join anywhere in the plan,
+    and exactly one pair of HashAggregates (partial + final) — each
+    node appears twice in formatted output (tree + details)."""
+    import re
+
+    p = plans("corr_pairs")
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+
+
+def test_emb_pca_cov_single_agg_no_join(plans):
+    """The PCA covariance stage is ONE aggregation over ONE scan."""
+    import re
+
+    p = plans("emb_pca_cov")
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+
+
+def test_bm25_multi_broadcast_and_window_group_limit(spark):
+    """Batched BM25: idf + query-term maps broadcast (the corpus-sized
+    postings never build-side a join) and the per-query top-k prunes
+    map-side via WindowGroupLimit instead of a global sort. Audited
+    with materialize=False — the default localCheckpoint hides the
+    plan behind Scan ExistingRDD."""
+    from earthmover_spark.llm import retrieval
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = retrieval.bm25_batch(
+        docs,
+        {"q1": ["query", "table"], "q2": ["join", "hash"]},
+        top_k=5,
+        materialize=False,
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
