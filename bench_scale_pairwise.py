@@ -147,6 +147,17 @@ def main() -> None:
         only_ops = set(
             sys.argv[sys.argv.index("--ops") + 1].split(",")
         )
+    # --tag small|big runs ONE scale so each decade point gets a fresh
+    # JVM: shuffle files from a finished probe case are only reclaimed
+    # when the JVM's ContextCleaner GCs the lineage, so on a box whose
+    # free disk is comparable to one case's spill, running both scales
+    # (or several ops) in one process stacks dead shuffle dirs until
+    # the disk fills — process-per-scale is the deterministic fix.
+    only_tags = (
+        {sys.argv[sys.argv.index("--tag") + 1]}
+        if "--tag" in sys.argv
+        else {"small", "big"}
+    )
     docs_big = docs_small * factor
 
     spark = get_spark("bench-scale-pairwise")
@@ -154,39 +165,49 @@ def main() -> None:
     base = tempfile.mkdtemp(prefix="emspark_pairwise_")
     out: dict[str, dict] = {}
     try:
+        def _want(op: str) -> bool:
+            return only_ops is None or op in only_ops
+
         for tag, n in (("small", docs_small), ("big", docs_big)):
-            _jaccard_corpus(spark, n).write.mode("overwrite").parquet(
-                f"{base}/jc_{tag}"
-            )
-            _zipf_corpus(spark, n).write.mode("overwrite").parquet(
-                f"{base}/zc_{tag}"
-            )
-            _names_corpus(spark, n // 2).write.mode("overwrite").parquet(
-                f"{base}/nm_{tag}"
-            )
+            if tag not in only_tags:
+                continue
+            if _want("jaccard_pairs_09"):
+                _jaccard_corpus(spark, n).write.mode("overwrite").parquet(
+                    f"{base}/jc_{tag}"
+                )
+            if _want("tfidf_pairs_09_zipf"):
+                _zipf_corpus(spark, n).write.mode("overwrite").parquet(
+                    f"{base}/zc_{tag}"
+                )
+            if _want("fuzzy_pairs_d2"):
+                _names_corpus(spark, n // 2).write.mode(
+                    "overwrite"
+                ).parquet(f"{base}/nm_{tag}")
         # cheapest op first so partial results survive a disk blowout
         # on the most shuffle-heavy joins; failures are recorded, not
         # fatal
         for tag, n in (("small", docs_small), ("big", docs_big)):
-            jc = spark.read.parquet(f"{base}/jc_{tag}")
-            zc = spark.read.parquet(f"{base}/zc_{tag}")
-            nm = spark.read.parquet(f"{base}/nm_{tag}")
+            if tag not in only_tags:
+                continue
             cases = [
                 ("fuzzy_pairs_d2", {"names": n // 2},
-                 lambda: _count(
-                     fuzzy_self_pairs(nm, "name", "name_id", max_distance=2)
-                 )),
+                 lambda: _count(fuzzy_self_pairs(
+                     spark.read.parquet(f"{base}/nm_{tag}"),
+                     "name", "name_id", max_distance=2,
+                 ))),
                 ("jaccard_pairs_09", {"docs": n},
-                 lambda: _count(
-                     jaccard_self_pairs(jc, "text", "doc_id", threshold=0.9)
-                 )),
+                 lambda: _count(jaccard_self_pairs(
+                     spark.read.parquet(f"{base}/jc_{tag}"),
+                     "text", "doc_id", threshold=0.9,
+                 ))),
                 ("tfidf_pairs_09_zipf", {"docs": n},
-                 lambda: _count(
-                     tfidf_cosine_pairs(zc, "text", "doc_id", threshold=0.9)
-                 )),
+                 lambda: _count(tfidf_cosine_pairs(
+                     spark.read.parquet(f"{base}/zc_{tag}"),
+                     "text", "doc_id", threshold=0.9,
+                 ))),
             ]
             for name, size, fn in cases:
-                if only_ops is not None and name not in only_ops:
+                if not _want(name):
                     continue
                 try:
                     sec, pairs = _t(fn)
