@@ -1592,6 +1592,30 @@ def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report: orders (4 profiled columns) vs a
+    simulated next drop (open orders only, o_orderpriority dropped,
+    a derived o_key_mod column added) — exercises common / removed /
+    added status, null-rate + distinct + avg-len deltas. Two
+    single-pass aggs + a k-row full-outer join; no data-scale
+    shuffle."""
+    from earthmover_spark.operators.profile import profile_compare
+
+    o = _p(spark, sf_dir, "orders")
+    old = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    new = o.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("string").alias(
+            "o_key_mod"
+        ),
+    )
+    return profile_compare(old, new)
+
+
 def q_inverted_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index over the corpus (min_df=2): per-term df + sorted
     posting list, one term-keyed shuffle, lists never on the driver.
@@ -2174,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_cov": q_emb_pca_cov,
         "bm25_multi": q_bm25_multi,
         "corr_pairs": q_corr_pairs,
+        "profile_drift": q_profile_drift,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2740,6 +2765,100 @@ def oracle_sql() -> dict[str, str]:
             FROM entries e
             JOIN names a ON a.i = e.i
             JOIN names b ON b.i = e.j
+        """,
+        "profile_drift": """
+            WITH old_p AS (
+              SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                     count(*) - count(o_orderkey) AS n_nulls,
+                     count(DISTINCT o_orderkey) AS n_distinct,
+                     min(CAST(o_orderkey AS VARCHAR)) AS mn,
+                     max(CAST(o_orderkey AS VARCHAR)) AS mx,
+                     round(avg(length(CAST(o_orderkey AS VARCHAR))), 4) AS al
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                     count(DISTINCT o_custkey),
+                     min(CAST(o_custkey AS VARCHAR)),
+                     max(CAST(o_custkey AS VARCHAR)),
+                     round(avg(length(CAST(o_custkey AS VARCHAR))), 4)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', count(*),
+                     count(*) - count(o_orderstatus),
+                     count(DISTINCT o_orderstatus),
+                     min(o_orderstatus), max(o_orderstatus),
+                     round(avg(length(o_orderstatus)), 4)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', count(*),
+                     count(*) - count(o_orderpriority),
+                     count(DISTINCT o_orderpriority),
+                     min(o_orderpriority), max(o_orderpriority),
+                     round(avg(length(o_orderpriority)), 4)
+              FROM orders
+            ), new_src AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CAST(o_orderkey % 7 AS VARCHAR) AS o_key_mod
+              FROM orders WHERE o_orderstatus <> 'F'
+            ), new_p AS (
+              SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                     count(*) - count(o_orderkey) AS n_nulls,
+                     count(DISTINCT o_orderkey) AS n_distinct,
+                     min(CAST(o_orderkey AS VARCHAR)) AS mn,
+                     max(CAST(o_orderkey AS VARCHAR)) AS mx,
+                     round(avg(length(CAST(o_orderkey AS VARCHAR))), 4) AS al
+              FROM new_src
+              UNION ALL
+              SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                     count(DISTINCT o_custkey),
+                     min(CAST(o_custkey AS VARCHAR)),
+                     max(CAST(o_custkey AS VARCHAR)),
+                     round(avg(length(CAST(o_custkey AS VARCHAR))), 4)
+              FROM new_src
+              UNION ALL
+              SELECT 'o_orderstatus', count(*),
+                     count(*) - count(o_orderstatus),
+                     count(DISTINCT o_orderstatus),
+                     min(o_orderstatus), max(o_orderstatus),
+                     round(avg(length(o_orderstatus)), 4)
+              FROM new_src
+              UNION ALL
+              SELECT 'o_key_mod', count(*), count(*) - count(o_key_mod),
+                     count(DISTINCT o_key_mod),
+                     min(o_key_mod), max(o_key_mod),
+                     round(avg(length(o_key_mod)), 4)
+              FROM new_src
+            )
+            SELECT coalesce(o.col_name, n.col_name) AS col_name,
+                   CASE WHEN o.col_name IS NOT NULL
+                             AND n.col_name IS NOT NULL THEN 'common'
+                        WHEN n.col_name IS NOT NULL THEN 'added'
+                        ELSE 'removed' END AS status,
+                   o.n_rows AS n_rows_old, n.n_rows AS n_rows_new,
+                   CASE WHEN o.n_rows > 0
+                        THEN round(o.n_nulls * 1.0 / o.n_rows, 6)
+                        WHEN o.n_rows IS NOT NULL THEN 0.0
+                   END AS null_rate_old,
+                   CASE WHEN n.n_rows > 0
+                        THEN round(n.n_nulls * 1.0 / n.n_rows, 6)
+                        WHEN n.n_rows IS NOT NULL THEN 0.0
+                   END AS null_rate_new,
+                   round(CASE WHEN n.n_rows > 0
+                              THEN round(n.n_nulls * 1.0 / n.n_rows, 6)
+                              WHEN n.n_rows IS NOT NULL THEN 0.0 END
+                         - CASE WHEN o.n_rows > 0
+                                THEN round(o.n_nulls * 1.0 / o.n_rows, 6)
+                                WHEN o.n_rows IS NOT NULL THEN 0.0
+                           END, 6) AS null_rate_delta,
+                   o.n_distinct AS n_distinct_old,
+                   n.n_distinct AS n_distinct_new,
+                   CASE WHEN o.n_distinct > 0
+                        THEN round(n.n_distinct * 1.0 / o.n_distinct, 6)
+                   END AS distinct_ratio,
+                   o.mn AS min_value_old, n.mn AS min_value_new,
+                   o.mx AS max_value_old, n.mx AS max_value_new,
+                   round(n.al - o.al, 4) AS avg_len_delta
+            FROM old_p o FULL OUTER JOIN new_p n ON o.col_name = n.col_name
         """,
         "dedup_simhash": f"""
             WITH corpus AS ({_CORPUS_SQL}),

@@ -99,6 +99,7 @@ HEADLINE = [
     "emb_pca_cov",  # one O(d^2) covariance agg (PCA fit stage)
     "bm25_multi",  # 3 queries, one corpus pass, WindowGroupLimit top-k
     "corr_pairs",  # one O(k^2) moment agg
+    "profile_drift",  # two one-pass profiles + k-row full-outer join
 ]
 
 

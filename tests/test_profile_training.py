@@ -7,7 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from earthmover_spark.llm import embeddings, sampling, training
-from earthmover_spark.operators.profile import profile_table
+from earthmover_spark.operators.profile import (
+    profile_compare,
+    profile_table,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -48,6 +51,67 @@ def test_profile_table_single_pass_plan(spark):
     plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
     assert "Union" not in plan
+
+
+# ---------------------------------------------------------------------------
+# profile_compare (snapshot drift)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_compare_statuses_and_deltas(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        ["k", "s", "v"],
+    )
+    # next drop: k kept, s gains nulls, v removed, w added
+    new = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y"), (3, "c", "z")],
+        ["k", "s", "w"],
+    )
+    rows = {r.col_name: r for r in profile_compare(old, new).collect()}
+    assert set(rows) == {"k", "s", "v", "w"}
+    assert rows["k"].status == "common"
+    assert rows["v"].status == "removed"
+    assert rows["w"].status == "added"
+    # null-rate drift on s: 0/4 -> 2/3
+    s = rows["s"]
+    assert s.null_rate_old == 0.0
+    assert s.null_rate_new == round(2 / 3, 6)
+    assert s.null_rate_delta == round(2 / 3, 6)
+    # distinct ratio on k: 3/4
+    assert rows["k"].distinct_ratio == 0.75
+    # removed/added columns: other side's stats are NULL, deltas NULL
+    assert rows["v"].n_rows_new is None
+    assert rows["v"].null_rate_delta is None
+    assert rows["w"].n_rows_old is None
+    assert rows["w"].distinct_ratio is None
+    assert rows["w"].n_rows_new == 3
+    # row counts ride along per side
+    assert (rows["k"].n_rows_old, rows["k"].n_rows_new) == (4, 3)
+
+
+def test_profile_compare_column_subset_and_errors(spark):
+    old = spark.createDataFrame([(1, "a")], ["k", "s"])
+    new = spark.createDataFrame([(1, "a")], ["k", "s"])
+    rows = profile_compare(old, new, columns=["k"]).collect()
+    assert [r.col_name for r in rows] == ["k"]
+    with pytest.raises(Exception, match="no requested column"):
+        profile_compare(old, new, columns=["zzz"]).collect()
+
+
+def test_profile_compare_no_data_scale_join(spark):
+    # the only join is between two k-row profile frames: the data-scale
+    # tables are each consumed by ONE aggregate — the optimized plan
+    # must show exactly one Join (of aggregates), never a join of scans
+    old = spark.createDataFrame([(1, "x")], ["a", "b"])
+    new = spark.createDataFrame([(1, "x")], ["a", "b"])
+    plan = (
+        profile_compare(old, new)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Join") == 1
 
 
 # ---------------------------------------------------------------------------
