@@ -34,6 +34,7 @@ import time
 from pyspark.sql import functions as F
 
 from earthmover_spark import get_spark
+from earthmover_spark.llm.dedup import decontaminate_near
 from earthmover_spark.operators.fuzzy import fuzzy_self_pairs
 from earthmover_spark.operators.setsim import (
     jaccard_self_pairs,
@@ -120,6 +121,36 @@ def _zipf_corpus(spark, docs_n: int):
     )
 
 
+def _bench_corpus(spark, docs_n: int):
+    """Benchmark table for the cross-corpus LSH probe: corpus/100
+    docs, every even row an exact copy of a corpus doc (planted
+    contamination the bucket join must find), every odd row built from
+    an out-of-range base (novel — shares individual tokens but never a
+    full shingle run). Same token generator as ``_jaccard_corpus`` so
+    both sides shingle identically."""
+    vocab = max(1, docs_n // 10)
+    word = lambda seed: F.concat(  # noqa: E731
+        F.lit("t"), F.pmod(F.hash(F.col("base") * seed), F.lit(vocab))
+    )
+    return (
+        spark.range(docs_n // 100)
+        .select(
+            (F.col("id") + docs_n).alias("doc_id"),
+            F.when(
+                F.pmod(F.col("id"), F.lit(2)) == 0, F.col("id") * 100
+            ).otherwise(F.col("id") + docs_n * 2).alias("base"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                *[word(s) for s in (3, 5, 7, 11, 13, 17, 19, 23, 29,
+                                    31, 37, 41)],
+            ).alias("text"),
+        )
+    )
+
+
 def _names_corpus(spark, names_n: int):
     """Short strings, ~200 rows per (first-token, length) block
     regardless of corpus size: the block-count grows with the corpus,
@@ -183,6 +214,13 @@ def main() -> None:
                 _names_corpus(spark, n // 2).write.mode(
                     "overwrite"
                 ).parquet(f"{base}/nm_{tag}")
+            if _want("lsh_decon_07"):
+                _jaccard_corpus(spark, n).write.mode("overwrite").parquet(
+                    f"{base}/lc_{tag}"
+                )
+                _bench_corpus(spark, n).write.mode("overwrite").parquet(
+                    f"{base}/lb_{tag}"
+                )
         # cheapest op first so partial results survive a disk blowout
         # on the most shuffle-heavy joins; failures are recorded, not
         # fatal
@@ -204,6 +242,12 @@ def main() -> None:
                  lambda: _count(tfidf_cosine_pairs(
                      spark.read.parquet(f"{base}/zc_{tag}"),
                      "text", "doc_id", threshold=0.9,
+                 ))),
+                ("lsh_decon_07", {"docs": n, "bench": n // 100},
+                 lambda: _count(decontaminate_near(
+                     spark.read.parquet(f"{base}/lc_{tag}"),
+                     spark.read.parquet(f"{base}/lb_{tag}"),
+                     "text", "doc_id", threshold=0.7,
                  ))),
             ]
             for name, size, fn in cases:
