@@ -926,6 +926,22 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit target mixture (en 50% / de 25% / fr 25%): binding
+    stratum kept whole, others hash-downsampled to match, unlisted
+    languages dropped — tiny count aggregate + one CASE-threshold
+    filter."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    return sampling.target_mix(
+        docs,
+        strata_col="lang",
+        key_col="doc_id",
+        shares={"en": 0.5, "de": 0.25, "fr": 0.25},
+    ).select("doc_id", "lang")
+
+
 def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact char-budget sampling in key-hash order —
     one window per stratum, reproducible on any engine."""
@@ -2199,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multi": q_bm25_multi,
         "corr_pairs": q_corr_pairs,
         "profile_drift": q_profile_drift,
+        "target_mix": q_target_mix,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -3290,6 +3307,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang
             FROM documents d JOIN f USING (lang)
             WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT)::BIGINT
+                  < CAST(floor(frac * 1152921504606846976) AS BIGINT)
+        """,
+        "target_mix": """
+            WITH c AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY 1
+            ), tgt(lang, share) AS (
+              VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25)
+            ), sc AS (
+              SELECT min(c.n / tgt.share) AS s
+              FROM c JOIN tgt USING (lang)
+            ), f AS (
+              SELECT tgt.lang,
+                     least(tgt.share * sc.s / c.n, 1.0) AS frac
+              FROM c JOIN tgt USING (lang), sc
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN f USING (lang)
+            WHERE CAST(('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 15))
                        AS UBIGINT)::BIGINT
                   < CAST(floor(frac * 1152921504606846976) AS BIGINT)
         """,

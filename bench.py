@@ -100,6 +100,7 @@ HEADLINE = [
     "bm25_multi",  # 3 queries, one corpus pass, WindowGroupLimit top-k
     "corr_pairs",  # one O(k^2) moment agg
     "profile_drift",  # two one-pass profiles + k-row full-outer join
+    "target_mix",  # count collect + one CASE-threshold filter
 ]
 
 

@@ -142,6 +142,61 @@ def temperature_mix(
     )
 
 
+def target_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    shares: dict[str, float],
+    salt: str = "tmix",
+) -> DataFrame:
+    """Downsample to an EXPLICIT target mixture — "make the corpus 50%
+    en / 25% de / 25% fr" — keeping the corpus as large as the mix
+    allows. The complement to :func:`temperature_mix` (which smooths
+    the NATURAL mix by p^T): here the user states the proportions and
+    the operator solves for the per-stratum keep fractions.
+
+    ``shares`` are relative weights (they need not sum to 1 — the
+    solution is invariant under scaling all shares). The binding
+    stratum (smallest ``n_s / share_s``) is kept whole; every other
+    listed stratum downsamples to match; strata NOT in ``shares`` are
+    dropped. Sampling is per-key hash (:func:`stratified_sample`), so
+    the result is reproducible across runs/engines/partitionings and
+    proportions are exact in expectation. Raises when a listed stratum
+    has no rows (the target mix would force an empty corpus).
+
+    Scale shape (100 TB): one tiny count aggregate (#strata rows to
+    the driver) to solve the fractions, then ONE codegen'd
+    CASE-threshold filter over the scan — zero data-scale shuffle."""
+    if not shares:
+        raise EarthmoverSparkError("target_mix: shares must be non-empty")
+    for name, w in shares.items():
+        if not w > 0:
+            raise EarthmoverSparkError(
+                f"target_mix: share for {name!r} must be > 0"
+            )
+    rows = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = {str(r[strata_col]): r["n"] for r in rows}
+    missing = [str(s) for s in shares if str(s) not in counts]
+    if missing:
+        raise EarthmoverSparkError(
+            f"target_mix: strata {missing} in shares have no rows — the "
+            "target mix is unsatisfiable"
+        )
+    scale = min(counts[str(s)] / w for s, w in shares.items())
+    fractions = {
+        str(s): min(1.0, w * scale / counts[str(s)])
+        for s, w in shares.items()
+    }
+    return stratified_sample(
+        df,
+        strata_col=strata_col,
+        fractions=fractions,
+        key_col=key_col,
+        default_fraction=0.0,
+        salt=salt,
+    )
+
+
 def budget_sample(
     df: DataFrame,
     key_col: str,

@@ -539,6 +539,63 @@ def test_temperature_mix(spark):
     assert same.count() == 1000
 
 
+def test_target_mix_hits_proportions(spark):
+    from earthmover_spark.llm import sampling
+
+    rows = (
+        [(i, "web") for i in range(800)]
+        + [(i + 1000, "code") for i in range(150)]
+        + [(i + 2000, "wiki") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, ["k", "src"])
+    # wiki is binding (50 / 0.25 = 200 total scale): kept whole,
+    # web -> ~100, code -> ~50; unlisted strata would be dropped
+    out = sampling.target_mix(
+        df, "src", "k", {"web": 0.5, "code": 0.25, "wiki": 0.25}
+    )
+    counts = {
+        r.src: r.cnt
+        for r in out.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert counts["wiki"] == 50
+    assert 75 <= counts["web"] <= 125
+    assert 35 <= counts["code"] <= 65
+    # deterministic: same call, same rows
+    again = sampling.target_mix(
+        df, "src", "k", {"web": 0.5, "code": 0.25, "wiki": 0.25}
+    )
+    assert sorted(r.k for r in out.collect()) == sorted(
+        r.k for r in again.collect()
+    )
+    # share scaling is a no-op (relative weights)
+    scaled = sampling.target_mix(
+        df, "src", "k", {"web": 2.0, "code": 1.0, "wiki": 1.0}
+    )
+    assert sorted(r.k for r in scaled.collect()) == sorted(
+        r.k for r in out.collect()
+    )
+
+
+def test_target_mix_drops_unlisted_and_validates(spark):
+    import pytest
+
+    from earthmover_spark.llm import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["k", "src"]
+    )
+    only_a = sampling.target_mix(df, "src", "k", {"a": 1.0})
+    assert {r.src for r in only_a.collect()} == {"a"}
+    with pytest.raises(Exception, match="no rows"):
+        sampling.target_mix(df, "src", "k", {"a": 0.5, "zzz": 0.5})
+    with pytest.raises(Exception, match="must be > 0"):
+        sampling.target_mix(df, "src", "k", {"a": 0.0})
+    with pytest.raises(Exception, match="non-empty"):
+        sampling.target_mix(df, "src", "k", {})
+
+
 def test_cap_per_group_deterministic_and_capped(spark):
     from earthmover_spark.llm import sampling
 
