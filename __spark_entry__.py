@@ -423,6 +423,35 @@ _NORM_SQL = (
 )
 
 
+def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-style distinct-bigram overlap of each doc against the
+    next doc in its language (deterministic lead() pairing): pure
+    per-row shingle/intersect expressions after one pairing window —
+    the scorer itself adds zero shuffle."""
+    from pyspark.sql import Window
+
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    paired = docs.select(
+        "doc_id",
+        "text",
+        F.lead("doc_id").over(w).alias("ref_id"),
+        F.lead("text").over(w).alias("ref_text"),
+    ).filter(F.col("ref_id").isNotNull())
+    return textstats.ngram_overlap(paired, "text", "ref_text", n=2).select(
+        "doc_id",
+        "ref_id",
+        "grams_a",
+        "grams_b",
+        "common",
+        "precision",
+        "recall",
+        "f1",
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from earthmover_spark.llm import dedup
 
@@ -2216,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_pairs": q_corr_pairs,
         "profile_drift": q_profile_drift,
         "target_mix": q_target_mix,
+        "ngram_overlap": q_ngram_overlap,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -3309,6 +3339,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
                        AS UBIGINT)::BIGINT
                   < CAST(floor(frac * 1152921504606846976) AS BIGINT)
+        """,
+        "ngram_overlap": f"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     string_split({_NORM_SQL}, ' ') AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(
+                         generate_series(0, greatest(len(words) - 2, 0)),
+                         i -> array_to_string(
+                             list_slice(words, i + 1, i + 2), ' ')
+                     )) AS ds
+              FROM w
+            ), paired AS (
+              SELECT doc_id, ds,
+                     lead(doc_id) OVER (
+                         PARTITION BY lang ORDER BY doc_id) AS ref_id,
+                     lead(ds) OVER (
+                         PARTITION BY lang ORDER BY doc_id) AS ref_ds
+              FROM sh
+            ), m AS (
+              SELECT doc_id, ref_id,
+                     len(ds) AS grams_a, len(ref_ds) AS grams_b,
+                     len(list_intersect(ds, ref_ds)) AS common
+              FROM paired WHERE ref_id IS NOT NULL
+            )
+            SELECT doc_id, ref_id, grams_a, grams_b, common,
+                   round(common * 1.0 / grams_a, 6) AS precision,
+                   round(common * 1.0 / grams_b, 6) AS recall,
+                   round(2.0 * common / (grams_a + grams_b), 6) AS f1
+            FROM m
         """,
         "target_mix": """
             WITH c AS (

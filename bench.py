@@ -101,6 +101,7 @@ HEADLINE = [
     "corr_pairs",  # one O(k^2) moment agg
     "profile_drift",  # two one-pass profiles + k-row full-outer join
     "target_mix",  # count collect + one CASE-threshold filter
+    "ngram_overlap",  # per-row shingle+intersect codegen, zero shuffle
 ]
 
 

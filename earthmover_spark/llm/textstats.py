@@ -675,6 +675,60 @@ def ngram_counts(
     return counts.filter(F.col("count") >= min_count)
 
 
+def ngram_overlap(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-row distinct n-gram overlap between two text columns — the
+    ROUGE-style candidate-vs-reference scorer (distinct-gram variant),
+    used to score generations against references, paraphrases against
+    sources, or near-dup candidates pairwise. Adds ``grams_a``,
+    ``grams_b`` (distinct n-gram counts), ``common`` (distinct grams in
+    both), ``precision`` (= common / grams_a), ``recall``
+    (= common / grams_b) and ``f1``. ``f1`` is computed as
+    ``2 * common / (grams_a + grams_b)`` — algebraically identical to
+    the harmonic mean of precision and recall but with no 0/0 case:
+    shingling never yields an empty gram set (NULL text normalizes to
+    ``""`` like everywhere else in this module, scoring as the single
+    empty shingle — so two NULL/empty texts count as identical).
+
+    Scale shape (100 TB): pure per-row Column expressions over the
+    scan (shingle regex + array_distinct + array_intersect) — zero
+    shuffle, zero Python, no pairwise blowup (the PAIRING is the
+    caller's: this scores rows that already hold both texts)."""
+    ga = F.array_distinct(shingles(F.col(col_a), n))
+    gb = F.array_distinct(shingles(F.col(col_b), n))
+    out = (
+        df.withColumn("__ga__", ga)
+        .withColumn("__gb__", gb)
+        .withColumn("grams_a", F.size("__ga__"))
+        .withColumn("grams_b", F.size("__gb__"))
+        .withColumn("common", F.size(F.array_intersect("__ga__", "__gb__")))
+    )
+    return (
+        out.withColumn(
+            "precision",
+            F.round(F.col("common") / F.col("grams_a"), round_to),
+        )
+        .withColumn(
+            "recall", F.round(F.col("common") / F.col("grams_b"), round_to)
+        )
+        .withColumn(
+            "f1",
+            F.round(
+                F.lit(2.0)
+                * F.col("common")
+                / (F.col("grams_a") + F.col("grams_b")),
+                round_to,
+            ),
+        )
+        .drop("__ga__", "__gb__")
+    )
+
+
 def split_sentences(
     df: DataFrame,
     text_col: str = "text",

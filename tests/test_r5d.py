@@ -270,3 +270,70 @@ def test_interval_coverage(spark):
         for r in temporal.interval_coverage(df, ["k"]).collect()
     }
     assert got == {1: (20.0, 3), 2: (60.0, 2)}
+
+
+# ---------------------------------------------------------------------------
+# ngram_overlap (r6)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_overlap_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # bigrams a: {ab, bc, cd}; b: {ab, bc, ce} -> common 2
+            (1, "a b c d", "a b c e"),
+            # identical -> full overlap
+            (2, "x y z", "x y z"),
+            # disjoint
+            (3, "p q", "r s"),
+        ],
+        "k bigint, cand string, ref string",
+    )
+    rows = {
+        r.k: r
+        for r in textstats.ngram_overlap(df, "cand", "ref", n=2).collect()
+    }
+    r1 = rows[1]
+    assert (r1.grams_a, r1.grams_b, r1.common) == (3, 3, 2)
+    assert r1.precision == round(2 / 3, 6)
+    assert r1.recall == round(2 / 3, 6)
+    assert r1.f1 == round(4 / 6, 6)
+    r2 = rows[2]
+    assert (r2.common, r2.precision, r2.recall, r2.f1) == (2, 1.0, 1.0, 1.0)
+    r3 = rows[3]
+    assert (r3.common, r3.precision, r3.recall, r3.f1) == (0, 0.0, 0.0, 0.0)
+
+
+def test_ngram_overlap_short_and_null_text(spark):
+    df = spark.createDataFrame(
+        [
+            # shorter than n: whole text becomes the single shingle
+            (1, "hello", "hello"),
+            (2, "hello", "world"),
+            # NULL text normalizes to "" (single empty shingle)
+            (3, None, "x y"),
+            (4, None, None),
+        ],
+        "k bigint, cand string, ref string",
+    )
+    rows = {
+        r.k: r
+        for r in textstats.ngram_overlap(df, "cand", "ref", n=2).collect()
+    }
+    assert (rows[1].common, rows[1].f1) == (1, 1.0)
+    assert (rows[2].common, rows[2].f1) == (0, 0.0)
+    assert (rows[3].grams_a, rows[3].common, rows[3].f1) == (1, 0, 0.0)
+    # two NULL/empty texts score as identical
+    assert (rows[4].common, rows[4].f1) == (1, 1.0)
+
+
+def test_ngram_overlap_no_shuffle_plan(spark):
+    # the scorer is pure per-row codegen: no Exchange in the plan
+    df = spark.createDataFrame([("a b c", "a b d")], ["cand", "ref"])
+    plan = (
+        textstats.ngram_overlap(df, "cand", "ref")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
