@@ -137,13 +137,15 @@ class Executor:
                 kwargs["sources"] = srcs
             if op_name == "semi_join":
                 kwargs["source"] = self._resolve(op_cfg["source"])
-            if op_name in ("asof_join", "interval_join", "join_stream"):
+            if op_name in (
+                "asof_join", "interval_join", "join_stream", "lsh_join"
+            ):
                 kwargs["right"] = self._resolve(op_cfg["right"])
             if op_name == "enrich_stream":
                 kwargs["static_df"] = self._resolve(op_cfg["static_df"])
             if op_name == "resolve_duplicates":
                 kwargs["pairs"] = self._resolve(op_cfg["pairs"])
-            if op_name == "decontaminate":
+            if op_name in ("decontaminate", "decontaminate_near"):
                 kwargs["benchmark"] = self._resolve(op_cfg["benchmark"])
             if op_name == "quality_classifier":
                 kwargs["weights"] = self._resolve(op_cfg["weights"])
@@ -151,7 +153,7 @@ class Executor:
                 kwargs["updates"] = self._resolve(op_cfg["updates"])
             if op_name == "novel_docs":
                 kwargs["seen"] = self._resolve(op_cfg["seen"])
-            if op_name == "snapshot_diff":
+            if op_name in ("snapshot_diff", "profile_compare"):
                 kwargs["new"] = self._resolve(op_cfg["new"])
             if op_name == "validate_table" and op_cfg.get("references"):
                 kwargs["references"] = {
