@@ -12,6 +12,7 @@ import datetime
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -296,3 +297,84 @@ def test_merge_upsert_matches_python_reference(spark, base, ups):
         if not deleted:
             want[k] = v
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ngram_overlap vs a pure-Python reference (r6)
+# ---------------------------------------------------------------------------
+
+
+def _py_shingles(text: str, n: int = 2) -> set[str]:
+    import re
+
+    t = re.sub(r"[^\w\s]", "", (text or "").lower())
+    t = re.sub(r"\s+", " ", t).strip()
+    words = t.split(" ")
+    if len(words) < n:
+        return {t}
+    return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+
+# ascii-only alphabet: Java \w (used by the Spark regex) is
+# [a-zA-Z0-9_] while Python \w is unicode-aware — the operator's
+# semantics are defined by the engine regex, the test just avoids the
+# alphabet where the two reference implementations diverge
+_TEXTS = st.text(alphabet="ab x.,!_3", min_size=0, max_size=24)
+
+
+@given(a=_TEXTS, b=_TEXTS)
+@settings(**SETTINGS)
+def test_ngram_overlap_matches_python_reference(spark, a, b):
+    from earthmover_spark.llm.textstats import ngram_overlap
+
+    df = spark.createDataFrame([(a, b)], "cand string, ref string")
+    r = ngram_overlap(df, "cand", "ref", n=2).collect()[0]
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    assert (r.grams_a, r.grams_b, r.common) == (
+        len(sa), len(sb), len(sa & sb)
+    )
+    assert r.precision == round(len(sa & sb) / len(sa), 6)
+    assert r.recall == round(len(sa & sb) / len(sb), 6)
+    assert r.f1 == round(2.0 * len(sa & sb) / (len(sa) + len(sb)), 6)
+    # symmetry: swapping the columns swaps precision and recall
+    rr = ngram_overlap(df, "ref", "cand", n=2).collect()[0]
+    assert (rr.precision, rr.recall) == (r.recall, r.precision)
+
+
+# ---------------------------------------------------------------------------
+# target_mix invariants (r6)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=2, max_size=4),
+    shares=st.lists(
+        st.floats(0.05, 1.0, allow_nan=False), min_size=2, max_size=4
+    ),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_target_mix_binding_stratum_kept_whole(spark, counts, shares):
+    from earthmover_spark.llm import sampling
+
+    k = min(len(counts), len(shares))
+    counts, shares = counts[:k], shares[:k]
+    rows = [
+        (s * 1000 + i, f"s{s}")
+        for s, n in enumerate(counts)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k long, src string")
+    share_map = {f"s{i}": w for i, w in enumerate(shares)}
+    out = sampling.target_mix(df, "src", "k", share_map)
+    got = {
+        r.src: r.cnt
+        for r in out.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    binding = min(range(k), key=lambda i: counts[i] / shares[i])
+    # the binding stratum survives whole; nothing exceeds its stratum
+    assert got.get(f"s{binding}", 0) == counts[binding]
+    for i in range(k):
+        assert got.get(f"s{i}", 0) <= counts[i]
