@@ -1637,6 +1637,20 @@ def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cm_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of event user frequencies (depth 3, width
+    128) probed for users 1-20: build = one inline-explode + one
+    bounded hash agg; estimate = broadcast equi-join of the
+    answer-sized sketch. Estimates are exact here because the sketch
+    is wide relative to the key space (no collisions bias the min)."""
+    from earthmover_spark.operators import sketch
+
+    ev = _p(spark, sf_dir, "events")
+    sk = sketch.cm_sketch(ev, "user_id", depth=3, width=128)
+    keys = ev.filter(F.col("user_id") <= 20)
+    return sketch.cm_estimate(sk, keys, "user_id", depth=3, width=128)
+
+
 def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift report: orders (4 profiled columns) vs a
     simulated next drop (open orders only, o_orderpriority dropped,
@@ -2246,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": q_profile_drift,
         "target_mix": q_target_mix,
         "ngram_overlap": q_ngram_overlap,
+        "cm_heavy": q_cm_heavy,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -3339,6 +3354,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
                        AS UBIGINT)::BIGINT
                   < CAST(floor(frac * 1152921504606846976) AS BIGINT)
+        """,
+        "cm_heavy": """
+            WITH cells AS (
+              SELECT r.row,
+                     CAST(('0x' || substr(md5('cm' || CAST(r.row AS VARCHAR)
+                          || ':' || CAST(user_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT % 128 AS slot
+              FROM events, (SELECT unnest(range(3)) AS row) r
+              WHERE user_id IS NOT NULL
+            ), sk AS (
+              SELECT row, slot, count(*) AS n FROM cells GROUP BY 1, 2
+            ), keys AS (
+              SELECT DISTINCT user_id FROM events WHERE user_id <= 20
+            ), probes AS (
+              SELECT k.user_id, r.row,
+                     CAST(('0x' || substr(md5('cm' || CAST(r.row AS VARCHAR)
+                          || ':' || CAST(k.user_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT % 128 AS slot
+              FROM keys k, (SELECT unnest(range(3)) AS row) r
+            )
+            SELECT p.user_id, min(coalesce(s.n, 0)) AS est
+            FROM probes p LEFT JOIN sk s USING (row, slot)
+            GROUP BY p.user_id
         """,
         "ngram_overlap": f"""
             WITH w AS (

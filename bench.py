@@ -102,6 +102,7 @@ HEADLINE = [
     "profile_drift",  # two one-pass profiles + k-row full-outer join
     "target_mix",  # count collect + one CASE-threshold filter
     "ngram_overlap",  # per-row shingle+intersect codegen, zero shuffle
+    "cm_heavy",  # bounded count-min build + broadcast probe join
 ]
 
 

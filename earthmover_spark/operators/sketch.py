@@ -1,5 +1,7 @@
-"""Mergeable distinct-count sketches (Apache DataSketches HLL, built
-into Spark 3.5+).
+"""Mergeable sketches: distinct counts (Apache DataSketches HLL,
+built into Spark 3.5+) and key frequencies (count-min, expressed as a
+bounded (row, slot, n) DataFrame so it is engine-portable and
+oracle-checkable).
 
 The incremental-pipeline counterpart to ``profile_table``'s
 ``approx_count_distinct``: instead of a one-shot estimate, these
@@ -60,3 +62,112 @@ def sketch_estimate(
     return df.withColumn(
         out_col, F.hll_sketch_estimate(sketch_col)
     ).drop(sketch_col)
+
+
+def _cm_slot(col: Column, width: int, row: int, salt: str) -> Column:
+    """md5-derived counter slot for count-min row ``row`` — the same
+    engine-portable 60-bit md5-prefix hash the sampling operators use,
+    so the DuckDB oracle reproduces slots exactly."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}{row}:"), col.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies: the FREQUENCY twin
+    of :func:`distinct_sketch` (HLL answers "how many distinct", this
+    answers "how often does key X occur, roughly") for corpora whose
+    exact per-key count table is itself too big to keep. Returns the
+    sketch as a ``(row, slot, n)`` frame of at most ``depth x width``
+    rows — non-empty cells only. NULL keys count like any other value
+    (they hash as the string cast's NULL -> no row; filter upstream if
+    NULLs should be excluded).
+
+    The sketch is MERGEABLE: sketches of two corpus shards built with
+    the same (depth, width, salt) combine by unioning the frames and
+    summing ``n`` per (row, slot) — :func:`cm_merge`. Estimates come
+    from :func:`cm_estimate` and satisfy the classic one-sided bound:
+    never below the true count, above it by at most ~2N/width with
+    probability 1 - 2^-depth.
+
+    Scale shape (100 TB): ONE explode of ``depth`` (row, slot) structs
+    per input row + ONE hash aggregation keyed on at most depth*width
+    values — partial counts combine map-side, the reduce moves a
+    bounded frame no matter the corpus size. Unlike the exact
+    ``key_skew_report`` there is no per-key state anywhere."""
+    if depth < 1 or width < 1:
+        raise ValueError("cm_sketch: depth and width must be >= 1")
+    k = F.col(key_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cm_slot(k, width, r, salt).alias("slot"),
+            )
+            for r in range(depth)
+        ]
+    )
+    cells = df.filter(k.isNotNull()).select(F.inline(entries))
+    return cells.groupBy("row", "slot").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cm_merge(
+    df: DataFrame,
+) -> DataFrame:
+    """Merge unioned count-min sketch frames (same depth/width/salt):
+    sum cell counts per (row, slot). Lossless with respect to building
+    one sketch over the concatenated corpora."""
+    return df.groupBy("row", "slot").agg(F.sum("n").alias("n"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Estimate each key's frequency from a count-min sketch built
+    with the same (depth, width, salt): ``(key_col, est)`` where est =
+    min over sketch rows of the key's cell count (0 for never-seen
+    keys — absent cells read as empty). Always >= the true count.
+
+    The keys frame is expected to be answer-sized (the candidate heavy
+    hitters, a watchlist, a join key sample); each key probes
+    ``depth`` cells via an equi-join against the bounded sketch frame
+    — broadcast-sized on the sketch side by construction."""
+    if depth < 1 or width < 1:
+        raise ValueError("cm_estimate: depth and width must be >= 1")
+    k = F.col(key_col)
+    probes = keys.select(key_col).distinct().select(
+        key_col,
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_slot(k, width, r, salt).alias("slot"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "slot"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est")
+    )

@@ -85,3 +85,48 @@ def test_sketch_grouped(spark):
         ).collect()
     }
     assert got["a"] == 100 and got["b"] == 10  # exact at tiny cardinality
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (r6)
+# ---------------------------------------------------------------------------
+
+
+def test_cm_estimate_never_undercounts(spark):
+    rows = [(k,) for k in ["a"] * 50 + ["b"] * 10 + ["c"] * 3]
+    df = spark.createDataFrame(rows, ["k"])
+    sk = sketch.cm_sketch(df, "k", depth=4, width=32)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], ["k"])
+    got = {
+        r.k: r.est
+        for r in sketch.cm_estimate(sk, keys, "k", depth=4, width=32).collect()
+    }
+    truth = {"a": 50, "b": 10, "c": 3, "zzz": 0}
+    for k, true_n in truth.items():
+        assert got[k] >= true_n
+    # wide sketch vs 3 keys: no collisions, estimates exact
+    assert got == truth
+
+
+def test_cm_merge_equals_one_shot(spark):
+    a = spark.createDataFrame([("x",)] * 7 + [("y",)] * 2, ["k"])
+    b = spark.createDataFrame([("x",)] * 5 + [("z",)] * 4, ["k"])
+    part = sketch.cm_merge(
+        sketch.cm_sketch(a, "k", depth=3, width=16).unionByName(
+            sketch.cm_sketch(b, "k", depth=3, width=16)
+        )
+    )
+    whole = sketch.cm_sketch(a.unionByName(b), "k", depth=3, width=16)
+    assert sorted(map(tuple, part.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cm_sketch_bounded_and_null_safe(spark):
+    df = spark.createDataFrame(
+        [(str(i % 100),) for i in range(1000)] + [(None,)], ["k"]
+    )
+    sk = sketch.cm_sketch(df, "k", depth=4, width=8).collect()
+    # at most depth x width cells, NULLs contribute nothing
+    assert len(sk) <= 4 * 8
+    assert sum(r.n for r in sk) == 4 * 1000
