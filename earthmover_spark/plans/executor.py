@@ -155,6 +155,8 @@ class Executor:
                 kwargs["seen"] = self._resolve(op_cfg["seen"])
             if op_name in ("snapshot_diff", "profile_compare"):
                 kwargs["new"] = self._resolve(op_cfg["new"])
+            if op_name == "cm_estimate":
+                kwargs["keys"] = self._resolve(op_cfg["keys"])
             if op_name == "validate_table" and op_cfg.get("references"):
                 kwargs["references"] = {
                     k: self._resolve(v)

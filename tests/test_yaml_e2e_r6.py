@@ -97,6 +97,18 @@ def project_dir(tmp_path_factory):
                 col_b: ref
               - operation: keep_columns
                 columns: [k, common, f1]
+          freq_est:
+            source: $sources.corpus
+            operations:
+              - operation: cm_sketch
+                key_col: src
+                depth: 3
+                width: 64
+              - operation: cm_estimate
+                keys: $sources.corpus
+                key_col: src
+                depth: 3
+                width: 64
 
         destinations:
           drift_out:
@@ -113,6 +125,9 @@ def project_dir(tmp_path_factory):
             extension: jsonl
           scored_out:
             source: $transformations.scored
+            extension: jsonl
+          freq_out:
+            source: $transformations.freq_est
             extension: jsonl
     """))
     return d
@@ -160,3 +175,8 @@ def test_r6_yaml_pipeline(spark, project_dir):
               _rows(results, "$destinations.scored_out")}
     assert scored["1"] == ("2", str(round(4 / 6, 6)))
     assert scored["2"] == ("2", "1.0")
+
+    freqs = {r["src"]: r["est"] for r in
+             _rows(results, "$destinations.freq_out")}
+    # wide sketch, 2 keys: exact counts (3 web, 3 code docs)
+    assert freqs == {"web": "3", "code": "3"}
