@@ -2250,7 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_normalize": q_emb_normalize,
     # NEW in r6 (added after the r6 prefix was committed to the
     # stale-r1 refresh): first official rows due r7 — rotate these in
-    # FIRST next round; all eight locally oracle-verified
+    # FIRST next round; all nine locally oracle-verified
     # (tools/compare.py)
         "lsh_cross": q_lsh_cross,
         "decon_near": q_decon_near,

@@ -138,6 +138,20 @@ def main() -> None:
         e = spark.read.parquet(f"{base}/edges")
         r["pagerank_3iter"] = _t(lambda: pagerank(e, iters=3).count())
 
+        # --- count-min sketch build + heavy-hitter probe ----------------
+        from earthmover_spark.operators.sketch import cm_estimate, cm_sketch
+
+        r["cm_sketch_build"] = _t(
+            lambda: cm_sketch(plain, "a", depth=4, width=4096).count()
+        )
+        probe_keys = spark.range(100).select(F.col("id").alias("a"))
+        r["cm_probe_100keys"] = _t(
+            lambda: cm_estimate(
+                cm_sketch(plain, "a", depth=4, width=4096),
+                probe_keys, "a", depth=4, width=4096,
+            ).count()
+        )
+
         # --- profiler: exact (Expand) vs approx (HLL) -------------------
         r["profile_exact"] = _t(
             lambda: profile_table(plain, ["a", "b", "row_id"]).collect()
