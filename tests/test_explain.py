@@ -549,3 +549,44 @@ def test_bm25_multi_broadcast_and_window_group_limit(spark):
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_target_mix_single_filter_no_shuffle(plans):
+    """target_mix resolves fractions driver-side (#strata-row collect)
+    and the result plan is a single CASE-threshold filter over the
+    scan: no Exchange, no join, no Python."""
+    p = plans("target_mix")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_profile_drift_joins_aggregates_not_scans(plans):
+    """profile_compare's only join is between the two k-row profile
+    frames: exactly one join in the plan, and both scans feed straight
+    into aggregates (no data-scale shuffle beyond the single-row agg
+    exchange)."""
+    import re
+
+    p = plans("profile_drift")
+    assert len(re.findall(r"\(\d+\) [A-Za-z]*Join", p)) == 1
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_cm_heavy_bounded_sketch_broadcast_probe(plans):
+    """The count-min probe joins the bounded sketch broadcast-side:
+    no sort-merge join of data-scale frames, no Python, no cartesian."""
+    p = plans("cm_heavy")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_ngram_overlap_no_python(plans):
+    """The overlap scorer is pure Column codegen; the only exchange in
+    the driver query is the lead() pairing window's."""
+    p = plans("ngram_overlap")
+    assert "EvalPython" not in p
+    assert "Join" not in p
