@@ -1637,6 +1637,27 @@ def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment by order-key hash — pure
+    codegen arithmetic, zero shuffle; same-key rows share a fold."""
+    from earthmover_spark.llm import sampling
+
+    orders = _p(spark, sf_dir, "orders")
+    return sampling.kfold_assign(orders, "o_orderkey", k=5).select(
+        "o_orderkey", "fold"
+    )
+
+
+def q_corpus_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant corpus fingerprint of documents (id, lang,
+    source): one map-side-combined aggregation, one row out — the
+    did-anything-change gate for incremental runs."""
+    from earthmover_spark.operators import diff
+
+    docs = _p(spark, sf_dir, "documents")
+    return diff.corpus_fingerprint(docs, ["doc_id", "lang", "source"])
+
+
 def q_cm_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch of event user frequencies (depth 3, width
     128) probed for users 1-20: build = one inline-explode + one
@@ -2250,7 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_normalize": q_emb_normalize,
     # NEW in r6 (added after the r6 prefix was committed to the
     # stale-r1 refresh): first official rows due r7 — rotate these in
-    # FIRST next round; all nine locally oracle-verified
+    # FIRST next round; all eleven locally oracle-verified
     # (tools/compare.py)
         "lsh_cross": q_lsh_cross,
         "decon_near": q_decon_near,
@@ -2261,6 +2282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_mix": q_target_mix,
         "ngram_overlap": q_ngram_overlap,
         "cm_heavy": q_cm_heavy,
+        "kfold": q_kfold,
+        "corpus_fp": q_corpus_fp,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -3354,6 +3377,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
                        AS UBIGINT)::BIGINT
                   < CAST(floor(frac * 1152921504606846976) AS BIGINT)
+        """,
+        "kfold": """
+            SELECT o_orderkey,
+                   CAST(('0x' || substr(md5('fold:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                        AS UBIGINT)::BIGINT % 5 AS fold
+            FROM orders
+        """,
+        "corpus_fp": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(CAST(('0x' || substr(md5(
+                         concat_ws(chr(1),
+                           coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'NULL'),
+                           coalesce(lang, chr(0) || 'NULL'),
+                           coalesce(source, chr(0) || 'NULL'))), 1, 15))
+                        AS UBIGINT)::BIGINT AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS fingerprint
+            FROM documents
         """,
         "cm_heavy": """
             WITH cells AS (

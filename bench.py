@@ -103,6 +103,8 @@ HEADLINE = [
     "target_mix",  # count collect + one CASE-threshold filter
     "ngram_overlap",  # per-row shingle+intersect codegen, zero shuffle
     "cm_heavy",  # bounded count-min build + broadcast probe join
+    "kfold",  # pure codegen hash pmod, zero shuffle
+    "corpus_fp",  # one map-side-combined agg, one row out
 ]
 
 

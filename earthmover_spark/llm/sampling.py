@@ -267,6 +267,27 @@ def split_dataset(
     return df.withColumn(split_col, expr)
 
 
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    fold_col: str = "fold",
+    salt: str = "fold",
+) -> DataFrame:
+    """Assign each row a deterministic cross-validation fold in
+    ``[0, k)`` from its key hash — the k-equal-parts companion to
+    :func:`split_dataset` (named weighted splits). Same-key rows
+    always share a fold, so grouped/duplicated keys never leak across
+    a CV boundary; folds are reproducible across runs, engines, and
+    partitionings. Pure codegen arithmetic over the scan — zero
+    shuffle."""
+    if k < 2:
+        raise EarthmoverSparkError("kfold_assign: k must be >= 2")
+    return df.withColumn(
+        fold_col, F.pmod(_h60(F.col(key_col), f"{salt}:"), F.lit(k))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

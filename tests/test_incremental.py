@@ -130,3 +130,67 @@ def test_cm_sketch_bounded_and_null_safe(spark):
     # at most depth x width cells, NULLs contribute nothing
     assert len(sk) <= 4 * 8
     assert sum(r.n for r in sk) == 4 * 1000
+
+
+# ---------------------------------------------------------------------------
+# corpus_fingerprint + kfold_assign (r6 pipeline bookkeeping)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_fingerprint_order_and_partition_invariant(spark):
+    from earthmover_spark.operators.diff import corpus_fingerprint
+
+    rows = [(i, f"v{i % 7}") for i in range(500)]
+    a = spark.createDataFrame(rows, ["k", "v"])
+    b = spark.createDataFrame(list(reversed(rows)), ["k", "v"]).repartition(13)
+    fa = corpus_fingerprint(a).collect()[0]
+    fb = corpus_fingerprint(b).collect()[0]
+    assert (fa.n_rows, fa.fingerprint) == (fb.n_rows, fb.fingerprint)
+
+    # one changed row flips it; a duplicated row flips it (sum, not xor)
+    changed = spark.createDataFrame(
+        rows[:-1] + [(499, "DIFFERENT")], ["k", "v"]
+    )
+    dup = spark.createDataFrame(rows + [rows[0]], ["k", "v"])
+    assert corpus_fingerprint(changed).collect()[0].fingerprint != fa.fingerprint
+    assert corpus_fingerprint(dup).collect()[0].fingerprint != fa.fingerprint
+
+
+def test_corpus_fingerprint_null_tagging_and_empty(spark):
+    from earthmover_spark.operators.diff import corpus_fingerprint
+
+    # NULL and the literal string "None" must fingerprint differently
+    with_null = spark.createDataFrame([(1, None)], "k long, v string")
+    with_str = spark.createDataFrame([(1, "None")], "k long, v string")
+    assert (
+        corpus_fingerprint(with_null).collect()[0].fingerprint
+        != corpus_fingerprint(with_str).collect()[0].fingerprint
+    )
+    empty = spark.createDataFrame([], "k long, v string")
+    r = corpus_fingerprint(empty).collect()[0]
+    assert (r.n_rows, r.fingerprint) == (0, 0)
+
+
+def test_kfold_assign_deterministic_and_leak_free(spark):
+    from earthmover_spark.llm import sampling
+
+    df = spark.createDataFrame(
+        [(i % 50, i) for i in range(500)], ["group_key", "row_id"]
+    )
+    out = sampling.kfold_assign(df, "group_key", k=5)
+    rows = out.collect()
+    assert all(0 <= r.fold < 5 for r in rows)
+    # same key -> same fold (no leakage across CV boundary)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.group_key, set()).add(r.fold)
+    assert all(len(s) == 1 for s in by_key.values())
+    # every fold populated at this key count, and assignment is stable
+    assert {r.fold for r in rows} == set(range(5))
+    again = sampling.kfold_assign(df, "group_key", k=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="k must be >= 2"):
+        sampling.kfold_assign(df, "group_key", k=1)
