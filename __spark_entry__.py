@@ -1387,9 +1387,13 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from earthmover_spark.operators.profile import profile_table
 
     orders = _p(spark, sf_dir, "orders")
+    # exact_distinct pinned: the DuckDB oracle computes exact COUNT
+    # (DISTINCT ...); the YAML-facing default is approx (HLL++) for
+    # 100 TB-wide tables.
     return profile_table(
         orders,
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact_distinct=True,
     )
 
 
@@ -1693,7 +1697,8 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_key_mod"
         ),
     )
-    return profile_compare(old, new)
+    # exact_distinct pinned to match the oracle's exact COUNT(DISTINCT)
+    return profile_compare(old, new, exact_distinct=True)
 
 
 def q_inverted_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3387,10 +3392,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_fp": """
             SELECT count(*) AS n_rows,
                    CAST(sum(CAST(CAST(('0x' || substr(md5(
-                         concat_ws(chr(1),
-                           coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'NULL'),
-                           coalesce(lang, chr(0) || 'NULL'),
-                           coalesce(source, chr(0) || 'NULL'))), 1, 15))
+                           coalesce(md5(CAST(doc_id AS VARCHAR)), 'N')
+                           || coalesce(md5(lang), 'N')
+                           || coalesce(md5(source), 'N')), 1, 15))
                         AS UBIGINT)::BIGINT AS HUGEINT))
                         % 2305843009213693951 AS BIGINT) AS fingerprint
             FROM documents

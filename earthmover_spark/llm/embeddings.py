@@ -22,6 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import EarthmoverSparkError
+
+# pca_fit builds d means + d(d+1)/2 second-moment expressions in ONE
+# agg; beyond a few hundred dims Catalyst/codegen falls over (d=768 is
+# ~295k expressions). Enforced rather than documented-only.
+PCA_MAX_DIMS = 256
+
 
 def _dvec(vec_col: str) -> Column:
     return F.col(vec_col).cast("array<double>")
@@ -180,14 +187,45 @@ def pca_fit(
         if first is None:
             raise ValueError("pca_fit: empty input")
         dims = first["d"]
+    if dims > PCA_MAX_DIMS:
+        raise EarthmoverSparkError(
+            f"pca_fit: dims={dims} exceeds the single-agg envelope "
+            f"({PCA_MAX_DIMS}): the moment aggregation builds "
+            "d + d*(d+1)/2 expressions and Catalyst/codegen degrades "
+            "beyond a few hundred dims. Chunk the moment agg into "
+            "column blocks, or fit PCA on a sample / pre-reduced "
+            "projection instead."
+        )
     if not (1 <= k <= dims):
         raise ValueError(f"pca_fit: need 1 <= k <= dims, got k={k}")
-    aggs = [F.avg(v[i]).alias(f"m{i}") for i in range(dims)] + [
-        F.avg(v[i] * v[j]).alias(f"s{i}_{j}")
-        for i in range(dims)
-        for j in range(i, dims)
-    ]
+    # Uniform-size check rides the SAME moment aggregation (no extra
+    # scan): mixed-dimension input would otherwise silently skew the
+    # covariance because avg() skips NULL element accesses. Element
+    # access goes through get() (NULL past the end, vs ANSI []'s
+    # index error) — safe because __badsize__ raises below on ANY
+    # size mismatch before the moments are trusted.
+    g = [F.get(v, i) for i in range(dims)]
+    aggs = (
+        [
+            F.count(
+                F.when(F.size(F.col(vec_col)) != dims, F.lit(1))
+            ).alias("__badsize__")
+        ]
+        + [F.avg(g[i]).alias(f"m{i}") for i in range(dims)]
+        + [
+            F.avg(g[i] * g[j]).alias(f"s{i}_{j}")
+            for i in range(dims)
+            for j in range(i, dims)
+        ]
+    )
     row = df.agg(*aggs).collect()[0]  # bounded: one O(d^2) row
+    if row["__badsize__"]:
+        raise EarthmoverSparkError(
+            f"pca_fit: {row['__badsize__']} row(s) have vectors whose "
+            f"size != dims={dims}; mixed-dimension input would "
+            "silently skew the covariance. Filter or fix the "
+            "short/long vectors upstream."
+        )
     mu = np.array([float(row[f"m{i}"]) for i in range(dims)])
     cov = np.zeros((dims, dims))
     for i in range(dims):

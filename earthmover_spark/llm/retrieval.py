@@ -166,7 +166,15 @@ def bm25_batch(
     qterms = {
         qid: sorted({t for t in ts if t}) for qid, ts in queries.items()
     }
-    qterms = {qid: ts for qid, ts in qterms.items() if ts}
+    empty = sorted(qid for qid, ts in qterms.items() if not ts)
+    if empty:
+        # mirror bm25_scores' empty-term-list error: silently dropping
+        # a query would return fewer query_ids than submitted with no
+        # signal to the caller
+        raise ValueError(
+            "bm25_batch: these queries have no non-empty terms: "
+            + ", ".join(empty)
+        )
     if not qterms:
         raise ValueError("bm25_batch: queries must contain >= 1 term")
     all_terms = sorted({t for ts in qterms.values() for t in ts})

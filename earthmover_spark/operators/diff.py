@@ -31,14 +31,25 @@ from pyspark.sql import functions as F
 from earthmover_spark.util import EarthmoverSparkError
 
 
-def row_fingerprint(cols: Sequence[str]) -> Column:
-    """md5 over the canonicalized (string-cast, NULL-tagged,
-    field-separated) compare columns — engine-portable, so an oracle
-    can reproduce it with the same md5/concat expression."""
+def _row_encoding(cols: Sequence[str]) -> Column:
+    """Injective canonical row encoding: each column contributes the
+    md5 of its string cast (32 fixed hex chars) or the single
+    non-hex char ``N`` for NULL, concatenated with no separator. The
+    token stream parses unambiguously (greedy: ``N`` = NULL, else 32
+    hex chars), so distinct rows can never encode identically — unlike
+    a separator-joined raw-value concat, where values containing the
+    separator/NULL-tag bytes could collide. Engine-portable: an oracle
+    reproduces it with the same md5/coalesce/concat expression."""
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N")) for c in cols
     ]
-    return F.md5(F.concat_ws("\x01", *parts))
+    return F.concat(*parts) if parts else F.lit("")
+
+
+def row_fingerprint(cols: Sequence[str]) -> Column:
+    """md5 over the injective canonical row encoding of ``cols`` (see
+    :func:`_row_encoding`)."""
+    return F.md5(_row_encoding(cols))
 
 
 def snapshot_diff(
@@ -95,8 +106,9 @@ def corpus_fingerprint(
 ) -> DataFrame:
     """Order-invariant content fingerprint of a whole table: ONE row
     ``(n_rows, fingerprint)`` where the fingerprint is the sum of each
-    row's 60-bit md5-prefix hash (of the NULL-tagged string-cast
-    ``cols``, default all) reduced mod 2^61-1. Two corpora with the
+    row's 60-bit md5-prefix hash (of the injective per-column-md5
+    encoding — see :func:`_row_encoding` — over ``cols``, default all)
+    reduced mod 2^61-1. Two corpora with the
     same multiset of rows fingerprint identically under ANY ordering
     or partitioning; a single changed, added, or dropped row flips it
     (sum, not xor — duplicate pairs do not cancel). The cheap "did
@@ -110,13 +122,7 @@ def corpus_fingerprint(
     overflow 38 digits) and only the final mod narrows to bigint."""
     use = list(cols) if cols is not None else list(df.columns)
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(
-            "\x01",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-                for c in use
-            ],
-        )), 1, 15),
+        F.substring(F.md5(_row_encoding(use)), 1, 15),
         16,
         10,
     ).cast("decimal(38,0)")

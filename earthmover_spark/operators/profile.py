@@ -8,13 +8,14 @@ form, and mean string length.
 Scale shape (100 TB): ONE aggregation over ONE scan. All per-column
 statistics are expressions of a single ``.agg(...)`` call, so partial
 aggregates combine map-side and the reduce moves one row of numbers no
-matter the table size. Exact ``count_distinct`` over k columns makes
+matter the table size. Distinct counts default to
+``approx_count_distinct`` (HLL++ sketches, rsd 0.05 — mergeable, no
+plan blow-up) because exact ``count_distinct`` over k columns makes
 Catalyst plan an Expand (k-way row multiplication before the partial
-agg) — correct but k x the shuffle write; pass
-``exact_distinct=False`` to use ``approx_count_distinct`` (HLL++
-sketches, mergeable, no Expand) when profiling wide tables at full
-scale. The final per-column pivot is ``inline`` over a one-row frame —
-driver-free.
+agg): correct, but k x the shuffle write — the wrong default for a
+100 TB x 50-column table. Pass ``exact_distinct=True`` when profiling
+small/medium tables where exact cardinalities matter. The final
+per-column pivot is ``inline`` over a one-row frame — driver-free.
 """
 
 from __future__ import annotations
@@ -30,14 +31,20 @@ from earthmover_spark.util import EarthmoverSparkError
 def profile_table(
     df: DataFrame,
     columns: Iterable[str] | None = None,
-    exact_distinct: bool = True,
+    exact_distinct: bool = False,
     approx_rsd: float = 0.05,
 ) -> DataFrame:
     """Profile ``columns`` (default: all) in a single pass. Returns one
     row per column: ``(col_name, n_rows, n_nulls, n_distinct,
     min_value, max_value, avg_len)``. ``min/max/avg_len`` operate on
     the string cast so the profile is type-generic; ``avg_len`` is
-    rounded to 4 places for cross-engine reproducibility."""
+    rounded to 4 places for cross-engine reproducibility.
+
+    ``n_distinct`` is an HLL++ estimate (rsd ``approx_rsd``) by
+    default — exact within a handful at small cardinalities, within
+    ~5% at large — keeping the plan Expand-free at any column count;
+    ``exact_distinct=True`` restores exact ``count_distinct`` (costs a
+    k-way Expand of the scan)."""
     cols = list(columns) if columns is not None else list(df.columns)
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for i, c in enumerate(cols):
@@ -126,7 +133,7 @@ def profile_compare(
     old: DataFrame,
     new: DataFrame,
     columns: Iterable[str] | None = None,
-    exact_distinct: bool = True,
+    exact_distinct: bool = False,
     approx_rsd: float = 0.05,
 ) -> DataFrame:
     """Statistics drift between two snapshots of a table — the check a
@@ -151,8 +158,9 @@ def profile_compare(
     (``profile_table``'s shape — partials combine map-side, one row of
     numbers each), then a full-outer join of two <= k-row frames. The
     join is driver-trivial; no data-scale shuffle exists anywhere.
-    ``exact_distinct=False`` switches both sides to HLL++ sketches for
-    wide tables, same trade as ``profile_table``."""
+    Distinct counts default to HLL++ sketches (``profile_table``'s
+    trade, x2 since both snapshots profile); ``exact_distinct=True``
+    restores exact counts at the cost of an Expand per side."""
     want = list(columns) if columns is not None else None
 
     def _side(df: DataFrame, tag: str) -> DataFrame:

@@ -37,6 +37,7 @@ def jaccard_self_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    eager: bool = False,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` whose
     DISTINCT-token Jaccard similarity (over ``normalize_text``
@@ -52,7 +53,15 @@ def jaccard_self_pairs(
     surviving candidate pairs dedup as bare ``(id_a, id_b)`` and the
     arrays attach once per side via id-keyed joins only for the final
     exact intersection — the same payload-last discipline the LSH
-    pipeline uses (signatures shuffle, documents don't)."""
+    pipeline uses (signatures shuffle, documents don't).
+
+    Caching contract: the tokenized-doc frame is ``persist()``-ed
+    (consumed three times) and by default stays cached until executor
+    storage evicts it — fine for run-once pipelines. In a long-lived
+    session making repeated calls, pass ``eager=True`` to materialize
+    the result via ``localCheckpoint`` and release the cache
+    immediately (the returned frame then no longer re-derives from
+    lineage — ``bm25_scores``' documented trade)."""
     if not (0.0 < threshold <= 1.0):
         raise EarthmoverSparkError(
             "jaccard_self_pairs: threshold must be in (0, 1]"
@@ -157,11 +166,17 @@ def jaccard_self_pairs(
     )
     inter = F.size(F.array_intersect("__ta__", "__tb__"))
     jac = inter / (F.col("__sa__") + F.col("__sb__") - inter)
-    return (
+    out = (
         verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if eager:
+        try:
+            return out.localCheckpoint()
+        finally:
+            docs.unpersist()
+    return out
 
 
 
@@ -172,6 +187,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_df: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, cosine)`` with ``id_a < id_b`` whose
     tf-idf vectors have cosine similarity ``>= threshold`` — the
@@ -199,6 +215,12 @@ def tfidf_cosine_pairs(
     optionally drops ubiquitous near-zero-idf terms (documented
     accuracy trade); norms are one doc-keyed agg; corpus-size N is a
     single-row collect.
+
+    Caching contract: two intermediates (``(id, term, tf)`` and the
+    per-doc sparse vectors) are ``persist()``-ed and by default stay
+    cached until eviction — fine run-once. Pass ``eager=True`` in
+    long-lived sessions to materialize via ``localCheckpoint`` and
+    release both caches immediately.
     """
     if not (0.0 < threshold <= 1.0):
         raise EarthmoverSparkError(
@@ -304,13 +326,20 @@ def tfidf_cosine_pairs(
         "aggregate(array_intersect(__ta__, __tb__), 0D,"
         " (acc, t) -> acc + __ma__[t] * __mb__[t])"
     )
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", F.round(dot, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    if eager:
+        try:
+            return out.localCheckpoint()
+        finally:
+            dt.unpersist()
+            vec.unpersist()
+    return out
 
 
 __all__ = ["jaccard_self_pairs", "tfidf_cosine_pairs"]

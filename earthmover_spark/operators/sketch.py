@@ -92,9 +92,9 @@ def cm_sketch(
     answers "how often does key X occur, roughly") for corpora whose
     exact per-key count table is itself too big to keep. Returns the
     sketch as a ``(row, slot, n)`` frame of at most ``depth x width``
-    rows — non-empty cells only. NULL keys count like any other value
-    (they hash as the string cast's NULL -> no row; filter upstream if
-    NULLs should be excluded).
+    rows — non-empty cells only. NULL keys are EXCLUDED (they
+    contribute no cells); ``coalesce`` or filter upstream if NULLs
+    should be counted as a value.
 
     The sketch is MERGEABLE: sketches of two corpus shards built with
     the same (depth, width, salt) combine by unioning the frames and

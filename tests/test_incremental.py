@@ -171,6 +171,28 @@ def test_corpus_fingerprint_null_tagging_and_empty(spark):
     assert (r.n_rows, r.fingerprint) == (0, 0)
 
 
+def test_corpus_fingerprint_encoding_is_injective(spark):
+    # the r6 separator-joined encoding could collide when values
+    # contained the \x01 / \x00NULL control bytes; the per-column-md5
+    # encoding cannot — these pairs hashed identically under the old
+    # scheme and must differ now
+    from earthmover_spark.operators.diff import corpus_fingerprint
+
+    a = spark.createDataFrame([("a\x01b", None)], "x string, y string")
+    b = spark.createDataFrame([("a", "b\x01\x00NULL")], "x string, y string")
+    assert (
+        corpus_fingerprint(a).collect()[0].fingerprint
+        != corpus_fingerprint(b).collect()[0].fingerprint
+    )
+    # column-boundary shift: ("ab","c") vs ("a","bc")
+    c = spark.createDataFrame([("ab", "c")], "x string, y string")
+    d = spark.createDataFrame([("a", "bc")], "x string, y string")
+    assert (
+        corpus_fingerprint(c).collect()[0].fingerprint
+        != corpus_fingerprint(d).collect()[0].fingerprint
+    )
+
+
 def test_kfold_assign_deterministic_and_leak_free(spark):
     from earthmover_spark.llm import sampling
 

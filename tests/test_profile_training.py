@@ -23,7 +23,10 @@ def test_profile_table_basic(spark):
         [(1, "a", None), (2, "bb", 1.5), (2, None, 2.5)],
         ["k", "s", "v"],
     )
-    rows = {r.col_name: r for r in profile_table(df).collect()}
+    rows = {
+        r.col_name: r
+        for r in profile_table(df, exact_distinct=True).collect()
+    }
     assert set(rows) == {"k", "s", "v"}
     k = rows["k"]
     assert (k.n_rows, k.n_nulls, k.n_distinct) == (3, 0, 2)
@@ -38,10 +41,29 @@ def test_profile_table_basic(spark):
 
 def test_profile_table_subset_and_approx(spark):
     df = spark.createDataFrame([(i, i % 10) for i in range(1000)], ["a", "b"])
-    rows = profile_table(df, ["b"], exact_distinct=False).collect()
+    # approx (HLL++) is the DEFAULT — the 100 TB-safe plan
+    rows = profile_table(df, ["b"]).collect()
     assert len(rows) == 1
     # HLL estimate of 10 distinct values at 5% rsd is exact-ish
     assert abs(rows[0].n_distinct - 10) <= 1
+
+
+def test_profile_table_default_plan_has_no_expand(spark):
+    # the approx default must keep the plan Expand-free (exact
+    # count_distinct over k columns makes Catalyst Expand the scan
+    # k-way — the wrong default at 100 TB x 50 columns)
+    df = spark.createDataFrame([(1, "x", 2.0)], ["a", "b", "c"])
+    default_plan = (
+        profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Expand" not in default_plan
+    exact_plan = (
+        profile_table(df, exact_distinct=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan  # the documented cost of exact mode
 
 
 def test_profile_table_single_pass_plan(spark):
@@ -68,7 +90,10 @@ def test_profile_compare_statuses_and_deltas(spark):
         [(1, None, "x"), (2, None, "y"), (3, "c", "z")],
         ["k", "s", "w"],
     )
-    rows = {r.col_name: r for r in profile_compare(old, new).collect()}
+    rows = {
+        r.col_name: r
+        for r in profile_compare(old, new, exact_distinct=True).collect()
+    }
     assert set(rows) == {"k", "s", "v", "w"}
     assert rows["k"].status == "common"
     assert rows["v"].status == "removed"

@@ -433,6 +433,27 @@ def test_pair_joins_partition_invariant(spark):
         assert a == b, fn.__name__
 
 
+def test_pair_joins_eager_releases_caches(spark):
+    """eager=True must return the same result set AND leave no
+    persisted intermediates behind (the long-lived-session contract);
+    the lazy default keeps its caches for plan composability."""
+    df = spark.createDataFrame(JDOCS, "doc_id bigint, text string")
+    sc = spark.sparkContext
+    for fn, kw in (
+        (setsim.jaccard_self_pairs, {"threshold": 0.5}),
+        (setsim.tfidf_cosine_pairs, {"threshold": 0.3}),
+    ):
+        lazy = sorted(map(tuple, fn(df, **kw).collect()))
+        spark.catalog.clearCache()
+        before = len(sc._jsc.getPersistentRDDs())
+        eager = sorted(map(tuple, fn(df, eager=True, **kw).collect()))
+        assert eager == lazy, fn.__name__
+        # only the localCheckpoint RDD of the result may remain; the
+        # persisted DataFrame caches must be gone
+        assert len(sc._jsc.getPersistentRDDs()) <= before + 1, fn.__name__
+        spark.catalog.clearCache()
+
+
 def test_validate_table_empty_input(spark):
     df = spark.createDataFrame([], "a bigint")
     rows = validate.validate_table(

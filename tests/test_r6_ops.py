@@ -162,6 +162,37 @@ def test_pca_validation(spark):
         E.pca_fit(df.filter("vec_id < 0"))
 
 
+def test_pca_fit_dims_guard(spark):
+    import pytest
+
+    from earthmover_spark.llm import embeddings as E
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    # beyond the single-agg envelope the moment agg would build
+    # ~d^2/2 expressions and Catalyst dies unhelpfully — fail fast
+    with pytest.raises(EarthmoverSparkError, match="envelope"):
+        E.pca_fit(df, k=2, dims=E.PCA_MAX_DIMS + 1)
+
+
+def test_pca_fit_rejects_mixed_dims(spark):
+    import pytest
+
+    from earthmover_spark.llm import embeddings as E
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    # a short vector would contribute NULL element accesses that avg()
+    # silently skips -> quietly inconsistent covariance; must raise
+    with pytest.raises(EarthmoverSparkError, match="size != dims"):
+        E.pca_fit(df, k=2)
+
+
 def test_bm25_batch_matches_per_query(spark):
     from earthmover_spark.llm import retrieval
 
@@ -195,6 +226,11 @@ def test_bm25_batch_matches_per_query(spark):
 
     with pytest.raises(ValueError, match="term"):
         retrieval.bm25_batch(docs, {"q": []})
+    # a SINGLE empty query among valid ones must raise too (not be
+    # silently dropped — the caller would get fewer query_ids back
+    # than submitted with no signal)
+    with pytest.raises(ValueError, match="q_bad"):
+        retrieval.bm25_batch(docs, {"q1": ["spark"], "q_bad": ["", ""]})
 
 
 def test_corr_matrix(spark):
