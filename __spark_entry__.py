@@ -2117,19 +2117,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Ordering note: the driver's per-round snapshot records a 50-query
     # prefix of this dict, so coverage ROTATES across rounds (see the
-    # rotation log in COVERAGE.md). r6 prefix = (a) the 2 r5e additions
-    # that missed the full r5 prefix (top_values, interval_coverage) +
-    # inverted_idx, whose driver-facing query was reshaped this round
-    # (array_join'd postings) to clear the r5 canonicalizer red row;
-    # (b) the 4 operators whose implementations changed this round
-    # (quantile_bucket, skew_report, resample_ffill, val_report —
-    # NULL-handling fixes); (c) every query whose newest official green
-    # row was r1 (the 37 core reference-surface + first-wave dedup/
-    # text/sim queries) plus group_by_stats (r1, rotate-back promised
-    # in COVERAGE.md) and join_anti/set_intersect (r3) and 3 of the
-    # oldest-r4 group (cube/salted/explode_array). Everything rotated
-    # out holds a green r5 row with an unchanged implementation.
-    # --- r6 records: new/reshaped/fixed this round ---
+    # rotation log in COVERAGE.md). r7 prefix = (a) the 11 queries
+    # added in r6 AFTER that round's prefix was fixed — their first
+    # official rows (all judge-verified PASS in the r6 verdict's own
+    # matrix run); corpus_fp's fingerprint encoding ALSO changed this
+    # round (injective per-column md5, oracle updated in lockstep);
+    # (b) snap_diff, whose row_fingerprint implementation changed this
+    # round (same injectivity fix — output values are unchanged but
+    # the implementation is re-proved); (c) 38 of the 43 queries whose
+    # newest official green row is r4 (the r5-era rotation-out blocks).
+    # Deferred to r8 (the remaining 5 r4-stale): flagship (smoke-run
+    # via entry() every round), window_calc, top_n, funnel,
+    # pack_sequences_ordered. Everything rotated out holds a green
+    # r5/r6 row with an unchanged implementation.
+    # --- first official rows: the 11 r6-late additions ---
+        "lsh_cross": q_lsh_cross,
+        "decon_near": q_decon_near,
+        "emb_pca_cov": q_emb_pca_cov,
+        "bm25_multi": q_bm25_multi,
+        "corr_pairs": q_corr_pairs,
+        "profile_drift": q_profile_drift,
+        "target_mix": q_target_mix,
+        "ngram_overlap": q_ngram_overlap,
+        "cm_heavy": q_cm_heavy,
+        "kfold": q_kfold,
+        "corpus_fp": q_corpus_fp,
+    # --- implementation changed this round ---
+        "snap_diff": q_snap_diff,
+    # --- r4-stale refresh block (newest official row r4) ---
+        "strip_markup": q_strip_markup,
+        "winnow_near_dups": q_winnow_near_dups,
+        "bigram_logprob": q_bigram_logprob,
+        "tokenize_ids": q_tokenize_ids,
+        "winnow_fp": q_winnow_fp,
+        "text_tfidf": q_text_tfidf,
+        "dedup_resolve": q_dedup_resolve,
+        "quality_classifier": q_quality_classifier,
+        "cap_per_group": q_cap_per_group,
+        "merge_upsert": q_merge_upsert,
+        "flag_outliers": q_flag_outliers,
+        "retention_cohorts": q_retention_cohorts,
+        "ev_window_agg": q_ev_window_agg,
+        "ev_asof_join": q_ev_asof_join,
+        "ev_window_sliding": q_ev_window_sliding,
+        "group_by_quantiles": q_group_by_quantiles,
+        "interval_join": q_interval_join,
+        "latest_rows": q_latest_rows,
+        "src_parquet_scan": q_src_parquet_scan,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
+        "det_sample": q_det_sample,
+        "split_dataset": q_split_dataset,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "emb_normalize": q_emb_normalize,
+        "emb_mean_pool": q_emb_mean_pool,
+        "emb_quantize": q_emb_quantize,
+        "sim_pq_topk": q_sim_pq_topk,
+        "join_semi": q_join_semi,
+        "set_except": q_set_except,
+        "group_by_rollup": q_group_by_rollup,
+        "stratified_sample": q_stratified_sample,
+        "budget_sample": q_budget_sample,
+        "temperature_mix": q_temperature_mix,
+    # --- end of recorded 50-query prefix ---
+    # (everything below holds a green r4/r5/r6 official row; the five
+    # r4-stale deferrals head the tail for the r8 rotation; still
+    # verified every round locally via tools/compare.py over the full
+    # matrix)
+        "flagship": q_flagship,
+        "window_calc": q_window_calc,
+        "top_n": q_top_n,
+        "funnel": q_funnel,
+        "pack_sequences_ordered": q_pack_sequences_ordered,
         "top_values": q_top_values,
         "interval_coverage": q_interval_coverage,
         "inverted_idx": q_inverted_idx,
@@ -2138,7 +2201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,
         "val_report": q_validate_report,
         "group_by_stats": q_group_by_stats,
-    # --- stale-r1 refresh block ---
         "duplicate_columns": q_duplicate_columns,
         "add_columns": q_add_columns,
         "add_columns_jinja_arith": q_add_columns_jinja_arith,
@@ -2176,16 +2238,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
-    # --- r3/oldest-r4 refresh block ---
         "join_anti": q_join_anti,
         "set_intersect": q_set_intersect,
         "group_by_cube": q_group_by_cube,
         "group_by_salted": q_group_by_salted,
         "explode_array": q_explode_array,
-    # --- end of recorded 50-query prefix ---
-    # (everything below holds a green r4/r5 official row with an
-    # unchanged implementation; still verified every round locally
-    # via tools/compare.py over the full matrix)
         "ev_sessionize": q_ev_sessionize,
         "bin_metrics": q_bin_metrics,
         "url_parse": q_url_parse,
@@ -2216,7 +2273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "kmeans_clusters": q_kmeans_clusters,
         "fuzzy_pairs": q_fuzzy_pairs,
-        "snap_diff": q_snap_diff,
         "unigram_logprob": q_unigram_logprob,
         "dedup_spans": q_dedup_spans,
         "scd2_history": q_scd2_history,
@@ -2231,64 +2287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "semantic_dedup": q_semantic_dedup,
         "jinja_conditional": q_jinja_conditional,
-        "flagship": q_flagship,
-        "strip_markup": q_strip_markup,
-        "winnow_near_dups": q_winnow_near_dups,
-        "bigram_logprob": q_bigram_logprob,
-        "tokenize_ids": q_tokenize_ids,
-        "winnow_fp": q_winnow_fp,
-        "text_tfidf": q_text_tfidf,
-        "dedup_resolve": q_dedup_resolve,
-        "quality_classifier": q_quality_classifier,
-        "cap_per_group": q_cap_per_group,
-        "merge_upsert": q_merge_upsert,
-        "flag_outliers": q_flag_outliers,
-        "retention_cohorts": q_retention_cohorts,
-        "ev_window_agg": q_ev_window_agg,
-        "ev_asof_join": q_ev_asof_join,
-        "ev_window_sliding": q_ev_window_sliding,
-        "group_by_quantiles": q_group_by_quantiles,
-        "interval_join": q_interval_join,
-        "latest_rows": q_latest_rows,
-        "funnel": q_funnel,
-        "window_calc": q_window_calc,
-        "top_n": q_top_n,
-        "emb_mean_pool": q_emb_mean_pool,
-        "emb_quantize": q_emb_quantize,
-        "sim_pq_topk": q_sim_pq_topk,
-        "join_semi": q_join_semi,
-        "set_except": q_set_except,
-        "group_by_rollup": q_group_by_rollup,
-        "pack_sequences_ordered": q_pack_sequences_ordered,
-        "stratified_sample": q_stratified_sample,
-        "budget_sample": q_budget_sample,
-        "temperature_mix": q_temperature_mix,
-        "src_parquet_scan": q_src_parquet_scan,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "redact_pii": q_redact_pii,
-        "chunk_documents": q_chunk_documents,
-        "det_sample": q_det_sample,
-        "split_dataset": q_split_dataset,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        "emb_normalize": q_emb_normalize,
-    # NEW in r6 (added after the r6 prefix was committed to the
-    # stale-r1 refresh): first official rows due r7 — rotate these in
-    # FIRST next round; all eleven locally oracle-verified
-    # (tools/compare.py)
-        "lsh_cross": q_lsh_cross,
-        "decon_near": q_decon_near,
-        "emb_pca_cov": q_emb_pca_cov,
-        "bm25_multi": q_bm25_multi,
-        "corr_pairs": q_corr_pairs,
-        "profile_drift": q_profile_drift,
-        "target_mix": q_target_mix,
-        "ngram_overlap": q_ngram_overlap,
-        "cm_heavy": q_cm_heavy,
-        "kfold": q_kfold,
-        "corpus_fp": q_corpus_fp,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
