@@ -30,6 +30,11 @@ SF_DIR = "/root/testdata/sf0.001"
      lambda rows: {"o_orderkey", "o_orderstatus"} == set(rows[0])
      # every urgent order was rewritten by the changeset; others never are
      and any(r["o_orderstatus"] == "RUSHED" for r in rows)),
+    ("11_decontamination_qa", "$destinations.corpus",
+     lambda rows: {"doc_id", "lang", "source", "n_chars"} == set(rows[0])
+     # benchmark members are verbatim near-dups of themselves, so the
+     # decontaminated corpus never contains them
+     and not any(int(r["doc_id"]) % 41 == 0 for r in rows)),
     ("08_training_export", "$destinations.shards",
      lambda rows: {"doc_id", "text", "shard", "pos", "content_hash"}
      == set(rows[0])

@@ -213,3 +213,19 @@ def test_read_sql_real_jdbc_postgres(spark):
         driver="org.postgresql.Driver",
     )
     assert [(r.one, r.label) for r in df.collect()] == [(1, "x")]
+
+
+def test_read_ftp_real_network(spark):
+    """Real-network FTP integration, env-var-gated (the twin of the
+    postgres test above): set EARTHMOVER_SPARK_FTP_URL to an
+    ``ftp://[user[:pass]@]host[:port]/path/file.csv`` pointing at a
+    reachable CSV to run. Skipped in offline containers; the full FTP
+    protocol conversation is covered by the FakeFTP tests above."""
+    import os
+
+    url = os.environ.get("EARTHMOVER_SPARK_FTP_URL")
+    if not url:
+        pytest.skip("EARTHMOVER_SPARK_FTP_URL not set; no FTP reachable")
+    df = read_ftp(spark, url)
+    assert df.count() > 0
+    assert len(df.columns) > 0
