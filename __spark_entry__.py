@@ -2108,6 +2108,48 @@ def q_downsample_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "bucket_start", "event_id")
 
 
+def q_bloom_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe: build a 2048-bit / 3-hash filter
+    over the doc_ids of src1 documents, then probe EVERY distinct
+    doc_id — (doc_id, member) with no false negatives. The md5 bit
+    scheme is engine-portable, so the DuckDB twin reproduces the
+    filter — including any false positives — bit-for-bit."""
+    from earthmover_spark.operators.sketch import bloom_probe, bloom_sketch
+
+    d = _p(spark, sf_dir, "documents")
+    seen = d.filter(F.col("source") == "src1")
+    bf = bloom_sketch(seen, "doc_id", num_bits=2048, num_hashes=3)
+    return bloom_probe(bf, d, "doc_id", num_bits=2048, num_hashes=3)
+
+
+def q_lm_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Jensen-Shannon divergence between the English and
+    non-English document slices (smoothed over the union vocabulary):
+    one row (n_tokens_a, n_tokens_b, vocab_size, jsd). Two word-count
+    aggs + one vocab-keyed join + a single-row sum."""
+    from earthmover_spark.llm.textstats import lm_divergence
+
+    d = _p(spark, sf_dir, "documents")
+    return lm_divergence(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        smoothing=0.5,
+    )
+
+
+def q_sample_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested scaling-ablation samples: every order gets the index of
+    the smallest ladder fraction (1% / 10% / 50%) whose deterministic
+    sample contains it — rung <= i IS the i-th sample, and smaller
+    samples nest inside larger ones. Zero shuffle."""
+    from earthmover_spark.llm.sampling import sample_ladder
+
+    o = _p(spark, sf_dir, "orders")
+    return sample_ladder(
+        o, "o_orderkey", fractions=[0.01, 0.1, 0.5], salt="ladder"
+    ).select("o_orderkey", "rung")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2287,6 +2329,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "semantic_dedup": q_semantic_dedup,
         "jinja_conditional": q_jinja_conditional,
+    # NEW in r7 (added after the r7 prefix was fixed): first official
+    # rows due r8 — rotate these in with the 5 deferred r4-stale
+    # queries; all three locally oracle-verified (tools/compare.py)
+        "bloom_member": q_bloom_member,
+        "lm_jsd": q_lm_jsd,
+        "ladder": q_sample_ladder,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2317,6 +2365,72 @@ def oracle_sql() -> dict[str, str]:
         """,
         "src_parquet_scan": """
             SELECT event_id, event_type, value FROM events WHERE value > 90
+        """,
+        "bloom_member": """
+            WITH seen AS (
+              SELECT DISTINCT doc_id FROM documents WHERE source = 'src1'
+            ), bits AS (
+              SELECT DISTINCT
+                     CAST(('0x' || substr(md5('bf' || CAST(r.row AS VARCHAR)
+                          || ':' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT % 2048 AS bit
+              FROM seen, (SELECT unnest(range(3)) AS row) r
+            ), probes AS (
+              SELECT d.doc_id, r.row,
+                     CAST(('0x' || substr(md5('bf' || CAST(r.row AS VARCHAR)
+                          || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT % 2048 AS bit
+              FROM (SELECT DISTINCT doc_id FROM documents) d,
+                   (SELECT unnest(range(3)) AS row) r
+            )
+            SELECT p.doc_id, count(b.bit) = 3 AS member
+            FROM probes p LEFT JOIN bits b USING (bit)
+            GROUP BY 1
+        """,
+        "lm_jsd": f"""
+            WITH ca AS (
+              SELECT term, count(*) AS ca FROM (
+                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+                FROM documents WHERE lang = 'en'
+              ) WHERE term != '' GROUP BY 1
+            ), cb AS (
+              SELECT term, count(*) AS cb FROM (
+                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+                FROM documents WHERE lang != 'en'
+              ) WHERE term != '' GROUP BY 1
+            ), m AS (
+              SELECT coalesce(ca.term, cb.term) AS term,
+                     coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+              FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+            ), s AS (
+              SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM m
+            ), pq AS (
+              SELECT (ca + 0.5) / (na + 0.5 * v) AS p,
+                     (cb + 0.5) / (nb + 0.5 * v) AS q,
+                     na, nb, v
+              FROM m CROSS JOIN s
+            )
+            SELECT CAST(any_value(na) AS BIGINT) AS n_tokens_a,
+                   CAST(any_value(nb) AS BIGINT) AS n_tokens_b,
+                   CAST(any_value(v) AS BIGINT) AS vocab_size,
+                   round(sum((p * ln(p / ((p + q) / 2))
+                            + q * ln(q / ((p + q) / 2))) / 2), 6) AS jsd
+            FROM pq
+        """,
+        "ladder": """
+            SELECT o_orderkey,
+                   CASE
+                     WHEN h < 11529215046068470 THEN 0
+                     WHEN h < 115292150460684704 THEN 1
+                     WHEN h < 576460752303423488 THEN 2
+                   END AS rung
+            FROM (
+              SELECT o_orderkey,
+                     CAST(('0x' || substr(md5('ladder:'
+                          || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT AS h
+              FROM orders
+            )
         """,
         "keep_columns": """
             SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem

@@ -11,6 +11,8 @@ zero Python and zero shuffle.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -554,3 +556,43 @@ def epoch_repeat(
         )
         .drop("__nc__")
     )
+
+
+def sample_ladder(
+    df: DataFrame,
+    key_col: str,
+    fractions: Sequence[float] = (0.001, 0.01, 0.1),
+    out_col: str = "rung",
+    salt: str = "ladder",
+) -> DataFrame:
+    """Assign every row a NESTED-sample rung: ``rung`` is the index of
+    the smallest fraction whose deterministic sample the key belongs
+    to (NULL when the key is outside even the largest fraction). The
+    rungs nest by construction — ``rung <= i`` IS the
+    ``deterministic_sample(fraction=fractions[i])`` of the corpus with
+    the same salt — so a scaling-ablation ladder (0.1% subset of 1%
+    subset of 10%) comes from ONE column: filter ``rung <= i`` for
+    each ladder step, and every smaller sample is contained in every
+    larger one (the property ad-hoc per-step sampling violates).
+
+    Scale shape (100 TB): one md5 hash + one CASE per row over the
+    scan — zero shuffle, zero state, reproducible across runs,
+    engines, and partitionings."""
+    fr = list(fractions)
+    if not fr:
+        raise EarthmoverSparkError("sample_ladder: fractions must be non-empty")
+    if any(not 0.0 < f <= 1.0 for f in fr):
+        raise EarthmoverSparkError(
+            "sample_ladder: every fraction must be in (0, 1]"
+        )
+    if sorted(fr) != fr or len(set(fr)) != len(fr):
+        raise EarthmoverSparkError(
+            "sample_ladder: fractions must be strictly increasing"
+        )
+    h = _h60(F.col(key_col), f"{salt}:")
+    rung = F.lit(None).cast("int")
+    for i in range(len(fr) - 1, -1, -1):
+        rung = F.when(
+            h < F.lit(int(fr[i] * _HASH_SPACE)), F.lit(i)
+        ).otherwise(rung)
+    return df.withColumn(out_col, rung)

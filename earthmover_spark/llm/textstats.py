@@ -751,3 +751,91 @@ def split_sentences(
         .filter(F.col("sentence") != "")
         .drop("__s__")
     )
+
+
+def lm_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+    per_term: bool = False,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the smoothed unigram
+    distributions of two corpora — the distributional-drift check a
+    mixture pipeline runs between data drops ("did this month's crawl
+    change the token distribution?") and the slice comparator for
+    mixture design (web vs code vs books). Default output is ONE row
+    ``(n_tokens_a, n_tokens_b, vocab_size, jsd)`` with ``jsd`` in nats
+    (0 = identical, ln 2 ~ 0.693 = disjoint), rounded to 6 places.
+    With ``per_term=True``, instead returns per-term drift rows
+    ``(term, p_a, p_b, contrib)`` (probabilities and each term's
+    additive JSD contribution, rounded) for "which tokens moved"
+    diagnostics — filter/sort downstream for a top-movers report.
+
+    Both distributions are additive-smoothed over the UNION vocabulary
+    (``p_t = (c_t + s) / (N + s*V)``) so every term has nonzero mass
+    and the divergence is finite.
+
+    Scale shape (100 TB): one token-count aggregation per corpus
+    (hash aggs, map-side combine — word-count shape), a term-keyed
+    full-outer join of the two vocab-sized count tables, the three
+    scalars (N_a, N_b, V) broadcast from one bounded agg, and a final
+    single-row sum. No data-scale shuffle beyond the two word counts;
+    raw tokens never cross a join."""
+    if smoothing <= 0:
+        raise ValueError("lm_divergence: smoothing must be > 0")
+
+    def _counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES)
+            .select(
+                F.explode(
+                    F.split(normalize_text(F.col(text_col)), " ")
+                ).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    ca, cb = _counts(a, "__ca__"), _counts(b, "__cb__")
+    merged = (
+        ca.join(cb, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("__ca__", F.lit(0)).alias("__ca__"),
+            F.coalesce("__cb__", F.lit(0)).alias("__cb__"),
+        )
+    )
+    scalars = merged.agg(
+        F.sum("__ca__").alias("__na__"),
+        F.sum("__cb__").alias("__nb__"),
+        F.count(F.lit(1)).alias("__v__"),
+    )
+    s = F.lit(float(smoothing))
+    withp = merged.crossJoin(F.broadcast(scalars)).select(
+        "term",
+        "__na__",
+        "__nb__",
+        "__v__",
+        ((F.col("__ca__") + s) / (F.col("__na__") + s * F.col("__v__")))
+        .alias("__p__"),
+        ((F.col("__cb__") + s) / (F.col("__nb__") + s * F.col("__v__")))
+        .alias("__q__"),
+    )
+    p, q = F.col("__p__"), F.col("__q__")
+    m = (p + q) / 2
+    contrib = (p * F.log(p / m) + q * F.log(q / m)) / 2
+    if per_term:
+        return withp.select(
+            "term",
+            F.round(p, 9).alias("p_a"),
+            F.round(q, 9).alias("p_b"),
+            F.round(contrib, 9).alias("contrib"),
+        )
+    return withp.agg(
+        F.coalesce(F.first("__na__"), F.lit(0)).alias("n_tokens_a"),
+        F.coalesce(F.first("__nb__"), F.lit(0)).alias("n_tokens_b"),
+        F.coalesce(F.first("__v__"), F.lit(0)).alias("vocab_size"),
+        F.coalesce(F.round(F.sum(contrib), 6), F.lit(0.0)).alias("jsd"),
+    )

@@ -133,6 +133,96 @@ def cm_merge(
     return df.groupBy("row", "slot").agg(F.sum("n").alias("n"))
 
 
+def bloom_sketch(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+    salt: str = "bf",
+) -> DataFrame:
+    """Bloom filter of ``key_col`` membership — the MEMBERSHIP member
+    of the sketch family (HLL answers "how many distinct", count-min
+    "how often", this answers "have we seen key X at all, with no
+    false negatives"). Returns the filter as a one-column ``(bit)``
+    frame of the SET bit positions — at most ``num_bits`` rows no
+    matter the corpus size. NULL keys are excluded (no bits), matching
+    ``cm_sketch``.
+
+    Use over shipping raw id sets: a seen-state / benchmark membership
+    check against a billion-key corpus becomes a broadcast of <=
+    ``num_bits`` longs instead of an anti-join against the full key
+    table; a probe answering "maybe seen" falls back to the exact
+    check only for the (rare) positives. False-positive rate is the
+    classic ``(1 - e^(-k*n/m))^k`` (k = ``num_hashes``, n = distinct
+    keys, m = ``num_bits``); false negatives are impossible.
+
+    The filter is MERGEABLE: filters of two corpus shards built with
+    the same (num_bits, num_hashes, salt) combine by unioning the
+    frames and dropping duplicate bits — :func:`bloom_merge` —
+    lossless with respect to building one filter over the union.
+
+    Scale shape (100 TB): ONE explode of ``num_hashes`` bit positions
+    per input row + ONE distinct keyed on at most ``num_bits`` values
+    — partial dedup combines map-side, the reduce moves a bounded
+    frame. Bit positions are the engine-portable 60-bit md5-prefix
+    hash (same scheme as count-min slots), so a DuckDB oracle
+    reproduces the filter exactly."""
+    if num_bits < 1 or num_hashes < 1:
+        raise ValueError("bloom_sketch: num_bits and num_hashes must be >= 1")
+    k = F.col(key_col)
+    bits = F.array(
+        *[_cm_slot(k, num_bits, r, salt) for r in range(num_hashes)]
+    )
+    return (
+        df.filter(k.isNotNull())
+        .select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_merge(df: DataFrame) -> DataFrame:
+    """Merge unioned bloom-filter frames (same num_bits/num_hashes/
+    salt): the set bits of the union are the union of the set bits."""
+    return df.select("bit").distinct()
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+    salt: str = "bf",
+) -> DataFrame:
+    """Probe a bloom filter built with the same (num_bits, num_hashes,
+    salt) for each distinct key: ``(key_col, member)`` where
+    ``member`` is true iff ALL of the key's bits are set — definitely
+    absent when false, present-or-false-positive when true.
+
+    Scale shape: each key probes ``num_hashes`` bits via an equi-join
+    against the bounded (broadcast) filter frame, then one
+    count-per-key agg — the probe side never shuffles more than
+    (key, bit) rows."""
+    if num_bits < 1 or num_hashes < 1:
+        raise ValueError("bloom_probe: num_bits and num_hashes must be >= 1")
+    k = F.col(key_col)
+    probes = keys.select(key_col).distinct().select(
+        key_col,
+        F.explode(
+            F.array(
+                *[_cm_slot(k, num_bits, r, salt) for r in range(num_hashes)]
+            )
+        ).alias("bit"),
+    )
+    hit = sketch.select("bit").distinct().withColumn(
+        "__set__", F.lit(1)
+    )
+    joined = probes.join(F.broadcast(hit), "bit", "left")
+    return joined.groupBy(key_col).agg(
+        (F.count("__set__") == num_hashes).alias("member")
+    )
+
+
 def cm_estimate(
     sketch: DataFrame,
     keys: DataFrame,

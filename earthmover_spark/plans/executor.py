@@ -155,8 +155,10 @@ class Executor:
                 kwargs["seen"] = self._resolve(op_cfg["seen"])
             if op_name in ("snapshot_diff", "profile_compare"):
                 kwargs["new"] = self._resolve(op_cfg["new"])
-            if op_name == "cm_estimate":
+            if op_name in ("cm_estimate", "bloom_probe"):
                 kwargs["keys"] = self._resolve(op_cfg["keys"])
+            if op_name == "lm_divergence":
+                kwargs["b"] = self._resolve(op_cfg["b"])
             if op_name == "validate_table" and op_cfg.get("references"):
                 kwargs["references"] = {
                     k: self._resolve(v)

@@ -27,10 +27,10 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
         # single-frame side inputs: semi_join's `source`,
         # resolve_duplicates' `pairs`, decontaminate's `benchmark`,
         # asof/interval joins' `right`, quality_classifier's `weights`,
-        # enrich_stream's `static_df`
-        # snapshot_diff's `new`
+        # enrich_stream's `static_df`, snapshot_diff's `new`,
+        # cm_estimate/bloom_probe's `keys`, lm_divergence's `b`
         for key in ("source", "pairs", "benchmark", "right", "weights",
-                    "static_df", "updates", "seen", "new"):
+                    "static_df", "updates", "seen", "new", "keys", "b"):
             if op.get(key):
                 refs.append(op[key])
         # validate_table's `references` map; filter_domains' list refs

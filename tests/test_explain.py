@@ -590,3 +590,34 @@ def test_ngram_overlap_no_python(plans):
     p = plans("ngram_overlap")
     assert "EvalPython" not in p
     assert "Join" not in p
+
+
+def test_bloom_probe_broadcasts_bounded_filter(plans):
+    """bloom_probe joins the bounded (<= num_bits rows) filter frame
+    broadcast-side; the probe side never sort-merges, and the whole
+    query is JVM-native."""
+    p = plans("bloom_member")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_lm_jsd_word_count_shape(plans):
+    """lm_divergence: the only data-scale aggregations are the two
+    word counts; the vocab join is term-keyed (never cartesian except
+    the single-row scalar broadcast) and everything is JVM-native."""
+    p = plans("lm_jsd")
+    assert "EvalPython" not in p
+    # the scalar frame rides a broadcast nested loop of ONE row; a
+    # data-scale cartesian would be CartesianProduct
+    assert "CartesianProduct" not in p
+
+
+def test_ladder_zero_shuffle(plans):
+    """sample_ladder is one md5 + CASE per row over the scan: no
+    exchange, no join, no Python anywhere in the driver query."""
+    p = plans("ladder")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p

@@ -1,0 +1,186 @@
+"""r7 operators: bloom membership sketch, unigram-LM Jensen-Shannon
+divergence, nested sample ladder."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from earthmover_spark.operators import sketch
+from earthmover_spark.util import EarthmoverSparkError
+
+
+# ---------------------------------------------------------------------------
+# bloom_sketch / bloom_merge / bloom_probe
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded(spark):
+    keys = spark.createDataFrame(
+        [(f"user{i}",) for i in range(200)], ["k"]
+    )
+    bf = sketch.bloom_sketch(keys, "k", num_bits=4096, num_hashes=4)
+    rows = bf.collect()
+    # bounded: at most num_bits rows, all in [0, num_bits)
+    assert len(rows) <= 4096
+    assert all(0 <= r.bit < 4096 for r in rows)
+    # every inserted key probes as member (no false negatives, ever)
+    got = {
+        r.k: r.member
+        for r in sketch.bloom_probe(
+            bf, keys, "k", num_bits=4096, num_hashes=4
+        ).collect()
+    }
+    assert all(got[f"user{i}"] for i in range(200))
+
+
+def test_bloom_absent_keys_mostly_reject(spark):
+    seen = spark.createDataFrame([(f"in{i}",) for i in range(100)], ["k"])
+    bf = sketch.bloom_sketch(seen, "k", num_bits=8192, num_hashes=4)
+    probe = spark.createDataFrame([(f"out{i}",) for i in range(100)], ["k"])
+    got = sketch.bloom_probe(bf, probe, "k", num_bits=8192, num_hashes=4)
+    members = [r.k for r in got.collect() if r.member]
+    # fp rate at n=100, m=8192, k=4 is ~2e-6; even 5 hits would be
+    # astronomically unlikely
+    assert len(members) <= 5
+
+
+def test_bloom_merge_equals_union_build(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], ["k"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], ["k"])
+    merged = sketch.bloom_merge(
+        sketch.bloom_sketch(a, "k", 2048, 3).union(
+            sketch.bloom_sketch(b, "k", 2048, 3)
+        )
+    )
+    direct = sketch.bloom_sketch(a.union(b), "k", 2048, 3)
+    assert {r.bit for r in merged.collect()} == {
+        r.bit for r in direct.collect()
+    }
+
+
+def test_bloom_null_keys_excluded_and_validation(spark):
+    df = spark.createDataFrame([("x",), (None,)], "k string")
+    bf = sketch.bloom_sketch(df, "k", num_bits=64, num_hashes=2)
+    assert bf.count() <= 2  # only "x" contributes bits
+    with pytest.raises(ValueError, match="num_bits"):
+        sketch.bloom_sketch(df, "k", num_bits=0)
+    with pytest.raises(ValueError, match="num_bits"):
+        sketch.bloom_probe(bf, df, "k", num_hashes=0)
+
+
+# ---------------------------------------------------------------------------
+# lm_divergence
+# ---------------------------------------------------------------------------
+
+
+def test_lm_divergence_identical_zero_and_symmetric(spark):
+    from earthmover_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "a dog ran far away")],
+        ["doc_id", "text"],
+    )
+    other = spark.createDataFrame(
+        [(1, "completely different words entirely"), (2, "more new tokens")],
+        ["doc_id", "text"],
+    )
+    same = textstats.lm_divergence(docs, docs).collect()[0]
+    assert same.jsd == 0.0
+    assert same.n_tokens_a == same.n_tokens_b == 11
+    ab = textstats.lm_divergence(docs, other).collect()[0]
+    ba = textstats.lm_divergence(other, docs).collect()[0]
+    assert ab.jsd == ba.jsd  # JSD is symmetric
+    assert 0.0 < ab.jsd < math.log(2) + 1e-9
+    # disjoint vocabularies push toward ln 2 once the smoothing mass
+    # is small relative to the counts (default 0.5 per term swamps
+    # these tiny corpora — by design it tempers small-sample drift)
+    light = textstats.lm_divergence(docs, other, smoothing=0.01).collect()[0]
+    assert light.jsd > 0.6
+
+
+def test_lm_divergence_hand_computed(spark):
+    from earthmover_spark.llm import textstats
+
+    a = spark.createDataFrame([(1, "x x y")], ["doc_id", "text"])
+    b = spark.createDataFrame([(1, "x y y")], ["doc_id", "text"])
+    s = 0.5
+    # union vocab {x, y}: p = (2+.5)/(3+1), (1+.5)/(3+1); q mirrored
+    p = [2.5 / 4, 1.5 / 4]
+    q = [1.5 / 4, 2.5 / 4]
+    exp = 0.0
+    for pi, qi in zip(p, q):
+        m = (pi + qi) / 2
+        exp += 0.5 * (pi * math.log(pi / m) + qi * math.log(qi / m))
+    got = textstats.lm_divergence(a, b, smoothing=s).collect()[0]
+    assert abs(got.jsd - exp) < 1e-6
+    assert got.vocab_size == 2
+    # per-term contributions sum to the scalar jsd
+    terms = textstats.lm_divergence(a, b, smoothing=s, per_term=True).collect()
+    assert abs(sum(t.contrib for t in terms) - exp) < 1e-6
+    assert {t.term for t in terms} == {"x", "y"}
+    with pytest.raises(ValueError, match="smoothing"):
+        textstats.lm_divergence(a, b, smoothing=0)
+
+
+# ---------------------------------------------------------------------------
+# sample_ladder
+# ---------------------------------------------------------------------------
+
+
+def test_sample_ladder_nests_and_matches_deterministic_sample(spark):
+    from earthmover_spark.llm import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["k"])
+    out = sampling.sample_ladder(
+        df, "k", fractions=[0.01, 0.1, 0.5], salt="s"
+    )
+    rungs = {r.k: r.rung for r in out.collect()}
+    sets = [
+        {k for k, rg in rungs.items() if rg is not None and rg <= i}
+        for i in range(3)
+    ]
+    # strict nesting
+    assert sets[0] <= sets[1] <= sets[2]
+    # each rung-prefix IS the deterministic sample at that fraction
+    # (same salt scheme)
+    for i, frac in enumerate([0.01, 0.1, 0.5]):
+        det = {
+            r.k
+            for r in sampling.deterministic_sample(
+                df, "k", frac, salt="s"
+            ).collect()
+        }
+        assert sets[i] == det
+    # sizes roughly proportional
+    assert 10 <= len(sets[0]) <= 120
+    assert 350 <= len(sets[1]) <= 650
+    assert 2200 <= len(sets[2]) <= 2800
+
+
+def test_sample_ladder_validation(spark):
+    from earthmover_spark.llm import sampling
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(EarthmoverSparkError, match="non-empty"):
+        sampling.sample_ladder(df, "k", fractions=[])
+    with pytest.raises(EarthmoverSparkError, match="increasing"):
+        sampling.sample_ladder(df, "k", fractions=[0.1, 0.1])
+    with pytest.raises(EarthmoverSparkError, match="increasing"):
+        sampling.sample_ladder(df, "k", fractions=[0.5, 0.1])
+    with pytest.raises(EarthmoverSparkError, match="fraction"):
+        sampling.sample_ladder(df, "k", fractions=[0.0, 0.5])
+
+
+def test_sample_ladder_zero_shuffle_plan(spark):
+    from earthmover_spark.llm import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    plan = (
+        sampling.sample_ladder(df, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
