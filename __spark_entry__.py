@@ -2150,6 +2150,49 @@ def q_sample_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "rung")
 
 
+def q_canon_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over synthesized crawl URLs (mixed-case
+    host, default port, tracking params, unsorted params, fragment):
+    (doc_id, url_canonical). Pure regexp/array codegen over the
+    scan."""
+    from earthmover_spark.operators.url import canonicalize_urls
+
+    d = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper(F.col("source")),
+            F.lit("-Site.co.uk:443/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_campaign=x&b="),
+            F.col("lang"),
+            F.lit("&a=1#frag"),
+        ).alias("url"),
+    )
+    return canonicalize_urls(d).select("doc_id", "url_canonical")
+
+
+def q_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filtering over documents padded with a too-short
+    line and a known-good line: (doc_id, n_lines_kept,
+    n_lines_dropped, text). Native split/filter/join lambdas — zero
+    shuffle."""
+    from earthmover_spark.llm.curation import c4_line_filter
+
+    d = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("short x"),
+            F.lit("This document ends with punctuation."),
+        ).alias("text"),
+    )
+    return c4_line_filter(d).select(
+        "doc_id", "n_lines_kept", "n_lines_dropped", "text"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2335,6 +2378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_member": q_bloom_member,
         "lm_jsd": q_lm_jsd,
         "ladder": q_sample_ladder,
+        "canon_urls": q_canon_urls,
+        "c4_lines": q_c4_lines,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2416,6 +2461,44 @@ def oracle_sql() -> dict[str, str]:
                    round(sum((p * ln(p / ((p + q) / 2))
                             + q * ln(q / ((p + q) / 2))) / 2), 6) AS jsd
             FROM pq
+        """,
+        "canon_urls": """
+            -- the oracle derives the EXPECTED canonical form straight
+            -- from the columns the query synthesized the URL from:
+            -- lowercased host, :443 dropped, trailing slash stripped,
+            -- utm_* removed, surviving params sorted, fragment gone
+            SELECT doc_id,
+                   'https://www.' || lower(source) || '-site.co.uk/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?a=1&b=' || lang
+                       AS url_canonical
+            FROM documents
+        """,
+        "c4_lines": """
+            WITH padded AS (
+              SELECT doc_id,
+                     text || chr(10) || 'short x' || chr(10)
+                          || 'This document ends with punctuation.' AS text
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(
+                       string_split(text, chr(10)),
+                       t -> len(string_split_regex(trim(t), '\\s+')) >= 3
+                            AND regexp_matches(trim(t), '[.!?"”]$')
+                            AND position('javascript' IN lower(trim(t))) = 0
+                            AND position('cookie' IN lower(trim(t))) = 0
+                            AND position('terms of use' IN lower(trim(t))) = 0
+                            AND position('privacy policy' IN lower(trim(t))) = 0
+                     ) AS kept
+              FROM padded
+            )
+            SELECT doc_id,
+                   len(kept) AS n_lines_kept,
+                   len(lines) - len(kept) AS n_lines_dropped,
+                   array_to_string(list_transform(kept, t -> trim(t)),
+                                   chr(10)) AS text
+            FROM f
         """,
         "ladder": """
             SELECT o_orderkey,

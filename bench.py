@@ -105,6 +105,12 @@ HEADLINE = [
     "cm_heavy",  # bounded count-min build + broadcast probe join
     "kfold",  # pure codegen hash pmod, zero shuffle
     "corpus_fp",  # one map-side-combined agg, one row out
+    # r7 additions
+    "bloom_member",  # bounded bit-frame build + broadcast probe
+    "lm_jsd",  # two word counts + vocab-keyed join, one row out
+    "ladder",  # one md5 + CASE per row, zero shuffle
+    "canon_urls",  # regexp/array codegen URL canonicalization
+    "c4_lines",  # C4 line filter: split/filter/join lambdas
 ]
 
 

@@ -152,6 +152,21 @@ def main() -> None:
             ).count()
         )
 
+        # --- r7: bloom filter build + bulk membership probe -------------
+        from earthmover_spark.operators.sketch import bloom_probe, bloom_sketch
+
+        r["bloom_build"] = _t(
+            lambda: bloom_sketch(
+                plain, "row_id", num_bits=1 << 20, num_hashes=4
+            ).count()
+        )
+        r["bloom_probe_all"] = _t(
+            lambda: bloom_probe(
+                bloom_sketch(plain, "row_id", num_bits=1 << 20, num_hashes=4),
+                plain, "row_id", num_bits=1 << 20, num_hashes=4,
+            ).count()
+        )
+
         # --- profiler: exact (Expand) vs approx (HLL) -------------------
         r["profile_exact"] = _t(
             lambda: profile_table(plain, ["a", "b", "row_id"]).collect()
@@ -191,6 +206,16 @@ def main() -> None:
         )
         r["inverted_index"] = _t(
             lambda: _force(inverted_index(corpus, min_df=2))
+        )
+
+        # --- r7: unigram-LM JSD between two corpus halves ---------------
+        from earthmover_spark.llm.textstats import lm_divergence
+
+        r["lm_jsd_halves"] = _t(
+            lambda: lm_divergence(
+                corpus.filter(F.col("doc_id") % 2 == 0),
+                corpus.filter(F.col("doc_id") % 2 == 1),
+            ).collect()
         )
 
         # --- r5b: k-means assignment over synthetic embeddings ----------

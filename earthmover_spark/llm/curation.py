@@ -42,6 +42,7 @@ from earthmover_spark.llm.textstats import (
     shingles,
     spread_narrow_scan,
 )
+from earthmover_spark.util import EarthmoverSparkError
 
 # ---------------------------------------------------------------------------
 # connected components over near-duplicate pairs
@@ -399,3 +400,65 @@ def strip_markup(
     )
     squeezed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     return counted.withColumn(out_col, squeezed)
+
+
+#: line-level noise markers (C4's heuristics, Raffel et al. 2020,
+#: public): cookie/JS boilerplate that survives tag stripping
+C4_DROP_PATTERNS = ("javascript", "cookie", "terms of use", "privacy policy")
+
+#: terminal punctuation a prose line ends with (C4 keeps only these)
+_TERMINAL_PUNCT = r'[.!?"”]$'
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_patterns: tuple[str, ...] = C4_DROP_PATTERNS,
+) -> DataFrame:
+    """C4-style line-level cleanup (the public Common Crawl -> C4
+    recipe): keep only lines that have >= ``min_words`` whitespace
+    words, end in terminal punctuation (when
+    ``require_terminal_punct``), and contain none of
+    ``drop_patterns`` (case-insensitive substring match — cookie/JS
+    boilerplate). Kept lines are re-joined with newlines into
+    ``out_col`` (default: overwrite ``text_col``); ``n_lines_kept``
+    and ``n_lines_dropped`` ride along so a later ``filter_rows`` can
+    drop husk documents (e.g. ``n_lines_kept == 0``).
+
+    Scale shape (100 TB): one split + one array filter + one join per
+    row — native lambda Column expressions inside the scan's codegen,
+    zero shuffle, zero Python. Runs AFTER ``strip_markup``; the
+    document-level C4 rules (lorem ipsum, curly braces, bad words)
+    compose downstream as ordinary ``filter_rows`` predicates."""
+    if min_words < 1:
+        raise EarthmoverSparkError("c4_line_filter: min_words must be >= 1")
+    out_col = out_col or text_col
+    text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        cond = F.size(F.split(t, r"\s+")) >= min_words
+        if require_terminal_punct:
+            cond = cond & t.rlike(_TERMINAL_PUNCT)
+        low = F.lower(t)
+        for pat in drop_patterns:
+            cond = cond & ~low.contains(pat.lower())
+        return cond
+
+    kept = F.filter(F.split(text, r"\n"), _keep)
+    n_total = F.size(F.split(text, r"\n"))
+    out = df.withColumn("__kept__", kept).withColumn("__nt__", n_total)
+    return (
+        out.withColumn("n_lines_kept", F.size(F.col("__kept__")))
+        .withColumn(
+            "n_lines_dropped", F.col("__nt__") - F.col("n_lines_kept")
+        )
+        .withColumn(
+            out_col,
+            F.array_join(F.transform("__kept__", F.trim), "\n"),
+        )
+        .drop("__kept__", "__nt__")
+    )

@@ -115,4 +115,78 @@ def filter_domains(
     return out.filter(cond if keep else ~cond)
 
 
-__all__ = ["parse_urls", "filter_domains", "registered_domain"]
+#: query parameters that never change page CONTENT — analytics /
+#: click-tracking noise that splits one logical URL into thousands of
+#: crawl-distinct ones. Matched against the part before `=` (or the
+#: whole bare param): utm_* as a prefix family, the rest exact.
+_TRACKING_PARAM = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|yclid|"
+    r"_ga|spm|ref|ref_src)(=.*)?$"
+)
+
+#: default ports per scheme — `host:80` over http IS `host`
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+_PORT = r"^[a-zA-Z][a-zA-Z0-9+.-]*:\/\/(?:[^@\/?#]*@)?[^:\/?#]+:(\d+)"
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_canonical",
+) -> DataFrame:
+    """Canonical form of ``url_col`` for URL-level dedup — the step
+    before ``cap_per_group``/exact-dedup that stops one logical page
+    counted as thousands of crawl variants: lowercase scheme + host,
+    drop the default port and any fragment, strip the trailing path
+    slash, REMOVE tracking query params (``utm_*``, ``gclid``,
+    ``fbclid``, ...), and SORT the surviving params so ``?b=2&a=1``
+    and ``?a=1&b=2`` canonicalize identically. Unparseable URLs (no
+    scheme://host) yield NULL — same contract as ``parse_urls``.
+
+    Scale shape (100 TB): regexp extracts + one
+    split/filter/sort/join over the (short) query string, all native
+    Column codegen over the scan — zero shuffle, zero Python. The
+    md5 of the output column is the URL-dedup key."""
+    if url_col not in df.columns:
+        raise EarthmoverSparkError(f"canonicalize_urls: no column {url_col!r}")
+    u = F.col(url_col).cast("string")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
+    host = F.lower(F.regexp_extract(u, _HOST, 1))
+    port = F.regexp_extract(u, _PORT, 1)
+    path = F.regexp_extract(u, _PATH, 1)
+    query = F.regexp_extract(u, _QUERY, 1)
+    default_port = F.lit(None).cast("string")
+    for sch, prt in _DEFAULT_PORTS.items():
+        default_port = F.when(scheme == sch, F.lit(prt)).otherwise(
+            default_port
+        )
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    # strip ONE trailing slash (keep interior structure)
+    path_part = F.when(path == "", F.lit("")).otherwise(
+        F.regexp_replace(path, r"\/$", "")
+    )
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+    )
+    q = F.array_join(F.array_sort(kept), "&")
+    query_part = F.when(q == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), q)
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), host, port_part, path_part, query_part
+    )
+    return df.withColumn(
+        out_col, F.when((scheme != "") & (host != ""), canon)
+    )
+
+
+__all__ = [
+    "parse_urls",
+    "filter_domains",
+    "registered_domain",
+    "canonicalize_urls",
+]

@@ -621,3 +621,13 @@ def test_ladder_zero_shuffle(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_canon_urls_and_c4_lines_scan_bound(plans):
+    """Both r7 curation ops are per-row Column codegen: no exchange,
+    no join, no Python anywhere in the driver queries."""
+    for q in ("canon_urls", "c4_lines"):
+        p = plans(q)
+        assert "Exchange" not in p, q
+        assert "Join" not in p, q
+        assert "EvalPython" not in p, q

@@ -184,3 +184,90 @@ def test_sample_ladder_zero_shuffle_plan(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# canonicalize_urls
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_urls(spark):
+    from earthmover_spark.operators import url as U
+
+    rows = [
+        # tracking params dropped, survivors sorted, fragment gone
+        (1, "HTTPS://Example.COM:443/a/?utm_source=x&b=2&a=1#frag"),
+        # same logical URL, different param order / no tracking
+        (2, "https://example.com/a?a=1&b=2"),
+        # non-default port kept; trailing slash stripped
+        (3, "http://example.com:8080/path/"),
+        # unparseable -> NULL
+        (4, "not a url"),
+        # bare host, no path/query
+        (5, "http://EXAMPLE.com"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {r.id: r.url_canonical for r in U.canonicalize_urls(df).collect()}
+    assert got[1] == "https://example.com/a?a=1&b=2"
+    assert got[2] == "https://example.com/a?a=1&b=2"  # canonical MATCH
+    assert got[3] == "http://example.com:8080/path"
+    assert got[4] is None
+    assert got[5] == "http://example.com"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no column"):
+        U.canonicalize_urls(df, url_col="zzz")
+
+
+# ---------------------------------------------------------------------------
+# c4_line_filter
+# ---------------------------------------------------------------------------
+
+
+def test_c4_line_filter(spark):
+    from earthmover_spark.llm import curation
+
+    text = (
+        "This is a good prose sentence.\n"
+        "short line\n"
+        "Enable javascript to view this page.\n"
+        "Another fine sentence ends here!\n"
+        "menu\n"
+        'He said "stop".'
+    )
+    df = spark.createDataFrame([(1, text), (2, "")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in curation.c4_line_filter(df).collect()}
+    kept = got[1].text.split("\n")
+    assert kept == [
+        "This is a good prose sentence.",
+        "Another fine sentence ends here!",
+        'He said "stop".',
+    ]
+    assert (got[1].n_lines_kept, got[1].n_lines_dropped) == (3, 3)
+    assert got[2].text == "" and got[2].n_lines_kept == 0
+    # punctuation requirement off: word count still gates
+    loose = {
+        r.doc_id: r.n_lines_kept
+        for r in curation.c4_line_filter(
+            df, require_terminal_punct=False, drop_patterns=()
+        ).collect()
+    }
+    assert loose[1] == 4  # only "short line" (2 words) and "menu" drop
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="min_words"):
+        curation.c4_line_filter(df, min_words=0)
+
+
+def test_c4_line_filter_zero_shuffle_plan(spark):
+    from earthmover_spark.llm import curation
+
+    df = spark.createDataFrame([(1, "a b c.")], ["doc_id", "text"])
+    plan = (
+        curation.c4_line_filter(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
