@@ -1,6 +1,7 @@
 from earthmover_spark.streaming.ops import (  # noqa: F401
     attribution_stream,
     dedup_stream,
+    dedup_stream_bloom,
     downsample_latest_stream,
     enrich_stream,
     join_streams,

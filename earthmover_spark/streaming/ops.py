@@ -206,6 +206,92 @@ def dedup_stream(
     return df.dropDuplicates(keys)
 
 
+def dedup_stream_bloom(
+    df: DataFrame,
+    key_cols: list[str] | str = "digest",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    n_shards: int = 64,
+    salt: str = "bfs",
+) -> DataFrame:
+    """Approximate streaming dedup with BOUNDED state — the infinite-
+    stream scale path where :func:`dedup_stream`'s exact per-key state
+    grows without limit. Each of ``n_shards`` groups keeps ONE bloom
+    bitset (``num_bits`` bits) as its state: total state is
+    ``n_shards * num_bits / 8`` bytes FOREVER, no watermark needed.
+
+    Contract (one-sided, like every bloom use): a key already emitted
+    is NEVER emitted again (bloom has no false negatives); a
+    never-seen key is dropped with probability ~``(1-e^(-kn/m))^k``
+    (false positive) — output is a subset of the exact dedup's.
+    Use exact :func:`dedup_stream` when losing a rare novel row is
+    unacceptable; use this when the stream outlives any key budget.
+
+    Bit positions reuse the batch bloom scheme
+    (``operators.sketch``'s md5 slots) and are computed JVM-side
+    BEFORE ``applyInPandasWithState``; the Python side only tests/sets
+    bits in the shard's bytearray."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from earthmover_spark.operators.sketch import _cm_slot
+
+    if num_bits < 8 or num_hashes < 1 or n_shards < 1:
+        raise EarthmoverSparkError(
+            "dedup_stream_bloom: need num_bits >= 8, num_hashes >= 1, "
+            "n_shards >= 1"
+        )
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key_str = F.concat_ws(
+        "\x01", *[F.col(k).cast("string") for k in keys]
+    )
+    bits = F.array(
+        *[_cm_slot(key_str, num_bits, r, salt) for r in range(num_hashes)]
+    ).cast("array<int>")
+    # shard from an extra hash row so shard choice is independent of
+    # the membership bits
+    shard = _cm_slot(key_str, n_shards, num_hashes, salt).cast("int")
+    out_schema = df.schema
+    out_cols = [f.name for f in out_schema.fields]
+    nbytes = (num_bits + 7) // 8
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ba = bytearray(state.get[0]) if state.exists else bytearray(nbytes)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            keep = []
+            for i, pos_list in enumerate(pdf["__bits__"]):
+                member = True
+                for p in pos_list:
+                    if not ba[p >> 3] & (1 << (p & 7)):
+                        member = False
+                        break
+                if not member:
+                    keep.append(i)
+                    for p in pos_list:
+                        ba[p >> 3] |= 1 << (p & 7)
+            if keep:
+                yield pdf.iloc[keep][out_cols]
+        state.update((bytes(ba),))
+
+    return (
+        df.withColumn("__bits__", bits)
+        .withColumn("__shard__", shard)
+        .groupBy("__shard__")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=T.StructType(
+                [T.StructField("bitset", T.BinaryType())]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_counts_stream(
     df: DataFrame,
     key_col: str,

@@ -568,3 +568,38 @@ def test_attribution_stream_matches_batch(spark, events_dir):
     # is later): unattributed; the 10:50 click credits the 10:02 view
     assert ("7", "2024-01-01 10:00:00", None) in got
     assert ("7", "2024-01-01 10:50:00", "view") in got
+
+
+def test_dedup_stream_bloom_matches_exact_at_low_fp(spark, tmp_path):
+    """Bounded-state bloom dedup: with a filter big enough that the fp
+    rate is ~0, the emitted key set must equal exact dedup's; repeated
+    keys across micro-batch boundaries never re-emit (no false
+    negatives by construction)."""
+    from earthmover_spark.streaming import dedup_stream_bloom, read_stream_source
+
+    d = str(tmp_path / "bloom_stream")
+    rows = [(i % 40, f"payload{i % 40}") for i in range(200)]
+    spark.createDataFrame(rows, ["k", "payload"]).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = read_stream_source(spark, d)
+    out = dedup_stream_bloom(
+        stream, key_cols="k", num_bits=1 << 16, num_hashes=4, n_shards=8
+    )
+    got = _run_to_memory(out, spark, "bloom_dedup_out").collect()
+    # exactly one row per distinct key, payload intact
+    assert sorted(r.k for r in got) == list(range(40))
+    assert all(r.payload == f"payload{r.k}" for r in got)
+
+
+def test_dedup_stream_bloom_validation(spark, tmp_path):
+    from earthmover_spark.streaming import dedup_stream_bloom, read_stream_source
+    from earthmover_spark.util import EarthmoverSparkError
+
+    d = str(tmp_path / "bloom_stream_v")
+    spark.createDataFrame([(1, "x")], ["k", "v"]).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = read_stream_source(spark, d)
+    with pytest.raises(EarthmoverSparkError, match="num_bits"):
+        dedup_stream_bloom(stream, "k", num_bits=4)
