@@ -164,9 +164,10 @@ def canonicalize_urls(
     port_part = F.when(
         (port == "") | (port == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
-    # strip ONE trailing slash (keep interior structure)
+    # strip ALL trailing slashes (keeps canonicalization idempotent
+    # for `/a//` paths; interior structure untouched)
     path_part = F.when(path == "", F.lit("")).otherwise(
-        F.regexp_replace(path, r"\/$", "")
+        F.regexp_replace(path, r"\/+$", "")
     )
     kept = F.filter(
         F.split(query, "&"),

@@ -378,3 +378,88 @@ def test_target_mix_binding_stratum_kept_whole(spark, counts, shares):
     assert got.get(f"s{binding}", 0) == counts[binding]
     for i in range(k):
         assert got.get(f"s{i}", 0) <= counts[i]
+
+
+# -- r7: bloom membership, sample ladder, URL canonicalization ---------------
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcxyz019", min_size=0, max_size=6),
+        min_size=1, max_size=30,
+    ),
+    probes=st.lists(
+        st.text(alphabet="abcxyz019", min_size=0, max_size=6),
+        min_size=1, max_size=15,
+    ),
+)
+@settings(**{**SETTINGS, "max_examples": 10})
+def test_bloom_never_false_negative(spark, keys, probes):
+    """For ANY key set and probe set: every inserted key probes as a
+    member (the one-sided bloom guarantee), at any filter size."""
+    from earthmover_spark.operators.sketch import bloom_probe, bloom_sketch
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    pdf = spark.createDataFrame(
+        [(p,) for p in set(probes) | set(keys)], "k string"
+    )
+    bf = bloom_sketch(kdf, "k", num_bits=128, num_hashes=3)
+    got = {
+        r.k: r.member
+        for r in bloom_probe(bf, pdf, "k", num_bits=128, num_hashes=3).collect()
+    }
+    for k in keys:
+        assert got[k] is True
+
+
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    fracs=st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+        min_size=1, max_size=4, unique=True,
+    ),
+)
+@settings(**{**SETTINGS, "max_examples": 10})
+def test_sample_ladder_always_nests(spark, n, fracs):
+    """Rung sets nest for ANY fraction ladder and key population, and
+    rung values never exceed the ladder length."""
+    from earthmover_spark.llm import sampling
+
+    fr = sorted(fracs)
+    df = spark.createDataFrame([(i,) for i in range(n)], ["k"])
+    rungs = {
+        r.k: r.rung
+        for r in sampling.sample_ladder(df, "k", fractions=fr).collect()
+    }
+    assert all(rg is None or 0 <= rg < len(fr) for rg in rungs.values())
+    prev: set = set()
+    for i in range(len(fr)):
+        cur = {k for k, rg in rungs.items() if rg is not None and rg <= i}
+        assert prev <= cur
+        prev = cur
+
+
+@given(
+    host=st.text(alphabet="abcXYZ", min_size=1, max_size=8),
+    path=st.text(alphabet="abc/", min_size=0, max_size=8),
+    params=st.lists(
+        st.sampled_from(["a=1", "b=2", "utm_source=x", "gclid=9", "z=3"]),
+        max_size=4,
+    ),
+)
+@settings(**{**SETTINGS, "max_examples": 15})
+def test_canonicalize_urls_idempotent(spark, host, path, params):
+    """Canonicalization is IDEMPOTENT: canonicalizing an already-
+    canonical URL is a no-op — the property that makes it a safe
+    dedup key."""
+    from earthmover_spark.operators.url import canonicalize_urls
+
+    url = "http://" + host + ".com" + ("/" + path if path else "")
+    if params:
+        url += "?" + "&".join(params)
+    df = spark.createDataFrame([(url,)], ["url"])
+    once = canonicalize_urls(df).collect()[0].url_canonical
+    assert once is not None
+    df2 = spark.createDataFrame([(once,)], ["url"])
+    twice = canonicalize_urls(df2).collect()[0].url_canonical
+    assert twice == once
