@@ -30,6 +30,12 @@ SF_DIR = "/root/testdata/sf0.001"
      lambda rows: {"o_orderkey", "o_orderstatus"} == set(rows[0])
      # every urgent order was rewritten by the changeset; others never are
      and any(r["o_orderstatus"] == "RUSHED" for r in rows)),
+    ("12_scaling_ablation", "$destinations.sample",
+     lambda rows: {"doc_id", "text", "lang", "source", "rung"}
+     == set(rows[0])
+     # only rungs 0 and 1 survive the 10% filter; ~10% of 500 docs
+     and all(r["rung"] in ("0", "1") for r in rows)
+     and 20 <= len(rows) <= 100),
     ("11_decontamination_qa", "$destinations.corpus",
      lambda rows: {"doc_id", "lang", "source", "n_chars"} == set(rows[0])
      # benchmark members are verbatim near-dups of themselves, so the
