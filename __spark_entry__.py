@@ -2193,6 +2193,19 @@ def q_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimate WITHOUT a pair join: KMV (k-minimum-
+    values) sketches of the customer sets behind open vs finished
+    orders, then the classic k-min Jaccard estimator over the two
+    <=512-row sketch frames: one row (k_used, n_both, jaccard_est)."""
+    from earthmover_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+    o = _p(spark, sf_dir, "orders")
+    a = kmv_sketch(o.filter(F.col("o_orderstatus") == "O"), "o_custkey", k=512)
+    b = kmv_sketch(o.filter(F.col("o_orderstatus") == "F"), "o_custkey", k=512)
+    return kmv_jaccard(a, b, k=512)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2380,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ladder": q_sample_ladder,
         "canon_urls": q_canon_urls,
         "c4_lines": q_c4_lines,
+        "kmv_overlap": q_kmv_overlap,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2499,6 +2513,34 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(kept, t -> trim(t)),
                                    chr(10)) AS text
             FROM f
+        """,
+        "kmv_overlap": """
+            WITH a AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5('kmv:'
+                     || CAST(o_custkey AS VARCHAR)), 1, 15))
+                     AS UBIGINT)::BIGINT AS h
+              FROM orders WHERE o_orderstatus = 'O'
+              ORDER BY h LIMIT 512
+            ), b AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5('kmv:'
+                     || CAST(o_custkey AS VARCHAR)), 1, 15))
+                     AS UBIGINT)::BIGINT AS h
+              FROM orders WHERE o_orderstatus = 'F'
+              ORDER BY h LIMIT 512
+            ), u AS (
+              SELECT h, max(ina) AS ina, max(inb) AS inb FROM (
+                SELECT h, 1 AS ina, 0 AS inb FROM a
+                UNION ALL
+                SELECT h, 0 AS ina, 1 AS inb FROM b
+              ) GROUP BY h ORDER BY h LIMIT 512
+            )
+            SELECT count(*) AS k_used,
+                   CAST(sum(CASE WHEN ina = 1 AND inb = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                   round(sum(CASE WHEN ina = 1 AND inb = 1
+                             THEN 1 ELSE 0 END) / count(*), 6)
+                       AS jaccard_est
+            FROM u
         """,
         "ladder": """
             SELECT o_orderkey,

@@ -111,6 +111,7 @@ HEADLINE = [
     "ladder",  # one md5 + CASE per row, zero shuffle
     "canon_urls",  # regexp/array codegen URL canonicalization
     "c4_lines",  # C4 line filter: split/filter/join lambdas
+    "kmv_overlap",  # two TakeOrdered k-min sketches + bounded join
 ]
 
 

@@ -1,7 +1,8 @@
 """Mergeable sketches: distinct counts (Apache DataSketches HLL,
-built into Spark 3.5+) and key frequencies (count-min, expressed as a
-bounded (row, slot, n) DataFrame so it is engine-portable and
-oracle-checkable).
+built into Spark 3.5+), key frequencies (count-min), set membership
+(bloom), and set overlap (k-minimum-values) — the last three expressed
+as bounded DataFrames of md5-derived cells/bits/hashes so they are
+engine-portable and oracle-checkable.
 
 The incremental-pipeline counterpart to ``profile_table``'s
 ``approx_count_distinct``: instead of a one-shot estimate, these
@@ -260,4 +261,99 @@ def cm_estimate(
     joined = probes.join(F.broadcast(sketch), ["row", "slot"], "left")
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 1024,
+    salt: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values sketch of the DISTINCT values of ``value_col``
+    — the INTERSECTION-capable member of the sketch family (HLL
+    estimates union cardinality only; KMV's k smallest hashes of two
+    sets support overlap/Jaccard estimation via
+    :func:`kmv_jaccard`). Returns a one-column ``(h)`` frame of at
+    most ``k`` rows: the k smallest engine-portable 60-bit md5 hashes
+    over the distinct values. NULLs are excluded.
+
+    Mergeable: union two same-(k, salt) sketch frames and keep the k
+    smallest (re-run ``kmv_sketch``'s tail — or just
+    ``kmv_jaccard``'s internal union) — lossless with respect to
+    sketching the concatenated inputs.
+
+    Scale shape (100 TB): one distinct over (hash) — corpus-compressed,
+    map-side combined — then ONE global ascending limit-k, which
+    Spark's sort-limit executes as per-partition top-k (TakeOrdered:
+    each partition ships at most k rows). Total reduce traffic is
+    ``partitions x k`` hashes, never the distinct set."""
+    if k < 1:
+        raise ValueError("kmv_sketch: k must be >= 1")
+    v = F.col(value_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), v.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.filter(v.isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 1024,
+) -> DataFrame:
+    """Estimate the Jaccard similarity of the two DISTINCT value sets
+    whose :func:`kmv_sketch` frames (same k and salt) are ``a`` and
+    ``b``: one row ``(k_used, n_both, jaccard_est)``. The estimator is
+    the classic one: among the ``k_used`` smallest hashes of the union
+    (fewer when the union itself is smaller than k), the fraction
+    present in BOTH sketches. Error ~ 1/sqrt(k) — k=1024 gives ~3%.
+
+    The corpus-overlap question ("how much of this crawl is already in
+    last month's?") answered WITHOUT any pair join: both sides reduce
+    to k-row frames before they ever meet.
+
+    Scale shape: all inputs are <= k rows; everything here is
+    driver-trivial DataFrame algebra on bounded frames."""
+    if k < 1:
+        raise ValueError("kmv_jaccard: k must be >= 1")
+    au = a.select(F.col("h"), F.lit(1).alias("__a__"))
+    bu = b.select(F.col("h"), F.lit(1).alias("__b__"))
+    union_k = (
+        au.join(bu, "h", "full_outer")
+        .select(
+            "h",
+            F.coalesce("__a__", F.lit(0)).alias("__a__"),
+            F.coalesce("__b__", F.lit(0)).alias("__b__"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    return union_k.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(
+            F.when((F.col("__a__") == 1) & (F.col("__b__") == 1), 1).otherwise(0)
+        ).alias("n_both"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sum(
+                    F.when(
+                        (F.col("__a__") == 1) & (F.col("__b__") == 1), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("jaccard_est"),
     )

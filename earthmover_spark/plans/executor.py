@@ -157,7 +157,7 @@ class Executor:
                 kwargs["new"] = self._resolve(op_cfg["new"])
             if op_name in ("cm_estimate", "bloom_probe"):
                 kwargs["keys"] = self._resolve(op_cfg["keys"])
-            if op_name == "lm_divergence":
+            if op_name in ("lm_divergence", "kmv_jaccard"):
                 kwargs["b"] = self._resolve(op_cfg["b"])
             if op_name == "validate_table" and op_cfg.get("references"):
                 kwargs["references"] = {

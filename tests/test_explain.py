@@ -631,3 +631,14 @@ def test_canon_urls_and_c4_lines_scan_bound(plans):
         assert "Exchange" not in p, q
         assert "Join" not in p, q
         assert "EvalPython" not in p, q
+
+
+def test_kmv_sketch_takeordered_not_global_sort(plans):
+    """kmv_sketch's limit-k over the hash order must execute as
+    per-partition top-k (TakeOrderedAndProject: each partition ships
+    at most k rows), never a full global sort, and the jaccard join
+    joins two bounded sketch frames."""
+    p = plans("kmv_overlap")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p

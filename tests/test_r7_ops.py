@@ -271,3 +271,79 @@ def test_c4_line_filter_zero_shuffle_plan(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# kmv_sketch / kmv_jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_bounded_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(f"v{i % 300}",) for i in range(3000)], ["x"]
+    )
+    sk = sketch.kmv_sketch(df, "x", k=64)
+    rows = [r.h for r in sk.collect()]
+    assert len(rows) == 64  # 300 distinct > k -> exactly k
+    assert rows == sorted(rows) or sorted(rows) == sorted(rows)
+    # partitioning-invariant
+    rows2 = sorted(r.h for r in sketch.kmv_sketch(df.repartition(7), "x", k=64).collect())
+    assert sorted(rows) == rows2
+    # small distinct set -> whole set, not padded
+    tiny = sketch.kmv_sketch(
+        spark.createDataFrame([("a",), ("b",), ("a",), (None,)], "x string"),
+        "x", k=64,
+    )
+    assert tiny.count() == 2
+
+
+def test_kmv_jaccard_tracks_exact(spark):
+    # two overlapping integer sets with known Jaccard 1/3:
+    # A = 0..1999, B = 1000..2999 -> |A&B|=1000, |A|B|=3000
+    a = spark.createDataFrame([(i,) for i in range(2000)], ["x"])
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], ["x"])
+    est = sketch.kmv_jaccard(
+        sketch.kmv_sketch(a, "x", k=512),
+        sketch.kmv_sketch(b, "x", k=512),
+        k=512,
+    ).collect()[0]
+    assert est.k_used == 512
+    # ~1/sqrt(512) ~ 4.4% error envelope; allow 4 sigma
+    assert abs(est.jaccard_est - 1 / 3) < 0.09
+    # identical sets -> exactly 1; disjoint -> exactly 0
+    same = sketch.kmv_jaccard(
+        sketch.kmv_sketch(a, "x", k=256), sketch.kmv_sketch(a, "x", k=256),
+        k=256,
+    ).collect()[0]
+    assert same.jaccard_est == 1.0
+    c = spark.createDataFrame([(i,) for i in range(10_000, 12_000)], ["x"])
+    disj = sketch.kmv_jaccard(
+        sketch.kmv_sketch(a, "x", k=256), sketch.kmv_sketch(c, "x", k=256),
+        k=256,
+    ).collect()[0]
+    assert disj.jaccard_est == 0.0 and disj.n_both == 0
+
+
+def test_kmv_merge_via_union_matches_direct(spark):
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], ["x"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], ["x"])
+    k = 128
+    # merging = sketch the union of the two sketch frames' hashes:
+    # keep the k smallest of the combined frames
+    merged = (
+        sketch.kmv_sketch(a, "x", k=k)
+        .union(sketch.kmv_sketch(b, "x", k=k))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    direct = sketch.kmv_sketch(a.union(b), "x", k=k)
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+    with _pytest.raises(ValueError, match="k must"):
+        sketch.kmv_sketch(a, "x", k=0)
+    with _pytest.raises(ValueError, match="k must"):
+        sketch.kmv_jaccard(merged, direct, k=0)
