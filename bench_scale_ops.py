@@ -167,6 +167,17 @@ def main() -> None:
             ).count()
         )
 
+        # --- r7: KMV overlap sketch over 10M rows -----------------------
+        from earthmover_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+        r["kmv_overlap"] = _t(
+            lambda: kmv_jaccard(
+                kmv_sketch(plain.filter(F.col("a") < 6000), "row_id", k=1024),
+                kmv_sketch(plain.filter(F.col("a") >= 4000), "row_id", k=1024),
+                k=1024,
+            ).collect()
+        )
+
         # --- profiler: exact (Expand) vs approx (HLL) -------------------
         r["profile_exact"] = _t(
             lambda: profile_table(plain, ["a", "b", "row_id"]).collect()

@@ -70,6 +70,24 @@ def project_dir(tmp_path_factory):
             operations:
               - operation: lm_divergence
                 b: $sources.slice_b
+          seen_sketch:
+            source: $sources.seen
+            operations:
+              - operation: kmv_sketch
+                value_col: doc_id
+                k: 64
+          incoming_sketch:
+            source: $sources.incoming
+            operations:
+              - operation: kmv_sketch
+                value_col: doc_id
+                k: 64
+          overlap:
+            source: $transformations.seen_sketch
+            operations:
+              - operation: kmv_jaccard
+                b: $transformations.incoming_sketch
+                k: 64
           rungs:
             source: $sources.corpus
             operations:
@@ -86,6 +104,9 @@ def project_dir(tmp_path_factory):
             extension: jsonl
           drift_out:
             source: $transformations.drift
+            extension: jsonl
+          overlap_out:
+            source: $transformations.overlap
             extension: jsonl
           rungs_out:
             source: $transformations.rungs
@@ -117,6 +138,12 @@ def test_r7_yaml_pipeline(spark, project_dir):
     drift = _rows(results, "$destinations.drift_out")[0]
     assert float(drift["jsd"]) > 0.0
     assert int(drift["vocab_size"]) >= 10
+
+    # seen = 1..20, incoming = 15..34: |A&B| = 6, |A|B| = 34; both
+    # sets and their union fit under k=64 so the KMV estimate is EXACT
+    ov = _rows(results, "$destinations.overlap_out")[0]
+    assert int(ov["n_both"]) == 6
+    assert float(ov["jaccard_est"]) == round(6 / 34, 6)
 
     rungs = _rows(results, "$destinations.rungs_out")
     # the 50% ladder rung keeps roughly half the corpus, nested
