@@ -2495,22 +2495,27 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), f AS (
               SELECT doc_id,
-                     string_split(text, chr(10)) AS lines,
+                     string_split_regex(text, '\\r?\\n') AS lines,
                      list_filter(
-                       string_split(text, chr(10)),
-                       t -> len(string_split_regex(trim(t), '\\s+')) >= 3
-                            AND regexp_matches(trim(t), '[.!?"”]$')
-                            AND position('javascript' IN lower(trim(t))) = 0
-                            AND position('cookie' IN lower(trim(t))) = 0
-                            AND position('terms of use' IN lower(trim(t))) = 0
-                            AND position('privacy policy' IN lower(trim(t))) = 0
+                       string_split_regex(text, '\\r?\\n'),
+                       t -> len(string_split_regex(
+                              regexp_replace(t, '^\\s+|\\s+$', '', 'g'),
+                              '\\s+')) >= 3
+                            AND regexp_matches(
+                              regexp_replace(t, '^\\s+|\\s+$', '', 'g'),
+                              '[.!?"”]$')
+                            AND position('javascript' IN lower(t)) = 0
+                            AND position('cookie' IN lower(t)) = 0
+                            AND position('terms of use' IN lower(t)) = 0
+                            AND position('privacy policy' IN lower(t)) = 0
                      ) AS kept
               FROM padded
             )
             SELECT doc_id,
                    len(kept) AS n_lines_kept,
                    len(lines) - len(kept) AS n_lines_dropped,
-                   array_to_string(list_transform(kept, t -> trim(t)),
+                   array_to_string(list_transform(kept,
+                       t -> regexp_replace(t, '^\\s+|\\s+$', '', 'g')),
                                    chr(10)) AS text
             FROM f
         """,

@@ -439,7 +439,10 @@ def c4_line_filter(
     text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
 
     def _keep(line: Column) -> Column:
-        t = F.trim(line)
+        # regexp trim (not F.trim, which strips ' ' only): a \r left
+        # by Windows \r\n endings or a tab would otherwise defeat the
+        # terminal-punctuation check and drop every line
+        t = F.regexp_replace(line, r"^\s+|\s+$", "")
         cond = F.size(F.split(t, r"\s+")) >= min_words
         if require_terminal_punct:
             cond = cond & t.rlike(_TERMINAL_PUNCT)
@@ -448,9 +451,11 @@ def c4_line_filter(
             cond = cond & ~low.contains(pat.lower())
         return cond
 
-    kept = F.filter(F.split(text, r"\n"), _keep)
-    n_total = F.size(F.split(text, r"\n"))
-    out = df.withColumn("__kept__", kept).withColumn("__nt__", n_total)
+    lines = F.split(text, r"\r?\n")  # tolerate Windows line endings
+    kept = F.filter(lines, _keep)
+    out = df.withColumn("__kept__", kept).withColumn(
+        "__nt__", F.size(lines)
+    )
     return (
         out.withColumn("n_lines_kept", F.size(F.col("__kept__")))
         .withColumn(
@@ -458,7 +463,13 @@ def c4_line_filter(
         )
         .withColumn(
             out_col,
-            F.array_join(F.transform("__kept__", F.trim), "\n"),
+            F.array_join(
+                F.transform(
+                    "__kept__",
+                    lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+                ),
+                "\n",
+            ),
         )
         .drop("__kept__", "__nt__")
     )

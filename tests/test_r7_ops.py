@@ -259,6 +259,21 @@ def test_c4_line_filter(spark):
         curation.c4_line_filter(df, min_words=0)
 
 
+def test_c4_line_filter_crlf_and_tabs(spark):
+    # Windows \r\n endings and tab padding must not defeat the
+    # word-count or terminal-punctuation checks
+    from earthmover_spark.llm import curation
+
+    text = "One good windows line here.\r\n\tTabbed but still fine!\r\nno\r\n"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = curation.c4_line_filter(df).collect()[0]
+    assert got.text.split("\n") == [
+        "One good windows line here.",
+        "Tabbed but still fine!",
+    ]
+    assert got.n_lines_kept == 2
+
+
 def test_c4_line_filter_zero_shuffle_plan(spark):
     from earthmover_spark.llm import curation
 
