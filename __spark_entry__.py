@@ -2193,6 +2193,20 @@ def q_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021) over the documents
+    table: per-doc word/line metrics + the pass flag. Pure array
+    lambda codegen over the scan — zero shuffle."""
+    from earthmover_spark.llm.curation import gopher_quality_filter
+
+    d = _p(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_filter(d, min_words=20).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stopword_hits", "gopher_pass",
+    )
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-overlap estimate WITHOUT a pair join: KMV (k-minimum-
     values) sketches of the customer sets behind open vs finished
@@ -2394,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canon_urls": q_canon_urls,
         "c4_lines": q_c4_lines,
         "kmv_overlap": q_kmv_overlap,
+        "gopher_quality": q_gopher_quality,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2518,6 +2533,66 @@ def oracle_sql() -> dict[str, str]:
                        t -> regexp_replace(t, '^\\s+|\\s+$', '', 'g')),
                                    chr(10)) AS text
             FROM f
+        """,
+        "gopher_quality": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS t,
+                     list_filter(string_split_regex(
+                       regexp_replace(coalesce(text, ''),
+                                      '^\s+|\s+$', '', 'g'), '\s+'),
+                       x -> x != '') AS words,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\r?\n'),
+                       l -> regexp_replace(l, '^\s+|\s+$', '', 'g') != '')
+                       AS lines
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(words) AS n_words,
+                     CASE WHEN len(words) > 0 THEN
+                       round(list_sum(list_transform(words,
+                             x -> len(x)))::DOUBLE / len(words), 6)
+                     END AS mean_word_len,
+                     CASE WHEN len(words) > 0 THEN
+                       round((len(regexp_extract_all(t, '#'))
+                            + len(regexp_extract_all(t, '\.\.\.|…')))
+                             ::DOUBLE / len(words), 6)
+                     END AS symbol_word_ratio,
+                     CASE WHEN len(lines) > 0 THEN
+                       round(len(list_filter(lines,
+                             l -> regexp_matches(l, '^\s*[-*•●]')))
+                             ::DOUBLE / len(lines), 6)
+                     END AS bullet_line_frac,
+                     CASE WHEN len(lines) > 0 THEN
+                       round(len(list_filter(lines,
+                             l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                             ::DOUBLE / len(lines), 6)
+                     END AS ellipsis_line_frac,
+                     CASE WHEN len(words) > 0 THEN
+                       round(len(list_filter(words,
+                             x -> regexp_matches(x, '[A-Za-z]')))
+                             ::DOUBLE / len(words), 6)
+                     END AS alpha_word_frac,
+                     len(list_filter(
+                       ['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(
+                         list_transform(words, x -> lower(x)), s)))
+                       AS stopword_hits
+              FROM w
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac,
+                   alpha_word_frac, stopword_hits,
+                   coalesce(
+                     n_words >= 20 AND n_words <= 100000
+                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                     AND symbol_word_ratio <= 0.1
+                     AND coalesce(bullet_line_frac <= 0.9, TRUE)
+                     AND coalesce(ellipsis_line_frac <= 0.3, TRUE)
+                     AND alpha_word_frac >= 0.8
+                     AND stopword_hits >= 2, FALSE) AS gopher_pass
+            FROM m
         """,
         "kmv_overlap": """
             WITH a AS (

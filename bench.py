@@ -112,6 +112,7 @@ HEADLINE = [
     "canon_urls",  # regexp/array codegen URL canonicalization
     "c4_lines",  # C4 line filter: split/filter/join lambdas
     "kmv_overlap",  # two TakeOrdered k-min sketches + bounded join
+    "gopher_quality",  # per-row array-lambda quality rules, zero shuffle
 ]
 
 

@@ -402,6 +402,9 @@ def strip_markup(
     return counted.withColumn(out_col, squeezed)
 
 
+#: the Gopher paper's "at least two of" common-English stop words
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
 #: line-level noise markers (C4's heuristics, Raffel et al. 2020,
 #: public): cookie/JS boilerplate that survives tag stripping
 C4_DROP_PATTERNS = ("javascript", "cookie", "terms of use", "privacy policy")
@@ -473,3 +476,106 @@ def c4_line_filter(
         )
         .drop("__kept__", "__nt__")
     )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A —
+    public; the recipe MassiveText, RefinedWeb, FineWeb et al. build
+    on): per document compute the paper's repetition-free quality
+    signals and flag ``gopher_pass`` when ALL hold —
+    word count in [min_words, max_words], mean word length in
+    [min_mean_word_len, max_mean_word_len], symbol-to-word ratio
+    (``#`` and ellipses) <= max_symbol_word_ratio, bullet-started
+    line fraction <= max_bullet_line_frac, ellipsis-ended line
+    fraction <= max_ellipsis_line_frac, fraction of words containing
+    an alphabetic character >= min_alpha_word_frac, and at least
+    ``min_stopword_hits`` distinct common English stop words present.
+    The individual metrics ride along so a curation run can report WHY
+    documents fail (``filter_rows`` on ``gopher_pass`` downstream, or
+    loosen one rule without recomputing the rest).
+
+    Scale shape (100 TB): every signal is a native split / transform /
+    filter / aggregate lambda over the row's own text — zero shuffle,
+    zero Python, scan-bandwidth bound (same shape as
+    :func:`c4_line_filter`)."""
+    text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
+    words = F.filter(F.split(trimmed, r"\s+"), lambda w: w != "")
+    out = df.withColumn("__w__", words)
+    w = F.col("__w__")
+    n_words = F.size(w)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        / n_words,
+    )
+    n_symbols = F.regexp_count(text, F.lit(r"#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.|…")
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words)
+    lines = F.filter(
+        F.split(text, r"\r?\n"),
+        lambda l: F.regexp_replace(l, r"^\s+|\s+$", "") != "",
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•●]")))
+        / n_lines,
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        / n_lines,
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]"))) / n_words,
+    )
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+    lower_words = F.transform(w, F.lower)
+    stop_hits = F.size(
+        F.filter(stops, lambda s: F.array_contains(lower_words, s))
+    )
+    out = (
+        out.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_len, 6))
+        .withColumn("symbol_word_ratio", F.round(symbol_ratio, 6))
+        .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
+        .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
+        .withColumn("stopword_hits", stop_hits)
+        .drop("__w__")
+    )
+    gp = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (
+            F.col("bullet_line_frac").isNull()
+            | (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        )
+        & (
+            F.col("ellipsis_line_frac").isNull()
+            | (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        )
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("gopher_pass", F.coalesce(gp, F.lit(False)))

@@ -198,7 +198,9 @@ def bloom_probe(
     """Probe a bloom filter built with the same (num_bits, num_hashes,
     salt) for each distinct key: ``(key_col, member)`` where
     ``member`` is true iff ALL of the key's bits are set — definitely
-    absent when false, present-or-false-positive when true.
+    absent when false, present-or-false-positive when true. A NULL
+    probe key reports ``member = false`` (consistent with
+    ``bloom_sketch`` excluding NULLs: NULL was never inserted).
 
     Scale shape: each key probes ``num_hashes`` bits via an equi-join
     against the bounded (broadcast) filter frame, then one

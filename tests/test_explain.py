@@ -642,3 +642,12 @@ def test_kmv_sketch_takeordered_not_global_sort(plans):
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_gopher_quality_scan_bound(plans):
+    """The Gopher rules are per-row array-lambda codegen: no exchange,
+    no join, no Python in the driver query."""
+    p = plans("gopher_quality")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p

@@ -362,3 +362,65 @@ def test_kmv_merge_via_union_matches_direct(spark):
         sketch.kmv_sketch(a, "x", k=0)
     with _pytest.raises(ValueError, match="k must"):
         sketch.kmv_jaccard(merged, direct, k=0)
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_filter
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_quality_filter_rules(spark):
+    from earthmover_spark.llm import curation
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and keeps running "
+        "through the field with great determination that never fades. "
+    ) * 5  # ~110 words of prose with stopwords
+    rows = [
+        (1, good),
+        (2, "too short to pass."),  # < min_words
+        (3, " ".join(["#"] * 80)),  # symbols, no alpha, no stopwords
+        (4, "\n".join(["- bullet item one two three."] * 10)
+            + "\nThe end of the list is here with that sentence."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in curation.gopher_quality_filter(df).collect()}
+    assert got[1].gopher_pass is True
+    assert got[1].stopword_hits >= 2
+    assert 3.0 <= got[1].mean_word_len <= 10.0
+    assert got[2].gopher_pass is False  # word count
+    g3 = got[3]
+    assert g3.gopher_pass is False
+    assert g3.alpha_word_frac == 0.0 and g3.symbol_word_ratio >= 1.0
+    # doc 4: 10/11 bullet lines > 0.9 cap
+    g4 = got[4]
+    assert g4.bullet_line_frac > 0.9 and g4.gopher_pass is False
+    assert got[5].gopher_pass is False and got[5].n_words == 0
+
+
+def test_gopher_filter_thresholds_configurable(spark):
+    from earthmover_spark.llm import curation
+
+    df = spark.createDataFrame(
+        [(1, "The small cat and the dog have fun with that toy.")],
+        ["doc_id", "text"],
+    )
+    strict = curation.gopher_quality_filter(df).collect()[0]
+    assert strict.gopher_pass is False  # 11 words < default 50
+    loose = curation.gopher_quality_filter(df, min_words=5).collect()[0]
+    assert loose.gopher_pass is True
+
+
+def test_gopher_filter_zero_shuffle_plan(spark):
+    from earthmover_spark.llm import curation
+
+    df = spark.createDataFrame([(1, "a b c.")], ["doc_id", "text"])
+    plan = (
+        curation.gopher_quality_filter(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
