@@ -2207,6 +2207,30 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher structural repetition over documents padded with a
+    duplicated line pair and a closing paragraph: per-doc line/para
+    duplicate fractions by count and char mass. Per-row array
+    expressions only — zero shuffle."""
+    from earthmover_spark.llm.curation import line_repetition_stats
+
+    d = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.substring(F.col("text"), 1, 40),
+            F.substring(F.col("text"), 1, 40),
+            F.lit(""),
+            F.lit("closing paragraph."),
+        ).alias("text"),
+    )
+    return line_repetition_stats(d).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "n_paras", "dup_para_frac", "dup_para_char_frac",
+    )
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-overlap estimate WITHOUT a pair join: KMV (k-minimum-
     values) sketches of the customer sets behind open vs finished
@@ -2413,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_lines": q_c4_lines,
         "kmv_overlap": q_kmv_overlap,
         "gopher_quality": q_gopher_quality,
+        "line_repetition": q_line_repetition,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2597,6 +2622,52 @@ def oracle_sql() -> dict[str, str]:
                      AND alpha_word_frac >= 0.8
                      AND stopword_hits >= 2, FALSE) AS gopher_pass
             FROM m
+        """,
+        "line_repetition": r"""
+            WITH padded AS (
+              SELECT doc_id,
+                     concat_ws(chr(10), text,
+                               substr(text, 1, 40), substr(text, 1, 40),
+                               '', 'closing paragraph.') AS t
+              FROM documents
+            ), seg AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split_regex(t, '\r?\n'),
+                       s -> regexp_replace(s, '^\s+|\s+$', '', 'g')),
+                       s -> s != '') AS lines,
+                     list_filter(list_transform(
+                       string_split_regex(t, '(\r?\n)(\s*\r?\n)+'),
+                       s -> regexp_replace(s, '^\s+|\s+$', '', 'g')),
+                       s -> s != '') AS paras
+              FROM padded
+            )
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   CASE WHEN len(lines) > 0 THEN
+                     round((len(lines) - len(list_distinct(lines)))
+                           ::DOUBLE / len(lines), 6)
+                   END AS dup_line_frac,
+                   CASE WHEN coalesce(list_sum(list_transform(lines,
+                            s -> len(s))), 0) > 0 THEN
+                     round(list_sum(list_transform(list_distinct(lines),
+                           d -> (len(list_filter(lines, s -> s = d)) - 1)
+                                * len(d)))::DOUBLE
+                         / list_sum(list_transform(lines, s -> len(s))), 6)
+                   END AS dup_line_char_frac,
+                   len(paras) AS n_paras,
+                   CASE WHEN len(paras) > 0 THEN
+                     round((len(paras) - len(list_distinct(paras)))
+                           ::DOUBLE / len(paras), 6)
+                   END AS dup_para_frac,
+                   CASE WHEN coalesce(list_sum(list_transform(paras,
+                            s -> len(s))), 0) > 0 THEN
+                     round(list_sum(list_transform(list_distinct(paras),
+                           d -> (len(list_filter(paras, s -> s = d)) - 1)
+                                * len(d)))::DOUBLE
+                         / list_sum(list_transform(paras, s -> len(s))), 6)
+                   END AS dup_para_char_frac
+            FROM seg
         """,
         "kmv_overlap": """
             WITH a AS (

@@ -113,6 +113,7 @@ HEADLINE = [
     "c4_lines",  # C4 line filter: split/filter/join lambdas
     "kmv_overlap",  # two TakeOrdered k-min sketches + bounded join
     "gopher_quality",  # per-row array-lambda quality rules, zero shuffle
+    "line_repetition",  # dup line/para fractions, per-row array work
 ]
 
 

@@ -579,3 +579,69 @@ def gopher_quality_filter(
         & (F.col("stopword_hits") >= min_stopword_hits)
     )
     return out.withColumn("gopher_pass", F.coalesce(gp, F.lit(False)))
+
+
+def line_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher's structural repetition signals (the companion to
+    :func:`repetition_stats`' word/bigram ratios and
+    :func:`gopher_quality_filter`'s quality rules): per document,
+    the fraction of LINES and PARAGRAPHS that are repeats of an
+    earlier one — by count (``dup_line_frac`` / ``dup_para_frac``)
+    and by character mass (``dup_line_char_frac`` /
+    ``dup_para_char_frac``). The paper's thresholds (drop when
+    dup_line_frac > 0.30, dup_para_frac > 0.30, char fractions >
+    0.20) apply downstream as ordinary ``filter_rows`` predicates.
+    Lines split on newlines, paragraphs on blank lines; both ignore
+    leading/trailing whitespace and empty segments. Documents with no
+    lines report NULL fractions.
+
+    Scale shape (100 TB): every signal is a per-row array expression
+    (split / transform / distinct / aggregate) — zero shuffle, zero
+    Python. The duplicate-char mass is O(distinct x total) array work
+    per row, bounded by the row's own line count."""
+
+    def _segs(pat: str) -> Column:
+        raw = F.split(
+            F.coalesce(F.col(text_col).cast("string"), F.lit("")), pat
+        )
+        trimmed = F.transform(
+            raw, lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")
+        )
+        return F.filter(trimmed, lambda s: s != "")
+
+    def _stats(segs: Column, prefix: str, n_col: str) -> dict:
+        n = F.size(segs)
+        distinct = F.array_distinct(segs)
+        n_dup = n - F.size(distinct)
+        total_chars = F.aggregate(
+            segs, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+        )
+        # chars contributed by occurrences BEYOND the first of each
+        # distinct segment
+        dup_chars = F.aggregate(
+            distinct,
+            F.lit(0).cast("long"),
+            lambda acc, d: acc
+            + (F.size(F.filter(segs, lambda s: s == d)) - 1) * F.length(d),
+        )
+        return {
+            n_col: n,
+            f"dup_{prefix}_frac": F.round(
+                F.when(n > 0, n_dup / n.cast("double")), 6
+            ),
+            f"dup_{prefix}_char_frac": F.round(
+                F.when(total_chars > 0, dup_chars / total_chars.cast("double")),
+                6,
+            ),
+        }
+
+    out = df.withColumn("__lines__", _segs(r"\r?\n")).withColumn(
+        "__paras__", _segs(r"(\r?\n)(\s*\r?\n)+")
+    )
+    cols = {}
+    cols.update(_stats(F.col("__lines__"), "line", "n_lines"))
+    cols.update(_stats(F.col("__paras__"), "para", "n_paras"))
+    return out.withColumns(cols).drop("__lines__", "__paras__")

@@ -651,3 +651,10 @@ def test_gopher_quality_scan_bound(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_line_repetition_scan_bound(plans):
+    p = plans("line_repetition")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p

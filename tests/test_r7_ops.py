@@ -424,3 +424,53 @@ def test_gopher_filter_zero_shuffle_plan(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# line_repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_line_repetition_stats(spark):
+    from earthmover_spark.llm import curation
+
+    text = (
+        "unique line one\n"
+        "repeated line\n"
+        "repeated line\n"
+        "repeated line\n"
+        "\n"
+        "para one here\n\n"
+        "para one here"
+    )
+    # lines: [unique line one, repeated line x3, para one here x2] = 6
+    # lines, 3 distinct -> dup_line_frac = 3/6
+    # paras (blank-line split): [block1(4 lines), para one here,
+    # para one here] = 3 paras, 2 distinct -> dup_para_frac = 1/3
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "solo line")],
+                               ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           curation.line_repetition_stats(df).collect()}
+    g = got[1]
+    assert g.n_lines == 6 and g.dup_line_frac == 0.5
+    # dup chars: "repeated line"(13) x 2 extra + "para one here"(13) x 1
+    total = len("unique line one") + 13 * 3 + 13 * 2
+    assert g.dup_line_char_frac == round((13 * 2 + 13) / total, 6)
+    assert g.n_paras == 3 and g.dup_para_frac == round(1 / 3, 6)
+    # empty and single-line docs
+    assert got[2].n_lines == 0 and got[2].dup_line_frac is None
+    assert got[3].dup_line_frac == 0.0 and got[3].n_paras == 1
+
+
+def test_line_repetition_stats_zero_shuffle(spark):
+    from earthmover_spark.llm import curation
+
+    df = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
+    plan = (
+        curation.line_repetition_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
