@@ -30,6 +30,12 @@ SF_DIR = "/root/testdata/sf0.001"
      lambda rows: {"o_orderkey", "o_orderstatus"} == set(rows[0])
      # every urgent order was rewritten by the changeset; others never are
      and any(r["o_orderstatus"] == "RUSHED" for r in rows)),
+    ("13_web_curation_recipe", "$destinations.corpus",
+     lambda rows: {"doc_id", "lang", "source", "n_words", "mean_word_len"}
+     == set(rows[0])
+     # every survivor passed the word-count gate
+     and all(int(r["n_words"]) >= 10 for r in rows)
+     and len(rows) > 50),
     ("12_scaling_ablation", "$destinations.sample",
      lambda rows: {"doc_id", "text", "lang", "source", "rung"}
      == set(rows[0])
