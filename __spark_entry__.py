@@ -2231,6 +2231,27 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup over documents padded with a
+    corpus-wide banner and a per-source footer: both boilerplate
+    paragraphs (> 1 distinct doc) are stripped, each doc's own text
+    survives. (doc_id, n_paras_kept, n_paras_dropped, text)."""
+    from earthmover_spark.llm.curation import paragraph_dedup
+
+    d = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("Shared banner paragraph for every document."),
+            F.col("text"),
+            F.concat(F.lit("Footer for "), F.col("source")),
+        ).alias("text"),
+    )
+    return paragraph_dedup(d).select(
+        "doc_id", "n_paras_kept", "n_paras_dropped", "text"
+    )
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-overlap estimate WITHOUT a pair join: KMV (k-minimum-
     values) sketches of the customer sets behind open vs finished
@@ -2438,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "gopher_quality": q_gopher_quality,
         "line_repetition": q_line_repetition,
+        "para_dedup": q_para_dedup,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2668,6 +2690,45 @@ def oracle_sql() -> dict[str, str]:
                          / list_sum(list_transform(paras, s -> len(s))), 6)
                    END AS dup_para_char_frac
             FROM seg
+        """,
+        "para_dedup": r"""
+            WITH padded AS (
+              SELECT doc_id,
+                     'Shared banner paragraph for every document.'
+                     || chr(10) || chr(10) || text || chr(10) || chr(10)
+                     || 'Footer for ' || source AS t
+              FROM documents
+            ), seg AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split_regex(t, '(\r?\n)(\s*\r?\n)+'),
+                       s -> regexp_replace(s, '^\s+|\s+$', '', 'g')),
+                       s -> s != '') AS paras
+              FROM padded
+            ), ex AS (
+              SELECT doc_id, paras[i] AS para, i,
+                     md5(paras[i]) AS digest, len(paras) AS n_total
+              FROM seg, unnest(range(1, len(paras) + 1)) u(i)
+            ), hot AS (
+              SELECT digest FROM ex
+              GROUP BY digest HAVING count(DISTINCT doc_id) > 1
+            ), kept AS (
+              SELECT ex.* FROM ex ANTI JOIN hot USING (digest)
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY i)
+                       AS text,
+                     count(*) AS n_paras_kept
+              FROM kept GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, len(paras) AS n_total FROM seg
+            )
+            SELECT t.doc_id,
+                   coalesce(r.n_paras_kept, 0) AS n_paras_kept,
+                   t.n_total - coalesce(r.n_paras_kept, 0)
+                     AS n_paras_dropped,
+                   coalesce(r.text, '') AS text
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
         """,
         "kmv_overlap": """
             WITH a AS (

@@ -114,6 +114,7 @@ HEADLINE = [
     "kmv_overlap",  # two TakeOrdered k-min sketches + bounded join
     "gopher_quality",  # per-row array-lambda quality rules, zero shuffle
     "line_repetition",  # dup line/para fractions, per-row array work
+    "para_dedup",  # digest agg + broadcast anti-join + ordered rebuild
 ]
 
 

@@ -645,3 +645,74 @@ def line_repetition_stats(
     cols.update(_stats(F.col("__lines__"), "line", "n_lines"))
     cols.update(_stats(F.col("__paras__"), "para", "n_paras"))
     return out.withColumns(cols).drop("__lines__", "__paras__")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cross-document paragraph dedup (the dolma-style boilerplate
+    pass): a paragraph appearing in MORE than ``max_docs`` distinct
+    documents is boilerplate (cookie banners, nav blocks, license
+    headers) and is removed from every document. Returns the input
+    with ``out_col`` (default: overwrite ``text_col``) holding the
+    surviving paragraphs re-joined with blank lines, plus
+    ``n_paras_kept`` / ``n_paras_dropped``. Paragraph identity is the
+    md5 of the whitespace-trimmed paragraph; order within each
+    document is preserved.
+
+    Scale shape (100 TB): paragraphs explode with their position, the
+    hot-digest table is ONE hash aggregation keyed on digest (map-side
+    combined; only digests with > max_docs distinct docs survive —
+    typically a tiny boilerplate set), and the removal join is
+    digest-keyed with the boilerplate side broadcast when small. The
+    reassembly is one (id)-keyed aggregation ordered by position —
+    documents shuffle once, as (id, pos, para) rows."""
+    if max_docs < 1:
+        raise EarthmoverSparkError("paragraph_dedup: max_docs must be >= 1")
+    out_col = out_col or text_col
+    text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    paras = F.filter(
+        F.transform(
+            F.split(text, r"(\r?\n)(\s*\r?\n)+"),
+            lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+        ),
+        lambda s: s != "",
+    )
+    exploded = spread_narrow_scan(df).select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(paras).alias("__pos__", "__para__"),
+    ).withColumn("__digest__", F.md5(F.col("__para__")))
+    hot = (
+        exploded.groupBy("__digest__")
+        .agg(F.count_distinct("__id__").alias("__nd__"))
+        .filter(F.col("__nd__") > max_docs)
+        .select("__digest__")
+    )
+    kept = exploded.join(F.broadcast(hot), "__digest__", "left_anti")
+    rebuilt = kept.groupBy("__id__").agg(
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(struct(__pos__, __para__))),"
+            " s -> s.__para__), '\\n\\n')"
+        ).alias("__rebuilt__"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    n_total = F.size(paras)
+    return (
+        df.withColumn("__nt__", n_total)
+        .join(
+            rebuilt.withColumnRenamed("__id__", id_col), id_col, "left"
+        )
+        .withColumn(
+            "n_paras_kept", F.coalesce("n_paras_kept", F.lit(0))
+        )
+        .withColumn(
+            "n_paras_dropped", F.col("__nt__") - F.col("n_paras_kept")
+        )
+        .withColumn(out_col, F.coalesce("__rebuilt__", F.lit("")))
+        .drop("__rebuilt__", "__nt__")
+    )

@@ -658,3 +658,13 @@ def test_line_repetition_scan_bound(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_para_dedup_broadcast_hot_digests(plans):
+    """paragraph_dedup's boilerplate removal must be a broadcast
+    anti-join on digests (the hot set is tiny); no cartesian, no
+    Python; documents shuffle once for the ordered reassembly."""
+    p = plans("para_dedup")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p

@@ -474,3 +474,55 @@ def test_line_repetition_stats_zero_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_removes_boilerplate(spark):
+    from earthmover_spark.llm import curation
+
+    cookie = "We use cookies on this site."
+    rows = [
+        (1, f"{cookie}\n\nUnique body of doc one.\n\nAnother para one."),
+        (2, f"{cookie}\n\nDifferent body for doc two."),
+        (3, f"{cookie}\n\nThird document text here."),
+        (4, "No boilerplate at all in this one."),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in curation.paragraph_dedup(df).collect()}
+    # the cookie banner (3 docs > max_docs=1) is stripped everywhere
+    assert got[1].text == "Unique body of doc one.\n\nAnother para one."
+    assert got[1].n_paras_kept == 2 and got[1].n_paras_dropped == 1
+    assert got[2].text == "Different body for doc two."
+    assert got[3].text == "Third document text here."
+    # untouched docs pass through whole
+    assert got[4].text == "No boilerplate at all in this one."
+    assert got[4].n_paras_dropped == 0
+    assert got[5].text == "" and got[5].n_paras_kept == 0
+    # max_docs=3 tolerates the banner (appears in exactly 3 docs)
+    loose = {
+        r.doc_id: r.n_paras_dropped
+        for r in curation.paragraph_dedup(df, max_docs=3).collect()
+    }
+    assert all(v == 0 for v in loose.values())
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_docs"):
+        curation.paragraph_dedup(df, max_docs=0)
+
+
+def test_paragraph_dedup_preserves_order_and_duplicate_paras(spark):
+    from earthmover_spark.llm import curation
+
+    # a WITHIN-doc duplicate paragraph is not boilerplate (1 distinct
+    # doc) and both copies survive, in order
+    df = spark.createDataFrame(
+        [(1, "Alpha.\n\nBeta.\n\nAlpha.\n\nGamma.")], ["doc_id", "text"]
+    )
+    got = curation.paragraph_dedup(df).collect()[0]
+    assert got.text == "Alpha.\n\nBeta.\n\nAlpha.\n\nGamma."
+    assert got.n_paras_kept == 4
