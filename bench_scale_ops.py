@@ -229,6 +229,22 @@ def main() -> None:
             ).collect()
         )
 
+        # --- r7: cross-doc paragraph dedup with planted boilerplate -----
+        from earthmover_spark.llm.curation import paragraph_dedup
+
+        with_banner = corpus.select(
+            "doc_id",
+            F.concat(
+                F.lit("Shared cookie banner text here.\n\n"),
+                F.col("text"),
+                F.lit("\n\nFooter "),
+                F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+            ).alias("text"),
+        )
+        r["paragraph_dedup"] = _t(
+            lambda: _force(paragraph_dedup(with_banner))
+        )
+
         # --- r5b: k-means assignment over synthetic embeddings ----------
         vecs = spark.range(vecs_n).select(
             F.col("id").alias("vec_id"),
