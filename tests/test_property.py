@@ -463,3 +463,82 @@ def test_canonicalize_urls_idempotent(spark, host, path, params):
     df2 = spark.createDataFrame([(once,)], ["url"])
     twice = canonicalize_urls(df2).collect()[0].url_canonical
     assert twice == once
+
+
+# -- r7: gopher metrics and paragraph dedup vs Python references -------------
+
+_GOPHER_WORDS = st.lists(
+    st.sampled_from(
+        ["the", "cat", "runs", "#", "...", "12", "x", "be", "with", "…"]
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@given(docs=st.lists(_GOPHER_WORDS, min_size=1, max_size=6))
+@settings(**{**SETTINGS, "max_examples": 10})
+def test_gopher_metrics_match_python_reference(spark, docs):
+    """Word-level Gopher metrics must equal a direct Python
+    computation for arbitrary token sequences."""
+    from earthmover_spark.llm.curation import (
+        GOPHER_STOP_WORDS,
+        gopher_quality_filter,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in gopher_quality_filter(df).collect()}
+    for i, words in enumerate(docs):
+        g = got[i]
+        assert g.n_words == len(words)
+        if words:
+            assert g.mean_word_len == round(
+                sum(len(w) for w in words) / len(words), 6
+            )
+            text = " ".join(words)
+            n_sym = text.count("#") + text.count("...") + text.count("…")
+            # "..." inside "...." would double-count in Python's
+            # count but the regexp alternation is non-overlapping;
+            # our vocabulary has no overlapping cases
+            assert g.symbol_word_ratio == round(n_sym / len(words), 6)
+            alpha = sum(1 for w in words if any(c.isalpha() and c.isascii() for c in w))
+            assert g.alpha_word_frac == round(alpha / len(words), 6)
+            hits = sum(1 for s in GOPHER_STOP_WORDS if s in [w.lower() for w in words])
+            assert g.stopword_hits == hits
+        else:
+            assert g.mean_word_len is None and g.gopher_pass is False
+
+
+_PARAS = st.lists(
+    st.sampled_from(["banner", "alpha body", "beta text", "gamma", "delta!"]),
+    min_size=0, max_size=5,
+)
+
+
+@given(docs=st.lists(_PARAS, min_size=1, max_size=5),
+       max_docs=st.integers(min_value=1, max_value=3))
+@settings(**{**SETTINGS, "max_examples": 10})
+def test_paragraph_dedup_matches_python_reference(spark, docs, max_docs):
+    """For arbitrary paragraph multisets: a paragraph is removed from
+    ALL docs iff it appears in > max_docs distinct docs; order and
+    within-doc duplicates are preserved."""
+    from collections import Counter
+
+    from earthmover_spark.llm.curation import paragraph_dedup
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in paragraph_dedup(df, max_docs=max_docs).collect()
+    }
+    doc_count = Counter()
+    for paras in docs:
+        for p in set(paras):
+            doc_count[p] += 1
+    hot = {p for p, n in doc_count.items() if n > max_docs}
+    for i, paras in enumerate(docs):
+        expect = [p for p in paras if p not in hot]
+        assert got[i].text == "\n\n".join(expect)
+        assert got[i].n_paras_kept == len(expect)
+        assert got[i].n_paras_dropped == len(paras) - len(expect)
