@@ -2252,6 +2252,57 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChatML rendering + assistant loss-mask spans over conversations
+    synthesized from documents (system + 2 user/assistant rounds):
+    (doc_id, n_turns, n_mask_chars, spans, text). Spans are
+    '-'-joined offsets so the driver canonicalizer can hash them.
+    Pure per-row aggregate lambdas — zero shuffle."""
+    from earthmover_spark.llm.chat import render_chat
+
+    d = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.lit("Be concise.").alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.substring(F.col("text"), 1, 60).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.substring(F.col("text"), 61, 80).alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.lit("Continue.").alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.substring(F.col("text"), 141, 60).alias("content"),
+            ),
+        ).alias("messages"),
+    )
+    out = render_chat(d)
+    return out.select(
+        "doc_id",
+        "n_turns",
+        "n_mask_chars",
+        F.array_join(
+            F.transform(
+                "assistant_spans",
+                lambda s: F.concat_ws(
+                    "-", s["start"].cast("string"), s["end"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("spans"),
+        "text",
+    )
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-overlap estimate WITHOUT a pair join: KMV (k-minimum-
     values) sketches of the customer sets behind open vs finished
@@ -2460,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "line_repetition": q_line_repetition,
         "para_dedup": q_para_dedup,
+        "chat_render": q_chat_render,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2729,6 +2781,52 @@ def oracle_sql() -> dict[str, str]:
                      AS n_paras_dropped,
                    coalesce(r.text, '') AS text
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "chat_render": r"""
+            -- same running-offset arithmetic via unnest + window sums
+            WITH conv AS (
+              SELECT doc_id,
+                     [struct_pack(role := 'system',
+                                  content := 'Be concise.'),
+                      struct_pack(role := 'user',
+                                  content := substr(text, 1, 60)),
+                      struct_pack(role := 'assistant',
+                                  content := substr(text, 61, 80)),
+                      struct_pack(role := 'user',
+                                  content := 'Continue.'),
+                      struct_pack(role := 'assistant',
+                                  content := substr(text, 141, 60))]
+                       AS msgs
+              FROM documents
+            ), m AS (
+              SELECT doc_id, i,
+                     msgs[i].role AS role,
+                     coalesce(msgs[i].content, '') AS content,
+                     '<|im_start|>' || msgs[i].role || chr(10)
+                       || coalesce(msgs[i].content, '')
+                       || '<|im_end|>' || chr(10) AS block,
+                     13 + len(msgs[i].role) AS pre_len
+              FROM conv, unnest(range(1, len(msgs) + 1)) u(i)
+            ), pos AS (
+              SELECT *,
+                     coalesce(sum(len(block)) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) + pre_len AS s_start
+              FROM m
+            )
+            SELECT doc_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'assistant'
+                            THEN len(content) ELSE 0 END) AS BIGINT)
+                     AS n_mask_chars,
+                   coalesce(string_agg(
+                     CASE WHEN role = 'assistant'
+                          THEN s_start || '-' || (s_start + len(content))
+                     END, ',' ORDER BY i), '') AS spans,
+                   string_agg(block, '' ORDER BY i) AS text
+            FROM pos
+            GROUP BY doc_id
         """,
         "kmv_overlap": """
             WITH a AS (

@@ -115,6 +115,7 @@ HEADLINE = [
     "gopher_quality",  # per-row array-lambda quality rules, zero shuffle
     "line_repetition",  # dup line/para fractions, per-row array work
     "para_dedup",  # digest agg + broadcast anti-join + ordered rebuild
+    "chat_render",  # template render + span arithmetic, zero shuffle
 ]
 
 

@@ -668,3 +668,10 @@ def test_para_dedup_broadcast_hot_digests(plans):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_chat_render_scan_bound(plans):
+    p = plans("chat_render")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p

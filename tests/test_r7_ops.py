@@ -526,3 +526,75 @@ def test_paragraph_dedup_preserves_order_and_duplicate_paras(spark):
     got = curation.paragraph_dedup(df).collect()[0]
     assert got.text == "Alpha.\n\nBeta.\n\nAlpha.\n\nGamma."
     assert got.n_paras_kept == 4
+
+
+# ---------------------------------------------------------------------------
+# render_chat
+# ---------------------------------------------------------------------------
+
+
+def test_render_chat_chatml_and_spans(spark):
+    from earthmover_spark.llm.chat import render_chat
+
+    rows = [
+        (1, [("system", "Be helpful."), ("user", "Hi"),
+             ("assistant", "Hello!"), ("user", "Bye"),
+             ("assistant", "See ya")]),
+        (2, []),
+        (3, None),
+        (4, [("assistant", None), (None, "orphan")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, messages array<struct<role:string,content:string>>",
+    )
+    out = {r.doc_id: r for r in render_chat(df).collect()}
+    r1 = out[1]
+    assert r1.text == (
+        "<|im_start|>system\nBe helpful.<|im_end|>\n"
+        "<|im_start|>user\nHi<|im_end|>\n"
+        "<|im_start|>assistant\nHello!<|im_end|>\n"
+        "<|im_start|>user\nBye<|im_end|>\n"
+        "<|im_start|>assistant\nSee ya<|im_end|>\n"
+    )
+    # the spans slice back to exactly the assistant contents
+    assert [r1.text[s.start:s.end] for s in r1.assistant_spans] == [
+        "Hello!", "See ya",
+    ]
+    assert r1.n_turns == 5 and r1.n_mask_chars == 12
+    assert out[2].text == "" and out[2].assistant_spans == []
+    assert out[3].text == "" and out[3].n_turns == 0
+    # NULL role/content render as empty but keep their turn
+    r4 = out[4]
+    assert [r4.text[s.start:s.end] for s in r4.assistant_spans] == [""]
+    assert r4.n_turns == 2
+
+
+def test_render_chat_simple_template_and_mask_role(spark):
+    import pytest as _pytest
+
+    from earthmover_spark.llm.chat import render_chat
+
+    df = spark.createDataFrame(
+        [(1, [("user", "q"), ("assistant", "a")])],
+        "doc_id bigint, messages array<struct<role:string,content:string>>",
+    )
+    r = render_chat(df, template="simple", mask_role="user").collect()[0]
+    assert r.text == "user: q\nassistant: a\n"
+    assert [r.text[s.start:s.end] for s in r.assistant_spans] == ["q"]
+    with _pytest.raises(Exception, match="unknown template"):
+        render_chat(df, template="nope").collect()
+
+
+def test_render_chat_zero_shuffle(spark):
+    from earthmover_spark.llm.chat import render_chat
+
+    df = spark.createDataFrame(
+        [(1, [("user", "q")])],
+        "doc_id bigint, messages array<struct<role:string,content:string>>",
+    )
+    plan = (
+        render_chat(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
