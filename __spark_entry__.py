@@ -2496,12 +2496,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "jinja_conditional": q_jinja_conditional,
     # NEW in r7 (added after the r7 prefix was fixed): first official
-    # rows due r8 — rotate these 7 in with the 5 deferred r4-stale
+    # rows due r8 — rotate these 10 in with the 5 deferred r4-stale
     # queries (flagship, window_calc, top_n, funnel,
-    # pack_sequences_ordered), then fill the remaining ~38 slots with
-    # the oldest r5-stale rows; all seven locally oracle-verified at
-    # BOTH sf0.01 and sf0.1 (tools/compare.py full sweep + targeted
-    # follow-ups for the post-sweep additions)
+    # pack_sequences_ordered), then fill the remaining ~35 slots with
+    # the oldest r5-stale rows; all ten locally oracle-verified at
+    # BOTH sf0.01 and sf0.1 (tools/compare.py full sweeps + targeted
+    # both-SF follow-ups for the post-sweep additions)
         "bloom_member": q_bloom_member,
         "lm_jsd": q_lm_jsd,
         "ladder": q_sample_ladder,

@@ -9,6 +9,7 @@ pandas UDFs.
 """
 
 from earthmover_spark.llm import (  # noqa: F401
+    chat,
     curation,
     dedup,
     embeddings,

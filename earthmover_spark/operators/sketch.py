@@ -309,6 +309,16 @@ def kmv_sketch(
     )
 
 
+def kmv_merge(df: DataFrame, k: int = 1024) -> DataFrame:
+    """Merge unioned KMV sketch frames built with the same (k, salt):
+    the k smallest distinct hashes of the union — lossless with
+    respect to sketching the concatenated inputs (same contract as
+    :func:`bloom_merge` / :func:`cm_merge`)."""
+    if k < 1:
+        raise ValueError("kmv_merge: k must be >= 1")
+    return df.select("h").distinct().orderBy("h").limit(k)
+
+
 def kmv_jaccard(
     a: DataFrame,
     b: DataFrame,

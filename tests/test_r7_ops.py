@@ -347,12 +347,9 @@ def test_kmv_merge_via_union_matches_direct(spark):
     k = 128
     # merging = sketch the union of the two sketch frames' hashes:
     # keep the k smallest of the combined frames
-    merged = (
-        sketch.kmv_sketch(a, "x", k=k)
-        .union(sketch.kmv_sketch(b, "x", k=k))
-        .distinct()
-        .orderBy("h")
-        .limit(k)
+    merged = sketch.kmv_merge(
+        sketch.kmv_sketch(a, "x", k=k).union(sketch.kmv_sketch(b, "x", k=k)),
+        k=k,
     )
     direct = sketch.kmv_sketch(a.union(b), "x", k=k)
     assert sorted(r.h for r in merged.collect()) == sorted(
