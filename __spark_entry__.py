@@ -2316,6 +2316,35 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_jaccard(a, b, k=512)
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch — the distribution member of the
+    sketch family: bottom-256-by-row-hash uniform sample of lineitem
+    prices per returnflag (WindowGroupLimit prunes map-side; sketch
+    frames are <=256 rows/group forever after), then nearest-rank
+    p50/p90/p99 estimates off the sample. The 100 TB shape for
+    "p99 so far" over per-day partials: merge k-row frames, never
+    rescan history."""
+    from earthmover_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    li = _p(spark, sf_dir, "lineitem").withColumn(
+        "li_id",
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+    sk = quantile_sketch(
+        li, "l_extendedprice", "li_id", k=256, group_cols=["l_returnflag"]
+    )
+    return quantile_estimate(
+        sk, probs=[0.5, 0.9, 0.99], group_cols=["l_returnflag"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2496,10 +2525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "jinja_conditional": q_jinja_conditional,
     # NEW in r7 (added after the r7 prefix was fixed): first official
-    # rows due r8 — rotate these 10 in with the 5 deferred r4-stale
+    # rows due r8 — rotate these 11 in with the 5 deferred r4-stale
     # queries (flagship, window_calc, top_n, funnel,
-    # pack_sequences_ordered), then fill the remaining ~35 slots with
-    # the oldest r5-stale rows; all ten locally oracle-verified at
+    # pack_sequences_ordered), then fill the remaining ~34 slots with
+    # the oldest r5-stale rows; all eleven locally oracle-verified at
     # BOTH sf0.01 and sf0.1 (tools/compare.py full sweeps + targeted
     # both-SF follow-ups for the post-sweep additions)
         "bloom_member": q_bloom_member,
@@ -2512,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_repetition": q_line_repetition,
         "para_dedup": q_para_dedup,
         "chat_render": q_chat_render,
+        "quantile_sk": q_quantile_sketch,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2827,6 +2857,39 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(block, '' ORDER BY i) AS text
             FROM pos
             GROUP BY doc_id
+        """,
+        "quantile_sk": """
+            WITH base AS (
+              SELECT l_returnflag,
+                     CAST(('0x' || substr(md5('qsk:'
+                          || CAST(l_orderkey AS VARCHAR) || '-'
+                          || CAST(l_linenumber AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT AS h,
+                     CAST(l_extendedprice AS DOUBLE) AS v
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+            ), sk AS (
+              SELECT l_returnflag, h, v FROM (
+                SELECT l_returnflag, h, v,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY h, v) AS rn
+                FROM base
+              ) WHERE rn <= 256
+            ), ranked AS (
+              SELECT l_returnflag, v,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY v, h) AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM sk
+            )
+            SELECT l_returnflag,
+                   p.prob AS prob,
+                   v AS quantile_est,
+                   n AS n_sample
+            FROM ranked,
+                 (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE)
+                         AS prob) p
+            WHERE rn = greatest(1, CAST(ceil(p.prob * n) AS BIGINT))
         """,
         "kmv_overlap": """
             WITH a AS (

@@ -116,6 +116,7 @@ HEADLINE = [
     "line_repetition",  # dup line/para fractions, per-row array work
     "para_dedup",  # digest agg + broadcast anti-join + ordered rebuild
     "chat_render",  # template render + span arithmetic, zero shuffle
+    "quantile_sk",  # map-side WindowGroupLimit sample + bounded rank
 ]
 
 

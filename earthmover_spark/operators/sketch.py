@@ -319,6 +319,157 @@ def kmv_merge(df: DataFrame, k: int = 1024) -> DataFrame:
     return df.select("h").distinct().orderBy("h").limit(k)
 
 
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 1024,
+    group_cols: Sequence[str] = (),
+    salt: str = "qsk",
+) -> DataFrame:
+    """Mergeable QUANTILE sketch — the distribution member of the
+    sketch family (HLL: distinct counts, count-min: frequencies,
+    bloom: membership, KMV: overlap). A bottom-k-by-hash uniform row
+    sample: each row is ranked by the engine-portable 60-bit md5 hash
+    of its unique ``id_col`` and the k smallest-hash rows per group
+    keep ``(h, v)``. Because the hash is a deterministic uniform
+    random order over ROW IDENTITIES (not values), the kept rows are
+    a uniform sample of the group's rows — duplicates keep their
+    weight, unlike a distinct-value sample — so sample quantiles
+    estimate true quantiles with ~1/sqrt(k) error.
+
+    Mergeable: for sketches built with the same (k, salt) over
+    DISJOINT row sets (ids unique across inputs), the bottom-k of the
+    union of sketch frames IS the sketch of the concatenated inputs
+    (:func:`quantile_merge`) — the same lossless-merge contract as
+    :func:`kmv_merge`. That is what makes it a 100 TB primitive: keep
+    a k-row sketch per day/shard and answer "p99 latency so far"
+    without rescanning history.
+
+    Scale shape: with groups, one hash-partitioned window top-k that
+    Spark 4 executes as WindowGroupLimit (map-side rank pruning: each
+    map task ships at most k rows per group it has seen, never the
+    group). Global (no groups): sort-limit = TakeOrdered, per-partition
+    top-k, reduce traffic partitions x k. NULL values are excluded
+    (they have no quantile); NULL ids are rejected upstream by the
+    uniqueness contract."""
+    if k < 1:
+        raise ValueError("quantile_sketch: k must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    groups = list(group_cols)
+    base = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+        )
+        .select(
+            *groups,
+            h.alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+    )
+    if not groups:
+        return base.orderBy("h", "v").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups).orderBy("h", "v")
+    return (
+        base.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def quantile_merge(
+    df: DataFrame,
+    k: int = 1024,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge unioned :func:`quantile_sketch` frames built with the
+    same (k, salt) over disjoint row sets: the k smallest-hash rows
+    of the union per group — identical to sketching the concatenated
+    inputs."""
+    if k < 1:
+        raise ValueError("quantile_merge: k must be >= 1")
+    groups = list(group_cols)
+    if not groups:
+        return df.select(*groups, "h", "v").orderBy("h", "v").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups).orderBy("h", "v")
+    return (
+        df.select(*groups, "h", "v")
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def quantile_estimate(
+    df: DataFrame,
+    probs: Sequence[float] = (0.5,),
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Estimate quantiles from a :func:`quantile_sketch` frame: one
+    row per (group, prob) with the nearest-rank sample quantile —
+    the value at 1-indexed rank ``ceil(p * n)`` (clamped to [1, n])
+    of the group's sample sorted by value. Deterministic and
+    engine-portable (no interpolation), so a DuckDB twin reproduces
+    it bit-for-bit.
+
+    Scale shape: inputs are <= k rows per group by construction; one
+    window rank + a |probs|-way explode of a literal array — bounded
+    work regardless of original corpus size."""
+    ps = [float(p) for p in probs]
+    if not ps or any(p <= 0 or p > 1 for p in ps):
+        raise ValueError(
+            "quantile_estimate: probs must be in (0, 1]"
+        )
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    w = (
+        Window.partitionBy(*groups).orderBy("v", "h")
+        if groups
+        else Window.partitionBy().orderBy("v", "h")
+    )
+    ranked = df.select(*groups, "h", "v").select(
+        *groups,
+        "v",
+        F.row_number().over(w).alias("__rn__"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*groups) if groups else Window.partitionBy()
+        ).alias("__n__"),
+    )
+    probs_lit = F.array(*[F.lit(p) for p in ps])
+    return (
+        ranked.withColumn("prob", F.explode(probs_lit))
+        .filter(
+            F.col("__rn__")
+            == F.greatest(
+                F.lit(1), F.ceil(F.col("prob") * F.col("__n__"))
+            )
+        )
+        .select(
+            *groups,
+            "prob",
+            F.col("v").alias("quantile_est"),
+            F.col("__n__").alias("n_sample"),
+        )
+    )
+
+
 def kmv_jaccard(
     a: DataFrame,
     b: DataFrame,

@@ -595,3 +595,96 @@ def test_render_chat_zero_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# quantile_sketch / quantile_merge / quantile_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_matches_python_reference(spark):
+    import hashlib
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["id", "val"])
+    est = {
+        r.prob: r.quantile_est
+        for r in sketch.quantile_estimate(
+            sketch.quantile_sketch(df, "val", "id", k=256),
+            probs=[0.25, 0.5, 0.9],
+        ).collect()
+    }
+
+    def h60(s):
+        return int(
+            hashlib.md5(f"qsk:{s}".encode()).hexdigest()[:15], 16
+        )
+
+    sample = sorted(
+        (v for _, v in sorted(rows, key=lambda r: (h60(r[0]), r[1]))[:256])
+    )
+    for p in (0.25, 0.5, 0.9):
+        rank = max(1, math.ceil(p * len(sample)))
+        assert est[p] == sample[rank - 1]
+
+
+def test_quantile_sketch_partition_invariant_and_bounded(spark):
+    rows = [(i, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "val"])
+    a = sorted(
+        (r.h, r.v)
+        for r in sketch.quantile_sketch(df, "val", "id", k=64).collect()
+    )
+    b = sorted(
+        (r.h, r.v)
+        for r in sketch.quantile_sketch(
+            df.repartition(13), "val", "id", k=64
+        ).collect()
+    )
+    assert a == b and len(a) == 64
+
+
+def test_quantile_merge_lossless_for_disjoint_rows(spark):
+    rows = [(i, float((i * 13) % 97)) for i in range(1000)]
+    h1 = spark.createDataFrame(rows[:500], ["id", "val"])
+    h2 = spark.createDataFrame(rows[500:], ["id", "val"])
+    full = spark.createDataFrame(rows, ["id", "val"])
+    merged = sketch.quantile_merge(
+        sketch.quantile_sketch(h1, "val", "id", k=128).union(
+            sketch.quantile_sketch(h2, "val", "id", k=128)
+        ),
+        k=128,
+    )
+    direct = sketch.quantile_sketch(full, "val", "id", k=128)
+    assert sorted((r.h, r.v) for r in merged.collect()) == sorted(
+        (r.h, r.v) for r in direct.collect()
+    )
+
+
+def test_quantile_sketch_grouped_and_estimate_accuracy(spark):
+    # uniform 0..999 per group: sampled median should land near 500
+    rows = [(g * 100000 + i, float(i % 1000), g) for g in range(3) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "val", "g"])
+    sk = sketch.quantile_sketch(df, "val", "id", k=256, group_cols=["g"])
+    counts = {r.g: r["count"] for r in sk.groupBy("g").count().collect()}
+    assert counts == {0: 256, 1: 256, 2: 256}
+    med = {
+        r.g: r.quantile_est
+        for r in sketch.quantile_estimate(
+            sk, probs=[0.5], group_cols=["g"]
+        ).collect()
+    }
+    for g in range(3):
+        assert abs(med[g] - 500.0) < 100  # ~1/sqrt(256) error band
+
+
+def test_quantile_sketch_validation_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (None, 3.0)], ["id", "val"]
+    )
+    with pytest.raises(ValueError):
+        sketch.quantile_sketch(df, "val", "id", k=0)
+    with pytest.raises(ValueError):
+        sketch.quantile_estimate(df.limit(0), probs=[1.5])
+    # NULL value and NULL id rows are excluded
+    assert sketch.quantile_sketch(df, "val", "id", k=10).count() == 1

@@ -149,3 +149,56 @@ def test_r7_yaml_pipeline(spark, project_dir):
     # the 50% ladder rung keeps roughly half the corpus, nested
     assert 380 <= len(rungs) <= 620
     assert all(r["rung"] in ("0", "1") for r in rungs)
+
+
+@pytest.fixture(scope="module")
+def quantile_project_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r7_quantile_project")
+    (d / "sources").mkdir()
+    (d / "sources" / "metrics.csv").write_text(
+        "req_id,latency\n"
+        + "\n".join(f"r{i},{(i * 7) % 100}" for i in range(500))
+        + "\n"
+    )
+    (d / "earthmover.yaml").write_text(textwrap.dedent("""
+        config:
+          output_dir: ./outputs
+
+        sources:
+          metrics:
+            file: sources/metrics.csv
+
+        transformations:
+          latency_sketch:
+            source: $sources.metrics
+            operations:
+              - operation: quantile_sketch
+                value_col: latency
+                id_col: req_id
+                k: 64
+          latency_quantiles:
+            source: $transformations.latency_sketch
+            operations:
+              - operation: quantile_estimate
+                probs: [0.5, 0.9]
+
+        destinations:
+          quantiles_out:
+            source: $transformations.latency_quantiles
+            extension: jsonl
+    """))
+    return d
+
+
+def test_quantile_sketch_yaml_pipeline(spark, quantile_project_dir):
+    results = run_project(
+        spark, str(quantile_project_dir / "earthmover.yaml")
+    )
+    rows = _rows(results, "$destinations.quantiles_out")
+    by_prob = {float(r["prob"]): r for r in rows}
+    assert set(by_prob) == {0.5, 0.9}
+    # latency is uniform 0..99; a 64-row sample keeps estimates in a
+    # generous band around the true quantiles
+    assert all(float(r["n_sample"]) == 64 for r in rows)
+    assert abs(float(by_prob[0.5]["quantile_est"]) - 50) <= 25
+    assert abs(float(by_prob[0.9]["quantile_est"]) - 90) <= 15
