@@ -4006,9 +4006,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_fp": """
             SELECT count(*) AS n_rows,
                    CAST(sum(CAST(CAST(('0x' || substr(md5(
-                           coalesce(md5(CAST(doc_id AS VARCHAR)), 'N')
-                           || coalesce(md5(lang), 'N')
-                           || coalesce(md5(source), 'N')), 1, 15))
+                           coalesce(CAST(doc_id AS VARCHAR), chr(2))
+                           || chr(1) || coalesce(md5(lang), chr(2))
+                           || chr(1) || coalesce(md5(source), chr(2))), 1, 15))
                         AS UBIGINT)::BIGINT AS HUGEINT))
                         % 2305843009213693951 AS BIGINT) AS fingerprint
             FROM documents

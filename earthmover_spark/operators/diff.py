@@ -23,33 +23,85 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from earthmover_spark.util import EarthmoverSparkError
 
+# Column separator / NULL tag for the canonical row encoding. Neither
+# byte can appear in an md5 hex digest or in the string cast of a
+# "safe" (non-string, non-binary, non-complex) type, so splitting on
+# the separator recovers the per-column tokens unambiguously.
+_SEP = "\x01"
+_NULL_TAG = "\x02"
 
-def _row_encoding(cols: Sequence[str]) -> Column:
-    """Injective canonical row encoding: each column contributes the
-    md5 of its string cast (32 fixed hex chars) or the single
-    non-hex char ``N`` for NULL, concatenated with no separator. The
-    token stream parses unambiguously (greedy: ``N`` = NULL, else 32
-    hex chars), so distinct rows can never encode identically — unlike
-    a separator-joined raw-value concat, where values containing the
-    separator/NULL-tag bytes could collide. Engine-portable: an oracle
-    reproduces it with the same md5/coalesce/concat expression."""
-    parts = [
-        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N")) for c in cols
-    ]
-    return F.concat(*parts) if parts else F.lit("")
+# Types whose cast-to-string is (a) injective per value and (b) can
+# never contain _SEP/_NULL_TAG bytes: digits, '.', '-', ':', ' ', 'E',
+# 'true'/'false'. Strings, binary, and complex types (whose casts can
+# contain ANY byte) take the md5 path instead.
+_SAFE_RAW_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.BooleanType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
 
 
-def row_fingerprint(cols: Sequence[str]) -> Column:
+def _is_raw_safe(dtype: T.DataType | None) -> bool:
+    return dtype is not None and isinstance(dtype, _SAFE_RAW_TYPES)
+
+
+def _row_encoding(
+    cols: Sequence[str],
+    dtypes: Mapping[str, T.DataType] | None = None,
+) -> Column:
+    """Injective canonical row encoding: per-column tokens joined with
+    the ``\\x01`` separator, NULL encoded as ``\\x02``. A column whose
+    type is raw-safe (numeric / boolean / date / timestamp — string
+    casts that cannot contain the separator or NULL-tag bytes and are
+    injective per value) contributes its plain string cast; string,
+    binary, and complex columns contribute the md5 of their string
+    cast, since their bytes are unconstrained. Distinct rows can never
+    encode identically (separator-split recovers the token list; each
+    token decodes per the fixed schema), and the raw path skips one
+    md5 per safe column per row — the dominant fingerprint cost on
+    wide numeric snapshots. Without ``dtypes`` every column takes the
+    md5 path (still injective, just slower). Engine-portable: an
+    oracle reproduces it with the same cast/md5/coalesce/concat_ws
+    expression."""
+    if not cols:
+        return F.lit("")
+    parts = []
+    for c in cols:
+        dt = dtypes.get(c) if dtypes is not None else None
+        tok = (
+            F.col(c).cast("string")
+            if _is_raw_safe(dt)
+            else F.md5(F.col(c).cast("string"))
+        )
+        parts.append(F.coalesce(tok, F.lit(_NULL_TAG)))
+    return F.concat_ws(_SEP, *parts)
+
+
+def row_fingerprint(
+    cols: Sequence[str],
+    dtypes: Mapping[str, T.DataType] | None = None,
+) -> Column:
     """md5 over the injective canonical row encoding of ``cols`` (see
-    :func:`_row_encoding`)."""
-    return F.md5(_row_encoding(cols))
+    :func:`_row_encoding`). Pass the frame's ``{name: dataType}`` map
+    (e.g. ``{f.name: f.dataType for f in df.schema.fields}``) to let
+    raw-safe columns skip their per-column md5."""
+    return F.md5(_row_encoding(cols, dtypes))
 
 
 def snapshot_diff(
@@ -79,8 +131,23 @@ def snapshot_diff(
         compare_cols = [c for c in shared if c not in set(keys)]
     cmp_cols = list(compare_cols)
 
-    o = old.select(*keys, row_fingerprint(cmp_cols).alias("__old_fp__"))
-    n = new.select(*keys, row_fingerprint(cmp_cols).alias("__new_fp__"))
+    o_types = {f.name: f.dataType for f in old.schema.fields}
+    n_types = {f.name: f.dataType for f in new.schema.fields}
+    # A column raw-safe on BOTH sides encodes raw on both; if the types
+    # disagree (e.g. string vs bigint), both sides fall back to md5 so
+    # the fingerprints stay comparable.
+    shared_types = {
+        c: o_types[c]
+        for c in cmp_cols
+        if _is_raw_safe(o_types.get(c)) and _is_raw_safe(n_types.get(c))
+        and o_types[c] == n_types[c]
+    }
+    o = old.select(
+        *keys, row_fingerprint(cmp_cols, shared_types).alias("__old_fp__")
+    )
+    n = new.select(
+        *keys, row_fingerprint(cmp_cols, shared_types).alias("__new_fp__")
+    )
     j = o.join(n, keys, "full_outer")
     change = (
         F.when(F.col("__old_fp__").isNull(), F.lit("added"))
@@ -106,9 +173,12 @@ def corpus_fingerprint(
 ) -> DataFrame:
     """Order-invariant content fingerprint of a whole table: ONE row
     ``(n_rows, fingerprint)`` where the fingerprint is the sum of each
-    row's 60-bit md5-prefix hash (of the injective per-column-md5
+    row's 60-bit md5-prefix hash (of the injective type-aware row
     encoding — see :func:`_row_encoding` — over ``cols``, default all)
-    reduced mod 2^61-1. Two corpora with the
+    reduced mod 2^61-1. NOTE: the encoding changed in r7 (per-column
+    md5) and r8 (raw casts for md5-free safe types) — fingerprints
+    persisted by earlier versions will not match and stored baselines
+    must be regenerated after upgrading. Two corpora with the
     same multiset of rows fingerprint identically under ANY ordering
     or partitioning; a single changed, added, or dropped row flips it
     (sum, not xor — duplicate pairs do not cancel). The cheap "did
@@ -121,8 +191,9 @@ def corpus_fingerprint(
     DECIMAL(38,0) (bounded: 2^60 per row needs > 10^20 rows to
     overflow 38 digits) and only the final mod narrows to bigint."""
     use = list(cols) if cols is not None else list(df.columns)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     h = F.conv(
-        F.substring(F.md5(_row_encoding(use)), 1, 15),
+        F.substring(F.md5(_row_encoding(use, dtypes)), 1, 15),
         16,
         10,
     ).cast("decimal(38,0)")
