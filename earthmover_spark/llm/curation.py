@@ -653,6 +653,8 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     max_docs: int = 1,
     out_col: str | None = None,
+    hot_broadcast: bool | None = None,
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Cross-document paragraph dedup (the dolma-style boilerplate
     pass): a paragraph appearing in MORE than ``max_docs`` distinct
@@ -664,13 +666,27 @@ def paragraph_dedup(
     md5 of the whitespace-trimmed paragraph; order within each
     document is preserved.
 
+    The hot-digest set is SMALL only in the boilerplate regime. With
+    ``max_docs=1`` on a near-dup-heavy crawl, "hot" = every paragraph
+    shared by >= 2 documents — potentially a data-scale frame that a
+    forced broadcast would OOM. ``hot_broadcast`` picks the join
+    strategy: ``True`` forces a broadcast anti-join (caller asserts
+    the boilerplate regime), ``False`` uses a digest-keyed shuffle
+    anti-join (AQE may still convert it at runtime from actual
+    stats), and ``None`` (default) decides from the data — the hot
+    frame is persisted, a bounded ``limit(threshold+1).count()``
+    probes its size, and the broadcast hint is applied only when the
+    count stays within ``broadcast_threshold``. The persisted hot
+    frame stays cached so the size probe and the removal join share
+    one aggregation pass (run-once contract, as with
+    ``operators/setsim``'s default).
+
     Scale shape (100 TB): paragraphs explode with their position, the
     hot-digest table is ONE hash aggregation keyed on digest (map-side
-    combined; only digests with > max_docs distinct docs survive —
-    typically a tiny boilerplate set), and the removal join is
-    digest-keyed with the boilerplate side broadcast when small. The
-    reassembly is one (id)-keyed aggregation ordered by position —
-    documents shuffle once, as (id, pos, para) rows."""
+    combined), the removal join is digest-keyed (broadcast only when
+    the measured hot set is bounded), and the reassembly is one
+    (id)-keyed aggregation ordered by position — documents shuffle
+    once, as (id, pos, para) rows."""
     if max_docs < 1:
         raise EarthmoverSparkError("paragraph_dedup: max_docs must be >= 1")
     out_col = out_col or text_col
@@ -692,7 +708,18 @@ def paragraph_dedup(
         .filter(F.col("__nd__") > max_docs)
         .select("__digest__")
     )
-    kept = exploded.join(F.broadcast(hot), "__digest__", "left_anti")
+    if hot_broadcast is None:
+        # Measure, don't guess: persist so the digest agg runs once,
+        # probe with an early-exit bounded count, broadcast only when
+        # the hot set is provably small.
+        hot = hot.persist()
+        n_hot = hot.limit(broadcast_threshold + 1).count()
+        hot_broadcast = n_hot <= broadcast_threshold
+    kept = exploded.join(
+        F.broadcast(hot) if hot_broadcast else hot,
+        "__digest__",
+        "left_anti",
+    )
     rebuilt = kept.groupBy("__id__").agg(
         F.expr(
             "array_join(transform(array_sort("

@@ -14,6 +14,7 @@ Per-domain caps reuse ``cap_per_group`` (hash-ranked, one shuffle).
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -118,11 +119,37 @@ def filter_domains(
 #: query parameters that never change page CONTENT — analytics /
 #: click-tracking noise that splits one logical URL into thousands of
 #: crawl-distinct ones. Matched against the part before `=` (or the
-#: whole bare param): utm_* as a prefix family, the rest exact.
-_TRACKING_PARAM = (
-    r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|yclid|"
-    r"_ga|spm|ref|ref_src)(=.*)?$"
+#: whole bare param): a trailing ``*`` marks a prefix family
+#: (``utm_*``), the rest match exactly. ``ref`` and ``spm`` are NOT
+#: in the default set — they are content-significant on many sites
+#: (``?ref=<branch>`` on code hosts, referral-scoped pages, Alibaba
+#: page routing) and stripping them silently merges distinct pages;
+#: pass ``tracking_params`` to add them for corpora where they are
+#: known to be pure tracking.
+DEFAULT_TRACKING_PARAMS = (
+    "utm_*",
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "mc_cid",
+    "mc_eid",
+    "igshid",
+    "yclid",
+    "_ga",
+    "ref_src",
 )
+
+
+def _tracking_regex(params: Sequence[str]) -> str:
+    """Anchored alternation over the param names; ``name*`` becomes a
+    prefix family. Matches the whole ``k=v`` (or bare ``k``) token."""
+    alts = []
+    for p in params:
+        if p.endswith("*"):
+            alts.append(re.escape(p[:-1]) + r"[^=]*")
+        else:
+            alts.append(re.escape(p))
+    return r"^(" + "|".join(alts) + r")(=.*)?$"
 
 #: default ports per scheme — `host:80` over http IS `host`
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
@@ -134,14 +161,19 @@ def canonicalize_urls(
     df: DataFrame,
     url_col: str = "url",
     out_col: str = "url_canonical",
+    tracking_params: Sequence[str] = DEFAULT_TRACKING_PARAMS,
 ) -> DataFrame:
     """Canonical form of ``url_col`` for URL-level dedup — the step
     before ``cap_per_group``/exact-dedup that stops one logical page
     counted as thousands of crawl variants: lowercase scheme + host,
     drop the default port and any fragment, strip the trailing path
-    slash, REMOVE tracking query params (``utm_*``, ``gclid``,
-    ``fbclid``, ...), and SORT the surviving params so ``?b=2&a=1``
-    and ``?a=1&b=2`` canonicalize identically. Unparseable URLs (no
+    slash, REMOVE tracking query params (``tracking_params``, default
+    :data:`DEFAULT_TRACKING_PARAMS` — ``utm_*``, ``gclid``,
+    ``fbclid``, ...; a trailing ``*`` marks a prefix family), and SORT
+    the surviving params so ``?b=2&a=1`` and ``?a=1&b=2`` canonicalize
+    identically. Tune the set per corpus — e.g. add ``ref``/``spm``
+    only where they are known to be tracking, since they are
+    content-significant on many sites. Unparseable URLs (no
     scheme://host) yield NULL — same contract as ``parse_urls``.
 
     Scale shape (100 TB): regexp extracts + one
@@ -169,9 +201,10 @@ def canonicalize_urls(
     path_part = F.when(path == "", F.lit("")).otherwise(
         F.regexp_replace(path, r"\/+$", "")
     )
+    tracking_re = _tracking_regex(list(tracking_params))
     kept = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+        lambda p: (p != "") & ~p.rlike(tracking_re),
     )
     q = F.array_join(F.array_sort(kept), "&")
     query_part = F.when(q == "", F.lit("")).otherwise(

@@ -662,12 +662,85 @@ def test_line_repetition_scan_bound(plans):
 
 def test_para_dedup_broadcast_hot_digests(plans):
     """paragraph_dedup's boilerplate removal must be a broadcast
-    anti-join on digests (the hot set is tiny); no cartesian, no
-    Python; documents shuffle once for the ordered reassembly."""
+    anti-join on digests when the measured hot set is bounded (the
+    boilerplate regime); no cartesian, no Python; documents shuffle
+    once for the ordered reassembly."""
     p = plans("para_dedup")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_para_dedup_large_hot_regime_shuffle_join(spark):
+    """In the large-hot regime the size gate must DROP the broadcast
+    hint: the anti-join falls back to a digest-keyed shuffle join
+    (SortMergeJoin / shuffled hash), so a crawl-scale hot set can
+    never OOM the driver. Forced via a tiny broadcast_threshold over
+    a corpus that is ~50% shared paragraphs."""
+    from earthmover_spark.llm.curation import paragraph_dedup
+
+    rows = [
+        (i, f"unique to doc {i}\n\nshared paragraph {i % 40}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # Disable size-estimate broadcasts so the assertion isolates the
+    # gate's decision (tiny test frames would otherwise auto-broadcast
+    # regardless of the dropped hint).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = paragraph_dedup(df, broadcast_threshold=8)
+        p = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # the anti-join on __digest__ must not carry a static broadcast
+        anti = [
+            ln for ln in p.splitlines() if "LeftAnti" in ln or "Anti" in ln
+        ]
+        assert anti, p
+        assert not any("BroadcastHashJoin" in ln for ln in anti), p
+        # every shared paragraph (40 digests in 3 docs each; 40 hot
+        # entries > threshold 8) is removed; unique paragraphs survive
+        got = {r.doc_id: r.text for r in out.collect()}
+        assert got[7] == "unique to doc 7"
+        kept = {r.doc_id: r.n_paras_kept for r in out.collect()}
+        assert all(v == 1 for v in kept.values())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_para_dedup_forced_broadcast_and_forced_shuffle_agree(spark):
+    """hot_broadcast=True and hot_broadcast=False must produce
+    identical results — the strategy flag changes the plan only."""
+    from earthmover_spark.llm.curation import paragraph_dedup
+
+    rows = [
+        (i, f"body {i}\n\ncookie banner\n\ntail {i % 3}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {
+        (r.doc_id, r.text, r.n_paras_kept, r.n_paras_dropped)
+        for r in paragraph_dedup(df, hot_broadcast=True).collect()
+    }
+    b = {
+        (r.doc_id, r.text, r.n_paras_kept, r.n_paras_dropped)
+        for r in paragraph_dedup(df, hot_broadcast=False).collect()
+    }
+    assert a == b
+    p = (
+        paragraph_dedup(df, hot_broadcast=True)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "BroadcastHashJoin" in p
 
 
 def test_chat_render_scan_bound(plans):

@@ -219,6 +219,33 @@ def test_canonicalize_urls(spark):
         U.canonicalize_urls(df, url_col="zzz")
 
 
+def test_canonicalize_urls_tracking_params_tunable(spark):
+    """`ref` is content-significant (e.g. ?ref=<branch> on code
+    hosts) so the DEFAULT set keeps it; callers can opt in to
+    stripping it per corpus."""
+    from earthmover_spark.operators import url as U
+
+    rows = [
+        (1, "https://host.com/repo?ref=main"),
+        (2, "https://host.com/p?spm=a.b&x=1"),
+        (3, "https://host.com/p?utm_medium=email&x=1"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    dflt = {r.id: r.url_canonical for r in U.canonicalize_urls(df).collect()}
+    assert dflt[1] == "https://host.com/repo?ref=main"  # ref KEPT
+    assert dflt[2] == "https://host.com/p?spm=a.b&x=1"  # spm KEPT
+    assert dflt[3] == "https://host.com/p?x=1"  # utm_* stripped
+    custom = {
+        r.id: r.url_canonical
+        for r in U.canonicalize_urls(
+            df,
+            tracking_params=(*U.DEFAULT_TRACKING_PARAMS, "ref", "spm"),
+        ).collect()
+    }
+    assert custom[1] == "https://host.com/repo"
+    assert custom[2] == "https://host.com/p?x=1"
+
+
 # ---------------------------------------------------------------------------
 # c4_line_filter
 # ---------------------------------------------------------------------------
