@@ -2354,20 +2354,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Ordering note: the driver's per-round snapshot records a 50-query
     # prefix of this dict, so coverage ROTATES across rounds (see the
-    # rotation log in COVERAGE.md). r7 prefix = (a) the 11 queries
-    # added in r6 AFTER that round's prefix was fixed — their first
-    # official rows (all judge-verified PASS in the r6 verdict's own
-    # matrix run); corpus_fp's fingerprint encoding ALSO changed this
-    # round (injective per-column md5, oracle updated in lockstep);
-    # (b) snap_diff, whose row_fingerprint implementation changed this
-    # round (same injectivity fix — output values are unchanged but
-    # the implementation is re-proved); (c) 38 of the 43 queries whose
-    # newest official green row is r4 (the r5-era rotation-out blocks).
-    # Deferred to r8 (the remaining 5 r4-stale): flagship (smoke-run
-    # via entry() every round), window_calc, top_n, funnel,
-    # pack_sequences_ordered. Everything rotated out holds a green
-    # r5/r6 row with an unchanged implementation.
-    # --- first official rows: the 11 r6-late additions ---
+    # rotation log in COVERAGE.md). r8 prefix = (a) the 11 queries
+    # added in r7 AFTER that round's prefix was fixed — their first
+    # official rows (all judge-verified PASS at both SFs in the r7
+    # verdict's own matrix run); canon_urls' default tracking-param
+    # set and para_dedup's hot-set join strategy ALSO changed this
+    # round, so their rows re-prove the new implementations; (b) the
+    # 5 queries deferred from the r7 rotation whose newest official
+    # row is r4 (flagship, window_calc, top_n, funnel,
+    # pack_sequences_ordered); (c) snap_diff + corpus_fp, whose row
+    # encoding changed this round (type-aware md5 — raw casts for
+    # numeric/date/bool columns, oracle moved in lockstep); (d) 32 of
+    # the 44 queries whose newest official row is r5, alphabetical.
+    # Deferred to r9 (the remaining 12 r5-stale, heading the tail):
+    # tfidf_pairs, train_lr, transition_probs, trend_per_key,
+    # triangles, unigram_logprob, union, url_filter, url_parse,
+    # weighted_sample, winsorize, zorder_key. Everything rotated out
+    # holds a green r6/r7 row with an unchanged implementation.
+    # --- first official rows: the 11 r7-late additions ---
+        "bloom_member": q_bloom_member,
+        "lm_jsd": q_lm_jsd,
+        "ladder": q_sample_ladder,
+        "canon_urls": q_canon_urls,
+        "c4_lines": q_c4_lines,
+        "kmv_overlap": q_kmv_overlap,
+        "gopher_quality": q_gopher_quality,
+        "line_repetition": q_line_repetition,
+        "para_dedup": q_para_dedup,
+        "chat_render": q_chat_render,
+        "quantile_sk": q_quantile_sketch,
+    # --- r4-stale deferrals from the r7 rotation ---
+        "flagship": q_flagship,
+        "window_calc": q_window_calc,
+        "top_n": q_top_n,
+        "funnel": q_funnel,
+        "pack_sequences_ordered": q_pack_sequences_ordered,
+    # --- row-encoding implementation changed this round ---
+        "snap_diff": q_snap_diff,
+        "corpus_fp": q_corpus_fp,
+    # --- r5-stale refresh block (newest official row r5) ---
+        "attribution": q_attribution,
+        "bin_metrics": q_bin_metrics,
+        "bm25_rank": q_bm25_rank,
+        "dedup_spans": q_dedup_spans,
+        "downsample_latest": q_downsample_latest,
+        "drop_columns": q_drop_columns,
+        "emb_standardize": q_emb_standardize,
+        "epoch_repeat": q_epoch_repeat,
+        "ev_sessionize": q_ev_sessionize,
+        "extract_json": q_extract_json,
+        "filter_rows": q_filter_rows,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "histogram_value": q_histogram,
+        "jaccard_pairs": q_jaccard_pairs,
+        "jinja_conditional": q_jinja_conditional,
+        "join_inner": q_join_inner,
+        "keep_columns": q_keep_columns,
+        "kmeans_clusters": q_kmeans_clusters,
+        "melt": q_melt,
+        "mode_per_group": q_mode_per_group,
+        "ngram_counts": q_ngram_counts,
+        "novel_docs": q_novel_docs,
+        "pagerank": q_pagerank,
+        "percentile_band": q_percentile_band,
+        "pivot": q_pivot,
+        "profile_table": q_profile_table,
+        "rename_columns": q_rename_columns,
+        "rolling_agg": q_rolling_agg,
+        "scd2_history": q_scd2_history,
+        "semantic_dedup": q_semantic_dedup,
+        "shuffle_shard": q_shuffle_shard,
+        "split_sentences": q_split_sentences,
+    # --- end of recorded 50-query prefix ---
+    # (everything below holds a green r5/r6/r7 official row; the 12
+    # remaining r5-stale queries head the tail for the r9 rotation;
+    # still verified every round locally via tools/compare.py over
+    # the full matrix)
+        "tfidf_pairs": q_tfidf_pairs,
+        "train_lr": q_train_lr,
+        "transition_probs": q_transition_probs,
+        "trend_per_key": q_trend_per_key,
+        "triangles": q_triangles,
+        "unigram_logprob": q_unigram_logprob,
+        "union": q_union,
+        "url_filter": q_url_filter,
+        "url_parse": q_url_parse,
+        "weighted_sample": q_weighted_sample,
+        "winsorize": q_winsorize,
+        "zorder_key": q_zorder_key,
+    # --- r6/r7-recorded block (green r6/r7 rows, unchanged) ---
         "lsh_cross": q_lsh_cross,
         "decon_near": q_decon_near,
         "emb_pca_cov": q_emb_pca_cov,
@@ -2378,10 +2453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_overlap": q_ngram_overlap,
         "cm_heavy": q_cm_heavy,
         "kfold": q_kfold,
-        "corpus_fp": q_corpus_fp,
-    # --- implementation changed this round ---
-        "snap_diff": q_snap_diff,
-    # --- r4-stale refresh block (newest official row r4) ---
         "strip_markup": q_strip_markup,
         "winnow_near_dups": q_winnow_near_dups,
         "bigram_logprob": q_bigram_logprob,
@@ -2420,16 +2491,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "budget_sample": q_budget_sample,
         "temperature_mix": q_temperature_mix,
-    # --- end of recorded 50-query prefix ---
-    # (everything below holds a green r4/r5/r6 official row; the five
-    # r4-stale deferrals head the tail for the r8 rotation; still
-    # verified every round locally via tools/compare.py over the full
-    # matrix)
-        "flagship": q_flagship,
-        "window_calc": q_window_calc,
-        "top_n": q_top_n,
-        "funnel": q_funnel,
-        "pack_sequences_ordered": q_pack_sequences_ordered,
         "top_values": q_top_values,
         "interval_coverage": q_interval_coverage,
         "inverted_idx": q_inverted_idx,
@@ -2480,68 +2541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_cube": q_group_by_cube,
         "group_by_salted": q_group_by_salted,
         "explode_array": q_explode_array,
-        "ev_sessionize": q_ev_sessionize,
-        "bin_metrics": q_bin_metrics,
-        "url_parse": q_url_parse,
-        "url_filter": q_url_filter,
-        "jaccard_pairs": q_jaccard_pairs,
-        "weighted_sample": q_weighted_sample,
-        "attribution": q_attribution,
-        "histogram_value": q_histogram,
-        "mode_per_group": q_mode_per_group,
-        "split_sentences": q_split_sentences,
-        "extract_json": q_extract_json,
-        "downsample_latest": q_downsample_latest,
-        "tfidf_pairs": q_tfidf_pairs,
-        "rolling_agg": q_rolling_agg,
-        "epoch_repeat": q_epoch_repeat,
-        "triangles": q_triangles,
-        "transition_probs": q_transition_probs,
-        "profile_table": q_profile_table,
-        "shuffle_shard": q_shuffle_shard,
-        "emb_standardize": q_emb_standardize,
-        "train_lr": q_train_lr,
-        "zorder_key": q_zorder_key,
-        "pagerank": q_pagerank,
-        "percentile_band": q_percentile_band,
-        "novel_docs": q_novel_docs,
-        "winsorize": q_winsorize,
-        "trend_per_key": q_trend_per_key,
-        "bm25_rank": q_bm25_rank,
-        "kmeans_clusters": q_kmeans_clusters,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "unigram_logprob": q_unigram_logprob,
-        "dedup_spans": q_dedup_spans,
-        "scd2_history": q_scd2_history,
-        "ngram_counts": q_ngram_counts,
-        "keep_columns": q_keep_columns,
-        "drop_columns": q_drop_columns,
-        "rename_columns": q_rename_columns,
-        "filter_rows": q_filter_rows,
-        "join_inner": q_join_inner,
-        "union": q_union,
-        "melt": q_melt,
-        "pivot": q_pivot,
-        "semantic_dedup": q_semantic_dedup,
-        "jinja_conditional": q_jinja_conditional,
-    # NEW in r7 (added after the r7 prefix was fixed): first official
-    # rows due r8 — rotate these 11 in with the 5 deferred r4-stale
-    # queries (flagship, window_calc, top_n, funnel,
-    # pack_sequences_ordered), then fill the remaining ~34 slots with
-    # the oldest r5-stale rows; all eleven locally oracle-verified at
-    # BOTH sf0.01 and sf0.1 (tools/compare.py full sweeps + targeted
-    # both-SF follow-ups for the post-sweep additions)
-        "bloom_member": q_bloom_member,
-        "lm_jsd": q_lm_jsd,
-        "ladder": q_sample_ladder,
-        "canon_urls": q_canon_urls,
-        "c4_lines": q_c4_lines,
-        "kmv_overlap": q_kmv_overlap,
-        "gopher_quality": q_gopher_quality,
-        "line_repetition": q_line_repetition,
-        "para_dedup": q_para_dedup,
-        "chat_render": q_chat_render,
-        "quantile_sk": q_quantile_sketch,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not

@@ -255,26 +255,67 @@ def dedup_stream_bloom(
     nbytes = (num_bits + 7) // 8
 
     def _update(key, pdfs, state: GroupState):
-        import pandas as pd
+        import numpy as np
 
-        ba = bytearray(state.get[0]) if state.exists else bytearray(nbytes)
+        arr = (
+            np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            if state.exists
+            else np.zeros(nbytes, dtype=np.uint8)
+        )
         for pdf in pdfs:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
-            keep = []
-            for i, pos_list in enumerate(pdf["__bits__"]):
-                member = True
-                for p in pos_list:
-                    if not ba[p >> 3] & (1 << (p & 7)):
-                        member = False
-                        break
-                if not member:
-                    keep.append(i)
-                    for p in pos_list:
-                        ba[p >> 3] |= 1 << (p & 7)
-            if keep:
-                yield pdf.iloc[keep][out_cols]
-        state.update((bytes(ba),))
+            pos = np.stack(
+                [np.asarray(p, dtype=np.int64) for p in pdf["__bits__"]]
+            )
+            byte_idx = pos >> 3
+            bit_mask = (1 << (pos & 7)).astype(np.uint8)
+            # one vectorized membership pass against the batch-start
+            # state: rows already present are definite duplicates
+            # (the bitset only grows)
+            member_prior = ((arr[byte_idx] & bit_mask) != 0).all(axis=1)
+            cand = np.flatnonzero(~member_prior)
+            if cand.size == 0:
+                continue
+            # in-batch duplicates create a sequential dependency, but
+            # ONLY between rows that share a bit position. Flag each
+            # candidate whose positions first occurred in an EARLIER
+            # candidate; everything else is independent of batch order
+            # and resolves vectorized.
+            k = pos.shape[1]
+            flat = pos[cand].ravel()
+            rows = np.repeat(np.arange(cand.size), k)
+            order = np.lexsort((rows, flat))
+            spos, srows = flat[order], rows[order]
+            first = np.ones(flat.size, dtype=bool)
+            first[1:] = spos[1:] != spos[:-1]
+            elem_first_row = srows[first][np.cumsum(first) - 1]
+            ovl = np.empty(flat.size, dtype=bool)
+            ovl[order] = elem_first_row < srows
+            ovl_row = ovl.reshape(cand.size, k).any(axis=1)
+            clear = cand[~ovl_row]
+            np.bitwise_or.at(
+                arr, byte_idx[clear].ravel(), bit_mask[clear].ravel()
+            )
+            keep_mask = np.zeros(n, dtype=bool)
+            keep_mask[clear] = True
+            # sequential fallback only for bit-overlapping rows (a
+            # clear row never shares a position with an overlap row
+            # that precedes it, so the preset above cannot flip an
+            # earlier row's verdict)
+            for i in cand[ovl_row]:
+                bi, bm = byte_idx[i], bit_mask[i]
+                if ((arr[bi] & bm) != 0).all():
+                    continue
+                # unbuffered scatter: two positions of one key can
+                # land in the SAME byte, and `arr[bi] |= bm` would
+                # drop all but the last write
+                np.bitwise_or.at(arr, bi, bm)
+                keep_mask[i] = True
+            if keep_mask.any():
+                yield pdf.iloc[np.flatnonzero(keep_mask)][out_cols]
+        state.update((arr.tobytes(),))
 
     return (
         df.withColumn("__bits__", bits)

@@ -592,6 +592,28 @@ def test_dedup_stream_bloom_matches_exact_at_low_fp(spark, tmp_path):
     assert all(r.payload == f"payload{r.k}" for r in got)
 
 
+def test_dedup_stream_bloom_one_sided_under_bit_collisions(spark, tmp_path):
+    """With a deliberately tiny filter, DISTINCT keys collide on bit
+    positions (exercising the sequential fallback for bit-overlapping
+    in-batch rows): the one-sided contract must hold — no key is ever
+    emitted twice, and every emitted key is a real input key."""
+    from earthmover_spark.streaming import dedup_stream_bloom, read_stream_source
+
+    d = str(tmp_path / "bloom_stream_tiny")
+    rows = [(i % 150, i) for i in range(600)]
+    spark.createDataFrame(rows, ["k", "seq"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = read_stream_source(spark, d)
+    out = dedup_stream_bloom(
+        stream, key_cols="k", num_bits=256, num_hashes=3, n_shards=2
+    )
+    got = [r.k for r in _run_to_memory(out, spark, "bloom_tiny_out").collect()]
+    assert len(got) == len(set(got))  # never re-emitted
+    assert set(got) <= set(range(150))  # subset of real keys
+    assert len(got) > 0  # the very first row per shard always survives
+
+
 def test_dedup_stream_bloom_validation(spark, tmp_path):
     from earthmover_spark.streaming import dedup_stream_bloom, read_stream_source
     from earthmover_spark.util import EarthmoverSparkError
