@@ -245,6 +245,31 @@ def main() -> None:
             lambda: _force(paragraph_dedup(with_banner))
         )
 
+        # --- r8: paragraph dedup in the LARGE-hot regime: ~50% of docs
+        # are near-duplicate "articles" sharing their body paragraph, so
+        # with max_docs=1 the hot set is ~docs/8 digests — far beyond any
+        # broadcast budget. The size gate must fall back to the
+        # digest-keyed shuffle anti-join (no forced broadcast, no OOM).
+        near_dup = corpus.select(
+            "doc_id",
+            F.concat(
+                F.lit("Article body shared by cluster "),
+                # half the docs pair up into 2-doc clusters; half unique
+                F.when(
+                    F.col("doc_id") % 2 == 0, (F.col("doc_id") / 16).cast("long")
+                )
+                .otherwise(F.col("doc_id"))
+                .cast("string"),
+                F.lit(".\n\nUnique tail "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        r["paragraph_dedup_large_hot"] = _t(
+            lambda: _force(
+                paragraph_dedup(near_dup, broadcast_threshold=10_000)
+            )
+        )
+
         # --- r5b: k-means assignment over synthetic embeddings ----------
         vecs = spark.range(vecs_n).select(
             F.col("id").alias("vec_id"),
