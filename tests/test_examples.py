@@ -162,3 +162,17 @@ def test_metrics_rollup_example(spark, tmp_path):
     modal = [json.loads(ln) for ln in
              open(results["$destinations.modal_out"]).read().splitlines()]
     assert modal and all(int(r["n_mode"]) >= 1 for r in modal)
+    # merged quantile sketch: 3 probs per event_type, estimates
+    # monotone in prob, sample bounded by 2k (two k=256 period
+    # sketches merged down to <= 256 per group)
+    quant = [json.loads(ln) for ln in
+             open(results["$destinations.quantiles_out"]).read().splitlines()]
+    by_type = {}
+    for r in quant:
+        by_type.setdefault(r["event_type"], {})[r["prob"]] = float(
+            r["quantile_est"]
+        )
+        assert int(r["n_sample"]) <= 256
+    for probs in by_type.values():
+        assert set(probs) == {"0.5", "0.95", "0.99"}
+        assert probs["0.5"] <= probs["0.95"] <= probs["0.99"]
