@@ -2345,6 +2345,79 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023) of every document
+    toward a curated target slice (en docs with id % 7 == 0): hashed
+    unigram+bigram bucket LMs (512 buckets, bounded broadcast frames)
+    + one (doc, bucket) tf shuffle."""
+    from earthmover_spark.llm import selection
+
+    docs = _p(spark, sf_dir, "documents")
+    target = docs.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 7 == 0)
+    )
+    return selection.dsir_weights(docs, target, buckets=512, ngram=2)
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling: deterministic Gumbel-top-k (log-space A-ES)
+    over the importance weights — one TakeOrdered, no global sort."""
+    from earthmover_spark.llm import selection
+
+    return selection.dsir_sample(
+        q_dsir_weights(spark, sf_dir), 100
+    ).select("doc_id", "n_feats", "dsir_logweight")
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-the-best-copy dedup: LSH pairs -> connected components ->
+    the HIGHEST-quality member of each cluster survives (here: longest
+    text, so the planted near-dup with the appended tail wins over its
+    original). Cluster/argmax frames are paired-docs-only broadcasts;
+    the corpus never shuffles."""
+    from earthmover_spark.llm import curation, dedup
+
+    corpus = _corpus_with_dups(spark, sf_dir).withColumn(
+        "text_len", F.length("text")
+    )
+    pairs = dedup.lsh_candidate_pairs(corpus, num_hashes=16, bands=4)
+    out = curation.resolve_duplicates_by_score(corpus, pairs, "text_len")
+    return out.select("doc_id", "cluster_id", "is_keeper")
+
+
+def q_redact_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card redaction: every document is padded
+    with a per-doc 16-digit number (Luhn-valid for ~1 in 10 docs) and
+    a known-valid test card; only checksum-passing runs redact to
+    <CARD>. Pure regexp/array-lambda codegen, zero shuffle."""
+    from earthmover_spark.llm import curation
+
+    docs = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" card 4242 4242 4242 4242 ref "),
+            F.lpad((F.col("doc_id") * 37 + 11).cast("string"), 16, "1"),
+        ).alias("text"),
+    )
+    out = curation.redact_pii(docs, validate_cards=True)
+    return out.select("doc_id", "n_cards", "n_phones", "text")
+
+
+def q_ppx_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail tiers per language, ordered by the
+    corpus's own unigram-LM score (deterministic ntile cut)."""
+    from earthmover_spark.llm import selection, textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    lp = textstats.unigram_logprob(docs)
+    return selection.perplexity_buckets(
+        docs.select("doc_id", "lang").join(lp, "doc_id"),
+        "avg_logprob",
+        group_cols=["lang"],
+    ).select("doc_id", "lang", "tier")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2541,6 +2614,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_cube": q_group_by_cube,
         "group_by_salted": q_group_by_salted,
         "explode_array": q_explode_array,
+    # NEW in r8 (added after the r8 prefix was fixed): first official
+    # rows due r9 — rotate these in with the 12 deferred r5-stale
+    # queries; all locally oracle-verified at BOTH sf0.01 and sf0.1
+        "dsir_w": q_dsir_weights,
+        "dsir_smp": q_dsir_sample,
+        "ppx_tiers": q_ppx_tiers,
+        "dedup_keep_best": q_dedup_keep_best,
+        "redact_cards": q_redact_cards,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -5527,5 +5608,221 @@ def oracle_sql() -> dict[str, str]:
               FROM b
             )
             SELECT user_id, bucket_start, event_id FROM r WHERE rn = 1
+        """,
+        # DSIR (Xie et al. 2023): hashed unigram+bigram bucket LMs over
+        # raw vs target, add-1 smoothing, per-doc log importance ratio
+        "dsir_w": f"""
+            WITH w AS (
+              SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS arr
+              FROM documents
+            ), feats AS (
+              SELECT doc_id, lang,
+                     list_concat(arr,
+                       CASE WHEN len(arr) >= 2 THEN
+                         list_transform(generate_series(1, len(arr) - 1),
+                             i -> arr[i] || ' ' || arr[i + 1])
+                       ELSE [] END) AS fs
+              FROM w
+            ), fb AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5('dsir:' || unnest(fs)), 1, 15))
+                          AS UBIGINT)::BIGINT % 512 AS bucket
+              FROM feats
+            ), r_lm AS (
+              SELECT bucket, count(*) AS c FROM fb GROUP BY 1
+            ), t_lm AS (
+              SELECT bucket, count(*) AS c FROM fb
+              WHERE lang = 'en' AND doc_id % 7 = 0 GROUP BY 1
+            ), r_tot AS (SELECT coalesce(sum(c), 0)::DOUBLE AS t FROM r_lm),
+            t_tot AS (SELECT coalesce(sum(c), 0)::DOUBLE AS t FROM t_lm),
+            lm AS (
+              SELECT coalesce(r.bucket, t.bucket) AS bucket,
+                     ln(coalesce(t.c, 0) + 1.0) - ln(t_tot.t + 512.0)
+                     - ln(coalesce(r.c, 0) + 1.0) + ln(r_tot.t + 512.0)
+                         AS logratio
+              FROM r_lm r FULL OUTER JOIN t_lm t ON r.bucket = t.bucket
+              CROSS JOIN r_tot CROSS JOIN t_tot
+            ), tf AS (
+              SELECT doc_id, bucket, count(*) AS tf FROM fb GROUP BY 1, 2
+            )
+            SELECT tf.doc_id, sum(tf)::BIGINT AS n_feats,
+                   round(sum(tf * lm.logratio), 6) AS dsir_logweight
+            FROM tf JOIN lm USING (bucket) GROUP BY 1
+        """,
+        # Gumbel-top-k over the (rounded) DSIR log-weights, md5-uniform
+        "dsir_smp": f"""
+            WITH w AS (
+              SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS arr
+              FROM documents
+            ), feats AS (
+              SELECT doc_id, lang,
+                     list_concat(arr,
+                       CASE WHEN len(arr) >= 2 THEN
+                         list_transform(generate_series(1, len(arr) - 1),
+                             i -> arr[i] || ' ' || arr[i + 1])
+                       ELSE [] END) AS fs
+              FROM w
+            ), fb AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5('dsir:' || unnest(fs)), 1, 15))
+                          AS UBIGINT)::BIGINT % 512 AS bucket
+              FROM feats
+            ), r_lm AS (
+              SELECT bucket, count(*) AS c FROM fb GROUP BY 1
+            ), t_lm AS (
+              SELECT bucket, count(*) AS c FROM fb
+              WHERE lang = 'en' AND doc_id % 7 = 0 GROUP BY 1
+            ), r_tot AS (SELECT coalesce(sum(c), 0)::DOUBLE AS t FROM r_lm),
+            t_tot AS (SELECT coalesce(sum(c), 0)::DOUBLE AS t FROM t_lm),
+            lm AS (
+              SELECT coalesce(r.bucket, t.bucket) AS bucket,
+                     ln(coalesce(t.c, 0) + 1.0) - ln(t_tot.t + 512.0)
+                     - ln(coalesce(r.c, 0) + 1.0) + ln(r_tot.t + 512.0)
+                         AS logratio
+              FROM r_lm r FULL OUTER JOIN t_lm t ON r.bucket = t.bucket
+              CROSS JOIN r_tot CROSS JOIN t_tot
+            ), tf AS (
+              SELECT doc_id, bucket, count(*) AS tf FROM fb GROUP BY 1, 2
+            ), wt AS (
+              SELECT tf.doc_id, sum(tf)::BIGINT AS n_feats,
+                     round(sum(tf * lm.logratio), 6) AS dsir_logweight
+              FROM tf JOIN lm USING (bucket) GROUP BY 1
+            ), keyed AS (
+              SELECT *,
+                     dsir_logweight - ln(-ln(
+                       (CAST(('0x' || substr(md5('dsirsmp:'
+                            || CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS UBIGINT)::BIGINT + 1.0)
+                       / 1152921504606846976.0)) AS gk
+              FROM wt
+            )
+            SELECT doc_id, n_feats, dsir_logweight
+            FROM keyed ORDER BY gk DESC, doc_id LIMIT 100
+        """,
+        # keep-best dedup: same CC as dedup_resolve, keeper = argmax
+        # (text length desc, id asc) over the paired docs per cluster
+        "dedup_keep_best": f"""
+            WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+            w AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM corpus
+            ), sh AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(words) - 3, 0)),
+                         i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS shs
+              FROM w
+            ), sig AS (
+              SELECT doc_id, [
+                {", ".join(f"list_min(list_transform(shs, s -> md5('mh{i}:' || s)))" for i in range(16))}
+              ] AS s
+              FROM sh
+            ), banded AS (
+              SELECT doc_id, b.band,
+                     md5(array_to_string(list_slice(s, b.band * 4 + 1, b.band * 4 + 4), ',')) AS bh
+              FROM sig, (SELECT unnest(range(4)) AS band) b
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+            ), clusters AS (
+              SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            ), best AS (
+              SELECT cluster_id, doc_id AS best_id FROM (
+                SELECT cl.cluster_id, a.doc_id,
+                       row_number() OVER (PARTITION BY cl.cluster_id
+                                          ORDER BY length(a.text) DESC,
+                                                   a.doc_id) AS rn
+                FROM clusters cl JOIN corpus a ON a.doc_id = cl.node
+              ) WHERE rn = 1
+            ), ann AS (
+              SELECT c.doc_id,
+                     coalesce(cl.cluster_id, c.doc_id) AS cluster_id
+              FROM corpus c LEFT JOIN clusters cl ON cl.node = c.doc_id
+            )
+            SELECT ann.doc_id, ann.cluster_id,
+                   ann.doc_id = coalesce(b.best_id, ann.doc_id) AS is_keeper
+            FROM ann LEFT JOIN best b USING (cluster_id)
+        """,
+        # Luhn-validated card redaction on seeded card-shaped runs
+        "redact_cards": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' card 4242 4242 4242 4242 ref '
+                          || lpad(CAST(doc_id * 37 + 11 AS VARCHAR), 16, '1')
+                         AS t
+              FROM documents
+            ), staged AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS no_ip
+              FROM seeded
+            ), cu AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(no_ip, '\b\d(?:[ -]?\d){12,18}\b')) AS c
+              FROM staged
+            ), cv AS (
+              SELECT doc_id, c,
+                     list_sum(list_transform(generate_series(1, length(d)), i ->
+                       CASE WHEN (i - 1) % 2 = 0
+                            THEN CAST(substr(d, i, 1) AS INT)
+                            ELSE CASE WHEN CAST(substr(d, i, 1) AS INT) * 2 > 9
+                                      THEN CAST(substr(d, i, 1) AS INT) * 2 - 9
+                                      ELSE CAST(substr(d, i, 1) AS INT) * 2 END
+                       END)) % 10 = 0 AS ok
+              FROM (SELECT doc_id, c,
+                           reverse(regexp_replace(c, '[^0-9]', '', 'g')) AS d
+                    FROM cu)
+            ), agg AS (
+              SELECT doc_id,
+                     count(*) FILTER (ok) AS n_cards,
+                     list_distinct(list(c) FILTER (ok)) AS valid
+              FROM cv GROUP BY doc_id
+            ), repl AS (
+              SELECT s.doc_id,
+                     coalesce(a.n_cards, 0) AS n_cards,
+                     list_reduce(
+                       list_prepend(s.no_ip, coalesce(a.valid, [])),
+                       (x, y) -> replace(x, y, '<CARD>')) AS no_card
+              FROM staged s LEFT JOIN agg a USING (doc_id)
+            )
+            SELECT doc_id, n_cards,
+                   len(regexp_extract_all(no_card, '\+?\d[\d\- ]{7,}\d'))
+                       AS n_phones,
+                   regexp_replace(no_card, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')
+                       AS text
+            FROM repl
+        """,
+        # CCNet tiers: ntile(3) per lang over the unigram-LM score
+        "ppx_tiers": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+            ), c AS (
+              SELECT term, sum(tf) AS c FROM tf GROUP BY 1
+            ), tot AS (
+              SELECT sum(c)::DOUBLE AS total FROM c
+            ), lp AS (
+              SELECT tf.doc_id,
+                     round(sum(tf * ln(c.c / tot.total)) / sum(tf), 6)
+                         AS avg_logprob
+              FROM tf JOIN c USING (term) CROSS JOIN tot
+              GROUP BY 1
+            )
+            SELECT d.doc_id, d.lang,
+                   (['head', 'middle', 'tail'])[
+                     ntile(3) OVER (PARTITION BY d.lang
+                                    ORDER BY lp.avg_logprob DESC, d.doc_id)
+                   ] AS tier
+            FROM documents d JOIN lp ON lp.doc_id = d.doc_id
         """,
     }

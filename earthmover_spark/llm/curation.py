@@ -145,6 +145,61 @@ def resolve_duplicates(
     )
 
 
+def resolve_duplicates_by_score(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Like :func:`resolve_duplicates`, but the keeper of each
+    near-duplicate cluster is the HIGHEST-``score_col`` member
+    (ties: minimum id) instead of the minimum id — the "keep the best
+    copy" dedup policy (e.g. keep the longest / highest-quality /
+    most-recent variant of a syndicated article rather than whichever
+    crawled first). ``cluster_id`` stays the min-id canonical label
+    so cluster identities are stable across both policies.
+
+    Scale shape: the argmax per cluster is computed over ONLY the
+    paired documents (clusters frame joined to their scores —
+    broadcast-sized at any realistic duplicate rate), then both the
+    cluster and best-id frames broadcast onto the corpus; the 100 TB
+    side never shuffles. NULL scores rank below every non-NULL
+    score."""
+    clusters = dedup_clusters(pairs, id_a, id_b).withColumnRenamed(
+        "node", id_col
+    )
+    scored = clusters.join(
+        df.select(id_col, F.col(score_col).cast("double").alias("__s__")),
+        id_col,
+        "left",
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.min_by(
+            id_col,
+            F.struct(
+                (-F.coalesce(F.col("__s__"), F.lit(float("-inf")))).alias(
+                    "ns"
+                ),
+                F.col(id_col).alias("i"),
+            ),
+        ).alias("__best_id__")
+    )
+    out = df.join(F.broadcast(clusters), id_col, "left").join(
+        F.broadcast(best), "cluster_id", "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        out.withColumn("cluster_id", cluster)
+        .withColumn(
+            "is_keeper",
+            F.col(id_col) == F.coalesce("__best_id__", F.col(id_col)),
+        )
+        .drop("__best_id__")
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
@@ -242,20 +297,59 @@ def repetition_stats(
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_PATTERN = r"\+?\d[\d\- ]{7,}\d"
+#: 13-19 digits in groups separated by optional single spaces/dashes —
+#: the textual shape of a payment-card number. Matches are only
+#: REDACTED when the digits pass the Luhn checksum (validate_cards),
+#: which is what separates cards from order numbers and timestamps.
+CARD_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def _luhn_valid(candidate: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) of the digits in ``candidate`` as a
+    Column predicate — pure array-lambda codegen: from the RIGHT, odd
+    positions count as-is, even positions double (minus 9 when > 9);
+    valid iff the sum is divisible by 10."""
+    digits = F.reverse(
+        F.split(F.regexp_replace(candidate, r"[^0-9]", ""), "")
+    )
+    total = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(0), F.size(digits) - 1),
+            lambda d, i: F.when(
+                i % 2 == 0, d.cast("int")
+            ).otherwise(
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+                .otherwise(d.cast("int") * 2)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.pmod(total, F.lit(10)) == 0
 
 
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",
     out_col: str | None = None,
+    validate_cards: bool = False,
 ) -> DataFrame:
     """Redact emails, IPv4 addresses, and phone-like digit runs from a
     text column, with per-type match counts (``n_emails``, ``n_ips``,
-    ``n_phones``). Replacement order matters: emails first (they contain
-    digit runs), then IPs (dotted digits), then bare phone runs.
+    ``n_phones``). With ``validate_cards``, payment-card-shaped digit
+    runs (13-19 digits) that pass the Luhn checksum are redacted as
+    ``<CARD>`` first and counted in ``n_cards`` — the checksum is what
+    keeps order numbers and timestamps out of the redaction (the
+    standard false-positive control for card PII). Replacement order
+    matters: emails first (they contain digit runs), then IPs (dotted
+    digits), then Luhn-valid cards, then bare phone runs (which would
+    otherwise swallow card digits).
 
-    Pure JVM regexp_replace/regexp_count chain — whole-stage-codegen'd,
-    no shuffle, scan-bandwidth bound at any scale."""
+    Pure JVM regexp/array-lambda chain — whole-stage-codegen'd, no
+    shuffle, scan-bandwidth bound at any scale. Card redaction uses
+    literal ``replace`` per distinct in-document candidate (bounded by
+    the candidate count per row, not corpus size)."""
     out_col = out_col or text_col
     text = F.col(text_col)
     counted = df.withColumns(
@@ -266,6 +360,36 @@ def redact_pii(
     )
     no_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
     no_ip = F.regexp_replace(no_email, IPV4_PATTERN, "<IP>")
+    if validate_cards:
+        cands = F.array_distinct(
+            F.regexp_extract_all(no_ip, F.lit(CARD_PATTERN), 0)
+        )
+        # replace longest candidates first so a candidate that happens
+        # to be a substring of another can never corrupt it — makes
+        # the literal-replace chain order-independent and deterministic
+        valid = F.array_sort(
+            F.filter(cands, _luhn_valid),
+            lambda a, b: F.when(
+                F.length(a) != F.length(b), F.length(b) - F.length(a)
+            )
+            .when(a < b, F.lit(-1))
+            .when(a > b, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        counted = counted.withColumn(
+            "n_cards",
+            F.size(
+                F.filter(
+                    F.regexp_extract_all(no_ip, F.lit(CARD_PATTERN), 0),
+                    _luhn_valid,
+                )
+            ),
+        )
+        no_ip = F.aggregate(
+            valid,
+            no_ip,
+            lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+        )
     counted = counted.withColumn(
         "n_phones", F.regexp_count(no_ip, F.lit(PHONE_PATTERN))
     )

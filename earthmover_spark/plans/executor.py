@@ -143,7 +143,7 @@ class Executor:
                 kwargs["right"] = self._resolve(op_cfg["right"])
             if op_name == "enrich_stream":
                 kwargs["static_df"] = self._resolve(op_cfg["static_df"])
-            if op_name == "resolve_duplicates":
+            if op_name in ("resolve_duplicates", "resolve_duplicates_by_score"):
                 kwargs["pairs"] = self._resolve(op_cfg["pairs"])
             if op_name in ("decontaminate", "decontaminate_near"):
                 kwargs["benchmark"] = self._resolve(op_cfg["benchmark"])
@@ -159,6 +159,8 @@ class Executor:
                 kwargs["keys"] = self._resolve(op_cfg["keys"])
             if op_name in ("lm_divergence", "kmv_jaccard"):
                 kwargs["b"] = self._resolve(op_cfg["b"])
+            if op_name == "dsir_weights":
+                kwargs["target"] = self._resolve(op_cfg["target"])
             if op_name == "validate_table" and op_cfg.get("references"):
                 kwargs["references"] = {
                     k: self._resolve(v)

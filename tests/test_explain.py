@@ -748,3 +748,49 @@ def test_chat_render_scan_bound(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_dsir_weights_broadcast_lm_join(plans):
+    """dsir_weights: the bucket-LM frame (bounded at `buckets` rows)
+    must broadcast into the per-doc scoring join; the only data-scale
+    cartesian-looking node is the 1-row totals broadcast; everything
+    stays JVM-native."""
+    p = plans("dsir_w")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_dsir_sample_takeordered_not_global_sort(plans):
+    """dsir_sample's Gumbel-top-k must execute as per-partition top-n
+    (TakeOrderedAndProject), never a full global sort."""
+    p = plans("dsir_smp")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_ppx_tiers_single_window_no_python(plans):
+    p = plans("ppx_tiers")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "ntile" in p.lower()
+
+
+def test_dedup_keep_best_broadcast_annotation(plans):
+    """resolve_duplicates_by_score: the cluster and argmax frames are
+    paired-docs-only and broadcast onto the corpus — the corpus side
+    never sort-merge-joins; everything stays JVM-native."""
+    p = plans("dedup_keep_best")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_redact_cards_single_stage_jvm(plans):
+    """Luhn card redaction is a pure regexp/array-lambda chain: no
+    shuffle, no join, no Python."""
+    p = plans("redact_cards")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p

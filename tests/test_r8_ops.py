@@ -1,0 +1,287 @@
+"""Round-8 operators: DSIR importance weighting/resampling and CCNet
+perplexity tiers (llm/selection.py).
+
+The DSIR weights are property-checked against a plain-Python
+implementation of Xie et al. 2023's hashed-ngram importance ratio
+(same md5 bucket hash, same add-smoothing), and the sampler against a
+plain-Python Gumbel-top-k with the same md5 uniforms.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_norm(text):
+    import re
+
+    t = (text or "").lower()
+    t = re.sub(r"[^\w\s]", "", t, flags=re.UNICODE)
+    return re.sub(r"\s+", " ", t).strip()
+
+
+def _py_feats(text, ngram=2):
+    arr = _py_norm(text).split(" ")
+    feats = list(arr)
+    for n in range(2, ngram + 1):
+        if len(arr) >= n:
+            feats += [
+                " ".join(arr[i : i + n]) for i in range(len(arr) - n + 1)
+            ]
+    return feats
+
+
+def _py_bucket(g, buckets, salt="dsir"):
+    h = int(hashlib.md5(f"{salt}:{g}".encode()).hexdigest()[:15], 16)
+    return h % buckets
+
+
+def _py_dsir(raw_rows, target_rows, buckets=64, ngram=2, a=1.0):
+    """raw_rows/target_rows: list of (doc_id, text)."""
+    r_cnt, t_cnt = {}, {}
+    for _, text in raw_rows:
+        for g in _py_feats(text, ngram):
+            b = _py_bucket(g, buckets)
+            r_cnt[b] = r_cnt.get(b, 0) + 1
+    for _, text in target_rows:
+        for g in _py_feats(text, ngram):
+            b = _py_bucket(g, buckets)
+            t_cnt[b] = t_cnt.get(b, 0) + 1
+    r_tot, t_tot = sum(r_cnt.values()), sum(t_cnt.values())
+    out = {}
+    for doc_id, text in raw_rows:
+        lw, n = 0.0, 0
+        for g in _py_feats(text, ngram):
+            b = _py_bucket(g, buckets)
+            lw += (
+                math.log(t_cnt.get(b, 0) + a)
+                - math.log(t_tot + a * buckets)
+                - math.log(r_cnt.get(b, 0) + a)
+                + math.log(r_tot + a * buckets)
+            )
+            n += 1
+        out[doc_id] = (n, round(lw, 6))
+    return out
+
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "the quick onyx goblin jumps over the lazy dwarf"),
+    (4, "sphinx of black quartz judge my vow"),
+    (5, "the five boxing wizards jump quickly"),
+    (6, "how vexingly quick daft zebras jump"),
+    (7, "the quick brown fox"),
+    (8, ""),
+]
+
+
+def test_dsir_weights_match_python_reference(spark):
+    from earthmover_spark.llm.selection import dsir_weights
+
+    raw = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    target = raw.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logweight)
+        for r in dsir_weights(raw, target, buckets=64, ngram=2).collect()
+    }
+    want = _py_dsir(_DOCS, [d for d in _DOCS if d[0] % 2 == 1], buckets=64)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-5), k
+
+
+def test_dsir_weights_pull_toward_target(spark):
+    """Docs sharing the target's vocabulary must outscore docs that
+    don't: target = fox/dog sentences, so doc 7 (pure target vocab)
+    beats doc 4 (disjoint vocab)."""
+    from earthmover_spark.llm.selection import dsir_weights
+
+    raw = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    target = raw.filter(F.col("doc_id").isin(1, 3, 7))
+    w = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_weights(raw, target, buckets=4096, ngram=2).collect()
+    }
+    assert w[7] > w[4]
+    assert w[1] > w[2]
+
+
+def test_dsir_sample_matches_python_gumbel_topk(spark):
+    from earthmover_spark.llm.selection import dsir_sample, dsir_weights
+
+    raw = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    target = raw.filter(F.col("doc_id") % 2 == 1)
+    w = dsir_weights(raw, target, buckets=64, ngram=2)
+    got = [r.doc_id for r in dsir_sample(w, 3).collect()]
+    weights = _py_dsir(_DOCS, [d for d in _DOCS if d[0] % 2 == 1], buckets=64)
+
+    def key(doc_id):
+        u = (
+            int(
+                hashlib.md5(f"dsirsmp:{doc_id}".encode()).hexdigest()[:15],
+                16,
+            )
+            + 1.0
+        ) / float(1 << 60)
+        return weights[doc_id][1] - math.log(-math.log(u))
+
+    want = sorted(weights, key=lambda d: (-key(d), d))[:3]
+    assert got == want
+
+
+def test_dsir_validation(spark):
+    from earthmover_spark.llm.selection import (
+        dsir_sample,
+        dsir_weights,
+        perplexity_buckets,
+    )
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    with pytest.raises(EarthmoverSparkError, match="buckets"):
+        dsir_weights(df, df, buckets=1)
+    with pytest.raises(EarthmoverSparkError, match="ngram"):
+        dsir_weights(df, df, ngram=0)
+    with pytest.raises(EarthmoverSparkError, match="smoothing"):
+        dsir_weights(df, df, smoothing=0)
+    with pytest.raises(EarthmoverSparkError, match="n must"):
+        dsir_sample(df.withColumn("dsir_logweight", F.lit(0.0)), 0)
+    with pytest.raises(EarthmoverSparkError, match="temperature"):
+        dsir_sample(df.withColumn("dsir_logweight", F.lit(0.0)), 1,
+                    temperature=0)
+    with pytest.raises(EarthmoverSparkError, match="tiers"):
+        perplexity_buckets(df, "x", tiers=())
+
+
+def test_perplexity_buckets_deterministic_tiers(spark):
+    from earthmover_spark.llm.selection import perplexity_buckets
+
+    rows = [(i, "g%d" % (i % 2), float(100 - i)) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+    out = perplexity_buckets(
+        df, "score", group_cols=["lang"]
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.lang, []).append((r.score, r.tier))
+    for g, vals in by_group.items():
+        vals.sort(reverse=True)  # higher score first
+        tiers = [t for _, t in vals]
+        assert tiers == ["head"] * 2 + ["middle"] * 2 + ["tail"] * 2
+    # temperature parameter of dsir_sample shifts toward uniform but
+    # keeps determinism: same call twice gives identical output
+    out2 = perplexity_buckets(df, "score", group_cols=["lang"]).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_perplexity_buckets_custom_tiers(spark):
+    from earthmover_spark.llm.selection import perplexity_buckets
+
+    rows = [(i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    out = perplexity_buckets(df, "score", tiers=("keep", "drop")).collect()
+    kept = {r.doc_id for r in out if r.tier == "keep"}
+    # top half by score
+    assert kept == {5, 6, 7, 8, 9}
+
+
+# ---------------------------------------------------------------------------
+# resolve_duplicates_by_score (keep the best copy)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_duplicates_by_score_keeps_argmax(spark):
+    from earthmover_spark.llm.curation import (
+        resolve_duplicates,
+        resolve_duplicates_by_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5.0),
+            (2, "much longer better copy", 23.0),
+            (3, "mid copy", 8.0),
+            (4, "unpaired", 8.0),
+            (5, None, None),  # NULL score ranks last
+        ],
+        ["doc_id", "text", "quality"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 5)], ["id_a", "id_b"]
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.is_keeper)
+        for r in resolve_duplicates_by_score(docs, pairs, "quality").collect()
+    }
+    # cluster label stays the min id (1), keeper is the max-quality doc
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, False)
+    assert out[5] == (1, False)
+    assert out[4] == (4, True)  # unpaired keeps itself
+    # min-id policy would have kept doc 1 instead
+    base = {
+        r.doc_id: r.is_keeper
+        for r in resolve_duplicates(docs, pairs).collect()
+    }
+    assert base[1] and not base[2]
+
+
+def test_resolve_duplicates_by_score_tiebreak_min_id(spark):
+    from earthmover_spark.llm.curation import resolve_duplicates_by_score
+
+    docs = spark.createDataFrame(
+        [(7, 1.0), (9, 1.0)], ["doc_id", "quality"]
+    )
+    pairs = spark.createDataFrame([(7, 9)], ["id_a", "id_b"])
+    out = {
+        r.doc_id: r.is_keeper
+        for r in resolve_duplicates_by_score(docs, pairs, "quality").collect()
+    }
+    assert out[7] and not out[9]
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_validate_cards(spark):
+    from earthmover_spark.llm.curation import redact_pii
+
+    rows = [
+        (1, "pay with 4242 4242 4242 4242 now"),  # Luhn-valid
+        (2, "order 1234 5678 9012 3456 shipped"),  # Luhn-invalid
+        (3, "card 4111-1111-1111-1111 and phone +1 555 123 4567"),
+        (4, "no digits here"),
+        (5, "valid 79927398713 but 11 digits is too short for a card"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r for r in redact_pii(df, validate_cards=True).collect()}
+    assert got[1].text == "pay with <CARD> now" and got[1].n_cards == 1
+    # invalid checksum: NOT a card; the digit run falls through to the
+    # phone redactor
+    assert got[2].n_cards == 0 and got[2].text == "order <PHONE> shipped"
+    assert got[3].text == "card <CARD> and phone <PHONE>"
+    assert got[4].text == "no digits here" and got[4].n_cards == 0
+    assert got[5].n_cards == 0  # too short for the card shape
+    # without the flag, column absent and cards degrade to phone runs
+    base = {r.id: r for r in redact_pii(df).collect()}
+    assert "n_cards" not in base[1].asDict()
+    assert base[1].text == "pay with <PHONE> now"
+
+
+def test_redact_pii_card_repeated_occurrences_counted(spark):
+    from earthmover_spark.llm.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "a 4242 4242 4242 4242 b 4242 4242 4242 4242 c")],
+        ["id", "text"],
+    )
+    r = redact_pii(df, validate_cards=True).collect()[0]
+    assert r.n_cards == 2
+    assert r.text == "a <CARD> b <CARD> c"
