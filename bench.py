@@ -117,6 +117,12 @@ HEADLINE = [
     "para_dedup",  # digest agg + broadcast anti-join + ordered rebuild
     "chat_render",  # template render + span arithmetic, zero shuffle
     "quantile_sk",  # map-side WindowGroupLimit sample + bounded rank
+    # r8 additions
+    "dsir_w",  # hashed-ngram bucket LMs (broadcast) + per-doc tf agg
+    "dsir_smp",  # Gumbel-top-k over DSIR weights, one TakeOrdered
+    "ppx_tiers",  # unigram-LM score + per-lang ntile cut
+    "dedup_keep_best",  # CC + paired-docs argmax, broadcast annotation
+    "redact_cards",  # Luhn-validated regexp/array redaction, no shuffle
 ]
 
 
