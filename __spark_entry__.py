@@ -2404,6 +2404,28 @@ def q_redact_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_cards", "n_phones", "text")
 
 
+def q_fim_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle PSM reformatting (Bavarian et al. 2022) at
+    fim_rate=0.5 with md5-deterministic coin flips and cut points —
+    three md5s + substring arithmetic per row, zero shuffle."""
+    from earthmover_spark.llm import chat
+
+    docs = _p(spark, sf_dir, "documents").select("doc_id", "text")
+    return chat.fim_transform(docs, fim_rate=0.5).select(
+        "doc_id", "fim_applied", "text"
+    )
+
+
+def q_len_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-homogeneous batch assignment over documents: power-of-2
+    length bands + md5-shuffled batch_size=32 cuts — one per-bucket
+    window rank, the single shuffle any batching pass needs."""
+    from earthmover_spark.llm import chat
+
+    docs = _p(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return chat.length_buckets(docs, "n_chars", batch_size=32)
+
+
 def q_ppx_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail tiers per language, ordered by the
     corpus's own unigram-LM score (deterministic ntile cut)."""
@@ -2622,6 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppx_tiers": q_ppx_tiers,
         "dedup_keep_best": q_dedup_keep_best,
         "redact_cards": q_redact_cards,
+        "fim_psm": q_fim_psm,
+        "len_batches": q_len_batches,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -5799,6 +5823,53 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(no_card, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')
                        AS text
             FROM repl
+        """,
+        # FIM PSM: md5-derived coin flip + two uniform character cuts
+        "fim_psm": """
+            WITH u AS (
+              SELECT doc_id, text, length(text) AS n,
+                     CAST(('0x' || substr(md5('fim:flip:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT / 1152921504606846976.0 AS uf,
+                     CAST(('0x' || substr(md5('fim:a:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT / 1152921504606846976.0 AS ua,
+                     CAST(('0x' || substr(md5('fim:b:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT)::BIGINT / 1152921504606846976.0 AS ub
+              FROM documents
+            ), cuts AS (
+              SELECT doc_id, text, n,
+                     (uf < 0.5 AND n > 0) AS fim_applied,
+                     least(CAST(floor(ua * (n + 1)) AS INT),
+                           CAST(floor(ub * (n + 1)) AS INT)) AS lo,
+                     greatest(CAST(floor(ua * (n + 1)) AS INT),
+                              CAST(floor(ub * (n + 1)) AS INT)) AS hi
+              FROM u
+            )
+            SELECT doc_id, fim_applied,
+                   CASE WHEN fim_applied THEN
+                     '<PRE>' || substr(text, 1, lo)
+                     || '<SUF>' || substr(text, hi + 1, n - hi)
+                     || '<MID>' || substr(text, lo + 1, hi - lo)
+                   ELSE text END AS text
+            FROM cuts
+        """,
+        # power-of-two length bands + md5-shuffled batch cuts
+        "len_batches": """
+            WITH b AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN n_chars <= 0 THEN 0
+                          ELSE CAST(pow(2.0, floor(log2(n_chars))) AS BIGINT)
+                     END AS bucket,
+                     md5('lenb:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_chars, bucket,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY h, doc_id) AS rn
+              FROM b
+            )
+            SELECT doc_id, n_chars, bucket,
+                   CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id
+            FROM r
         """,
         # CCNet tiers: ntile(3) per lang over the unigram-LM score
         "ppx_tiers": f"""

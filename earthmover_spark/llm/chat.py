@@ -127,4 +127,132 @@ def render_chat(
     )
 
 
-__all__ = ["render_chat", "CHAT_TEMPLATES"]
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate: float = 0.5,
+    prefix_tok: str = "<PRE>",
+    suffix_tok: str = "<SUF>",
+    middle_tok: str = "<MID>",
+    out_col: str | None = None,
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle reformatting (Bavarian et al. 2022,
+    arXiv:2207.14255): with probability ``fim_rate`` per document,
+    split the text at two uniform character positions into (prefix,
+    middle, suffix) and emit the PSM rendering
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — the data-side transform
+    that teaches a causal LM to infill; the paper's key result is
+    that applying it to a fraction of documents costs no
+    left-to-right capability. Untransformed documents pass through
+    unchanged. Adds ``fim_applied``.
+
+    The coin flip and both split points are md5-derived from
+    ``(salt, id)``, so the transform is deterministic per document —
+    reruns and backfills produce byte-identical corpora (the same
+    determinism contract as the sampling family). Split points are
+    character-based (the paper's context-level variant applies the
+    split before tokenization).
+
+    Scale shape: three md5s + substring arithmetic per row over the
+    scan — zero shuffle, zero Python."""
+    if not 0.0 <= fim_rate <= 1.0:
+        raise EarthmoverSparkError(
+            "fim_transform: fim_rate must be in [0, 1]"
+        )
+    out_col = out_col or text_col
+    text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    n = F.length(text)
+
+    def u(tag: str) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:{tag}:"),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 60))
+        )
+
+    # two uniform cut points in [0, n], ordered
+    c1 = F.floor(u("a") * (n + 1)).cast("int")
+    c2 = F.floor(u("b") * (n + 1)).cast("int")
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    applied = (u("flip") < F.lit(float(fim_rate))) & (n > 0)
+    prefix = F.substring(text, F.lit(1), lo)
+    middle = F.substring(text, lo + 1, hi - lo)
+    suffix = F.substring(text, hi + 1, n - hi)
+    psm = F.concat(
+        F.lit(prefix_tok),
+        prefix,
+        F.lit(suffix_tok),
+        suffix,
+        F.lit(middle_tok),
+        middle,
+    )
+    return df.withColumn(
+        "fim_applied", applied
+    ).withColumn(out_col, F.when(applied, psm).otherwise(text))
+
+
+def length_buckets(
+    df: DataFrame,
+    length_col: str,
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+    salt: str = "lenb",
+) -> DataFrame:
+    """Length-homogeneous batch assignment: bucket rows by the
+    power-of-two band of ``length_col`` (the standard
+    bucketing-by-sequence-length trick that cuts padding waste when
+    batching variable-length documents), shuffle deterministically
+    WITHIN each bucket by md5 hash of the id, and cut into
+    ``batch_size``-row batches. Adds ``bucket`` (the band's lower
+    bound: 0, 1, 2, 4, 8, ...) and ``batch_id`` (0-based within the
+    bucket). Rows inside one batch differ in length by < 2x, so pad
+    overhead is bounded; the md5 order keeps batch composition stable
+    across reruns.
+
+    Scale shape: one hash-partitioned window rank per bucket (the
+    same single shuffle any batching pass needs); everything else is
+    per-row arithmetic."""
+    if batch_size < 1:
+        raise EarthmoverSparkError(
+            "length_buckets: batch_size must be >= 1"
+        )
+    from pyspark.sql import Window
+
+    ln = F.coalesce(F.col(length_col).cast("long"), F.lit(0))
+    bucket = F.when(ln <= 0, F.lit(0)).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2(ln))).cast("long")
+    )
+    h = F.md5(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("bucket", bucket).withColumn("__h__", h)
+    w = Window.partitionBy("bucket").orderBy("__h__", id_col)
+    return (
+        out.withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+        )
+        .drop("__h__")
+    )
+
+
+__all__ = [
+    "render_chat",
+    "CHAT_TEMPLATES",
+    "fim_transform",
+    "length_buckets",
+]

@@ -794,3 +794,23 @@ def test_redact_cards_single_stage_jvm(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_fim_psm_zero_shuffle(plans):
+    """FIM is three md5s + substring arithmetic per row: no exchange,
+    no join, no Python."""
+    p = plans("fim_psm")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_len_batches_single_bucket_window(plans):
+    """Length bucketing is one per-bucket window rank — exactly one
+    hash shuffle, nothing leaves the JVM."""
+    p = plans("len_batches")
+    # the bucket-keyed window exchange, referenced once as a node and
+    # once in its Arguments detail line
+    assert "hashpartitioning(bucket" in p
+    assert len([ln for ln in p.splitlines() if "Exchange" in ln]) <= 3, p
+    assert "EvalPython" not in p

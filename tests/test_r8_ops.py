@@ -285,3 +285,72 @@ def test_redact_pii_card_repeated_occurrences_counted(spark):
     r = redact_pii(df, validate_cards=True).collect()[0]
     assert r.n_cards == 2
     assert r.text == "a <CARD> b <CARD> c"
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle + length bucketing
+# ---------------------------------------------------------------------------
+
+
+def test_fim_transform_reconstructs_original(spark):
+    """PSM pieces must reassemble to the original text: prefix +
+    middle + suffix == doc, for every transformed row."""
+    import re
+
+    from earthmover_spark.llm.chat import fim_transform
+
+    docs = spark.createDataFrame(
+        [(i, "abcdefghijklmnopqrstuvwxyz"[: 1 + i % 26]) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    out = fim_transform(docs, fim_rate=0.7).collect()
+    n_applied = 0
+    for r in out:
+        if not r.fim_applied:
+            assert r.text == orig[r.doc_id]
+            continue
+        n_applied += 1
+        m = re.fullmatch(r"<PRE>(.*)<SUF>(.*)<MID>(.*)", r.text, re.S)
+        assert m, r.text
+        pre, suf, mid = m.groups()
+        assert pre + mid + suf == orig[r.doc_id], r.doc_id
+    # rate 0.7 over 60 docs: applied count is in a sane band
+    assert 25 <= n_applied <= 55
+
+
+def test_fim_transform_deterministic_and_rate_bounds(spark):
+    from earthmover_spark.llm.chat import fim_transform
+    from earthmover_spark.util import EarthmoverSparkError
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], ["doc_id", "text"]
+    )
+    a = sorted(map(tuple, fim_transform(docs, fim_rate=1.0).collect()))
+    b = sorted(map(tuple, fim_transform(docs, fim_rate=1.0).collect()))
+    assert a == b
+    got = {r.doc_id: r for r in fim_transform(docs, fim_rate=1.0).collect()}
+    assert got[2].fim_applied is False  # empty text never transforms
+    assert got[2].text == ""
+    none = fim_transform(docs, fim_rate=0.0).collect()
+    assert all(not r.fim_applied for r in none)
+    with pytest.raises(EarthmoverSparkError, match="fim_rate"):
+        fim_transform(docs, fim_rate=1.5)
+
+
+def test_length_buckets_bounded_spread_and_batches(spark):
+    from earthmover_spark.llm.chat import length_buckets
+    from earthmover_spark.util import EarthmoverSparkError
+
+    rows = [(i, 3 + (i * 7) % 200) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = length_buckets(df, "n_tok", batch_size=8).collect()
+    by_batch = {}
+    for r in out:
+        assert r.bucket <= r.n_tok < 2 * r.bucket  # power-of-2 band
+        by_batch.setdefault((r.bucket, r.batch_id), []).append(r.n_tok)
+    for (bucket, _), lens in by_batch.items():
+        assert len(lens) <= 8
+        assert max(lens) < 2 * min(lens)  # padding waste bounded
+    with pytest.raises(EarthmoverSparkError, match="batch_size"):
+        length_buckets(df, "n_tok", batch_size=0)
