@@ -30,7 +30,8 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
         # enrich_stream's `static_df`, snapshot_diff's `new`,
         # cm_estimate/bloom_probe's `keys`, lm_divergence's `b`
         for key in ("source", "pairs", "benchmark", "right", "weights",
-                    "static_df", "updates", "seen", "new", "keys", "b"):
+                    "static_df", "updates", "seen", "new", "keys", "b",
+                    "target"):
             if op.get(key):
                 refs.append(op[key])
         # validate_table's `references` map; filter_domains' list refs

@@ -176,3 +176,24 @@ def test_metrics_rollup_example(spark, tmp_path):
     for probs in by_type.values():
         assert set(probs) == {"0.5", "0.95", "0.99"}
         assert probs["0.5"] <= probs["0.95"] <= probs["0.99"]
+
+
+def test_data_selection_example(spark, tmp_path):
+    """examples/14_data_selection: DSIR weights toward an en target,
+    Gumbel-top-k resample, CCNet tiers per language."""
+    cfg = os.path.join(EXAMPLES, "14_data_selection", "earthmover.yaml")
+    results = run_project(spark, cfg, params={"SF_DIR": SF_DIR},
+                          output_dir=str(tmp_path))
+    sel = [json.loads(ln) for ln in
+           open(results["$destinations.selected_out"]).read().splitlines()]
+    assert len(sel) == 100
+    assert len({r["doc_id"] for r in sel}) == 100  # without replacement
+    tiers = [json.loads(ln) for ln in
+             open(results["$destinations.tiers_out"]).read().splitlines()]
+    by_lang = {}
+    for r in tiers:
+        by_lang.setdefault(r["lang"], []).append(r["tier"])
+    for lang, ts in by_lang.items():
+        counts = {t: ts.count(t) for t in ("head", "middle", "tail")}
+        # ntile: equal thirds within 1
+        assert max(counts.values()) - min(counts.values()) <= 1, lang
