@@ -270,6 +270,26 @@ def main() -> None:
             )
         )
 
+        # --- r8: DSIR importance weights at corpus scale: both bucket
+        # LMs stay bounded (4096 rows) no matter the corpus size; the
+        # only document-scale shuffle is the (doc, bucket) tf agg.
+        from earthmover_spark.llm.selection import dsir_sample, dsir_weights
+
+        target = corpus.filter(F.col("doc_id") % 97 == 0)
+        r["dsir_weights"] = _t(
+            lambda: _force(
+                dsir_weights(corpus, target, buckets=4096, ngram=2)
+            )
+        )
+        r["dsir_sample_topk"] = _t(
+            lambda: _force(
+                dsir_sample(
+                    dsir_weights(corpus, target, buckets=4096, ngram=2),
+                    100_000,
+                )
+            )
+        )
+
         # --- r5b: k-means assignment over synthetic embeddings ----------
         vecs = spark.range(vecs_n).select(
             F.col("id").alias("vec_id"),
