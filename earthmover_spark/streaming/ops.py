@@ -11,6 +11,8 @@ same semantics plus late-data handling.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -330,6 +332,122 @@ def dedup_stream_bloom(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def quantile_stream(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    k: int = 1024,
+    probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    salt: str = "qsk",
+) -> DataFrame:
+    """Streaming "p99 so far" with BOUNDED state — the streaming twin
+    of ``operators.sketch.quantile_sketch``: each group's state is its
+    bottom-k-by-row-hash sample (the SAME md5-of-id order as the batch
+    sketch, computed JVM-side), merged losslessly with each
+    micro-batch exactly as ``quantile_merge`` merges disjoint frames.
+    State is <= k (hash, value) pairs per group FOREVER; after any
+    sequence of batches the sample — and therefore every nearest-rank
+    estimate — is byte-identical to the batch sketch over the union
+    of the inputs (asserted by the batch-twin test). Emits one row
+    per (group, prob) per batch: ``(group, prob, quantile_est,
+    n_sample, n_total)`` with the current estimate — ``n_sample`` is
+    the bounded sample size (caps at k), ``n_total`` the monotone
+    count of rows absorbed so far.
+
+    Like the batch sketch, row ids must be unique across the stream's
+    lifetime (re-deliveries would double-count); use
+    ``dedup_stream``/``dedup_stream_bloom`` upstream when the source
+    can replay."""
+    if k < 1 or not probs or any(p <= 0 or p > 1 for p in probs):
+        raise EarthmoverSparkError(
+            "quantile_stream: need k >= 1 and probs in (0, 1]"
+        )
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    prepared = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias(group_col),
+        h.alias("__h__"),
+        F.col(value_col).cast("double").alias("__v__"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField("prob", T.DoubleType()),
+            T.StructField("quantile_est", T.DoubleType()),
+            T.StructField("n_sample", T.LongType()),
+            T.StructField("n_total", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("vs", T.ArrayType(T.DoubleType())),
+            T.StructField("n_total", T.LongType()),
+        ]
+    )
+    ps = [float(p) for p in probs]
+
+    def _update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            hs, vs, n_total = state.get
+            hs = np.asarray(hs, dtype=np.int64)
+            vs = np.asarray(vs, dtype=np.float64)
+        else:
+            hs = np.empty(0, dtype=np.int64)
+            vs = np.empty(0, dtype=np.float64)
+            n_total = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_total += len(pdf)
+            hs = np.concatenate([hs, pdf["__h__"].to_numpy(np.int64)])
+            vs = np.concatenate([vs, pdf["__v__"].to_numpy(np.float64)])
+            # bottom-k of the union = lossless disjoint merge
+            order = np.lexsort((vs, hs))[:k]
+            hs, vs = hs[order], vs[order]
+        state.update((hs.tolist(), vs.tolist(), int(n_total)))
+        n = len(vs)
+        sample = np.sort(vs)
+        rows = []
+        for p in ps:
+            # nearest-rank: value at 1-indexed rank ceil(p*n), clamped
+            r = min(max(int(math.ceil(p * n)), 1), n) if n else 0
+            rows.append(
+                (str(key[0]), p, float(sample[r - 1]) if n else None, n,
+                 int(n_total))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[group_col, "prob", "quantile_est", "n_sample",
+                     "n_total"],
+        )
+
+    return prepared.groupBy(group_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

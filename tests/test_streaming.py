@@ -625,3 +625,60 @@ def test_dedup_stream_bloom_validation(spark, tmp_path):
     stream = read_stream_source(spark, d)
     with pytest.raises(EarthmoverSparkError, match="num_bits"):
         dedup_stream_bloom(stream, "k", num_bits=4)
+
+
+def test_quantile_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming bounded-state quantile sketch: after draining N
+    micro-batches, every (group, prob) estimate must equal the batch
+    quantile_sketch + quantile_estimate over the full data — the
+    lossless bottom-k merge contract, across batch boundaries."""
+    from earthmover_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+    from earthmover_spark.streaming import quantile_stream, read_stream_source
+
+    rows = [(f"g{i % 3}", i, float((i * 37) % 500)) for i in range(600)]
+    df = spark.createDataFrame(rows, ["grp", "rid", "val"])
+    d = str(tmp_path / "qstream")
+    # four files -> four micro-batches with maxFilesPerTrigger=1
+    df.repartition(4).write.mode("overwrite").parquet(d)
+    stream = read_stream_source(spark, d, max_files_per_trigger=1)
+    out = quantile_stream(
+        stream, "val", "rid", "grp", k=64, probs=(0.5, 0.9)
+    )
+    emitted = _run_to_memory(out, spark, "qstream_out", "update").collect()
+    # one emission per (group, prob) per batch; the final state is the
+    # row with the largest (monotone) n_total per key
+    final = {}
+    for r in emitted:
+        key = (r.grp, r.prob)
+        if key not in final or r.n_total > final[key].n_total:
+            final[key] = r
+    assert all(r.n_total == 200 for r in final.values())
+    sk = quantile_sketch(df, "val", "rid", k=64, group_cols=["grp"])
+    want = {
+        (r.grp, r.prob): r
+        for r in quantile_estimate(
+            sk, probs=(0.5, 0.9), group_cols=["grp"]
+        ).collect()
+    }
+    assert set(final) == set(want)
+    for key in want:
+        assert final[key].quantile_est == want[key].quantile_est, key
+        assert final[key].n_sample == want[key].n_sample, key
+
+
+def test_quantile_stream_validation(spark, tmp_path):
+    from earthmover_spark.streaming import quantile_stream, read_stream_source
+    from earthmover_spark.util import EarthmoverSparkError
+
+    d = str(tmp_path / "qv")
+    spark.createDataFrame([("g", 1, 1.0)], ["grp", "rid", "val"]).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = read_stream_source(spark, d)
+    with pytest.raises(EarthmoverSparkError, match="k >= 1"):
+        quantile_stream(stream, "val", "rid", "grp", k=0)
+    with pytest.raises(EarthmoverSparkError, match="probs"):
+        quantile_stream(stream, "val", "rid", "grp", probs=(1.5,))
