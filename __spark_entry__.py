@@ -2426,6 +2426,26 @@ def q_len_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chat.length_buckets(docs, "n_chars", batch_size=32)
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite unicode cleanup over documents seeded with crawl
+    artifacts (curly quotes, em-dash, ellipsis, nbsp, zero-width
+    space, a control char, CRLF, triple blank lines): pure regexp
+    codegen, zero shuffle."""
+    from earthmover_spark.llm import curation
+
+    seed_pre = "\u201cQ\u201d \u2014 \u2026 "
+    seed_post = "\u200b\u00a0\x07 end\r\n\n\n\ntail  "
+    docs = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(seed_pre), F.col("text"), F.lit(seed_post)
+        ).alias("text"),
+    )
+    return curation.clean_text(docs).select(
+        "doc_id", "n_chars_cleaned", "text"
+    )
+
+
 def q_ppx_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail tiers per language, ordered by the
     corpus's own unigram-LM score (deterministic ntile cut)."""
@@ -2646,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_cards": q_redact_cards,
         "fim_psm": q_fim_psm,
         "len_batches": q_len_batches,
+        "clean_docs": q_clean_text,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -5870,6 +5891,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, bucket,
                    CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id
             FROM r
+        """,
+        # ftfy-lite cleanup: the same fold/strip/collapse regexp chain
+        "clean_docs": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     chr(8220) || 'Q' || chr(8221) || ' ' || chr(8212)
+                       || ' ' || chr(8230) || ' ' || text
+                       || chr(8203) || chr(160) || chr(7) || ' end'
+                       || chr(13) || chr(10) || chr(10) || chr(10)
+                       || chr(10) || 'tail  ' AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id, t,
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(
+                  t,
+                  '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g'),
+                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                  '[\\x{2018}-\\x{201b}]', chr(39), 'g'),
+                  '[\\x{201c}-\\x{201f}]', chr(34), 'g'),
+                  '[\\x{2013}-\\x{2015}]', '-', 'g'),
+                  '\\x{2026}', '...', 'g'),
+                  '[\\x{00a0}\\x{2000}-\\x{200a}\\x{202f}\\x{205f}\\x{3000}]',
+                  ' ', 'g'),
+                  '\\r\\n?', chr(10), 'g'),
+                  '[ \\t]+', ' ', 'g'),
+                  ' +\\n', chr(10), 'g'),
+                  '\\n +', chr(10), 'g'),
+                  '\\n{3,}', chr(10) || chr(10), 'g'),
+                  '^\\s+|\\s+$', '', 'g') AS cleaned
+              FROM seeded
+            )
+            SELECT doc_id,
+                   length(t) - length(cleaned) AS n_chars_cleaned,
+                   cleaned AS text
+            FROM c
         """,
         # CCNet tiers: ntile(3) per lang over the unigram-LM score
         "ppx_tiers": f"""

@@ -329,6 +329,53 @@ def _luhn_valid(candidate: Column) -> Column:
     return F.pmod(total, F.lit(10)) == 0
 
 
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode text cleanup — the ftfy-lite normalization pass web
+    pipelines run before dedup and tokenization so that byte-level
+    artifacts don't split identical content into distinct documents:
+    strip C0 control characters (keeping tab/newline), fold curly
+    quotes and typographic dashes/ellipses to ASCII, normalize
+    non-breaking and zero-width spaces, collapse runs of horizontal
+    whitespace, trim line-trailing spaces, and cap blank-line runs at
+    one. Adds ``n_chars_cleaned`` (characters removed or folded, as a
+    length delta). Deliberately NOT full NFKC (that would need a
+    Python pass); this covers the overwhelmingly common crawl
+    artifacts with pure regexp codegen — zero shuffle, zero Python.
+    """
+    out_col = out_col or text_col
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    orig_len = F.length(t)
+    # zero-width chars vanish; C0 controls (minus tab/newline/CR) too
+    t2 = F.regexp_replace(t, "[\u200b\u200c\u200d\ufeff]", "")
+    t2 = F.regexp_replace(
+        t2, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
+    )
+    # typographic folds
+    t2 = F.regexp_replace(t2, "[\u2018\u2019\u201a\u201b]", "'")
+    t2 = F.regexp_replace(t2, '[\u201c\u201d\u201e\u201f]', '"')
+    t2 = F.regexp_replace(t2, "[\u2013\u2014\u2015]", "-")
+    t2 = F.regexp_replace(t2, "\u2026", "...")
+    # non-breaking / figure / narrow / ideographic spaces -> space
+    t2 = F.regexp_replace(
+        t2, "[\u00a0\u2000-\u200a\u202f\u205f\u3000]", " "
+    )
+    # CRLF -> LF, collapse horizontal runs, strip line-edge blanks
+    t2 = F.regexp_replace(t2, "\r\n?", "\n")
+    t2 = F.regexp_replace(t2, "[ \t]+", " ")
+    t2 = F.regexp_replace(t2, " +\n", "\n")
+    t2 = F.regexp_replace(t2, "\n +", "\n")
+    # cap blank-line runs: 3+ newlines -> exactly one blank line
+    t2 = F.regexp_replace(t2, "\n{3,}", "\n\n")
+    t2 = F.regexp_replace(t2, "^\\s+|\\s+$", "")
+    return df.withColumn("__clean__", t2).withColumn(
+        "n_chars_cleaned", orig_len - F.length("__clean__")
+    ).withColumn(out_col, F.col("__clean__")).drop("__clean__")
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",

@@ -451,6 +451,113 @@ def quantile_stream(
     )
 
 
+def topk_stream(
+    df: DataFrame,
+    key_col: str,
+    m: int = 1024,
+    n_shards: int = 16,
+    salt: str = "ssv",
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state — SpaceSaving
+    (Metwally et al. 2005) sharded by key hash: each of ``n_shards``
+    groups keeps at most ``m`` counters ``(key, count_est, err)`` as
+    its state, so total state is ``n_shards * m`` counters FOREVER
+    while exact per-key streaming counts grow without limit. A key
+    maps to exactly ONE shard, so shard summaries never overlap and
+    the global top-k is simply the union's largest ``count_est``.
+
+    SpaceSaving guarantees per tracked key:
+    ``count_est >= true_count >= count_est - err``; with ``m`` at
+    least the number of distinct keys in a shard, ``err`` is 0 and
+    counts are EXACT (the batch-twin test asserts equality with the
+    exact aggregation in that regime). Batches fold in via the
+    standard batched update: a batch's per-key count ``c`` increments
+    a tracked counter, fills an empty slot as ``(c, 0)``, or evicts
+    the minimum counter ``min`` as ``(min + c, min)``.
+
+    Emits each shard's full summary per batch (update mode):
+    ``(shard, key, count_est, err, n_total)``."""
+    if m < 1 or n_shards < 1:
+        raise EarthmoverSparkError(
+            "topk_stream: need m >= 1 and n_shards >= 1"
+        )
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from earthmover_spark.operators.sketch import _cm_slot
+
+    key_str = F.col(key_col).cast("string")
+    prepared = df.filter(key_str.isNotNull()).select(
+        key_str.alias("__k__"),
+        _cm_slot(key_str, n_shards, 0, salt).cast("int").alias("__shard__"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField(key_col, T.StringType()),
+            T.StructField("count_est", T.LongType()),
+            T.StructField("err", T.LongType()),
+            T.StructField("n_total", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ks", T.ArrayType(T.StringType())),
+            T.StructField("cs", T.ArrayType(T.LongType())),
+            T.StructField("es", T.ArrayType(T.LongType())),
+            T.StructField("n_total", T.LongType()),
+        ]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ks, cs, es, n_total = state.get
+            counters = {
+                k: [c, e] for k, c, e in zip(ks, cs, es)
+            }
+        else:
+            counters, n_total = {}, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_total += len(pdf)
+            for k, c in pdf["__k__"].value_counts().items():
+                c = int(c)
+                if k in counters:
+                    counters[k][0] += c
+                elif len(counters) < m:
+                    counters[k] = [c, 0]
+                else:
+                    mink = min(counters, key=lambda x: counters[x][0])
+                    mn = counters.pop(mink)[0]
+                    counters[k] = [mn + c, mn]
+        state.update(
+            (
+                list(counters),
+                [v[0] for v in counters.values()],
+                [v[1] for v in counters.values()],
+                int(n_total),
+            )
+        )
+        shard = int(key[0])
+        yield pd.DataFrame(
+            [
+                (shard, k, int(v[0]), int(v[1]), int(n_total))
+                for k, v in counters.items()
+            ],
+            columns=["shard", key_col, "count_est", "err", "n_total"],
+        )
+
+    return prepared.groupBy("__shard__").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_counts_stream(
     df: DataFrame,
     key_col: str,

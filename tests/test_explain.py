@@ -814,3 +814,12 @@ def test_len_batches_single_bucket_window(plans):
     assert "hashpartitioning(bucket" in p
     assert len([ln for ln in p.splitlines() if "Exchange" in ln]) <= 3, p
     assert "EvalPython" not in p
+
+
+def test_clean_docs_single_stage_jvm(plans):
+    """clean_text is a pure regexp_replace chain: no shuffle, no join,
+    no Python — scan-bandwidth bound."""
+    p = plans("clean_docs")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p

@@ -354,3 +354,30 @@ def test_length_buckets_bounded_spread_and_batches(spark):
         assert max(lens) < 2 * min(lens)  # padding waste bounded
     with pytest.raises(EarthmoverSparkError, match="batch_size"):
         length_buckets(df, "n_tok", batch_size=0)
+
+
+# ---------------------------------------------------------------------------
+# clean_text (ftfy-lite unicode cleanup)
+# ---------------------------------------------------------------------------
+
+
+def test_clean_text_folds_and_collapses(spark):
+    from earthmover_spark.llm.curation import clean_text
+
+    rows = [
+        (1, "“Smart” ‘quotes’ — and… stuff"),
+        (2, "a b​c   d\t\te"),
+        (3, "line1   \n\n\n\n\nline2\r\nline3\x07bell"),
+        (4, "  already clean  "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r for r in clean_text(df).collect()}
+    assert got[1].text == "\"Smart\" 'quotes' - and... stuff"
+    assert got[2].text == "a bc d e"
+    assert got[3].text == "line1\n\nline2\nline3bell"
+    assert got[4].text == "already clean" and got[4].n_chars_cleaned == 4
+    assert got[5].text == "" and got[5].n_chars_cleaned == 0
+    # idempotent: cleaning clean text changes nothing
+    again = {r.id: r for r in clean_text(clean_text(df)).collect()}
+    assert all(again[i].text == got[i].text for i in got)

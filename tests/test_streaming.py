@@ -682,3 +682,82 @@ def test_quantile_stream_validation(spark, tmp_path):
         quantile_stream(stream, "val", "rid", "grp", k=0)
     with pytest.raises(EarthmoverSparkError, match="probs"):
         quantile_stream(stream, "val", "rid", "grp", probs=(1.5,))
+
+
+def test_topk_stream_exact_when_capacity_suffices(spark, tmp_path):
+    """SpaceSaving heavy hitters: with m >= distinct keys per shard,
+    every count is exact (err 0) and equals the batch aggregation,
+    across micro-batch boundaries."""
+    from earthmover_spark.streaming import read_stream_source, topk_stream
+
+    rows = [(f"k{i % 20}",) for i in range(400)]
+    df = spark.createDataFrame(rows, ["key"])
+    d = str(tmp_path / "topk_exact")
+    df.repartition(3).write.mode("overwrite").parquet(d)
+    stream = read_stream_source(spark, d, max_files_per_trigger=1)
+    out = topk_stream(stream, "key", m=64, n_shards=4)
+    emitted = _run_to_memory(out, spark, "topk_out", "update").collect()
+    final = {}
+    for r in emitted:
+        if r.key not in final or r.n_total > final[r.key].n_total:
+            final[r.key] = r
+    want = {
+        r.key: r.n
+        for r in spark.read.parquet(d)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {k: v.count_est for k, v in final.items()} == want
+    assert all(v.err == 0 for v in final.values())
+
+
+def test_topk_stream_bounds_hold_under_pressure(spark, tmp_path):
+    """With m below the distinct-key count, state stays bounded and
+    the SpaceSaving guarantee holds for every tracked key:
+    count_est >= true >= count_est - err; the dominant keys of a
+    skewed stream are all tracked."""
+    from earthmover_spark.streaming import read_stream_source, topk_stream
+
+    # zipf-ish: key j appears ~600/(j+1) times, 80 distinct keys
+    rows = []
+    for j in range(80):
+        rows += [(f"h{j}",)] * max(600 // (j + 1), 1)
+    df = spark.createDataFrame(rows, ["key"])
+    d = str(tmp_path / "topk_tight")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = read_stream_source(spark, d)
+    out = topk_stream(stream, "key", m=12, n_shards=2)
+    emitted = _run_to_memory(out, spark, "topk_tight_out", "update").collect()
+    final = {}
+    for r in emitted:
+        if r.key not in final or r.n_total > final[r.key].n_total:
+            final[r.key] = r
+    true = {
+        r.key: r.n
+        for r in spark.read.parquet(d)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # bounded state: at most m counters per shard
+    by_shard = {}
+    for v in final.values():
+        by_shard.setdefault(v.shard, []).append(v)
+    assert all(len(v) <= 12 for v in by_shard.values())
+    for k, v in final.items():
+        assert v.count_est >= true[k] >= v.count_est - v.err, k
+    # the top-5 true heavy hitters all survive in the summary
+    top_true = sorted(true, key=lambda k: -true[k])[:5]
+    assert set(top_true) <= set(final)
+
+
+def test_topk_stream_validation(spark, tmp_path):
+    from earthmover_spark.streaming import read_stream_source, topk_stream
+    from earthmover_spark.util import EarthmoverSparkError
+
+    d = str(tmp_path / "topk_v")
+    spark.createDataFrame([("a",)], ["key"]).write.mode("overwrite").parquet(d)
+    stream = read_stream_source(spark, d)
+    with pytest.raises(EarthmoverSparkError, match="m >= 1"):
+        topk_stream(stream, "key", m=0)
