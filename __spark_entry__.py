@@ -2446,6 +2446,27 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition over documents seeded with Cyrillic
+    and Han snippets by doc_id residue: one regexp_count pass, zero
+    shuffle."""
+    from earthmover_spark.llm import textstats
+
+    k = F.col("doc_id") % 3
+    docs = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(k == 0, F.lit(" \u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"))
+            .when(k == 1, F.lit(" \u4f60\u597d\u4e16\u754c"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.script_stats(
+        docs, scripts=["latin", "cyrillic", "han"]
+    ).select("doc_id", "n_nonspace", "frac_latin", "frac_cyrillic", "frac_han")
+
+
 def q_ppx_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail tiers per language, ordered by the
     corpus's own unigram-LM score (deterministic ntile cut)."""
@@ -2667,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_psm": q_fim_psm,
         "len_batches": q_len_batches,
         "clean_docs": q_clean_text,
+        "script_mix": q_script_mix,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -5891,6 +5913,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, bucket,
                    CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id
             FROM r
+        """,
+        # unicode script fractions via RE2 script properties
+        "script_mix": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || CASE doc_id % 3
+                       WHEN 0 THEN ' ' || chr(1055) || chr(1088) || chr(1080)
+                            || chr(1074) || chr(1077) || chr(1090) || ' '
+                            || chr(1084) || chr(1080) || chr(1088)
+                       WHEN 1 THEN ' ' || chr(20320) || chr(22909)
+                            || chr(19990) || chr(30028)
+                       ELSE '' END AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '\\S')) AS n_nonspace,
+                     len(regexp_extract_all(t, '\\p{Latin}')) AS nl,
+                     len(regexp_extract_all(t, '\\p{Cyrillic}')) AS nc,
+                     len(regexp_extract_all(t, '\\p{Han}')) AS nh
+              FROM seeded
+            )
+            SELECT doc_id, n_nonspace,
+                   round(CASE WHEN n_nonspace > 0
+                              THEN nl / n_nonspace::DOUBLE ELSE 0 END, 6)
+                       AS frac_latin,
+                   round(CASE WHEN n_nonspace > 0
+                              THEN nc / n_nonspace::DOUBLE ELSE 0 END, 6)
+                       AS frac_cyrillic,
+                   round(CASE WHEN n_nonspace > 0
+                              THEN nh / n_nonspace::DOUBLE ELSE 0 END, 6)
+                       AS frac_han
+            FROM c
         """,
         # ftfy-lite cleanup: the same fold/strip/collapse regexp chain
         "clean_docs": """

@@ -285,6 +285,60 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Unicode scripts counted by :func:`script_stats`, name -> Java regex
+#: script property (the oracle uses the RE2 spelling ``\p{Latin}``;
+#: both engines consult the same Unicode script assignments).
+SCRIPTS = {
+    "latin": r"\p{IsLatin}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "greek": r"\p{IsGreek}",
+    "arabic": r"\p{IsArabic}",
+    "hebrew": r"\p{IsHebrew}",
+    "devanagari": r"\p{IsDevanagari}",
+    "han": r"\p{IsHan}",
+    "hiragana": r"\p{IsHiragana}",
+    "katakana": r"\p{IsKatakana}",
+    "hangul": r"\p{IsHangul}",
+}
+
+
+def script_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    scripts: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-document Unicode-script composition: ``n_nonspace`` (total
+    non-whitespace characters) plus ``frac_<script>`` for each
+    requested script (default: the :data:`SCRIPTS` ten), rounded to 6
+    places. The routing signal multilingual curation uses before any
+    language model: a "German" document that is 40% Cyrillic is
+    mislabeled or spam, CJK corpora split han/kana/hangul, and
+    mixed-script text is a strong junk indicator.
+
+    Pure ``regexp_count`` codegen over the scan — zero shuffle, zero
+    Python, one pass regardless of how many scripts are counted."""
+    use = list(scripts) if scripts is not None else list(SCRIPTS)
+    unknown = [s for s in use if s not in SCRIPTS]
+    if unknown:
+        raise ValueError(
+            f"script_stats: unknown scripts {unknown}; options: "
+            f"{sorted(SCRIPTS)}"
+        )
+    text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    denom = F.regexp_count(text, F.lit(r"\S"))
+    cols = {"n_nonspace": denom}
+    for s in use:
+        cols[f"frac_{s}"] = F.round(
+            F.when(
+                denom > 0,
+                F.regexp_count(text, F.lit(SCRIPTS[s]))
+                / denom.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+    return df.withColumns(cols)
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------

@@ -823,3 +823,10 @@ def test_clean_docs_single_stage_jvm(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_script_mix_single_stage_jvm(plans):
+    p = plans("script_mix")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p

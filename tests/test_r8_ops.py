@@ -381,3 +381,28 @@ def test_clean_text_folds_and_collapses(spark):
     # idempotent: cleaning clean text changes nothing
     again = {r.id: r for r in clean_text(clean_text(df)).collect()}
     assert all(again[i].text == got[i].text for i in got)
+
+
+def test_script_stats_fractions(spark):
+    from earthmover_spark.llm.textstats import script_stats
+
+    rows = [
+        (1, "hello world"),
+        (2, "Привет мир"),
+        (3, "你好世界 hello"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r.id: r
+        for r in script_stats(
+            df, scripts=["latin", "cyrillic", "han"]
+        ).collect()
+    }
+    assert got[1].frac_latin == 1.0 and got[1].n_nonspace == 10
+    assert got[2].frac_cyrillic == 1.0
+    assert got[3].frac_han == pytest.approx(4 / 9, abs=1e-6)
+    assert got[3].frac_latin == pytest.approx(5 / 9, abs=1e-6)
+    assert got[4].n_nonspace == 0 and got[4].frac_latin == 0.0
+    with pytest.raises(ValueError, match="unknown scripts"):
+        script_stats(df, scripts=["klingon"])
