@@ -542,3 +542,61 @@ def test_paragraph_dedup_matches_python_reference(spark, docs, max_docs):
         assert got[i].text == "\n\n".join(expect)
         assert got[i].n_paras_kept == len(expect)
         assert got[i].n_paras_dropped == len(paras) - len(expect)
+
+
+# -- clean_text: idempotence over adversarial unicode ------------------------
+
+_MESSY = st.text(
+    alphabet=st.sampled_from(
+        list("ab c\t\n\r") + ["“", "’", "—", "…",
+                              " ", "​", "\x07", "　"]
+    ),
+    max_size=40,
+)
+
+
+@given(texts=st.lists(_MESSY, min_size=1, max_size=6))
+@settings(**{**SETTINGS, "max_examples": 15})
+def test_clean_text_idempotent_and_ascii_safe(spark, texts):
+    """clean_text applied twice == applied once, for arbitrary mixes
+    of the artifacts it targets; cleaned text never contains the
+    folded characters, C0 controls (except tab/newline... which are
+    themselves normalized), CR, or 3+ newline runs."""
+    from earthmover_spark.llm.curation import clean_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    once = {r.id: r.text for r in clean_text(df).collect()}
+    twice = {
+        r.id: r.text for r in clean_text(clean_text(df)).collect()
+    }
+    assert once == twice
+    for t in once.values():
+        assert "\r" not in t and "​" not in t and "\x07" not in t
+        assert "“" not in t and " " not in t
+        assert "\n\n\n" not in t
+        assert not t.startswith((" ", "\n")) and not t.endswith((" ", "\n"))
+
+
+# -- fim_transform: lossless split for any text ------------------------------
+
+@given(texts=st.lists(st.text(max_size=30), min_size=1, max_size=6))
+@settings(**{**SETTINGS, "max_examples": 15})
+def test_fim_transform_lossless_property(spark, texts):
+    import re
+
+    from earthmover_spark.llm.chat import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    orig = {r.id: r.text for r in df.collect()}
+    for r in fim_transform(df, id_col="id", fim_rate=1.0).collect():
+        if not r.fim_applied:
+            assert orig[r.id] == "" or orig[r.id] is None
+            continue
+        m = re.fullmatch(r"<PRE>(.*)<SUF>(.*)<MID>(.*)", r.text, re.S)
+        assert m, r.text
+        pre, suf, mid = m.groups()
+        assert pre + mid + suf == orig[r.id]
