@@ -74,12 +74,12 @@ def test_stream_analytics_example(spark, tmp_path):
     pu = tmp_path / "purchases_inbox"
     spark.createDataFrame(
         [
-            (1, "2024-01-01 10:00:00", 7),
-            (2, "2024-01-01 10:02:00", 7),
-            (3, "2024-01-01 10:50:00", 7),
-            (4, "2024-01-01 11:40:00", 8),
+            (1, "2024-01-01 10:00:00", 7, "click", 10.0),
+            (2, "2024-01-01 10:02:00", 7, "view", 20.0),
+            (3, "2024-01-01 10:50:00", 7, "click", 30.0),
+            (4, "2024-01-01 11:40:00", 8, "view", 40.0),
         ],
-        ["event_id", "ts_s", "user_id"],
+        ["event_id", "ts_s", "user_id", "event_type", "value"],
     ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s") \
         .coalesce(1).write.parquet(str(ev))
     spark.createDataFrame(
@@ -113,6 +113,16 @@ def test_stream_analytics_example(spark, tmp_path):
     counts = {c["user_id"]: c for c in
               read_dir(results["$destinations.activity_counts"])}
     assert counts["7"]["n_events"] == "3" and counts["8"]["n_events"] == "1"
+    # bounded-state sketches: p50/p99 per event type and heavy users
+    quant = {(q["event_type"], q["prob"]): q
+             for q in read_dir(results["$destinations.value_p99"])}
+    # clicks: values 10, 30 -> p50 = 10 (nearest rank of 2), p99 = 30
+    assert float(quant[("click", "0.5")]["quantile_est"]) == 10.0
+    assert float(quant[("click", "0.99")]["quantile_est"]) == 30.0
+    hh = {h["user_id"]: h for h in
+          read_dir(results["$destinations.heavy_hitters"])}
+    assert hh["7"]["count_est"] == "3" and hh["7"]["err"] == "0"
+    assert hh["8"]["count_est"] == "1"
 
 
 def test_web_corpus_qa_example(spark, tmp_path):
