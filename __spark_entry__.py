@@ -2467,6 +2467,19 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_nonspace", "frac_latin", "frac_cyrillic", "frac_han")
 
 
+def q_ppx_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LM scoring (true CCNet shape): every document
+    scored under the unigram LM of the en slice, add-1 smoothing over
+    a 50k nominal vocab — bounded LM agg + one tf shuffle."""
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    return textstats.unigram_logprob_ref(
+        docs, ref, vocab_size=50_000, smoothing=1.0
+    )
+
+
 def q_ppx_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail tiers per language, ordered by the
     corpus's own unigram-LM score (deterministic ntile cut)."""
@@ -2689,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_batches": q_len_batches,
         "clean_docs": q_clean_text,
         "script_mix": q_script_mix,
+        "ppx_ref": q_ppx_ref,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -5913,6 +5927,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, bucket,
                    CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id
             FROM r
+        """,
+        # cross-corpus unigram LM with add-1 smoothing over 50k vocab
+        "ppx_ref": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+            ), lmw AS (
+              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+              FROM documents WHERE lang = 'en'
+            ), lm AS (
+              SELECT term, count(*) AS c FROM lmw GROUP BY 1
+            ), tot AS (
+              SELECT coalesce(sum(c), 0)::DOUBLE AS total FROM lm
+            )
+            SELECT tf.doc_id,
+                   sum(tf)::BIGINT AS n_tokens,
+                   round(sum(tf * ln((coalesce(lm.c, 0) + 1.0)
+                                     / (tot.total + 50000.0))) / sum(tf), 6)
+                       AS avg_logprob
+            FROM tf LEFT JOIN lm USING (term) CROSS JOIN tot
+            GROUP BY 1
         """,
         # unicode script fractions via RE2 script properties
         "script_mix": """

@@ -10,9 +10,12 @@ from __future__ import annotations
 
 import math
 import re
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from earthmover_spark.util import EarthmoverSparkError
 
 _SIZE_SUFFIX = {
     "": 1, "b": 1,
@@ -507,6 +510,71 @@ def unigram_logprob(
             / F.sum("tf"),
             6,
         ).alias(out_col),
+    )
+
+
+def unigram_logprob_ref(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 100_000,
+    smoothing: float = 1.0,
+    out_col: str = "avg_logprob",
+) -> DataFrame:
+    """Per-document average token log-probability under a REFERENCE
+    corpus's unigram LM — the true CCNet shape (Wenzek et al. 2020):
+    fit the LM on a clean corpus (Wikipedia in the paper), score the
+    raw crawl under it, then tier with
+    ``selection.perplexity_buckets``. Unlike :func:`unigram_logprob`
+    (self-corpus scoring), out-of-reference tokens are handled by
+    add-``smoothing`` over a nominal ``vocab_size``, so unseen words
+    get a finite penalty instead of -inf. Returns
+    ``(id, n_tokens, out_col)`` rounded to 6 places.
+
+    Scale shape: the reference LM is one bounded word-count
+    aggregation over the (clean, comparatively small) reference; the
+    raw corpus shuffles once as compressed (doc, term, tf) rows and
+    left-joins the LM term-keyed — at crawl scale the LM frame
+    broadcast-joins. Engine-portable: same add-smoothing formula as
+    ``selection.dsir_weights``."""
+    if vocab_size < 1 or smoothing <= 0:
+        raise EarthmoverSparkError(
+            "unigram_logprob_ref: need vocab_size >= 1 and smoothing > 0"
+        )
+    lm = (
+        spread_narrow_scan(ref, LIGHT_SPREAD_MIN_BYTES)
+        .select(
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = lm.agg(F.sum("c").alias("total"))
+    tf = (
+        spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(lm, "term", "left").crossJoin(F.broadcast(total))
+    logp = F.log(
+        (F.coalesce("c", F.lit(0)) + F.lit(smoothing))
+        / (
+            F.coalesce("total", F.lit(0)).cast("double")
+            + F.lit(smoothing * vocab_size)
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 6).alias(out_col),
     )
 
 

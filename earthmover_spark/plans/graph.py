@@ -31,7 +31,7 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
         # cm_estimate/bloom_probe's `keys`, lm_divergence's `b`
         for key in ("source", "pairs", "benchmark", "right", "weights",
                     "static_df", "updates", "seen", "new", "keys", "b",
-                    "target"):
+                    "target", "ref"):
             if op.get(key):
                 refs.append(op[key])
         # validate_table's `references` map; filter_domains' list refs

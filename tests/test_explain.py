@@ -830,3 +830,11 @@ def test_script_mix_single_stage_jvm(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_ppx_ref_lm_join_shapes(plans):
+    """Cross-corpus LM scoring: the term-keyed LM join carries no
+    cartesian beyond the 1-row total broadcast; no Python."""
+    p = plans("ppx_ref")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p

@@ -406,3 +406,33 @@ def test_script_stats_fractions(spark):
     assert got[4].n_nonspace == 0 and got[4].frac_latin == 0.0
     with pytest.raises(ValueError, match="unknown scripts"):
         script_stats(df, scripts=["klingon"])
+
+
+def test_unigram_logprob_ref_oov_penalty(spark):
+    """Tokens absent from the reference LM get the floor probability
+    smoothing/(total + smoothing*vocab): a doc of pure OOV words must
+    score exactly that floor, and in-vocab docs must beat OOV docs."""
+    import math
+
+    from earthmover_spark.llm.textstats import unigram_logprob_ref
+
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "zzz qqq")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r
+        for r in unigram_logprob_ref(
+            docs, ref, vocab_size=1000, smoothing=1.0
+        ).collect()
+    }
+    floor = math.log(1.0 / (4 + 1000.0))
+    assert got[2].avg_logprob == pytest.approx(floor, abs=1e-6)
+    assert got[1].avg_logprob > got[2].avg_logprob
+    # alpha: ln(3/1004), beta: ln(2/1004), averaged
+    want1 = (math.log(3 / 1004.0) + math.log(2 / 1004.0)) / 2
+    assert got[1].avg_logprob == pytest.approx(want1, abs=1e-6)
+    with pytest.raises(Exception, match="vocab_size"):
+        unigram_logprob_ref(docs, ref, vocab_size=0)
