@@ -72,6 +72,19 @@ def main(argv: list[str] | None = None) -> int:
         help="also write the merged, Jinja-expanded YAML next to the config",
     )
 
+    exp_p = sub.add_parser(
+        "explain",
+        help="compile and print each destination's physical plan "
+             "without writing anything (plan-tuning surface)",
+    )
+    exp_p.add_argument("-c", "--config", required=True)
+    exp_p.add_argument("-p", "--params", default=None)
+    exp_p.add_argument("-s", "--select", default="*")
+    exp_p.add_argument(
+        "--mode", default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+
     deps_p = sub.add_parser(
         "deps",
         help="install project packages (git clone / local merge) without "
@@ -126,6 +139,18 @@ def main(argv: list[str] | None = None) -> int:
             from earthmover_spark.plans.config import compile_to_disk
 
             print(compile_to_disk(args.config, params))
+        return 0
+
+    if args.command == "explain":
+        from earthmover_spark import get_spark
+        from earthmover_spark.plans.executor import explain_project
+
+        spark = get_spark("earthmover_spark.explain")
+        for dest, plan in explain_project(
+            spark, args.config, params, selector=args.select, mode=args.mode
+        ).items():
+            print(f"==== {dest} ====")
+            print(plan)
         return 0
 
     if args.command == "deps":

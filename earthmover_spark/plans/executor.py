@@ -401,6 +401,41 @@ class Executor:
         self.results[name] = path
 
 
+def explain_project(
+    spark: SparkSession,
+    config_path: str,
+    params: dict[str, str] | None = None,
+    selector: str = "*",
+    mode: str = "formatted",
+) -> dict[str, str]:
+    """Compile a YAML project and return {destination: physical plan}
+    WITHOUT writing anything — the plan-inspection surface for tuning:
+    check that filters pushed down, joins broadcast, and nothing fell
+    back to a Python UDF before paying for a full run. Streaming
+    destinations fall back to the analyzed logical plan (their physical
+    plan exists only once a query starts)."""
+    project = compile_config(config_path, params)
+    ex = Executor(spark, project)
+    subset = ex.graph.select(selector)
+    plans: dict[str, str] = {}
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    for name in ex.graph.topological_order(subset):
+        node = ex.graph.nodes[name]
+        if node.kind == "sources":
+            ex.data[name] = ex._eval_source(name, node.config)
+        elif node.kind == "transformations":
+            ex.data[name] = ex._eval_transformation(name, node.config)
+        else:
+            df = ex._resolve(node.config["source"])
+            try:
+                plans[name] = df._jdf.queryExecution().explainString(jvm_mode)
+            except Exception:
+                plans[name] = df._jdf.queryExecution().analyzed().toString()
+    return plans
+
+
 def run_project(
     spark: SparkSession,
     config_path: str,

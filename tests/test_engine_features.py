@@ -713,3 +713,24 @@ def test_sql_transformation(spark, tmp_path):
     rows = {json.loads(ln)["full"]: json.loads(ln)["total"] for ln in
             open(results["$destinations.spend_out"]).read().splitlines()}
     assert rows == {"Ann": "30.0"}
+
+
+def test_explain_project_returns_plans_without_writing(spark, tmp_path):
+    """The explain surface compiles + plans every destination but
+    writes nothing; broadcast joins must be visible in the plan."""
+    import os
+
+    from earthmover_spark.plans.executor import explain_project
+
+    cfg = os.path.join(
+        os.path.dirname(__file__), "..", "examples",
+        "01_orders_report", "earthmover.yaml",
+    )
+    plans = explain_project(
+        spark, cfg, params={"SF_DIR": "/root/testdata/sf0.001"}
+    )
+    assert plans and all(p.strip() for p in plans.values())
+    assert any("BroadcastHashJoin" in p for p in plans.values())
+    # nothing written anywhere under the example's output dir
+    out = os.path.join(os.path.dirname(cfg), "outputs")
+    assert not os.path.exists(out)
