@@ -121,8 +121,13 @@ HEADLINE = [
     "dsir_w",  # hashed-ngram bucket LMs (broadcast) + per-doc tf agg
     "dsir_smp",  # Gumbel-top-k over DSIR weights, one TakeOrdered
     "ppx_tiers",  # unigram-LM score + per-lang ntile cut
+    "ppx_ref",  # cross-corpus LM scoring, bounded LM agg + tf shuffle
     "dedup_keep_best",  # CC + paired-docs argmax, broadcast annotation
     "redact_cards",  # Luhn-validated regexp/array redaction, no shuffle
+    "fim_psm",  # 3 md5s + substring arithmetic per row, zero shuffle
+    "len_batches",  # one bucket-keyed window rank
+    "clean_docs",  # regexp_replace chain, zero shuffle
+    "script_mix",  # regexp_count script fractions, zero shuffle
 ]
 
 
