@@ -2467,6 +2467,19 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_nonspace", "frac_latin", "frac_cyrillic", "frac_han")
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen over order totals per
+    priority: two exact-percentile hash aggs + two broadcast stat
+    joins, no windows — immune to the masking that inflates
+    mean/stddev screens."""
+    from earthmover_spark.operators import groupby
+
+    orders = _p(spark, sf_dir, "orders")
+    return groupby.flag_outliers_robust(
+        orders, "o_totalprice", ["o_orderpriority"], z=3.5
+    ).select("o_orderkey", "o_orderpriority", "robust_z", "is_outlier")
+
+
 def q_ppx_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus LM scoring (true CCNet shape): every document
     scored under the unigram LM of the en slice, add-1 smoothing over
@@ -2703,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_docs": q_clean_text,
         "script_mix": q_script_mix,
         "ppx_ref": q_ppx_ref,
+        "robust_outliers": q_robust_outliers,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -5927,6 +5941,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, bucket,
                    CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id
             FROM r
+        """,
+        # median/MAD robust z per priority group
+        "robust_outliers": """
+            WITH med AS (
+              SELECT o_orderpriority, median(o_totalprice) AS m
+              FROM orders GROUP BY 1
+            ), mad AS (
+              SELECT o.o_orderpriority,
+                     median(abs(o.o_totalprice - med.m)) AS d
+              FROM orders o JOIN med USING (o_orderpriority)
+              GROUP BY 1
+            )
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   CASE WHEN mad.d > 0
+                        THEN round(0.6745 * (o.o_totalprice - med.m) / mad.d, 6)
+                        ELSE 0.0 END AS robust_z,
+                   CASE WHEN mad.d > 0
+                        THEN abs(round(0.6745 * (o.o_totalprice - med.m) / mad.d, 6)) > 3.5
+                        ELSE FALSE END AS is_outlier
+            FROM orders o JOIN med USING (o_orderpriority)
+                          JOIN mad USING (o_orderpriority)
         """,
         # cross-corpus unigram LM with add-1 smoothing over 50k vocab
         "ppx_ref": f"""

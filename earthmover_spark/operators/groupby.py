@@ -510,6 +510,54 @@ def flag_outliers(
     )
 
 
+def flag_outliers_robust(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    z: float = 3.5,
+    out_col: str = "is_outlier",
+    score_col: str = "robust_z",
+) -> DataFrame:
+    """Median/MAD outlier screen — :func:`flag_outliers`' robust twin
+    for heavy-tailed or already-contaminated data, where a handful of
+    extreme values inflate the mean/stddev enough to mask themselves
+    (masking). The robust z-score is ``0.6745 * (x - median) / MAD``
+    (the normal-consistency constant, Iglewicz & Hoaglin 1993, whose
+    conventional cutoff is 3.5); ``MAD = median(|x - median|)``.
+    Adds ``robust_z`` (rounded to 6; 0.0 in zero-MAD groups) and
+    ``out_col``.
+
+    Scale shape: two hash aggregations (exact group medians via
+    ``percentile``, then the MAD over the deviations) — medians need
+    no global sort in Spark's grouped percentile — and two broadcast
+    joins of |groups|-row stats frames; no windows."""
+    groups = list(group_cols)
+    v = F.col(value_col).cast("double")
+
+    med = F.percentile(v, F.lit(0.5)).alias("__med__")
+    if groups:
+        med_stats = df.groupBy(*groups).agg(med)
+        j1 = df.join(F.broadcast(med_stats), groups)
+    else:
+        j1 = df.crossJoin(F.broadcast(df.agg(med)))
+    dev = F.abs(v - F.col("__med__"))
+    mad = F.percentile(dev, F.lit(0.5)).alias("__mad__")
+    if groups:
+        mad_stats = j1.groupBy(*groups).agg(mad)
+        j2 = j1.join(F.broadcast(mad_stats), groups)
+    else:
+        j2 = j1.crossJoin(F.broadcast(j1.agg(mad)))
+    score = F.when(
+        F.col("__mad__") > 0,
+        F.round(F.lit(0.6745) * (v - F.col("__med__")) / F.col("__mad__"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        j2.withColumn(score_col, score)
+        .withColumn(out_col, F.abs(F.col(score_col)) > z)
+        .drop("__med__", "__mad__")
+    )
+
+
 def mode_per_group(
     df: DataFrame,
     group_cols: str | Sequence[str],

@@ -838,3 +838,13 @@ def test_ppx_ref_lm_join_shapes(plans):
     p = plans("ppx_ref")
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_robust_outliers_no_window_broadcast_stats(plans):
+    """Median/MAD screen: two percentile hash aggs + broadcast stat
+    joins — no Window (a window would sort every group), no Python."""
+    p = plans("robust_outliers")
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p

@@ -436,3 +436,32 @@ def test_unigram_logprob_ref_oov_penalty(spark):
     assert got[1].avg_logprob == pytest.approx(want1, abs=1e-6)
     with pytest.raises(Exception, match="vocab_size"):
         unigram_logprob_ref(docs, ref, vocab_size=0)
+
+
+def test_flag_outliers_robust_resists_masking(spark):
+    """The classic z-score is masked by the outlier inflating the
+    stddev; the median/MAD screen flags it."""
+    from earthmover_spark.operators.groupby import (
+        flag_outliers,
+        flag_outliers_robust,
+    )
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 2, 1, 2, 3, 2, 1000]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    robust = {
+        r.v: r.is_outlier
+        for r in flag_outliers_robust(df, "v", ["g"], z=3.5).collect()
+    }
+    assert robust[1000.0] is True
+    assert all(not flagged for v, flagged in robust.items() if v != 1000.0)
+    classic = {
+        r.v: r.is_outlier
+        for r in flag_outliers(df, "v", ["g"], z=3.0).collect()
+    }
+    assert classic[1000.0] is False  # masked: 1000 is within 3 sigma
+    # zero-MAD group: all scores 0, nothing flagged
+    const = spark.createDataFrame(
+        [("b", 5.0)] * 4, ["g", "v"]
+    )
+    out = flag_outliers_robust(const, "v", ["g"]).collect()
+    assert all(r.robust_z == 0.0 and not r.is_outlier for r in out)
