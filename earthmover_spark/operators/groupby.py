@@ -517,6 +517,7 @@ def flag_outliers_robust(
     z: float = 3.5,
     out_col: str = "is_outlier",
     score_col: str = "robust_z",
+    exact: bool = True,
 ) -> DataFrame:
     """Median/MAD outlier screen — :func:`flag_outliers`' robust twin
     for heavy-tailed or already-contaminated data, where a handful of
@@ -527,21 +528,30 @@ def flag_outliers_robust(
     Adds ``robust_z`` (rounded to 6; 0.0 in zero-MAD groups) and
     ``out_col``.
 
-    Scale shape: two hash aggregations (exact group medians via
-    ``percentile``, then the MAD over the deviations) — medians need
-    no global sort in Spark's grouped percentile — and two broadcast
-    joins of |groups|-row stats frames; no windows."""
+    Scale shape: two hash aggregations + two broadcast joins of
+    |groups|-row stats frames; no windows. ``exact=True`` uses
+    Spark's exact grouped ``percentile``, which buffers each group's
+    values in the aggregation state — fine up to millions of rows per
+    group, NOT at 100 TB single-group scale. Pass ``exact=False`` for
+    ``percentile_approx`` (t-digest, bounded state per group) when
+    groups are data-scale; an outlier CUTOFF is insensitive to the
+    ~0.1% median error."""
     groups = list(group_cols)
     v = F.col(value_col).cast("double")
 
-    med = F.percentile(v, F.lit(0.5)).alias("__med__")
+    def pct(col: Column) -> Column:
+        if exact:
+            return F.percentile(col, F.lit(0.5))
+        return F.percentile_approx(col, F.lit(0.5), F.lit(10_000))
+
+    med = pct(v).alias("__med__")
     if groups:
         med_stats = df.groupBy(*groups).agg(med)
         j1 = df.join(F.broadcast(med_stats), groups)
     else:
         j1 = df.crossJoin(F.broadcast(df.agg(med)))
     dev = F.abs(v - F.col("__med__"))
-    mad = F.percentile(dev, F.lit(0.5)).alias("__mad__")
+    mad = pct(dev).alias("__mad__")
     if groups:
         mad_stats = j1.groupBy(*groups).agg(mad)
         j2 = j1.join(F.broadcast(mad_stats), groups)

@@ -465,3 +465,17 @@ def test_flag_outliers_robust_resists_masking(spark):
     )
     out = flag_outliers_robust(const, "v", ["g"]).collect()
     assert all(r.robust_z == 0.0 and not r.is_outlier for r in out)
+
+
+def test_flag_outliers_robust_approx_path(spark):
+    """exact=False (t-digest medians, bounded agg state) flags the
+    same obvious outlier; scores differ at most by the approx error."""
+    from earthmover_spark.operators.groupby import flag_outliers_robust
+
+    rows = [("a", float(v % 50)) for v in range(2000)] + [("a", 1e6)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.v: r.is_outlier
+           for r in flag_outliers_robust(df, "v", ["g"],
+                                         exact=False).collect()}
+    assert out[1e6] is True
+    assert sum(out.values()) == 1
