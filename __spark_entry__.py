@@ -2467,6 +2467,26 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_nonspace", "frac_latin", "frac_cyrillic", "frac_han")
 
 
+def q_neg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-wide negative sampling (k=2 per doc):
+    dense global index (range shuffle + bounded collect) + md5 offset
+    + one idx-keyed self-join — never a single-task sort."""
+    from earthmover_spark.llm import sampling
+
+    docs = _p(spark, sf_dir, "documents")
+    return sampling.negative_samples(docs, k=2)
+
+
+def q_global_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based global index over orders by key: the distributed
+    ranking primitive (range-repartition + per-partition rank +
+    broadcast prefix offsets)."""
+    from earthmover_spark.operators import groupby
+
+    orders = _p(spark, sf_dir, "orders").select("o_orderkey")
+    return groupby.global_index(orders, ["o_orderkey"])
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier screen over order totals per
     priority: two exact-percentile hash aggs + two broadcast stat
@@ -2717,6 +2737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": q_script_mix,
         "ppx_ref": q_ppx_ref,
         "robust_outliers": q_robust_outliers,
+        "neg_pairs": q_neg_pairs,
+        "global_idx": q_global_idx,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -5941,6 +5963,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, bucket,
                    CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id
             FROM r
+        """,
+        # dense global index + md5-offset negative pairing
+        "neg_pairs": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS idx
+              FROM documents
+            ), n AS (SELECT count(*) AS n FROM documents),
+            p AS (
+              SELECT r.doc_id, j.j,
+                     (r.idx + 1 + (CAST(('0x' || substr(md5('neg:'
+                          || CAST(r.doc_id AS VARCHAR) || ':'
+                          || CAST(j.j AS VARCHAR)), 1, 15))
+                         AS UBIGINT)::BIGINT % (n.n - 1))) % n.n AS neg_idx
+              FROM r, n, (SELECT unnest(range(1, 3)) AS j) j
+              WHERE n.n >= 2
+            )
+            SELECT p.doc_id, p.j, r2.doc_id AS neg_id
+            FROM p JOIN r r2 ON r2.idx = p.neg_idx
+        """,
+        "global_idx": """
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+            FROM orders
         """,
         # median/MAD robust z per priority group
         "robust_outliers": """

@@ -558,6 +558,72 @@ def epoch_repeat(
     )
 
 
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic corpus-wide negative sampling for contrastive
+    training: for every row, ``k`` pseudo-random OTHER rows chosen
+    uniformly from the whole corpus — the standard random-negatives
+    baseline for embedding/retrieval training (in-batch negatives are
+    a special case at batch scope; this draws from the full corpus).
+    Returns ``(id_col, j, neg_id)`` with ``j`` in 1..k and a
+    guarantee ``neg_id != id``. md5-derived, so reruns and backfills
+    pair identically (the sampling-family determinism contract).
+
+    Construction: a dense 0-based index over the id ordering
+    (``operators.groupby.global_index`` — one range shuffle + a
+    partition-count-bounded collect, never a single-task sort), then
+    ``neg_idx = (idx + 1 + md5(salt:id:j) mod (n-1)) mod n`` — a
+    uniform draw over the other n-1 indices — and one idx-keyed
+    self-join to resolve ids. With fewer than 2 rows there is nothing
+    to pair: returns an empty frame."""
+    from earthmover_spark.operators.groupby import global_index
+
+    if k < 1:
+        raise EarthmoverSparkError("negative_samples: k must be >= 1")
+    idx = global_index(df.select(id_col), [id_col], out_col="__idx__")
+    tot = idx.agg(F.count(F.lit(1)).alias("__n__"))
+    j = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pairs = (
+        idx.crossJoin(F.broadcast(tot))
+        .filter(F.col("__n__") >= 2)
+        .select(F.col(id_col), F.col("__idx__"), F.col("__n__"), j)
+        .withColumn(
+            "__neg_idx__",
+            F.pmod(
+                F.col("__idx__")
+                + 1
+                + F.pmod(h, F.col("__n__") - 1),
+                F.col("__n__"),
+            ),
+        )
+    )
+    others = idx.select(
+        F.col("__idx__").alias("__neg_idx__"),
+        F.col(id_col).alias("neg_id"),
+    )
+    return pairs.join(others, "__neg_idx__").select(id_col, "j", "neg_id")
+
+
 def sample_ladder(
     df: DataFrame,
     key_col: str,

@@ -292,42 +292,18 @@ def global_ntile(
     partitions: int | None = None,
 ) -> DataFrame:
     """Exact NTILE(n) over a *global* ordering without a
-    single-partition window.
-
-    Classic distributed ranking: range-repartition on the ordering
-    (every partition holds a contiguous key range), count each
-    partition (collect is bounded by the partition COUNT, not data),
-    broadcast the prefix offsets, then rank within partitions and add
-    the offset. Bucket assignment follows SQL NTILE semantics (the
-    first ``total % n`` buckets get one extra row).
+    single-partition window (see :func:`_global_rank` for the
+    distributed-ranking machinery). Bucket assignment follows SQL
+    NTILE semantics (the first ``total % n`` buckets get one extra
+    row).
 
     The ordering must be total (include a unique tiebreaker column) —
     ties straddling a range boundary would otherwise get
     nondeterministic buckets.
     """
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    p = partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, *cols).withColumn(
-        "__pid__", F.spark_partition_id()
-    )
-    sizes = {
-        r["__pid__"]: r["cnt"]
-        for r in ranged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    total, acc, offsets = sum(sizes.values()), 0, {}
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
+    ranked, total = _global_rank(df, order_by, partitions)
     if total == 0:
         return df.withColumn(out_col, F.lit(None).cast("int"))
-    off_map = F.create_map(
-        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
-    )
-    w = Window.partitionBy("__pid__").orderBy(*cols)
-    ranked = ranged.withColumn(
-        "__grank__",
-        F.row_number().over(w) + F.coalesce(off_map[F.col("__pid__")], F.lit(0)),
-    )
     q, rem = divmod(total, n)
     rank = F.col("__grank__")
     if q == 0:  # n > total: row i -> bucket i
@@ -598,6 +574,77 @@ def mode_per_group(
         F.col("__best__")[value_col].alias(out_col),
         (-F.col("__best__")["__negn__"]).cast("long").alias("n_mode"),
     )
+
+
+def _global_rank(
+    df: DataFrame,
+    order_by: Sequence[str],
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Classic distributed global ranking: range-repartition on the
+    ordering (every partition holds a contiguous key range), count
+    each partition (the collect is bounded by the partition COUNT,
+    not data), broadcast the prefix offsets, then rank within
+    partitions and add the offset. Returns ``(df + __grank__
+    [1-based], total_rows)``. One range shuffle + one bounded
+    collect — never a single-partition window.
+
+    The ranged frame is ``localCheckpoint``-ed before the size
+    collect: range-exchange BOUNDARIES are sampled per job in this
+    Spark version, so without pinning the shuffle output the count
+    job and the ranking job can land different boundaries and the
+    prefix offsets silently misalign (measured: 14557/15000 wrong
+    indices). Checkpoint blocks are
+    reused-or-fail — never silently recomputed with new boundaries."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(p, *cols)
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = {
+        r["__pid__"]: r["cnt"]
+        for r in ranged.groupBy("__pid__")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total, acc, offsets = sum(sizes.values()), 0, {}
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    if total == 0:
+        return ranged.withColumn("__grank__", F.lit(None).cast("long")), 0
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid__").orderBy(*cols)
+    ranked = ranged.withColumn(
+        "__grank__",
+        (
+            F.row_number().over(w)
+            + F.coalesce(off_map[F.col("__pid__")], F.lit(0))
+        ).cast("long"),
+    ).drop("__pid__")
+    return ranked, total
+
+
+def global_index(
+    df: DataFrame,
+    order_by: Sequence[str],
+    out_col: str = "idx",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based global index over a total ordering — the
+    contiguous-id primitive behind deterministic negative sampling,
+    fixed-width sharding, and array-style random access, computed
+    WITHOUT a single-task global sort (:func:`_global_rank`: one
+    range shuffle + a partition-count-bounded collect). The ordering
+    must be total (include a unique tiebreaker)."""
+    ranked, _ = _global_rank(df, order_by, partitions)
+    return ranked.withColumn(
+        out_col, (F.col("__grank__") - 1).cast("long")
+    ).drop("__grank__")
 
 
 def quantile_bucket(

@@ -479,3 +479,52 @@ def test_flag_outliers_robust_approx_path(spark):
                                          exact=False).collect()}
     assert out[1e6] is True
     assert sum(out.values()) == 1
+
+
+# ---------------------------------------------------------------------------
+# global_index + negative_samples
+# ---------------------------------------------------------------------------
+
+
+def test_global_index_dense_and_boundary_stable(spark):
+    """The index must be a dense 0..n-1 permutation matching the sort
+    order — across MULTIPLE range partitions (regression: the
+    range-exchange samples boundaries per job, and unpinned shuffles
+    misaligned the prefix offsets for 97% of rows)."""
+    from earthmover_spark.operators.groupby import global_index
+
+    rows = [((i * 131) % 10000,) for i in range(10000)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = sorted(
+        global_index(df, ["k"], partitions=16).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.idx for r in out] == list(range(10000))
+
+
+def test_negative_samples_contract(spark):
+    from earthmover_spark.llm.sampling import negative_samples
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    out = negative_samples(df, k=3).collect()
+    assert len(out) == 150
+    assert all(r.neg_id != r.doc_id for r in out)
+    assert {(r.doc_id, r.j) for r in out} == {
+        (i, j) for i in range(50) for j in (1, 2, 3)
+    }
+    # deterministic
+    out2 = negative_samples(df, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # degenerate corpora
+    assert negative_samples(
+        spark.createDataFrame([(1,)], ["doc_id"]), k=2
+    ).count() == 0
+    two = negative_samples(
+        spark.createDataFrame([(1,), (2,)], ["doc_id"]), k=2
+    ).collect()
+    assert all(
+        {r.doc_id, r.neg_id} == {1, 2} for r in two
+    )  # only possible negative is the other row
+    with pytest.raises(EarthmoverSparkError, match="k must"):
+        negative_samples(df, k=0)
