@@ -128,6 +128,9 @@ HEADLINE = [
     "len_batches",  # one bucket-keyed window rank
     "clean_docs",  # regexp_replace chain, zero shuffle
     "script_mix",  # regexp_count script fractions, zero shuffle
+    "robust_outliers",  # two percentile aggs + broadcast stat joins
+    "neg_pairs",  # global index + md5 offset + idx self-join
+    "global_idx",  # range shuffle + bounded-collect prefix offsets
 ]
 
 
