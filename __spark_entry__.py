@@ -2527,6 +2527,46 @@ def q_ppx_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "tier")
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support/confidence/lift) over
+    order baskets: basket-keyed pair self-join + hash aggs + 1-row
+    broadcast total + TakeOrdered top-k — never |items|^2."""
+    from earthmover_spark.operators import assoc
+
+    li = _p(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    )
+    return assoc.association_rules(
+        li, "l_orderkey", "item", min_count=3, top_k=200
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + FK grade per document: three regexp_count
+    passes, pure codegen, zero shuffle."""
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    return textstats.readability(docs).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "flesch_ease",
+        "fk_grade",
+    )
+
+
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI collocations over documents: two explode+agg passes,
+    pruned-bigram joins against the unigram table, 1-row broadcast
+    totals, TakeOrdered top-k."""
+    from earthmover_spark.llm import textstats
+
+    docs = _p(spark, sf_dir, "documents")
+    return textstats.pmi_collocations(docs, min_count=5, top_k=300)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2739,6 +2779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "neg_pairs": q_neg_pairs,
         "global_idx": q_global_idx,
+        "assoc_rules": q_assoc_rules,
+        "readability": q_readability,
+        "pmi_top": q_pmi,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -6127,5 +6170,98 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY lp.avg_logprob DESC, d.doc_id)
                    ] AS tier
             FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+        """,
+        # association rules: distinct (basket, item), pair self-join,
+        # support/confidence/lift against the basket total
+        "assoc_rules": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS basket,
+                     CAST(l_partkey % 100 AS VARCHAR) AS item
+              FROM lineitem
+            ), n AS (
+              SELECT count(DISTINCT basket)::DOUBLE AS n FROM bi
+            ), ic AS (
+              SELECT item, count(*) AS ic FROM bi GROUP BY 1
+            ), p AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                     count(*) AS pair_count
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT item_a, item_b, pair_count,
+                   ca.ic AS count_a, cb.ic AS count_b,
+                   round(pair_count / n.n, 6) AS support,
+                   round(pair_count / ca.ic::DOUBLE, 6) AS conf_a_b,
+                   round(pair_count / cb.ic::DOUBLE, 6) AS conf_b_a,
+                   round(pair_count * n.n / (ca.ic * cb.ic), 6) AS lift
+            FROM p
+            JOIN ic ca ON p.item_a = ca.item
+            JOIN ic cb ON p.item_b = cb.item
+            CROSS JOIN n
+            ORDER BY pair_count DESC, lift DESC, item_a, item_b
+            LIMIT 200
+        """,
+        # readability: the same three regex counts + FK formulas
+        "readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z]+'))
+                         AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                         AS n_sentences,
+                     len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                         AS n_syllables
+              FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835
+                         - 1.015 * (greatest(n_words, 1)
+                                    / n_sentences::DOUBLE)
+                         - 84.6 * (n_syllables
+                                   / greatest(n_words, 1)::DOUBLE), 6)
+                       AS flesch_ease,
+                   round(0.39 * (greatest(n_words, 1)
+                                 / n_sentences::DOUBLE)
+                         + 11.8 * (n_syllables
+                                   / greatest(n_words, 1)::DOUBLE)
+                         - 15.59, 6) AS fk_grade
+            FROM c
+        """,
+        # PMI collocations: unigram/bigram counts over the normalized
+        # token stream, bigram total PRE-filter, ln PMI, top-k
+        "pmi_top": f"""
+            WITH w AS (
+              SELECT string_split({_NORM_SQL}, ' ') AS arr FROM documents
+            ), uc AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(arr) AS w FROM w)
+              WHERE w <> '' GROUP BY 1
+            ), n1 AS (
+              SELECT sum(c)::DOUBLE AS n1 FROM uc
+            ), g AS (
+              SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                       i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+              FROM w WHERE len(arr) >= 2
+            ), bc AS (
+              SELECT bigram, count(*) AS pair_count FROM g GROUP BY 1
+            ), n2 AS (
+              SELECT sum(pair_count)::DOUBLE AS n2 FROM bc
+            ), f AS (
+              SELECT string_split(bigram, ' ')[1] AS w1,
+                     string_split(bigram, ' ')[2] AS w2,
+                     pair_count
+              FROM bc WHERE pair_count >= 5
+            )
+            SELECT w1, w2, pair_count,
+                   round(ln((pair_count / n2.n2)
+                            / ((c1.c / n1.n1) * (c2.c / n1.n1))), 6)
+                       AS pmi
+            FROM f
+            JOIN uc c1 ON f.w1 = c1.w
+            JOIN uc c2 ON f.w2 = c2.w
+            CROSS JOIN n1 CROSS JOIN n2
+            ORDER BY pmi DESC, w1, w2
+            LIMIT 300
         """,
     }

@@ -131,6 +131,9 @@ HEADLINE = [
     "robust_outliers",  # two percentile aggs + broadcast stat joins
     "neg_pairs",  # global index + md5 offset + idx self-join
     "global_idx",  # range shuffle + bounded-collect prefix offsets
+    "assoc_rules",  # basket-keyed pair join + hash aggs + TakeOrdered
+    "readability",  # regexp_count FK metrics, zero shuffle
+    "pmi_top",  # unigram/bigram aggs + pruned joins + TakeOrdered
 ]
 
 

@@ -178,6 +178,43 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality", F.round(score, 6))
 
 
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Classic readability metrics per document: Flesch reading ease,
+    Flesch-Kincaid grade level, words / sentences / syllable estimate.
+    A cheap complexity prior for curriculum ordering and audience
+    filtering (children's-book corpora sit near grade 2-4, legal and
+    scientific text above 14) that needs no model at all.
+
+    Syllables are estimated as vowel groups (``[aeiouyAEIOUY]+``
+    runs) — the standard regex approximation; counting runs over the
+    whole text equals the per-word sum because a vowel run cannot
+    cross a non-letter boundary. Sentences are ``[.!?]+`` runs,
+    floored at 1; words are letter runs, floored at 1 in the ratios.
+
+    Three ``regexp_count`` passes over the scan — pure codegen, zero
+    shuffle, zero Python (the ``script_stats`` shape)."""
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    words = F.regexp_count(t, F.lit(r"[A-Za-z]+"))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syll = F.regexp_count(t, F.lit(r"[aeiouyAEIOUY]+"))
+    w = F.greatest(words, F.lit(1)).cast("double")
+    wps = w / sents.cast("double")
+    spw = syll.cast("double") / w
+    return df.withColumns(
+        {
+            "n_words": words,
+            "n_sentences": sents,
+            "n_syllables": syll,
+            "flesch_ease": F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+            ),
+            "fk_grade": F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+            ),
+        }
+    )
+
+
 def hash_bucket(col: Column, n_buckets: int, salt: str = "feat:") -> Column:
     """Engine-portable feature hash: bucket = 60-bit md5 hash mod
     ``n_buckets`` (the fasttext/vowpal hashing trick, reproducible on
@@ -795,6 +832,90 @@ def ngram_counts(
     )
     counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("count"))
     return counts.filter(F.col("count") >= min_count)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_k: int | None = 1_000,
+) -> DataFrame:
+    """Collocation mining: adjacent word pairs ranked by pointwise
+    mutual information, ``pmi = ln(P(w1 w2) / (P(w1) P(w2)))`` with
+    bigram probability over the bigram total and unigram probabilities
+    over the token total (Church & Hanks 1990). High-PMI pairs are the
+    corpus's multi-word units ("new york", "machine learning") —
+    tokenizer-merge candidates and a fast drift probe (a corpus whose
+    top collocations shift changed domain).
+
+    Returns ``(w1, w2, pair_count, pmi)`` for pairs with
+    ``pair_count >= min_count`` (PMI is unstable below a handful of
+    observations), ranked by (pmi desc, w1, w2) and cut to ``top_k``
+    via sort+limit (``TakeOrderedAndProject`` — per-partition top-k,
+    no global sort).
+
+    Scale shape: two explode+hash-agg passes (unigrams, bigrams) with
+    map-side partial combine, two token-keyed joins of the *pruned*
+    bigram table against the unigram table (the ``min_count`` filter
+    runs before the joins), and the two totals as a 1-row broadcast.
+    Never a pair join over documents."""
+    if min_count < 1:
+        raise EarthmoverSparkError(
+            "pmi_collocations: min_count must be >= 1"
+        )
+    base = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES)
+    uni = (
+        base.select(
+            F.explode(shingles(F.col(text_col), 1)).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # shingles(n=2) emits the whole (single-word) text for docs shorter
+    # than 2 words; true bigrams always contain the separator space.
+    big_all = (
+        base.select(
+            F.explode(shingles(F.col(text_col), 2)).alias("bigram")
+        )
+        .where(F.col("bigram").contains(" "))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    # the bigram TOTAL is over all bigrams, pre-filter (the standard
+    # PMI denominator); the shared explode+agg subplan below it is
+    # exchange-reused by Spark, not recomputed
+    n2 = big_all.agg(F.sum("pair_count").cast("double").alias("__n2__"))
+    big = big_all.where(F.col("pair_count") >= min_count).select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        "pair_count",
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("__n1__")
+    )
+    joined = (
+        big.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1__")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2__")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n2))
+    )
+    pc = F.col("pair_count").cast("double")
+    pmi = F.log(
+        (pc / F.col("__n2__"))
+        / ((F.col("__c1__") / F.col("__n1__")) * (F.col("__c2__") / F.col("__n1__")))
+    )
+    out = joined.select(
+        "w1", "w2", "pair_count", F.round(pmi, 6).alias("pmi")
+    ).orderBy(F.col("pmi").desc(), "w1", "w2")
+    return out.limit(top_k) if top_k is not None else out
 
 
 def ngram_overlap(

@@ -848,3 +848,33 @@ def test_robust_outliers_no_window_broadcast_stats(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_assoc_rules_shapes(plans):
+    """Association rules: basket-keyed pair join (never cartesian),
+    hash aggs with partial combine, TakeOrdered top-k cut — no global
+    sort, no Python."""
+    p = plans("assoc_rules")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+
+
+def test_readability_single_stage_jvm(plans):
+    """Readability: pure regexp_count codegen over the scan — zero
+    shuffle, zero join, zero Python."""
+    p = plans("readability")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_pmi_shapes(plans):
+    """PMI collocations: explode+agg passes with the pruned-bigram
+    joins; the only cross joins are the two 1-row totals (broadcast
+    nested loop), TakeOrdered for the cut."""
+    p = plans("pmi_top")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "TakeOrderedAndProject" in p
