@@ -2527,6 +2527,42 @@ def q_ppx_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "tier")
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (2 rounds, ties ->
+    min label) over the clickstream transition graph: per round one
+    |V|-row label join + two hash aggs, localCheckpoint lineage cuts.
+    The DuckDB twin unrolls the same 2 rounds."""
+    from earthmover_spark.operators import graph
+
+    ev = _p(spark, sf_dir, "events")
+    node = F.get_json_object("props", "$.k").cast("bigint")
+    edges = graph.transition_edges(
+        ev, "user_id", "ts", node, tiebreak_col="event_id"
+    )
+    return graph.label_propagation(edges, iters=2)
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact-dim join: the dim's keys fold into a
+    bounded bit frame; the fact side is pre-filtered by chained
+    broadcast semi-joins (map-side, zero extra fact shuffle) before
+    the real join removes the false positives — result EXACTLY equals
+    the plain inner join, which is the oracle."""
+    from earthmover_spark.operators import dataframe as df_ops
+
+    li = _p(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    dim = (
+        _p(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    return df_ops.bloom_filtered_join(
+        li, dim, "l_orderkey", num_bits=1 << 16, num_hashes=3
+    )
+
+
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (support/confidence/lift) over
     order baskets: basket-keyed pair self-join + hash aggs + 1-row
@@ -2782,6 +2818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "readability": q_readability,
         "pmi_top": q_pmi,
+        "label_prop": q_label_prop,
+        "bloom_join": q_bloom_join,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -6263,5 +6301,58 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN n1 CROSS JOIN n2
             ORDER BY pmi DESC, w1, w2
             LIMIT 300
+        """,
+        # synchronous LPA, 2 unrolled rounds: adopt the most common
+        # neighbor label, ties -> min label
+        "label_prop": """
+            WITH ev AS (
+              SELECT user_id, ts, event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+              FROM events
+            ), st AS (
+              SELECT user_id, node,
+                     lag(node) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+              FROM ev WHERE node IS NOT NULL
+            ), e0 AS (
+              SELECT prev AS src, node AS dst FROM st WHERE prev IS NOT NULL
+            ), und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0
+              WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL
+            ), bidir AS (
+              SELECT a, b FROM und
+              UNION ALL
+              SELECT b AS a, a AS b FROM und
+            ), c1 AS (
+              SELECT a AS node, b AS lab, count(*) AS n
+              FROM bidir GROUP BY 1, 2
+            ), l1 AS (
+              SELECT node, lab AS community FROM (
+                SELECT node, lab,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY n DESC, lab ASC) AS rn
+                FROM c1
+              ) WHERE rn = 1
+            ), c2 AS (
+              SELECT bidir.a AS node, l1.community AS lab, count(*) AS n
+              FROM bidir JOIN l1 ON bidir.b = l1.node
+              GROUP BY 1, 2
+            )
+            SELECT node, lab AS community FROM (
+              SELECT node, lab,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY n DESC, lab ASC) AS rn
+              FROM c2
+            ) WHERE rn = 1
+        """,
+        # the bloom pre-filter is exact-after-join: the oracle is the
+        # plain inner join
+        "bloom_join": """
+            SELECT l.l_orderkey, l.l_partkey, l.l_quantity,
+                   l.l_extendedprice, o.o_totalprice
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
         """,
     }

@@ -134,6 +134,8 @@ HEADLINE = [
     "assoc_rules",  # basket-keyed pair join + hash aggs + TakeOrdered
     "readability",  # regexp_count FK metrics, zero shuffle
     "pmi_top",  # unigram/bigram aggs + pruned joins + TakeOrdered
+    "label_prop",  # per-round |V|-row label join + argmax agg
+    "bloom_join",  # bounded bit frame + chained broadcast semi probes
 ]
 
 

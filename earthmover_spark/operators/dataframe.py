@@ -384,3 +384,71 @@ def extract_json(
         col = F.get_json_object(F.col(column), path)
         out = out.withColumn(name, col.cast(types.get(name, "string")))
     return out
+
+
+def bloom_filtered_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    how: str = "inner",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    salt: str = "bfj",
+) -> DataFrame:
+    """Equi-join with a bloom pre-filter on the (big) left side — the
+    manual twin of Spark's runtime bloom-filter pushdown
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), exposed as
+    an operator so YAML pipelines can force it when the optimizer's
+    heuristics don't fire (e.g. the selective side arrives through a
+    transformation Catalyst can't size).
+
+    The right side's join keys are folded into a bloom bit frame
+    (:func:`~earthmover_spark.operators.sketch.bloom_sketch` — at most
+    ``num_bits`` rows, whatever ``right``'s size), and the left side
+    is pre-filtered by ``num_hashes`` chained **broadcast left-semi
+    joins** against that bounded frame — all map-side, zero extra
+    shuffle of the left side, no explode, no per-row aggregation. Only
+    the surviving rows (true matches + the bloom's false positives)
+    enter the real join's exchange; the join itself then removes the
+    false positives, so the result is EXACTLY the plain join.
+
+    Lossless only where dropping non-matching left rows cannot change
+    the result: ``how`` must be ``inner`` or ``left_semi``.
+
+    Scale shape (100 TB fact, 10^8-key dim): the dim is too big to
+    broadcast-join directly, but its bloom frame is bounded at
+    ``num_bits`` rows (default 2^20 ~ 8 MB of longs) — the fact table
+    scans once, probes k broadcast hash sets per row, and ships only
+    the ~matching fraction through the shuffle. False-positive rate is
+    the classic ``(1 - e^(-k*n/m))^k``; at n = 10^6 keys and the
+    defaults, under 3%.
+    """
+    from earthmover_spark.operators import sketch
+
+    if how not in ("inner", "left_semi"):
+        raise EarthmoverSparkError(
+            "bloom_filtered_join: how must be 'inner' or 'left_semi' "
+            "(pre-filtering the left side is only lossless there); "
+            f"got {how!r}"
+        )
+    if num_bits < 1 or num_hashes < 1:
+        raise EarthmoverSparkError(
+            "bloom_filtered_join: num_bits and num_hashes must be >= 1"
+        )
+    bits = sketch.bloom_sketch(
+        right, on, num_bits=num_bits, num_hashes=num_hashes, salt=salt
+    )
+    filtered = left.filter(F.col(on).isNotNull())
+    for r in range(num_hashes):
+        probe = sketch._cm_slot(F.col(on), num_bits, r, salt)
+        filtered = (
+            filtered.withColumn("__bfj_bit__", probe)
+            .join(
+                F.broadcast(bits.withColumnRenamed("bit", "__bfj_bit__")),
+                "__bfj_bit__",
+                "left_semi",
+            )
+            .drop("__bfj_bit__")
+        )
+    return filtered.join(right, on, how)

@@ -878,3 +878,23 @@ def test_pmi_shapes(plans):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_label_prop_shapes(plans):
+    """Label propagation: per-round label join + hash aggs — no
+    cartesian, no windows, no Python."""
+    p = plans("label_prop")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_bloom_join_prefilter_before_exchange(plans):
+    """Bloom-prefiltered join: the fact side passes through chained
+    broadcast LEFT-SEMI probes (map-side) before any exchange; the
+    final join still runs (false-positive removal)."""
+    p = plans("bloom_join")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the semi probes are broadcast hash joins
+    assert p.count("LeftSemi") >= 3
+    assert "BroadcastHashJoin" in p

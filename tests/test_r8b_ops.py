@@ -252,3 +252,148 @@ def test_pmi_validation(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(EarthmoverSparkError, match="min_count"):
         textstats.pmi_collocations(df, min_count=0)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+def _ref_lpa(edge_list, iters):
+    und = {
+        tuple(sorted(e)) for e in edge_list
+        if e[0] != e[1] and None not in e
+    }
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(iters):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt = {}
+            for m in ns:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+    return labels
+
+
+def test_label_prop_two_cliques(spark):
+    from earthmover_spark.operators import graph
+
+    # two triangles bridged by one edge: LPA converges to one label
+    # per triangle, the bridge does not merge them in 2 rounds
+    edges = [
+        (1, 2), (2, 3), (1, 3),
+        (10, 11), (11, 12), (10, 12),
+        (3, 10),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for iters in (1, 2, 3):
+        got = {
+            r.node: r.community
+            for r in graph.label_propagation(df, iters=iters).collect()
+        }
+        assert got == _ref_lpa(edges, iters), iters
+    got2 = {
+        r.node: r.community
+        for r in graph.label_propagation(df, iters=2).collect()
+    }
+    assert got2[1] == got2[2] == got2[3] == 1
+    assert got2[11] == got2[12]
+
+
+def test_label_prop_hygiene_and_validation(spark):
+    from earthmover_spark.operators import graph
+    from earthmover_spark.util import EarthmoverSparkError
+
+    # self-loops, duplicate and reversed edges, NULLs all collapse
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 2), (1, 2), (None, 3), (3, None)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.community
+        for r in graph.label_propagation(edges, iters=2).collect()
+    }
+    assert got == {1: 1, 2: 2}  # one edge: each adopts the other, twice
+    with pytest.raises(EarthmoverSparkError, match="iters"):
+        graph.label_propagation(edges, iters=0)
+
+
+def test_label_prop_star_converges_to_hub_minimum(spark):
+    from earthmover_spark.operators import graph
+
+    # star: hub 5, leaves 6..9. Round 1: leaves adopt 5; hub adopts
+    # min leaf 6. Round 2: leaves adopt 6 (hub's label), hub adopts 5.
+    edges = spark.createDataFrame(
+        [(5, x) for x in (6, 7, 8, 9)], ["src", "dst"]
+    )
+    want = _ref_lpa([(5, x) for x in (6, 7, 8, 9)], 2)
+    got = {
+        r.node: r.community
+        for r in graph.label_propagation(edges, iters=2).collect()
+    }
+    assert got == want
+    assert got[5] == 5 and all(got[x] == 6 for x in (6, 7, 8, 9))
+
+
+# ---------------------------------------------------------------------------
+# bloom_filtered_join
+# ---------------------------------------------------------------------------
+
+def test_bloom_join_equals_plain_join(spark):
+    from earthmover_spark.operators import dataframe as df_ops
+
+    left = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)], ["k", "payload"]
+    )
+    right = spark.createDataFrame(
+        [(i * 7, i) for i in range(30)], ["k", "dim"]
+    )
+    got = df_ops.bloom_filtered_join(
+        left, right, "k", num_bits=1 << 12, num_hashes=3
+    )
+    want = left.join(right, "k", "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # left_semi flavor
+    got_semi = df_ops.bloom_filtered_join(
+        left, right, "k", how="left_semi", num_bits=1 << 12, num_hashes=3
+    )
+    want_semi = left.join(right, "k", "left_semi")
+    assert sorted(map(tuple, got_semi.collect())) == sorted(
+        map(tuple, want_semi.collect())
+    )
+
+
+def test_bloom_join_null_keys_and_validation(spark):
+    from earthmover_spark.operators import dataframe as df_ops
+    from earthmover_spark.util import EarthmoverSparkError
+
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k long, payload string"
+    )
+    right = spark.createDataFrame([(1, "x"), (None, "y")], "k long, d string")
+    got = df_ops.bloom_filtered_join(left, right, "k").collect()
+    # NULL keys never match (standard equi-join semantics)
+    assert [(r.k, r.payload, r.d) for r in got] == [(1, "a", "x")]
+    with pytest.raises(EarthmoverSparkError, match="how"):
+        df_ops.bloom_filtered_join(left, right, "k", how="left")
+    with pytest.raises(EarthmoverSparkError, match="num_bits"):
+        df_ops.bloom_filtered_join(left, right, "k", num_bits=0)
+
+
+def test_bloom_join_tiny_filter_still_exact(spark):
+    from earthmover_spark.operators import dataframe as df_ops
+
+    # 16 bits -> false positives everywhere; the join must still be
+    # exact because the real join removes them
+    left = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    right = spark.createDataFrame([(5,), (100,), (199,)], ["k"])
+    got = df_ops.bloom_filtered_join(
+        left, right, "k", num_bits=16, num_hashes=2
+    )
+    assert sorted(r.k for r in got.collect()) == [5, 100, 199]
