@@ -2527,6 +2527,19 @@ def q_ppx_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "tier")
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection 64 -> 8 dims:
+    fit-free, data-independent (incremental-safe), the matrix rides
+    the plan as literals — zero shuffle, scan-bound codegen. The
+    DuckDB twin regenerates the identical md5-derived sign matrix."""
+    from earthmover_spark.llm import embeddings
+
+    emb = _p(spark, sf_dir, "embeddings")
+    return embeddings.random_project(emb, k=8, dims=64).select(
+        "vec_id", "proj"
+    )
+
+
 def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (2 rounds, ties ->
     min label) over the clickstream transition graph: per round one
@@ -2820,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_top": q_pmi,
         "label_prop": q_label_prop,
         "bloom_join": q_bloom_join,
+        "jl_project": q_jl_project,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -2827,6 +2841,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bpe_encode": q_bpe_encode,
     }
+
+
+def _jl_oracle(dims: int = 64, k: int = 8) -> str:
+    """DuckDB twin of ``random_project``: the same md5 sign matrix,
+    the same left-associated per-dim sum, the same 1/sqrt(k) factor."""
+    import math
+
+    from earthmover_spark.llm.embeddings import jl_signs
+
+    signs = jl_signs(dims, k)
+    inv = repr(1.0 / math.sqrt(k))
+    dim_exprs = []
+    for j in range(k):
+        terms = " + ".join(
+            f"(embedding[{i + 1}]::DOUBLE) * {float(signs[i][j])}"
+            for i in range(dims)
+        )
+        dim_exprs.append(f"round(({terms}) * {inv}, 6)")
+    return (
+        "SELECT vec_id, ["
+        + ", ".join(dim_exprs)
+        + "] AS proj FROM embeddings"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6346,6 +6383,9 @@ def oracle_sql() -> dict[str, str]:
               FROM c2
             ) WHERE rn = 1
         """,
+        # JL projection: regenerate the identical md5-derived sign
+        # matrix and mirror the left-associated sum order exactly
+        "jl_project": _jl_oracle(),
         # the bloom pre-filter is exact-after-join: the oracle is the
         # plain inner join
         "bloom_join": """

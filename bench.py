@@ -136,6 +136,7 @@ HEADLINE = [
     "pmi_top",  # unigram/bigram aggs + pruned joins + TakeOrdered
     "label_prop",  # per-round |V|-row label join + argmax agg
     "bloom_join",  # bounded bit frame + chained broadcast semi probes
+    "jl_project",  # literal Rademacher matrix, zero shuffle
 ]
 
 

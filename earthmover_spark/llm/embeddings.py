@@ -277,3 +277,78 @@ def pca_project(
             expr = expr + t
         cols.append(F.round(expr, round_to))
     return df.withColumn(out_col, F.array(*cols))
+
+
+def jl_signs(dims: int, k: int, seed: str = "jl") -> list[list[int]]:
+    """The deterministic Rademacher (+1/-1) projection matrix
+    ``[dims][k]`` shared by :func:`random_project` and its DuckDB
+    oracle: sign(i, j) = parity of the first md5 nibble of
+    ``"{seed}:{i}:{j}"`` — engine-portable, seed-stable, no RNG
+    state."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else -1
+            for j in range(k)
+        ]
+        for i in range(dims)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    dims: int | None = None,
+    seed: str = "jl",
+    out_col: str = "proj",
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``k`` dims:
+    ``proj[j] = (1/sqrt(k)) * sum_i v[i] * sign(i, j)`` with the
+    deterministic Rademacher signs of :func:`jl_signs` (Achlioptas
+    2003: database-friendly random projections — +-1 entries preserve
+    pairwise distances in expectation just like Gaussian ones, with
+    integer arithmetic). The cheap FIT-FREE alternative to
+    :func:`pca_project` when a corpus pass for the covariance isn't
+    worth it — sketching embeddings down before ANN / clustering /
+    dedup, or hashing features for :mod:`~earthmover_spark.llm.training`.
+
+    Unlike PCA there is NO data-dependent state: two corpora (or two
+    incremental batches) project identically, so projected vectors are
+    comparable across runs — the property that makes this the
+    streaming/incremental-safe reduction.
+
+    Scale shape (100 TB): the matrix rides the plan as literals
+    (``pca_project``'s pattern) — zero joins, zero shuffle, zero
+    Python, scan-bound codegen."""
+    import math
+
+    v = _dvec(vec_col)
+    if dims is None:
+        first = df.select(F.size(vec_col).alias("d")).head()
+        if first is None:
+            raise ValueError("random_project: empty input")
+        dims = first["d"]
+    if dims < 1:
+        raise ValueError(f"random_project: bad dims={dims}")
+    if not (1 <= k <= dims):
+        raise ValueError(
+            f"random_project: need 1 <= k <= dims, got k={k}"
+        )
+    signs = jl_signs(dims, k, seed)
+    inv = 1.0 / math.sqrt(k)
+    cols = []
+    for j in range(k):
+        expr = v[0] * F.lit(float(signs[0][j]))
+        for i in range(1, dims):
+            expr = expr + v[i] * F.lit(float(signs[i][j]))
+        cols.append(F.round(expr * F.lit(inv), round_to))
+    return df.withColumn(out_col, F.array(*cols))

@@ -898,3 +898,12 @@ def test_bloom_join_prefilter_before_exchange(plans):
     # the semi probes are broadcast hash joins
     assert p.count("LeftSemi") >= 3
     assert "BroadcastHashJoin" in p
+
+
+def test_jl_project_zero_shuffle(plans):
+    """JL projection: the sign matrix rides the plan as literals —
+    zero exchange, zero join, zero Python."""
+    p = plans("jl_project")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p

@@ -397,3 +397,79 @@ def test_bloom_join_tiny_filter_still_exact(spark):
         left, right, "k", num_bits=16, num_hashes=2
     )
     assert sorted(r.k for r in got.collect()) == [5, 100, 199]
+
+
+# ---------------------------------------------------------------------------
+# random_project (Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+def test_jl_matches_numpy_reference(spark):
+    import numpy as np
+    from earthmover_spark.llm.embeddings import jl_signs, random_project
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: list(r.proj)
+        for r in random_project(df, k=4, dims=16).collect()
+    }
+    R = np.array(jl_signs(16, 4), dtype="float64")
+    want = vecs.astype("float64") @ R / np.sqrt(4)
+    for i in range(20):
+        assert got[i] == pytest.approx(list(want[i]), abs=1e-6), i
+
+
+def test_jl_preserves_distances_statistically(spark):
+    import numpy as np
+    from earthmover_spark.llm.embeddings import random_project
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    proj = np.array(
+        [
+            r.proj
+            for r in random_project(df, k=32, dims=64)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    # JL lemma: pairwise squared distances preserved within modest
+    # distortion at k=32 for most pairs; check the median ratio is
+    # near 1 (a wrong scale factor or sign matrix would blow this up)
+    d_hi = ((vecs[:30] - vecs[30:]) ** 2).sum(axis=1)
+    d_lo = ((proj[:30] - proj[30:]) ** 2).sum(axis=1)
+    ratio = np.median(d_lo / d_hi)
+    assert 0.7 < ratio < 1.3
+
+
+def test_jl_determinism_and_seed(spark):
+    from earthmover_spark.llm.embeddings import random_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    a = random_project(df, k=2, dims=4).collect()[0].proj
+    b = random_project(df, k=2, dims=4).collect()[0].proj
+    assert a == b
+    c = random_project(df, k=2, dims=4, seed="other").collect()[0].proj
+    assert a != c  # a different seed draws a different matrix
+
+
+def test_jl_validation(spark):
+    from earthmover_spark.llm.embeddings import random_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k <= dims"):
+        random_project(df, k=3, dims=2)
+    with pytest.raises(ValueError, match="empty"):
+        random_project(df.limit(0), k=1)
