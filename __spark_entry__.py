@@ -2527,6 +2527,39 @@ def q_ppx_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "tier")
 
 
+def q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-input-file zone-map manifest (count + min/max/null per
+    column via input_file_name): one file-keyed hash agg — the
+    data-skipping audit. The sf dirs hold one file per table, so the
+    oracle pins the basename."""
+    from earthmover_spark.operators import profile
+
+    orders = _p(spark, sf_dir, "orders")
+    return profile.file_stats(
+        orders, ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+
+
+def q_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type inference over an all-string frame (the reference's data
+    model): one bool_and verdict agg + pure cast codegen. Columns
+    round-trip through strings and must land back at their original
+    typed values — which is exactly what the oracle selects."""
+    from earthmover_spark.operators import column as col_ops
+
+    orders = _p(spark, sf_dir, "orders")
+    strings = orders.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_totalprice").cast("string").alias("total"),
+        F.col("o_orderpriority").alias("prio"),
+        F.when((F.col("o_orderkey") % 2) == 0, F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("flag"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    return col_ops.infer_types(strings)
+
+
 def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss Rademacher projection 64 -> 8 dims:
     fit-free, data-independent (incremental-safe), the matrix rides
@@ -2834,6 +2867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "bloom_join": q_bloom_join,
         "jl_project": q_jl_project,
+        "file_stats": q_file_stats,
+        "infer_types": q_infer_types,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -6386,6 +6421,35 @@ def oracle_sql() -> dict[str, str]:
         # JL projection: regenerate the identical md5-derived sign
         # matrix and mirror the left-associated sum order exactly
         "jl_project": _jl_oracle(),
+        # zone-map manifest: the sf dirs are single-file tables, so
+        # the file key is the pinned basename
+        "file_stats": """
+            SELECT 'orders.parquet' AS file,
+                   count(*) AS n_rows,
+                   min(o_orderkey) AS min_o_orderkey,
+                   max(o_orderkey) AS max_o_orderkey,
+                   count(CASE WHEN o_orderkey IS NULL THEN 1 END)
+                       AS nulls_o_orderkey,
+                   min(o_totalprice) AS min_o_totalprice,
+                   max(o_totalprice) AS max_o_totalprice,
+                   count(CASE WHEN o_totalprice IS NULL THEN 1 END)
+                       AS nulls_o_totalprice,
+                   min(o_orderpriority) AS min_o_orderpriority,
+                   max(o_orderpriority) AS max_o_orderpriority,
+                   count(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+                       AS nulls_o_orderpriority
+            FROM orders
+        """,
+        # infer_types round-trips typed values through strings and
+        # back; the oracle is the original typed selection
+        "infer_types": """
+            SELECT o_orderkey AS id,
+                   o_totalprice AS total,
+                   o_orderpriority AS prio,
+                   (o_orderkey % 2 = 0) AS flag,
+                   CAST(o_orderdate AS DATE) AS d
+            FROM orders
+        """,
         # the bloom pre-filter is exact-after-join: the oracle is the
         # plain inner join
         "bloom_join": """

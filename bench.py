@@ -137,6 +137,8 @@ HEADLINE = [
     "label_prop",  # per-round |V|-row label join + argmax agg
     "bloom_join",  # bounded bit frame + chained broadcast semi probes
     "jl_project",  # literal Rademacher matrix, zero shuffle
+    "file_stats",  # one file-keyed agg, manifest-sized output
+    "infer_types",  # one bool_and verdict agg + cast codegen
 ]
 
 

@@ -288,3 +288,49 @@ def corr_matrix(
         ]
     )
     return df.agg(*aggs).select(F.inline(entries))
+
+
+def file_stats(
+    df: DataFrame,
+    columns: Iterable[str],
+    file_col: str = "file",
+    basename: bool = True,
+) -> DataFrame:
+    """Per-input-file zone-map manifest: ``(file, n_rows, min_<c>,
+    max_<c>, nulls_<c> ...)`` for each requested column, grouped by
+    ``input_file_name()``. The data-skipping statistic lakehouse
+    formats keep per file — exposed as an operator so a pipeline can
+    audit whether its files are clustered well enough for min/max
+    pruning to work (wide overlapping ranges = Z-ORDER first, see
+    ``operators/zorder.py``) and publish the manifest next to the
+    data.
+
+    ``df`` must be a direct file scan (parquet/orc/csv read) —
+    ``input_file_name()`` returns '' downstream of joins/shuffles
+    that lose file provenance; ``basename=True`` (default) strips the
+    scheme+directory so manifests compare across replicas/mounts.
+
+    Scale shape: ONE hash aggregation keyed on the file name — |files|
+    output rows, map-side combined; min/max/null-count are the same
+    partial aggregates parquet footers hold, computed in one pass."""
+    cols = list(columns)
+    if not cols:
+        raise EarthmoverSparkError("file_stats: columns must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise EarthmoverSparkError(
+            f"file_stats: columns not in frame: {missing}"
+        )
+    name = F.input_file_name()
+    if basename:
+        name = F.regexp_extract(name, r"[^/]+$", 0)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(
+                f"nulls_{c}"
+            ),
+        ]
+    return df.withColumn(file_col, name).groupBy(file_col).agg(*aggs)

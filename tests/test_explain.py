@@ -907,3 +907,21 @@ def test_jl_project_zero_shuffle(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_file_stats_single_agg(plans):
+    """Zone-map manifest: one file-keyed hash agg with map-side
+    partials — a single exchange, no Python."""
+    p = plans("file_stats")
+    assert p.count("Arguments: hashpartitioning(file") == 1
+    assert "partial_min" in p
+    assert "EvalPython" not in p
+
+
+def test_infer_types_cast_stage_jvm(plans):
+    """infer_types' cast pass: pure per-row codegen — no shuffle, no
+    join, no Python (the verdict agg ran at plan-build time)."""
+    p = plans("infer_types")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p

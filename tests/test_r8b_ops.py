@@ -6,6 +6,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from earthmover_spark.operators import assoc
 from earthmover_spark.llm import textstats
@@ -473,3 +474,111 @@ def test_jl_validation(spark):
         random_project(df, k=3, dims=2)
     with pytest.raises(ValueError, match="empty"):
         random_project(df.limit(0), k=1)
+
+
+# ---------------------------------------------------------------------------
+# file_stats
+# ---------------------------------------------------------------------------
+
+def test_file_stats_per_file_manifest(spark, tmp_path):
+    from earthmover_spark.operators import profile
+
+    src = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("v"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id").cast("string"))
+        .alias("s"),
+    )
+    path = str(tmp_path / "multi")
+    src.repartition(3).write.parquet(path)
+    df = spark.read.parquet(path)
+    rows = profile.file_stats(df, ["id", "s"]).collect()
+    assert len(rows) == 3  # one manifest row per part file
+    assert all(r.file.startswith("part-") for r in rows)
+    assert sum(r.n_rows for r in rows) == 300
+    assert sum(r.nulls_s for r in rows) == 30
+    # global min/max are the extremes of the per-file zone maps
+    assert min(r.min_id for r in rows) == 0
+    assert max(r.max_id for r in rows) == 299
+    # per-file consistency against the actual file contents
+    for r in rows:
+        part = spark.read.parquet(f"{path}/{r.file}")
+        assert part.count() == r.n_rows
+        lo, hi = part.agg(F.min("id"), F.max("id")).first()
+        assert (lo, hi) == (r.min_id, r.max_id)
+
+
+def test_file_stats_validation(spark, tmp_path):
+    from earthmover_spark.operators import profile
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.range(3)
+    with pytest.raises(EarthmoverSparkError, match="non-empty"):
+        profile.file_stats(df, [])
+    with pytest.raises(EarthmoverSparkError, match="not in frame"):
+        profile.file_stats(df, ["nope"])
+
+
+# ---------------------------------------------------------------------------
+# infer_types
+# ---------------------------------------------------------------------------
+
+def test_infer_types_all_rules(spark):
+    from earthmover_spark.operators import column as col_ops
+
+    df = spark.createDataFrame(
+        [
+            ("1", "1.5", "true", "2024-01-02", "2024-01-02 10:20:30", "x", ""),
+            ("-42", "2", "FALSE", "1999-12-31", "2024-01-02T10:20:30.5", "y", ""),
+            ("", "-1e3", "True", "", "", "z", ""),
+        ],
+        "i string, f string, b string, d string, ts string, s string, e string",
+    )
+    out = col_ops.infer_types(df)
+    types = dict(out.dtypes)
+    assert types == {
+        "i": "bigint",
+        "f": "double",
+        "b": "boolean",
+        "d": "date",
+        "ts": "timestamp",
+        "s": "string",   # unparseable stays string
+        "e": "string",   # entirely missing: no evidence
+    }
+    rows = out.collect()
+    assert rows[0].i == 1 and rows[1].i == -42 and rows[2].i is None
+    assert rows[2].f == -1000.0
+    assert rows[0].b is True and rows[1].b is False
+    assert str(rows[1].d) == "1999-12-31" and rows[2].d is None
+    assert rows[1].ts.microsecond == 500000
+    assert rows[2].ts is None
+
+
+def test_infer_types_mixed_stays_string_and_int_beats_double(spark):
+    from earthmover_spark.operators import column as col_ops
+
+    df = spark.createDataFrame(
+        [("1", "1"), ("2.5", "2"), ("oops", "3")], "a string, n string"
+    )
+    out = col_ops.infer_types(df)
+    types = dict(out.dtypes)
+    assert types["a"] == "string"  # "oops" vetoes double
+    assert types["n"] == "bigint"  # pure ints promote to bigint, not double
+    # 0/1 columns are ints, NOT booleans (priority is deliberate)
+    df01 = spark.createDataFrame([("0",), ("1",)], "z string")
+    assert dict(col_ops.infer_types(df01).dtypes)["z"] == "bigint"
+
+
+def test_infer_types_scoping_and_validation(spark):
+    from earthmover_spark.operators import column as col_ops
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame([(1, "2")], "k long, v string")
+    # non-string columns pass through untouched; scoping works
+    out = col_ops.infer_types(df)
+    assert dict(out.dtypes) == {"k": "bigint", "v": "bigint"}
+    kept = col_ops.infer_types(df, columns=["k"])  # k isn't string: no-op
+    assert dict(kept.dtypes) == {"k": "bigint", "v": "string"}
+    with pytest.raises(EarthmoverSparkError, match="not in frame"):
+        col_ops.infer_types(df, columns=["zz"])
