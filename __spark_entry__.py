@@ -2649,6 +2649,62 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pmi_collocations(docs, min_count=5, top_k=300)
 
 
+def q_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style document blocklist annotation: case-insensitive
+    whole-token hits of a word list plus exact-substring phrase hits —
+    pure per-row array-lambda codegen over the scan, zero shuffle."""
+    from earthmover_spark.llm.curation import badwords_filter
+
+    docs = _p(spark, sf_dir, "documents")
+    out = badwords_filter(
+        docs, words=["slow", "broken"], phrases=("fast table",)
+    )
+    return out.select(
+        "doc_id", "n_badwords", "badword_ratio", "has_badwords"
+    )
+
+
+def q_decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state bloom decontamination: the benchmark slice's word
+    8-grams collapse to an 8192-bit filter embedded in the plan as a
+    packed bitmask literal, so the corpus probe is pure per-row
+    codegen — no joins, no shuffle on the big side. The md5 bit scheme
+    is engine-portable, so the DuckDB twin reproduces the filter —
+    including any false positives — bit-for-bit."""
+    from earthmover_spark.llm.curation import decontaminate_bloom
+
+    docs = _p(spark, sf_dir, "documents")
+    bench = docs.filter((F.col("doc_id") % 53) == 0)
+    out = decontaminate_bloom(
+        docs, benchmark=bench, shingle_n=8, num_bits=8192, num_hashes=3
+    )
+    return out.select("doc_id", "n_flagged_ngrams", "contaminated")
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS rolling-hash boundaries): one
+    md5 per char position inside the scan's codegen, boundaries where
+    the windowed hash has its low 6 bits zero — shift-resistant dedup
+    keys. Zero shuffle; explode multiplies rows, not bytes."""
+    from earthmover_spark.llm.sampling import cdc_chunks
+
+    docs = _p(spark, sf_dir, "documents")
+    out = cdc_chunks(docs, window=16, mask_bits=6)
+    return out.select(
+        "doc_id", "chunk_id", "chunk_start", "chunk_text", "chunk_digest"
+    )
+
+
+def q_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count estimate of order keys from a k=512 sketch:
+    per-partition TakeOrdered bottom-k, then one agg over <= k rows —
+    the (k-1)/U_(k) estimator, exact below k."""
+    from earthmover_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    orders = _p(spark, sf_dir, "orders")
+    return kmv_estimate(kmv_sketch(orders, "o_orderkey", k=512), k=512)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2869,6 +2925,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project": q_jl_project,
         "file_stats": q_file_stats,
         "infer_types": q_infer_types,
+        "badwords": q_badwords,
+        "decon_bloom": q_decon_bloom,
+        "cdc_chunks": q_cdc_chunks,
+        "kmv_est": q_kmv_estimate,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -6458,5 +6518,109 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE o.o_orderpriority = '1-URGENT'
+        """,
+        "badwords": """
+            WITH low AS (
+              SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+            ), tok AS (
+              SELECT doc_id, t,
+                     list_filter(
+                       regexp_split_to_array(t, '[^0-9a-zà-öø-ÿ''’]+'),
+                       x -> x != '') AS toks
+              FROM low
+            ), hits AS (
+              SELECT doc_id,
+                     len(list_filter(toks,
+                         x -> list_contains(['broken', 'slow'], x)))
+                         AS word_hits,
+                     CAST((length(t) - length(replace(t, 'fast table', '')))
+                          / 10 AS INT) AS phrase_hits,
+                     greatest(len(toks), 1) AS n_tokens
+              FROM tok
+            )
+            SELECT doc_id,
+                   CAST(word_hits + phrase_hits AS BIGINT) AS n_badwords,
+                   round(word_hits / CAST(n_tokens AS DOUBLE), 6)
+                       AS badword_ratio,
+                   (word_hits + phrase_hits) > 0 AS has_badwords
+            FROM hits
+        """,
+        "decon_bloom": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(len(words) - 8, 0)),
+                       i -> array_to_string(list_slice(words, i + 1, i + 8),
+                                            ' '))) AS shs
+              FROM w
+            ), bg AS (
+              SELECT DISTINCT unnest(shs) AS g FROM sh WHERE doc_id % 53 = 0
+            ), bits AS (
+              SELECT DISTINCT
+                     CAST(('0x' || substr(md5('decon'
+                          || CAST(r.row AS VARCHAR) || ':' || g), 1, 15))
+                          AS UBIGINT)::BIGINT % 8192 AS bit
+              FROM bg, (SELECT unnest(range(3)) AS row) r
+            ), probes AS (
+              SELECT doc_id, g, r.row,
+                     CAST(('0x' || substr(md5('decon'
+                          || CAST(r.row AS VARCHAR) || ':' || g), 1, 15))
+                          AS UBIGINT)::BIGINT % 8192 AS bit
+              FROM (SELECT doc_id, unnest(shs) AS g FROM sh),
+                   (SELECT unnest(range(3)) AS row) r
+            ), flagged AS (
+              SELECT doc_id, g
+              FROM probes p JOIN bits b USING (bit)
+              GROUP BY doc_id, g HAVING count(*) = 3
+            ), n AS (
+              SELECT doc_id, count(*) AS n FROM flagged GROUP BY 1
+            )
+            SELECT w.doc_id,
+                   CAST(coalesce(n.n, 0) AS BIGINT) AS n_flagged_ngrams,
+                   coalesce(n.n, 0) >= 1 AS contaminated
+            FROM w LEFT JOIN n USING (doc_id)
+        """,
+        "cdc_chunks": """
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), b AS (
+              SELECT doc_id, text,
+                     list_filter(
+                       generate_series(16, length(text) - 1),
+                       i -> CAST(('0x' || substr(md5('cdc:'
+                            || substr(text, i - 15, 16)), 1, 15))
+                            AS UBIGINT)::BIGINT % 64 = 0) AS bnd
+              FROM t
+            ), s AS (
+              SELECT doc_id, text,
+                     list_prepend(0, bnd) AS starts,
+                     list_append(bnd, length(text)) AS ends
+              FROM b
+            )
+            SELECT doc_id,
+                   CAST(u.i - 1 AS INT) AS chunk_id,
+                   CAST(starts[u.i] AS BIGINT) AS chunk_start,
+                   substr(text, starts[u.i] + 1, ends[u.i] - starts[u.i])
+                       AS chunk_text,
+                   md5(substr(text, starts[u.i] + 1,
+                              ends[u.i] - starts[u.i])) AS chunk_digest
+            FROM s, unnest(range(1, len(starts) + 1)) u(i)
+        """,
+        "kmv_est": """
+            WITH s AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5('kmv:'
+                     || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                     AS UBIGINT)::BIGINT AS h
+              FROM orders ORDER BY h LIMIT 512
+            )
+            SELECT count(*) AS n_sample,
+                   CAST(CASE WHEN count(*) < 512 THEN count(*)
+                        ELSE round(511.0 * 1152921504606846976.0
+                                   / max(h), 0)
+                        END AS BIGINT) AS n_distinct_est
+            FROM s
         """,
     }

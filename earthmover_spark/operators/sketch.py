@@ -319,6 +319,38 @@ def kmv_merge(df: DataFrame, k: int = 1024) -> DataFrame:
     return df.select("h").distinct().orderBy("h").limit(k)
 
 
+def kmv_estimate(sketch: DataFrame, k: int = 1024) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_sketch` frame (same
+    k/salt): one row ``(n_sample, n_distinct_est)``. When the sketch
+    holds fewer than k hashes the set was smaller than k and the count
+    is EXACT (= the sample size); when full, the classic unbiased KMV
+    estimator ``(k - 1) / U_(k)`` with ``U_(k)`` the k-th smallest
+    hash scaled into (0, 1] over the 60-bit hash space (Bar-Yossef et
+    al. 2002; Beyer et al. SIGMOD 2007). Error ~ 1/sqrt(k).
+
+    The HLL alternative exists (:func:`distinct_sketch`) — KMV's draw
+    is that ONE sketch frame answers distinct-count AND overlap
+    (:func:`kmv_jaccard`) and merges losslessly in plain SQL.
+
+    Scale shape: one aggregation over a <= k-row frame."""
+    if k < 1:
+        raise ValueError("kmv_estimate: k must be >= 1")
+    return sketch.agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(float(1 << 60))
+                / F.max("h").cast("double"),
+                0,
+            )
+        )
+        .cast("bigint")
+        .alias("n_distinct_est"),
+    )
+
+
 def quantile_sketch(
     df: DataFrame,
     value_col: str,

@@ -147,6 +147,10 @@ class Executor:
                 kwargs["pairs"] = self._resolve(op_cfg["pairs"])
             if op_name in ("decontaminate", "decontaminate_near"):
                 kwargs["benchmark"] = self._resolve(op_cfg["benchmark"])
+            if op_name == "decontaminate_bloom":
+                for side in ("benchmark", "sketch"):
+                    if op_cfg.get(side):
+                        kwargs[side] = self._resolve(op_cfg[side])
             if op_name == "quality_classifier":
                 kwargs["weights"] = self._resolve(op_cfg["weights"])
             if op_name == "merge_upsert":

@@ -899,3 +899,100 @@ def attribution_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def distinct_stream(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 1024,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Streaming "distinct so far" per key with BOUNDED state — the
+    streaming twin of ``operators.sketch.kmv_sketch`` +
+    ``kmv_estimate``: each group's state is its bottom-k distinct
+    60-bit value hashes (the SAME md5 scheme, computed JVM-side), so
+    after any micro-batch sequence the sketch — and the estimate — is
+    byte-identical to the batch KMV over the union of the inputs
+    (twin-asserted). State is <= k longs per group FOREVER. Emits one
+    row per seen group per batch: ``(group, n_sample,
+    n_distinct_est, n_rows)`` — ``n_sample`` caps at k (exact count
+    while below k), ``n_rows`` is the monotone row count absorbed.
+
+    The streaming sketch family's membership/frequency/distribution
+    members (``dedup_stream_bloom``, ``topk_stream``,
+    ``quantile_stream``) answer "seen before? / how often? / what
+    p99?"; this answers "how many distinct users/URLs/docs so far?"
+    without per-value state (``running_counts`` state grows with the
+    key space; this never does)."""
+    if k < 1:
+        raise EarthmoverSparkError("distinct_stream: k must be >= 1")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col(value_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    prepared = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias(group_col), h.alias("__h__")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField("n_sample", T.LongType()),
+            T.StructField("n_distinct_est", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            hs, n_rows = state.get
+            hs = np.asarray(hs, dtype=np.int64)
+        else:
+            hs = np.empty(0, dtype=np.int64)
+            n_rows = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_rows += len(pdf)
+            # bottom-k of the union of distinct hashes = lossless
+            # kmv_merge of the state sketch with the batch sketch
+            hs = np.unique(
+                np.concatenate([hs, pdf["__h__"].to_numpy(np.int64)])
+            )[:k]
+        state.update((hs.tolist(), int(n_rows)))
+        n = len(hs)
+        if n < k:
+            est = n
+        else:
+            # HALF_UP like Spark's round() so the twin matches exactly
+            est = int(math.floor((k - 1) * float(1 << 60) / float(hs[-1]) + 0.5))
+        yield pd.DataFrame(
+            [(str(key[0]), n, est, int(n_rows))],
+            columns=[group_col, "n_sample", "n_distinct_est", "n_rows"],
+        )
+
+    return prepared.groupBy(group_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -925,3 +925,42 @@ def test_infer_types_cast_stage_jvm(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_badwords_single_stage_jvm(plans):
+    """Blocklist annotation: the word list rides the plan as an array
+    literal — pure per-row codegen, zero shuffle, zero Python."""
+    p = plans("badwords")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_decon_bloom_probe_zero_shuffle_on_corpus(plans):
+    """Bloom decontamination: the filter is a packed bitmask LITERAL
+    in the probe expression — the corpus side sees no join and no
+    exchange (the only shuffle builds the bounded sketch itself)."""
+    p = plans("decon_bloom")
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    # the probe projection over documents carries the getbit probe
+    assert "getbit" in p.lower()
+
+
+def test_cdc_chunks_zero_shuffle(plans):
+    """Content-defined chunking: boundaries are a per-row array filter
+    over sequence() — generate/explode only, no exchange, no Python."""
+    p = plans("cdc_chunks")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "Generate" in p  # posexplode of the chunk array
+
+
+def test_kmv_estimate_takeordered_not_global_sort(plans):
+    """KMV sketch + estimate: the bottom-k is per-partition TakeOrdered
+    (each partition ships <= k hashes), never a global Sort of the
+    distinct set."""
+    p = plans("kmv_est")
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p

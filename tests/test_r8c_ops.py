@@ -1,0 +1,275 @@
+"""Round-8 final-wave operators: C4-style blocklist filtering,
+bloom-filter decontamination, content-defined chunking, and the KMV
+distinct-count estimator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from earthmover_spark.util import EarthmoverSparkError
+
+
+# ---------------------------------------------------------------------------
+# badwords_filter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bw_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen LIQUOR jugs"),
+            (3, ""),
+            (4, "badword here, a second BadWord, and a spam phrase too"),
+            (5, "badwords is a different token than badword-free text"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_badwords_counts_and_ratio(spark, bw_docs):
+    from earthmover_spark.llm.curation import badwords_filter
+
+    out = {
+        r.doc_id: r
+        for r in badwords_filter(
+            bw_docs, words=["badword", "liquor"], phrases=("spam phrase",)
+        ).collect()
+    }
+    assert out[1].n_badwords == 0 and out[1].has_badwords is False
+    # case-insensitive whole-token match
+    assert out[2].n_badwords == 1 and out[2].badword_ratio == round(1 / 8, 6)
+    assert out[3].n_badwords == 0 and out[3].badword_ratio == 0.0
+    # two token hits (punctuation-delimited) + one phrase hit
+    assert out[4].n_badwords == 3 and out[4].has_badwords is True
+    # "badwords" / "badword-free" are different tokens — hyphen splits,
+    # so the bare token "badword" DOES appear once in doc 5
+    assert out[5].n_badwords == 1
+    assert out[6].n_badwords == 0  # NULL text is clean
+
+
+def test_badwords_drop_mode_and_validation(spark, bw_docs):
+    from earthmover_spark.llm.curation import badwords_filter
+
+    kept = badwords_filter(bw_docs, words=["badword"], mode="drop")
+    assert kept.columns == bw_docs.columns  # annotations removed
+    assert {r.doc_id for r in kept.collect()} == {1, 2, 3, 6}
+    with pytest.raises(EarthmoverSparkError, match="mode"):
+        badwords_filter(bw_docs, words=["x"], mode="nuke")
+    with pytest.raises(EarthmoverSparkError, match="at least one"):
+        badwords_filter(bw_docs, words=[])
+
+
+def test_badwords_phrase_only_and_overlapping_counts(spark):
+    from earthmover_spark.llm.curation import badwords_filter
+
+    df = spark.createDataFrame(
+        [(1, "aba aba aba"), (2, "clean")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in badwords_filter(df, words=[], phrases=("aba aba",)).collect()
+    }
+    # substring count is non-overlapping occurrences of the phrase
+    assert out[1].n_badwords == 1
+    assert out[1].badword_ratio == 0.0  # no word-list tokens hit
+    assert out[2].n_badwords == 0
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_bloom
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def decon_corpus(spark):
+    leaked = (
+        "the benchmark question asks what is the capital of france and "
+        "the answer is paris obviously"
+    )
+    return spark.createDataFrame(
+        [
+            (1, leaked + " with some extra trailing chatter appended"),
+            (2, "a completely unrelated document about growing tomatoes "
+                "in a northern greenhouse during winter months"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    ), spark.createDataFrame(
+        [(100, leaked)], "doc_id long, text string"
+    )
+
+
+def test_decon_bloom_flags_planted_overlap(spark, decon_corpus):
+    from earthmover_spark.llm.curation import decontaminate_bloom
+
+    corpus, bench = decon_corpus
+    out = {
+        r.doc_id: r
+        for r in decontaminate_bloom(
+            corpus, benchmark=bench, shingle_n=8, num_bits=65536, num_hashes=4
+        ).collect()
+    }
+    assert out[1].contaminated is True and out[1].n_flagged_ngrams >= 5
+    # no false negatives by construction; FP odds at 65536 bits ~ 0
+    assert out[2].contaminated is False and out[2].n_flagged_ngrams == 0
+    assert out[3].contaminated is False
+
+
+def test_decon_bloom_prebuilt_sketch_matches_benchmark_path(spark, decon_corpus):
+    from earthmover_spark.llm.curation import decontaminate_bloom
+    from earthmover_spark.llm.textstats import shingles
+    from earthmover_spark.operators.sketch import bloom_sketch
+
+    corpus, bench = decon_corpus
+    grams = bench.select(
+        F.explode(F.array_distinct(shingles(F.col("text"), 8))).alias("g")
+    )
+    sk = bloom_sketch(grams, "g", num_bits=4096, num_hashes=3, salt="decon")
+    via_sketch = decontaminate_bloom(
+        corpus, sketch=sk, shingle_n=8, num_bits=4096, num_hashes=3
+    )
+    via_bench = decontaminate_bloom(
+        corpus, benchmark=bench, shingle_n=8, num_bits=4096, num_hashes=3
+    )
+    a = sorted(map(tuple, via_sketch.collect()))
+    b = sorted(map(tuple, via_bench.collect()))
+    assert a == b
+
+
+def test_decon_bloom_min_hits_and_validation(spark, decon_corpus):
+    from earthmover_spark.llm.curation import decontaminate_bloom
+
+    corpus, bench = decon_corpus
+    strict = {
+        r.doc_id: r.contaminated
+        for r in decontaminate_bloom(
+            corpus, benchmark=bench, min_hits=10_000
+        ).collect()
+    }
+    assert strict[1] is False  # threshold not met
+    with pytest.raises(EarthmoverSparkError, match="exactly one"):
+        decontaminate_bloom(corpus)
+    with pytest.raises(EarthmoverSparkError, match="exactly one"):
+        decontaminate_bloom(corpus, benchmark=bench, sketch=bench)
+    with pytest.raises(EarthmoverSparkError, match="min_hits"):
+        decontaminate_bloom(corpus, benchmark=bench, min_hits=0)
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_reconstruct_and_offsets(spark):
+    from earthmover_spark.llm.sampling import cdc_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "short"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = cdc_chunks(df, window=4, mask_bits=3)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # concatenating chunks in chunk_id order reproduces the text
+    originals = {r.doc_id: (r.text or "") for r in df.collect()}
+    for doc_id, chunks in by_doc.items():
+        assert "".join(c.chunk_text for c in chunks) == originals[doc_id]
+        # offsets are the running sum of chunk lengths
+        off = 0
+        for c in chunks:
+            assert c.chunk_start == off
+            off += len(c.chunk_text)
+    # empty / NULL docs yield exactly one empty chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == ""
+    assert len(by_doc[4]) == 1 and by_doc[4][0].chunk_text == ""
+    # chunk_digest is md5 of the chunk text
+    import hashlib
+
+    for c in by_doc[1]:
+        assert c.chunk_digest == hashlib.md5(
+            c.chunk_text.encode()
+        ).hexdigest()
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    from earthmover_spark.llm.sampling import cdc_chunks
+
+    base = (
+        "in a hole in the ground there lived a hobbit not a nasty dirty "
+        "wet hole filled with the ends of worms and an oozy smell nor yet "
+        "a dry bare sandy hole with nothing in it to sit down on or to eat"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, "PREFIX INSERTED >>> " + base)],
+        "doc_id long, text string",
+    )
+    out = cdc_chunks(df, window=8, mask_bits=4)
+    digs = {1: set(), 2: set()}
+    for r in out.collect():
+        digs[r.doc_id].add(r.chunk_digest)
+    shared = digs[1] & digs[2]
+    # fixed-size chunking would share ~nothing after a prefix shift;
+    # CDC boundaries re-synchronize, so most chunks survive
+    assert len(shared) >= max(1, len(digs[1]) - 2)
+
+
+def test_cdc_chunks_validation(spark):
+    from earthmover_spark.llm.sampling import cdc_chunks
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(EarthmoverSparkError, match="window"):
+        cdc_chunks(df, window=0)
+    with pytest.raises(EarthmoverSparkError, match="mask_bits"):
+        cdc_chunks(df, mask_bits=0)
+
+
+# ---------------------------------------------------------------------------
+# kmv_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    from earthmover_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.range(0, 50).select(F.col("id").alias("v"))
+    sk = kmv_sketch(df, "v", k=256)
+    row = kmv_estimate(sk, k=256).collect()[0]
+    assert row.n_sample == 50 and row.n_distinct_est == 50
+
+
+def test_kmv_estimate_accuracy_when_full(spark):
+    from earthmover_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    true_n = 7777
+    df = spark.range(0, 40_000).select((F.col("id") % true_n).alias("v"))
+    row = kmv_estimate(kmv_sketch(df, "v", k=512), k=512).collect()[0]
+    assert row.n_sample == 512
+    # error ~ 1/sqrt(k) ~ 4.4%; allow 3 sigma
+    assert abs(row.n_distinct_est - true_n) / true_n < 0.14
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_estimate(df, k=0)
+
+
+def test_cdc_chunks_xxhash64_path(spark):
+    from earthmover_spark.llm.sampling import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again "
+             "and once more for good measure to make it longer")],
+        "doc_id long, text string",
+    )
+    out = cdc_chunks(df, window=8, mask_bits=3, hash_fn="xxhash64")
+    rows = sorted(out.collect(), key=lambda r: r.chunk_id)
+    assert "".join(r.chunk_text for r in rows) == df.collect()[0].text
+    with pytest.raises(EarthmoverSparkError, match="hash_fn"):
+        cdc_chunks(df, hash_fn="sha1")

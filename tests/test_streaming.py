@@ -761,3 +761,51 @@ def test_topk_stream_validation(spark, tmp_path):
     stream = read_stream_source(spark, d)
     with pytest.raises(EarthmoverSparkError, match="m >= 1"):
         topk_stream(stream, "key", m=0)
+
+
+def test_distinct_stream_matches_batch_kmv(spark, tmp_path):
+    """Streaming bounded-state distinct counter: after draining N
+    micro-batches, every group's (n_sample, n_distinct_est) must equal
+    the batch kmv_sketch + kmv_estimate over that group's full data —
+    the lossless bottom-k merge contract, across batch boundaries."""
+    from earthmover_spark.operators.sketch import kmv_estimate, kmv_sketch
+    from earthmover_spark.streaming import distinct_stream, read_stream_source
+
+    rows = [(f"g{i % 2}", (i * 13) % 97) for i in range(600)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    d = str(tmp_path / "dstream")
+    df.repartition(4).write.mode("overwrite").parquet(d)
+    stream = read_stream_source(spark, d, max_files_per_trigger=1)
+    out = distinct_stream(stream, "v", "grp", k=32)
+    emitted = _run_to_memory(out, spark, "dstream_out", "update").collect()
+    final = {}
+    for r in emitted:
+        if r.grp not in final or r.n_rows > final[r.grp].n_rows:
+            final[r.grp] = r
+    assert set(final) == {"g0", "g1"}
+    assert all(r.n_rows == 300 for r in final.values())
+    batch = spark.read.parquet(d)
+    for grp, got in final.items():
+        sk = kmv_sketch(batch.filter(F.col("grp") == grp), "v", k=32)
+        want = kmv_estimate(sk, k=32).collect()[0]
+        assert got.n_sample == want.n_sample, grp
+        assert got.n_distinct_est == want.n_distinct_est, grp
+
+
+def test_distinct_stream_exact_below_k_and_validation(spark, tmp_path):
+    from earthmover_spark.streaming import distinct_stream, read_stream_source
+    from earthmover_spark.util import EarthmoverSparkError
+
+    rows = [("g", i % 7) for i in range(50)]
+    d = str(tmp_path / "dstream_small")
+    spark.createDataFrame(rows, ["grp", "v"]).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = read_stream_source(spark, d, max_files_per_trigger=1)
+    out = distinct_stream(stream, "v", "grp", k=1024)
+    emitted = _run_to_memory(out, spark, "dstream_small_out", "update").collect()
+    last = max(emitted, key=lambda r: r.n_rows)
+    # below k the sketch IS the distinct set: exact count
+    assert last.n_sample == 7 and last.n_distinct_est == 7 and last.n_rows == 50
+    with pytest.raises(EarthmoverSparkError, match="k must be"):
+        distinct_stream(stream, "v", "grp", k=0)
