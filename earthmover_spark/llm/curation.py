@@ -33,6 +33,8 @@ Scale design notes (the 100 TB story):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -941,13 +943,21 @@ def badwords_filter(
 
     The list itself is a parameter: the reference C4 list is
     English-specific and corpus policies differ, so shipping one
-    would be both wrong-by-default and noise in a test corpus.
+    would be both wrong-by-default and noise in a test corpus. Words
+    must be single tokens (no spaces/punctuation); use ``phrases``
+    for multi-word entries.
 
-    Scale shape (100 TB): the word list compiles into ONE
-    ``array_contains`` per token inside an array filter and each
-    phrase into one replace-length subtraction — pure per-row codegen
-    over the scan, zero shuffle, zero Python, no joins (the list
-    rides the plan as a literal, like k-means centroids)."""
+    Scale shape (100 TB): the word list compiles into ONE Java regex
+    alternation (longest-first, ``\\Q..\\E``-quoted, token-boundary
+    lookarounds) counted by ``regexp_count`` — the pattern compiles
+    once per expression, so cost is O(text), independent of list
+    size. The obvious alternative — an ``array_contains(literal_list,
+    token)`` lambda — re-materializes the literal array on EVERY
+    lambda call (measured: 5 words 8 s, 3000 words 145 s over the
+    same 200k docs); real blocklists run to thousands of entries, so
+    that shape is a scale-killer. Each phrase is one replace-length
+    subtraction. Pure per-row codegen over the scan, zero shuffle,
+    zero Python, no joins."""
     if mode not in ("annotate", "drop"):
         raise EarthmoverSparkError(
             f"badwords_filter: unknown mode {mode!r} (annotate|drop)"
@@ -956,15 +966,24 @@ def badwords_filter(
         raise EarthmoverSparkError(
             "badwords_filter: provide at least one word or phrase"
         )
+    token_chars = "0-9a-zà-öø-ÿ'’"
     low_words = sorted({w.lower() for w in words if w})
-    lit_words = F.array(*[F.lit(w) for w in low_words]) if low_words else None
-    low = F.lower(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
-    tokens = F.filter(F.split(low, r"[^0-9a-zà-öø-ÿ'’]+"), lambda t: t != "")
-    n_tokens = F.size(tokens)
-    if lit_words is not None:
-        word_hits = F.size(
-            F.filter(tokens, lambda t: F.array_contains(lit_words, t))
+    bad = [w for w in low_words if re.search(f"[^{token_chars}]", w)]
+    if bad:
+        raise EarthmoverSparkError(
+            f"badwords_filter: not single tokens (use phrases= for "
+            f"multi-word entries): {bad[:5]}"
         )
+    low = F.lower(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    n_tokens = F.regexp_count(low, F.lit(f"[{token_chars}]+"))
+    if low_words:
+        # longest-first so a prefix word can't shadow a longer one at
+        # the same position before the boundary lookahead is checked
+        alts = "|".join(
+            f"\\Q{w}\\E" for w in sorted(low_words, key=len, reverse=True)
+        )
+        pat = f"(?<![{token_chars}])(?:{alts})(?![{token_chars}])"
+        word_hits = F.regexp_count(low, F.lit(pat))
     else:
         word_hits = F.lit(0)
     phrase_hits = F.lit(0)

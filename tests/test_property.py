@@ -600,3 +600,43 @@ def test_fim_transform_lossless_property(spark, texts):
         assert m, r.text
         pre, suf, mid = m.groups()
         assert pre + mid + suf == orig[r.id]
+
+
+# -- r8: blocklist filter vs a plain-Python token reference ------------------
+
+_BW_TOKENS = st.lists(
+    st.sampled_from(
+        ["bad", "badword", "word", "clean", "l'eau", "café", "12", "x",
+         "BAD", "BadWord"]
+    ),
+    min_size=0, max_size=20,
+)
+_BW_SEPS = st.sampled_from([" ", ", ", "-", "!", " \n ", "  "])
+
+
+@given(docs=st.lists(_BW_TOKENS, min_size=1, max_size=5), sep=_BW_SEPS)
+@settings(**{**SETTINGS, "max_examples": 15})
+def test_badwords_matches_python_reference(spark, docs, sep):
+    """The regex-alternation word counter must equal the naive
+    split-and-count reference for arbitrary token sequences and
+    separators — including prefix-overlapping list entries (bad vs
+    badword), accented and apostrophe tokens, and mixed case."""
+    import re as _re
+
+    from earthmover_spark.llm.curation import badwords_filter
+
+    blocklist = ["bad", "badword", "café"]
+    rows = [(i, sep.join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r for r in badwords_filter(df, words=blocklist).collect()
+    }
+    for i, toks in enumerate(docs):
+        text = sep.join(toks).lower()
+        ref_tokens = [t for t in _re.split(r"[^0-9a-zà-öø-ÿ'’]+", text) if t]
+        hits = sum(1 for t in ref_tokens if t in blocklist)
+        g = got[i]
+        assert g.n_badwords == hits, (text, ref_tokens)
+        want_ratio = round(hits / max(len(ref_tokens), 1), 6)
+        assert g.badword_ratio == want_ratio
+        assert g.has_badwords is (hits > 0)

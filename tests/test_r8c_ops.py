@@ -273,3 +273,12 @@ def test_cdc_chunks_xxhash64_path(spark):
     assert "".join(r.chunk_text for r in rows) == df.collect()[0].text
     with pytest.raises(EarthmoverSparkError, match="hash_fn"):
         cdc_chunks(df, hash_fn="sha1")
+
+
+def test_badwords_rejects_non_token_words(spark, bw_docs):
+    from earthmover_spark.llm.curation import badwords_filter
+
+    with pytest.raises(EarthmoverSparkError, match="single tokens"):
+        badwords_filter(bw_docs, words=["two words"])
+    with pytest.raises(EarthmoverSparkError, match="single tokens"):
+        badwords_filter(bw_docs, words=["semi;colon"])
