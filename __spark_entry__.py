@@ -2695,6 +2695,18 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-passage removal at arbitrary offsets
+    (the ExactSubstr goal via content-defined chunks): duplicated
+    chunk runs >= 40 chars excised from all but the keeper occurrence.
+    Census + run merge shuffle narrow quads; only affected documents'
+    bytes are reassembled."""
+    from earthmover_spark.llm.curation import dedup_substrings
+
+    docs = _p(spark, sf_dir, "documents")
+    return dedup_substrings(docs, window=16, mask_bits=5, min_chars=40)
+
+
 def q_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count estimate of order keys from a k=512 sketch:
     per-partition TakeOrdered bottom-k, then one agg over <= k rows —
@@ -2928,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badwords": q_badwords,
         "decon_bloom": q_decon_bloom,
         "cdc_chunks": q_cdc_chunks,
+        "dedup_substr": q_dedup_substrings,
         "kmv_est": q_kmv_estimate,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
@@ -6608,6 +6621,59 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(text, starts[u.i] + 1,
                               ends[u.i] - starts[u.i])) AS chunk_digest
             FROM s, unnest(range(1, len(starts) + 1)) u(i)
+        """,
+        "dedup_substr": """
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), b AS (
+              SELECT doc_id, text,
+                     list_filter(
+                       generate_series(16, length(text) - 1),
+                       i -> CAST(('0x' || substr(md5('cdc:'
+                            || substr(text, i - 15, 16)), 1, 15))
+                            AS UBIGINT)::BIGINT % 32 = 0) AS bnd
+              FROM t
+            ), s AS (
+              SELECT doc_id, text,
+                     list_prepend(0, bnd) AS starts,
+                     list_append(bnd, length(text)) AS ends
+              FROM b
+            ), ch AS (
+              SELECT doc_id,
+                     CAST(u.i - 1 AS INT) AS chunk_id,
+                     substr(text, starts[u.i] + 1,
+                            ends[u.i] - starts[u.i]) AS chunk_text,
+                     md5(substr(text, starts[u.i] + 1,
+                                ends[u.i] - starts[u.i])) AS dg
+              FROM s, unnest(range(1, len(starts) + 1)) u(i)
+            ), mk AS (
+              SELECT doc_id, chunk_id, length(chunk_text) AS len,
+                     count(*) OVER (PARTITION BY dg) AS n,
+                     row_number() OVER (PARTITION BY dg
+                                        ORDER BY doc_id, chunk_id) AS rn
+              FROM ch
+            ), runs AS (
+              SELECT doc_id, chunk_id, len,
+                     chunk_id - row_number() OVER (PARTITION BY doc_id
+                                                   ORDER BY chunk_id) AS grp
+              FROM mk WHERE n >= 2 AND rn > 1
+            ), qruns AS (
+              SELECT doc_id, grp FROM runs
+              GROUP BY doc_id, grp HAVING sum(len) >= 40
+            ), rm AS (
+              SELECT r.doc_id, r.chunk_id, r.len
+              FROM runs r JOIN qruns q USING (doc_id, grp)
+            )
+            SELECT c.doc_id,
+                   string_agg(CASE WHEN rm.chunk_id IS NULL
+                              THEN c.chunk_text ELSE '' END, ''
+                              ORDER BY c.chunk_id) AS dedup_text,
+                   CAST(count(rm.chunk_id) AS BIGINT) AS n_chunks_removed,
+                   CAST(coalesce(sum(rm.len), 0) AS BIGINT)
+                       AS n_chars_removed
+            FROM ch c LEFT JOIN rm
+              ON c.doc_id = rm.doc_id AND c.chunk_id = rm.chunk_id
+            GROUP BY c.doc_id
         """,
         "kmv_est": """
             WITH s AS (

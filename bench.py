@@ -142,6 +142,7 @@ HEADLINE = [
     "badwords",  # array-literal blocklist, zero shuffle
     "decon_bloom",  # binary-literal bloom probe, zero corpus shuffle
     "cdc_chunks",  # rolling-hash boundaries, one sweep per row
+    "dedup_substr",  # CDC census + narrow run merge + anti-join fast path
     "kmv_est",  # TakeOrdered bottom-k + one bounded agg
 ]
 

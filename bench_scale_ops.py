@@ -317,8 +317,40 @@ def main() -> None:
             lambda: _force(cdc_chunks(corpus, window=16, mask_bits=6))
         )
 
-        # --- r8: blocklist filter: array-literal membership over the
-        # token array, one pass, zero shuffle.
+        # --- r8: substring dedup: plant a shared passage in 10% of
+        # docs at varying offsets; CDC census + narrow run merge find
+        # and excise it; only affected docs' bytes reassemble.
+        from earthmover_spark.llm.curation import dedup_substrings
+
+        planted = corpus.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.substring("text", 1, F.pmod(F.col("doc_id"), F.lit(40)).cast("int")),
+                    F.lit(
+                        " this shared syndicated passage is long enough to"
+                        " exceed the run threshold and appears verbatim in"
+                        " one in ten documents at varying offsets and it"
+                        " keeps going for several chunk lengths so that the"
+                        " content defined boundaries resynchronize well"
+                        " inside it leaving multiple aligned interior"
+                        " chunks in every single copy regardless of phase "
+                    ),
+                    F.col("text"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        r["dedup_substrings"] = _t(
+            lambda: _force(
+                dedup_substrings(planted, window=16, mask_bits=6, min_chars=50)
+            )
+        )
+
+        # --- r8: blocklist filter: regex-alternation token counting,
+        # one pass, zero shuffle, list-size-independent.
         from earthmover_spark.llm.curation import badwords_filter
 
         r["badwords_filter"] = _t(

@@ -1097,3 +1097,151 @@ def decontaminate_bloom(
         df.withColumn("n_flagged_ngrams", n_flagged.cast("bigint"))
         .withColumn("contaminated", F.col("n_flagged_ngrams") >= min_hits)
     )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask_bits: int = 6,
+    min_chars: int = 50,
+    min_count: int = 2,
+    keep_first: bool = True,
+    out_col: str | None = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus-level duplicated-passage removal at ARBITRARY offsets —
+    the goal of suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed through content-defined chunking instead of a global
+    suffix array (which doesn't distribute): every document is cut at
+    rolling-hash boundaries (:func:`~earthmover_spark.llm.sampling.
+    cdc_chunks` — the LBFS scheme), so two copies of a passage produce
+    byte-identical interior chunks NO MATTER where the passage sits in
+    each document; chunks whose digest occurs >= ``min_count`` times
+    corpus-wide are marked, adjacent marked chunks merge into RUNS,
+    and every run of >= ``min_chars`` chars is excised from every
+    occurrence except (``keep_first=True``, default) the minimum
+    ``(id, chunk_id)`` keeper occurrences — ``keep_first=False`` is
+    the paper's remove-all-copies variant. The threshold applies to
+    the merged run, not the individual chunk, so a long duplicated
+    passage is caught regardless of how the boundary rule happens to
+    slice it. Complements :func:`dedup_spans` (C4's fixed word
+    windows), which only matches spans at aligned window phase; CDC
+    boundaries re-synchronize within ~``window + 2**mask_bits`` chars
+    of the start of any shared run, so shifted / embedded copies
+    still match (the first ~that many chars of each copy fall in
+    phase-dependent edge chunks and survive — detection is
+    conservative by up to one resync span per copy).
+
+    Returns one row per input document: ``id_col``, ``out_col``
+    (default ``dedup_text`` — the text with removed runs excised,
+    other bytes untouched), ``n_chunks_removed``, ``n_chars_removed``.
+
+    Scale shape (100 TB): chunking is zero-shuffle per-row codegen;
+    the duplicate census and run merge shuffle only ``(digest, id,
+    chunk_id, len)`` quads — never text (the run merge is relational:
+    ``chunk_id - row_number`` is constant exactly on consecutive
+    chunks, so one window + one agg over the marked set finds runs
+    with no per-doc arrays). Document BYTES are reassembled (one
+    ``id``-keyed agg) ONLY for documents that lose a qualifying run —
+    untouched documents take an anti-join fast path and never
+    shuffle, so a corpus with 5% duplication moves ~5% of its bytes.
+    Ubiquitous tiny chunks ("the ") make hot digests skewed by
+    construction — the digest join relies on AQE skew splitting,
+    and the run gate restores lone tiny matches anyway.
+    ``hash_fn="xxhash64"`` cuts the chunking cost ~3x when
+    cross-engine boundary reproducibility isn't needed."""
+    from pyspark.sql import Window
+
+    from earthmover_spark.llm.sampling import cdc_chunks
+
+    if min_chars < 1:
+        raise EarthmoverSparkError("dedup_substrings: min_chars must be >= 1")
+    if min_count < 2:
+        raise EarthmoverSparkError("dedup_substrings: min_count must be >= 2")
+    out_col = out_col or "dedup_text"
+    chunks = cdc_chunks(
+        df.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col,
+        window=window,
+        mask_bits=mask_bits,
+        hash_fn=hash_fn,
+    )
+    occ = chunks.select(
+        id_col,
+        "chunk_id",
+        "chunk_digest",
+        F.length("chunk_text").alias("__len__"),
+    )
+    hot = (
+        occ.groupBy("chunk_digest")
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.min(F.struct(id_col, "chunk_id")).alias("__keeper__"),
+        )
+        .filter(F.col("__n__") >= min_count)
+    )
+    marked = occ.join(hot, "chunk_digest")
+    if keep_first:
+        marked = marked.filter(
+            ~(
+                (F.col(id_col) == F.col(f"__keeper__.{id_col}"))
+                & (F.col("chunk_id") == F.col("__keeper__.chunk_id"))
+            )
+        )
+    # consecutive chunk_ids share (chunk_id - row_number): one window
+    # + one agg turns the marked set into runs, all on narrow rows
+    w_doc = Window.partitionBy(id_col).orderBy("chunk_id")
+    runs = (
+        marked.withColumn(
+            "__grp__", F.col("chunk_id") - F.row_number().over(w_doc)
+        )
+        .groupBy(id_col, "__grp__")
+        .agg(
+            F.sum("__len__").alias("__run_len__"),
+            F.collect_list("chunk_id").alias("__cids__"),
+        )
+        .filter(F.col("__run_len__") >= min_chars)
+    )
+    removed = runs.select(
+        id_col, F.explode("__cids__").alias("chunk_id")
+    )
+    affected = removed.select(id_col).distinct()
+    rebuilt = (
+        chunks.join(affected, id_col)
+        .join(removed.withColumn("__rm__", F.lit(True)),
+              [id_col, "chunk_id"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rm__").isNull(),
+                            F.struct("chunk_id", "chunk_text"),
+                        )
+                    )
+                ).getField("chunk_text"),
+            ).alias(out_col),
+            F.count(F.when(F.col("__rm__"), 1)).alias("n_chunks_removed"),
+            F.coalesce(
+                F.sum(F.when(F.col("__rm__"), F.length("chunk_text"))),
+                F.lit(0),
+            ).alias("n_chars_removed"),
+        )
+    )
+    untouched = (
+        df.join(affected, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias(
+                out_col
+            ),
+            F.lit(0).cast("bigint").alias("n_chunks_removed"),
+            F.lit(0).cast("bigint").alias("n_chars_removed"),
+        )
+    )
+    return untouched.unionByName(rebuilt)

@@ -964,3 +964,13 @@ def test_kmv_estimate_takeordered_not_global_sort(plans):
     p = plans("kmv_est")
     assert "TakeOrderedAndProject" in p
     assert "EvalPython" not in p
+
+
+def test_dedup_substrings_narrow_census_and_fast_path(plans):
+    """Substring dedup: chunking stays in the scan stage; the census
+    and run merge shuffle narrow rows; untouched documents exit via a
+    left-anti join, never a cartesian; no Python anywhere."""
+    p = plans("dedup_substr")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "LeftAnti" in p  # the untouched-docs fast path

@@ -282,3 +282,103 @@ def test_badwords_rejects_non_token_words(spark, bw_docs):
         badwords_filter(bw_docs, words=["two words"])
     with pytest.raises(EarthmoverSparkError, match="single tokens"):
         badwords_filter(bw_docs, words=["semi;colon"])
+
+
+# ---------------------------------------------------------------------------
+# dedup_substrings
+# ---------------------------------------------------------------------------
+
+
+_PASSAGE = (
+    "this exact passage of considerable length is syndicated across many "
+    "different outlets verbatim and should be detected wherever it appears "
+    "in any document regardless of its offset in the text"
+)
+
+
+@pytest.fixture(scope="module")
+def dsub_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "unique intro A. " + _PASSAGE + " unique tail A."),
+            (2, "a very different and much longer beginning for doc two "
+                "with plenty of its own words ... " + _PASSAGE),
+            (3, _PASSAGE + " trailing content only in doc three."),
+            (4, "completely unrelated document about gardening and "
+                "tomatoes grown in a greenhouse over winter."),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_substrings_removes_shifted_copies(spark, dsub_docs):
+    from earthmover_spark.llm.curation import dedup_substrings
+
+    out = {
+        r.doc_id: r
+        for r in dedup_substrings(
+            dsub_docs, window=8, mask_bits=4, min_chars=30
+        ).collect()
+    }
+    originals = {r.doc_id: r.text for r in dsub_docs.collect()}
+    # keeper (earliest id holding the hot digests) survives intact
+    assert out[1].dedup_text == originals[1]
+    assert out[1].n_chunks_removed == 0
+    # shifted copies lose the interior of the passage (edge chunks
+    # within one boundary-resync span survive — documented)
+    for i in (2, 3):
+        assert out[i].n_chars_removed > 100
+        assert _PASSAGE[40:140] not in out[i].dedup_text
+        # removed bytes are a contiguous excision of duplicated text:
+        # everything kept is a subsequence of the original
+        assert len(out[i].dedup_text) == len(originals[i]) - out[i].n_chars_removed
+    # unrelated and empty docs pass through byte-identical
+    assert out[4].dedup_text == originals[4] and out[4].n_chars_removed == 0
+    assert out[5].dedup_text == "" and out[5].n_chunks_removed == 0
+
+
+def test_dedup_substrings_remove_all_and_run_threshold(spark, dsub_docs):
+    from earthmover_spark.llm.curation import dedup_substrings
+
+    # keep_first=False: the paper's remove-all-copies variant — the
+    # former keeper loses the passage interior too
+    out = {
+        r.doc_id: r
+        for r in dedup_substrings(
+            dsub_docs, window=8, mask_bits=4, min_chars=30, keep_first=False
+        ).collect()
+    }
+    assert out[1].n_chars_removed > 100
+
+    # a run threshold above the passage length restores everything:
+    # marked chunks merge into runs shorter than min_chars
+    out_hi = {
+        r.doc_id: r
+        for r in dedup_substrings(
+            dsub_docs, window=8, mask_bits=4, min_chars=10_000
+        ).collect()
+    }
+    originals = {r.doc_id: r.text for r in dsub_docs.collect()}
+    for i in (1, 2, 3, 4):
+        assert out_hi[i].dedup_text == originals[i]
+        assert out_hi[i].n_chunks_removed == 0
+
+
+def test_dedup_substrings_within_doc_repeat_and_validation(spark):
+    from earthmover_spark.llm.curation import dedup_substrings
+
+    rep = ("a long repeated refrain that occurs twice inside one single "
+           "document and nowhere else in the corpus at all")
+    df = spark.createDataFrame(
+        [(1, "start. " + rep + " middle filler words here. " + rep + " end.")],
+        "doc_id long, text string",
+    )
+    out = dedup_substrings(df, window=8, mask_bits=4, min_chars=30).collect()[0]
+    # the second occurrence is excised, the first (keeper) survives
+    assert out.n_chars_removed > 60
+    assert out.dedup_text.count("repeated refrain") == 1
+    with pytest.raises(EarthmoverSparkError, match="min_chars"):
+        dedup_substrings(df, min_chars=0)
+    with pytest.raises(EarthmoverSparkError, match="min_count"):
+        dedup_substrings(df, min_count=1)
