@@ -996,3 +996,121 @@ def distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cm_stream(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    n_shards: int = 8,
+    salt: str = "cm",
+) -> DataFrame:
+    """Streaming per-key frequency estimates with BOUNDED state — the
+    streaming twin of ``operators.sketch.cm_sketch`` + ``cm_estimate``:
+    each shard's state is a ``depth x width`` count-min counter matrix
+    (fixed bytes forever), accumulated cell-wise across micro-batches —
+    which is exactly ``cm_merge``'s lossless cell-sum, so with
+    ``n_shards=1`` the state is byte-identical to the batch sketch
+    over the union of the inputs (twin-asserted). Slots use the SAME
+    engine-portable md5 scheme, computed JVM-side before grouping.
+
+    ``running_counts_stream`` keeps one counter per key (exact, state
+    grows with the key space); this keeps ``depth * width`` cells per
+    shard regardless of how many distinct keys flow through —
+    the classic trade: estimates are upper bounds
+    (``count_est >= true``, overcount ~ ``n/width`` per cell). Keys
+    hash to ONE shard, so sharding only *improves* accuracy (each
+    matrix absorbs ~1/n_shards of the traffic).
+
+    Emits one row per DISTINCT KEY SEEN IN THE BATCH per batch
+    (update mode): ``(shard, key, count_est, n_total)`` — the
+    estimate covers everything absorbed so far, not just the batch.
+
+    The streaming sketch family: ``dedup_stream_bloom`` (seen at
+    all?), ``topk_stream`` (who are the heavy hitters?),
+    ``quantile_stream`` (what's the p99?), ``distinct_stream`` (how
+    many distinct?), and this (how often is key X, for arbitrary X)."""
+    if depth < 1 or width < 1:
+        raise EarthmoverSparkError("cm_stream: need depth >= 1 and width >= 1")
+    if n_shards < 1:
+        raise EarthmoverSparkError("cm_stream: need n_shards >= 1")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from earthmover_spark.operators.sketch import _cm_slot
+
+    key_str = F.col(key_col).cast("string")
+    prepared = df.filter(key_str.isNotNull()).select(
+        key_str.alias("__k__"),
+        _cm_slot(key_str, n_shards, depth, f"{salt}:shard:").cast("int").alias(
+            "__shard__"
+        ),
+        *[
+            _cm_slot(key_str, width, r, salt).cast("int").alias(f"__s{r}__")
+            for r in range(depth)
+        ],
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField(key_col, T.StringType()),
+            T.StructField("count_est", T.LongType()),
+            T.StructField("n_total", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cells", T.ArrayType(T.LongType())),
+            T.StructField("n_total", T.LongType()),
+        ]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            cells, n_total = state.get
+            mat = np.asarray(cells, dtype=np.int64).reshape(depth, width)
+        else:
+            mat = np.zeros((depth, width), dtype=np.int64)
+            n_total = 0
+        seen: dict[str, list] = {}
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_total += len(pdf)
+            # batch counts per key fold in cell-wise (= cm_merge)
+            counts = pdf.groupby("__k__", sort=False).agg(
+                n=("__k__", "size"),
+                **{f"s{r}": (f"__s{r}__", "first") for r in range(depth)},
+            )
+            for r in range(depth):
+                np.add.at(
+                    mat[r],
+                    counts[f"s{r}"].to_numpy(np.int64),
+                    counts["n"].to_numpy(np.int64),
+                )
+            for k, row in counts.iterrows():
+                seen[k] = [int(row[f"s{r}"]) for r in range(depth)]
+        state.update((mat.reshape(-1).tolist(), int(n_total)))
+        ests = [
+            (
+                int(key[0]),
+                k,
+                int(min(mat[r][s] for r, s in enumerate(slots))),
+                int(n_total),
+            )
+            for k, slots in seen.items()
+        ]
+        yield pd.DataFrame(
+            ests, columns=["shard", key_col, "count_est", "n_total"]
+        )
+
+    return prepared.groupBy("__shard__").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -809,3 +809,73 @@ def test_distinct_stream_exact_below_k_and_validation(spark, tmp_path):
     assert last.n_sample == 7 and last.n_distinct_est == 7 and last.n_rows == 50
     with pytest.raises(EarthmoverSparkError, match="k must be"):
         distinct_stream(stream, "v", "grp", k=0)
+
+
+def test_cm_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming bounded-state count-min: with one shard, after
+    draining N micro-batches every key's estimate must equal the batch
+    cm_sketch + cm_estimate over the full data — cell-wise
+    accumulation IS cm_merge, across batch boundaries."""
+    from earthmover_spark.operators.sketch import cm_estimate, cm_sketch
+    from earthmover_spark.streaming import cm_stream, read_stream_source
+
+    rows = [(f"k{(i * 7) % 23}",) for i in range(500)]
+    df = spark.createDataFrame(rows, ["key"])
+    d = str(tmp_path / "cmstream")
+    df.repartition(4).write.mode("overwrite").parquet(d)
+    stream = read_stream_source(spark, d, max_files_per_trigger=1)
+    out = cm_stream(stream, "key", depth=4, width=256, n_shards=1)
+    emitted = _run_to_memory(out, spark, "cmstream_out", "update").collect()
+    # final estimate per key = the emission with the largest n_total
+    final = {}
+    for r in emitted:
+        if r.key not in final or r.n_total > final[r.key].n_total:
+            final[r.key] = r
+    assert len(final) == 23
+    assert all(r.n_total == 500 for r in final.values())
+    batch = spark.read.parquet(d)
+    sk = cm_sketch(batch, "key", depth=4, width=256)
+    want = {
+        r.key: r.est
+        for r in cm_estimate(
+            sk, batch.select("key").distinct(), "key", depth=4, width=256
+        ).collect()
+    }
+    for k, got in final.items():
+        assert got.count_est == want[k], k
+    # estimates upper-bound truth
+    true = {
+        r.key: r.n
+        for r in batch.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(final[k].count_est >= true[k] for k in true)
+
+
+def test_cm_stream_sharded_and_validation(spark, tmp_path):
+    from earthmover_spark.streaming import cm_stream, read_stream_source
+    from earthmover_spark.util import EarthmoverSparkError
+
+    rows = [(f"k{i % 40}",) for i in range(400)]
+    d = str(tmp_path / "cmstream_sh")
+    spark.createDataFrame(rows, ["key"]).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = read_stream_source(spark, d, max_files_per_trigger=1)
+    out = cm_stream(stream, "key", depth=4, width=512, n_shards=4)
+    emitted = _run_to_memory(out, spark, "cmstream_sh_out", "update").collect()
+    final = {}
+    for r in emitted:
+        if r.key not in final or r.n_total > final[r.key].n_total:
+            final[r.key] = r
+    assert len(final) == 40
+    # each key hashes to one shard; per-shard n_total sums to 400
+    shard_totals = {}
+    for r in final.values():
+        shard_totals[r.shard] = max(shard_totals.get(r.shard, 0), r.n_total)
+    assert sum(shard_totals.values()) == 400
+    # width >> distinct keys per shard: every estimate exact (10 each)
+    assert all(r.count_est == 10 for r in final.values())
+    with pytest.raises(EarthmoverSparkError, match="depth"):
+        cm_stream(stream, "key", depth=0)
+    with pytest.raises(EarthmoverSparkError, match="n_shards"):
+        cm_stream(stream, "key", n_shards=0)

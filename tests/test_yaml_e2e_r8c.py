@@ -59,6 +59,13 @@ def project_dir(tmp_path_factory):
                 mask_bits: 4
               - operation: keep_columns
                 columns: [doc_id, chunk_id, chunk_digest]
+          scrubbed:
+            source: $sources.docs
+            operations:
+              - operation: dedup_substrings
+                window: 8
+                mask_bits: 4
+                min_chars: 30
 
         destinations:
           screened_out:
@@ -66,6 +73,9 @@ def project_dir(tmp_path_factory):
             extension: jsonl
           chunks_out:
             source: $transformations.chunks
+            extension: jsonl
+          scrubbed_out:
+            source: $transformations.scrubbed
             extension: jsonl
     """))
     return d
@@ -89,6 +99,14 @@ def test_r8c_yaml_pipeline(spark, project_dir):
     assert screened["2"]["contaminated"] == "false"
     assert screened["3"]["has_badwords"] == "true"
     assert screened["2"]["has_badwords"] == "false"
+
+    scrubbed = {
+        r["doc_id"]: r for r in _rows(results, "$destinations.scrubbed_out")
+    }
+    # docs 1 and the benchmark passage share no CDC chunks with doc 2/3;
+    # nothing in this corpus repeats >= 30 chars, so all pass through
+    assert len(scrubbed) == 3
+    assert all(int(r["n_chunks_removed"]) == 0 for r in scrubbed.values())
 
     chunks = _rows(results, "$destinations.chunks_out")
     per_doc = {}
