@@ -31,10 +31,12 @@ SF_DIR = "/root/testdata/sf0.001"
      # every urgent order was rewritten by the changeset; others never are
      and any(r["o_orderstatus"] == "RUSHED" for r in rows)),
     ("13_web_curation_recipe", "$destinations.corpus",
-     lambda rows: {"doc_id", "lang", "source", "n_words", "mean_word_len"}
+     lambda rows: {"doc_id", "dedup_text", "n_chars_removed"}
      == set(rows[0])
-     # every survivor passed the word-count gate
-     and all(int(r["n_words"]) >= 10 for r in rows)
+     # the substring-dedup stage genuinely excised duplicated passages
+     # (the tiny-vocab corpus repeats itself; wholly-duplicated docs
+     # may legitimately end up empty)
+     and sum(1 for r in rows if int(r["n_chars_removed"]) > 0) >= 5
      and len(rows) > 50),
     ("12_scaling_ablation", "$destinations.sample",
      lambda rows: {"doc_id", "text", "lang", "source", "rung"}
@@ -123,6 +125,14 @@ def test_stream_analytics_example(spark, tmp_path):
           read_dir(results["$destinations.heavy_hitters"])}
     assert hh["7"]["count_est"] == "3" and hh["7"]["err"] == "0"
     assert hh["8"]["count_est"] == "1"
+    # count-min frequency estimates: 4 events, 3 clicks+views split
+    freq = {}
+    for r in read_dir(results["$destinations.event_counts_est"]):
+        if (r["event_type"] not in freq
+                or int(r["n_total"]) > int(freq[r["event_type"]]["n_total"])):
+            freq[r["event_type"]] = r
+    assert freq["click"]["count_est"] == "2"
+    assert freq["view"]["count_est"] == "2"
 
 
 def test_web_corpus_qa_example(spark, tmp_path):
