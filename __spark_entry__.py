@@ -2695,6 +2695,32 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped missing-value imputation (synthesized NULLs): exact
+    per-flag median fill for quantity, deterministic per-flag mode
+    fill for linestatus. One grouped agg + broadcast joins back — the
+    corpus side never shuffles."""
+    from earthmover_spark.operators.column import impute_missing
+
+    li = _p(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.when((F.col("l_orderkey") % 7) != 0, F.col("l_quantity")).alias(
+            "qty"
+        ),
+        F.when((F.col("l_orderkey") % 11) != 0, F.col("l_linestatus")).alias(
+            "status"
+        ),
+    )
+    out = impute_missing(
+        li, {"qty": "median", "status": "mode"}, group_cols=["l_returnflag"]
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "qty", "status"
+    )
+
+
 def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicated-passage removal at arbitrary offsets
     (the ExactSubstr goal via content-defined chunks): duplicated
@@ -2941,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decon_bloom": q_decon_bloom,
         "cdc_chunks": q_cdc_chunks,
         "dedup_substr": q_dedup_substrings,
+        "impute": q_impute,
         "kmv_est": q_kmv_estimate,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
@@ -6621,6 +6648,35 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(text, starts[u.i] + 1,
                               ends[u.i] - starts[u.i])) AS chunk_digest
             FROM s, unnest(range(1, len(starts) + 1)) u(i)
+        """,
+        "impute": """
+            WITH base AS (
+              SELECT l_orderkey, l_linenumber, l_returnflag,
+                     CASE WHEN l_orderkey % 7 != 0 THEN l_quantity END
+                         AS qty,
+                     CASE WHEN l_orderkey % 11 != 0 THEN l_linestatus END
+                         AS status
+              FROM lineitem
+            ), med AS (
+              SELECT l_returnflag, median(qty) AS m
+              FROM base WHERE qty IS NOT NULL GROUP BY 1
+            ), mc AS (
+              SELECT l_returnflag, status, count(*) AS n
+              FROM base WHERE status IS NOT NULL GROUP BY 1, 2
+            ), mo AS (
+              SELECT l_returnflag, status AS md FROM (
+                SELECT l_returnflag, status,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY n DESC, status) AS rn
+                FROM mc
+              ) WHERE rn = 1
+            )
+            SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag,
+                   coalesce(b.qty, med.m) AS qty,
+                   coalesce(b.status, mo.md) AS status
+            FROM base b
+            LEFT JOIN med USING (l_returnflag)
+            LEFT JOIN mo USING (l_returnflag)
         """,
         "dedup_substr": """
             WITH t AS (

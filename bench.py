@@ -144,6 +144,7 @@ HEADLINE = [
     "cdc_chunks",  # rolling-hash boundaries, one sweep per row
     "dedup_substr",  # CDC census + narrow run merge + anti-join fast path
     "kmv_est",  # TakeOrdered bottom-k + one bounded agg
+    "impute",  # one grouped stat agg + broadcast fills
 ]
 
 

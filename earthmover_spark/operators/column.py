@@ -400,3 +400,106 @@ def infer_types(
         else:
             out[c] = v.cast(chosen)
     return df.withColumns(out) if out else df
+
+
+def impute_missing(
+    df: DataFrame,
+    strategy: dict,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Fill NULLs per column by a named strategy — the standard
+    feature-table repair pass before training or export. ``strategy``
+    maps column -> one of ``"mean"`` | ``"median"`` | ``"mode"`` |
+    ``"constant:<value>"``; with ``group_cols`` the mean/median/mode
+    are computed WITHIN each group (e.g. median price per category)
+    and a row whose group has no non-NULL values keeps its NULL (no
+    silent global fallback — screen with ``validate_table`` after).
+    Mode is deterministic: the most frequent non-NULL value, ties
+    broken by the smallest value. Median is the exact interpolated
+    percentile-0.5. Every fill value is cast back to the column's
+    existing type so the schema never changes (an integer column's
+    fractional mean truncates — use a double column if that matters).
+    Rows with a NULL group key match no stats row (standard join
+    semantics) and keep their NULLs.
+
+    Scale shape (100 TB): ONE aggregation pass computes every mean /
+    median fill value (grouped: |groups| rows; global: 1 row) plus one
+    count-aggregate per mode column (mode needs its own value-keyed
+    agg — it cannot share the moment pass); the fill frame then
+    broadcasts back onto the corpus, so the big side never shuffles.
+    Exact grouped medians buffer each group's values in the agg (the
+    same exact-opt-in trade as ``flag_outliers_robust``); use
+    ``quantile_sketch`` upstream when groups reach data scale."""
+    if not strategy:
+        raise EarthmoverSparkError("impute_missing: empty strategy map")
+    missing = [c for c in strategy if c not in df.columns]
+    if missing:
+        raise EarthmoverSparkError(
+            f"impute_missing: columns not in frame: {missing}"
+        )
+    group_cols = list(group_cols or [])
+    for g in group_cols:
+        if g not in df.columns:
+            raise EarthmoverSparkError(
+                f"impute_missing: group column {g!r} not in frame"
+            )
+        if g in strategy:
+            raise EarthmoverSparkError(
+                f"impute_missing: {g!r} cannot be both grouped and imputed"
+            )
+    types = dict(df.dtypes)
+    aggs, modes, fills = [], [], {}
+    for c, how in strategy.items():
+        if how == "mean":
+            aggs.append(F.avg(c).alias(f"__fill_{c}__"))
+        elif how == "median":
+            aggs.append(
+                F.percentile(F.col(c), F.lit(0.5)).alias(f"__fill_{c}__")
+            )
+        elif how == "mode":
+            modes.append(c)
+        elif isinstance(how, str) and how.startswith("constant:"):
+            fills[c] = F.lit(how[len("constant:"):]).cast(types[c])
+        else:
+            raise EarthmoverSparkError(
+                f"impute_missing: unknown strategy {how!r} for {c!r} "
+                "(mean|median|mode|constant:<value>)"
+            )
+    out = df
+    if aggs:
+        stats = (df.groupBy(*group_cols).agg(*aggs) if group_cols
+                 else df.agg(*aggs))
+        out = (
+            out.join(F.broadcast(stats), group_cols, "left")
+            if group_cols
+            else out.crossJoin(F.broadcast(stats))
+        )
+    for c in modes:
+        counted = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(*group_cols, c)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .groupBy(*group_cols)
+            .agg(
+                F.min_by(
+                    c, F.struct((-F.col("__n__")).alias("n"),
+                                F.col(c).alias("v"))
+                ).alias(f"__fill_{c}__")
+            )
+        )
+        out = (
+            out.join(F.broadcast(counted), group_cols, "left")
+            if group_cols
+            else out.crossJoin(F.broadcast(counted))
+        )
+    filled = {}
+    for c, how in strategy.items():
+        if c in fills:
+            filled[c] = F.coalesce(F.col(c), fills[c])
+        else:
+            filled[c] = F.coalesce(
+                F.col(c), F.col(f"__fill_{c}__").cast(types[c])
+            )
+    return out.withColumns(filled).drop(
+        *[f"__fill_{c}__" for c in strategy if c not in fills]
+    )

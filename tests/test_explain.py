@@ -974,3 +974,12 @@ def test_dedup_substrings_narrow_census_and_fast_path(plans):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "LeftAnti" in p  # the untouched-docs fast path
+
+
+def test_impute_broadcast_stats_no_corpus_shuffle(plans):
+    """Imputation: fill values broadcast back onto the table — the
+    big side never shuffles for the join; no Python."""
+    p = plans("impute")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p

@@ -382,3 +382,87 @@ def test_dedup_substrings_within_doc_repeat_and_validation(spark):
         dedup_substrings(df, min_chars=0)
     with pytest.raises(EarthmoverSparkError, match="min_count"):
         dedup_substrings(df, min_count=1)
+
+
+# ---------------------------------------------------------------------------
+# impute_missing
+# ---------------------------------------------------------------------------
+
+
+def test_impute_missing_global_strategies(spark):
+    from earthmover_spark.operators.column import impute_missing
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, 2, "a"),
+            (2, None, 4, "b"),
+            (3, 20.0, None, None),
+            (4, 30.0, 4, "a"),
+            (5, None, 9, "a"),
+        ],
+        "id long, x double, k long, s string",
+    )
+    out = {
+        r.id: r
+        for r in impute_missing(
+            df,
+            {"x": "mean", "k": "median", "s": "mode"},
+        ).collect()
+    }
+    assert out[2].x == 20.0 and out[5].x == 20.0  # mean of 10,20,30
+    assert out[3].k == 4  # median of 2,4,4,9
+    assert out[3].s == "a"  # modal value
+    assert out[1] == out[1]  # untouched rows intact
+    assert (out[1].x, out[1].k, out[1].s) == (10.0, 2, "a")
+
+
+def test_impute_missing_grouped_and_constant(spark):
+    from earthmover_spark.operators.column import impute_missing
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 10.0, None),
+            ("g1", 30.0, "x"),
+            ("g1", None, "x"),
+            ("g2", 100.0, "y"),
+            ("g2", None, None),
+            ("g3", None, None),  # group with no non-NULL values
+        ],
+        "grp string, v double, t string",
+    )
+    rows = impute_missing(
+        df, {"v": "median", "t": "constant:missing"}, group_cols=["grp"]
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.grp, []).append(r)
+    g1 = sorted((r.v for r in by["g1"]))
+    assert g1 == [10.0, 20.0, 30.0]  # group median fills
+    assert [r.v for r in by["g2"] if r.v == 100.0]
+    assert all(r.v == 100.0 for r in by["g2"])
+    assert by["g3"][0].v is None  # no silent global fallback
+    assert all(r.t in ("x", "y", "missing") for r in rows)
+
+
+def test_impute_missing_mode_tie_break_and_validation(spark):
+    from earthmover_spark.operators.column import impute_missing
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "b"), (4, "a"), (5, None)],
+        "id long, s string",
+    )
+    out = {r.id: r.s for r in impute_missing(df, {"s": "mode"}).collect()}
+    assert out[5] == "a"  # tie between a and b -> smallest value
+    # int column mean truncates back to the column type
+    di = spark.createDataFrame([(1, 1), (2, 2), (3, None)], "id long, n int")
+    got = {r.id: r.n for r in impute_missing(di, {"n": "mean"}).collect()}
+    assert got[3] == 1  # mean 1.5 cast back to int
+    with pytest.raises(EarthmoverSparkError, match="empty strategy"):
+        impute_missing(df, {})
+    with pytest.raises(EarthmoverSparkError, match="not in frame"):
+        impute_missing(df, {"zz": "mean"})
+    with pytest.raises(EarthmoverSparkError, match="unknown strategy"):
+        impute_missing(df, {"s": "magic"})
+    with pytest.raises(EarthmoverSparkError, match="grouped and imputed"):
+        impute_missing(df, {"s": "mode"}, group_cols=["s"])
