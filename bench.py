@@ -139,7 +139,7 @@ HEADLINE = [
     "jl_project",  # literal Rademacher matrix, zero shuffle
     "file_stats",  # one file-keyed agg, manifest-sized output
     "infer_types",  # one bool_and verdict agg + cast codegen
-    "badwords",  # array-literal blocklist, zero shuffle
+    "badwords",  # compiled regex-alternation blocklist, zero shuffle
     "decon_bloom",  # binary-literal bloom probe, zero corpus shuffle
     "cdc_chunks",  # rolling-hash boundaries, one sweep per row
     "dedup_substr",  # CDC census + narrow run merge + anti-join fast path

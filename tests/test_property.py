@@ -640,3 +640,43 @@ def test_badwords_matches_python_reference(spark, docs, sep):
         want_ratio = round(hits / max(len(ref_tokens), 1), 6)
         assert g.badword_ratio == want_ratio
         assert g.has_badwords is (hits > 0)
+
+
+# -- r8: CDC chunking invariants over adversarial unicode --------------------
+
+_CDC_TEXT = st.text(
+    alphabet=st.sampled_from(
+        list("ab \n\t.!") + ["é", "ß", "中", "文", "🦊", "'"]
+    ),
+    min_size=0, max_size=200,
+)
+
+
+@given(texts=st.lists(_CDC_TEXT, min_size=1, max_size=6),
+       mask_bits=st.integers(min_value=1, max_value=6))
+@settings(**{**SETTINGS, "max_examples": 10})
+def test_cdc_chunks_reconstruction_identity(spark, texts, mask_bits):
+    """For arbitrary unicode text (including astral-plane emoji and
+    CJK), concatenating a document's CDC chunks in chunk_id order
+    must reproduce the text EXACTLY, offsets must be the running sum
+    of chunk lengths, and every chunk must be non-empty except the
+    single chunk of an empty document."""
+    from earthmover_spark.llm.sampling import cdc_chunks
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = cdc_chunks(df, window=4, mask_bits=mask_bits)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert "".join(c.chunk_text for c in chunks) == t
+        off = 0
+        for c in chunks:
+            assert c.chunk_start == off
+            off += len(c.chunk_text)
+        if t:
+            assert all(c.chunk_text for c in chunks)
+        else:
+            assert len(chunks) == 1 and chunks[0].chunk_text == ""
