@@ -1162,18 +1162,31 @@ def dedup_substrings(
     if min_count < 2:
         raise EarthmoverSparkError("dedup_substrings: min_count must be >= 2")
     out_col = out_col or "dedup_text"
-    chunks = cdc_chunks(
-        df.select(F.col(id_col), F.col(text_col)),
-        text_col=text_col,
-        window=window,
-        mask_bits=mask_bits,
-        hash_fn=hash_fn,
-    )
-    occ = chunks.select(
-        id_col,
-        "chunk_id",
-        "chunk_digest",
-        F.length("chunk_text").alias("__len__"),
+
+    def _chunks(frame: DataFrame) -> DataFrame:
+        return cdc_chunks(
+            frame.select(F.col(id_col), F.col(text_col)),
+            text_col=text_col,
+            window=window,
+            mask_bits=mask_bits,
+            hash_fn=hash_fn,
+        )
+
+    # the census frame feeds the hot agg AND the marked join — two plan
+    # references; without truncation the whole rolling-hash sweep
+    # re-runs per reference (the winnow_near_dups lesson). Checkpoint
+    # the NARROW quads (no text), then re-chunk only affected docs for
+    # the rebuild — total chunking cost is one full-corpus pass plus
+    # one pass over the (small) affected slice.
+    occ = (
+        _chunks(df)
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_digest",
+            F.length("chunk_text").alias("__len__"),
+        )
+        .localCheckpoint(eager=False)
     )
     hot = (
         occ.groupBy("chunk_digest")
@@ -1210,7 +1223,7 @@ def dedup_substrings(
     )
     affected = removed.select(id_col).distinct()
     rebuilt = (
-        chunks.join(affected, id_col)
+        _chunks(df.join(affected, id_col))
         .join(removed.withColumn("__rm__", F.lit(True)),
               [id_col, "chunk_id"], "left")
         .groupBy(id_col)
