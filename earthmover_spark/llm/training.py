@@ -83,13 +83,30 @@ def train_logreg_hashed(
 
     The weight vector is collected each iteration (bounded:
     ``n_buckets`` rows) and re-broadcast as literals — see module
-    docstring for why this is the scalable shape."""
+    docstring for why this is the scalable shape.
+
+    Shuffle accounting per iteration: ZERO full-data exchanges. The
+    label rides in the persisted feature frame (joined once, before
+    the loop) and the frame is pinned hash-partitioned on the doc id,
+    so the per-doc scoring aggregate AND the error join back both
+    reuse that partitioning; the only per-iteration exchange moves
+    the <= ``n_buckets``-keyed partial gradients."""
     spark: SparkSession = df.sparkSession
-    feats = hashed_tf_features(
-        df, text_col=text_col, id_col=id_col, n_buckets=n_buckets, salt=salt
-    ).persist()
     labels = df.select(
         F.col(id_col), F.col(label_col).cast("double").alias("__y__")
+    )
+    # match the session shuffle partitioning so the groupBy(id) and the
+    # error join both satisfy their distribution from the persisted
+    # frame with no further exchange
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    feats = (
+        hashed_tf_features(
+            df, text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+            salt=salt,
+        )
+        .join(labels, id_col)
+        .repartition(n_part, F.col(id_col))
+        .persist()
     )
     n_docs = feats.select(id_col).distinct().count()  # bounded: one long
     if n_docs == 0:
@@ -107,13 +124,15 @@ def train_logreg_hashed(
             ).agg(
                 F.sum(F.col("x") * F.coalesce(F.col("__w__"), F.lit(0.0))).alias(
                     "__s__"
-                )
+                ),
+                F.first("__y__").alias("__y__"),
             )
         else:  # zero init: skip the join, score is 0 for every doc
             scored = feats.groupBy(id_col).agg(
-                F.lit(0.0).alias("__s__")
+                F.lit(0.0).alias("__s__"),
+                F.first("__y__").alias("__y__"),
             )
-        errs = scored.join(labels, id_col).select(
+        errs = scored.select(
             id_col,
             (
                 F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__s__"))) - F.col("__y__")
