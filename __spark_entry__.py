@@ -2695,6 +2695,23 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_norm_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over synthesized decomposed text
+    (combining acute appended): Arrow-batched unicodedata pass; the
+    DuckDB twin is its native nfc_normalize."""
+    from earthmover_spark.llm.curation import normalize_unicode
+
+    d = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        # decomposed on purpose: e + combining acute (U+0301),
+        # i + combining diaeresis (U+0308) - NFC recomposes both
+        F.concat(
+            F.col("text"), F.lit(" cafe\u0301 nai\u0308ve")
+        ).alias("text"),
+    )
+    return normalize_unicode(d, form="NFC")
+
+
 def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped missing-value imputation (synthesized NULLs): exact
     per-flag median fill for quantity, deterministic per-flag mode
@@ -2968,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "dedup_substr": q_dedup_substrings,
         "impute": q_impute,
+        "norm_nfc": q_norm_nfc,
         "kmv_est": q_kmv_estimate,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
@@ -6648,6 +6666,12 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(text, starts[u.i] + 1,
                               ends[u.i] - starts[u.i])) AS chunk_digest
             FROM s, unnest(range(1, len(starts) + 1)) u(i)
+        """,
+        "norm_nfc": """
+            SELECT doc_id,
+                   nfc_normalize(text || ' cafe' || chr(769)
+                                 || ' nai' || chr(776) || 've') AS text
+            FROM documents
         """,
         "impute": """
             WITH base AS (

@@ -145,6 +145,7 @@ HEADLINE = [
     "dedup_substr",  # CDC census + narrow run merge + anti-join fast path
     "kmv_est",  # TakeOrdered bottom-k + one bounded agg
     "impute",  # one grouped stat agg + broadcast fills
+    "norm_nfc",  # Arrow-batched unicodedata NFC pass
 ]
 
 

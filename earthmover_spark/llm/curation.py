@@ -1258,3 +1258,50 @@ def dedup_substrings(
         )
     )
     return untouched.unionByName(rebuilt)
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization (NFC / NFD / NFKC / NFKD) — the canon
+    first step before any byte-level dedup or fingerprinting: visually
+    identical strings with different codepoint sequences (precomposed
+    e-acute vs e + combining acute, full-width vs ASCII digits under
+    NFKC) otherwise hash apart and silently defeat exact dedup.
+    Complements :func:`clean_text` (which fixes mojibake-adjacent junk
+    and typographic variants but cannot recompose combining marks —
+    that genuinely needs the Unicode tables). Writes ``out_col``
+    (default: in place). NULLs pass through as NULL.
+
+    Scale shape (100 TB): Spark has no native normalizer, so this is
+    the one curation op on the Python path — an Arrow-batched pandas
+    UDF (``unicodedata.normalize`` over each batch), which
+    parallelizes with the scan and moves columns, not rows, across
+    the JVM/Python boundary. Everything downstream (md5 dedup keys,
+    shingles, CDC chunks) stays JVM-side as usual."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise EarthmoverSparkError(
+            f"normalize_unicode: unknown form {form!r} (NFC|NFD|NFKC|NFKD)"
+        )
+    out_col = out_col or text_col
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None if v is None else unicodedata.normalize(form, v)
+                for v in s
+            ],
+            dtype="object",
+        )
+
+    return df.withColumn(out_col, _norm(F.col(text_col).cast("string")))

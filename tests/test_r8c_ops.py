@@ -466,3 +466,44 @@ def test_impute_missing_mode_tie_break_and_validation(spark):
         impute_missing(df, {"s": "magic"})
     with pytest.raises(EarthmoverSparkError, match="grouped and imputed"):
         impute_missing(df, {"s": "mode"}, group_cols=["s"])
+
+
+# ---------------------------------------------------------------------------
+# normalize_unicode
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_unicode_forms_and_nulls(spark):
+    import unicodedata
+
+    from earthmover_spark.llm.curation import normalize_unicode
+
+    decomposed = "élève"       # é/è via combining marks
+    fullwidth = "ＡＢＣ１２３"               # NFKC folds to ASCII
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, fullwidth), (3, None), (4, "plain")],
+        "doc_id long, text string",
+    )
+    nfc = {r.doc_id: r.text for r in normalize_unicode(df).collect()}
+    assert nfc[1] == unicodedata.normalize("NFC", decomposed) == "élève"
+    assert nfc[2] == fullwidth  # NFC leaves compatibility chars alone
+    assert nfc[3] is None and nfc[4] == "plain"
+
+    nfkc = {
+        r.doc_id: r.norm
+        for r in normalize_unicode(df, form="NFKC", out_col="norm").collect()
+    }
+    assert nfkc[2] == "ABC123"
+    # exact-dedup motivation: the two spellings hash together after NFC
+    pre = spark.createDataFrame(
+        [(1, "élève"), (2, decomposed)], "doc_id long, text string"
+    )
+    out = normalize_unicode(pre)
+    assert out.select("text").distinct().count() == 1
+
+    import pytest as _pytest
+
+    from earthmover_spark.util import EarthmoverSparkError
+
+    with _pytest.raises(EarthmoverSparkError, match="unknown form"):
+        normalize_unicode(df, form="NFX")
