@@ -720,9 +720,12 @@ def gopher_quality_filter(
         F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]"))) / n_words,
     )
     stops = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
-    lower_words = F.transform(w, F.lower)
+    # materialize the lowered word array as a column: lambda bodies
+    # re-evaluate non-element expressions per element, so referencing
+    # the transform() inline would lower the whole doc once per stop
+    out = out.withColumn("__lw__", F.transform(w, F.lower))
     stop_hits = F.size(
-        F.filter(stops, lambda s: F.array_contains(lower_words, s))
+        F.filter(stops, lambda s: F.array_contains(F.col("__lw__"), s))
     )
     out = (
         out.withColumn("n_words", n_words)
@@ -732,7 +735,7 @@ def gopher_quality_filter(
         .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
         .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
         .withColumn("stopword_hits", stop_hits)
-        .drop("__w__")
+        .drop("__w__", "__lw__")
     )
     gp = (
         (F.col("n_words") >= min_words)
