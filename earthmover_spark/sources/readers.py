@@ -72,6 +72,7 @@ _EXT_TYPES = {
     ".sav": "spss",
     ".dta": "stata",
     ".pkl": "pickle",
+    ".warc": "warc",
 }
 
 
@@ -343,6 +344,8 @@ def read_source(
         )
 
     ftype = type or _EXT_TYPES.get(os.path.splitext(file)[1].lower())
+    if ftype is None and file.lower().endswith(".warc.gz"):
+        ftype = "warc"  # double extension escapes the splitext map
     if ftype is None:
         raise EarthmoverSparkError(f"cannot infer source type for {file!r}")
 
@@ -373,6 +376,15 @@ def read_source(
             )
         else:
             df = spark.read.option("multiLine", "true").json(file)
+    elif ftype == "warc":
+        from earthmover_spark.sources.warc import read_warc
+
+        rt = kwargs.get("record_types", ("response",))
+        df = read_warc(
+            spark, file,
+            record_types=tuple(rt) if rt else None,
+            strip_http=kwargs.get("strip_http", True),
+        )
     elif ftype == "parquet":
         df = spark.read.parquet(file)
     elif ftype == "orc":
