@@ -126,3 +126,31 @@ def test_warc_via_source_dispatch(spark, warc_files):
         spark, warc_files + "/a.warc", record_types=None
     )
     assert df_all.count() == 4
+
+
+def test_warc_ingest_example(spark, tmp_path, warc_files):
+    """examples/15_warc_ingest end-to-end from YAML: warc.gz -> HTTP
+    200 filter -> decode -> strip markup -> quality -> jsonl."""
+    import json
+    import os
+
+    from earthmover_spark.plans.executor import run_project
+
+    cfg = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "15_warc_ingest",
+        "earthmover.yaml",
+    )
+    results = run_project(
+        spark, cfg,
+        params={"WARC_GLOB": warc_files + "/b.warc.gz"},
+        output_dir=str(tmp_path),
+    )
+    rows = [
+        json.loads(ln)
+        for ln in open(results["$destinations.corpus"]).read().splitlines()
+    ]
+    # only the 200 response survives the status filter; markup gone
+    assert len(rows) == 1
+    assert rows[0]["url"] == "http://a.example/x"
+    assert "<html>" not in rows[0]["text"] and "page one" in rows[0]["text"]
+    assert float(rows[0]["quality"]) >= 0
