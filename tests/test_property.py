@@ -680,3 +680,45 @@ def test_cdc_chunks_reconstruction_identity(spark, texts, mask_bits):
             assert all(c.chunk_text for c in chunks)
         else:
             assert len(chunks) == 1 and chunks[0].chunk_text == ""
+
+
+# -- r8: grouped imputation vs a numpy reference ------------------------------
+
+_IMP_VALS = st.lists(
+    st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                   allow_nan=False)),
+    min_size=1, max_size=12,
+)
+
+
+@given(groups=st.lists(_IMP_VALS, min_size=1, max_size=3))
+@settings(**{**SETTINGS, "max_examples": 10})
+def test_impute_median_matches_numpy_reference(spark, groups):
+    """Grouped median imputation must equal numpy's interpolated
+    median of the group's non-NULL values; all-NULL groups keep
+    NULLs."""
+    import numpy as np
+
+    from earthmover_spark.operators.column import impute_missing
+
+    rows = [
+        (f"g{gi}", i, v)
+        for gi, vals in enumerate(groups)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "grp string, idx long, v double")
+    got = {
+        (r.grp, r.idx): r.v
+        for r in impute_missing(df, {"v": "median"},
+                                group_cols=["grp"]).collect()
+    }
+    for gi, vals in enumerate(groups):
+        present = [v for v in vals if v is not None]
+        med = float(np.median(present)) if present else None
+        for i, v in enumerate(vals):
+            want = v if v is not None else med
+            have = got[(f"g{gi}", i)]
+            if want is None:
+                assert have is None
+            else:
+                assert have == pytest.approx(want, rel=1e-9, abs=1e-9)
