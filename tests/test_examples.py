@@ -196,6 +196,19 @@ def test_metrics_rollup_example(spark, tmp_path):
     for probs in by_type.values():
         assert set(probs) == {"0.5", "0.95", "0.99"}
         assert probs["0.5"] <= probs["0.95"] <= probs["0.99"]
+    # merged KMV sketch: exact below k, so the estimate equals the
+    # true distinct user count at this scale
+    du = [json.loads(ln) for ln in
+          open(results["$destinations.distinct_users_out"]).read()
+          .splitlines()]
+    assert len(du) == 1
+    true_users = spark.read.parquet(SF_DIR + "/events.parquet") \
+        .select("user_id").distinct().count()
+    if true_users <= 256:
+        assert int(du[0]["n_distinct_est"]) == true_users
+    else:
+        est = int(du[0]["n_distinct_est"])
+        assert abs(est - true_users) / true_users < 0.25
 
 
 def test_data_selection_example(spark, tmp_path):
