@@ -6733,13 +6733,16 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id, chunk_id) AS rn
               FROM ch
             ), runs AS (
-              SELECT doc_id, chunk_id, len,
+              -- runs over ALL marked occurrences (keepers included);
+              -- exemption is run-level: any keeper shelters its run
+              SELECT doc_id, chunk_id, len, (rn = 1) AS is_keeper,
                      chunk_id - row_number() OVER (PARTITION BY doc_id
                                                    ORDER BY chunk_id) AS grp
-              FROM mk WHERE n >= 2 AND rn > 1
+              FROM mk WHERE n >= 2
             ), qruns AS (
               SELECT doc_id, grp FROM runs
-              GROUP BY doc_id, grp HAVING sum(len) >= 40
+              GROUP BY doc_id, grp
+              HAVING sum(len) >= 40 AND NOT bool_or(is_keeper)
             ), rm AS (
               SELECT r.doc_id, r.chunk_id, r.len
               FROM runs r JOIN qruns q USING (doc_id, grp)

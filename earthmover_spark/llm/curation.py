@@ -1021,7 +1021,6 @@ def decontaminate_bloom(
     df: DataFrame,
     benchmark: DataFrame | None = None,
     text_col: str = "text",
-    id_col: str = "doc_id",
     benchmark_text_col: str | None = None,
     shingle_n: int = 8,
     num_bits: int = 65536,
@@ -1124,10 +1123,11 @@ def dedup_substrings(
     byte-identical interior chunks NO MATTER where the passage sits in
     each document; chunks whose digest occurs >= ``min_count`` times
     corpus-wide are marked, adjacent marked chunks merge into RUNS,
-    and every run of >= ``min_chars`` chars is excised from every
-    occurrence except (``keep_first=True``, default) the minimum
-    ``(id, chunk_id)`` keeper occurrences — ``keep_first=False`` is
-    the paper's remove-all-copies variant. The threshold applies to
+    and every run of >= ``min_chars`` chars is excised — except
+    (``keep_first=True``, default) runs containing a chunk's minimum
+    ``(id, chunk_id)`` keeper occurrence, which survive WHOLE, so
+    every duplicated passage keeps at least one contiguous copy;
+    ``keep_first=False`` is the paper's remove-all-copies variant. The threshold applies to
     the merged run, not the individual chunk, so a long duplicated
     passage is caught regardless of how the boundary rule happens to
     slice it. Complements :func:`dedup_spans` (C4's fixed word
@@ -1199,16 +1199,23 @@ def dedup_substrings(
         )
         .filter(F.col("__n__") >= min_count)
     )
-    marked = occ.join(hot, "chunk_digest")
-    if keep_first:
-        marked = marked.filter(
-            ~(
-                (F.col(id_col) == F.col(f"__keeper__.{id_col}"))
-                & (F.col("chunk_id") == F.col("__keeper__.chunk_id"))
-            )
-        )
+    marked = occ.join(hot, "chunk_digest").withColumn(
+        "__is_keeper__",
+        (F.col(id_col) == F.col(f"__keeper__.{id_col}"))
+        & (F.col("chunk_id") == F.col("__keeper__.chunk_id")),
+    )
     # consecutive chunk_ids share (chunk_id - row_number): one window
-    # + one agg turns the marked set into runs, all on narrow rows
+    # + one agg turns the marked set into runs, all on narrow rows.
+    # Keeper exemption is decided at the RUN level, not per chunk: a
+    # run containing ANY digest's keeper occurrence survives whole.
+    # Per-chunk exemption has two failure modes — a keeper hole
+    # fragments the surrounding run, and a multi-chunk passage whose
+    # chunks have keepers in DIFFERENT documents (one chunk also
+    # occurs elsewhere) would be partially excised from every copy,
+    # leaving the contiguous passage intact nowhere. Run-level
+    # exemption guarantees each duplicated run survives contiguously
+    # in at least the document holding its first-occurrence chunks
+    # (slightly conservative: a run sheltering any keeper is kept).
     w_doc = Window.partitionBy(id_col).orderBy("chunk_id")
     runs = (
         marked.withColumn(
@@ -1217,10 +1224,13 @@ def dedup_substrings(
         .groupBy(id_col, "__grp__")
         .agg(
             F.sum("__len__").alias("__run_len__"),
+            F.max("__is_keeper__").alias("__has_keeper__"),
             F.collect_list("chunk_id").alias("__cids__"),
         )
         .filter(F.col("__run_len__") >= min_chars)
     )
+    if keep_first:
+        runs = runs.filter(~F.col("__has_keeper__"))
     removed = runs.select(
         id_col, F.explode("__cids__").alias("chunk_id")
     )

@@ -332,12 +332,27 @@ def kmv_estimate(sketch: DataFrame, k: int = 1024) -> DataFrame:
     is that ONE sketch frame answers distinct-count AND overlap
     (:func:`kmv_jaccard`) and merges losslessly in plain SQL.
 
+    A frame holding MORE than k rows is not a valid k-sketch (e.g.
+    two unioned sketches without the intervening :func:`kmv_merge`) —
+    the estimator would silently undercount by ~count/k, so that
+    misuse raises at execution time instead.
+
     Scale shape: one aggregation over a <= k-row frame."""
     if k < 1:
         raise ValueError("kmv_estimate: k must be >= 1")
+    cnt = F.count(F.lit(1))
     return sketch.agg(
-        F.count(F.lit(1)).alias("n_sample"),
-        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        cnt.alias("n_sample"),
+        F.when(
+            cnt > k,
+            F.raise_error(
+                F.lit(
+                    f"kmv_estimate: input holds more than k={k} rows — "
+                    "not a valid sketch; run kmv_merge first"
+                )
+            ).cast("double"),
+        )
+        .when(cnt < k, cnt.cast("double"))
         .otherwise(
             F.round(
                 F.lit(float(k - 1))

@@ -382,7 +382,7 @@ def read_source(
         rt = kwargs.get("record_types", ("response",))
         df = read_warc(
             spark, file,
-            record_types=tuple(rt) if rt else None,
+            record_types=rt,  # read_warc handles str/list/None
             strip_http=kwargs.get("strip_http", True),
         )
     elif ftype == "parquet":

@@ -507,3 +507,11 @@ def test_normalize_unicode_forms_and_nulls(spark):
 
     with _pytest.raises(EarthmoverSparkError, match="unknown form"):
         normalize_unicode(df, form="NFX")
+
+
+def test_kmv_estimate_rejects_oversized_frame(spark):
+    from earthmover_spark.operators.sketch import kmv_estimate
+
+    too_big = spark.range(0, 600).select(F.col("id").alias("h"))
+    with pytest.raises(Exception, match="kmv_merge first"):
+        kmv_estimate(too_big, k=512).collect()
