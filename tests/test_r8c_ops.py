@@ -515,3 +515,43 @@ def test_kmv_estimate_rejects_oversized_frame(spark):
     too_big = spark.range(0, 600).select(F.col("id").alias("h"))
     with pytest.raises(Exception, match="kmv_merge first"):
         kmv_estimate(too_big, k=512).collect()
+
+
+def test_dedup_substrings_passage_survives_contiguously(spark):
+    """The run-level keeper rule: doc A quotes the MIDDLE of a passage
+    that docs B and C share in full. The quote's interior chunks have
+    their keepers in A, the flanks in B — per-chunk exemption would
+    punch a hole in B's copy so the full passage survived nowhere.
+    Run-level exemption keeps B's run whole (it shelters the flank
+    keepers), keeps A's quote, and removes C's copy."""
+    from earthmover_spark.llm.curation import dedup_substrings
+
+    passage = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen "
+        "twenty twentyone twentytwo twentythree twentyfour twentyfive"
+    )
+    quote = passage[120:280]
+    docs = spark.createDataFrame(
+        [
+            (1, "doc a quotes only the middle: " + quote + " end of a."),
+            (2, "doc b carries the whole passage: " + passage + " tail b."),
+            (3, "doc c also carries it: " + passage + " tail c."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_substrings(
+            docs, window=8, mask_bits=4, min_chars=40
+        ).collect()
+    }
+    # B keeps the passage CONTIGUOUSLY (no hole punched by A's keepers)
+    assert passage in out[2].dedup_text
+    # C loses the bulk of its copy
+    assert out[3].n_chars_removed > len(passage) // 2
+    assert passage not in out[3].dedup_text
+    # A keeps its quote (its run shelters the quote-chunk keepers)
+    assert quote in out[1].dedup_text
