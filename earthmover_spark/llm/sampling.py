@@ -40,8 +40,12 @@ def chunk_documents(
     optional overlap — one output row per chunk, empty docs yield one
     empty chunk. Native explode(sequence) + substring: the chunking of
     a 100 TB corpus is pure codegen over the scan."""
-    if overlap >= chunk_chars:
-        raise EarthmoverSparkError("chunk_documents: overlap must be < chunk_chars")
+    if not 0 <= overlap < chunk_chars:
+        raise EarthmoverSparkError(
+            "chunk_documents: overlap must be in [0, chunk_chars) — a "
+            "negative overlap would silently skip characters between "
+            "chunks"
+        )
     step = chunk_chars - overlap
     text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     offsets = F.sequence(
@@ -99,7 +103,16 @@ def stratified_sample(
     h = _h60(F.col(key_col), f"{salt}:")
     expr = None
     for name, frac in fractions.items():
-        cond = F.col(strata_col).cast("string") == str(name)
+        # compare NATIVELY, not via str(): Spark renders booleans as
+        # 'true'/'false' while str(True) is 'True', so a string-cast
+        # comparison silently matches nothing for boolean strata (and
+        # temperature_mix would drop the whole corpus); a None key
+        # (NULL stratum from a collect) needs isNull, since NULL == x
+        # is NULL and would fall through to the default fraction
+        if name is None:
+            cond = F.col(strata_col).isNull()
+        else:
+            cond = F.col(strata_col) == F.lit(name)
         bound = F.lit(int(frac * _HASH_SPACE))
         expr = F.when(cond, bound) if expr is None else expr.when(cond, bound)
     default_bound = F.lit(int(default_fraction * _HASH_SPACE))
@@ -229,7 +242,21 @@ def budget_sample(
         .orderBy(h.asc(), F.col(key_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(size_col).cast("long")).over(w)
+    # NULL sizes would ride free (F.sum skips NULLs, so the running
+    # total doesn't advance) and negative sizes break the monotone
+    # cutoff — both are data errors; fail loudly per row
+    size = F.col(size_col).cast("long")
+    checked = F.when(
+        size.isNull() | (size < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"budget_sample: {size_col} must be a non-negative "
+                      "number, got "),
+                F.coalesce(F.col(size_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(size)
+    cum = F.sum(checked).over(w)
     return (
         df.withColumn("__cum__", cum)
         .filter(F.col("__cum__") <= budget)
@@ -247,12 +274,24 @@ def split_dataset(
     """Assign each row a deterministic train/val/test split label from
     its key hash. Weights need not be normalized. Same-key rows always
     share a split (no leakage between train and eval for duplicated
-    keys)."""
+    keys). NULL keys hash as a sentinel so they distribute
+    proportionally like any other key (rather than all landing in the
+    last split, which would silently inflate it with a correlated
+    missing-id subset)."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bad = {n: w for n, w in weights.items() if w < 0}
+    if bad:
+        raise EarthmoverSparkError(
+            f"split_dataset: negative weights make the cumulative "
+            f"bounds non-monotone: {bad}"
+        )
     total = sum(weights.values())
     if total <= 0:
         raise EarthmoverSparkError("split_dataset: weights must sum > 0")
-    h = _h60(F.col(key_col), f"{salt}:")
+    h = _h60(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null")),
+        f"{salt}:",
+    )
     expr = None
     cum = 0.0
     items = list(weights.items())
@@ -390,7 +429,12 @@ def pack_sequences_ordered(
 
     grouped = df.select(
         id_col, length_col,
-        (F.col(id_col) / group_size).cast("bigint").alias("__grp__"),
+        # exact integer floor-division: double division loses exactness
+        # above 2^53 and a string id would silently become NULL
+        F.expr(
+            f"CAST(CAST(`{id_col}` AS BIGINT) DIV {int(group_size)} "
+            "AS BIGINT)"
+        ).alias("__grp__"),
     )
     return grouped.groupBy("__grp__").applyInPandas(_pack, schema=out_schema)
 
@@ -587,22 +631,14 @@ def negative_samples(
     idx = global_index(df.select(id_col), [id_col], out_col="__idx__")
     tot = idx.agg(F.count(F.lit(1)).alias("__n__"))
     j = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}:"),
-                    F.col(id_col).cast("string"),
-                    F.lit(":"),
-                    F.col("j").cast("string"),
-                )
-            ),
-            1,
-            15,
+    h = _h60(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("j").cast("string"),
         ),
-        16,
-        10,
-    ).cast("bigint")
+        f"{salt}:",
+    )
     pairs = (
         idx.crossJoin(F.broadcast(tot))
         .filter(F.col("__n__") >= 2)

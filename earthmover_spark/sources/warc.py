@@ -64,6 +64,14 @@ def _gunzip_members(blob: bytes) -> bytes:
                 out.append(chunk)
     except (EOFError, OSError, zlib.error):
         pass  # truncated/garbage tail: keep the complete members
+    if blob and not out:
+        # nothing decoded from non-empty input: the file isn't gzip at
+        # all (mislabeled .gz) — raise rather than silently vanishing
+        # an entire shard from the corpus
+        raise EarthmoverSparkError(
+            "read_warc: no gzip member could be decoded — corrupt or "
+            "mislabeled .gz archive"
+        )
     return b"".join(out)
 
 
@@ -110,7 +118,18 @@ def iter_warc_records(
             raise EarthmoverSparkError(
                 "read_warc: missing/invalid Content-Length"
             ) from exc
+        if length < 0:
+            # a negative length would move pos BACKWARDS and loop
+            # forever re-yielding the same record
+            raise EarthmoverSparkError(
+                f"read_warc: negative Content-Length {length}"
+            )
         body_start = hdr_end + len(_CRLF2)
+        if body_start + length > n:
+            # truncated tail (e.g. a cut-off member): the header
+            # survived but the body didn't — drop the partial record
+            # rather than yielding a silently-short payload
+            break
         payload = blob[body_start : body_start + length]
         pos = body_start + length
         status: int | None = None

@@ -555,3 +555,99 @@ def test_dedup_substrings_passage_survives_contiguously(spark):
     assert passage not in out[3].dedup_text
     # A keeps its quote (its run shelters the quote-chunk keepers)
     assert quote in out[1].dedup_text
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions: sampling type-sensitivity and WARC robustness
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_boolean_and_null_strata(spark):
+    from earthmover_spark.llm.sampling import stratified_sample, temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, i % 3 == 0) for i in range(300)] + [(900, None)],
+        "doc_id long, is_en boolean",
+    )
+    # boolean strata must match natively: keep all True, none False
+    out = stratified_sample(
+        df, "is_en", {True: 1.0, False: 0.0}, key_col="doc_id"
+    )
+    rows = out.collect()
+    assert rows and all(r.is_en is True for r in rows)
+    assert len(rows) == 100
+    # None key targets NULL strata
+    out2 = stratified_sample(
+        df, "is_en", {None: 1.0}, key_col="doc_id", default_fraction=0.0
+    ).collect()
+    assert [r.doc_id for r in out2] == [900]
+    # temperature_mix on a boolean stratum keeps the corpus (the old
+    # str(True) != 'true' bug silently dropped everything)
+    mixed = temperature_mix(df.filter("is_en is not null"), "is_en",
+                            "doc_id", temperature=1.0)
+    assert mixed.count() == 300  # T=1: natural mix, nothing dropped
+
+
+def test_split_dataset_null_keys_and_negative_weights(spark):
+    from earthmover_spark.llm.sampling import split_dataset
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(200)] + [(None,)] * 50,
+        "k string",
+    )
+    out = split_dataset(df, "k", {"train": 0.5, "test": 0.5})
+    null_splits = {r.split for r in out.filter("k is null").collect()}
+    # NULL keys all hash to ONE deterministic split (same sentinel key),
+    # not automatically the last label
+    assert len(null_splits) == 1
+    with pytest.raises(EarthmoverSparkError, match="negative weights"):
+        split_dataset(df, "k", {"train": 1.2, "val": -0.2})
+
+
+def test_budget_sample_rejects_null_and_negative_sizes(spark):
+    from earthmover_spark.llm.sampling import budget_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)], "doc_id long, n int"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        budget_sample(df, "doc_id", "n", budget=100).collect()
+    df2 = spark.createDataFrame(
+        [(1, 10), (2, -5), (3, 20)], "doc_id long, n int"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        budget_sample(df2, "doc_id", "n", budget=100).collect()
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    from earthmover_spark.llm.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(EarthmoverSparkError, match="overlap"):
+        chunk_documents(df, chunk_chars=100, overlap=-10)
+
+
+def test_warc_corrupt_inputs(spark, tmp_path):
+    from earthmover_spark.sources.warc import (
+        _gunzip_members,
+        iter_warc_records,
+    )
+
+    # negative Content-Length must raise, not loop forever
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: -10\r\n\r\nbody\r\n\r\n")
+    with pytest.raises(EarthmoverSparkError, match="negative"):
+        list(iter_warc_records(bad))
+    # truncated tail: the partial final record is DROPPED, the
+    # complete one survives
+    good = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: 4\r\n\r\nbody\r\n\r\n")
+    trunc = good + (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    b"Content-Length: 99999\r\n\r\nshort")
+    recs = list(iter_warc_records(trunc))
+    assert len(recs) == 1 and recs[0]["payload"] == b"body"
+    # a mislabeled .gz (not gzip at all) raises instead of silently
+    # vanishing the shard
+    with pytest.raises(EarthmoverSparkError, match="mislabeled"):
+        _gunzip_members(b"definitely not gzip content")
