@@ -183,6 +183,14 @@ def join_streams(
     # key coalesces both sides so right/full-outer unmatched right rows
     # keep their key value instead of emitting NULL.
     key_cols_out = [F.coalesce(lw[k], rw[k]).alias(k) for k in keys]
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        # duplicate output names make every downstream reference
+        # ambiguous — surface it at construction time with the fix
+        raise EarthmoverSparkError(
+            f"join_streams: non-key columns {sorted(overlap)} exist on "
+            "both sides; rename one side before joining"
+        )
     left_rest = [lw[c] for c in left.columns if c not in keys]
     right_rest = [rw[c] for c in right.columns if c not in keys]
     return joined.select(*key_cols_out, *left_rest, *right_rest)
@@ -243,8 +251,16 @@ def dedup_stream_bloom(
             "n_shards >= 1"
         )
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # concat_ws SKIPS NULLs, so ('x', NULL) and (NULL, 'x') would both
+    # encode as 'x' and the second row would be wrongly dropped as a
+    # duplicate; a NULL sentinel keeps distinct keys distinct (the
+    # batch twin's dropDuplicates treats NULLs as values)
     key_str = F.concat_ws(
-        "\x01", *[F.col(k).cast("string") for k in keys]
+        "\x01",
+        *[
+            F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
+            for k in keys
+        ],
     )
     bits = F.array(
         *[_cm_slot(key_str, num_bits, r, salt) for r in range(num_hashes)]
@@ -602,14 +618,25 @@ def running_counts_stream(
     def _update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # the whole point of timeout_minutes: drop idle-key state
+            # (re-arming here would keep every key forever and re-emit
+            # a stale row each interval)
+            state.remove()
+            return
         n, first_seen, last_seen = (
             state.get if state.exists else (0, None, None)
         )
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            ts = pdf[ts_col].astype(str)
+            # drop null timestamps BEFORE stringifying: 'NaT' sorts
+            # after digits and would poison last_seen permanently
+            valid = pdf[ts_col].dropna()
             n += len(pdf)
+            if len(valid) == 0:
+                continue
+            ts = valid.astype(str)
             lo, hi = ts.min(), ts.max()
             first_seen = lo if first_seen is None or lo < first_seen else first_seen
             last_seen = hi if last_seen is None or hi > last_seen else last_seen
@@ -694,6 +721,10 @@ def latest_state_stream(
             best_ts, best_tie, best_vals = None, None, [None] * len(vals)
         order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
         for pdf in pdfs:
+            # null event times can't be "latest" — pandas sorts NaT
+            # LAST, so iloc[-1] would pick a null-ts row and discard
+            # the batch's valid updates
+            pdf = pdf.dropna(subset=[ts_col])
             if not len(pdf):
                 continue
             # vectorized per-batch max: one stable sort, take last row

@@ -879,3 +879,60 @@ def test_cm_stream_sharded_and_validation(spark, tmp_path):
         cm_stream(stream, "key", depth=0)
     with pytest.raises(EarthmoverSparkError, match="n_shards"):
         cm_stream(stream, "key", n_shards=0)
+
+
+def test_dedup_stream_bloom_null_key_components_stay_distinct(spark, tmp_path):
+    """NULL-sentinel key encoding: ('x', NULL) and (NULL, 'x') are
+    DIFFERENT keys (concat_ws alone would collapse both to 'x' and
+    drop one as a duplicate)."""
+    from earthmover_spark.streaming import dedup_stream_bloom, read_stream_source
+
+    d = str(tmp_path / "bloom_nulls")
+    spark.createDataFrame(
+        [("x", None, 1), (None, "x", 2), ("x", None, 3)],
+        "a string, b string, rid int",
+    ).coalesce(1).write.parquet(d)
+    stream = read_stream_source(spark, d)
+    out = dedup_stream_bloom(stream, ["a", "b"], num_bits=4096)
+    rows = _run_to_memory(out, spark, "bloom_nulls_out").collect()
+    got = {(r.a, r.b) for r in rows}
+    assert got == {("x", None), (None, "x")}  # both survive once
+
+
+def test_running_counts_skips_null_timestamps(spark, tmp_path):
+    """A null event time must not poison last_seen ('NaT' sorts after
+    digits as a string)."""
+    from pyspark.sql import functions as F
+
+    from earthmover_spark.streaming import read_stream_source, running_counts_stream
+
+    d = str(tmp_path / "rc_nulls")
+    spark.createDataFrame(
+        [(7, "2024-01-01 10:00:00"), (7, None), (7, "2024-01-01 11:00:00")],
+        ["user_id", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s") \
+        .coalesce(1).write.parquet(d)
+    stream = read_stream_source(spark, d)
+    out = running_counts_stream(stream, "user_id", "ts")
+    rows = _run_to_memory(out, spark, "rc_nulls_out", "update").collect()
+    last = max(rows, key=lambda r: r.n_events)
+    assert last.n_events == 3  # null-ts rows still counted
+    assert last.last_seen.startswith("2024-01-01 11")  # not 'NaT'
+
+
+def test_join_streams_rejects_overlapping_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from earthmover_spark.streaming import join_streams, read_stream_source
+    from earthmover_spark.util import EarthmoverSparkError
+
+    d1, d2 = str(tmp_path / "js1"), str(tmp_path / "js2")
+    for d in (d1, d2):
+        spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 5.0)], ["k", "ts_s", "v"]
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s") \
+            .coalesce(1).write.parquet(d)
+    left = read_stream_source(spark, d1)
+    right = read_stream_source(spark, d2)
+    with pytest.raises(EarthmoverSparkError, match="both sides"):
+        join_streams(left, right, on="k", left_ts="ts", right_ts="ts")
