@@ -4784,11 +4784,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
             ), clusters AS (
               SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            ), keepers AS (
+              -- keeper = min id PRESENT in the corpus per cluster (the
+              -- r9 semantics: a cluster whose graph-min id was filtered
+              -- upstream still keeps one surviving member)
+              SELECT cl.cluster_id, min(c.doc_id) AS keeper_id
+              FROM clusters cl JOIN corpus c ON c.doc_id = cl.node
+              GROUP BY cl.cluster_id
             )
             SELECT c.doc_id,
                    coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
-                   coalesce(cl.cluster_id, c.doc_id) = c.doc_id AS is_keeper
-            FROM corpus c LEFT JOIN clusters cl ON cl.node = c.doc_id
+                   c.doc_id = coalesce(k.keeper_id, c.doc_id) AS is_keeper
+            FROM corpus c
+            LEFT JOIN clusters cl ON cl.node = c.doc_id
+            LEFT JOIN keepers k ON k.cluster_id = cl.cluster_id
         """,
         "decontaminate": f"""
             WITH w AS (

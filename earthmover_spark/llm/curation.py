@@ -131,19 +131,54 @@ def resolve_duplicates(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    clusters_broadcast: bool | None = None,
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Per-document dedup decision: annotate every row of ``df`` with
     its duplicate cluster_id (its own id when it's in no pair) and
-    ``is_keeper`` — True for exactly one document per cluster (the
-    minimum id). ``df.filter("is_keeper")`` is the deduplicated corpus.
+    ``is_keeper`` — True for exactly one document per cluster: the
+    minimum id AMONG CLUSTER MEMBERS PRESENT IN ``df``.
+    ``df.filter("is_keeper")`` is the deduplicated corpus.
 
-    The cluster frame holds only paired documents, so the annotation
-    join is a broadcast at any realistic duplicate rate."""
+    The keeper is the min *present* id, not the min id over the pair
+    graph: when the graph's minimum node was filtered out upstream (or
+    the pairs come from a larger/older corpus than this batch), the
+    cluster must still keep one surviving member rather than silently
+    dropping everyone. A cluster's ``cluster_id`` label stays the
+    graph-wide min so labels are stable across batches that saw
+    different subsets.
+
+    ``clusters_broadcast`` size-gates the annotation joins (the
+    ``paragraph_dedup`` pattern): ``True`` forces broadcast (caller
+    asserts a bounded duplicate set), ``False`` uses plain key joins
+    (AQE may still convert at runtime), ``None`` (default) probes the
+    cluster-frame size with a bounded ``limit(threshold+1).count()``
+    — cheap, the frame behind it is already localCheckpoint-pinned by
+    :func:`dedup_clusters` — and broadcasts only under
+    ``broadcast_threshold``. At 100 TB with a high duplicate rate the
+    paired set can exceed any broadcast budget; the gate keeps the
+    corpus side shuffle-free when it can and correct when it can't."""
     clusters = dedup_clusters(pairs, id_a, id_b).withColumnRenamed("node", id_col)
-    out = df.join(F.broadcast(clusters), id_col, "left")
+    if clusters_broadcast is None:
+        n_cl = clusters.limit(broadcast_threshold + 1).count()
+        clusters_broadcast = n_cl <= broadcast_threshold
+    cl = F.broadcast(clusters) if clusters_broadcast else clusters
+    # keeper = min id per cluster over members PRESENT in df (inner
+    # join: bounded by the cluster frame, never corpus-sized)
+    keepers = (
+        df.select(id_col).join(cl, id_col).groupBy("cluster_id")
+        .agg(F.min(id_col).alias("__keeper_id__"))
+    )
+    kp = F.broadcast(keepers) if clusters_broadcast else keepers
+    out = df.join(cl, id_col, "left").join(kp, "cluster_id", "left")
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
-    return out.withColumn("cluster_id", cluster).withColumn(
-        "is_keeper", F.col(id_col) == F.col("cluster_id")
+    return (
+        out.withColumn("cluster_id", cluster)
+        .withColumn(
+            "is_keeper",
+            F.col(id_col) == F.coalesce("__keeper_id__", F.col(id_col)),
+        )
+        .drop("__keeper_id__")
     )
 
 
@@ -154,6 +189,8 @@ def resolve_duplicates_by_score(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    clusters_broadcast: bool | None = None,
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Like :func:`resolve_duplicates`, but the keeper of each
     near-duplicate cluster is the HIGHEST-``score_col`` member
@@ -164,18 +201,26 @@ def resolve_duplicates_by_score(
     so cluster identities are stable across both policies.
 
     Scale shape: the argmax per cluster is computed over ONLY the
-    paired documents (clusters frame joined to their scores —
-    broadcast-sized at any realistic duplicate rate), then both the
-    cluster and best-id frames broadcast onto the corpus; the 100 TB
-    side never shuffles. NULL scores rank below every non-NULL
+    paired documents PRESENT in ``df`` (inner join with the cluster
+    frame — bounded by the cluster frame, never corpus-sized); the
+    inner join also means an upstream-filtered member can neither win
+    the argmax (which would drop its whole cluster from the kept set)
+    nor shadow a NULL-scored present member in the -inf tie-break.
+    ``clusters_broadcast``/``broadcast_threshold`` size-gate the
+    annotation joins exactly as in :func:`resolve_duplicates` — at
+    100 TB with a high duplicate rate the paired set can exceed any
+    broadcast budget. NULL scores rank below every non-NULL
     score."""
     clusters = dedup_clusters(pairs, id_a, id_b).withColumnRenamed(
         "node", id_col
     )
-    scored = clusters.join(
+    if clusters_broadcast is None:
+        n_cl = clusters.limit(broadcast_threshold + 1).count()
+        clusters_broadcast = n_cl <= broadcast_threshold
+    cl = F.broadcast(clusters) if clusters_broadcast else clusters
+    scored = cl.join(
         df.select(id_col, F.col(score_col).cast("double").alias("__s__")),
         id_col,
-        "left",
     )
     best = scored.groupBy("cluster_id").agg(
         F.min_by(
@@ -188,8 +233,10 @@ def resolve_duplicates_by_score(
             ),
         ).alias("__best_id__")
     )
-    out = df.join(F.broadcast(clusters), id_col, "left").join(
-        F.broadcast(best), "cluster_id", "left"
+    out = df.join(cl, id_col, "left").join(
+        F.broadcast(best) if clusters_broadcast else best,
+        "cluster_id",
+        "left",
     )
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
     return (
@@ -852,10 +899,15 @@ def paragraph_dedup(
     stats), and ``None`` (default) decides from the data — the hot
     frame is persisted, a bounded ``limit(threshold+1).count()``
     probes its size, and the broadcast hint is applied only when the
-    count stays within ``broadcast_threshold``. The persisted hot
-    frame stays cached so the size probe and the removal join share
-    one aggregation pass (run-once contract, as with
-    ``operators/setsim``'s default).
+    count stays within ``broadcast_threshold``. The probe's persist
+    is RELEASED before returning (no per-call executor-storage growth
+    in long sessions): in the broadcast regime the ≤threshold digests
+    are collected into a driver-local frame (the same bytes the
+    broadcast itself would ship) and the cache dropped; in the
+    shuffle regime the cache is dropped and the removal join recomputes
+    the one digest aggregation — callers at true shuffle scale pass
+    ``hot_broadcast=False`` explicitly, which skips the probe (and its
+    extra pass) entirely.
 
     Scale shape (100 TB): paragraphs explode with their position, the
     hot-digest table is ONE hash aggregation keyed on digest (map-side
@@ -885,12 +937,25 @@ def paragraph_dedup(
         .select("__digest__")
     )
     if hot_broadcast is None:
-        # Measure, don't guess: persist so the digest agg runs once,
-        # probe with an early-exit bounded count, broadcast only when
-        # the hot set is provably small.
-        hot = hot.persist()
-        n_hot = hot.limit(broadcast_threshold + 1).count()
-        hot_broadcast = n_hot <= broadcast_threshold
+        # Measure, don't guess: persist so the digest agg feeds both
+        # the bounded size probe and (in the small regime) the
+        # collect; release the cache before returning either way — no
+        # per-call executor-storage growth across a long session.
+        cached = hot.persist()
+        try:
+            probe = cached.limit(broadcast_threshold + 1).collect()
+            hot_broadcast = len(probe) <= broadcast_threshold
+            if hot_broadcast:
+                # ≤ threshold digests: same bytes a broadcast ships;
+                # the local frame replaces the cached plan entirely.
+                hot = df.sparkSession.createDataFrame(
+                    probe, schema="__digest__ string"
+                )
+            # else: the removal join below recomputes the digest agg
+            # (one extra pass) — callers at true shuffle scale pass
+            # hot_broadcast=False, skipping the probe altogether.
+        finally:
+            cached.unpersist()
     kept = exploded.join(
         F.broadcast(hot) if hot_broadcast else hot,
         "__digest__",
@@ -1112,6 +1177,7 @@ def dedup_substrings(
     keep_first: bool = True,
     out_col: str | None = None,
     hash_fn: str = "md5",
+    eager: bool = False,
 ) -> DataFrame:
     """Corpus-level duplicated-passage removal at ARBITRARY offsets —
     the goal of suffix-array exact-substring dedup (Lee et al. 2022,
@@ -1155,7 +1221,17 @@ def dedup_substrings(
     construction — the digest join relies on AQE skew splitting,
     and the run gate restores lone tiny matches anyway.
     ``hash_fn="xxhash64"`` cuts the chunking cost ~3x when
-    cross-engine boundary reproducibility isn't needed."""
+    cross-engine boundary reproducibility isn't needed.
+
+    Storage lifetime: the narrow chunk-census frame is pinned so its
+    rolling-hash sweep runs once across its two plan references. With
+    the default ``eager=False`` the pin is a lazy ``localCheckpoint``
+    whose blocks live until the frames are garbage-collected (the
+    ContextCleaner reclaims them; fine run-once, a bounded drag in a
+    long session of repeated calls — the ``setsim`` contract). Pass
+    ``eager=True`` to materialize the result via an eager
+    ``localCheckpoint`` and explicitly release the census pin before
+    returning — no storage residue per call."""
     from pyspark.sql import Window
 
     from earthmover_spark.llm.sampling import cdc_chunks
@@ -1181,15 +1257,16 @@ def dedup_substrings(
     # the NARROW quads (no text), then re-chunk only affected docs for
     # the rebuild — total chunking cost is one full-corpus pass plus
     # one pass over the (small) affected slice.
-    occ = (
-        _chunks(df)
-        .select(
-            id_col,
-            "chunk_id",
-            "chunk_digest",
-            F.length("chunk_text").alias("__len__"),
-        )
-        .localCheckpoint(eager=False)
+    occ_narrow = _chunks(df).select(
+        id_col,
+        "chunk_id",
+        "chunk_digest",
+        F.length("chunk_text").alias("__len__"),
+    )
+    # eager=True pins with a releasable persist (unpersisted before
+    # return); the default pins with a lazy checkpoint (see docstring)
+    occ = occ_narrow.persist() if eager else occ_narrow.localCheckpoint(
+        eager=False
     )
     hot = (
         occ.groupBy("chunk_digest")
@@ -1270,7 +1347,13 @@ def dedup_substrings(
             F.lit(0).cast("bigint").alias("n_chars_removed"),
         )
     )
-    return untouched.unionByName(rebuilt)
+    out = untouched.unionByName(rebuilt)
+    if eager:
+        try:
+            return out.localCheckpoint()
+        finally:
+            occ.unpersist()
+    return out
 
 
 def normalize_unicode(

@@ -108,11 +108,17 @@ def stratified_sample(
         # comparison silently matches nothing for boolean strata (and
         # temperature_mix would drop the whole corpus); a None key
         # (NULL stratum from a collect) needs isNull, since NULL == x
-        # is NULL and would fall through to the default fraction
+        # is NULL and would fall through to the default fraction.
+        # The literal is cast to the strata column's type: under ANSI
+        # mode a type-mismatched fraction key (int key on a string
+        # column) would otherwise throw at runtime — or match
+        # differently ('01' vs 1) — instead of comparing totally
         if name is None:
             cond = F.col(strata_col).isNull()
         else:
-            cond = F.col(strata_col) == F.lit(name)
+            cond = F.col(strata_col) == F.lit(name).cast(
+                df.schema[strata_col].dataType
+            )
         bound = F.lit(int(frac * _HASH_SPACE))
         expr = F.when(cond, bound) if expr is None else expr.when(cond, bound)
     default_bound = F.lit(int(default_fraction * _HASH_SPACE))

@@ -55,16 +55,21 @@ def _gunzip_members(blob: bytes) -> bytes:
     import io
 
     out = []
+    decoded_any = False
     try:
         with gzip.GzipFile(fileobj=io.BytesIO(blob)) as g:
             while True:
                 chunk = g.read(1 << 20)
+                # a completed read means at least one member's framing
+                # decoded — even when it produced ZERO bytes (a valid
+                # empty .warc.gz shard is not a mislabeled archive)
+                decoded_any = True
                 if not chunk:
                     break
                 out.append(chunk)
     except (EOFError, OSError, zlib.error):
         pass  # truncated/garbage tail: keep the complete members
-    if blob and not out:
+    if blob and not decoded_any:
         # nothing decoded from non-empty input: the file isn't gzip at
         # all (mislabeled .gz) — raise rather than silently vanishing
         # an entire shard from the corpus
@@ -77,7 +82,17 @@ def _gunzip_members(blob: bytes) -> bytes:
 
 def _parse_headers(block: bytes) -> dict[str, str]:
     headers: dict[str, str] = {}
+    # unfold continuation lines first (RFC 822-style folding, allowed
+    # by the WARC header grammar): a line starting with SP/HT extends
+    # the previous header's value — splitting it off as its own line
+    # would truncate a folded WARC-Target-URI / Content-Length
+    lines: list[bytes] = []
     for line in block.split(b"\r\n")[1:]:  # line 0 is "WARC/1.x"
+        if line[:1] in (b" ", b"\t") and lines:
+            lines[-1] += b" " + line.strip()
+        else:
+            lines.append(line)
+    for line in lines:
         if b":" in line:
             k, v = line.split(b":", 1)
             headers[k.strip().decode("ascii", "replace").lower()] = (

@@ -54,7 +54,15 @@ def windowed_agg_stream(
     """Watermarked (sliding) window aggregation — the streaming twin of
     ``operators.temporal.window_agg``. Late rows beyond `watermark` are
     dropped; in append mode a window emits once it is below the
-    watermark."""
+    watermark.
+
+    Aggregation inputs are TYPE-FAITHFUL: ``min``/``max`` keep the
+    column's native type (a string or timestamp min/max works, and a
+    long column beyond 2^53 stays exact — a blanket double cast broke
+    both), and ``sum``/``avg`` cast to double only when the input is
+    not already numeric (so numeric sums keep Spark's native result
+    type — exact long sums, decimal sums — while a numeric-in-a-string
+    column still aggregates instead of erroring)."""
     w = (
         F.window(F.col(ts_col), window_duration, slide)
         if slide
@@ -62,12 +70,18 @@ def windowed_agg_stream(
     )
     agg_exprs = [F.count(F.lit(1)).alias("n")]
     fns = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}
+    field_types = {f.name: f.dataType for f in df.schema.fields}
     for name, spec in (aggs or {}).items():
         fn, _, col = spec.partition("(")
         col = col.rstrip(")")
         if fn not in fns:
             raise EarthmoverSparkError(f"windowed_agg_stream: unsupported agg {fn!r}")
-        agg_exprs.append(fns[fn](F.col(col).cast("double")).alias(name))
+        c = F.col(col)
+        if fn in ("sum", "avg") and not isinstance(
+            field_types.get(col), T.NumericType
+        ):
+            c = c.cast("double")
+        agg_exprs.append(fns[fn](c).alias(name))
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(w, *(group_cols or []))
@@ -817,8 +831,12 @@ def attribution_stream(
     when events arrive in order: within a micro-batch rows process in
     timestamp order with conversions before same-instant touches (the
     batch twin's strictly-before RANGE frame), and same-instant touch
-    ties resolve to the greater type. Cross-batch LATE touches cannot
-    retro-credit already-emitted conversions — the inherent streaming
+    ties resolve to the greater type. The strictly-before rule also
+    holds against carried state: a state touch whose timestamp is not
+    strictly before an (out-of-order) conversion never credits it —
+    the conversion emits with a NULL touch unless an in-batch touch
+    qualifies. Cross-batch LATE touches cannot retro-credit
+    already-emitted conversions — the inherent streaming
     approximation, called out here rather than hidden.
 
     State per user is one tuple regardless of event volume; the type
@@ -881,6 +899,20 @@ def attribution_stream(
             )
             conv_mask = pdf[event_col].isin(conv_set).to_numpy()
             cp = best_before[conv_mask]
+            conv_ts = ts_a[conv_mask]
+            # the carried-in state touch is only ELIGIBLE for a
+            # conversion it strictly precedes — an out-of-order
+            # conversion (conv_ts < state touch_ts) must not be
+            # credited to a later-timestamp touch (the batch twin's
+            # strictly-before frame; in-batch candidates satisfy this
+            # by the sort, which puts conversions before same-instant
+            # touches)
+            if s_ts is None:
+                state_ok = np.zeros(len(cp), dtype=bool)
+            else:
+                state_ok = np.array(
+                    [s_ts < t for t in conv_ts], dtype=bool
+                )
             wins = np.zeros(len(cp), dtype=bool)
             has_batch = np.flatnonzero(cp >= 0)
             if len(has_batch):
@@ -888,18 +920,30 @@ def attribution_stream(
                 if s_ts is None:
                     wins[has_batch] = True
                 else:
-                    wins[has_batch] = (ts_a[bt] > s_ts) | (
-                        (ts_a[bt] == s_ts) & (ev_a[bt] > s_type)
+                    # in-batch touch wins when the state candidate is
+                    # ineligible (not strictly before the conversion)
+                    # or simply older/lesser
+                    wins[has_batch] = ~state_ok[has_batch] | (
+                        (ts_a[bt] > s_ts)
+                        | ((ts_a[bt] == s_ts) & (ev_a[bt] > s_type))
                     )
             safe = np.clip(cp, 0, None)
             frames.append(
                 pd.DataFrame(
                     {
                         user_col: str(key[0]),
-                        "conversion_ts": ts_a[conv_mask],
+                        "conversion_ts": conv_ts,
                         "conversion_type": ev_a[conv_mask],
-                        "touch_type": np.where(wins, ev_a[safe], s_type),
-                        "touch_ts": np.where(wins, ts_a[safe], s_ts),
+                        "touch_type": np.where(
+                            wins,
+                            ev_a[safe],
+                            np.where(state_ok, s_type, None),
+                        ),
+                        "touch_ts": np.where(
+                            wins,
+                            ts_a[safe],
+                            np.where(state_ok, s_ts, None),
+                        ),
                     }
                 )
             )

@@ -104,6 +104,45 @@ def test_iter_warc_records_errors():
         list(iter_warc_records(bad))
 
 
+def test_empty_warc_gz_is_valid_not_corrupt(spark, tmp_path):
+    """r9 ADVICE regression: a structurally valid gzip whose members
+    decode to zero bytes (an empty .warc.gz shard) must read as zero
+    records — 'no member decoded' means mislabeled, not empty."""
+    from earthmover_spark.sources.warc import _gunzip_members
+
+    assert _gunzip_members(gzip.compress(b"")) == b""
+    d = tmp_path / "empty_shard"
+    d.mkdir()
+    (d / "empty.warc.gz").write_bytes(gzip.compress(b""))
+    assert read_warc(spark, str(d)).count() == 0
+    # a genuinely mislabeled archive still raises
+    with pytest.raises(EarthmoverSparkError, match="mislabeled"):
+        _gunzip_members(b"this is not gzip at all")
+
+
+def test_folded_warc_headers_unfold():
+    """r9 ADVICE regression: RFC 822-style folded header lines (SP/HT
+    continuation) are part of the WARC header grammar — a folded
+    WARC-Target-URI must parse whole, not truncate at the fold."""
+    body = b"folded body"
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:uuid:folded-1>\r\n"
+        "WARC-Target-URI: http://example.com/very/long\r\n"
+        "\t/continued/path?q=1\r\n"
+        "WARC-Date: 2024-01-02T03:04:05Z\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode()
+    recs = list(iter_warc_records(head + body + b"\r\n\r\n"))
+    assert len(recs) == 1
+    assert recs[0]["target_uri"] == (
+        "http://example.com/very/long /continued/path?q=1"
+    )
+    assert recs[0]["payload"] == body
+
+
 def test_read_warc_text_pipeline_composes(spark, warc_files):
     """The advertised pattern: payload binary -> decode -> the normal
     text curation ops."""
