@@ -2769,24 +2769,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Ordering note: the driver's per-round snapshot records a 50-query
     # prefix of this dict, so coverage ROTATES across rounds (see the
-    # rotation log in COVERAGE.md). r8 prefix = (a) the 11 queries
-    # added in r7 AFTER that round's prefix was fixed — their first
-    # official rows (all judge-verified PASS at both SFs in the r7
-    # verdict's own matrix run); canon_urls' default tracking-param
-    # set and para_dedup's hot-set join strategy ALSO changed this
-    # round, so their rows re-prove the new implementations; (b) the
-    # 5 queries deferred from the r7 rotation whose newest official
-    # row is r4 (flagship, window_calc, top_n, funnel,
-    # pack_sequences_ordered); (c) snap_diff + corpus_fp, whose row
-    # encoding changed this round (type-aware md5 — raw casts for
-    # numeric/date/bool columns, oracle moved in lockstep); (d) 32 of
-    # the 44 queries whose newest official row is r5, alphabetical.
-    # Deferred to r9 (the remaining 12 r5-stale, heading the tail):
-    # tfidf_pairs, train_lr, transition_probs, trend_per_key,
-    # triangles, unigram_logprob, union, url_filter, url_parse,
-    # weighted_sample, winsorize, zorder_key. Everything rotated out
-    # holds a green r6/r7 row with an unchanged implementation.
-    # --- first official rows: the 11 r7-late additions ---
+    # rotation log in COVERAGE.md). r9 prefix = (a) the 28 queries
+    # added in r8 AFTER that round's prefix was fixed — their first
+    # official rows (all judge-verified PASS at sf0.01 in the r8
+    # verdict's own compare run); (b) the 12 queries deferred from
+    # the r8 rotation whose newest official row is r5 (tfidf_pairs ..
+    # zorder_key); (c) the three queries whose implementations
+    # changed in r9 with oracles moved in lockstep where semantics
+    # moved — dedup_resolve (keeper = min PRESENT id + size-gated
+    # annotation joins), stratified_sample (fraction keys cast to the
+    # strata column type), para_dedup (probe cache released; the
+    # auto-broadcast regime now joins a collected local frame);
+    # (d) 7 oldest r6-green rows (top_values .. val_report — the rest
+    # of the r6 block is scheduled through r10 so no row ages past 4
+    # rounds). Everything rotated out holds a green r6-r8 row with an
+    # unchanged implementation.
+    # --- first official rows: the 28 r8-late additions ---
+        "dsir_w": q_dsir_weights,
+        "dsir_smp": q_dsir_sample,
+        "ppx_tiers": q_ppx_tiers,
+        "dedup_keep_best": q_dedup_keep_best,
+        "redact_cards": q_redact_cards,
+        "fim_psm": q_fim_psm,
+        "len_batches": q_len_batches,
+        "clean_docs": q_clean_text,
+        "script_mix": q_script_mix,
+        "ppx_ref": q_ppx_ref,
+        "robust_outliers": q_robust_outliers,
+        "neg_pairs": q_neg_pairs,
+        "global_idx": q_global_idx,
+        "assoc_rules": q_assoc_rules,
+        "readability": q_readability,
+        "pmi_top": q_pmi,
+        "label_prop": q_label_prop,
+        "bloom_join": q_bloom_join,
+        "jl_project": q_jl_project,
+        "file_stats": q_file_stats,
+        "infer_types": q_infer_types,
+        "badwords": q_badwords,
+        "decon_bloom": q_decon_bloom,
+        "cdc_chunks": q_cdc_chunks,
+        "dedup_substr": q_dedup_substrings,
+        "impute": q_impute,
+        "norm_nfc": q_norm_nfc,
+        "kmv_est": q_kmv_estimate,
+    # --- r5-stale refresh block (newest official row r5) ---
+        "tfidf_pairs": q_tfidf_pairs,
+        "train_lr": q_train_lr,
+        "transition_probs": q_transition_probs,
+        "trend_per_key": q_trend_per_key,
+        "triangles": q_triangles,
+        "unigram_logprob": q_unigram_logprob,
+        "union": q_union,
+        "url_filter": q_url_filter,
+        "url_parse": q_url_parse,
+        "weighted_sample": q_weighted_sample,
+        "winsorize": q_winsorize,
+        "zorder_key": q_zorder_key,
+    # --- implementations changed in r9 (oracles in lockstep) ---
+        "dedup_resolve": q_dedup_resolve,
+        "stratified_sample": q_stratified_sample,
+        "para_dedup": q_para_dedup,
+    # --- oldest r6-green refresh fills ---
+        "top_values": q_top_values,
+        "interval_coverage": q_interval_coverage,
+        "inverted_idx": q_inverted_idx,
+        "quantile_bucket": q_quantile_bucket,
+        "skew_report": q_skew_report,
+        "resample_ffill": q_resample_ffill,
+        "val_report": q_validate_report,
+    # --- end of recorded 50-query prefix ---
+    # (everything below holds a green r6-r8 official row; the
+    # remaining 37-query r6-green block heads the tail for the r10
+    # rotation; still verified every round locally via
+    # tools/compare.py over the full matrix)
+        "group_by_stats": q_group_by_stats,
         "bloom_member": q_bloom_member,
         "lm_jsd": q_lm_jsd,
         "ladder": q_sample_ladder,
@@ -2795,19 +2852,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "gopher_quality": q_gopher_quality,
         "line_repetition": q_line_repetition,
-        "para_dedup": q_para_dedup,
         "chat_render": q_chat_render,
         "quantile_sk": q_quantile_sketch,
-    # --- r4-stale deferrals from the r7 rotation ---
         "flagship": q_flagship,
         "window_calc": q_window_calc,
         "top_n": q_top_n,
         "funnel": q_funnel,
         "pack_sequences_ordered": q_pack_sequences_ordered,
-    # --- row-encoding implementation changed this round ---
         "snap_diff": q_snap_diff,
         "corpus_fp": q_corpus_fp,
-    # --- r5-stale refresh block (newest official row r5) ---
         "attribution": q_attribution,
         "bin_metrics": q_bin_metrics,
         "bm25_rank": q_bm25_rank,
@@ -2840,24 +2893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "shuffle_shard": q_shuffle_shard,
         "split_sentences": q_split_sentences,
-    # --- end of recorded 50-query prefix ---
-    # (everything below holds a green r5/r6/r7 official row; the 12
-    # remaining r5-stale queries head the tail for the r9 rotation;
-    # still verified every round locally via tools/compare.py over
-    # the full matrix)
-        "tfidf_pairs": q_tfidf_pairs,
-        "train_lr": q_train_lr,
-        "transition_probs": q_transition_probs,
-        "trend_per_key": q_trend_per_key,
-        "triangles": q_triangles,
-        "unigram_logprob": q_unigram_logprob,
-        "union": q_union,
-        "url_filter": q_url_filter,
-        "url_parse": q_url_parse,
-        "weighted_sample": q_weighted_sample,
-        "winsorize": q_winsorize,
-        "zorder_key": q_zorder_key,
-    # --- r6/r7-recorded block (green r6/r7 rows, unchanged) ---
         "lsh_cross": q_lsh_cross,
         "decon_near": q_decon_near,
         "emb_pca_cov": q_emb_pca_cov,
@@ -2874,7 +2909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": q_tokenize_ids,
         "winnow_fp": q_winnow_fp,
         "text_tfidf": q_text_tfidf,
-        "dedup_resolve": q_dedup_resolve,
         "quality_classifier": q_quality_classifier,
         "cap_per_group": q_cap_per_group,
         "merge_upsert": q_merge_upsert,
@@ -2903,17 +2937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": q_join_semi,
         "set_except": q_set_except,
         "group_by_rollup": q_group_by_rollup,
-        "stratified_sample": q_stratified_sample,
         "budget_sample": q_budget_sample,
         "temperature_mix": q_temperature_mix,
-        "top_values": q_top_values,
-        "interval_coverage": q_interval_coverage,
-        "inverted_idx": q_inverted_idx,
-        "quantile_bucket": q_quantile_bucket,
-        "skew_report": q_skew_report,
-        "resample_ffill": q_resample_ffill,
-        "val_report": q_validate_report,
-        "group_by_stats": q_group_by_stats,
         "duplicate_columns": q_duplicate_columns,
         "add_columns": q_add_columns,
         "add_columns_jinja_arith": q_add_columns_jinja_arith,
@@ -2956,37 +2981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_cube": q_group_by_cube,
         "group_by_salted": q_group_by_salted,
         "explode_array": q_explode_array,
-    # NEW in r8 (added after the r8 prefix was fixed): first official
-    # rows due r9 — rotate these in with the 12 deferred r5-stale
-    # queries; all locally oracle-verified at BOTH sf0.01 and sf0.1
-        "dsir_w": q_dsir_weights,
-        "dsir_smp": q_dsir_sample,
-        "ppx_tiers": q_ppx_tiers,
-        "dedup_keep_best": q_dedup_keep_best,
-        "redact_cards": q_redact_cards,
-        "fim_psm": q_fim_psm,
-        "len_batches": q_len_batches,
-        "clean_docs": q_clean_text,
-        "script_mix": q_script_mix,
-        "ppx_ref": q_ppx_ref,
-        "robust_outliers": q_robust_outliers,
-        "neg_pairs": q_neg_pairs,
-        "global_idx": q_global_idx,
-        "assoc_rules": q_assoc_rules,
-        "readability": q_readability,
-        "pmi_top": q_pmi,
-        "label_prop": q_label_prop,
-        "bloom_join": q_bloom_join,
-        "jl_project": q_jl_project,
-        "file_stats": q_file_stats,
-        "infer_types": q_infer_types,
-        "badwords": q_badwords,
-        "decon_bloom": q_decon_bloom,
-        "cdc_chunks": q_cdc_chunks,
-        "dedup_substr": q_dedup_substrings,
-        "impute": q_impute,
-        "norm_nfc": q_norm_nfc,
-        "kmv_est": q_kmv_estimate,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
