@@ -84,7 +84,7 @@ class Executor:
                 "header_rows", "fill_sparse_headers", "sheet", "match",
                 "xpath", "orientation", "object_type", "colspecs",
                 "colspec_file", "colspec_headers", "sep",
-                "record_types", "strip_http",
+                "record_types", "strip_http", "rename_cols",
             )
         }
         return read_source(self.spark, file, **kwargs)

@@ -57,6 +57,7 @@ _EXT_TYPES = {
     ".csv": "csv",
     ".tsv": "tsv",
     ".txt": "fixedwidth",
+    ".fwf": "fixedwidth",
     ".json": "json",
     ".jsonl": "jsonl",
     ".ndjson": "jsonl",
@@ -247,12 +248,52 @@ def read_fixedwidth(
                 names.append(r[name_key])
                 specs.append((int(r[start_key]), int(r[end_key])))
     else:
-        if colspecs is None or columns is None:
+        if columns is None:
             raise EarthmoverSparkError(
                 "fixedwidth: need colspecs+columns or colspec_file"
             )
         names = list(columns)
-        specs = [tuple(s) for s in colspecs]
+        if colspecs is None:
+            # Infer column boundaries from the data, as the reference
+            # does (source.py:277 passes colspecs="infer" to read_fwf
+            # when only `columns` is given — its example_projects/
+            # 07_filetypes relies on this, since its `colspec:` key is
+            # not in the reference's accepted set and is ignored):
+            # sample a bounded prefix of lines and treat maximal runs
+            # of positions that are blank in EVERY sampled line as
+            # separators.
+            sample = [
+                r[0] for r in spark.read.text(path).limit(100).collect()
+            ]
+            sample = sample[header_rows:] if header_rows else sample
+            if not sample:
+                raise EarthmoverSparkError(
+                    "fixedwidth: cannot infer colspecs from an empty file"
+                )
+            width = max(len(ln) for ln in sample)
+            filled = [
+                any(p < len(ln) and ln[p] != " " for ln in sample)
+                for p in range(width)
+            ]
+            specs = []
+            p = 0
+            while p < width:
+                if filled[p]:
+                    q = p
+                    while q < width and filled[q]:
+                        q += 1
+                    specs.append((p, q))
+                    p = q
+                else:
+                    p += 1
+            if len(specs) != len(names):
+                raise EarthmoverSparkError(
+                    f"fixedwidth: inferred {len(specs)} columns from the "
+                    f"data but `columns` names {len(names)} — pass "
+                    "explicit `colspecs`"
+                )
+        else:
+            specs = [tuple(s) for s in colspecs]
 
     lines = spark.read.text(path)
     if header_rows:
@@ -278,7 +319,7 @@ def read_source(
     optional: bool = False,
     optional_fields: Sequence[str] | None = None,
     encoding: str = "utf-8",
-    header_rows: int | Sequence[int] = 1,
+    header_rows: int | Sequence[int] | None = None,
     fill_sparse_headers: bool = False,
     sheet=0,
     match: str | None = None,
@@ -288,7 +329,18 @@ def read_source(
     **kwargs,
 ) -> DataFrame:
     """Dispatch a source read by extension or explicit type
-    (reference source.py:102-268)."""
+    (reference source.py:102-268).
+
+    ``header_rows=None`` (default) resolves per format, matching the
+    reference: CSV/TSV assume one header row; fixed-width assumes NONE
+    (the reference passes names + header='infer' to read_fwf, which
+    treats row 0 as data when names are given — source.py:277).
+
+    ``rename_cols=True`` (kwarg) applies ``columns`` as a POSITIONAL
+    rename after the read, for ANY file type — the reference's generic
+    post-read rename (source.py:190-198), used e.g. for ORC files
+    whose metadata lacks real column names
+    (example_projects/07_filetypes users2)."""
     is_url = bool(file) and file.split("://", 1)[0] in ("http", "https", "ftp")
     if not file or (optional and not is_url and not os.path.exists(file)):
         if optional:
@@ -349,11 +401,16 @@ def read_source(
     if ftype is None:
         raise EarthmoverSparkError(f"cannot infer source type for {file!r}")
 
+    rename_cols = bool(kwargs.get("rename_cols")) and bool(columns)
     if ftype in ("csv", "tsv"):
         sep = "\t" if ftype == "tsv" else kwargs.get("sep", ",")
         df = read_csv(
-            spark, file, sep=sep, encoding=encoding, header_rows=header_rows,
-            fill_sparse_headers=fill_sparse_headers, columns=columns,
+            spark, file, sep=sep, encoding=encoding,
+            header_rows=1 if header_rows is None else header_rows,
+            fill_sparse_headers=fill_sparse_headers,
+            # with rename_cols the declared names apply positionally
+            # AFTER the read (generic path below), not as a select
+            columns=None if rename_cols else columns,
         )
     elif ftype == "fixedwidth":
         df = read_fixedwidth(
@@ -395,6 +452,13 @@ def read_source(
             sheet=sheet, match=match, xpath=xpath, encoding=encoding,
             header_rows=header_rows, orientation=orientation,
         )
+    if rename_cols:
+        if len(columns) != len(df.columns):
+            raise EarthmoverSparkError(
+                f"source file {file} specified {len(columns)} `columns` "
+                f"but has {len(df.columns)} columns"
+            )
+        df = df.toDF(*columns)
     return add_optional_fields(df, list(optional_fields or []))
 
 

@@ -8,8 +8,10 @@ files next to the config, map_files, melt/pivot, multi-line + sparse
 headers, HTML table scan, package composition, and destination names
 containing '/' (written as subdirectories).
 
-Skipped: 04_sqlalchemy (needs sqlalchemy+postgres), 05_ftp (network),
-07_filetypes (downloads a parquet over https).
+04_sqlalchemy, 05_ftp and 07_filetypes need a database / FTP server /
+https downloads; they run UNMODIFIED against in-sandbox fixtures
+(sqlite, a loopback FTP server, local files) in
+test_reference_examples_fixtures.py — example parity is 14/14.
 """
 
 import os
