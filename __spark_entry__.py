@@ -2760,6 +2760,95 @@ def q_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(kmv_sketch(orders, "o_orderkey", k=512), k=512)
 
 
+def _links_html() -> "F.Column":
+    """Deterministic HTML synthesized from documents (the testdata has
+    no markup): one double-quoted link per doc, an upper-case single-
+    quoted link with nested markup for doc_id%3==0, and a RELATIVE
+    link for doc_id%4==0 — exercising both quote styles, case folding,
+    tag stripping, and host resolution. The DuckDB oracle builds the
+    SAME string."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<a href="http://host'), (d % 7).cast("string"),
+        F.lit(".example/p"), (d % 13).cast("string"),
+        F.lit('">go '), d.cast("string"), F.lit("</a>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<A HREF='https://ext"), (d % 5).cast("string"),
+                F.lit(".org/x'>Read <b>more</b></A>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0, F.lit('<a href="/local/path">here</a>')
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor/link extraction from raw HTML: regexp_extract_all both
+    capture groups, zip, posexplode — narrow codegen, no shuffle."""
+    from earthmover_spark.operators.url import extract_links
+
+    docs = _p(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    html = docs.select("doc_id", _links_html().alias("html"))
+    return extract_links(html, html_col="html")
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph rollup: links from synthesized HTML + per-doc page
+    URLs -> (src_host, dst_host, n_links); relative links resolve to
+    the source host. One hash agg over narrow extracted rows."""
+    from earthmover_spark.operators.url import extract_links, host_graph
+
+    docs = _p(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    html = docs.select(
+        "doc_id",
+        _links_html().alias("html"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit(".example/page"),
+        ).alias("page_url"),
+    )
+    links = extract_links(html, html_col="html").join(
+        html.select("doc_id", "page_url"), "doc_id"
+    )
+    return host_graph(links, "page_url", "link_url")
+
+
+def q_dist_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution shape: mean/std plus skewness and
+    excess kurtosis from centered moments — two hash aggs, no window."""
+    from earthmover_spark.operators.profile import dist_moments
+
+    ev = _p(spark, sf_dir, "events")
+    return dist_moments(ev, "value", ["event_type"])
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: per anchor, top-5 most-similar
+    vectors with a DIFFERENT label (exact baseline, anchors broadcast)."""
+    from earthmover_spark.llm import similarity
+
+    emb = _p(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 83 == 1)
+    return similarity.hard_negatives(anchors, emb, k=5)
+
+
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily grid with time-weighted linear interpolation at
+    missing days (both neighbors exist by construction)."""
+    from earthmover_spark.operators.temporal import resample_interp
+
+    ev = _p(spark, sf_dir, "events")
+    return resample_interp(
+        ev, ["user_id"], ts_col="ts", value_col="value", every="1 day",
+        tiebreak_col="event_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2981,6 +3070,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_cube": q_group_by_cube,
         "group_by_salted": q_group_by_salted,
         "explode_array": q_explode_array,
+    # NEW in r9 (added after the r9 prefix was fixed): first official
+    # rows due r10; all locally oracle-verified at BOTH SFs
+        "links": q_extract_links,
+        "hostgraph": q_host_graph,
+        "moments": q_dist_moments,
+        "hard_negs": q_hard_negatives,
+        "interp": q_resample_interp,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -3011,6 +3107,24 @@ def _jl_oracle(dims: int = 64, k: int = 8) -> str:
         + ", ".join(dim_exprs)
         + "] AS proj FROM embeddings"
     )
+
+
+# DuckDB twin of _links_html() — the SAME synthesized-HTML string
+# (single quotes doubled for SQL; || casts the ints like Spark's
+# cast("string")), and the SAME <a href> pattern (RE2 accepts the
+# (?is) flags and the non-greedy interior; spliced between single
+# quotes, hence the doubled quotes in the character classes).
+_LINKS_HTML_SQL = (
+    "'<p>' || text || '</p><a href=\"http://host' || (doc_id % 7) || "
+    "'.example/p' || (doc_id % 13) || '\">go ' || doc_id || '</a>' || "
+    "CASE WHEN doc_id % 3 = 0 THEN '<A HREF=''https://ext' || "
+    "(doc_id % 5) || '.org/x''>Read <b>more</b></A>' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN '<a href=\"/local/path\">here</a>' "
+    "ELSE '' END"
+)
+_A_HREF_SQL = (
+    r"""(?is)<a\s[^>]*?href\s*=\s*["'']([^"'']+)["''][^>]*>(.*?)</a>"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6774,5 +6888,146 @@ def oracle_sql() -> dict[str, str]:
                                    / max(h), 0)
                         END AS BIGINT) AS n_distinct_est
             FROM s
+        """,
+        # link extraction over synthesized HTML (same string both
+        # sides; RE2 and the Java regex engine both accept the
+        # (?is)/non-greedy pattern). DuckDB regexp_replace needs the
+        # explicit 'g' flag where Spark's replaces all by default.
+        "links": f"""
+            WITH h AS (
+              SELECT doc_id, {_LINKS_HTML_SQL} AS html
+              FROM documents WHERE doc_id < 500
+            ), ex AS (
+              SELECT doc_id,
+                     regexp_extract_all(html, '{_A_HREF_SQL}', 1) AS us,
+                     regexp_extract_all(html, '{_A_HREF_SQL}', 2) AS an
+              FROM h
+            )
+            SELECT doc_id, i - 1 AS link_pos, us[i] AS link_url,
+                   trim(regexp_replace(regexp_replace(an[i],
+                        '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+            FROM ex, unnest(generate_series(1, len(us))) AS t(i)
+        """,
+        "hostgraph": f"""
+            WITH h AS (
+              SELECT doc_id, {_LINKS_HTML_SQL} AS html,
+                     'site' || (doc_id % 11) || '.example' AS src_host
+              FROM documents WHERE doc_id < 500
+            ), ex AS (
+              SELECT doc_id, src_host,
+                     regexp_extract_all(html, '{_A_HREF_SQL}', 1) AS us
+              FROM h
+            ), l AS (
+              SELECT src_host,
+                     coalesce(nullif(lower(regexp_extract(u.x,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*:\\/\\/(?:[^@\\/?#]*@)?([^:\\/?#]+)',
+                       1)), ''), src_host) AS dst_host
+              FROM ex, unnest(us) AS u(x)
+            )
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM l GROUP BY 1, 2
+        """,
+        # centered-moment distribution shape: identical two-stage
+        # computation (mean first, then centered power averages) so the
+        # O(1) ratio forms agree to the shared 6-decimal rounding
+        "moments": """
+            WITH base AS (
+              SELECT event_type, value::DOUBLE AS x
+              FROM events WHERE value IS NOT NULL
+            ), mu AS (
+              SELECT event_type, avg(x) AS m, count(*) AS n
+              FROM base GROUP BY 1
+            ), c AS (
+              SELECT b.event_type, m, n, (x - m) AS d
+              FROM base b JOIN mu USING (event_type)
+            ), s AS (
+              SELECT event_type, any_value(n) AS n, any_value(m) AS m1,
+                     avg(d*d) AS m2, avg(d*d*d) AS m3,
+                     avg(d*d*d*d) AS m4
+              FROM c GROUP BY 1
+            )
+            SELECT event_type, n, round(m1, 6) AS mean,
+                   round(CASE WHEN n > 1
+                         THEN sqrt(m2 * n / (n - 1)) END, 6) AS std,
+                   round(CASE WHEN m2 > 0
+                         THEN m3 / pow(m2, 1.5) END, 6) AS skewness,
+                   round(CASE WHEN m2 > 0
+                         THEN m4 / (m2 * m2) - 3 END, 6)
+                       AS kurtosis_excess
+            FROM s
+        """,
+        # hard negatives: same brute-force cosine as sim_topk, with the
+        # different-label join condition
+        "hard_negs": """
+            WITH a AS (
+              SELECT vec_id AS anchor_id, label AS anchor_label,
+                     embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 83 = 1
+            ), s AS (
+              SELECT a.anchor_id, a.anchor_label,
+                     e.vec_id AS negative_id, e.label AS negative_label,
+                     round(list_cosine_similarity(qv,
+                           e.embedding::DOUBLE[]), 6) AS score
+              FROM embeddings e, a
+              WHERE e.label IS NOT NULL
+                AND a.anchor_label != e.label
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY score DESC, negative_id) AS rank
+              FROM s
+            )
+            SELECT anchor_id, anchor_label, negative_id, negative_label,
+                   score, rank
+            FROM r WHERE rank <= 5
+        """,
+        # linear interpolation on the daily grid: prev/next observation
+        # structs via IGNORE NULLS windows, evaluated at bucket start
+        "interp": """
+            WITH b AS (
+              SELECT user_id, event_id, value, ts,
+                     CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                         AS bk
+              FROM events
+            ), obs AS (
+              SELECT user_id, bk,
+                     {'t': epoch_us(ts), 'v': value::DOUBLE} AS o
+              FROM (
+                SELECT user_id, bk, ts, value,
+                       row_number() OVER (
+                         PARTITION BY user_id, bk
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM b
+              ) WHERE rn = 1
+            ), bounds AS (
+              SELECT user_id, min(bk) AS b0, max(bk) AS b1
+              FROM b GROUP BY 1
+            ), grid AS (
+              SELECT user_id, g.bk
+              FROM bounds,
+                   LATERAL (SELECT unnest(range(b0, b1 + 1)) AS bk) g
+            ), j AS (
+              SELECT g.user_id, g.bk, o.o
+              FROM grid g LEFT JOIN obs o
+                ON o.user_id = g.user_id AND o.bk = g.bk
+            ), w AS (
+              SELECT user_id, bk, o,
+                     last_value(o IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS p,
+                     first_value(o IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bk
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                     ) AS nx
+              FROM j
+            )
+            SELECT user_id,
+                   make_timestamp(bk * 86400000000) AS bucket_start,
+                   o IS NOT NULL AS observed,
+                   round(CASE WHEN o IS NOT NULL THEN o.v
+                         ELSE p.v + (nx.v - p.v)
+                              * ((bk * 86400000000 - p.t)
+                                 / (nx.t - p.t)) END, 6) AS value
+            FROM w
         """,
     }

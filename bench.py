@@ -146,6 +146,12 @@ HEADLINE = [
     "kmv_est",  # TakeOrdered bottom-k + one bounded agg
     "impute",  # one grouped stat agg + broadcast fills
     "norm_nfc",  # Arrow-batched unicodedata NFC pass
+    # r9 additions
+    "links",  # two regexp_extract_all passes + posexplode, zero shuffle
+    "hostgraph",  # narrow host extraction + one hash-agg rollup
+    "moments",  # two hash aggs, centered skew/kurtosis ratios
+    "hard_negs",  # broadcast anchors + WindowGroupLimit top-k
+    "interp",  # output-sized grid + one prev/next window pass
 ]
 
 

@@ -363,6 +363,78 @@ def main() -> None:
             )
         )
 
+        # --- r9: link extraction + host-graph rollup over 2M synthetic
+        # pages (3 links per doc, ~200 hosts): the extract is the pure
+        # regexp codegen ceiling; the rollup adds one hash agg sized by
+        # the distinct host-pair set.
+        from earthmover_spark.operators.url import extract_links, host_graph
+
+        pages = corpus.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://site"),
+                F.pmod(F.col("doc_id"), F.lit(199)).cast("string"),
+                F.lit(".example/p"),
+            ).alias("page_url"),
+            F.concat(
+                F.lit("<p>"), F.col("text"), F.lit('</p><a href="http://h'),
+                F.pmod(F.col("doc_id"), F.lit(211)).cast("string"),
+                F.lit('.example/x">go</a><a href="/rel">me</a>'),
+                F.lit("<A HREF='https://e"),
+                F.pmod(F.col("doc_id") * 7, F.lit(97)).cast("string"),
+                F.lit(".org/'>Read <b>more</b></A>"),
+            ).alias("html"),
+        )
+        r["extract_links"] = _t(
+            lambda: _force(extract_links(pages, html_col="html"))
+        )
+        r["host_graph"] = _t(
+            lambda: _force(
+                host_graph(
+                    extract_links(pages, html_col="html").join(
+                        pages.select("doc_id", "page_url"), "doc_id"
+                    ),
+                    "page_url",
+                    "link_url",
+                )
+            )
+        )
+
+        # --- r9: grouped distribution moments over 10M rows / 1000
+        # groups: two hash aggs + the group-keyed mean join.
+        from earthmover_spark.operators.profile import dist_moments
+
+        vals = spark.range(rows).select(
+            F.pmod(F.hash("id"), F.lit(1000)).alias("g"),
+            (
+                F.pmod(F.hash(F.col("id") * 13), F.lit(100_000)) / 1000.0
+            ).alias("x"),
+        )
+        r["dist_moments"] = _t(
+            lambda: _force(dist_moments(vals, "x", ["g"]))
+        )
+
+        # --- r9: linear-interpolation resampling: 10M events over 100k
+        # keys x ~30 daily buckets — grid is OUTPUT-sized, one window
+        # pass carries both neighbors.
+        from earthmover_spark.operators.temporal import resample_interp
+
+        series = spark.range(rows).select(
+            F.pmod(F.hash("id"), F.lit(100_000)).alias("k"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.pmod(F.hash(F.col("id") * 3), F.lit(30 * 86_400)).cast("long")
+                * F.lit(1_000_000)
+            ).alias("ts"),
+            (F.pmod(F.hash(F.col("id") * 5), F.lit(1000)) / 10.0).alias("v"),
+        )
+        r["resample_interp"] = _t(
+            lambda: _force(
+                resample_interp(series, ["k"], ts_col="ts", value_col="v",
+                                every="1 day")
+            )
+        )
+
         # --- r5b: k-means assignment over synthetic embeddings ----------
         vecs = spark.range(vecs_n).select(
             F.col("id").alias("vec_id"),
@@ -379,6 +451,24 @@ def main() -> None:
         vecs = spark.read.parquet(f"{base}/vecs")
         r["kmeans_assign"] = _t(
             lambda: _force(kmeans_lloyd(vecs, k=16, iters=2))
+        )
+
+        # --- r9: hard-negative mining: 64 broadcast anchors against the
+        # 1M-vector corpus (16 dims) with synthetic labels — one corpus
+        # scan, WindowGroupLimit top-k pruning map-side.
+        from earthmover_spark.llm.similarity import hard_negatives
+
+        labeled = vecs.withColumn(
+            "label", F.pmod(F.hash("vec_id"), F.lit(10))
+        )
+        r["hard_negatives_64"] = _t(
+            lambda: _force(
+                hard_negatives(
+                    labeled.filter(F.col("vec_id") % (vecs_n // 64) == 1),
+                    labeled,
+                    k=5,
+                )
+            )
         )
 
         # --- r5b: blocked fuzzy self-join (names-like short strings) ----

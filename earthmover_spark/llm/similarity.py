@@ -77,6 +77,62 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    label_col: str = "label",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    top-``k`` most-similar corpus vectors with a DIFFERENT label —
+    the pairs a contrastive/embedding trainer learns the most from
+    (random negatives, ``negative_samples``, are mostly easy; the
+    near-but-wrong ones define the decision boundary; cf. the hard
+    negative mining in DPR / SimCSE-style training). Returns
+    ``(anchor_id, anchor_label, negative_id, negative_label, score,
+    rank)``; NULL-labeled corpus rows never qualify (unknown label is
+    not evidence of a different class).
+
+    This is the EXACT baseline — anchors broadcast, one scan of the
+    corpus, per-anchor top-k via the same WindowGroupLimit pruning as
+    :func:`cosine_topk`. At 100 TB mine from an IVF-bucketed candidate
+    set first (:func:`ivf_topk` over the anchor set, then an anti-
+    label filter) and reserve this operator for the re-rank slice."""
+    if k < 1:
+        raise EarthmoverSparkError("hard_negatives: k must be >= 1")
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).filter(F.col("negative_label").isNotNull())
+    scored = c.join(
+        F.broadcast(a),
+        on=F.col("anchor_label") != F.col("negative_label"),
+    ).withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "score",
+            "rank",
+        )
+    )
+
+
 def _sign_bucket(vec: Column, dims: int) -> Column:
     """Axis-aligned random-projection bucket: the sign pattern of the
     first `dims` dimensions (deterministic, engine-portable)."""

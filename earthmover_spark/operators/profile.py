@@ -20,7 +20,7 @@ per-column pivot is ``inline`` over a one-row frame — driver-free.
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -334,3 +334,64 @@ def file_stats(
             ),
         ]
     return df.withColumn(file_col, name).groupBy(file_col).agg(*aggs)
+
+
+def dist_moments(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "Sequence[str]" = (),
+) -> DataFrame:
+    """Per-group distribution shape in one narrow pass: ``n``, ``mean``,
+    sample ``std``, population skewness ``g1 = m3 / m2^1.5`` and EXCESS
+    kurtosis ``g2 = m4 / m2^2 - 3`` (0 for a normal) — the two moments
+    ``group_by``'s std/var stop short of, and the standard screen for
+    heavy tails / asymmetry before choosing outlier rules (a high-|g1|
+    stratum wants the median/MAD screen from ``flag_outliers_robust``,
+    not the mean/std one). NULLs are excluded; groups with fewer than 2
+    rows report NULL std, and zero-variance groups NULL skew/kurtosis
+    (the ratios are undefined).
+
+    The estimators are the POPULATION-moment ratios (like Spark's own
+    ``skewness``/``kurtosis``), computed from CENTERED moments — a
+    one-pass raw-power-sum rewrite cancels catastrophically for
+    mean-dominated data, so the operator deliberately spends a second
+    aggregation to subtract the group mean first. Results round to 6
+    decimals (cross-engine summation order differs at the last ulp;
+    the ratio forms are O(1) so the rounding is safe — a raw ``m4``
+    output would not be).
+
+    Scale shape (100 TB): two hash aggregations (map-side combined)
+    plus one group-keyed join of the means frame (output-sized; AQE
+    broadcasts it when small). No window, no Python, no collect."""
+    keys = list(group_cols)
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(*keys, x.alias("__x__"))
+    means = base.groupBy(*keys).agg(
+        F.avg("__x__").alias("__mu__"),
+        F.count(F.lit(1)).alias("__n__"),
+    )
+    joined = (
+        base.join(means, keys)
+        if keys
+        else base.crossJoin(F.broadcast(means))
+    )
+    d = F.col("__x__") - F.col("__mu__")
+    stats = joined.groupBy(*keys).agg(
+        F.first("__n__").alias("n"),
+        F.first("__mu__").alias("__m1__"),
+        F.avg(d * d).alias("__m2__"),
+        F.avg(d * d * d).alias("__m3__"),
+        F.avg(d * d * d * d).alias("__m4__"),
+    )
+    m2, m3, m4 = F.col("__m2__"), F.col("__m3__"), F.col("__m4__")
+    n = F.col("n")
+    std = F.when(n > 1, F.sqrt(m2 * n / (n - 1)))
+    nz = m2 > 0
+    return stats.select(
+        *keys,
+        "n",
+        F.round("__m1__", 6).alias("mean"),
+        F.round(std, 6).alias("std"),
+        F.round(F.when(nz, m3 / F.pow(m2, 1.5)), 6).alias("skewness"),
+        F.round(F.when(nz, m4 / (m2 * m2) - 3), 6).alias("kurtosis_excess"),
+    )

@@ -570,6 +570,88 @@ def resample_ffill(
     return out
 
 
+def resample_interp(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    every: str = "1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Resample each key's numeric series onto a regular ``every`` grid
+    with TIME-WEIGHTED LINEAR INTERPOLATION — the companion to
+    :func:`resample_ffill` for continuously-varying signals (gauge
+    metrics, prices, sensor readings) where a step-function fill
+    biases every downstream window feature. One row per (key, bucket)
+    from the key's first to last observation: an observed bucket
+    reports its latest observation's value; a missing bucket reports
+    the line between the nearest observations on either side,
+    evaluated at the bucket start (both neighbors exist by
+    construction — the grid never extends past the key's first/last
+    observation). Interpolated values round to 6 decimals; a NULL
+    neighboring observation yields NULL (a sensor that reported
+    "unknown" must not be invented between two knowns). ``observed``
+    marks real rows.
+
+    Scale shape (100 TB): identical to ``resample_ffill`` — per-bucket
+    compaction via ``downsample_latest``'s WindowGroupLimit, grid =
+    ``explode(sequence(...))`` sized by the OUTPUT, then ONE
+    key-partitioned window pass carrying the previous observation
+    forward and the next observation backward. No global ordering, no
+    Python."""
+    keys = list(key_cols)
+    us = _duration_seconds(every) * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(ts_us / F.lit(us)).cast("long")
+    obs = latest_rows(
+        df.withColumn("__bk__", bucket), [*keys, "__bk__"], ts_col,
+        tiebreak_col,
+    ).select(
+        *keys,
+        "__bk__",
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("__o__"),
+    )
+    bounds = df.select(*keys, bucket.alias("__bk__")).groupBy(*keys).agg(
+        F.min("__bk__").alias("__b0__"), F.max("__bk__").alias("__b1__")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("__b0__"), F.col("__b1__"))).alias("__bk__"),
+    )
+    joined = grid.join(obs, [*keys, "__bk__"], "left")
+    wp = (
+        Window.partitionBy(*keys)
+        .orderBy("__bk__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(*keys)
+        .orderBy("__bk__")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev = F.last("__o__", ignorenulls=True).over(wp)
+    nxt = F.first("__o__", ignorenulls=True).over(wn)
+    t = F.col("__bk__") * F.lit(us)  # bucket start in micros
+    interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+        (t - prev["t"]) / (nxt["t"] - prev["t"])
+    )
+    return (
+        joined.select(
+            *keys,
+            F.timestamp_micros(F.col("__bk__") * us).alias("bucket_start"),
+            F.col("__o__").isNotNull().alias("observed"),
+            F.round(
+                F.when(F.col("__o__").isNotNull(), F.col("__o__")["v"])
+                .otherwise(interp),
+                6,
+            ).alias(value_col),
+        )
+    )
+
+
 _ROLL_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
 
 

@@ -218,9 +218,94 @@ def canonicalize_urls(
     )
 
 
+# <a href="...">anchor</a> — (?is): case-insensitive, dot-matches-
+# newline. Two capture groups (href value, inner markup); both the
+# Java regex engine and RE2 (DuckDB) support the non-greedy interior,
+# so the SAME pattern runs on the oracle side. Permissive on purpose:
+# crawl HTML is full of junk and a parse miss must yield nothing, not
+# an error.
+_A_HREF = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+    out_url_col: str = "link_url",
+    out_anchor_col: str = "anchor",
+) -> DataFrame:
+    """Extract outbound links from raw HTML: one row per ``<a href>``
+    with the target URL, the anchor text (inner markup stripped,
+    whitespace collapsed), and the link's position in the document —
+    the first step of web-graph construction and anchor-text corpus
+    building (Common Crawl pipelines mine anchors as queries/labels;
+    the link graph feeds pagerank-style quality priors). Documents
+    with no links produce no rows.
+
+    Scale shape (100 TB): two ``regexp_extract_all`` passes over the
+    scan (same pattern, capture groups 1 and 2 — equal lengths by
+    construction), ``arrays_zip`` + ``posexplode``. Pure narrow
+    codegen: no shuffle, no Python, output sized by the links."""
+    html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    urls = F.regexp_extract_all(html, F.lit(_A_HREF), 1)
+    anchors = F.regexp_extract_all(html, F.lit(_A_HREF), 2)
+    pairs = F.arrays_zip(urls.alias("u"), anchors.alias("a"))
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(pairs).alias("link_pos", "__link__"),
+    )
+    anchor_text = F.regexp_replace(
+        F.regexp_replace(F.col("__link__.a"), r"<[^>]*>", " "),
+        r"\s+",
+        " ",
+    )
+    return out.select(
+        id_col,
+        "link_pos",
+        F.col("__link__.u").alias(out_url_col),
+        F.trim(anchor_text).alias(out_anchor_col),
+    )
+
+
+def host_graph(
+    links: DataFrame,
+    src_url_col: str,
+    dst_url_col: str,
+) -> DataFrame:
+    """Collapse page-level links into the HOST graph: one row per
+    (src_host, dst_host) with the link count — the web-graph rollup
+    behind domain-level quality signals (harmonic centrality /
+    pagerank priors as in Common Crawl's host-level rankings).
+    Relative links (no scheme://host) resolve to the source host
+    (self-edge); rows whose SOURCE URL has no parseable host are
+    dropped (unattributable). Hosts are lowercased.
+
+    Scale shape (100 TB): host extraction is the same narrow
+    ``regexp_extract`` codegen as ``parse_urls``; the rollup is ONE
+    map-side-combined hash aggregation on (src_host, dst_host) —
+    output sized by the distinct host-pair set, not the links."""
+    src = F.lower(
+        F.nullif(F.regexp_extract(F.col(src_url_col).cast("string"), _HOST, 1), F.lit(""))
+    )
+    dsth = F.lower(
+        F.nullif(F.regexp_extract(F.col(dst_url_col).cast("string"), _HOST, 1), F.lit(""))
+    )
+    return (
+        links.select(
+            src.alias("src_host"),
+            F.coalesce(dsth, src).alias("dst_host"),
+        )
+        .filter(F.col("src_host").isNotNull())
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 __all__ = [
     "parse_urls",
     "filter_domains",
     "registered_domain",
     "canonicalize_urls",
+    "extract_links",
+    "host_graph",
 ]

@@ -166,6 +166,8 @@ class Executor:
                 kwargs["b"] = self._resolve(op_cfg["b"])
             if op_name == "dsir_weights":
                 kwargs["target"] = self._resolve(op_cfg["target"])
+            if op_name == "hard_negatives":
+                kwargs["corpus"] = self._resolve(op_cfg["corpus"])
             if op_name == "unigram_logprob_ref":
                 kwargs["ref"] = self._resolve(op_cfg["ref"])
             if op_name == "validate_table" and op_cfg.get("references"):

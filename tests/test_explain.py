@@ -983,3 +983,58 @@ def test_impute_broadcast_stats_no_corpus_shuffle(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "EvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# r9 additions
+# ---------------------------------------------------------------------------
+
+
+def test_links_zero_shuffle_no_python(plans):
+    """extract_links is two regexp_extract_all passes + posexplode over
+    the scan: no exchange, no join, nothing leaves the JVM."""
+    p = plans("links")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_hostgraph_single_rollup_no_cartesian(plans):
+    """host_graph is one map-side-combined hash aggregation over narrow
+    extracted rows; the page-url attach stays a key join."""
+    p = plans("hostgraph")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p
+
+
+def test_moments_two_aggs_no_window_no_python(plans):
+    """dist_moments: two hash aggregations + a group-keyed join — never
+    a window or a Python pass."""
+    p = plans("moments")
+    assert "Window" not in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_hard_negs_broadcast_anchors(plans):
+    """hard_negatives broadcasts the anchor set (inequality-condition
+    broadcast join, not a cartesian) and prunes per-anchor top-k
+    map-side via WindowGroupLimit."""
+    p = plans("hard_negs")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_interp_output_sized_grid_single_window_pass(plans):
+    """resample_interp mirrors resample_ffill's shape: per-bucket
+    compaction + explode(sequence) grid + ONE key-partitioned window
+    stage (prev/next ride the same sort); no Python."""
+    p = plans("interp")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # prev-carry and next-carry share one partitioning: at most the
+    # compaction window exchange + the grid/window exchange lineage
+    assert "Generate" in p  # explode(sequence(...)) grid

@@ -1,0 +1,231 @@
+"""Round-9 new operators: link extraction / host graph (web-graph
+construction), grouped distribution moments, contrastive hard-negative
+mining, and linear-interpolation resampling. Each checked against a
+plain-Python reference on hand-built data (the DuckDB oracles cover
+the testdata scale)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from earthmover_spark.util import EarthmoverSparkError
+
+
+# ---------------------------------------------------------------------------
+# extract_links / host_graph
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_quote_styles_and_nesting(spark):
+    from earthmover_spark.operators.url import extract_links
+
+    html = (
+        '<p>intro</p><a href="http://a.example/x">first link</a>'
+        "<A HREF='https://b.example/y' class=\"z\">Read <b>more</b>\n"
+        "now</A>"
+        '<a href="/relative/path">rel</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "no links at all"), (3, None)],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r.doc_id, r.link_pos, r.link_url, r.anchor)
+        for r in extract_links(df).collect()
+    )
+    # doc 2 (no links) and doc 3 (NULL) produce no rows
+    assert rows == [
+        (1, 0, "http://a.example/x", "first link"),
+        (1, 1, "https://b.example/y", "Read more now"),
+        (1, 2, "/relative/path", "rel"),
+    ]
+
+
+def test_extract_links_malformed_html_yields_nothing(spark):
+    from earthmover_spark.operators.url import extract_links
+
+    df = spark.createDataFrame(
+        [(1, "<a href=http://unquoted.example>no quotes</a><a>no href</a>")],
+        ["doc_id", "text"],
+    )
+    assert extract_links(df).count() == 0
+
+
+def test_host_graph_relative_resolution_and_rollup(spark):
+    from earthmover_spark.operators.url import host_graph
+
+    links = spark.createDataFrame(
+        [
+            ("https://src.example/p1", "http://DST.example/a"),
+            ("https://src.example/p2", "http://dst.example/b"),
+            ("https://src.example/p3", "/relative"),  # -> self-edge
+            ("http://user:pw@other.example:8080/", "https://dst.example/c"),
+            ("not a url", "https://dst.example/d"),  # src unparseable
+        ],
+        ["page_url", "link_url"],
+    )
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_graph(links, "page_url", "link_url").collect()
+    }
+    assert got == {
+        ("src.example", "dst.example"): 2,  # case-folded
+        ("src.example", "src.example"): 1,  # relative self-edge
+        ("other.example", "dst.example"): 1,  # userinfo/port stripped
+    }
+
+
+# ---------------------------------------------------------------------------
+# dist_moments
+# ---------------------------------------------------------------------------
+
+
+def _py_moments(xs):
+    n = len(xs)
+    m = sum(xs) / n
+    d = [x - m for x in xs]
+    m2 = sum(v * v for v in d) / n
+    m3 = sum(v**3 for v in d) / n
+    m4 = sum(v**4 for v in d) / n
+    std = math.sqrt(m2 * n / (n - 1)) if n > 1 else None
+    skew = m3 / m2**1.5 if m2 > 0 else None
+    kurt = m4 / m2**2 - 3 if m2 > 0 else None
+    return n, m, std, skew, kurt
+
+
+def test_dist_moments_matches_python_reference(spark):
+    from earthmover_spark.operators.profile import dist_moments
+
+    ga = [1.0, 2.0, 2.0, 3.0, 9.0, 1.5, 2.5]  # right-skewed
+    gb = [5.0, 5.0, 5.0]  # zero variance
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb] + [
+        ("a", None),  # excluded
+        ("c", 7.0),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {r.grp: r for r in dist_moments(df, "v", ["grp"]).collect()}
+
+    n, m, std, skew, kurt = _py_moments(ga)
+    assert got["a"].n == n
+    assert got["a"].mean == round(m, 6)
+    assert got["a"].std == round(std, 6)
+    assert got["a"].skewness == round(skew, 6)
+    assert got["a"].kurtosis_excess == round(kurt, 6)
+    assert got["a"].skewness > 0  # right tail
+    # zero variance: moments ratios undefined
+    assert got["b"].std == 0.0
+    assert got["b"].skewness is None and got["b"].kurtosis_excess is None
+    # singleton: no sample std
+    assert got["c"].n == 1 and got["c"].std is None
+
+
+def test_dist_moments_global_no_groups(spark):
+    from earthmover_spark.operators.profile import dist_moments
+
+    xs = [float(i) for i in range(10)]
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    r = dist_moments(df, "v").collect()
+    assert len(r) == 1
+    n, m, std, skew, kurt = _py_moments(xs)
+    assert (r[0].n, r[0].mean) == (n, round(m, 6))
+    assert r[0].skewness == 0.0  # symmetric
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_excludes_same_label_and_null(spark):
+    from earthmover_spark.llm.similarity import hard_negatives
+
+    rows = [
+        (1, 0, [1.0, 0.0]),  # anchor
+        (2, 0, [0.99, 0.14]),  # same label: never a negative
+        (3, 1, [0.95, 0.31]),  # different label, very close -> rank 1
+        (4, 1, [0.0, 1.0]),  # different label, orthogonal -> rank 2
+        (5, None, [1.0, 0.01]),  # NULL label: excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    anchors = df.filter("vec_id = 1")
+    got = [
+        (r.negative_id, r.rank)
+        for r in hard_negatives(anchors, df, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(3, 1), (4, 2)]
+    with pytest.raises(EarthmoverSparkError, match="k must be"):
+        hard_negatives(anchors, df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# resample_interp
+# ---------------------------------------------------------------------------
+
+
+def test_resample_interp_linear_values(spark):
+    from earthmover_spark.operators.temporal import resample_interp
+
+    # observations at day 0 (v=10, at 12:00) and day 3 (v=40, at 00:00);
+    # days 1 and 2 interpolate on the line between those instants
+    rows = [
+        ("u", "2024-01-01 12:00:00", 10.0),
+        ("u", "2024-01-04 00:00:00", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_s string, value double") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = {
+        str(r.bucket_start): (r.observed, r.value)
+        for r in resample_interp(df, ["user_id"], every="1 day").collect()
+    }
+    assert len(out) == 4
+    assert out["2024-01-01 00:00:00"] == (True, 10.0)
+    assert out["2024-01-04 00:00:00"] == (True, 40.0)
+    # slope: 30 over 2.5 days = 12/day; day-2 start is 0.5 days after
+    # the first observation -> 10 + 6; day-3 start -> 10 + 18
+    assert out["2024-01-02 00:00:00"] == (False, 16.0)
+    assert out["2024-01-03 00:00:00"] == (False, 28.0)
+
+
+def test_resample_interp_null_neighbor_stays_null(spark):
+    from earthmover_spark.operators.temporal import resample_interp
+
+    rows = [
+        ("u", "2024-01-01 00:00:00", 1.0),
+        ("u", "2024-01-03 00:00:00", None),  # observed NULL
+        ("u", "2024-01-05 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_s string, value double") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = {
+        str(r.bucket_start): (r.observed, r.value)
+        for r in resample_interp(df, ["user_id"], every="1 day").collect()
+    }
+    # the NULL observation is reported as observed NULL, and the gaps
+    # around it must NOT invent values across it
+    assert out["2024-01-03 00:00:00"] == (True, None)
+    assert out["2024-01-02 00:00:00"] == (False, None)
+    assert out["2024-01-04 00:00:00"] == (False, None)
+
+
+def test_resample_interp_observed_bucket_uses_latest(spark):
+    from earthmover_spark.operators.temporal import resample_interp
+
+    rows = [
+        ("u", "2024-01-01 01:00:00", 1, 100.0),
+        ("u", "2024-01-01 23:00:00", 2, 200.0),  # latest in bucket wins
+        ("u", "2024-01-02 00:00:00", 3, 300.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts_s string, event_id int, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = {
+        str(r.bucket_start): r.value
+        for r in resample_interp(
+            df, ["user_id"], every="1 day", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out["2024-01-01 00:00:00"] == 200.0
+    assert out["2024-01-02 00:00:00"] == 300.0
