@@ -2849,6 +2849,52 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text rollup: top-3 anchor terms per destination
+    host (the web-scale target-labeling signal) — narrow term
+    explosion, one (host, term) hash agg, WindowGroupLimit top-k."""
+    from earthmover_spark.operators.url import anchor_text, extract_links
+
+    docs = _p(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    html = docs.select("doc_id", _links_html().alias("html"))
+    return anchor_text(extract_links(html, html_col="html"), k=3)
+
+
+def q_ecdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ECDF normalization of the value column (cume_dist
+    — rank-preserving [0,1] rescale per stratum); NULL values keep
+    NULL rank."""
+    from earthmover_spark.operators.groupby import ecdf_transform
+
+    ev = _p(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ecdf_transform(ev, "value", ["event_type"])
+
+
+def q_neighborhood_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall-style neighborhood function (exact mode) over the
+    clickstream transition graph: per node, nodes reachable in <=1 and
+    <=2 directed hops (self included). The DuckDB twin unrolls the
+    same two frontier expansions."""
+    from earthmover_spark.operators import graph
+
+    ev = _p(spark, sf_dir, "events")
+    node = F.get_json_object("props", "$.k").cast("bigint")
+    edges = graph.transition_edges(
+        ev, "user_id", "ts", node, tiebreak_col="event_id"
+    )
+    return graph.neighborhood_reach(edges, hops=2, method="exact")
+
+
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: doc/token counts, mean/median tokens,
+    empty share, dominant language + share — the mixing-decision
+    summary, one corpus agg + one (source, lang) agg."""
+    from earthmover_spark.llm.textstats import corpus_manifest
+
+    docs = _p(spark, sf_dir, "documents")
+    return corpus_manifest(docs, ["source"], lang_col="lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -3077,6 +3123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments": q_dist_moments,
         "hard_negs": q_hard_negatives,
         "interp": q_resample_interp,
+        "anchor_terms": q_anchor_text,
+        "ecdf_norm": q_ecdf_transform,
+        "reach2": q_neighborhood_reach,
+        "manifest": q_corpus_manifest,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -7029,5 +7079,111 @@ def oracle_sql() -> dict[str, str]:
                               * ((bk * 86400000000 - p.t)
                                  / (nx.t - p.t)) END, 6) AS value
             FROM w
+        """,
+        # anchor-text rollup: same synthesized HTML and href pattern as
+        # "links", then host extraction, term split, count, top-3
+        "anchor_terms": f"""
+            WITH h AS (
+              SELECT doc_id, {_LINKS_HTML_SQL} AS html
+              FROM documents WHERE doc_id < 500
+            ), ex AS (
+              SELECT doc_id,
+                     regexp_extract_all(html, '{_A_HREF_SQL}', 1) AS us,
+                     regexp_extract_all(html, '{_A_HREF_SQL}', 2) AS an
+              FROM h
+            ), l AS (
+              SELECT nullif(lower(regexp_extract(us[i],
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*:\\/\\/(?:[^@\\/?#]*@)?([^:\\/?#]+)',
+                       1)), '') AS dst_host,
+                     trim(regexp_replace(regexp_replace(an[i],
+                          '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+              FROM ex, unnest(generate_series(1, len(us))) AS t(i)
+            ), terms AS (
+              SELECT dst_host, u.term
+              FROM l, unnest(string_split_regex(
+                     lower(coalesce(anchor, '')), '[^a-z0-9]+')) AS u(term)
+              WHERE dst_host IS NOT NULL AND u.term <> ''
+            ), c AS (
+              SELECT dst_host, term, count(*) AS n
+              FROM terms GROUP BY 1, 2
+            ), r AS (
+              SELECT dst_host, term, n,
+                     row_number() OVER (PARTITION BY dst_host
+                                        ORDER BY n DESC, term) AS rank
+              FROM c
+            )
+            SELECT dst_host, term, n, rank FROM r WHERE rank <= 3
+        """,
+        # per-group ECDF: cume_dist over non-NULL values, NULLs ride
+        # along with NULL rank — identical tie semantics both engines
+        "ecdf_norm": """
+            SELECT event_id, event_type, value,
+                   round(cume_dist() OVER (PARTITION BY event_type
+                                           ORDER BY value), 9) AS ecdf
+            FROM events WHERE value IS NOT NULL
+            UNION ALL
+            SELECT event_id, event_type, value, NULL AS ecdf
+            FROM events WHERE value IS NULL
+        """,
+        # exact neighborhood function, two unrolled frontier expansions
+        # over the same deduped transition edges (UNION dedups members)
+        "reach2": """
+            WITH ev AS (
+              SELECT user_id, ts, event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS node
+              FROM events
+            ), st AS (
+              SELECT user_id, node,
+                     lag(node) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+              FROM ev WHERE node IS NOT NULL
+            ), e AS (
+              SELECT DISTINCT prev AS src, node AS dst
+              FROM st WHERE prev IS NOT NULL
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), h1 AS (
+              SELECT node, node AS member FROM nodes
+              UNION SELECT src, dst FROM e
+            ), h2 AS (
+              SELECT node, member FROM h1
+              UNION SELECT h1.node, e.dst
+                    FROM h1 JOIN e ON h1.member = e.src
+            )
+            SELECT node, 1 AS hop, count(*) AS reach FROM h1 GROUP BY node
+            UNION ALL
+            SELECT node, 2 AS hop, count(*) AS reach FROM h2 GROUP BY node
+        """,
+        # dataset card: one token-stat agg + (source, lang) argmax;
+        # exact interpolated median = quantile_cont both engines
+        "manifest": r"""
+            WITH b AS (
+              SELECT source, lang,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS nt
+              FROM documents
+            ), m AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(nt) AS n_tokens_total,
+                     round(avg(nt), 6) AS mean_tokens,
+                     round(quantile_cont(nt::DOUBLE, 0.5), 6)
+                         AS median_tokens,
+                     round(avg(CASE WHEN nt = 0 THEN 1.0 ELSE 0.0 END), 6)
+                         AS pct_empty
+              FROM b GROUP BY 1
+            ), pl AS (
+              SELECT source, lang, count(*) AS n FROM b GROUP BY 1, 2
+            ), top AS (
+              SELECT source, lang AS top_lang,
+                     round(n / (sum(n) OVER (PARTITION BY source)), 6)
+                         AS top_lang_share,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n DESC, lang) AS rn
+              FROM pl
+            )
+            SELECT m.*, top.top_lang, top.top_lang_share
+            FROM m JOIN top USING (source) WHERE top.rn = 1
         """,
     }

@@ -152,6 +152,10 @@ HEADLINE = [
     "moments",  # two hash aggs, centered skew/kurtosis ratios
     "hard_negs",  # broadcast anchors + WindowGroupLimit top-k
     "interp",  # output-sized grid + one prev/next window pass
+    "anchor_terms",  # narrow term explode + one hash agg + WindowGroupLimit
+    "ecdf_norm",  # one per-group cume_dist window
+    "reach2",  # two frontier-expansion joins + reach hash aggs
+    "manifest",  # one corpus agg + group-sized argmax join
 ]
 
 

@@ -471,6 +471,76 @@ def main() -> None:
             )
         )
 
+        # --- r9b: anchor-text rollup: 10M links over ~2000 hosts ------
+        from earthmover_spark.operators.url import anchor_text
+
+        web_links = spark.range(rows).select(
+            F.concat(
+                F.lit("https://h"),
+                F.pmod(F.hash("id"), F.lit(2000)).cast("string"),
+                F.lit(".example/p"),
+            ).alias("link_url"),
+            F.concat(
+                F.lit("term"),
+                F.pmod(F.hash(F.col("id") * 3), F.lit(500)).cast("string"),
+                F.lit(" read more about topic"),
+                F.pmod(F.hash(F.col("id") * 7), F.lit(50)).cast("string"),
+            ).alias("anchor"),
+        )
+        r["anchor_text"] = _t(
+            lambda: _force(anchor_text(web_links, k=10))
+        )
+
+        # --- r9b: per-group ECDF over 10M rows / 1000 groups: one
+        # window (groups sort independently)
+        from earthmover_spark.operators.groupby import ecdf_transform
+
+        ecdf_vals = spark.range(rows).select(
+            F.pmod(F.hash("id"), F.lit(1000)).alias("g"),
+            (
+                F.pmod(F.hash(F.col("id") * 13), F.lit(100_000)) / 1000.0
+            ).alias("x"),
+        )
+        r["ecdf_transform"] = _t(
+            lambda: _force(ecdf_transform(ecdf_vals, "x", ["g"]))
+        )
+
+        # --- r9b: HyperBall neighborhood function (HLL mode) over the
+        # 5M-edge / 100k-node graph, 2 hops — per-round shuffle is
+        # O(|E| x sketch bytes), never the materialized reach sets
+        from earthmover_spark.operators.graph import neighborhood_reach
+
+        reach_edges = spark.range(edges_n).select(
+            F.pmod(F.hash("id"), F.lit(100_000)).alias("src"),
+            F.pmod(F.hash(F.col("id") * 11), F.lit(100_000)).alias("dst"),
+        )
+        r["reach_hll_2hop"] = _t(
+            lambda: _force(
+                neighborhood_reach(reach_edges, hops=2, method="hll")
+            )
+        )
+
+        # --- r9b: dataset card over 2M docs / 200 sources x 20 langs --
+        from earthmover_spark.llm.textstats import corpus_manifest
+
+        card_docs = spark.range(docs_n).select(
+            F.concat(
+                F.lit("src"),
+                F.pmod(F.hash("id"), F.lit(200)).cast("string"),
+            ).alias("source"),
+            F.concat(
+                F.lit("lang"),
+                F.pmod(F.hash(F.col("id") * 3), F.lit(20)).cast("string"),
+            ).alias("lang"),
+            F.concat(
+                F.lit("the quick brown fox jumps over the lazy dog "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        r["corpus_manifest"] = _t(
+            lambda: _force(corpus_manifest(card_docs, ["source"], lang_col="lang"))
+        )
+
         # --- r5b: blocked fuzzy self-join (names-like short strings) ----
         names = spark.range(docs_n // 2).select(
             F.col("id").alias("name_id"),

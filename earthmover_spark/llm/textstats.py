@@ -1082,3 +1082,66 @@ def lm_divergence(
         F.coalesce(F.first("__v__"), F.lit(0)).alias("vocab_size"),
         F.coalesce(F.round(F.sum(contrib), 6), F.lit(0.0)).alias("jsd"),
     )
+
+
+def corpus_manifest(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum dataset card: one row per group (source, dump,
+    domain, ...) with the numbers a training-data manifest records —
+    document count, total / mean / exact-median whitespace-token
+    counts, the share of empty documents, and (when ``lang_col`` is
+    given) the dominant language and its share. The summary every
+    mixing decision starts from: token budgets come from
+    ``n_tokens_total``, mixture weights from doc/token shares, and a
+    skewed ``top_lang_share`` flags a stratum that needs language
+    splitting before it is one mixing unit.
+
+    NULL text counts as empty (0 tokens). ``mean_tokens`` and shares
+    round to 6 decimals; ``median_tokens`` is the exact interpolated
+    percentile (``quantile_cont`` semantics, reproducible against the
+    DuckDB twin).
+
+    Scale shape (100 TB): ONE map-side-combined hash aggregation over
+    the corpus for the token stats (the exact median's per-group
+    value-frequency buffer is bounded by distinct token COUNTS, not
+    documents — fine in practice; swap to ``approx_percentile`` for
+    pathological strata), plus — only when ``lang_col`` is given — a
+    second (group, lang) agg whose argmax joins back on the
+    group-sized frame. No windows, no sort, no Python."""
+    groups = list(group_cols)
+    if not groups:
+        raise EarthmoverSparkError("corpus_manifest: group_cols required")
+    n_tok = token_count_ws(F.col(text_col))
+    base = df.select(*groups, *( [lang_col] if lang_col else [] ),
+                     n_tok.alias("__nt__"))
+    manifest = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt__").alias("n_tokens_total"),
+        F.round(F.avg("__nt__"), 6).alias("mean_tokens"),
+        F.round(F.percentile(F.col("__nt__").cast("double"), F.lit(0.5)), 6)
+        .alias("median_tokens"),
+        F.round(
+            F.avg(F.when(F.col("__nt__") == 0, 1.0).otherwise(0.0)), 6
+        ).alias("pct_empty"),
+    )
+    if lang_col is None:
+        return manifest
+    per_lang = base.groupBy(*groups, lang_col).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    top = per_lang.groupBy(*groups).agg(
+        F.min(
+            F.struct((-F.col("__n__")).alias("neg"), F.col(lang_col))
+        ).alias("__best__"),
+        F.sum("__n__").alias("__tot__"),
+    ).select(
+        *groups,
+        F.col(f"__best__.{lang_col}").alias("top_lang"),
+        F.round(-F.col("__best__.neg") / F.col("__tot__"), 6)
+        .alias("top_lang_share"),
+    )
+    return manifest.join(top, groups)

@@ -393,6 +393,43 @@ def winsorize(
     return joined.withColumn(out_col, clipped).drop("__q__")
 
 
+def ecdf_transform(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str = "ecdf",
+) -> DataFrame:
+    """Replace a raw score with its empirical CDF position inside its
+    group: ``out_col`` = fraction of the group's non-NULL values <=
+    this row's value (``cume_dist``; ties share the max position, so
+    the transform is deterministic and rank-preserving). The standard
+    way to put per-domain / per-language quality scores on a COMMON
+    [0, 1] scale before mixing corpora — a 0.9 means "top decile of
+    its own stratum" whatever the stratum's raw score range was.
+    NULL values get NULL (unknown quality is not a rank); values
+    round to 9 decimals (a count ratio — exact in double well past
+    any real group size).
+
+    Scale shape (100 TB): one shuffle+sort per group (a window, not a
+    global sort — groups sort independently). Groups are corpus
+    strata (domain, language, source) so per-group sorts parallelize;
+    for a coarse screen where full resolution is overkill, prefer
+    ``quantile_bucket``/``filter_percentile_band`` (one agg + broadcast
+    cutoffs, no sort)."""
+    groups = list(group_cols)
+    v = F.col(value_col)
+    nulls = df.filter(v.isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    w = Window.partitionBy(*groups).orderBy(v.asc()) if groups else (
+        Window.partitionBy().orderBy(v.asc())
+    )
+    ranked = df.filter(v.isNotNull()).withColumn(
+        out_col, F.round(F.cume_dist().over(w), 9)
+    )
+    return ranked.unionByName(nulls)
+
+
 def trend_per_key(
     df: DataFrame,
     x_col: str,

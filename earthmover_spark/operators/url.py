@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from earthmover_spark.util import EarthmoverSparkError
@@ -301,6 +301,59 @@ def host_graph(
     )
 
 
+def anchor_text(
+    links: DataFrame,
+    url_col: str = "link_url",
+    anchor_col: str = "anchor",
+    k: int = 10,
+) -> DataFrame:
+    """Aggregate inbound ANCHOR TEXT per destination host: the top-``k``
+    anchor terms pointing at each host, by link count — the classic
+    web-scale labeling signal (anchors describe the TARGET better than
+    its own page text; search and corpus pipelines mine them as
+    queries, titles, and topic labels for the linked host). Terms are
+    lowercased alphanumeric runs; links whose URL has no parseable
+    ``scheme://host`` are dropped (relative links have no independent
+    target to label). Returns ``(dst_host, term, n, rank)`` with ties
+    broken by term ascending.
+
+    Scale shape (100 TB of links): term explosion is narrow codegen
+    (lower/split/explode); the count is ONE map-side-combined hash agg
+    on (host, term) — output sized by the distinct vocabulary per
+    host, not the links — and the top-k is WindowGroupLimit-pruned
+    (rank filter pushes below the final sort, never a global sort)."""
+    if k < 1:
+        raise EarthmoverSparkError("anchor_text: k must be >= 1")
+    host = F.lower(
+        F.nullif(
+            F.regexp_extract(F.col(url_col).cast("string"), _HOST, 1),
+            F.lit(""),
+        )
+    )
+    terms = (
+        links.select(
+            host.alias("dst_host"),
+            F.explode(
+                F.split(
+                    F.lower(F.coalesce(F.col(anchor_col).cast("string"), F.lit(""))),
+                    r"[^a-z0-9]+",
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("dst_host").isNotNull() & (F.col("term") != ""))
+    )
+    counts = terms.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 __all__ = [
     "parse_urls",
     "filter_domains",
@@ -308,4 +361,5 @@ __all__ = [
     "canonicalize_urls",
     "extract_links",
     "host_graph",
+    "anchor_text",
 ]

@@ -1038,3 +1038,44 @@ def test_interp_output_sized_grid_single_window_pass(plans):
     # prev-carry and next-carry share one partitioning: at most the
     # compaction window exchange + the grid/window exchange lineage
     assert "Generate" in p  # explode(sequence(...)) grid
+
+
+def test_anchor_terms_single_agg_windowgrouplimit(plans):
+    """anchor_text: narrow term explosion, ONE (host, term) hash agg,
+    WindowGroupLimit-pruned top-k — no cartesian, no Python, no
+    global sort."""
+    p = plans("anchor_terms")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p
+    assert "WindowGroupLimit" in p
+
+
+def test_ecdf_norm_single_window_no_python(plans):
+    """ecdf_transform: one per-group window (cume_dist) — groups sort
+    independently; the NULL branch unions back without a join."""
+    p = plans("ecdf_norm")
+    assert "Window" in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_reach2_no_cartesian_no_python(plans):
+    """neighborhood_reach (exact): frontier expansion is an equi-join
+    on the member/src key, reach is a hash agg — no cartesian, no
+    Python, no global sort."""
+    p = plans("reach2")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p
+
+
+def test_manifest_agg_only_no_window_over_corpus(plans):
+    """corpus_manifest: the corpus contributes via hash aggregations
+    only (map-side combined); the argmax join runs on the group-sized
+    frames — no corpus-wide window, no Python, no cartesian."""
+    p = plans("manifest")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p

@@ -229,3 +229,182 @@ def test_resample_interp_observed_bucket_uses_latest(spark):
     }
     assert out["2024-01-01 00:00:00"] == 200.0
     assert out["2024-01-02 00:00:00"] == 300.0
+
+
+# ---------------------------------------------------------------------------
+# anchor_text
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_text_rollup_topk_and_relative_drop(spark):
+    from earthmover_spark.operators.url import anchor_text
+
+    links = spark.createDataFrame(
+        [
+            (1, "http://a.example/x", "Read the docs"),
+            (2, "http://A.example/y", "read MORE"),
+            (3, "https://a.example/z", "read again, read"),
+            (4, "/relative", "never counted"),
+            (5, "https://b.example/", None),
+            (6, "https://b.example/", "  b-site  "),
+        ],
+        ["doc_id", "link_url", "anchor"],
+    )
+    rows = sorted(
+        (r.dst_host, r.term, r.n, r.rank)
+        for r in anchor_text(links, k=2).collect()
+    )
+    # a.example terms: read x4 (one anchor contributes twice), docs/the/
+    # more/again x1 -> top-2 = read(4), again(1) [tie broken term asc]
+    assert rows == [
+        ("a.example", "again", 1, 2),
+        ("a.example", "read", 4, 1),
+        ("b.example", "b", 1, 1),
+        ("b.example", "site", 1, 2),
+    ]
+
+
+def test_anchor_text_k_validation(spark):
+    from earthmover_spark.operators.url import anchor_text
+
+    links = spark.createDataFrame([(1, "http://a/", "x")],
+                                  ["doc_id", "link_url", "anchor"])
+    with pytest.raises(EarthmoverSparkError):
+        anchor_text(links, k=0)
+
+
+# ---------------------------------------------------------------------------
+# ecdf_transform
+# ---------------------------------------------------------------------------
+
+
+def test_ecdf_transform_ties_and_nulls(spark):
+    from earthmover_spark.operators.groupby import ecdf_transform
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0), ("a", None),
+         ("b", 7.0)],
+        ["g", "v"],
+    )
+    out = {
+        (r.g, r.v): r.ecdf
+        for r in ecdf_transform(df, "v", ["g"]).collect()
+    }
+    assert out[("a", 1.0)] == 0.25
+    assert out[("a", 2.0)] == 0.75      # ties share the MAX position
+    assert out[("a", 4.0)] == 1.0
+    assert out[("a", None)] is None     # NULL keeps NULL rank
+    assert out[("b", 7.0)] == 1.0       # groups rank independently
+
+
+def test_ecdf_transform_global_no_groups(spark):
+    from earthmover_spark.operators.groupby import ecdf_transform
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 5)],
+                               ["id", "v"])
+    got = {r.id: r.ecdf for r in ecdf_transform(df, "v").collect()}
+    assert got == {1: 0.25, 2: 0.5, 3: 0.75, 4: 1.0}
+
+
+# ---------------------------------------------------------------------------
+# neighborhood_reach
+# ---------------------------------------------------------------------------
+
+
+def _bfs_reach(edges, hops):
+    """Plain-Python reference: nodes reachable in <= t directed hops."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    nodes = set()
+    for s, d in edges:
+        adj[s].add(d)
+        nodes.update((s, d))
+    out = {}
+    for v in nodes:
+        seen = {v}
+        frontier = {v}
+        for t in range(1, hops + 1):
+            frontier = {w for u in frontier for w in adj[u]} - seen
+            seen |= frontier
+            out[(v, t)] = len(seen)
+    return out
+
+
+def test_neighborhood_reach_exact_matches_bfs(spark):
+    from earthmover_spark.operators.graph import neighborhood_reach
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1), (5, 6), (6, 6),
+             (2, 3)]  # multi-edge collapses; self-loop adds no reach
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.node, r.hop): r.reach
+        for r in neighborhood_reach(df, hops=3).collect()
+    }
+    assert got == _bfs_reach(edges, 3)
+
+
+def test_neighborhood_reach_hll_tracks_exact(spark):
+    from earthmover_spark.operators.graph import neighborhood_reach
+
+    # ~60-node two-community graph: HLL at lgk=12 is exact-ish (the
+    # DataSketches HLL returns exact counts far below 2^lgk)
+    edges = [(i, (i + 1) % 30) for i in range(30)] + [
+        (30 + i, 30 + (i + 7) % 30) for i in range(30)
+    ] + [(0, 30)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    exact = {
+        (r.node, r.hop): r.reach
+        for r in neighborhood_reach(df, hops=2, method="exact").collect()
+    }
+    est = {
+        (r.node, r.hop): r.reach_est
+        for r in neighborhood_reach(df, hops=2, method="hll").collect()
+    }
+    assert set(est) == set(exact)
+    for key, n in exact.items():
+        assert abs(est[key] - n) <= max(1.0, 0.05 * n)
+
+
+def test_neighborhood_reach_validation(spark):
+    from earthmover_spark.operators.graph import neighborhood_reach
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(EarthmoverSparkError):
+        neighborhood_reach(df, hops=0)
+    with pytest.raises(EarthmoverSparkError):
+        neighborhood_reach(df, method="sketchy")
+
+
+# ---------------------------------------------------------------------------
+# corpus_manifest
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_manifest_stats_and_top_lang(spark):
+    from earthmover_spark.llm.textstats import corpus_manifest
+
+    docs = spark.createDataFrame(
+        [("s1", "en", "a b c"), ("s1", "en", "x"), ("s1", "de", ""),
+         ("s1", "de", "p q r s"), ("s2", "fr", None)],
+        ["source", "lang", "text"],
+    )
+    rows = {r.source: r for r in
+            corpus_manifest(docs, ["source"], lang_col="lang").collect()}
+    s1 = rows["s1"]
+    assert (s1.n_docs, s1.n_tokens_total) == (4, 8)
+    assert s1.mean_tokens == 2.0
+    assert s1.median_tokens == 2.0      # interpolated between 1 and 3
+    assert s1.pct_empty == 0.25
+    assert (s1.top_lang, s1.top_lang_share) == ("de", 0.5)  # tie -> min lang
+    s2 = rows["s2"]
+    assert (s2.n_docs, s2.n_tokens_total, s2.pct_empty) == (1, 0, 1.0)
+    assert (s2.top_lang, s2.top_lang_share) == ("fr", 1.0)
+
+
+def test_corpus_manifest_requires_groups(spark):
+    from earthmover_spark.llm.textstats import corpus_manifest
+
+    docs = spark.createDataFrame([("s", "t")], ["source", "text"])
+    with pytest.raises(EarthmoverSparkError):
+        corpus_manifest(docs, [])

@@ -151,3 +151,114 @@ def test_yaml_r9_pipeline(spark, project_dir, tmp_path):
     }
     # each anchor's single hardest negative is the closest other-label
     assert negs == {"1": "3", "2": "3", "3": "2", "4": "2"}
+
+
+@pytest.fixture(scope="module")
+def project_dir_b(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r9b_project")
+    (d / "sources").mkdir()
+    (d / "sources" / "links.csv").write_text(
+        "link_url,anchor\n"
+        "https://a.example/1,read the docs\n"
+        "https://a.example/2,read more\n"
+        "https://b.example/,b home\n"
+    )
+    (d / "sources" / "edges.csv").write_text(
+        "src,dst\n1,2\n2,3\n3,1\n4,1\n"
+    )
+    (d / "sources" / "docs.csv").write_text(
+        "source,lang,text\n"
+        "s1,en,a b c\n"
+        "s1,en,\n"
+        "s1,de,x\n"
+        "s2,fr,p q\n"
+    )
+    (d / "earthmover.yaml").write_text(textwrap.dedent("""
+        config:
+          output_dir: ./outputs
+
+        sources:
+          links:
+            file: sources/links.csv
+          edges:
+            file: sources/edges.csv
+          docs:
+            file: sources/docs.csv
+
+        transformations:
+          anchors:
+            source: $sources.links
+            operations:
+              - operation: anchor_text
+                k: 2
+          scored:
+            source: $sources.docs
+            operations:
+              - operation: sql
+                query: >
+                  SELECT source, lang, text,
+                         CAST(length(text) AS DOUBLE) AS score
+                  FROM $sources.docs
+              - operation: ecdf_transform
+                value_col: score
+                group_cols: [source]
+          reach:
+            source: $sources.edges
+            operations:
+              - operation: sql
+                query: >
+                  SELECT CAST(src AS BIGINT) AS src,
+                         CAST(dst AS BIGINT) AS dst
+                  FROM $sources.edges
+              - operation: neighborhood_reach
+                hops: 2
+          card:
+            source: $sources.docs
+            operations:
+              - operation: corpus_manifest
+                group_cols: [source]
+                lang_col: lang
+
+        destinations:
+          anchors_out:
+            source: $transformations.anchors
+          scored_out:
+            source: $transformations.scored
+          reach_out:
+            source: $transformations.reach
+          card_out:
+            source: $transformations.card
+    """))
+    return str(d)
+
+
+def test_yaml_r9b_pipeline(spark, project_dir_b, tmp_path):
+    results = run_project(
+        spark, project_dir_b + "/earthmover.yaml",
+        output_dir=str(tmp_path / "out_b"),
+    )
+    anchors = {
+        (r["dst_host"], r["term"]): (r["n"], r["rank"])
+        for r in _rows(results["$destinations.anchors_out"])
+    }
+    assert anchors[("a.example", "read")] == ("2", "1")
+    assert ("a.example", "docs") in anchors or ("a.example", "more") in anchors
+    assert anchors[("b.example", "b")] == ("1", "1")
+    scored = {
+        (r["source"], r["text"]): r["ecdf"]
+        for r in _rows(results["$destinations.scored_out"])
+    }
+    # s1 lengths: 5, "" (empty -> 0 chars), 1 -> ecdf 1.0, 1/3, 2/3
+    assert scored[("s1", "a b c")] == "1.0"
+    assert scored[("s2", "p q")] == "1.0"
+    reach = {
+        (r["node"], r["hop"]): r["reach"]
+        for r in _rows(results["$destinations.reach_out"])
+    }
+    # 1-2-3 cycle plus 4 -> 1: node 4 reaches {4,1} then {4,1,2}
+    assert reach[("4", "1")] == "2" and reach[("4", "2")] == "3"
+    assert reach[("1", "2")] == "3"
+    card = {r["source"]: r for r in _rows(results["$destinations.card_out"])}
+    assert card["s1"]["n_docs"] == "3"
+    assert card["s1"]["top_lang"] == "en"
+    assert card["s2"]["n_tokens_total"] == "2"
