@@ -2885,6 +2885,21 @@ def q_neighborhood_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.neighborhood_reach(edges, hops=2, method="exact")
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality (exact mode, 2 hops) over the
+    clickstream transition graph — sum of frontier gains weighted
+    1/t; the Common Crawl host-ranking metric. DuckDB twin derives it
+    from the same two unrolled frontier expansions."""
+    from earthmover_spark.operators import graph
+
+    ev = _p(spark, sf_dir, "events")
+    node = F.get_json_object("props", "$.k").cast("bigint")
+    edges = graph.transition_edges(
+        ev, "user_id", "ts", node, tiebreak_col="event_id"
+    )
+    return graph.harmonic_centrality(edges, hops=2, method="exact")
+
+
 def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset card: doc/token counts, mean/median tokens,
     empty share, dominant language + share — the mixing-decision
@@ -3126,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_text,
         "ecdf_norm": q_ecdf_transform,
         "reach2": q_neighborhood_reach,
+        "harmonic2": q_harmonic_centrality,
         "manifest": q_corpus_manifest,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
@@ -7154,6 +7170,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, 1 AS hop, count(*) AS reach FROM h1 GROUP BY node
             UNION ALL
             SELECT node, 2 AS hop, count(*) AS reach FROM h2 GROUP BY node
+        """,
+        # truncated harmonic centrality from the same two unrolled
+        # frontier expansions: (N1 - 1)/1 + (N2 - N1)/2 per node
+        "harmonic2": """
+            WITH ev AS (
+              SELECT user_id, ts, event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS node
+              FROM events
+            ), st AS (
+              SELECT user_id, node,
+                     lag(node) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+              FROM ev WHERE node IS NOT NULL
+            ), e AS (
+              SELECT DISTINCT prev AS src, node AS dst
+              FROM st WHERE prev IS NOT NULL
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), h1 AS (
+              SELECT node, node AS member FROM nodes
+              UNION SELECT src, dst FROM e
+            ), h2 AS (
+              SELECT node, member FROM h1
+              UNION SELECT h1.node, e.dst
+                    FROM h1 JOIN e ON h1.member = e.src
+            ), n1 AS (
+              SELECT node, count(*) AS r1 FROM h1 GROUP BY node
+            ), n2 AS (
+              SELECT node, count(*) AS r2 FROM h2 GROUP BY node
+            )
+            SELECT n1.node,
+                   round((r1 - 1) / 1.0 + (r2 - r1) / 2.0, 6)
+                       AS harmonic_c
+            FROM n1 JOIN n2 USING (node)
         """,
         # dataset card: one token-stat agg + (source, lang) argmax;
         # exact interpolated median = quantile_cont both engines

@@ -155,6 +155,7 @@ HEADLINE = [
     "anchor_terms",  # narrow term explode + one hash agg + WindowGroupLimit
     "ecdf_norm",  # one per-group cume_dist window
     "reach2",  # two frontier-expansion joins + reach hash aggs
+    "harmonic2",  # reach derivation over the |V| x hops frame
     "manifest",  # one corpus agg + group-sized argmax join
 ]
 

@@ -520,6 +520,37 @@ def main() -> None:
             )
         )
 
+        # --- r9b: HLL harmonic centrality on the same graph ------------
+        from earthmover_spark.operators.graph import harmonic_centrality
+
+        r["harmonic_hll_2hop"] = _t(
+            lambda: _force(
+                harmonic_centrality(reach_edges, hops=2, method="hll")
+            )
+        )
+
+        # --- r9b: resolve_duplicates size-gate regimes: 60% dup rate
+        # (cluster frame far past the 200k broadcast threshold -> the
+        # gate must pick plain key joins) vs 2.5% (broadcast)
+        from earthmover_spark.llm.curation import resolve_duplicates
+
+        dup_docs = spark.range(docs_n).select(F.col("id").alias("doc_id"))
+        half = docs_n // 2
+        pairs_hot = spark.range(int(half * 0.6)).select(
+            F.col("id").alias("id_a"),
+            (F.col("id") + half).alias("id_b"),
+        )
+        r["resolve_dup60pct_shuffle"] = _t(
+            lambda: _force(resolve_duplicates(dup_docs, pairs_hot))
+        )
+        pairs_cold = spark.range(int(docs_n * 0.025 / 2)).select(
+            F.col("id").alias("id_a"),
+            (F.col("id") + half).alias("id_b"),
+        )
+        r["resolve_dup2pct_broadcast"] = _t(
+            lambda: _force(resolve_duplicates(dup_docs, pairs_cold))
+        )
+
         # --- r9b: dataset card over 2M docs / 200 sources x 20 langs --
         from earthmover_spark.llm.textstats import corpus_manifest
 

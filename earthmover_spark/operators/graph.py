@@ -414,3 +414,46 @@ def neighborhood_reach(
     for frame in out[1:]:
         result = result.unionAll(frame)
     return result
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    method: str = "hll",
+    lgk: int = 12,
+) -> DataFrame:
+    """Truncated harmonic centrality from the neighborhood function:
+    ``sum_{t<=hops} (N(t) - N(t-1)) / t`` per node (N(0) = 1, the node
+    itself) — the host-quality ranking Common Crawl publishes for its
+    web graph, computed the HyperBall way (Boldi & Vigna 2013).
+    Truncation at ``hops`` is the standard large-graph practice: the
+    1/t weight makes far frontiers marginal, and each extra hop is one
+    more bounded round.
+
+    Defaults to ``method='hll'`` (column ``harmonic_est``) because
+    centrality at scale is the POINT of the sketch formulation —
+    ``method='exact'`` (column ``harmonic_c``) materializes reach sets
+    and exists as the oracle-checkable baseline. Values round to 6
+    decimals. The derivation from :func:`neighborhood_reach` is a
+    |V| x hops frame — one tiny window over hop per node, nothing
+    corpus-sized."""
+    reach = neighborhood_reach(edges, hops, src, dst, method, lgk)
+    val = (
+        F.col("reach").cast("double")
+        if method == "exact"
+        else F.col("reach_est")
+    )
+    w = Window.partitionBy("node").orderBy("hop")
+    gain = val - F.coalesce(F.lag(val).over(w), F.lit(1.0))
+    out_col = "harmonic_c" if method == "exact" else "harmonic_est"
+    return (
+        reach.withColumn("__gain__", gain)
+        .groupBy("node")
+        .agg(
+            F.round(
+                F.sum(F.col("__gain__") / F.col("hop")), 6
+            ).alias(out_col)
+        )
+    )

@@ -1079,3 +1079,13 @@ def test_manifest_agg_only_no_window_over_corpus(plans):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p
+
+
+def test_harmonic2_no_cartesian_no_python(plans):
+    """harmonic_centrality (exact): the derivation window runs over the
+    |V| x hops reach frame, never the corpus — no cartesian, no
+    Python."""
+    p = plans("harmonic2")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p

@@ -408,3 +408,43 @@ def test_corpus_manifest_requires_groups(spark):
     docs = spark.createDataFrame([("s", "t")], ["source", "text"])
     with pytest.raises(EarthmoverSparkError):
         corpus_manifest(docs, [])
+
+
+def test_harmonic_centrality_matches_python_reference(spark):
+    from earthmover_spark.operators.graph import harmonic_centrality
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    hops = 3
+    bfs = _bfs_reach(edges, hops)
+    expect = {}
+    nodes = {n for e in edges for n in e}
+    for v in nodes:
+        hc, prev = 0.0, 1
+        for t in range(1, hops + 1):
+            hc += (bfs[(v, t)] - prev) / t
+            prev = bfs[(v, t)]
+        expect[v] = round(hc, 6)
+    got = {
+        r.node: r.harmonic_c
+        for r in harmonic_centrality(df, hops=hops, method="exact").collect()
+    }
+    assert got == expect
+
+
+def test_harmonic_centrality_hll_tracks_exact(spark):
+    from earthmover_spark.operators.graph import harmonic_centrality
+
+    edges = [(i, (i + 1) % 40) for i in range(40)] + [(0, 40), (40, 41)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    exact = {
+        r.node: r.harmonic_c
+        for r in harmonic_centrality(df, hops=2, method="exact").collect()
+    }
+    est = {
+        r.node: r.harmonic_est
+        for r in harmonic_centrality(df, hops=2, method="hll").collect()
+    }
+    assert set(est) == set(exact)
+    for node, hc in exact.items():
+        assert abs(est[node] - hc) <= max(0.25, 0.05 * hc)

@@ -212,6 +212,17 @@ def project_dir_b(tmp_path_factory):
                   FROM $sources.edges
               - operation: neighborhood_reach
                 hops: 2
+          ranks:
+            source: $sources.edges
+            operations:
+              - operation: sql
+                query: >
+                  SELECT CAST(src AS BIGINT) AS src,
+                         CAST(dst AS BIGINT) AS dst
+                  FROM $sources.edges
+              - operation: harmonic_centrality
+                hops: 2
+                method: exact
           card:
             source: $sources.docs
             operations:
@@ -226,6 +237,8 @@ def project_dir_b(tmp_path_factory):
             source: $transformations.scored
           reach_out:
             source: $transformations.reach
+          ranks_out:
+            source: $transformations.ranks
           card_out:
             source: $transformations.card
     """))
@@ -258,6 +271,12 @@ def test_yaml_r9b_pipeline(spark, project_dir_b, tmp_path):
     # 1-2-3 cycle plus 4 -> 1: node 4 reaches {4,1} then {4,1,2}
     assert reach[("4", "1")] == "2" and reach[("4", "2")] == "3"
     assert reach[("1", "2")] == "3"
+    ranks = {
+        r["node"]: r["harmonic_c"]
+        for r in _rows(results["$destinations.ranks_out"])
+    }
+    # node 4: gains 1 at hop 1 and 1 at hop 2 -> 1 + 0.5
+    assert ranks["4"] == "1.5"
     card = {r["source"]: r for r in _rows(results["$destinations.card_out"])}
     assert card["s1"]["n_docs"] == "3"
     assert card["s1"]["top_lang"] == "en"
