@@ -2885,6 +2885,25 @@ def q_neighborhood_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.neighborhood_reach(edges, hops=2, method="exact")
 
 
+def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning over a synthetic per-day file
+    manifest: bin_id = floor(exclusive prefix-sum bytes / target) via
+    the no-single-task range-partition pattern."""
+    from earthmover_spark.operators.zorder import compact_plan
+
+    manifest = (
+        _p(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg((F.count(F.lit(1)) * 1000).alias("bytes"))
+        .select(
+            F.concat(F.lit("f"), F.col("o_orderdate").cast("string"))
+            .alias("file"),
+            "bytes",
+        )
+    )
+    return compact_plan(manifest, target_bytes=50_000)
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality (exact mode, 2 hops) over the
     clickstream transition graph — sum of frontier gains weighted
@@ -3143,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reach2": q_neighborhood_reach,
         "harmonic2": q_harmonic_centrality,
         "manifest": q_corpus_manifest,
+        "compact_bins": q_compact_plan,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -7170,6 +7190,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, 1 AS hop, count(*) AS reach FROM h1 GROUP BY node
             UNION ALL
             SELECT node, 2 AS hop, count(*) AS reach FROM h2 GROUP BY node
+        """,
+        # compaction plan: exclusive prefix sum over the file order /
+        # target — DuckDB's one global window IS the single-task plan
+        # the Spark side's range-partition pattern avoids
+        "compact_bins": """
+            WITH f AS (
+              SELECT 'f' || CAST(o_orderdate AS VARCHAR) AS file,
+                     count(*) * 1000 AS bytes
+              FROM orders GROUP BY 1
+            )
+            SELECT file, bytes,
+                   CAST(floor((sum(bytes) OVER (ORDER BY file
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - bytes) / 50000.0) AS BIGINT) AS bin_id
+            FROM f
         """,
         # truncated harmonic centrality from the same two unrolled
         # frontier expansions: (N1 - 1)/1 + (N2 - N1)/2 per node

@@ -157,6 +157,7 @@ HEADLINE = [
     "reach2",  # two frontier-expansion joins + reach hash aggs
     "harmonic2",  # reach derivation over the |V| x hops frame
     "manifest",  # one corpus agg + group-sized argmax join
+    "compact_bins",  # range-partitioned prefix sum, no global window
 ]
 
 

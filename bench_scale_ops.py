@@ -572,6 +572,23 @@ def main() -> None:
             lambda: _force(corpus_manifest(card_docs, ["source"], lang_col="lang"))
         )
 
+
+        # --- r9b: compaction planning over a 2M-row file manifest ------
+        from earthmover_spark.operators.zorder import compact_plan
+
+        file_manifest = spark.range(docs_n).select(
+            F.concat(
+                F.lit("part-"),
+                F.lpad(F.col("id").cast("string"), 9, "0"),
+            ).alias("file"),
+            (F.pmod(F.hash("id"), F.lit(8_000_000)) + 1).alias("bytes"),
+        )
+        r["compact_plan"] = _t(
+            lambda: _force(
+                compact_plan(file_manifest, target_bytes=128 * 1024 * 1024)
+            )
+        )
+
         # --- r5b: blocked fuzzy self-join (names-like short strings) ----
         names = spark.range(docs_n // 2).select(
             F.col("id").alias("name_id"),

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from earthmover_spark.util import EarthmoverSparkError
@@ -97,3 +97,81 @@ def cluster_by_zorder(
         else keyed.repartitionByRange("__zkey__")
     )
     return parted.sortWithinPartitions("__zkey__").drop("__zkey__")
+
+
+def compact_plan(
+    files: DataFrame,
+    bytes_col: str = "bytes",
+    order_by: "Sequence[str]" = ("file",),
+    target_bytes: int = 128 * 1024 * 1024,
+    out_col: str = "bin_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Small-file compaction planning: assign every input file a
+    0-based ``bin_id`` such that consecutive files (in ``order_by``
+    order — sort by a clustering key to keep the merged files'
+    min/max ranges tight) group into ~``target_bytes`` output files:
+    ``bin_id = floor(exclusive_prefix_sum(bytes) / target_bytes)``.
+    The maintenance step every long-lived 100 TB table needs — small
+    files from streaming/incremental writes destroy scan throughput
+    (per-file open cost, tiny row groups, footer bloat) until a
+    compaction pass rewrites them; this operator emits the
+    deterministic plan (file -> output bin) that rewrite executes.
+    A file larger than ``target_bytes`` gets its own bin (and pushes
+    the running offset, so neighbors are not starved). NULL byte
+    counts are rejected — a plan over unknown sizes is not a plan.
+
+    Scale shape: the file MANIFEST is metadata-sized (one row per
+    file), but at 100 TB that is still millions of rows — so the
+    prefix sum uses the same no-single-task pattern as
+    ``global_index``: range-repartition on the ordering, per-partition
+    byte totals collected (bounded by partition COUNT), broadcast
+    offsets, within-partition cumulative window. Never a
+    one-partition global window."""
+    if target_bytes < 1:
+        raise EarthmoverSparkError("compact_plan: target_bytes must be >= 1")
+    cols = [F.col(c) for c in order_by]
+    b = F.col(bytes_col).cast("long")
+    p = partitions or files.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        files.withColumn(
+            "__b__",
+            F.when(b.isNull(), F.raise_error(
+                F.lit("compact_plan: NULL byte count"))).otherwise(b),
+        )
+        .repartitionByRange(p, *cols)
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # per-partition byte totals -> exclusive prefix offsets (the
+    # collect is bounded by the partition count, never file count)
+    sizes = {
+        r["__pid__"]: r["s"]
+        for r in ranged.groupBy("__pid__")
+        .agg(F.sum("__b__").alias("s"))
+        .collect()
+    }
+    acc, offsets = 0, {}
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid] or 0
+    if not offsets:
+        return files.withColumn(out_col, F.lit(None).cast("long"))
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (
+        F.sum("__b__").over(w) - F.col("__b__")
+        + F.coalesce(off_map[F.col("__pid__")], F.lit(0))
+    )
+    return (
+        ranged.withColumn(
+            out_col, F.floor(start / F.lit(int(target_bytes))).cast("long")
+        )
+        .drop("__pid__", "__b__")
+    )

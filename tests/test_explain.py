@@ -1089,3 +1089,16 @@ def test_harmonic2_no_cartesian_no_python(plans):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "HashAggregate" in p
+
+
+def test_compact_bins_no_single_partition_window(plans):
+    """compact_plan: the prefix sum must run per range-partition with
+    broadcast offsets — never a one-partition global window (the
+    'Window ... SinglePartition' shape) — and never leave the JVM."""
+    p = plans("compact_bins")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    import re
+    # no window over SinglePartition: every Window's child partitioning
+    # must be the __pid__ hash, not a global gather
+    assert not re.search(r"Exchange SinglePartition", p)

@@ -448,3 +448,53 @@ def test_harmonic_centrality_hll_tracks_exact(spark):
     assert set(est) == set(exact)
     for node, hc in exact.items():
         assert abs(est[node] - hc) <= max(0.25, 0.05 * hc)
+
+
+# ---------------------------------------------------------------------------
+# compact_plan
+# ---------------------------------------------------------------------------
+
+
+def test_compact_plan_bins_by_exclusive_prefix(spark):
+    from earthmover_spark.operators.zorder import compact_plan
+
+    files = spark.createDataFrame(
+        [("f1", 60), ("f2", 60), ("f3", 30), ("f4", 250), ("f5", 10)],
+        ["file", "bytes"],
+    )
+    got = {
+        r.file: r.bin_id
+        for r in compact_plan(files, target_bytes=100).collect()
+    }
+    # starts: 0, 60, 120, 150, 400 -> bins 0, 0, 1, 1, 4 (the oversize
+    # f4 pushes the running offset; f5 lands alone)
+    assert got == {"f1": 0, "f2": 0, "f3": 1, "f4": 1, "f5": 4}
+
+
+def test_compact_plan_matches_single_window_reference(spark):
+    from earthmover_spark.operators.zorder import compact_plan
+
+    rows = [(f"file{i:04d}", (i * 37) % 900 + 1) for i in range(500)]
+    files = spark.createDataFrame(rows, ["file", "bytes"])
+    got = {
+        r.file: r.bin_id
+        for r in compact_plan(
+            files, target_bytes=5000, partitions=8
+        ).collect()
+    }
+    acc, expect = 0, {}
+    for name, b in sorted(rows):
+        expect[name] = acc // 5000
+        acc += b
+    assert got == expect
+
+
+def test_compact_plan_rejects_null_bytes_and_bad_target(spark):
+    from earthmover_spark.operators.zorder import compact_plan
+
+    files = spark.createDataFrame([("f1", None)], "file string, bytes long")
+    with pytest.raises(Exception):
+        compact_plan(files, target_bytes=10).collect()
+    ok = spark.createDataFrame([("f1", 5)], "file string, bytes long")
+    with pytest.raises(EarthmoverSparkError):
+        compact_plan(ok, target_bytes=0)
