@@ -7260,16 +7260,17 @@ def oracle_sql() -> dict[str, str]:
                          AS pct_empty
               FROM b GROUP BY 1
             ), pl AS (
-              SELECT source, lang, count(*) AS n FROM b GROUP BY 1, 2
+              SELECT source, lang, count(*) AS n FROM b
+              WHERE lang IS NOT NULL GROUP BY 1, 2
             ), top AS (
-              SELECT source, lang AS top_lang,
-                     round(n / (sum(n) OVER (PARTITION BY source)), 6)
-                         AS top_lang_share,
+              SELECT source, lang AS top_lang, n,
                      row_number() OVER (PARTITION BY source
                                         ORDER BY n DESC, lang) AS rn
               FROM pl
             )
-            SELECT m.*, top.top_lang, top.top_lang_share
-            FROM m JOIN top USING (source) WHERE top.rn = 1
+            SELECT m.*, top.top_lang,
+                   round(top.n / CAST(m.n_docs AS DOUBLE), 6)
+                       AS top_lang_share
+            FROM m LEFT JOIN top ON m.source = top.source AND top.rn = 1
         """,
     }

@@ -943,13 +943,17 @@ def paragraph_dedup(
         # per-call executor-storage growth across a long session.
         cached = hot.persist()
         try:
-            probe = cached.limit(broadcast_threshold + 1).collect()
-            hot_broadcast = len(probe) <= broadcast_threshold
+            # count FIRST (bounded, no row transfer); collect the
+            # digests only once the broadcast regime is confirmed —
+            # in the shuffle regime nothing row-sized reaches the
+            # driver. Both jobs read the persisted frame.
+            n_hot = cached.limit(broadcast_threshold + 1).count()
+            hot_broadcast = n_hot <= broadcast_threshold
             if hot_broadcast:
                 # ≤ threshold digests: same bytes a broadcast ships;
                 # the local frame replaces the cached plan entirely.
                 hot = df.sparkSession.createDataFrame(
-                    probe, schema="__digest__ string"
+                    cached.collect(), schema="__digest__ string"
                 )
             # else: the removal join below recomputes the digest agg
             # (one extra pass) — callers at true shuffle scale pass
@@ -1231,7 +1235,11 @@ def dedup_substrings(
     long session of repeated calls — the ``setsim`` contract). Pass
     ``eager=True`` to materialize the result via an eager
     ``localCheckpoint`` and explicitly release the census pin before
-    returning — no storage residue per call."""
+    returning. The trade is explicit: eager mode's only pinned
+    storage is the RETURNED frame itself (output-sized — ids + rebuilt
+    text — reclaimed when the caller drops the frame), with no hidden
+    intermediate pins; it suits call-write-drop loops, NOT holding
+    many results live at once."""
     from pyspark.sql import Window
 
     from earthmover_spark.llm.sampling import cdc_chunks

@@ -100,6 +100,36 @@ def stratified_sample(
         raise EarthmoverSparkError(
             "stratified_sample: default_fraction must be in [0,1]"
         )
+    # the literal cast below must not be LOSSY: cast(1.9 as bigint)
+    # truncates to 1 and would silently sample the WRONG stratum, and
+    # an unparsable string key on a numeric column casts to NULL and
+    # is silently ignored — both are driver-checkable in Python
+    from pyspark.sql import types as T
+
+    strata_type = df.schema[strata_col].dataType
+    for name in fractions:
+        if name is None:
+            continue
+        if (
+            isinstance(strata_type, T.IntegralType)
+            and isinstance(name, float)
+            and not float(name).is_integer()
+        ):
+            raise EarthmoverSparkError(
+                f"stratified_sample: fraction key {name!r} would truncate "
+                f"when cast to the {strata_type.simpleString()} strata "
+                "column — pass a type-faithful key"
+            )
+        if isinstance(strata_type, T.NumericType) and isinstance(name, str):
+            try:
+                float(name)
+            except ValueError:
+                raise EarthmoverSparkError(
+                    f"stratified_sample: fraction key {name!r} does not "
+                    f"parse as the {strata_type.simpleString()} strata "
+                    "column's type — it would cast to NULL and match "
+                    "nothing"
+                ) from None
     h = _h60(F.col(key_col), f"{salt}:")
     expr = None
     for name, frac in fractions.items():

@@ -92,8 +92,11 @@ def hard_negatives(
     near-but-wrong ones define the decision boundary; cf. the hard
     negative mining in DPR / SimCSE-style training). Returns
     ``(anchor_id, anchor_label, negative_id, negative_label, score,
-    rank)``; NULL-labeled corpus rows never qualify (unknown label is
-    not evidence of a different class).
+    rank)``; NULL-labeled rows never qualify on EITHER side — a
+    corpus row with no label is not evidence of a different class,
+    and a NULL-labeled anchor has no "different" to mine against, so
+    it is dropped (explicitly, not via silent NULL-condition join
+    semantics): label your anchors, or mine with ``cosine_topk``.
 
     This is the EXACT baseline — anchors broadcast, one scan of the
     corpus, per-anchor top-k via the same WindowGroupLimit pruning as
@@ -106,7 +109,7 @@ def hard_negatives(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("anchor_label"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).filter(F.col("anchor_label").isNotNull())
     c = corpus.select(
         F.col(id_col).alias("negative_id"),
         F.col(label_col).alias("negative_label"),

@@ -1130,18 +1130,29 @@ def corpus_manifest(
     )
     if lang_col is None:
         return manifest
-    per_lang = base.groupBy(*groups, lang_col).agg(
-        F.count(F.lit(1)).alias("__n__")
+    # NULL language tags never win the argmax (unknown is not a
+    # dominant language, and Spark's min(struct) would sort a NULL
+    # field FIRST while the SQL twin's ORDER BY sorts it last — an
+    # engine-divergent tie); the share denominator stays ALL docs in
+    # the stratum, so a mostly-unlabeled stratum reports a small
+    # top_lang_share rather than a confident one
+    per_lang = (
+        base.filter(F.col(lang_col).isNotNull())
+        .groupBy(*groups, lang_col)
+        .agg(F.count(F.lit(1)).alias("__n__"))
     )
     top = per_lang.groupBy(*groups).agg(
         F.min(
             F.struct((-F.col("__n__")).alias("neg"), F.col(lang_col))
         ).alias("__best__"),
-        F.sum("__n__").alias("__tot__"),
     ).select(
         *groups,
         F.col(f"__best__.{lang_col}").alias("top_lang"),
-        F.round(-F.col("__best__.neg") / F.col("__tot__"), 6)
+        (-F.col("__best__.neg")).alias("__topn__"),
+    )
+    return manifest.join(top, groups, "left").select(
+        *manifest.columns,
+        "top_lang",
+        F.round(F.col("__topn__") / F.col("n_docs"), 6)
         .alias("top_lang_share"),
     )
-    return manifest.join(top, groups)

@@ -410,24 +410,72 @@ def ecdf_transform(
     round to 9 decimals (a count ratio — exact in double well past
     any real group size).
 
-    Scale shape (100 TB): one shuffle+sort per group (a window, not a
-    global sort — groups sort independently). Groups are corpus
-    strata (domain, language, source) so per-group sorts parallelize;
-    for a coarse screen where full resolution is overkill, prefer
-    ``quantile_bucket``/``filter_percentile_band`` (one agg + broadcast
-    cutoffs, no sort)."""
+    Scale shape (100 TB): with ``group_cols``, one shuffle+sort per
+    group (a window, not a global sort — groups are corpus strata so
+    per-group sorts parallelize). With NO groups a naive
+    ``Window.orderBy`` would gather the whole corpus into a single
+    task, so the global path instead counts per distinct value (one
+    hash agg), runs the ``global_index``-style range-partitioned
+    prefix sum over the value-count frame (per-partition totals
+    collected — bounded by partition COUNT — offsets broadcast), and
+    joins the value->ecdf map back: two shuffles, no single-partition
+    stage, identical cume_dist semantics (ties share the max position
+    by construction). For a coarse screen where full resolution is
+    overkill, prefer ``quantile_bucket``/``filter_percentile_band``
+    (one agg + broadcast cutoffs, no sort)."""
     groups = list(group_cols)
     v = F.col(value_col)
     nulls = df.filter(v.isNull()).withColumn(
         out_col, F.lit(None).cast("double")
     )
-    w = Window.partitionBy(*groups).orderBy(v.asc()) if groups else (
-        Window.partitionBy().orderBy(v.asc())
+    present = df.filter(v.isNotNull())
+    if groups:
+        w = Window.partitionBy(*groups).orderBy(v.asc())
+        ranked = present.withColumn(
+            out_col, F.round(F.cume_dist().over(w), 9)
+        )
+        return ranked.unionByName(nulls)
+    counts = present.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c__"))
+    p = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        counts.repartitionByRange(p, v.asc())
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint()
     )
-    ranked = df.filter(v.isNotNull()).withColumn(
-        out_col, F.round(F.cume_dist().over(w), 9)
+    sizes = {
+        r["__pid__"]: r["s"]
+        for r in ranged.groupBy("__pid__").agg(F.sum("__c__").alias("s")).collect()
+    }
+    total, acc, offsets = sum(sizes.values()), 0, {}
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    if total == 0:
+        return nulls
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
     )
-    return ranked.unionByName(nulls)
+    wp = (
+        Window.partitionBy("__pid__")
+        .orderBy(v.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf_map = ranged.select(
+        value_col,
+        F.round(
+            (
+                F.sum("__c__").over(wp)
+                + F.coalesce(off_map[F.col("__pid__")], F.lit(0))
+            )
+            / F.lit(float(total)),
+            9,
+        ).alias(out_col),
+    )
+    return (
+        present.join(ecdf_map, value_col)
+        .select(*df.columns, out_col)
+        .unionByName(nulls)
+    )
 
 
 def trend_per_key(

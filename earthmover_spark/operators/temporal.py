@@ -31,20 +31,37 @@ def window_agg(
 
     Returns window_start/window_end timestamps plus count and the
     requested ``{name: 'fn(col)'}`` aggregates (fn in sum/min/max/avg).
+
+    Aggregation inputs follow the SAME type rule as the streaming twin
+    (``windowed_agg_stream``): ``min``/``max`` keep the column's
+    native type — a string or timestamp min/max works, longs beyond
+    2^53 stay exact, and a numeric-stored-as-string column compares
+    LEXICOGRAPHICALLY (cast it, or run ``infer_types``, first) —
+    while ``sum``/``avg`` cast to double only when the input is not
+    already numeric. Twin parity is the point: a batch backfill and
+    the stream must agree byte-for-byte.
     """
+    from pyspark.sql import types as T
+
     w = (
         F.window(F.col(ts_col), window_duration, slide)
         if slide
         else F.window(F.col(ts_col), window_duration)
     )
     agg_exprs = [F.count(F.lit(1)).alias("n")]
+    field_types = {f.name: f.dataType for f in df.schema.fields}
     for name, spec in (aggs or {}).items():
         fn, _, col = spec.partition("(")
         col = col.rstrip(")")
         fns = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}
         if fn not in fns:
             raise EarthmoverSparkError(f"window_agg: unsupported agg {fn!r}")
-        agg_exprs.append(fns[fn](F.col(col).cast("double")).alias(name))
+        c = F.col(col)
+        if fn in ("sum", "avg") and not isinstance(
+            field_types.get(col), T.NumericType
+        ):
+            c = c.cast("double")
+        agg_exprs.append(fns[fn](c).alias(name))
     return (
         df.groupBy(w, *group_cols)
         .agg(*agg_exprs)

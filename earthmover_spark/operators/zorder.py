@@ -117,9 +117,15 @@ def compact_plan(
     (per-file open cost, tiny row groups, footer bloat) until a
     compaction pass rewrites them; this operator emits the
     deterministic plan (file -> output bin) that rewrite executes.
-    A file larger than ``target_bytes`` gets its own bin (and pushes
-    the running offset, so neighbors are not starved). NULL byte
-    counts are rejected — a plan over unknown sizes is not a plan.
+    ``order_by`` must be a TOTAL order (the default — the unique file
+    path — is; with a non-unique clustering key, append the path as a
+    tiebreaker), or tied rows can land in different bins across runs.
+    Bins are offset ranges, so a file larger than ``target_bytes``
+    overflows its bin (every bin holds at most one partial overflow —
+    output files are at most ``target_bytes`` plus one input file)
+    and pushes the running offset past the next boundaries, leaving
+    them empty rather than starving neighbors. NULL byte counts are
+    rejected — a plan over unknown sizes is not a plan.
 
     Scale shape: the file MANIFEST is metadata-sized (one row per
     file), but at 100 TB that is still millions of rows — so the

@@ -261,7 +261,13 @@ def read_fixedwidth(
             # not in the reference's accepted set and is ignored):
             # sample a bounded prefix of lines and treat maximal runs
             # of positions that are blank in EVERY sampled line as
-            # separators.
+            # separators. The 100-line sample mirrors pandas
+            # read_fwf's infer_nrows=100 contract — and shares its
+            # limitation: a column that only widens after the sample
+            # window is silently truncated (pass explicit colspecs
+            # for data like that). Inference assumes a SINGLE file:
+            # on a multi-file glob, text() row order follows file
+            # listing order and the sampled lines may span files.
             sample = [
                 r[0] for r in spark.read.text(path).limit(100).collect()
             ]

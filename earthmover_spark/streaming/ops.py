@@ -62,7 +62,12 @@ def windowed_agg_stream(
     both), and ``sum``/``avg`` cast to double only when the input is
     not already numeric (so numeric sums keep Spark's native result
     type — exact long sums, decimal sums — while a numeric-in-a-string
-    column still aggregates instead of erroring)."""
+    column still aggregates instead of erroring). Corollary: on a
+    numeric-stored-as-string column, min/max compare LEXICOGRAPHICALLY
+    ("10" < "9") while sum/avg are numeric — cast the column (or run
+    ``infer_types``) upstream when numeric extrema are wanted; the
+    batch twin ``operators.temporal.window_agg`` applies the identical
+    rule so backfills and the stream always agree."""
     w = (
         F.window(F.col(ts_col), window_duration, slide)
         if slide

@@ -290,3 +290,117 @@ def test_stratified_sample_type_mismatched_key_total(spark):
     rows = out.collect()
     assert rows and all(r.grp == "1" for r in rows)
     assert len(rows) == 25
+
+
+def test_stratified_sample_lossy_key_raises(spark):
+    """A fraction key whose cast to the strata type would TRUNCATE
+    (1.9 -> bigint 1) must raise, not silently sample the wrong
+    stratum; an unparsable string key on a numeric column must raise,
+    not cast to NULL and match nothing."""
+    from earthmover_spark.llm.sampling import stratified_sample
+    from earthmover_spark.util import EarthmoverSparkError
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "s long, k string")
+    with pytest.raises(EarthmoverSparkError, match="truncate"):
+        stratified_sample(df, "s", {1.9: 0.5}, key_col="k")
+    with pytest.raises(EarthmoverSparkError, match="parse"):
+        stratified_sample(df, "s", {"one": 0.5}, key_col="k")
+    # integral-valued float keys stay allowed (no loss)
+    stratified_sample(df, "s", {1.0: 1.0}, key_col="k").collect()
+
+
+def test_window_agg_batch_stream_twin_string_minmax(spark, tmp_path):
+    """Batch window_agg applies the SAME type rule as the streaming
+    twin: min/max keep the native (string) type, sum on the same
+    string column casts to double — and the two engines agree."""
+    from earthmover_spark.operators.temporal import window_agg
+    from earthmover_spark.streaming import (
+        read_stream_source,
+        windowed_agg_stream,
+    )
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [("2024-01-01 10:00:05", "9"), ("2024-01-01 10:00:10", "10")],
+        "ts_s string, amt string",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "amt").write.parquet(src)
+
+    aggs = {"lo": "min(amt)", "hi": "max(amt)", "s": "sum(amt)"}
+    batch = window_agg(
+        spark.read.parquet(src), "ts", "1 hour", aggs=aggs
+    ).collect()
+    assert len(batch) == 1
+    b = batch[0]
+    # native string ordering: "10" < "9"; sum is numeric
+    assert (b.lo, b.hi, b.s) == ("10", "9", 19.0)
+
+    stream = read_stream_source(spark, src)
+    got = _run_to_memory(
+        windowed_agg_stream(stream, "ts", "1 hour",
+                            watermark="0 seconds", aggs=aggs),
+        spark, "twin_str_minmax", "complete",
+    ).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g.lo, g.hi, g.s) == (b.lo, b.hi, b.s)
+
+
+def test_corpus_manifest_null_lang_never_wins(spark):
+    """NULL language tags are excluded from the dominant-language
+    argmax (a NULL-vs-tag tie must not report top_lang NULL, and the
+    Spark/SQL engines order NULL struct fields differently); the
+    share denominator stays ALL docs."""
+    from earthmover_spark.llm.textstats import corpus_manifest
+
+    docs = spark.createDataFrame(
+        [("s1", None, "a"), ("s1", None, "b"), ("s1", "en", "c"),
+         ("s1", "en", "d"), ("s2", None, "x")],
+        ["source", "lang", "text"],
+    )
+    rows = {r.source: r for r in
+            corpus_manifest(docs, ["source"], lang_col="lang").collect()}
+    assert rows["s1"].top_lang == "en"
+    assert rows["s1"].top_lang_share == 0.5  # 2 of 4 docs
+    # all-unlabeled stratum: no dominant language, share NULL
+    assert rows["s2"].top_lang is None
+    assert rows["s2"].top_lang_share is None
+
+
+def test_hard_negatives_null_anchor_label_dropped(spark):
+    from earthmover_spark.llm import similarity
+
+    anchors = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, None, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(10, 1, [0.9, 0.1]), (11, 0, [0.1, 0.9])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = similarity.hard_negatives(anchors, corpus, k=1).collect()
+    assert {r.anchor_id for r in got} == {1}
+
+
+def test_ecdf_transform_global_no_single_partition_window(spark):
+    """The no-groups ECDF path must never gather the corpus into one
+    task: the plan contains no single-partition window exchange."""
+    import re
+
+    from earthmover_spark.operators.groupby import ecdf_transform
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+    out = ecdf_transform(df, "v")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert not re.search(r"Exchange SinglePartition", plan)
+    # values still exact: ties share max position
+    got = {r.id: r.ecdf for r in out.collect()}
+    import collections
+
+    vals = [i % 97 for i in range(1000)]
+    cnt = collections.Counter(vals)
+    for i in range(1000):
+        le = sum(c for x, c in cnt.items() if x <= i % 97)
+        assert got[i] == round(le / 1000.0, 9)
