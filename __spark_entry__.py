@@ -2885,6 +2885,16 @@ def q_neighborhood_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.neighborhood_reach(edges, hops=2, method="exact")
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap matrix: Jaccard of distinct user sets
+    between event types via grouped KMV sketches — exact here (unions
+    fit under k), the standard estimate above k."""
+    from earthmover_spark.operators.sketch import source_overlap
+
+    ev = _p(spark, sf_dir, "events")
+    return source_overlap(ev, "event_type", "user_id", k=4096)
+
+
 def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic per-day file
     manifest: bin_id = floor(exclusive prefix-sum bytes / target) via
@@ -3163,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic2": q_harmonic_centrality,
         "manifest": q_corpus_manifest,
         "compact_bins": q_compact_plan,
+        "src_overlap": q_source_overlap,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -7190,6 +7201,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, 1 AS hop, count(*) AS reach FROM h1 GROUP BY node
             UNION ALL
             SELECT node, 2 AS hop, count(*) AS reach FROM h2 GROUP BY node
+        """,
+        # pairwise audience overlap: unions fit under k=4096 here, so
+        # the KMV bottom-k sample IS the union and exact set algebra
+        # is the oracle
+        "src_overlap": """
+            WITH d AS (
+              SELECT DISTINCT event_type AS g, user_id AS v
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            ), gs AS (
+              SELECT DISTINCT g FROM d
+            ), p AS (
+              SELECT a.g AS g1, b.g AS g2
+              FROM gs a JOIN gs b ON a.g < b.g
+            ), i AS (
+              SELECT p.g1, p.g2, count(*) AS ni
+              FROM p JOIN d da ON da.g = p.g1
+                     JOIN d db ON db.g = p.g2 AND db.v = da.v
+              GROUP BY 1, 2
+            ), n AS (
+              SELECT g, count(*) AS c FROM d GROUP BY 1
+            )
+            SELECT p.g1, p.g2,
+                   coalesce(i.ni, 0) AS n_common,
+                   na.c + nb.c - coalesce(i.ni, 0) AS n_union,
+                   round(coalesce(i.ni, 0)
+                         / CAST(na.c + nb.c - coalesce(i.ni, 0) AS DOUBLE),
+                         6) AS jaccard
+            FROM p JOIN n na ON na.g = p.g1
+                   JOIN n nb ON nb.g = p.g2
+                   LEFT JOIN i ON i.g1 = p.g1 AND i.g2 = p.g2
         """,
         # compaction plan: exclusive prefix sum over the file order /
         # target — DuckDB's one global window IS the single-task plan

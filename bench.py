@@ -158,6 +158,7 @@ HEADLINE = [
     "harmonic2",  # reach derivation over the |V| x hops frame
     "manifest",  # one corpus agg + group-sized argmax join
     "compact_bins",  # range-partitioned prefix sum, no global window
+    "src_overlap",  # grouped KMV bottom-k + sketch-sized pair algebra
 ]
 
 

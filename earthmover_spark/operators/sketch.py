@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -566,4 +566,101 @@ def kmv_jaccard(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("jaccard_est"),
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 4096,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise overlap matrix between the GROUPS' distinct-value sets
+    — "how much audience/content do these sources share?" in one call:
+    for every group pair (g1 < g2), the Jaccard similarity of their
+    distinct ``value_col`` sets, estimated from per-group KMV sketches
+    (the :func:`kmv_sketch` construction, grouped). The dataset-card
+    companion: cross-source audience overlap (users per event type),
+    content overlap (doc digests per dump), eval-contamination
+    screens (n-grams per corpus). Returns ``(g1, g2, n_common,
+    n_union, jaccard)`` where the counts are over the union's
+    bottom-k hash sample — when a pair's true union has fewer than
+    ``k`` distinct values the sample IS the union and all three
+    numbers are EXACT; above ``k`` they are the standard KMV estimate
+    (error ~ 1/sqrt(k), Beyer et al. SIGMOD 2007). ``jaccard`` rounds
+    to 6 decimals. Pairs with no overlap still appear (jaccard 0.0).
+
+    Scale shape (100 TB): the distinct (group, hash) census is
+    map-side combined and corpus-compressed; per-group bottom-k is a
+    group-partitioned window (never a single-partition gather —
+    Catalyst additionally rewrites it to a map-side-pruning
+    WindowGroupLimit when ``k`` is under
+    ``spark.sql.window.group.limit.threshold``, default 1000); the
+    pairwise stage touches only sketch rows — at most ``2k`` per pair,
+    ``|G|^2/2`` pairs — never the corpus. Group count is assumed
+    bounded (sources, dumps, event types), as every pairwise matrix
+    must."""
+    if k < 1:
+        raise ValueError("source_overlap: k must be >= 1")
+    g = F.col(group_col)
+    v = F.col(value_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), v.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    census = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .select(g.alias("__g__"), h.alias("h"))
+        .distinct()
+    )
+    wk = Window.partitionBy("__g__").orderBy(F.col("h").asc())
+    # the sketch frame is referenced THREE times below (group list +
+    # both pair sides): without truncation the corpus-sized census
+    # re-runs per reference (the winnow lesson — measured 3x on the
+    # 10M-row probe). It is |G| x k rows — pin it.
+    sk = (
+        census.withColumn("__rn__", F.row_number().over(wk))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+        .localCheckpoint(eager=False)
+    )
+    groups = sk.select(F.col("__g__").alias("g")).distinct()
+    pairs = (
+        groups.alias("ga")
+        .crossJoin(groups.alias("gb"))
+        .filter(F.col("ga.g") < F.col("gb.g"))
+        .select(F.col("ga.g").alias("g1"), F.col("gb.g").alias("g2"))
+    )
+    side_a = pairs.join(
+        sk.select(F.col("__g__").alias("g1"), "h"), "g1"
+    ).select("g1", "g2", "h", F.lit(1).alias("__side__"))
+    side_b = pairs.join(
+        sk.select(F.col("__g__").alias("g2"), "h"), "g2"
+    ).select("g1", "g2", "h", F.lit(2).alias("__side__"))
+    merged = side_a.unionAll(side_b).groupBy("g1", "g2", "h").agg(
+        F.count_distinct("__side__").alias("__n_sides__")
+    )
+    wu = Window.partitionBy("g1", "g2").orderBy(F.col("h").asc())
+    ranked = merged.withColumn("__rn__", F.row_number().over(wu)).filter(
+        F.col("__rn__") <= k
+    )
+    return (
+        ranked.groupBy("g1", "g2")
+        .agg(
+            F.sum(F.when(F.col("__n_sides__") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_common"),
+            F.count(F.lit(1)).alias("n_union"),
+        )
+        .select(
+            "g1",
+            "g2",
+            "n_common",
+            "n_union",
+            F.round(F.col("n_common") / F.col("n_union"), 6).alias("jaccard"),
+        )
     )

@@ -1102,3 +1102,16 @@ def test_compact_bins_no_single_partition_window(plans):
     # no window over SinglePartition: every Window's child partitioning
     # must be the __pid__ hash, not a global gather
     assert not re.search(r"Exchange SinglePartition", p)
+
+
+def test_src_overlap_no_python_no_single_partition_window(plans):
+    """source_overlap: the bottom-k windows are per-group (never a
+    single-partition gather; WindowGroupLimit additionally prunes them
+    map-side when k is under spark.sql.window.group.limit.threshold),
+    the only cross join is the bounded GROUP-LIST pairing, and no
+    Python touches the plan."""
+    import re
+
+    p = plans("src_overlap")
+    assert "EvalPython" not in p
+    assert not re.search(r"Exchange SinglePartition", p)

@@ -498,3 +498,46 @@ def test_compact_plan_rejects_null_bytes_and_bad_target(spark):
     ok = spark.createDataFrame([("f1", 5)], "file string, bytes long")
     with pytest.raises(EarthmoverSparkError):
         compact_plan(ok, target_bytes=0)
+
+
+# ---------------------------------------------------------------------------
+# source_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_exact_regime(spark):
+    from earthmover_spark.operators.sketch import source_overlap
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("b", 4),
+         ("c", 9), ("a", 2), ("a", None), (None, 5)],
+        ["g", "v"],
+    )
+    got = {
+        (r.g1, r.g2): (r.n_common, r.n_union, r.jaccard)
+        for r in source_overlap(df, "g", "v", k=100).collect()
+    }
+    # duplicates collapse (set semantics); NULL group/value excluded;
+    # zero-overlap pairs still present
+    assert got == {
+        ("a", "b"): (2, 4, 0.5),
+        ("a", "c"): (0, 4, 0.0),
+        ("b", "c"): (0, 4, 0.0),
+    }
+
+
+def test_source_overlap_estimate_tracks_exact(spark):
+    from earthmover_spark.operators.sketch import source_overlap
+
+    # two 600-value sets sharing 300 values: true J = 300/900 = 1/3;
+    # at k=256 the bottom-k union sample estimate must land close
+    rows = [("a", i) for i in range(600)] + [
+        ("b", i) for i in range(300, 900)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    est = source_overlap(df, "g", "v", k=256).collect()[0]
+    assert est.n_union == 256
+    assert abs(est.jaccard - 1 / 3) < 0.12
+    exact = source_overlap(df, "g", "v", k=4096).collect()[0]
+    assert (exact.n_common, exact.n_union) == (300, 900)
+    assert exact.jaccard == round(300 / 900, 6)
