@@ -230,3 +230,43 @@ def test_data_selection_example(spark, tmp_path):
         counts = {t: ts.count(t) for t in ("head", "middle", "tail")}
         # ntile: equal thirds within 1
         assert max(counts.values()) - min(counts.values()) <= 1, lang
+
+
+def test_web_graph_example(spark, tmp_path):
+    """16_web_graph: links -> host graph -> harmonic ranks + anchor
+    text + dataset card, end to end from YAML."""
+    cfg = os.path.join(EXAMPLES, "16_web_graph", "earthmover.yaml")
+    results = run_project(spark, cfg, params={"SF_DIR": SF_DIR},
+                          output_dir=str(tmp_path))
+
+    edges = [json.loads(ln) for ln in
+             open(results["$destinations.hostgraph"]).read().splitlines()]
+    hosts = {e["src_host"] for e in edges}
+    assert hosts == {f"site{i}.example" for i in range(11)}
+    # every page links out to hostN.example; ext links on doc_id%3==0
+    assert any(e["dst_host"].startswith("host") for e in edges)
+    assert any(e["dst_host"].startswith("ext") for e in edges)
+    # relative /local links resolve to the source host (self-edges)
+    assert any(e["src_host"] == e["dst_host"] for e in edges)
+
+    ranks = [json.loads(ln) for ln in
+             open(results["$destinations.ranks"]).read().splitlines()]
+    assert {r["node"] for r in ranks} >= hosts
+    # pure sinks (hostN/extN have no out-edges) rank 0
+    sinks = [r for r in ranks if r["node"].startswith("host")]
+    assert sinks and all(r["harmonic_c"] == "0.0" for r in sinks)
+
+    anchors = [json.loads(ln) for ln in
+               open(results["$destinations.anchors"]).read().splitlines()]
+    per_host = {}
+    for a in anchors:
+        per_host.setdefault(a["dst_host"], []).append(a["term"])
+    # every hostN.example is anchored with "read <n>"
+    for i in range(7):
+        assert "read" in per_host[f"host{i}.example"]
+    for i in range(5):
+        assert set(per_host[f"ext{i}.org"]) >= {"more", "info"}
+
+    card = [json.loads(ln) for ln in
+            open(results["$destinations.card"]).read().splitlines()]
+    assert len(card) == 20 and all(int(c["n_docs"]) > 0 for c in card)
