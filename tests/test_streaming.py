@@ -936,3 +936,24 @@ def test_join_streams_rejects_overlapping_columns(spark, tmp_path):
     right = read_stream_source(spark, d2)
     with pytest.raises(EarthmoverSparkError, match="both sides"):
         join_streams(left, right, on="k", left_ts="ts", right_ts="ts")
+
+
+def test_web_ops_compose_on_streams(spark, tmp_path):
+    """The r9 narrow web ops are pure codegen, so they apply to
+    streaming frames unchanged: extract_links on a readStream."""
+    from earthmover_spark.operators.url import extract_links
+    from earthmover_spark.streaming import read_stream_source
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [(1, '<a href="http://a.example/x">go now</a>'),
+         (2, "no links")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = read_stream_source(spark, src)
+    out = _run_to_memory(
+        extract_links(stream), spark, "links_stream_out"
+    ).collect()
+    assert [(r.doc_id, r.link_url, r.anchor) for r in out] == [
+        (1, "http://a.example/x", "go now")
+    ]
