@@ -2885,6 +2885,16 @@ def q_neighborhood_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.neighborhood_reach(edges, hops=2, method="exact")
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-event-type values onto the pooled
+    distribution (percentile_cont rank interpolation, exact); the
+    DuckDB twin mirrors the identical rank algebra."""
+    from earthmover_spark.operators.groupby import quantile_normalize
+
+    ev = _p(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return quantile_normalize(ev, "value", ["event_type"])
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience-overlap matrix: Jaccard of distinct user sets
     between event types via grouped KMV sketches — exact here (unions
@@ -3174,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest": q_corpus_manifest,
         "compact_bins": q_compact_plan,
         "src_overlap": q_source_overlap,
+        "qnorm": q_quantile_normalize,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -7201,6 +7212,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, 1 AS hop, count(*) AS reach FROM h1 GROUP BY node
             UNION ALL
             SELECT node, 2 AS hop, count(*) AS reach FROM h2 GROUP BY node
+        """,
+        # quantile normalization: identical rank algebra both sides —
+        # within-group cume_dist, pooled order statistics by
+        # row_number, percentile_cont interpolation at 1 + r*(N-1)
+        "qnorm": """
+            WITH nn AS (
+              SELECT event_id, event_type, value
+              FROM events WHERE value IS NOT NULL
+            ), r AS (
+              SELECT event_id, event_type, value,
+                     cume_dist() OVER (PARTITION BY event_type
+                                       ORDER BY value) AS cd
+              FROM nn
+            ), o AS (
+              SELECT value AS v,
+                     row_number() OVER (ORDER BY value) AS rk
+              FROM nn
+            ), n AS (
+              SELECT count(*) AS N FROM nn
+            ), x AS (
+              SELECT r.*, 1.0 + cd * (N - 1) AS p FROM r, n
+            )
+            SELECT x.event_id, x.event_type, x.value,
+                   round(lo.v + (x.p - floor(x.p)) * (hi.v - lo.v), 6)
+                       AS qnorm
+            FROM x JOIN o lo ON lo.rk = CAST(floor(x.p) AS BIGINT)
+                   JOIN o hi ON hi.rk = CAST(ceil(x.p) AS BIGINT)
+            UNION ALL
+            SELECT event_id, event_type, value, NULL AS qnorm
+            FROM events WHERE value IS NULL
         """,
         # pairwise audience overlap: unions fit under k=4096 here, so
         # the KMV bottom-k sample IS the union and exact set algebra

@@ -159,6 +159,7 @@ HEADLINE = [
     "manifest",  # one corpus agg + group-sized argmax join
     "compact_bins",  # range-partitioned prefix sum, no global window
     "src_overlap",  # grouped KMV bottom-k + sketch-sized pair algebra
+    "qnorm",  # per-group cume_dist + range-partitioned rank lookups
 ]
 
 

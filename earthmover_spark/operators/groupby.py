@@ -829,3 +829,80 @@ def top_values_per_group(
     return top.select(
         *groups, F.col(value_col).alias(out_col), "n", "rank"
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    out_col: str = "qnorm",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Quantile normalization: replace each value with the GLOBAL
+    distribution's value at the row's within-group quantile — after
+    it, every group's values follow the pooled distribution exactly
+    (the microarray/batch-effect-correction classic, and the
+    mixing-pipeline tool for making per-source scores comparable in
+    VALUE space, not just rank space — :func:`ecdf_transform` maps to
+    [0,1], this maps onto the real pooled score scale).
+
+    Semantics: ``r`` = within-group cume_dist (ties share the max
+    position), target = linearly-interpolated global order statistic
+    at continuous rank ``1 + r * (N - 1)`` (``percentile_cont``
+    convention over the pooled multiset). NULL values keep NULL;
+    output rounds to 6 decimals.
+
+    Scale shape (100 TB): one per-group window (strata sort
+    independently), then the pooled rank table built with the
+    ``global_index`` range-partition pattern (no single-task sort),
+    then TWO rank-keyed equi-joins (floor and ceil) against that
+    table. The joins are corpus-sized but hash-keyed on a long — the
+    exact path. When value-exactness can yield, broadcast a
+    fixed-grid ``approx_percentile`` array instead and interpolate in
+    codegen (no joins); this operator keeps the exact contract so the
+    DuckDB twin can verify it."""
+    groups = list(group_cols)
+    if not groups:
+        raise EarthmoverSparkError(
+            "quantile_normalize: group_cols required (with no groups the"
+            " transform is the identity)"
+        )
+    v = F.col(value_col)
+    nulls = df.filter(v.isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    present = df.filter(v.isNotNull())
+    wg = Window.partitionBy(*groups).orderBy(v.asc())
+    scored = present.withColumn("__r__", F.cume_dist().over(wg))
+    # pooled order statistics: rank -> value (ties get arbitrary ranks
+    # among themselves — the looked-up VALUE is identical either way)
+    ranked, total = _global_rank(
+        present.select(v.alias("__v__")), ["__v__"], partitions
+    )
+    order_stats = ranked.select(
+        F.col("__grank__").alias("__rk__"), "__v__"
+    )
+    p = F.lit(1.0) + F.col("__r__") * F.lit(float(total - 1))
+    x = scored.withColumn("__lo__", F.floor(p).cast("long")).withColumn(
+        "__hi__", F.ceil(p).cast("long")
+    ).withColumn("__frac__", p - F.floor(p))
+    lo = order_stats.select(
+        F.col("__rk__").alias("__lo__"), F.col("__v__").alias("__vlo__")
+    )
+    hi = order_stats.select(
+        F.col("__rk__").alias("__hi__"), F.col("__v__").alias("__vhi__")
+    )
+    out = (
+        x.join(lo, "__lo__")
+        .join(hi, "__hi__")
+        .withColumn(
+            out_col,
+            F.round(
+                F.col("__vlo__")
+                + F.col("__frac__") * (F.col("__vhi__") - F.col("__vlo__")),
+                6,
+            ),
+        )
+        .select(*df.columns, out_col)
+    )
+    return out.unionByName(nulls)

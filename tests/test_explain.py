@@ -1115,3 +1115,15 @@ def test_src_overlap_no_python_no_single_partition_window(plans):
     p = plans("src_overlap")
     assert "EvalPython" not in p
     assert not re.search(r"Exchange SinglePartition", p)
+
+
+def test_qnorm_no_python_no_single_partition_window(plans):
+    """quantile_normalize: the pooled rank table uses the range-
+    partition pattern (never a one-task global sort/window); the
+    lookups are hash equi-joins; no Python."""
+    import re
+
+    p = plans("qnorm")
+    assert "EvalPython" not in p
+    assert not re.search(r"Exchange SinglePartition", p)
+    assert "CartesianProduct" not in p

@@ -541,3 +541,58 @@ def test_source_overlap_estimate_tracks_exact(spark):
     exact = source_overlap(df, "g", "v", k=4096).collect()[0]
     assert (exact.n_common, exact.n_union) == (300, 900)
     assert exact.jaccard == round(300 / 900, 6)
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_matches_python_reference(spark):
+    from earthmover_spark.operators.groupby import quantile_normalize
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 10.0), ("b", 30.0), ("b", None)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        (r.g, r.v): r.qnorm
+        for r in quantile_normalize(df, "v", ["g"]).collect()
+    }
+    # pooled sorted = [1,2,3,10,30]; percentile_cont at 1 + r*(N-1)
+    def ref(vals, r):
+        p = 1 + r * (len(vals) - 1)
+        import math
+        lo, hi = vals[math.floor(p) - 1], vals[math.ceil(p) - 1]
+        return round(lo + (p - math.floor(p)) * (hi - lo), 6)
+
+    pooled = [1.0, 2.0, 3.0, 10.0, 30.0]
+    assert got[("a", 1.0)] == ref(pooled, 1 / 3)
+    assert got[("a", 2.0)] == ref(pooled, 2 / 3)
+    assert got[("a", 3.0)] == 30.0
+    assert got[("b", 10.0)] == ref(pooled, 0.5) == 3.0
+    assert got[("b", 30.0)] == 30.0
+    assert got[("b", None)] is None
+
+
+def test_quantile_normalize_equalizes_distributions(spark):
+    """After the transform every group's value multiset follows the
+    pooled distribution — the defining property."""
+    from earthmover_spark.operators.groupby import quantile_normalize
+
+    rows = [("lo", float(i)) for i in range(100)] + [
+        ("hi", 1000.0 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = quantile_normalize(df, "v", ["g"]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.qnorm)
+    assert sorted(by_g["lo"]) == sorted(by_g["hi"])
+
+
+def test_quantile_normalize_requires_groups(spark):
+    from earthmover_spark.operators.groupby import quantile_normalize
+
+    df = spark.createDataFrame([(1.0,)], ["v"])
+    with pytest.raises(EarthmoverSparkError):
+        quantile_normalize(df, "v", [])
