@@ -837,6 +837,8 @@ def quantile_normalize(
     group_cols: Sequence[str],
     out_col: str = "qnorm",
     partitions: int | None = None,
+    exact: bool = True,
+    grid: int = 1001,
 ) -> DataFrame:
     """Quantile normalization: replace each value with the GLOBAL
     distribution's value at the row's within-group quantile — after
@@ -857,16 +859,21 @@ def quantile_normalize(
     ``global_index`` range-partition pattern (no single-task sort),
     then TWO rank-keyed equi-joins (floor and ceil) against that
     table. The joins are corpus-sized but hash-keyed on a long — the
-    exact path. When value-exactness can yield, broadcast a
-    fixed-grid ``approx_percentile`` array instead and interpolate in
-    codegen (no joins); this operator keeps the exact contract so the
-    DuckDB twin can verify it."""
+    exact path (``exact=True``, the default — the DuckDB twin verifies
+    it). ``exact=False`` is the full-100 TB exit ramp: ONE
+    ``approx_percentile`` aggregation over a fixed ``grid`` of pooled
+    quantiles (t-digest, mergeable, bounded memory), broadcast as an
+    array literal, and the lookup is pure ``element_at`` interpolation
+    in codegen — no rank joins at all; error is the grid resolution
+    (~1/grid in rank space) plus the t-digest's."""
     groups = list(group_cols)
     if not groups:
         raise EarthmoverSparkError(
             "quantile_normalize: group_cols required (with no groups the"
             " transform is the identity)"
         )
+    if grid < 2:
+        raise EarthmoverSparkError("quantile_normalize: grid must be >= 2")
     v = F.col(value_col)
     nulls = df.filter(v.isNull()).withColumn(
         out_col, F.lit(None).cast("double")
@@ -874,6 +881,26 @@ def quantile_normalize(
     present = df.filter(v.isNotNull())
     wg = Window.partitionBy(*groups).orderBy(v.asc())
     scored = present.withColumn("__r__", F.cume_dist().over(wg))
+    if not exact:
+        pcts = [i / (grid - 1) for i in range(grid)]
+        q = present.agg(
+            F.approx_percentile(
+                v.cast("double"), F.array(*[F.lit(x) for x in pcts]), 10000
+            ).alias("__q__")
+        ).crossJoin(scored).withColumn(
+            "__p__", F.col("__r__") * F.lit(float(grid - 1))
+        )
+        lo_i = F.floor(F.col("__p__")).cast("int")
+        frac = F.col("__p__") - F.floor(F.col("__p__"))
+        vlo = F.element_at(F.col("__q__"), lo_i + 1)
+        vhi = F.element_at(
+            F.col("__q__"), F.least(lo_i + 2, F.lit(grid)).cast("int")
+        )
+        return (
+            q.withColumn(out_col, F.round(vlo + frac * (vhi - vlo), 6))
+            .select(*df.columns, out_col)
+            .unionByName(nulls)
+        )
     # pooled order statistics: rank -> value (ties get arbitrary ranks
     # among themselves — the looked-up VALUE is identical either way)
     ranked, total = _global_rank(

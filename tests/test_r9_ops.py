@@ -596,3 +596,29 @@ def test_quantile_normalize_requires_groups(spark):
     df = spark.createDataFrame([(1.0,)], ["v"])
     with pytest.raises(EarthmoverSparkError):
         quantile_normalize(df, "v", [])
+
+
+def test_quantile_normalize_approx_tracks_exact(spark):
+    """exact=False (broadcast t-digest grid, zero rank joins) must
+    track the exact path within grid resolution."""
+    from pyspark.sql import functions as F
+
+    from earthmover_spark.operators.groupby import quantile_normalize
+
+    df = spark.range(50_000).select(
+        F.pmod(F.hash("id"), F.lit(10)).alias("g"),
+        (F.pmod(F.hash(F.col("id") * 13), F.lit(100_000)) / 100.0).alias("x"),
+    )
+    ex = quantile_normalize(df, "x", ["g"]).withColumnRenamed("qnorm", "e")
+    ap = quantile_normalize(df, "x", ["g"], exact=False).withColumnRenamed(
+        "qnorm", "a"
+    )
+    err = (
+        ex.join(ap, ["g", "x"])
+        .select(F.max(F.abs(F.col("e") - F.col("a"))).alias("m"))
+        .collect()[0]
+        .m
+    )
+    # values span [0, 1000]; the 1001-point grid resolves ~1e-3 of
+    # rank space -> well under 1% of the value range
+    assert err < 5.0
