@@ -551,6 +551,38 @@ def main() -> None:
             lambda: _force(resolve_duplicates(dup_docs, pairs_cold))
         )
 
+        # --- r9c: pairwise KMV overlap matrix: 10M rows over 40
+        # groups x 1M-value universe (estimate regime) — the
+        # corpus-dependent part is only the distinct census; the
+        # pairwise stage runs on sketch rows (pinned: triple-referenced)
+        from earthmover_spark.operators.sketch import source_overlap
+
+        ov = spark.range(rows).select(
+            F.concat(
+                F.lit("g"), F.pmod(F.hash("id"), F.lit(40)).cast("string")
+            ).alias("g"),
+            F.pmod(F.hash(F.col("id") * 7), F.lit(1_000_000)).alias("v"),
+        )
+        r["source_overlap_40g"] = _t(
+            lambda: _force(source_overlap(ov, "g", "v", k=1024))
+        )
+
+        # --- r9c: exact quantile normalization: 10M rows / 100 groups -
+        from earthmover_spark.operators.groupby import quantile_normalize
+
+        qn = spark.range(rows).select(
+            F.pmod(F.hash("id"), F.lit(100)).alias("g"),
+            (
+                F.pmod(F.hash(F.col("id") * 13), F.lit(1_000_000)) / 100.0
+            ).alias("x"),
+        )
+        r["quantile_normalize"] = _t(
+            lambda: _force(quantile_normalize(qn, "x", ["g"]))
+        )
+        r["quantile_normalize_approx"] = _t(
+            lambda: _force(quantile_normalize(qn, "x", ["g"], exact=False))
+        )
+
         # --- r9b: dataset card over 2M docs / 200 sources x 20 langs --
         from earthmover_spark.llm.textstats import corpus_manifest
 

@@ -906,9 +906,13 @@ def quantile_normalize(
     ranked, total = _global_rank(
         present.select(v.alias("__v__")), ["__v__"], partitions
     )
+    # referenced TWICE below (floor and ceil lookups): only the
+    # pre-window range frame is pinned inside _global_rank, so without
+    # this pin the corpus-sized rank window would execute once per
+    # branch (the winnow lesson)
     order_stats = ranked.select(
         F.col("__grank__").alias("__rk__"), "__v__"
-    )
+    ).localCheckpoint(eager=False)
     p = F.lit(1.0) + F.col("__r__") * F.lit(float(total - 1))
     x = scored.withColumn("__lo__", F.floor(p).cast("long")).withColumn(
         "__hi__", F.ceil(p).cast("long")

@@ -65,20 +65,24 @@ def sketch_estimate(
     ).drop(sketch_col)
 
 
+def _h60(col: Column, prefix: str) -> Column:
+    """The engine-portable 60-bit md5-prefix hash every sketch in this
+    module (and the DuckDB oracles) derive from: first 15 hex chars of
+    ``md5(prefix || value)`` as a bigint. ONE definition on purpose —
+    the oracles reproduce these exact bits, so a drifted copy would
+    silently break sketch mergeability and every value-hash twin."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def _cm_slot(col: Column, width: int, row: int, salt: str) -> Column:
     """md5-derived counter slot for count-min row ``row`` — the same
     engine-portable 60-bit md5-prefix hash the sampling operators use,
     so the DuckDB oracle reproduces slots exactly."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}{row}:"), col.cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return F.pmod(h, F.lit(width))
+    return F.pmod(_h60(col, f"{salt}{row}:"), F.lit(width))
 
 
 def cm_sketch(
@@ -293,13 +297,7 @@ def kmv_sketch(
     if k < 1:
         raise ValueError("kmv_sketch: k must be >= 1")
     v = F.col(value_col)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), v.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = _h60(v, f"{salt}:")
     return (
         df.filter(v.isNotNull())
         .select(h.alias("h"))
@@ -402,19 +400,7 @@ def quantile_sketch(
     uniqueness contract."""
     if k < 1:
         raise ValueError("quantile_sketch: k must be >= 1")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}:"), F.col(id_col).cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = _h60(F.col(id_col), f"{salt}:")
     groups = list(group_cols)
     base = (
         df.filter(
@@ -587,9 +573,13 @@ def source_overlap(
     n_union, jaccard)`` where the counts are over the union's
     bottom-k hash sample — when a pair's true union has fewer than
     ``k`` distinct values the sample IS the union and all three
-    numbers are EXACT; above ``k`` they are the standard KMV estimate
-    (error ~ 1/sqrt(k), Beyer et al. SIGMOD 2007). ``jaccard`` rounds
-    to 6 decimals. Pairs with no overlap still appear (jaccard 0.0).
+    numbers are EXACT. Above ``k``, ONLY ``jaccard`` is the valid
+    estimate (the bottom-k-of-union sample ratio, error ~ 1/sqrt(k),
+    Beyer et al. SIGMOD 2007); ``n_common``/``n_union`` are then raw
+    SAMPLE counts (``n_union`` pins at ``k``), NOT cardinality
+    estimates — scale via :func:`kmv_estimate`'s ``(k-1)/U_(k)`` form
+    when absolute set sizes are needed. ``jaccard`` rounds to 6
+    decimals. Pairs with no overlap still appear (jaccard 0.0).
 
     Scale shape (100 TB): the distinct (group, hash) census is
     map-side combined and corpus-compressed; per-group bottom-k is a
@@ -605,13 +595,7 @@ def source_overlap(
         raise ValueError("source_overlap: k must be >= 1")
     g = F.col(group_col)
     v = F.col(value_col)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), v.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = _h60(v, f"{salt}:")
     census = (
         df.filter(g.isNotNull() & v.isNotNull())
         .select(g.alias("__g__"), h.alias("h"))
