@@ -449,9 +449,21 @@ def read_source(
             strip_http=kwargs.get("strip_http", True),
         )
     elif ftype == "parquet":
-        df = spark.read.parquet(file)
+        # merge_schema: schema-evolution reads over long-lived datasets
+        # (a 100 TB table accretes columns across years of writers) —
+        # files missing newer columns surface NULLs instead of the
+        # read failing or silently pinning to one footer's schema.
+        # Off by default, matching Spark (footer merging scans every
+        # file's metadata — a real cost at millions of files).
+        reader = spark.read
+        if kwargs.get("merge_schema"):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(file)
     elif ftype == "orc":
-        df = spark.read.orc(file)
+        reader = spark.read
+        if kwargs.get("merge_schema"):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.orc(file)
     else:
         df = _pandas_bridge(
             spark, file, ftype,

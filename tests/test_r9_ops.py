@@ -622,3 +622,28 @@ def test_quantile_normalize_approx_tracks_exact(spark):
     # values span [0, 1000]; the 1001-point grid resolves ~1e-3 of
     # rank space -> well under 1% of the value range
     assert err < 5.0
+
+
+# ---------------------------------------------------------------------------
+# merge_schema source option
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_merge_schema_reads_evolved_dataset(spark, tmp_path):
+    """merge_schema: true unions drifted parquet footers (old files get
+    NULLs for newer columns); the default keeps Spark's single-footer
+    behavior."""
+    from earthmover_spark.sources import read_source
+
+    base = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id long, old string").write.parquet(
+        base + "/p=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, old string, new double"
+    ).write.parquet(base + "/p=2")
+
+    merged = read_source(spark, base, type="parquet", merge_schema=True)
+    assert set(merged.columns) >= {"id", "old", "new"}
+    rows = {r.id: r.new for r in merged.collect()}
+    assert rows[2] == 9.5 and rows[1] is None
