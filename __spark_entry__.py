@@ -2885,6 +2885,17 @@ def q_neighborhood_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.neighborhood_reach(edges, hops=2, method="exact")
 
 
+def q_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet export: per anchor, the hardest same-label
+    positive x the top-3 different-label negatives from one scored
+    corpus scan (anchors broadcast)."""
+    from earthmover_spark.llm import similarity
+
+    emb = _p(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 83 == 1)
+    return similarity.mine_triplets(anchors, emb, k_neg=3)
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization of per-event-type values onto the pooled
     distribution (percentile_cont rank interpolation, exact); the
@@ -3185,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_bins": q_compact_plan,
         "src_overlap": q_source_overlap,
         "qnorm": q_quantile_normalize,
+        "triplets": q_mine_triplets,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -7212,6 +7224,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, 1 AS hop, count(*) AS reach FROM h1 GROUP BY node
             UNION ALL
             SELECT node, 2 AS hop, count(*) AS reach FROM h2 GROUP BY node
+        """,
+        # triplet export: same scored scan as hard_negs with two rank
+        # branches (hardest same-label positive x top-3 negatives)
+        "triplets": """
+            WITH a AS (
+              SELECT vec_id AS anchor_id, label AS anchor_label,
+                     embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 83 = 1
+            ), s AS (
+              SELECT a.anchor_id, a.anchor_label,
+                     e.vec_id AS cand_id, e.label AS cand_label,
+                     round(list_cosine_similarity(qv,
+                           e.embedding::DOUBLE[]), 6) AS score
+              FROM embeddings e, a
+              WHERE e.label IS NOT NULL AND e.vec_id != a.anchor_id
+            ), pos AS (
+              SELECT anchor_id, anchor_label, cand_id AS positive_id,
+                     score AS pos_score,
+                     row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY score DESC, cand_id) AS rn
+              FROM s WHERE cand_label = anchor_label
+            ), neg AS (
+              SELECT anchor_id, cand_id AS negative_id,
+                     cand_label AS negative_label, score AS neg_score,
+                     row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY score DESC, cand_id) AS neg_rank
+              FROM s WHERE cand_label != anchor_label
+            )
+            SELECT p.anchor_id, p.anchor_label, p.positive_id,
+                   p.pos_score, n.negative_id, n.negative_label,
+                   n.neg_score, n.neg_rank
+            FROM pos p JOIN neg n USING (anchor_id)
+            WHERE p.rn = 1 AND n.neg_rank <= 3
         """,
         # quantile normalization: identical rank algebra both sides —
         # within-group cume_dist, pooled order statistics by

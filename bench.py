@@ -160,6 +160,7 @@ HEADLINE = [
     "compact_bins",  # range-partitioned prefix sum, no global window
     "src_overlap",  # grouped KMV bottom-k + sketch-sized pair algebra
     "qnorm",  # per-group cume_dist + range-partitioned rank lookups
+    "triplets",  # one broadcast-anchor scan, two rank branches
 ]
 
 

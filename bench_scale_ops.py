@@ -567,6 +567,20 @@ def main() -> None:
             lambda: _force(source_overlap(ov, "g", "v", k=1024))
         )
 
+        # --- r9c: triplet mining: 64 broadcast anchors, one corpus
+        # scan, two rank branches over the same scored stream
+        from earthmover_spark.llm.similarity import mine_triplets
+
+        r["mine_triplets_64"] = _t(
+            lambda: _force(
+                mine_triplets(
+                    labeled.filter(F.col("vec_id") % (vecs_n // 64) == 1),
+                    labeled,
+                    k_neg=5,
+                )
+            )
+        )
+
         # --- r9c: exact quantile normalization: 10M rows / 100 groups -
         from earthmover_spark.operators.groupby import quantile_normalize
 

@@ -545,3 +545,87 @@ def semantic_dedup(
             (F.coalesce("n_near", F.lit(0)) == 0).alias("is_keeper"),
         )
     )
+
+
+def mine_triplets(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    label_col: str = "label",
+    k_neg: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive TRIPLET export: for each anchor, its hardest
+    positive (most-similar SAME-label corpus vector — hard positives
+    teach more than trivially-near ones only when mined like
+    negatives, so "hardest" here means highest-similarity, the safe
+    default) paired with the top-``k_neg`` hardest negatives
+    (different label) — the (anchor, positive, negative) rows a
+    triplet/InfoNCE trainer consumes directly. Returns ``(anchor_id,
+    anchor_label, positive_id, pos_score, negative_id, negative_label,
+    neg_score, neg_rank)``. Self-pairs never qualify as positives;
+    NULL-labeled rows qualify on NEITHER side (and NULL-labeled
+    anchors are dropped, as in :func:`hard_negatives`); an anchor with
+    no same-label corpus row (singleton class) produces no triplets —
+    count them upstream if that needs flagging.
+
+    Scale shape (100 TB): ONE corpus scan against the broadcast anchor
+    set scores every (anchor, candidate) pair once; the positive and
+    the negatives are two rank windows over the same scored stream
+    (both partitioned by anchor — WindowGroupLimit prunes map-side);
+    the final positive-x-negative attach joins two anchor-keyed
+    frames of at most 1 and ``k_neg`` rows per anchor. Like
+    :func:`hard_negatives`, this is the exact baseline — mine from an
+    IVF-bucketed candidate set first at full scale."""
+    if k_neg < 1:
+        raise EarthmoverSparkError("mine_triplets: k_neg must be >= 1")
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).filter(F.col("anchor_label").isNotNull())
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).filter(F.col("cand_label").isNotNull())
+    scored = c.join(
+        F.broadcast(a), on=F.col("cand_id") != F.col("anchor_id")
+    ).withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    same = F.col("cand_label") == F.col("anchor_label")
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("cand_id").asc()
+    )
+    pos = (
+        scored.filter(same)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("cand_id").alias("positive_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        scored.filter(~same)
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cand_label").alias("negative_label"),
+            F.col("score").alias("neg_score"),
+            "neg_rank",
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "positive_id",
+        "pos_score",
+        "negative_id",
+        "negative_label",
+        "neg_score",
+        "neg_rank",
+    )

@@ -1127,3 +1127,13 @@ def test_qnorm_no_python_no_single_partition_window(plans):
     assert "EvalPython" not in p
     assert not re.search(r"Exchange SinglePartition", p)
     assert "CartesianProduct" not in p
+
+
+def test_triplets_broadcast_anchors_one_scan(plans):
+    """mine_triplets: one corpus scan against broadcast anchors feeds
+    both rank branches; no cartesian on data, no Python."""
+    p = plans("triplets")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "WindowGroupLimit" in p

@@ -647,3 +647,43 @@ def test_parquet_merge_schema_reads_evolved_dataset(spark, tmp_path):
     assert set(merged.columns) >= {"id", "old", "new"}
     rows = {r.id: r.new for r in merged.collect()}
     assert rows[2] == 9.5 and rows[1] is None
+
+
+# ---------------------------------------------------------------------------
+# mine_triplets
+# ---------------------------------------------------------------------------
+
+
+def test_mine_triplets_positive_negative_semantics(spark):
+    from earthmover_spark.llm.similarity import mine_triplets
+
+    emb = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]), (3, 1, [0.8, 0.2]),
+         (4, 1, [0.0, 1.0]), (5, None, [0.5, 0.5]), (6, 2, [0.6, 0.4])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    anchors = emb.filter("vec_id in (1, 4, 5, 6)")
+    rows = mine_triplets(anchors, emb, k_neg=2).collect()
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    # anchor 1 (label 0): positive = 2 (only other label-0), negatives
+    # ranked by cosine: 3 then 6; NULL-labeled 5 never appears
+    a1 = sorted(by_anchor[1], key=lambda r: r.neg_rank)
+    assert [r.positive_id for r in a1] == [2, 2]
+    assert [r.negative_id for r in a1] == [3, 6]
+    assert all(r.negative_id != 5 for r in rows)
+    # anchor 6 (singleton label) and NULL-labeled anchor 5 yield nothing
+    assert 6 not in by_anchor and 5 not in by_anchor
+    # positives never self-pair
+    assert all(r.positive_id != r.anchor_id for r in rows)
+
+
+def test_mine_triplets_k_validation(spark):
+    from earthmover_spark.llm.similarity import mine_triplets
+
+    emb = spark.createDataFrame(
+        [(1, 0, [1.0])], "vec_id long, label int, embedding array<double>"
+    )
+    with pytest.raises(EarthmoverSparkError):
+        mine_triplets(emb, emb, k_neg=0)
