@@ -565,18 +565,27 @@ def mine_triplets(
     anchor_label, positive_id, pos_score, negative_id, negative_label,
     neg_score, neg_rank)``. Self-pairs never qualify as positives;
     NULL-labeled rows qualify on NEITHER side (and NULL-labeled
-    anchors are dropped, as in :func:`hard_negatives`); an anchor with
-    no same-label corpus row (singleton class) produces no triplets —
-    count them upstream if that needs flagging.
+    anchors are dropped, as in :func:`hard_negatives`); an anchor
+    with no same-label corpus row (singleton class) OR no
+    different-label corpus row (its label covers the whole labeled
+    slice) produces no triplets — the attach join needs both sides,
+    so count anchors-in vs anchors-out upstream if either loss needs
+    flagging.
 
-    Scale shape (100 TB): ONE corpus scan against the broadcast anchor
-    set scores every (anchor, candidate) pair once; the positive and
-    the negatives are two rank windows over the same scored stream
-    (both partitioned by anchor — WindowGroupLimit prunes map-side);
-    the final positive-x-negative attach joins two anchor-keyed
-    frames of at most 1 and ``k_neg`` rows per anchor. Like
-    :func:`hard_negatives`, this is the exact baseline — mine from an
-    IVF-bucketed candidate set first at full scale."""
+    Scale shape (100 TB): ONE corpus scan against the broadcast
+    anchor set scores every (anchor, candidate) pair once, and ONE
+    rank window partitioned by (anchor, same-label?) prunes it to at
+    most ``1 + k_neg`` rows per anchor (the plain ``rank <= k`` shape,
+    so WindowGroupLimit prunes map-side); the pruned frame is pinned
+    with a shared ``persist`` (it feeds both the positive and the
+    negative branch — without the pin the corpus scan would re-run
+    per branch; persist rather than localCheckpoint so the physical
+    plan stays auditable, and the anchors-sized cache is reclaimed by
+    the ContextCleaner when the frame goes unreachable) and the final
+    positive x negative attach joins anchor-keyed frames of at most 1
+    and ``k_neg`` rows per anchor. Like :func:`hard_negatives`, this
+    is the exact baseline — mine from an IVF-bucketed candidate set
+    first at full scale."""
     if k_neg < 1:
         raise EarthmoverSparkError("mine_triplets: k_neg must be >= 1")
     a = anchors.select(
@@ -589,35 +598,38 @@ def mine_triplets(
         F.col(label_col).alias("cand_label"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).filter(F.col("cand_label").isNotNull())
-    scored = c.join(
-        F.broadcast(a), on=F.col("cand_id") != F.col("anchor_id")
-    ).withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     same = F.col("cand_label") == F.col("anchor_label")
-    w = Window.partitionBy("anchor_id").orderBy(
+    scored = (
+        c.join(F.broadcast(a), on=F.col("cand_id") != F.col("anchor_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("__same__", same)
+    )
+    w = Window.partitionBy("anchor_id", "__same__").orderBy(
         F.col("score").desc(), F.col("cand_id").asc()
     )
-    pos = (
-        scored.filter(same)
-        .withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
+    pruned = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= max(1, k_neg))
         .select(
-            "anchor_id",
-            "anchor_label",
-            F.col("cand_id").alias("positive_id"),
-            F.col("score").alias("pos_score"),
+            "anchor_id", "anchor_label", "cand_id", "cand_label",
+            "score", "__same__", "__rn__",
         )
+        .persist()
     )
-    neg = (
-        scored.filter(~same)
-        .withColumn("neg_rank", F.row_number().over(w))
-        .filter(F.col("neg_rank") <= k_neg)
-        .select(
-            "anchor_id",
-            F.col("cand_id").alias("negative_id"),
-            F.col("cand_label").alias("negative_label"),
-            F.col("score").alias("neg_score"),
-            "neg_rank",
-        )
+    pos = pruned.filter(F.col("__same__") & (F.col("__rn__") == 1)).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("cand_id").alias("positive_id"),
+        F.col("score").alias("pos_score"),
+    )
+    neg = pruned.filter(
+        ~F.col("__same__") & (F.col("__rn__") <= k_neg)
+    ).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("cand_label").alias("negative_label"),
+        F.col("score").alias("neg_score"),
+        F.col("__rn__").alias("neg_rank"),
     )
     return pos.join(neg, "anchor_id").select(
         "anchor_id",

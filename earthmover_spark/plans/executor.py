@@ -85,6 +85,7 @@ class Executor:
                 "xpath", "orientation", "object_type", "colspecs",
                 "colspec_file", "colspec_headers", "sep",
                 "record_types", "strip_http", "rename_cols",
+                "merge_schema",
             )
         }
         return read_source(self.spark, file, **kwargs)
@@ -166,7 +167,7 @@ class Executor:
                 kwargs["b"] = self._resolve(op_cfg["b"])
             if op_name == "dsir_weights":
                 kwargs["target"] = self._resolve(op_cfg["target"])
-            if op_name == "hard_negatives":
+            if op_name in ("hard_negatives", "mine_triplets"):
                 kwargs["corpus"] = self._resolve(op_cfg["corpus"])
             if op_name == "unigram_logprob_ref":
                 kwargs["ref"] = self._resolve(op_cfg["ref"])

@@ -448,7 +448,7 @@ def read_source(
             record_types=rt,  # read_warc handles str/list/None
             strip_http=kwargs.get("strip_http", True),
         )
-    elif ftype == "parquet":
+    elif ftype in ("parquet", "orc"):
         # merge_schema: schema-evolution reads over long-lived datasets
         # (a 100 TB table accretes columns across years of writers) —
         # files missing newer columns surface NULLs instead of the
@@ -458,12 +458,7 @@ def read_source(
         reader = spark.read
         if kwargs.get("merge_schema"):
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(file)
-    elif ftype == "orc":
-        reader = spark.read
-        if kwargs.get("merge_schema"):
-            reader = reader.option("mergeSchema", "true")
-        df = reader.orc(file)
+        df = getattr(reader, ftype)(file)
     else:
         df = _pandas_bridge(
             spark, file, ftype,

@@ -281,3 +281,69 @@ def test_yaml_r9b_pipeline(spark, project_dir_b, tmp_path):
     assert card["s1"]["n_docs"] == "3"
     assert card["s1"]["top_lang"] == "en"
     assert card["s2"]["n_tokens_total"] == "2"
+
+
+def test_yaml_merge_schema_and_triplets(spark, tmp_path):
+    """The YAML surfaces for merge_schema (source kwarg must survive
+    the executor's whitelist) and mine_triplets (corpus side-frame
+    must resolve) — both were silently broken when only the Python
+    API was tested."""
+    d = tmp_path / "r9c_project"
+    d.mkdir()
+    base = d / "evolved"
+    spark.createDataFrame([(1, "a")], "id long, old string").write.parquet(
+        str(base / "p=1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, old string, new double"
+    ).write.parquet(str(base / "p=2"))
+    (d / "vecs.csv").write_text(
+        "vec_id,label,x,y\n1,0,1.0,0.0\n2,0,0.9,0.1\n3,1,0.8,0.2\n4,1,0.0,1.0\n"
+    )
+    (d / "earthmover.yaml").write_text(textwrap.dedent("""
+        config:
+          output_dir: ./outputs
+
+        sources:
+          evolved:
+            file: evolved
+            type: parquet
+            merge_schema: true
+          vecs:
+            file: vecs.csv
+
+        transformations:
+          frame:
+            source: $sources.vecs
+            operations:
+              - operation: sql
+                query: >
+                  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                         CAST(label AS INT) AS label,
+                         array(CAST(x AS DOUBLE), CAST(y AS DOUBLE))
+                             AS embedding
+                  FROM $sources.vecs
+          trips:
+            source: $transformations.frame
+            operations:
+              - operation: mine_triplets
+                corpus: $transformations.frame
+                k_neg: 1
+
+        destinations:
+          evolved_out:
+            source: $sources.evolved
+          trips_out:
+            source: $transformations.trips
+    """))
+    results = run_project(
+        spark, str(d / "earthmover.yaml"), output_dir=str(tmp_path / "out_c")
+    )
+    ev = {r["id"]: r for r in _rows(results["$destinations.evolved_out"])}
+    assert set(ev["2"]) >= {"id", "old", "new"}
+    assert ev["2"]["new"] == "9.5" and ev["1"]["new"] == ""  # NULL -> ""
+    trips = {
+        r["anchor_id"]: (r["positive_id"], r["negative_id"])
+        for r in _rows(results["$destinations.trips_out"])
+    }
+    assert trips["1"] == ("2", "3")
