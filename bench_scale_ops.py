@@ -35,7 +35,8 @@ r5c-r5e probes:
                          users (one shuffle + RANGE window)
   quantile_bucket        equi-depth quartiles within 10k groups
                          (one percentile agg + broadcast + fold)
-  jaccard_pairs_09       exact Jaccard>=0.9 over 200k docs — the
+  jaccard_pairs_09       exact Jaccard>=0.9 over the docs_n corpus
+                         (default 2M) — the
                          prefix filter's pruning payoff (2-token
                          prefixes at t=0.9)
   binary_metrics         exact AUC over 10M scored rows (distinct-
