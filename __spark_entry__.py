@@ -2564,12 +2564,21 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss Rademacher projection 64 -> 8 dims:
     fit-free, data-independent (incremental-safe), the matrix rides
     the plan as literals — zero shuffle, scan-bound codegen. The
-    DuckDB twin regenerates the identical md5-derived sign matrix."""
+    DuckDB twin regenerates the identical md5-derived sign matrix.
+
+    Output is posexploded to scalar (vec_id, dim, value) rows — the
+    emb_* convention — because the OFFICIAL driver canonicalizer is
+    pandas-based and cannot hash ``array<double>`` cells (the r9 red
+    row); tools/compare.py stringifies lists and would silently pass
+    a raw array here, so the harness also schema-guards this."""
     from earthmover_spark.llm import embeddings
 
     emb = _p(spark, sf_dir, "embeddings")
-    return embeddings.random_project(emb, k=8, dims=64).select(
-        "vec_id", "proj"
+    proj = embeddings.random_project(emb, k=8, dims=64).select(
+        "vec_id", F.posexplode("proj").alias("dim", "value")
+    )
+    return proj.select(
+        "vec_id", "dim", F.round("value", 6).alias("value")
     )
 
 
@@ -3208,25 +3217,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _jl_oracle(dims: int = 64, k: int = 8) -> str:
     """DuckDB twin of ``random_project``: the same md5 sign matrix,
-    the same left-associated per-dim sum, the same 1/sqrt(k) factor."""
+    the same left-associated per-dim sum, the same 1/sqrt(k) factor.
+    Unpivoted to scalar (vec_id, dim, value) rows in lockstep with
+    ``q_jl_project``'s posexplode (the driver canonicalizer cannot
+    hash array cells — the r9 red-row lesson)."""
     import math
 
     from earthmover_spark.llm.embeddings import jl_signs
 
     signs = jl_signs(dims, k)
     inv = repr(1.0 / math.sqrt(k))
-    dim_exprs = []
+    selects = []
     for j in range(k):
         terms = " + ".join(
             f"(embedding[{i + 1}]::DOUBLE) * {float(signs[i][j])}"
             for i in range(dims)
         )
-        dim_exprs.append(f"round(({terms}) * {inv}, 6)")
-    return (
-        "SELECT vec_id, ["
-        + ", ".join(dim_exprs)
-        + "] AS proj FROM embeddings"
-    )
+        selects.append(
+            f"SELECT vec_id, {j} AS dim, "
+            f"round(round(({terms}) * {inv}, 6), 6) AS value "
+            "FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
 
 
 # DuckDB twin of _links_html() — the SAME synthesized-HTML string

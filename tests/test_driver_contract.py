@@ -26,3 +26,27 @@ def test_flagship_registered():
 def test_oracle_sql_is_text():
     for name, sql in entry.oracle_sql().items():
         assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_no_query_returns_complex_columns(spark, sf_dir):
+    """The official driver canonicalizer is pandas-based and crashes on
+    array/map/struct cells (``unhashable type: 'list'`` — the r9
+    ``jl_project`` red row), while the local compare.py harness used to
+    stringify lists and silently pass them. Every registered query must
+    therefore emit scalar-only columns (the emb_* posexplode
+    convention). Building the DataFrames is plan-side for most queries;
+    the handful that probe during construction run at sf0.001."""
+    offenders = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, (
+        "queries with driver-unhashable output columns "
+        f"(posexplode to scalars): {offenders}"
+    )

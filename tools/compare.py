@@ -74,6 +74,24 @@ def compare(sf_dir: str, only: list[str] | None = None) -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
+            # Pre-flight schema guard: the OFFICIAL driver canonicalizer
+            # is pandas-based and crashes on array/map/struct cells
+            # (unhashable type: 'list' — the r9 jl_project red row);
+            # _norm_value below stringifies lists and would silently
+            # PASS what the driver rejects, so fail loudly here.
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                print(
+                    f"FAIL {name}: non-scalar output columns "
+                    f"{complex_cols} — the driver canonicalizer cannot "
+                    "hash these; posexplode to scalar rows"
+                )
+                failures += 1
+                continue
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as e:
