@@ -2978,22 +2978,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Ordering note: the driver's per-round snapshot records a 50-query
     # prefix of this dict, so coverage ROTATES across rounds (see the
-    # rotation log in COVERAGE.md). r9 prefix = (a) the 28 queries
-    # added in r8 AFTER that round's prefix was fixed — their first
-    # official rows (all judge-verified PASS at sf0.01 in the r8
-    # verdict's own compare run); (b) the 12 queries deferred from
-    # the r8 rotation whose newest official row is r5 (tfidf_pairs ..
-    # zorder_key); (c) the three queries whose implementations
-    # changed in r9 with oracles moved in lockstep where semantics
-    # moved — dedup_resolve (keeper = min PRESENT id + size-gated
-    # annotation joins), stratified_sample (fraction keys cast to the
-    # strata column type), para_dedup (probe cache released; the
-    # auto-broadcast regime now joins a collected local frame);
-    # (d) 7 oldest r6-green rows (top_values .. val_report — the rest
-    # of the r6 block is scheduled through r10 so no row ages past 4
-    # rounds). Everything rotated out holds a green r6-r8 row with an
-    # unchanged implementation.
-    # --- first official rows: the 28 r8-late additions ---
+    # rotation log in COVERAGE.md). r10 prefix = (a) the 14 r9-late
+    # additions — first official rows (all oracle-verified at BOTH SFs
+    # in r9 and judge-verified PASS at sf0.01 in the r9 verdict's own
+    # compare run); (b) jl_project — the one red r9 row, its QUERY
+    # schema fixed this round (posexplode to scalar (vec_id, dim,
+    # value) rows; the random_project operator itself was already
+    # oracle-matched); (c) ev_window_agg — the batch window_agg twin
+    # gained r9's type-faithful min/max rule, and its newest official
+    # row predates that change; (d) 34 of the 43 queries whose newest
+    # official row is r6, oldest-first (group_by_stats heads). The
+    # 9-query r6 remainder (dedup_embedding .. explode_array, directly
+    # below the prefix) is scheduled for the r11 prefix — COVERAGE.md
+    # rotation log. Everything rotated out holds a green r6-r9 row
+    # with an unchanged implementation.
+    # --- first official rows: the 14 r9-late additions ---
+        "links": q_extract_links,
+        "hostgraph": q_host_graph,
+        "moments": q_dist_moments,
+        "hard_negs": q_hard_negatives,
+        "interp": q_resample_interp,
+        "anchor_terms": q_anchor_text,
+        "ecdf_norm": q_ecdf_transform,
+        "reach2": q_neighborhood_reach,
+        "harmonic2": q_harmonic_centrality,
+        "manifest": q_corpus_manifest,
+        "compact_bins": q_compact_plan,
+        "src_overlap": q_source_overlap,
+        "qnorm": q_quantile_normalize,
+        "triplets": q_mine_triplets,
+    # --- r9-red schema fix (oracle moved in lockstep) ---
+        "jl_project": q_jl_project,
+    # --- batch twin changed in r9 (type-faithful min/max) ---
+        "ev_window_agg": q_ev_window_agg,
+    # --- r6-stale refresh block (newest official row r6) ---
+        "group_by_stats": q_group_by_stats,
+        "duplicate_columns": q_duplicate_columns,
+        "add_columns": q_add_columns,
+        "add_columns_jinja_arith": q_add_columns_jinja_arith,
+        "modify_columns": q_modify_columns,
+        "combine_columns": q_combine_columns,
+        "map_values": q_map_values,
+        "date_format": q_date_format,
+        "snake_case_columns": q_snake_case_columns,
+        "uppercase_columns": q_uppercase_columns,
+        "filter_rows_exclude": q_filter_rows_exclude,
+        "filter_rows_contains": q_filter_rows_contains,
+        "distinct_rows": q_distinct_rows,
+        "sort_limit_rows": q_sort_limit_rows,
+        "flatten": q_flatten,
+        "flatten_wrapped": q_flatten_wrapped,
+        "join_left": q_join_left,
+        "join_suffix": q_join_suffix,
+        "join_outer": q_join_outer,
+        "group_by_str": q_group_by_str,
+        "group_by_agg_concat": q_group_by_agg_concat,
+        "json_array_agg": q_json_array_agg,
+        "group_by_with_rank": q_group_by_with_rank,
+        "jinja_md5": q_jinja_md5,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+    # --- end of recorded 50-query prefix ---
+    # (everything below holds a green r6-r9 official row; the next 9
+    # entries are the r6-stale remainder scheduled to head the r11
+    # prefix; still verified every round locally via tools/compare.py
+    # over the full matrix)
+        "dedup_embedding": q_dedup_embedding,
+        "sim_topk": q_sim_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "join_anti": q_join_anti,
+        "set_intersect": q_set_intersect,
+        "group_by_cube": q_group_by_cube,
+        "group_by_salted": q_group_by_salted,
+        "explode_array": q_explode_array,
         "dsir_w": q_dsir_weights,
         "dsir_smp": q_dsir_sample,
         "ppx_tiers": q_ppx_tiers,
@@ -3012,7 +3078,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_top": q_pmi,
         "label_prop": q_label_prop,
         "bloom_join": q_bloom_join,
-        "jl_project": q_jl_project,
         "file_stats": q_file_stats,
         "infer_types": q_infer_types,
         "badwords": q_badwords,
@@ -3022,7 +3087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute": q_impute,
         "norm_nfc": q_norm_nfc,
         "kmv_est": q_kmv_estimate,
-    # --- r5-stale refresh block (newest official row r5) ---
         "tfidf_pairs": q_tfidf_pairs,
         "train_lr": q_train_lr,
         "transition_probs": q_transition_probs,
@@ -3035,11 +3099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "winsorize": q_winsorize,
         "zorder_key": q_zorder_key,
-    # --- implementations changed in r9 (oracles in lockstep) ---
         "dedup_resolve": q_dedup_resolve,
         "stratified_sample": q_stratified_sample,
         "para_dedup": q_para_dedup,
-    # --- oldest r6-green refresh fills ---
         "top_values": q_top_values,
         "interval_coverage": q_interval_coverage,
         "inverted_idx": q_inverted_idx,
@@ -3047,12 +3109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "resample_ffill": q_resample_ffill,
         "val_report": q_validate_report,
-    # --- end of recorded 50-query prefix ---
-    # (everything below holds a green r6-r8 official row; the
-    # remaining 37-query r6-green block heads the tail for the r10
-    # rotation; still verified every round locally via
-    # tools/compare.py over the full matrix)
-        "group_by_stats": q_group_by_stats,
         "bloom_member": q_bloom_member,
         "lm_jsd": q_lm_jsd,
         "ladder": q_sample_ladder,
@@ -3123,7 +3179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "flag_outliers": q_flag_outliers,
         "retention_cohorts": q_retention_cohorts,
-        "ev_window_agg": q_ev_window_agg,
         "ev_asof_join": q_ev_asof_join,
         "ev_window_sliding": q_ev_window_sliding,
         "group_by_quantiles": q_group_by_quantiles,
@@ -3148,64 +3203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_rollup": q_group_by_rollup,
         "budget_sample": q_budget_sample,
         "temperature_mix": q_temperature_mix,
-        "duplicate_columns": q_duplicate_columns,
-        "add_columns": q_add_columns,
-        "add_columns_jinja_arith": q_add_columns_jinja_arith,
-        "modify_columns": q_modify_columns,
-        "combine_columns": q_combine_columns,
-        "map_values": q_map_values,
-        "date_format": q_date_format,
-        "snake_case_columns": q_snake_case_columns,
-        "uppercase_columns": q_uppercase_columns,
-        "filter_rows_exclude": q_filter_rows_exclude,
-        "filter_rows_contains": q_filter_rows_contains,
-        "distinct_rows": q_distinct_rows,
-        "sort_limit_rows": q_sort_limit_rows,
-        "flatten": q_flatten,
-        "flatten_wrapped": q_flatten_wrapped,
-        "join_left": q_join_left,
-        "join_suffix": q_join_suffix,
-        "join_outer": q_join_outer,
-        "group_by_str": q_group_by_str,
-        "group_by_agg_concat": q_group_by_agg_concat,
-        "json_array_agg": q_json_array_agg,
-        "group_by_with_rank": q_group_by_with_rank,
-        "jinja_md5": q_jinja_md5,
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_normalized": q_dedup_exact_normalized,
-        "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "sim_topk": q_sim_topk,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "join_anti": q_join_anti,
-        "set_intersect": q_set_intersect,
-        "group_by_cube": q_group_by_cube,
-        "group_by_salted": q_group_by_salted,
-        "explode_array": q_explode_array,
-    # NEW in r9 (added after the r9 prefix was fixed): first official
-    # rows due r10; all locally oracle-verified at BOTH SFs
-        "links": q_extract_links,
-        "hostgraph": q_host_graph,
-        "moments": q_dist_moments,
-        "hard_negs": q_hard_negatives,
-        "interp": q_resample_interp,
-        "anchor_terms": q_anchor_text,
-        "ecdf_norm": q_ecdf_transform,
-        "reach2": q_neighborhood_reach,
-        "harmonic2": q_harmonic_centrality,
-        "manifest": q_corpus_manifest,
-        "compact_bins": q_compact_plan,
-        "src_overlap": q_source_overlap,
-        "qnorm": q_quantile_normalize,
-        "triplets": q_mine_triplets,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
