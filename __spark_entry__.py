@@ -2895,14 +2895,30 @@ def q_neighborhood_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive triplet export: per anchor, the hardest same-label
-    positive x the top-3 different-label negatives from one scored
-    corpus scan (anchors broadcast)."""
+    """Contrastive triplet export: per anchor, the most-similar
+    same-label positive x the top-3 different-label negatives from one
+    scored corpus scan (anchors broadcast, budget-probed)."""
     from earthmover_spark.llm import similarity
 
     emb = _p(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") % 83 == 1)
     return similarity.mine_triplets(anchors, emb, k_neg=3)
+
+
+def q_triplets_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed triplet miner — the no-anchor-broadcast path for
+    large anchor sets. Probing ALL cells (n_probe == n_centroids)
+    makes the candidate set the whole labeled corpus, so the result
+    EXACTLY equals the exact miner's and shares its oracle — the row
+    proves the cell-explode + equi-join plumbing, while recall < 1
+    configurations only drop candidates, never invent them."""
+    from earthmover_spark.llm import similarity
+
+    emb = _p(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 83 == 1)
+    return similarity.mine_triplets_bucketed(
+        anchors, emb, k_neg=3, n_centroids=4, n_probe=4
+    )
 
 
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3203,6 +3219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_rollup": q_group_by_rollup,
         "budget_sample": q_budget_sample,
         "temperature_mix": q_temperature_mix,
+    # NEW in r10 (added after the r10 prefix was fixed): first
+    # official rows due r11; oracle-verified locally at BOTH SFs
+        "triplets_bucketed": q_triplets_bucketed,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -3264,7 +3283,7 @@ def oracle_sql() -> dict[str, str]:
         for i in range(8)
         for j in range(2)
     )
-    return {
+    d = {
         "flagship": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n,
@@ -7411,3 +7430,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m LEFT JOIN top ON m.source = top.source AND top.rn = 1
         """,
     }
+    # the bucketed miner probes ALL cells in its registered query, so
+    # its result (and oracle) is exactly the exact miner's
+    d["triplets_bucketed"] = d["triplets"]
+    return d

@@ -582,6 +582,28 @@ def main() -> None:
             )
         )
 
+        # --- r10: bucketed triplet mining at 10k anchors — the scale
+        # path past the broadcast-anchor budget. The exact miner at
+        # 10k anchors would score 10k x 1M = 10^10 pairs; the IVF
+        # equi-join caps candidates at ~|corpus| x n_probe/n_centroids
+        # per anchor (~15.6k here -> ~156M scored pairs incl. the
+        # KMeans fit), and the anchor frame is never broadcast.
+        from earthmover_spark.llm.similarity import mine_triplets_bucketed
+
+        r["mine_triplets_bucketed_10k"] = _t(
+            lambda: _force(
+                mine_triplets_bucketed(
+                    labeled.filter(
+                        F.col("vec_id") % (vecs_n // 10_000) == 1
+                    ),
+                    labeled,
+                    k_neg=5,
+                    n_centroids=64,
+                    n_probe=1,
+                )
+            )
+        )
+
         # --- r9c: exact quantile normalization: 10M rows / 100 groups -
         from earthmover_spark.operators.groupby import quantile_normalize
 

@@ -77,6 +77,34 @@ def cosine_topk(
     )
 
 
+#: Default ceiling on the broadcast-anchors paths. Broadcasting the
+#: anchor frame is what makes hard_negatives/mine_triplets one-scan —
+#: but it also materializes anchors x corpus-partition candidate rows
+#: before the WindowGroupLimit prune, and an oversized anchor frame
+#: fails deep inside Spark with an opaque broadcast OOM. 65,536 anchors
+#: of 64-dim doubles is ~34 MB broadcast — comfortably inside the
+#: default 8 GB broadcast-table ceiling with headroom for wider
+#: vectors. Beyond it, use the cell-keyed equi-join variant
+#: (:func:`mine_triplets_bucketed`), which never broadcasts anchors.
+MAX_BROADCAST_ANCHORS = 65536
+
+
+def _check_anchor_budget(anchors: DataFrame, max_anchors: int, op: str) -> None:
+    """Bounded probe (``limit(n+1).count()`` — never a full count) that
+    the anchor frame fits the broadcast budget; raises a clear error
+    instead of an opaque executor broadcast OOM."""
+    if max_anchors is None:
+        return
+    if anchors.limit(max_anchors + 1).count() > max_anchors:
+        raise EarthmoverSparkError(
+            f"{op}: anchor frame exceeds max_anchors={max_anchors} — "
+            "the exact path broadcasts anchors against the whole "
+            "corpus. Use mine_triplets_bucketed / an IVF-bucketed "
+            "candidate set for large anchor sets, or raise "
+            "max_anchors explicitly if you have the executor memory."
+        )
+
+
 def hard_negatives(
     anchors: DataFrame,
     corpus: DataFrame,
@@ -84,6 +112,7 @@ def hard_negatives(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_anchors: int | None = MAX_BROADCAST_ANCHORS,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each anchor vector, the
     top-``k`` most-similar corpus vectors with a DIFFERENT label —
@@ -100,9 +129,14 @@ def hard_negatives(
 
     This is the EXACT baseline — anchors broadcast, one scan of the
     corpus, per-anchor top-k via the same WindowGroupLimit pruning as
-    :func:`cosine_topk`. At 100 TB mine from an IVF-bucketed candidate
-    set first (:func:`ivf_topk` over the anchor set, then an anti-
-    label filter) and reserve this operator for the re-rank slice."""
+    :func:`cosine_topk`. The broadcast carries an anchor BUDGET
+    (``max_anchors``, default :data:`MAX_BROADCAST_ANCHORS` — a
+    bounded ``limit(n+1).count()`` probe, with a clear error instead
+    of a broadcast OOM). At 100 TB, or beyond the budget, mine from a
+    cell-keyed candidate set instead (:func:`mine_triplets_bucketed`'s
+    equi-join shape, or :func:`ivf_topk` over the anchor set plus an
+    anti-label filter) and reserve this operator for the re-rank
+    slice."""
     if k < 1:
         raise EarthmoverSparkError("hard_negatives: k must be >= 1")
     a = anchors.select(
@@ -110,6 +144,7 @@ def hard_negatives(
         F.col(label_col).alias("anchor_label"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).filter(F.col("anchor_label").isNotNull())
+    _check_anchor_budget(a, max_anchors, "hard_negatives")
     c = corpus.select(
         F.col(id_col).alias("negative_id"),
         F.col(label_col).alias("negative_label"),
@@ -547,65 +582,40 @@ def semantic_dedup(
     )
 
 
-def mine_triplets(
-    anchors: DataFrame,
-    corpus: DataFrame,
-    label_col: str = "label",
-    k_neg: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _triplets_attach(
+    scored: DataFrame, k_neg: int, positive_mode: str
 ) -> DataFrame:
-    """Contrastive TRIPLET export: for each anchor, its hardest
-    positive (most-similar SAME-label corpus vector — hard positives
-    teach more than trivially-near ones only when mined like
-    negatives, so "hardest" here means highest-similarity, the safe
-    default) paired with the top-``k_neg`` hardest negatives
-    (different label) — the (anchor, positive, negative) rows a
-    triplet/InfoNCE trainer consumes directly. Returns ``(anchor_id,
-    anchor_label, positive_id, pos_score, negative_id, negative_label,
-    neg_score, neg_rank)``. Self-pairs never qualify as positives;
-    NULL-labeled rows qualify on NEITHER side (and NULL-labeled
-    anchors are dropped, as in :func:`hard_negatives`); an anchor
-    with no same-label corpus row (singleton class) OR no
-    different-label corpus row (its label covers the whole labeled
-    slice) produces no triplets — the attach join needs both sides,
-    so count anchors-in vs anchors-out upstream if either loss needs
-    flagging.
+    """Shared prune + attach for the triplet miners: ONE rank window
+    partitioned by (anchor, same-label?) prunes the scored candidate
+    frame to at most ``1 + k_neg`` rows per anchor (plain ``rank <= k``
+    shape, so WindowGroupLimit prunes map-side); the pruned frame is
+    pinned with a shared ``persist`` (it feeds both the positive and
+    the negative branch — without the pin the candidate scan would
+    re-run per branch; persist rather than localCheckpoint so the
+    physical plan stays auditable, and the anchors-sized cache is
+    reclaimed by the ContextCleaner when the frame goes unreachable);
+    the final positive x negative attach joins anchor-keyed frames of
+    at most 1 and ``k_neg`` rows per anchor.
 
-    Scale shape (100 TB): ONE corpus scan against the broadcast
-    anchor set scores every (anchor, candidate) pair once, and ONE
-    rank window partitioned by (anchor, same-label?) prunes it to at
-    most ``1 + k_neg`` rows per anchor (the plain ``rank <= k`` shape,
-    so WindowGroupLimit prunes map-side); the pruned frame is pinned
-    with a shared ``persist`` (it feeds both the positive and the
-    negative branch — without the pin the corpus scan would re-run
-    per branch; persist rather than localCheckpoint so the physical
-    plan stays auditable, and the anchors-sized cache is reclaimed by
-    the ContextCleaner when the frame goes unreachable) and the final
-    positive x negative attach joins anchor-keyed frames of at most 1
-    and ``k_neg`` rows per anchor. Like :func:`hard_negatives`, this
-    is the exact baseline — mine from an IVF-bucketed candidate set
-    first at full scale."""
-    if k_neg < 1:
-        raise EarthmoverSparkError("mine_triplets: k_neg must be >= 1")
-    a = anchors.select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(label_col).alias("anchor_label"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).filter(F.col("anchor_label").isNotNull())
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(label_col).alias("cand_label"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).filter(F.col("cand_label").isNotNull())
-    same = F.col("cand_label") == F.col("anchor_label")
-    scored = (
-        c.join(F.broadcast(a), on=F.col("cand_id") != F.col("anchor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
-        .withColumn("__same__", same)
-    )
+    ``positive_mode`` picks which same-label candidate becomes the
+    positive: ``"most_similar"`` (highest cosine — the safe default)
+    or ``"hardest"`` (LOWEST cosine — the hard positives of the
+    DPR/SimCSE literature: same-label pairs the current embedding
+    places far apart). Negatives always rank most-similar-first."""
+    if positive_mode not in ("most_similar", "hardest"):
+        raise EarthmoverSparkError(
+            "mine_triplets: positive_mode must be 'most_similar' or "
+            f"'hardest', got {positive_mode!r}"
+        )
+    pos_sign = -1.0 if positive_mode == "most_similar" else 1.0
+    # ascending sort key: negatives always -score (highest cosine
+    # first); positives sign*score (most_similar = highest first,
+    # hardest = lowest first)
+    key = F.when(
+        F.col("__same__"), F.col("score") * F.lit(pos_sign)
+    ).otherwise(-F.col("score"))
     w = Window.partitionBy("anchor_id", "__same__").orderBy(
-        F.col("score").desc(), F.col("cand_id").asc()
+        key.asc(), F.col("cand_id").asc()
     )
     pruned = (
         scored.withColumn("__rn__", F.row_number().over(w))
@@ -641,3 +651,154 @@ def mine_triplets(
         "neg_score",
         "neg_rank",
     )
+
+
+def mine_triplets(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    label_col: str = "label",
+    k_neg: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    positive_mode: str = "most_similar",
+    max_anchors: int | None = MAX_BROADCAST_ANCHORS,
+) -> DataFrame:
+    """Contrastive TRIPLET export: for each anchor, one SAME-label
+    corpus vector as the positive — by default the MOST-SIMILAR one
+    (the safe choice; pass ``positive_mode="hardest"`` for the
+    lowest-similarity same-label candidate, the "hard positive" of
+    the DPR/SimCSE literature) — paired with the top-``k_neg``
+    hardest negatives (most-similar DIFFERENT-label candidates) — the
+    (anchor, positive, negative) rows a triplet/InfoNCE trainer
+    consumes directly. Returns ``(anchor_id, anchor_label,
+    positive_id, pos_score, negative_id, negative_label, neg_score,
+    neg_rank)``. Self-pairs never qualify as positives; NULL-labeled
+    rows qualify on NEITHER side (and NULL-labeled anchors are
+    dropped, as in :func:`hard_negatives`); an anchor with no
+    same-label corpus row (singleton class) OR no different-label
+    corpus row (its label covers the whole labeled slice) produces no
+    triplets — the attach join needs both sides, so count anchors-in
+    vs anchors-out upstream if either loss needs flagging.
+
+    Scale shape (100 TB): ONE corpus scan against the broadcast
+    anchor set scores every (anchor, candidate) pair once; pruning
+    and the attach join are :func:`_triplets_attach`. The broadcast
+    implies an anchors x corpus candidate blowup BEFORE the window
+    prune, so the anchor set carries a BUDGET (``max_anchors``,
+    default :data:`MAX_BROADCAST_ANCHORS`, enforced by a bounded
+    ``limit(n+1).count()`` probe with a clear error instead of a
+    broadcast OOM). This is the exact baseline; past the budget — or
+    whenever anchors x corpus compute is the bottleneck — use
+    :func:`mine_triplets_bucketed`, which equi-joins on IVF cells and
+    never broadcasts the anchor frame."""
+    if k_neg < 1:
+        raise EarthmoverSparkError("mine_triplets: k_neg must be >= 1")
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).filter(F.col("anchor_label").isNotNull())
+    _check_anchor_budget(a, max_anchors, "mine_triplets")
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).filter(F.col("cand_label").isNotNull())
+    scored = (
+        c.join(F.broadcast(a), on=F.col("cand_id") != F.col("anchor_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("__same__", F.col("cand_label") == F.col("anchor_label"))
+    )
+    return _triplets_attach(scored, k_neg, positive_mode)
+
+
+def mine_triplets_bucketed(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    label_col: str = "label",
+    k_neg: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    positive_mode: str = "most_similar",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-bucketed :func:`mine_triplets` — the LARGE-ANCHOR-SET /
+    100 TB path. Same output schema and NULL/self-pair semantics, but
+    candidates come from the ``n_probe`` nearest IVF cells per anchor
+    instead of the whole corpus, and the anchor-candidate match is a
+    cell-keyed EQUI-join (shuffle-partitionable both sides, AQE free
+    to pick broadcast when the exploded anchor frame is small) — no
+    anchor broadcast, no anchors x corpus blowup, hence NO anchor
+    budget. Per-anchor candidate work shrinks by ~n_probe/n_centroids;
+    recall < 1.0 by design (a same-label positive or a hard negative
+    living only in unprobed cells is missed) — raise ``n_probe`` for
+    recall, and with ``n_centroids=1, n_probe=1`` the result equals
+    the exact miner's.
+
+    Cost shape: one KMeans fit over the labeled corpus (MLlib,
+    distributed; train on a deterministic sample at full scale), one
+    narrow assign pass per side, one equi-join on cell, then the same
+    window prune + anchor-keyed attach as the exact path
+    (:func:`_triplets_attach`)."""
+    if k_neg < 1:
+        raise EarthmoverSparkError(
+            "mine_triplets_bucketed: k_neg must be >= 1"
+        )
+    if n_probe < 1 or n_probe > n_centroids:
+        raise EarthmoverSparkError(
+            "mine_triplets_bucketed: need 1 <= n_probe <= n_centroids"
+        )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).filter(F.col("cand_label").isNotNull())
+    indexed, centroids = ivf_index(
+        c, vec_col="cv", n_centroids=n_centroids, seed=seed
+    )
+    # n_probe nearest cells per anchor, by the same squared-L2 rank
+    # ivf_index assigns with (ivf_topk's probing expression)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(x) for x in cc]) for cc in centroids]
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    dists = F.transform(
+        cent_arr,
+        lambda cc: F.aggregate(
+            F.zip_with(qv, cc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ranked_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        n_probe,
+    )
+    a = (
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            qv.alias("qv"),
+            F.explode(ranked_cells).alias("cell"),
+        )
+        .filter(F.col("anchor_label").isNotNull())
+    )
+    scored = (
+        a.join(indexed, on="cell")
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("__same__", F.col("cand_label") == F.col("anchor_label"))
+    )
+    return _triplets_attach(scored, k_neg, positive_mode)

@@ -167,7 +167,9 @@ class Executor:
                 kwargs["b"] = self._resolve(op_cfg["b"])
             if op_name == "dsir_weights":
                 kwargs["target"] = self._resolve(op_cfg["target"])
-            if op_name in ("hard_negatives", "mine_triplets"):
+            if op_name in (
+                "hard_negatives", "mine_triplets", "mine_triplets_bucketed"
+            ):
                 kwargs["corpus"] = self._resolve(op_cfg["corpus"])
             if op_name == "unigram_logprob_ref":
                 kwargs["ref"] = self._resolve(op_cfg["ref"])

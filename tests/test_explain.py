@@ -1137,3 +1137,15 @@ def test_triplets_broadcast_anchors_one_scan(plans):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_triplets_bucketed_is_cell_equijoin(plans):
+    """mine_triplets_bucketed: the anchor-candidate match must be an
+    EQUI-join on the IVF cell — never the exact path's nested-loop
+    broadcast (that is the whole point of the variant: no anchor
+    broadcast, no anchors x corpus blowup, no anchor budget)."""
+    p = plans("triplets_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "WindowGroupLimit" in p
