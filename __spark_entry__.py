@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from earthmover_spark.operators import column as C
@@ -2934,11 +2934,94 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience-overlap matrix: Jaccard of distinct user sets
     between event types via grouped KMV sketches — exact here (unions
-    fit under k), the standard estimate above k."""
+    fit under k), the standard estimate above k.
+
+    ORACLE CONTRACT: the DuckDB twin uses exact set algebra, valid
+    only while every pairwise UNION of distinct user sets stays under
+    k — guaranteed when the TOTAL distinct user count is <= k (any
+    union is a subset of all users: 150 at sf0.01, 1,500 at sf0.1,
+    ~15,000/sf — the ceiling is ~sf0.27). The guard below trips
+    loudly at a future SF bump instead of letting the (correct) KMV
+    estimate read as a false oracle failure."""
     from earthmover_spark.operators.sketch import source_overlap
 
+    k = 4096
     ev = _p(spark, sf_dir, "events")
-    return source_overlap(ev, "event_type", "user_id", k=4096)
+    n_users = (
+        ev.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .head()["n"]
+    )
+    if n_users > k:
+        raise AssertionError(
+            f"src_overlap oracle regime broken: {n_users} distinct "
+            f"users > k={k} — unions may exceed the KMV sample and the "
+            "exact-set-algebra DuckDB twin would diverge from the "
+            "(correct) estimate. Raise k in BOTH the query and the "
+            "oracle note, or switch the oracle to a tolerance check."
+        )
+    return source_overlap(ev, "event_type", "user_id", k=k)
+
+
+def q_qnorm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance row for quantile_normalize's ``exact=False`` ramp —
+    the zero-join broadcast-grid path users run at 100 TB. The approx
+    error decomposes as (a) grid interpolation: at most the span of
+    the exact-grid cell bracketing the row's rank (large only where
+    the pooled distribution genuinely jumps, i.e. tails), plus (b)
+    t-digest rank error (measured ~0.5% of the value range here, 4x
+    headroom at the 2% slack used). The query emits per-row
+    ``ok = |approx - exact| <= cell_span + 0.02 * range`` (NULLs stay
+    NULL on both paths and count ok); the DuckDB twin emits constant
+    ``true`` — any out-of-tolerance drift value-hash-fails the row."""
+    from earthmover_spark.operators.groupby import quantile_normalize
+
+    grid = 1001
+    ev = _p(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    a = quantile_normalize(
+        ev, "value", ["event_type"], exact=False, grid=grid
+    ).select("event_id", F.col("qnorm").alias("__a__"))
+    e = quantile_normalize(ev, "value", ["event_type"]).select(
+        "event_id", F.col("qnorm").alias("__e__")
+    )
+    present = ev.filter(F.col("value").isNotNull())
+    pcts = [i / (grid - 1) for i in range(grid)]
+    stats = present.agg(
+        F.percentile(
+            F.col("value").cast("double"),
+            F.array(*[F.lit(x) for x in pcts]),
+        ).alias("__qe__"),
+        (F.max("value") - F.min("value")).cast("double").alias("__rng__"),
+    )
+    wg = Window.partitionBy("event_type").orderBy(F.col("value").asc())
+    ranked = (
+        present.withColumn("__r__", F.cume_dist().over(wg))
+        .crossJoin(stats)
+        .withColumn("__p__", F.col("__r__") * F.lit(float(grid - 1)))
+    )
+    lo = F.floor("__p__").cast("int")
+    span = F.element_at(
+        F.col("__qe__"), F.least(lo + 2, F.lit(grid))
+    ) - F.element_at(F.col("__qe__"), lo + 1)
+    spans = ranked.select(
+        "event_id", span.alias("__span__"), "__rng__"
+    )
+    j = (
+        a.join(e, "event_id")
+        .join(spans, "event_id", "left")
+    )
+    ok = F.when(
+        F.col("__a__").isNull() | F.col("__e__").isNull(),
+        F.col("__a__").isNull() & F.col("__e__").isNull(),
+    ).otherwise(
+        F.abs(F.col("__a__") - F.col("__e__"))
+        <= F.col("__span__") + 0.02 * F.col("__rng__")
+    )
+    return j.select("event_id", ok.alias("ok"))
 
 
 def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3222,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEW in r10 (added after the r10 prefix was fixed): first
     # official rows due r11; oracle-verified locally at BOTH SFs
         "triplets_bucketed": q_triplets_bucketed,
+        "qnorm_approx": q_qnorm_approx,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -7433,4 +7517,7 @@ def oracle_sql() -> dict[str, str]:
     # the bucketed miner probes ALL cells in its registered query, so
     # its result (and oracle) is exactly the exact miner's
     d["triplets_bucketed"] = d["triplets"]
+    # tolerance row: the Spark side emits ok = within-error-model; the
+    # twin emits constant true — drift value-hash-fails the row
+    d["qnorm_approx"] = "SELECT event_id, true AS ok FROM events"
     return d
