@@ -1380,6 +1380,51 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated quality-model scoring with tiered output
+    (score_with_model): same md5-derived deterministic weight table as
+    q_quality_classifier, Platt calibration (a=4, b=0.2) and
+    tail/middle/head threshold tiers — the full fastText-style scoring
+    path a 100 TB curation pipeline runs after train_logreg. The
+    DuckDB twin replays the hash, lookup, calibration, and tier cuts
+    exactly."""
+    from earthmover_spark.llm import training
+
+    n_buckets = 4096
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        F.round(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(float(1 << 60))
+            - 0.5,
+            6,
+        ).alias("weight"),
+    )
+    docs = _p(spark, sf_dir, "documents")
+    out = training.score_with_model(
+        docs,
+        weights,
+        n_buckets=n_buckets,
+        platt_a=4.0,
+        platt_b=0.2,
+        thresholds=(0.5, 0.6),
+        tiers=("tail", "middle", "head"),
+    )
+    # the raw logit is a bare average of 6-decimal rationals — its
+    # round-6 parks on half-boundaries where engine ulp behavior
+    # diverges, so the hashed row carries only the sigmoid outputs
+    # (transcendental, boundary-safe) and the tier cut
+    return out.select("doc_id", "n_tokens", "model_score", "tier")
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass dataset profiler: per-column null/distinct counts,
     string-form min/max, mean length — all expressions of a single
@@ -3306,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # official rows due r11; oracle-verified locally at BOTH SFs
         "triplets_bucketed": q_triplets_bucketed,
         "qnorm_approx": q_qnorm_approx,
+        "score_model": q_score_model,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -7520,4 +7566,38 @@ def oracle_sql() -> dict[str, str]:
     # tolerance row: the Spark side emits ok = within-error-model; the
     # twin emits constant true — drift value-hash-fails the row
     d["qnorm_approx"] = "SELECT event_id, true AS ok FROM events"
+    # calibrated tiered scoring: quality_classifier's hash/lookup plus
+    # Platt sigmoid(4*logit + 0.2) and threshold tier cuts, replayed
+    d["score_model"] = f"""
+        WITH wt AS (
+          SELECT id AS bucket,
+                 round(CAST(('0x' || substr(md5('w:' || CAST(id AS VARCHAR)),
+                            1, 15)) AS UBIGINT)::BIGINT
+                       / 1152921504606846976.0 - 0.5, 6) AS weight
+          FROM range(4096) AS r(id)
+        ), toks AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('feat:' || tok), 1, 15))
+                      AS UBIGINT)::BIGINT % 4096 AS bucket
+          FROM (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents
+          )
+        ), agg AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 avg(coalesce(weight, 0.0)) + 0.0 AS logit
+          FROM toks LEFT JOIN wt USING (bucket)
+          GROUP BY doc_id
+        ), s AS (
+          SELECT doc_id, n_tokens,
+                 round(1.0 / (1.0 + exp(-(4.0 * logit + 0.2))), 6)
+                     AS model_score
+          FROM agg
+        )
+        SELECT doc_id, n_tokens, model_score,
+               CASE WHEN model_score < 0.5 THEN 'tail'
+                    WHEN model_score < 0.6 THEN 'middle'
+                    ELSE 'head' END AS tier
+        FROM s
+    """
     return d

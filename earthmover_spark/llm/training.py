@@ -28,6 +28,8 @@ the weights to 6 decimals.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,6 +38,7 @@ from earthmover_spark.llm.textstats import (
     normalize_text,
     spread_narrow_scan,
 )
+from earthmover_spark.util import EarthmoverSparkError
 
 
 def hashed_tf_features(
@@ -152,6 +155,151 @@ def train_logreg_hashed(
         sorted(weights.items()), "bucket bigint, weight double"
     )
     return out.select("bucket", F.round("weight", 6).alias("weight"))
+
+
+def score_with_model(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    salt: str = "feat:",
+    bias: float = 0.0,
+    platt_a: float = 1.0,
+    platt_b: float = 0.0,
+    thresholds: Sequence[float] = (0.3, 0.7),
+    tiers: Sequence[str] = ("tail", "middle", "head"),
+    out_col: str = "model_score",
+    tier_col: str = "tier",
+) -> DataFrame:
+    """Apply a trained hashed linear quality model and write TIERED
+    outputs — the scoring half of the fastText-style quality-filter
+    loop (:func:`train_logreg_hashed` trains; this scores the corpus
+    and assigns keep/review/drop tiers the downstream mixer consumes,
+    composing with ``perplexity_buckets``/``dsir_weights`` outputs).
+
+    Semantics: the raw logit is the mean learned weight of the
+    document's hashed token buckets plus ``bias`` — EXACTLY ``x . w``
+    in :func:`hashed_tf_features`'s L1-normalized feature space
+    (mean over tokens of w[bucket(tok)] == sum_b (tf_b/|doc|) * w_b),
+    so weights from :func:`train_logreg_hashed` apply verbatim with
+    no feature-space mismatch. The published score is the CALIBRATED
+    probability ``sigmoid(platt_a * logit + platt_b)`` (Platt
+    scaling; fit the two scalars on a labeled holdout with
+    :func:`fit_platt`, or leave the (1, 0) default for the raw
+    model). Tiers cut the calibrated score at ``thresholds``
+    (ascending; ``len(thresholds) == len(tiers) - 1``):
+    ``score < thresholds[0]`` -> ``tiers[0]``, and so on, ``>=``
+    the last threshold -> ``tiers[-1]``. Returns ``(id_col,
+    n_tokens, logit, out_col, tier_col)`` — ``logit`` is kept so a
+    holdout pass can feed :func:`fit_platt` without rescoring.
+    Docs with zero tokens after normalization yield no rows (no
+    evidence either way — same contract as ``quality_classifier``).
+
+    Scale shape (100 TB): token explode stays in codegen; the weight
+    lookup is a BROADCAST hash join (the model is <= ``n_buckets``
+    rows — fastText's 2M buckets is ~16 MB of doubles); the per-doc
+    mean is ONE hash agg on the id with map-side partial combine;
+    calibration and tier assignment are pure per-row codegen on the
+    agg output. Zero corpus shuffles beyond the id agg, no Python,
+    nothing collected."""
+    ts = [float(t) for t in thresholds]
+    if len(ts) != len(list(tiers)) - 1:
+        raise EarthmoverSparkError(
+            "score_with_model: need len(thresholds) == len(tiers) - 1, "
+            f"got {len(ts)} thresholds for {len(list(tiers))} tiers"
+        )
+    if any(ts[i] >= ts[i + 1] for i in range(len(ts) - 1)):
+        raise EarthmoverSparkError(
+            "score_with_model: thresholds must be strictly ascending"
+        )
+    wt = weights.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("weight").cast("double").alias("__w__"),
+    )
+    toks = spread_narrow_scan(df).select(
+        F.col(id_col),
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("__tok__"),
+    ).withColumn("bucket", hash_bucket(F.col("__tok__"), n_buckets, salt))
+    agg = (
+        toks.join(F.broadcast(wt), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.coalesce("__w__", F.lit(0.0))).alias("__z__"),
+        )
+    )
+    # the sigmoid consumes the UNROUNDED logit: rounding a bare
+    # average of 6-decimal rationals first would park values on exact
+    # half-boundaries where engines' last-ulp behavior diverges; the
+    # sigmoid's transcendental output never lands on a boundary, so
+    # round-6 of it is engine-stable (the quality_classifier lesson)
+    logit = F.col("__z__") + F.lit(float(bias))
+    scored = agg.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(logit, 6).alias("logit"),
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(float(platt_a)) * logit
+                        + F.lit(float(platt_b))
+                    )
+                )
+            ),
+            6,
+        ).alias(out_col),
+    )
+    tier = F.lit(list(tiers)[-1])
+    for t, name in zip(reversed(ts), reversed(list(tiers)[:-1])):
+        tier = F.when(F.col(out_col) < F.lit(t), F.lit(name)).otherwise(
+            tier
+        )
+    return scored.withColumn(tier_col, tier)
+
+
+def fit_platt(
+    df: DataFrame,
+    label_col: str,
+    logit_col: str = "logit",
+    iters: int = 50,
+    lr: float = 1.0,
+) -> tuple[float, float]:
+    """Platt calibration: fit ``p = sigmoid(a * z + b)`` on a labeled
+    holdout of raw logits by full-batch gradient descent (a=1, b=0
+    init — the identity calibration). Returns ``(a, b)`` rounded to 6
+    places, ready to pass to :func:`score_with_model`.
+
+    Each iteration is ONE aggregation over the holdout computing the
+    two gradient means (map-side combine; two doubles cross the
+    reduce) — the :func:`train_logreg_hashed` bounded-driver-state
+    pattern with a 2-parameter model. Deterministic: no RNG, fixed
+    init, fixed iteration count."""
+    z = F.col(logit_col).cast("double")
+    y = F.col(label_col).cast("double")
+    pts = df.filter(z.isNotNull() & y.isNotNull()).select(
+        z.alias("__z__"), y.alias("__y__")
+    )
+    if pts.limit(1).count() == 0:
+        raise EarthmoverSparkError("fit_platt: no labeled rows")
+    a, b = 1.0, 0.0
+    for _ in range(iters):
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.lit(a) * F.col("__z__") + F.lit(b)))
+        )
+        e = p - F.col("__y__")
+        row = pts.agg(
+            F.avg(e * F.col("__z__")).alias("ga"),
+            F.avg(e).alias("gb"),
+        ).head()
+        a -= lr * row["ga"]
+        b -= lr * row["gb"]
+    return round(a, 6), round(b, 6)
 
 
 def binary_metrics(

@@ -153,7 +153,7 @@ class Executor:
                 for side in ("benchmark", "sketch"):
                     if op_cfg.get(side):
                         kwargs[side] = self._resolve(op_cfg[side])
-            if op_name == "quality_classifier":
+            if op_name in ("quality_classifier", "score_with_model"):
                 kwargs["weights"] = self._resolve(op_cfg["weights"])
             if op_name == "merge_upsert":
                 kwargs["updates"] = self._resolve(op_cfg["updates"])

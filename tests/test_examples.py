@@ -270,3 +270,39 @@ def test_web_graph_example(spark, tmp_path):
     card = [json.loads(ln) for ln in
             open(results["$destinations.card"]).read().splitlines()]
     assert len(card) == 20 and all(int(c["n_docs"]) > 0 for c in card)
+
+
+def test_quality_scoring_example(spark, tmp_path):
+    """17_quality_scoring: train the hashed linear quality model on a
+    labeled slice, score the corpus with the broadcast weight frame,
+    cut keep/review/drop tiers, filter to keep — end to end from YAML."""
+    cfg = os.path.join(EXAMPLES, "17_quality_scoring", "earthmover.yaml")
+    results = run_project(spark, cfg, params={"SF_DIR": SF_DIR},
+                          output_dir=str(tmp_path))
+    scored = [json.loads(ln) for ln in
+              open(results["$destinations.scored_out"]).read().splitlines()]
+    n_docs = spark.read.parquet(SF_DIR + "/documents.parquet").count()
+    assert len(scored) == n_docs  # every doc tokenizes at this SF
+    for r in scored:
+        s, t = float(r["model_score"]), r["tier"]
+        assert 0.0 <= s <= 1.0
+        # the tier must agree with the thresholds the YAML declares
+        want = "drop" if s < 0.4 else ("review" if s < 0.6 else "keep")
+        assert t == want, r
+    # the trained model separates the labeled classes in aggregate:
+    # en docs (the positives) must outscore the rest on average
+    langs = {str(r["doc_id"]): r["lang"] for r in (
+        row.asDict() for row in
+        spark.read.parquet(SF_DIR + "/documents.parquet")
+        .select("doc_id", "lang").collect())}
+    en = [float(r["model_score"]) for r in scored
+          if langs[str(r["doc_id"])] == "en"]
+    rest = [float(r["model_score"]) for r in scored
+            if langs[str(r["doc_id"])] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    keep = [json.loads(ln) for ln in
+            open(results["$destinations.keep_out"]).read().splitlines()]
+    assert all(r["tier"] == "keep" for r in keep)
+    assert {r["doc_id"] for r in keep} == {
+        r["doc_id"] for r in scored if r["tier"] == "keep"}

@@ -1139,6 +1139,20 @@ def test_triplets_broadcast_anchors_one_scan(plans):
     assert "WindowGroupLimit" in p
 
 
+def test_score_model_broadcast_weights_one_agg(plans):
+    """score_with_model: the weight lookup must be a broadcast hash
+    join (the model is bounded, the corpus is not) and the only
+    corpus-scale exchange is the per-doc id aggregation — calibration
+    and tier cuts are pure codegen on the agg output, no Python."""
+    import re
+
+    p = plans("score_model")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+    assert not re.search(r"Exchange SinglePartition", p)
+
+
 def test_triplets_bucketed_is_cell_equijoin(plans):
     """mine_triplets_bucketed: the anchor-candidate match must be an
     EQUI-join on the IVF cell — never the exact path's nested-loop

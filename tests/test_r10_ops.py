@@ -125,3 +125,112 @@ def test_bucketed_validation(spark):
         mine_triplets_bucketed(emb, emb, k_neg=0)
     with pytest.raises(EarthmoverSparkError):
         mine_triplets_bucketed(emb, emb, n_centroids=2, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# score_with_model / fit_platt
+# ---------------------------------------------------------------------------
+
+
+def test_score_with_model_train_apply_parity(spark):
+    """Weights from train_logreg_hashed apply verbatim: for every doc,
+    score_with_model's raw logit equals the trained model's x . w (the
+    mean-token-weight identity over the L1-normalized feature space)."""
+    from earthmover_spark.llm.training import (
+        hashed_tf_features,
+        score_with_model,
+        train_logreg_hashed,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean prose sentence", 1),
+            (2, "good prose reads well", 1),
+            (3, "spam spam buy now spam", 0),
+            (4, "buy now click spam now", 0),
+            (5, "clean sentence reads well", 1),
+        ],
+        "doc_id long, text string, label int",
+    )
+    w = train_logreg_hashed(docs, "label", n_buckets=64, iters=3)
+    scored = score_with_model(docs, w, n_buckets=64)
+    # manual x . w over the exact training feature space
+    feats = hashed_tf_features(docs, n_buckets=64)
+    manual = {
+        r.doc_id: r.z
+        for r in feats.join(w, "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.coalesce("weight", F.lit(0.0))), 6
+            ).alias("z")
+        )
+        .collect()
+    }
+    for r in scored.collect():
+        assert abs(r.logit - manual[r.doc_id]) < 1e-6, r
+    # the trained model separates the classes
+    s = {r.doc_id: r.model_score for r in scored.collect()}
+    assert min(s[1], s[2], s[5]) > max(s[3], s[4])
+
+
+def test_score_with_model_tiers_and_validation(spark):
+    from earthmover_spark.llm.training import score_with_model
+    from earthmover_spark.util import EarthmoverSparkError as E
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        [(i, 0.0) for i in range(16)], "bucket long, weight double"
+    )
+    # zero weights -> logit 0 -> score sigmoid(b); steer the tier via b
+    lo = score_with_model(
+        docs, w, n_buckets=16, platt_b=-2.0, thresholds=(0.3, 0.7)
+    ).collect()
+    hi = score_with_model(
+        docs, w, n_buckets=16, platt_b=2.0, thresholds=(0.3, 0.7)
+    ).collect()
+    mid = score_with_model(
+        docs, w, n_buckets=16, thresholds=(0.3, 0.7)
+    ).collect()
+    assert {r.tier for r in lo} == {"tail"}
+    assert {r.tier for r in hi} == {"head"}
+    assert {r.tier for r in mid} == {"middle"}
+    with pytest.raises(E):
+        score_with_model(docs, w, thresholds=(0.5,))  # 1 thr, 3 tiers
+    with pytest.raises(E):
+        score_with_model(docs, w, thresholds=(0.7, 0.3))  # not ascending
+
+
+def test_fit_platt_recovers_calibration(spark):
+    """Labels generated from sigmoid(3z - 1) at extreme logits: the
+    fitted (a, b) must calibrate scores toward the generating curve
+    (lower log-loss than the identity calibration)."""
+    import math
+
+    from earthmover_spark.llm.training import fit_platt
+    from earthmover_spark.util import EarthmoverSparkError as E
+
+    rows = []
+    for i in range(-10, 11):
+        z = i / 2.0
+        p = 1.0 / (1.0 + math.exp(-(3.0 * z - 1.0)))
+        rows.append((z, 1 if p >= 0.5 else 0))
+    df = spark.createDataFrame(rows, "logit double, label int")
+    a, b = fit_platt(df, "label", iters=100)
+
+    def logloss(a_, b_):
+        s = 0.0
+        for z, y in rows:
+            p = 1.0 / (1.0 + math.exp(-(a_ * z + b_)))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            s += -(y * math.log(p) + (1 - y) * math.log(1 - p))
+        return s / len(rows)
+
+    assert logloss(a, b) < logloss(1.0, 0.0)
+    assert a > 1.0 and b < 0.0  # moved toward the generating (3, -1)
+    with pytest.raises(E):
+        fit_platt(df.filter("logit is null"), "label")
