@@ -41,21 +41,69 @@ from earthmover_spark.llm.textstats import (
 from earthmover_spark.util import EarthmoverSparkError
 
 
+def _feature_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    salt: str,
+    ngram: int,
+) -> DataFrame:
+    """(id, bucket) hashed feature OCCURRENCE stream shared by the
+    trainer and the scorer: word unigrams up to ``ngram``-grams
+    (fastText's word-ngram trick — bigrams are what let the linear
+    model see 'new york' vs 'new' + 'york'), each md5-bucketed by
+    :func:`~earthmover_spark.llm.textstats.hash_bucket`. The token
+    array is MATERIALIZED as a column before the gram ``transform``
+    — expressions referenced inside transform() lambdas re-evaluate
+    PER ELEMENT, so an inlined split would re-tokenize the document
+    for every bigram (the selection._hashed_features lesson)."""
+    if ngram < 1:
+        raise EarthmoverSparkError("ngram must be >= 1")
+    toks = spread_narrow_scan(df).select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks__"),
+    )
+    arr = F.col("__toks__")
+
+    def grams(n: int):
+        if n == 1:
+            return arr
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(arr, i + j + 1) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    feats = grams(1)
+    for n in range(2, ngram + 1):
+        feats = F.concat(feats, grams(n))
+    return toks.select(
+        id_col, F.explode(feats).alias("__feat__")
+    ).select(
+        id_col,
+        hash_bucket(F.col("__feat__"), n_buckets, salt).alias("bucket"),
+    )
+
+
 def hashed_tf_features(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 512,
     salt: str = "feat:",
+    ngram: int = 1,
 ) -> DataFrame:
-    """(id, bucket, x) hashed bag-of-words features, x = tf / |doc|
-    (L1-normalized term frequency). Docs with no tokens yield no rows."""
-    toks = spread_narrow_scan(df).select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok__"),
-    )
-    by_bucket = toks.select(
-        id_col, hash_bucket(F.col("__tok__"), n_buckets, salt).alias("bucket")
+    """(id, bucket, x) hashed bag-of-features, x = tf / |features|
+    (L1-normalized frequency over word unigrams up to ``ngram``-grams).
+    Docs with no tokens yield no rows."""
+    by_bucket = _feature_stream(
+        df, text_col, id_col, n_buckets, salt, ngram
     )
     tf = by_bucket.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).alias("__tf__")
@@ -77,6 +125,7 @@ def train_logreg_hashed(
     lr: float = 1.0,
     iters: int = 3,
     salt: str = "feat:",
+    ngram: int = 1,
 ) -> DataFrame:
     """Full-batch logistic-regression GD: ``w -= lr * mean_docs((p -
     y) * x)`` with ``p = sigmoid(x . w)``, zero-initialized, no
@@ -105,7 +154,7 @@ def train_logreg_hashed(
     feats = (
         hashed_tf_features(
             df, text_col=text_col, id_col=id_col, n_buckets=n_buckets,
-            salt=salt,
+            salt=salt, ngram=ngram,
         )
         .join(labels, id_col)
         .repartition(n_part, F.col(id_col))
@@ -164,6 +213,7 @@ def score_with_model(
     id_col: str = "doc_id",
     n_buckets: int = 512,
     salt: str = "feat:",
+    ngram: int = 1,
     bias: float = 0.0,
     platt_a: float = 1.0,
     platt_b: float = 0.0,
@@ -217,14 +267,9 @@ def score_with_model(
         F.col("bucket").cast("bigint").alias("bucket"),
         F.col("weight").cast("double").alias("__w__"),
     )
-    toks = spread_narrow_scan(df).select(
-        F.col(id_col),
-        F.explode(
-            F.split(normalize_text(F.col(text_col)), " ")
-        ).alias("__tok__"),
-    ).withColumn("bucket", hash_bucket(F.col("__tok__"), n_buckets, salt))
+    feats = _feature_stream(df, text_col, id_col, n_buckets, salt, ngram)
     agg = (
-        toks.join(F.broadcast(wt), "bucket", "left")
+        feats.join(F.broadcast(wt), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -234,3 +234,57 @@ def test_fit_platt_recovers_calibration(spark):
     assert a > 1.0 and b < 0.0  # moved toward the generating (3, -1)
     with pytest.raises(E):
         fit_platt(df.filter("logit is null"), "label")
+
+
+def test_ngram_features_train_apply_parity(spark):
+    """fastText word-bigram features: the gram stream is shared by the
+    trainer and the scorer, so ngram=2 weights apply verbatim; bigram
+    features must actually change the feature space vs ngram=1."""
+    from earthmover_spark.llm.training import (
+        hashed_tf_features,
+        score_with_model,
+        train_logreg_hashed,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is a big city", 1),
+            (2, "york new has words reversed", 0),
+            (3, "new york again appears here", 1),
+            (4, "again here nothing relevant", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    # unigram space cannot tell 1/3 from 2 apart on {new, york} alone;
+    # the bigram feature 'new york' is what separates them
+    f1 = hashed_tf_features(docs, n_buckets=256, ngram=1)
+    f2 = hashed_tf_features(docs, n_buckets=256, ngram=2)
+    assert f2.count() > f1.count()  # bigram features exist
+    # per-doc feature mass stays L1-normalized in both spaces
+    for f in (f1, f2):
+        sums = f.groupBy("doc_id").agg(F.round(F.sum("x"), 9).alias("s"))
+        assert {r.s for r in sums.collect()} == {1.0}
+    w = train_logreg_hashed(docs, "label", n_buckets=256, ngram=2, iters=4)
+    scored = score_with_model(docs, w, n_buckets=256, ngram=2)
+    manual = {
+        r.doc_id: r.z
+        for r in f2.join(w, "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.coalesce("weight", F.lit(0.0))), 6
+            ).alias("z")
+        )
+        .collect()
+    }
+    got = {r.doc_id: r.logit for r in scored.collect()}
+    for d, z in manual.items():
+        assert abs(got[d] - z) < 1e-6
+    # scoring with a mismatched ngram must NOT silently equal the
+    # trained space (guards against dropping the param somewhere)
+    got1 = {
+        r.doc_id: r.logit
+        for r in score_with_model(docs, w, n_buckets=256, ngram=1).collect()
+    }
+    assert any(abs(got1[d] - manual[d]) > 1e-9 for d in manual)
