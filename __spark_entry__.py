@@ -7583,6 +7583,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
             FROM documents
           )
+          WHERE tok <> ''
         ), agg AS (
           SELECT doc_id, count(*) AS n_tokens,
                  avg(coalesce(weight, 0.0)) + 0.0 AS logit

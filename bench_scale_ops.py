@@ -590,12 +590,13 @@ def main() -> None:
         # KMeans fit), and the anchor frame is never broadcast.
         from earthmover_spark.llm.similarity import mine_triplets_bucketed
 
+        # ~10k anchors at the default 1M vectors; floor of 2 keeps the
+        # probe meaningful (non-empty, non-crashing) at tiny --vecs
+        anchor_step = max(2, vecs_n // 10_000)
         r["mine_triplets_bucketed_10k"] = _t(
             lambda: _force(
                 mine_triplets_bucketed(
-                    labeled.filter(
-                        F.col("vec_id") % (vecs_n // 10_000) == 1
-                    ),
+                    labeled.filter(F.col("vec_id") % anchor_step == 1),
                     labeled,
                     k_neg=5,
                     n_centroids=64,

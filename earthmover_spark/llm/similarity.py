@@ -150,10 +150,16 @@ def hard_negatives(
         F.col(label_col).alias("negative_label"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).filter(F.col("negative_label").isNotNull())
-    scored = c.join(
-        F.broadcast(a),
-        on=F.col("anchor_label") != F.col("negative_label"),
-    ).withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    scored = (
+        c.join(
+            F.broadcast(a),
+            on=F.col("anchor_label") != F.col("negative_label"),
+        )
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        # a NULL cosine (NULL/ragged embedding) is not a negative —
+        # exclude rather than let it export from the rank tail
+        .filter(F.col("score").isNotNull())
+    )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("score").desc(), F.col("negative_id").asc()
     )
@@ -435,6 +441,41 @@ def pq_topk(
     )
 
 
+def _nearest_cells(
+    qv: Column, centroids: "list[list[float]]", n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest IVF cell ids for a query vector, ranked
+    by squared L2 distance to each centroid — the SAME metric
+    ``ivf_index`` assigns with. Pure codegen over a broadcast literal
+    centroid array; shared by every IVF prober so the ranking can
+    never desynchronize between them."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        n_probe,
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -453,31 +494,8 @@ def ivf_topk(
     schema as ``cosine_topk``/``lsh_topk``."""
     indexed, centroids = ivf_index(corpus, vec_col, n_centroids)
 
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
     qv = F.col(vec_col).cast("array<double>")
-    dists = F.transform(
-        cent_arr,
-        lambda c: F.aggregate(
-            F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    # n_probe nearest cells per query
-    ranked_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    dists,
-                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                )
-            ),
-            lambda s: s["i"],
-        ),
-        1,
-        n_probe,
-    )
+    ranked_cells = _nearest_cells(qv, centroids, n_probe)
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv__"),
@@ -608,6 +626,14 @@ def _triplets_attach(
             f"'hardest', got {positive_mode!r}"
         )
     pos_sign = -1.0 if positive_mode == "most_similar" else 1.0
+    # a NULL cosine (NULL/ragged embedding) is not evidence of
+    # similarity OR dissimilarity — exclude it outright rather than
+    # rank it (plain asc would even rank NULLs FIRST in Spark,
+    # promoting junk to rank 1; nulls-last would still export it
+    # whenever k_neg reaches the tail). The engine-divergent
+    # NULL-ordering trap: any rank over a nullable column must
+    # exclude NULLs on BOTH the Spark and the oracle side.
+    scored = scored.filter(F.col("score").isNotNull())
     # ascending sort key: negatives always -score (highest cosine
     # first); positives sign*score (most_similar = highest first,
     # hardest = lowest first)
@@ -615,7 +641,7 @@ def _triplets_attach(
         F.col("__same__"), F.col("score") * F.lit(pos_sign)
     ).otherwise(-F.col("score"))
     w = Window.partitionBy("anchor_id", "__same__").orderBy(
-        key.asc(), F.col("cand_id").asc()
+        key.asc_nulls_last(), F.col("cand_id").asc()
     )
     pruned = (
         scored.withColumn("__rn__", F.row_number().over(w))
@@ -759,33 +785,9 @@ def mine_triplets_bucketed(
         c, vec_col="cv", n_centroids=n_centroids, seed=seed
     )
     # n_probe nearest cells per anchor, by the same squared-L2 rank
-    # ivf_index assigns with (ivf_topk's probing expression)
-    cent_arr = F.array(
-        *[F.array(*[F.lit(x) for x in cc]) for cc in centroids]
-    )
+    # ivf_index assigns with (the shared _nearest_cells prober)
     qv = F.col(vec_col).cast("array<double>")
-    dists = F.transform(
-        cent_arr,
-        lambda cc: F.aggregate(
-            F.zip_with(qv, cc, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    ranked_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    dists,
-                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                )
-            ),
-            lambda s: s["i"],
-        ),
-        1,
-        n_probe,
-    )
+    ranked_cells = _nearest_cells(qv, centroids, n_probe)
     a = (
         anchors.select(
             F.col(id_col).alias("anchor_id"),

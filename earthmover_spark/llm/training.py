@@ -60,9 +60,18 @@ def _feature_stream(
     for every bigram (the selection._hashed_features lesson)."""
     if ngram < 1:
         raise EarthmoverSparkError("ngram must be >= 1")
+    # drop empty tokens: normalize_text('') and NULL text split to
+    # [''], which would otherwise score every empty doc by the
+    # arbitrary weight of bucket('') — with the filter, docs that
+    # normalize to nothing genuinely yield no rows (the documented
+    # contract). Non-empty normalized text has no '' tokens
+    # (whitespace is collapsed), so only empty docs are affected.
     toks = spread_narrow_scan(df).select(
         F.col(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("__toks__"),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "),
+            lambda t: t != "",
+        ).alias("__toks__"),
     )
     arr = F.col("__toks__")
 
@@ -83,10 +92,16 @@ def _feature_stream(
     feats = grams(1)
     for n in range(2, ngram + 1):
         feats = F.concat(feats, grams(n))
+    # __ntok__ rides along so consumers can report true WORD-token
+    # counts — with ngram > 1 the feature count is ~ngram x the token
+    # count and must not masquerade as a document length
     return toks.select(
-        id_col, F.explode(feats).alias("__feat__")
+        id_col,
+        F.size(arr).alias("__ntok__"),
+        F.explode(feats).alias("__feat__"),
     ).select(
         id_col,
+        "__ntok__",
         hash_bucket(F.col("__feat__"), n_buckets, salt).alias("bucket"),
     )
 
@@ -242,9 +257,12 @@ def score_with_model(
     ``score < thresholds[0]`` -> ``tiers[0]``, and so on, ``>=``
     the last threshold -> ``tiers[-1]``. Returns ``(id_col,
     n_tokens, logit, out_col, tier_col)`` — ``logit`` is kept so a
-    holdout pass can feed :func:`fit_platt` without rescoring.
-    Docs with zero tokens after normalization yield no rows (no
-    evidence either way — same contract as ``quality_classifier``).
+    holdout pass can feed :func:`fit_platt` without rescoring, and
+    ``n_tokens`` counts WORD tokens after normalization (NOT the
+    ngram-inflated feature count the model averages over). Docs with
+    zero tokens after normalization yield no rows — genuinely: empty
+    and NULL texts are filtered before hashing, never scored by the
+    arbitrary weight of an empty-string bucket.
 
     Scale shape (100 TB): token explode stays in codegen; the weight
     lookup is a BROADCAST hash join (the model is <= ``n_buckets``
@@ -272,7 +290,9 @@ def score_with_model(
         feats.join(F.broadcast(wt), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            # true WORD-token count, not the (ngram-inflated) feature
+            # count the avg runs over
+            F.first("__ntok__").alias("n_tokens"),
             F.avg(F.coalesce("__w__", F.lit(0.0))).alias("__z__"),
         )
     )
@@ -327,23 +347,33 @@ def fit_platt(
     init, fixed iteration count."""
     z = F.col(logit_col).cast("double")
     y = F.col(label_col).cast("double")
-    pts = df.filter(z.isNotNull() & y.isNotNull()).select(
-        z.alias("__z__"), y.alias("__y__")
+    # pin the holdout: every GD iteration re-aggregates this frame,
+    # and without the persist each of the `iters` jobs would re-run
+    # the full upstream lineage (e.g. score_with_model's tokenize +
+    # broadcast join) — the train_logreg_hashed pattern
+    pts = (
+        df.filter(z.isNotNull() & y.isNotNull())
+        .select(z.alias("__z__"), y.alias("__y__"))
+        .persist()
     )
-    if pts.limit(1).count() == 0:
-        raise EarthmoverSparkError("fit_platt: no labeled rows")
-    a, b = 1.0, 0.0
-    for _ in range(iters):
-        p = F.lit(1.0) / (
-            F.lit(1.0) + F.exp(-(F.lit(a) * F.col("__z__") + F.lit(b)))
-        )
-        e = p - F.col("__y__")
-        row = pts.agg(
-            F.avg(e * F.col("__z__")).alias("ga"),
-            F.avg(e).alias("gb"),
-        ).head()
-        a -= lr * row["ga"]
-        b -= lr * row["gb"]
+    try:
+        if pts.limit(1).count() == 0:
+            raise EarthmoverSparkError("fit_platt: no labeled rows")
+        a, b = 1.0, 0.0
+        for _ in range(iters):
+            p = F.lit(1.0) / (
+                F.lit(1.0)
+                + F.exp(-(F.lit(a) * F.col("__z__") + F.lit(b)))
+            )
+            e = p - F.col("__y__")
+            row = pts.agg(
+                F.avg(e * F.col("__z__")).alias("ga"),
+                F.avg(e).alias("gb"),
+            ).head()
+            a -= lr * row["ga"]
+            b -= lr * row["gb"]
+    finally:
+        pts.unpersist()
     return round(a, 6), round(b, 6)
 
 

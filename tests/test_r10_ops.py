@@ -288,3 +288,76 @@ def test_ngram_features_train_apply_parity(spark):
         for r in score_with_model(docs, w, n_buckets=256, ngram=1).collect()
     }
     assert any(abs(got1[d] - manual[d]) > 1e-9 for d in manual)
+
+
+# ---------------------------------------------------------------------------
+# self-review regression fixes
+# ---------------------------------------------------------------------------
+
+
+def test_mine_triplets_null_embedding_ranks_last(spark):
+    """A labeled candidate with a NULL embedding scores NULL; the rank
+    key must order NULLS LAST (plain asc is NULLS FIRST in Spark),
+    never promoting it to positive or neg_rank 1."""
+    from earthmover_spark.llm.similarity import mine_triplets
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.9, 0.1]),
+            (3, 0, None),          # NULL embedding, same label
+            (4, 1, [0.8, 0.2]),
+            (5, 1, None),          # NULL embedding, different label
+        ],
+        SCHEMA,
+    )
+    anchors = emb.filter("vec_id = 1")
+    for mode in ("most_similar", "hardest"):
+        rows = mine_triplets(
+            anchors, emb, k_neg=2, positive_mode=mode
+        ).collect()
+        assert rows, mode
+        # the NULL-scored candidates are EXCLUDED outright: 3 never
+        # becomes the positive (in either mode) and 5 never exports
+        # as a negative even though k_neg=2 reaches the rank tail
+        assert all(r.positive_id == 2 for r in rows), (mode, rows)
+        assert all(r.negative_id == 4 for r in rows), (mode, rows)
+
+
+def test_score_with_model_empty_docs_yield_no_rows(spark):
+    """NULL and punctuation-only texts normalize to '' and must be
+    filtered before hashing — not scored by bucket('')'s weight."""
+    from earthmover_spark.llm.training import (
+        hashed_tf_features,
+        score_with_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "real words here"), (2, None), (3, "!!! ... ???")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        [(i, 0.5) for i in range(16)], "bucket long, weight double"
+    )
+    scored = score_with_model(docs, w, n_buckets=16).collect()
+    assert {r.doc_id for r in scored} == {1}
+    assert {r.doc_id for r in hashed_tf_features(docs, n_buckets=16)
+            .select("doc_id").distinct().collect()} == {(1,)} or True
+    feats = hashed_tf_features(docs, n_buckets=16)
+    assert {r.doc_id for r in feats.collect()} == {1}
+
+
+def test_score_with_model_n_tokens_is_word_count(spark):
+    """With ngram=2 the model averages over ~2x features, but n_tokens
+    must still report the true word-token count."""
+    from earthmover_spark.llm.training import score_with_model
+
+    docs = spark.createDataFrame(
+        [(1, "five words in this doc")], "doc_id long, text string"
+    )
+    w = spark.createDataFrame(
+        [(i, 0.0) for i in range(32)], "bucket long, weight double"
+    )
+    for ng in (1, 2, 3):
+        rows = score_with_model(docs, w, n_buckets=32, ngram=ng).collect()
+        assert rows[0].n_tokens == 5, (ng, rows)
