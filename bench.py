@@ -161,6 +161,10 @@ HEADLINE = [
     "src_overlap",  # grouped KMV bottom-k + sketch-sized pair algebra
     "qnorm",  # per-group cume_dist + range-partitioned rank lookups
     "triplets",  # one broadcast-anchor scan, two rank branches
+    # --- r10 additions ---
+    "triplets_bucketed",  # IVF cell equi-join, no anchor broadcast
+    "qnorm_approx",  # broadcast-grid ramp vs exact, tolerance flags
+    "score_model",  # broadcast weights + one id agg + codegen tiers
 ]
 
 
