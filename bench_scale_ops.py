@@ -220,6 +220,28 @@ def main() -> None:
             lambda: _force(inverted_index(corpus, min_df=2))
         )
 
+        # --- r10: calibrated quality-model scoring over the 2M-doc
+        # corpus: broadcast weight lookup + ONE doc-keyed hash agg +
+        # codegen tiers — must stay corpus-linear, no extra exchanges
+        from earthmover_spark.llm.training import score_with_model
+
+        score_w = spark.range(4096).select(
+            F.col("id").alias("bucket"),
+            (
+                F.pmod(F.hash(F.col("id") * 17), F.lit(2001)) / 1000.0
+                - 1.0
+            ).alias("weight"),
+        )
+        r["score_model_2m"] = _t(
+            lambda: _force(
+                score_with_model(
+                    corpus, score_w, n_buckets=4096,
+                    platt_a=4.0, platt_b=0.2, thresholds=(0.5, 0.6),
+                    tiers=("tail", "middle", "head"),
+                )
+            )
+        )
+
         # --- r7: unigram-LM JSD between two corpus halves ---------------
         from earthmover_spark.llm.textstats import lm_divergence
 

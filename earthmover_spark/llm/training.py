@@ -270,7 +270,11 @@ def score_with_model(
     mean is ONE hash agg on the id with map-side partial combine;
     calibration and tier assignment are pure per-row codegen on the
     agg output. Zero corpus shuffles beyond the id agg, no Python,
-    nothing collected."""
+    nothing collected. Streaming: scoring is stateless per document,
+    so apply this inside ``foreachBatch`` — per-micro-batch
+    application is exact (no cross-batch state; the weight broadcast
+    re-evaluates per batch, picking up refreshed models like
+    ``enrich_stream``)."""
     ts = [float(t) for t in thresholds]
     if len(ts) != len(list(tiers)) - 1:
         raise EarthmoverSparkError(
