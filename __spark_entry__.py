@@ -2615,12 +2615,20 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_* convention — because the OFFICIAL driver canonicalizer is
     pandas-based and cannot hash ``array<double>`` cells (the r9 red
     row); tools/compare.py stringifies lists and would silently pass
-    a raw array here, so the harness also schema-guards this."""
+    a raw array here, so the harness also schema-guards this.
+
+    posexplode_OUTER deliberately: plain posexplode makes Catalyst
+    infer a ``size(proj) > 0`` filter (InferFiltersFromGenerate) that
+    DUPLICATES the entire 512-op JL expression into the filter — 5x
+    the runtime measured at sf0.1. The outer variant skips the
+    inferred filter and is semantically identical here because
+    ``random_project`` builds ``proj`` with ``F.array(...)``, which
+    is never NULL or empty."""
     from earthmover_spark.llm import embeddings
 
     emb = _p(spark, sf_dir, "embeddings")
     proj = embeddings.random_project(emb, k=8, dims=64).select(
-        "vec_id", F.posexplode("proj").alias("dim", "value")
+        "vec_id", F.posexplode_outer("proj").alias("dim", "value")
     )
     return proj.select(
         "vec_id", "dim", F.round("value", 6).alias("value")
