@@ -28,6 +28,39 @@ def test_oracle_sql_is_text():
         assert isinstance(sql, str) and sql.strip(), name
 
 
+#: queries allowed a vectorized (Arrow-batched) Python stage, each
+#: documented: jinja_md5 exercises the full-Jinja pandas_udf path by
+#: design; norm_nfc needs Python's unicodedata for NFC normalization
+ARROW_PYTHON_OK = {"jinja_md5", "norm_nfc"}
+
+
+def test_registry_plan_lint(spark, sf_dir):
+    """Registry-wide 100 TB plan lint: NO registered query may plan a
+    CartesianProduct (unbounded pairwise blowup) or a row-at-a-time
+    BatchEvalPython stage (the 10-100x-slow path); vectorized
+    ArrowEvalPython only for the documented whitelist. Correctness
+    checks can't see these — a plan that regresses to a cartesian or
+    a per-row UDF still returns the right rows at sf0.001."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    bad = {}
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        p = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        problems = []
+        if "CartesianProduct" in p:
+            problems.append("CartesianProduct")
+        if "BatchEvalPython" in p:
+            problems.append("BatchEvalPython (row-at-a-time)")
+        if "ArrowEvalPython" in p and name not in ARROW_PYTHON_OK:
+            problems.append("undocumented ArrowEvalPython")
+        if problems:
+            bad[name] = problems
+    assert not bad, f"plan lint failures: {bad}"
+
+
 def test_no_query_returns_complex_columns(spark, sf_dir):
     """The official driver canonicalizer is pandas-based and crashes on
     array/map/struct cells (``unhashable type: 'list'`` — the r9
