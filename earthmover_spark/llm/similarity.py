@@ -749,6 +749,7 @@ def mine_triplets_bucketed(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF-bucketed :func:`mine_triplets` — the LARGE-ANCHOR-SET /
     100 TB path. Same output schema and NULL/self-pair semantics, but
@@ -782,7 +783,8 @@ def mine_triplets_bucketed(
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).filter(F.col("cand_label").isNotNull())
     indexed, centroids = ivf_index(
-        c, vec_col="cv", n_centroids=n_centroids, seed=seed
+        c, vec_col="cv", n_centroids=n_centroids, seed=seed,
+        max_iter=max_iter,
     )
     # n_probe nearest cells per anchor, by the same squared-L2 rank
     # ivf_index assigns with (the shared _nearest_cells prober)
