@@ -957,3 +957,57 @@ def test_web_ops_compose_on_streams(spark, tmp_path):
     assert [(r.doc_id, r.link_url, r.anchor) for r in out] == [
         (1, "http://a.example/x", "go now")
     ]
+
+
+def test_score_with_model_foreachbatch_matches_batch(spark, tmp_path):
+    """score_with_model's documented streaming contract: scoring is
+    stateless per document, so applying it inside foreachBatch over a
+    file stream must reproduce the batch result exactly, regardless of
+    how the docs split across micro-batches."""
+    from earthmover_spark.llm.training import score_with_model
+    from earthmover_spark.streaming import read_stream_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean prose sentence"),
+            (2, "buy now click spam now"),
+            (3, "clean sentence reads well"),
+            (4, "spam spam buy now spam"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "docs_stream")
+    # two files -> availableNow drains them (possibly) as separate
+    # micro-batches
+    docs.filter("doc_id <= 2").coalesce(1).write.parquet(d)
+    docs.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(d)
+
+    w = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        (F.pmod(F.hash(F.col("id") * 13), F.lit(201)) / 100.0 - 1.0)
+        .alias("weight"),
+    )
+
+    def score(df):
+        return score_with_model(
+            df, w, n_buckets=64, platt_a=2.0, platt_b=0.1,
+            thresholds=(0.45, 0.55), tiers=("drop", "review", "keep"),
+        )
+
+    got = []
+    stream = read_stream_source(spark, d)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(
+            lambda batch, _id: got.extend(
+                tuple(r) for r in score(batch).collect()
+            )
+        )
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt_score_stream")
+        )
+        .start()
+    )
+    q.awaitTermination(60)
+    want = sorted(tuple(r) for r in score(docs).collect())
+    assert sorted(got) == want and len(want) == 4
