@@ -2,6 +2,8 @@
 full DuckDB oracle unless explicitly documented rows-only, no orphan
 oracles, and the entry() smoke query is registered."""
 
+import pytest
+
 import __spark_entry__ as entry
 
 #: genuinely non-SQL-expressible queries (driver records rows-only)
@@ -34,7 +36,17 @@ def test_oracle_sql_is_text():
 ARROW_PYTHON_OK = {"jinja_md5", "norm_nfc"}
 
 
-def test_registry_plan_lint(spark, sf_dir):
+@pytest.fixture(scope="module")
+def registry_frames(spark, sf_dir):
+    """Every registered query built ONCE (construction is not free —
+    several queries run driver-side probes/fits at build time) and
+    shared by the schema guard and the plan lint below."""
+    return {
+        name: fn(spark, sf_dir) for name, fn in entry.queries().items()
+    }
+
+
+def test_registry_plan_lint(spark, registry_frames):
     """Registry-wide 100 TB plan lint: NO registered query may plan a
     CartesianProduct (unbounded pairwise blowup) or a row-at-a-time
     BatchEvalPython stage (the 10-100x-slow path); vectorized
@@ -45,10 +57,8 @@ def test_registry_plan_lint(spark, sf_dir):
         "formatted"
     )
     bad = {}
-    import __spark_entry__ as e
-
-    for name, fn in e.queries().items():
-        p = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+    for name, df in registry_frames.items():
+        p = df._jdf.queryExecution().explainString(mode)
         problems = []
         if "CartesianProduct" in p:
             problems.append("CartesianProduct")
@@ -61,17 +71,15 @@ def test_registry_plan_lint(spark, sf_dir):
     assert not bad, f"plan lint failures: {bad}"
 
 
-def test_no_query_returns_complex_columns(spark, sf_dir):
+def test_no_query_returns_complex_columns(registry_frames):
     """The official driver canonicalizer is pandas-based and crashes on
     array/map/struct cells (``unhashable type: 'list'`` — the r9
     ``jl_project`` red row), while the local compare.py harness used to
     stringify lists and silently pass them. Every registered query must
     therefore emit scalar-only columns (the emb_* posexplode
-    convention). Building the DataFrames is plan-side for most queries;
-    the handful that probe during construction run at sf0.001."""
+    convention)."""
     offenders = {}
-    for name, fn in entry.queries().items():
-        df = fn(spark, sf_dir)
+    for name, df in registry_frames.items():
         complex_cols = [
             f.name
             for f in df.schema.fields

@@ -1143,11 +1143,13 @@ def test_jl_project_no_inferred_size_filter(plans):
     """jl_project's posexplode_outer must keep Catalyst from inferring
     a size(proj) > 0 filter — the inferred filter DUPLICATES the whole
     512-op JL expression (no CSE across filter/project), measured 5x
-    the runtime at sf0.1."""
-    import re
-
+    the runtime at sf0.1. Plain substring check, NOT a 'Filter .*size'
+    regex: formatted explain prints the Filter header and its
+    Condition on separate lines, so a dot-regex never matches (the
+    second-review catch — the jl plan has no other size() call, so
+    any size( in the text IS the inferred filter)."""
     p = plans("jl_project")
-    assert not re.search(r"Filter .*size\(", p), (
+    assert "size(" not in p, (
         "inferred size() filter re-appeared above the generate — "
         "the JL expression is being computed twice"
     )
