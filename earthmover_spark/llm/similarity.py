@@ -88,20 +88,53 @@ def cosine_topk(
 #: (:func:`mine_triplets_bucketed`), which never broadcasts anchors.
 MAX_BROADCAST_ANCHORS = 65536
 
+#: Byte-denominated companion ceiling: the ROW budget above is
+#: calibrated to 64-dim doubles, but 65k rows of 1024-dim vectors is
+#: ~540 MB — technically inside Spark's 8 GB broadcast-table limit,
+#: far past comfort for executor heap. 512 MB trips before the
+#: opaque OOM does.
+MAX_BROADCAST_ANCHOR_BYTES = 512 << 20
+
+#: conservative per-row overhead estimate on top of the vector
+#: payload (UnsafeRow header, id + label fields, array header)
+_ANCHOR_ROW_OVERHEAD = 64
+
 
 def _check_anchor_budget(anchors: DataFrame, max_anchors: int, op: str) -> None:
-    """Bounded probe (``limit(n+1).count()`` — never a full count) that
-    the anchor frame fits the broadcast budget; raises a clear error
-    instead of an opaque executor broadcast OOM."""
+    """Bounded probe that the anchor frame fits the broadcast budget —
+    both row count AND estimated bytes (rows x (8 x dims + overhead),
+    dims read from the same bounded sample) — raising a clear error
+    instead of an opaque executor broadcast OOM. ONE Spark job: the
+    ``limit(n+1)`` sample aggregates count and max vector size
+    together; never a full count of the anchor source."""
     if max_anchors is None:
         return
-    if anchors.limit(max_anchors + 1).count() > max_anchors:
+    row = (
+        anchors.limit(max_anchors + 1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("qv")).alias("dims"),
+        )
+        .head()
+    )
+    if row["n"] > max_anchors:
         raise EarthmoverSparkError(
             f"{op}: anchor frame exceeds max_anchors={max_anchors} — "
             "the exact path broadcasts anchors against the whole "
             "corpus. Use mine_triplets_bucketed / an IVF-bucketed "
             "candidate set for large anchor sets, or raise "
             "max_anchors explicitly if you have the executor memory."
+        )
+    dims = row["dims"] or 0
+    est = row["n"] * (8 * dims + _ANCHOR_ROW_OVERHEAD)
+    if est > MAX_BROADCAST_ANCHOR_BYTES:
+        raise EarthmoverSparkError(
+            f"{op}: anchor frame is ~{est >> 20} MB "
+            f"({row['n']} rows x {dims} dims) — past the "
+            f"{MAX_BROADCAST_ANCHOR_BYTES >> 20} MB broadcast comfort "
+            "budget even though the row count fits. Use "
+            "mine_triplets_bucketed (cell equi-join, no broadcast) or "
+            "lower max_anchors."
         )
 
 

@@ -361,3 +361,18 @@ def test_score_with_model_n_tokens_is_word_count(spark):
     for ng in (1, 2, 3):
         rows = score_with_model(docs, w, n_buckets=32, ngram=ng).collect()
         assert rows[0].n_tokens == 5, (ng, rows)
+
+
+def test_anchor_budget_byte_ceiling(spark, monkeypatch):
+    """The byte-denominated budget trips even when the row count fits:
+    rows x (8 x dims + overhead) against MAX_BROADCAST_ANCHOR_BYTES
+    (lowered here so a unit-test-sized frame crosses it)."""
+    from earthmover_spark.llm import similarity
+
+    emb = spark.createDataFrame(EMB, SCHEMA)
+    anchors = emb.filter("vec_id in (1, 2, 4)")
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_ANCHOR_BYTES", 100)
+    with pytest.raises(EarthmoverSparkError, match="MB broadcast"):
+        similarity.mine_triplets(anchors, emb, k_neg=1)
+    with pytest.raises(EarthmoverSparkError, match="MB broadcast"):
+        similarity.hard_negatives(anchors, emb, k=1)
