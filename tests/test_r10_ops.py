@@ -376,3 +376,60 @@ def test_anchor_budget_byte_ceiling(spark, monkeypatch):
         similarity.mine_triplets(anchors, emb, k_neg=1)
     with pytest.raises(EarthmoverSparkError, match="MB broadcast"):
         similarity.hard_negatives(anchors, emb, k=1)
+
+
+def test_score_with_model_matches_pure_python(spark):
+    """Property-style cross-check on randomized docs: the full scoring
+    path (normalize -> md5 hash-bucket -> weight avg -> Platt sigmoid
+    -> tier) must match an independent pure-Python replica."""
+    import hashlib
+    import math
+    import random
+    import re
+
+    from earthmover_spark.llm.training import score_with_model
+
+    rng = random.Random(1234)
+    vocab = ["alpha", "Beta", "GAMMA", "delta,", "eps!", "zeta", "?"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+        for i in range(40)
+    ]
+    n_buckets = 32
+    weights = {b: round(rng.uniform(-1, 1), 6) for b in range(n_buckets)}
+    a, b_, thr = 3.0, -0.5, (0.35, 0.65)
+
+    def py_bucket(tok):
+        h = hashlib.md5(("feat:" + tok).encode()).hexdigest()[:15]
+        return int(h, 16) % n_buckets
+
+    def py_score(text):
+        t = text.lower()
+        t = re.sub(r"[^\w\s]", "", t, flags=re.UNICODE)
+        t = re.sub(r"\s+", " ", t).strip()
+        toks = [x for x in t.split(" ") if x != ""]
+        if not toks:
+            return None
+        z = sum(weights[py_bucket(x)] for x in toks) / len(toks)
+        p = round(1.0 / (1.0 + math.exp(-(a * z + b_))), 6)
+        tier = "drop" if p < thr[0] else ("review" if p < thr[1] else "keep")
+        return len(toks), p, tier
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), "bucket long, weight double"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.model_score, r.tier)
+        for r in score_with_model(
+            sdf, wdf, n_buckets=n_buckets, platt_a=a, platt_b=b_,
+            thresholds=thr, tiers=("drop", "review", "keep"),
+        ).collect()
+    }
+    want = {i: py_score(t) for i, t in docs if py_score(t) is not None}
+    assert set(got) == set(want)
+    for i, (nt, p, tier) in want.items():
+        gn, gp, gt = got[i]
+        assert gn == nt and gt == tier and abs(gp - p) < 2e-6, (
+            i, got[i], want[i]
+        )
