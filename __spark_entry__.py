@@ -1425,6 +1425,198 @@ def q_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "model_score", "tier")
 
 
+def _pref_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic completion scores: documents as
+    completions, prompt_id = doc_id % 200, score = md5-uniform in
+    [0,1) rounded to 6dp (the weight-table idiom — the DuckDB twin
+    replays the hash bit-for-bit)."""
+    docs = _p(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 60))
+    )
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % 200).alias("prompt_id"),
+        F.round(u, 6).alias("score"),
+    )
+
+
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection-sampling winner selection (best_of_n): top-2 scored
+    completions per prompt, NULL scores excluded, ties to the smaller
+    id — the WindowGroupLimit prunes to <=2 rows per prompt map-side."""
+    from earthmover_spark.llm import preference
+
+    sc = _pref_scores(spark, sf_dir)
+    return preference.best_of_n(
+        sc, "prompt_id", "score", n=2, tiebreak_col="doc_id"
+    ).select("prompt_id", "doc_id", "score", F.col("rank").cast("bigint"))
+
+
+def q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO pair construction (preference_pairs, extreme mode): chosen =
+    per-prompt argmax, rejected = argmin, margin gate 0.2 — ONE
+    map-side-combined aggregation pass over the completions (sort-based
+    for the struct-ordered extremes), one row per prompt shuffles."""
+    from earthmover_spark.llm import preference
+
+    sc = _pref_scores(spark, sf_dir)
+    out = preference.preference_pairs(
+        sc, "prompt_id", "doc_id", "score", min_margin=0.2
+    )
+    return out.select(
+        "prompt_id",
+        "chosen_id",
+        "chosen_score",
+        "rejected_id",
+        "rejected_score",
+        F.round("margin", 6).alias("margin"),
+    )
+
+
+def _pref_battles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic arena battles from events: 30 items,
+    the md5 coin gives item i a win probability ~(i+1)/(i+j+2) against
+    item j — a planted Bradley-Terry world with strength ~ i+1 that
+    the MM fit should roughly recover."""
+    ev = _p(spark, sf_dir, "events")
+    a = (F.col("user_id") % 30).alias("a")
+    b = ((F.col("user_id") + 1 + (F.col("event_id") % 29)) % 30).alias("b")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("coin:"), F.col("event_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    base = ev.select(a, b, h)
+    a_wins = (F.col("h") % (F.col("a") + F.col("b") + 2)) <= F.col("a")
+    return base.select(
+        F.when(a_wins, F.col("a")).otherwise(F.col("b")).alias("winner"),
+        F.when(a_wins, F.col("b")).otherwise(F.col("a")).alias("loser"),
+    )
+
+
+def q_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO-style per-prompt advantage whitening
+    (advantage_normalize): (score - group mean) / (group population
+    stddev + eps) — the stats frame is answer-sized so the join-back
+    broadcasts; the completions never shuffle."""
+    from earthmover_spark.llm import preference
+
+    sc = _pref_scores(spark, sf_dir)
+    out = preference.advantage_normalize(
+        sc, "prompt_id", "score", eps=1e-8
+    )
+    return out.select(
+        "doc_id",
+        "prompt_id",
+        "score",
+        F.round("advantage", 6).alias("advantage"),
+    )
+
+
+def q_win_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arena battle log -> ordered-pair win counts (win_counts): the
+    mergeable sufficient statistic for any pairwise-ranking fit. ONE
+    map-side-combined hash aggregation, answer-sized output."""
+    from earthmover_spark.llm import preference
+
+    return preference.win_counts(_pref_battles(spark, sf_dir))
+
+
+def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths via Hunter's MM algorithm
+    (bradley_terry, 2 iterations so the DuckDB twin can unroll them
+    exactly): battles collapse once to pair counts + win totals; each
+    iteration is two |items|-row equi-joins and one hash agg — the
+    battle log is never rescanned. Geometric-mean normalization pins
+    the scale; smoothing=0.5 virtual games keep winless items finite."""
+    from earthmover_spark.llm import preference
+
+    out = preference.bradley_terry(
+        _pref_battles(spark, sf_dir), iters=2, smoothing=0.5
+    )
+    return out.select(
+        "item",
+        F.round("strength", 6).alias("strength"),
+        "n_wins",
+        "n_losses",
+        "n_games",
+    )
+
+
+def q_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over synthetic annotations (events as ratings:
+    item = event_id % 400, label = event_type): chance-corrected
+    many-rater agreement in one confusion-count pass; items with one
+    rating are excluded and reported, single-category degenerate case
+    yields NULL (not 1.0)."""
+    from earthmover_spark.llm import preference
+
+    ev = _p(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    ann = ev.select(
+        (F.col("event_id") % 400).alias("item_id"),
+        F.col("event_type").alias("label"),
+    )
+    out = preference.fleiss_kappa(ann)
+    return out.select(
+        F.round("kappa", 6).alias("kappa"),
+        F.round("p_bar", 6).alias("p_bar"),
+        F.round("p_e", 6).alias("p_e"),
+        "n_items",
+        "n_ratings",
+        "n_items_excluded",
+    )
+
+
+def q_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa between 4 synthetic raters (events
+    deduped to one label per (item, rater) via deterministic
+    min-event_id): the which-annotator-disagrees audit — a self-join
+    on the item key reduced immediately to per-pair confusion counts."""
+    from earthmover_spark.llm import preference
+
+    ev = _p(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ann = (
+        ev.groupBy(
+            (F.col("event_id") % 300).alias("item_id"),
+            F.concat(
+                F.lit("r"), (F.col("user_id") % 4).cast("string")
+            ).alias("rater_id"),
+        )
+        .agg(F.min(F.struct("event_id", "event_type"))["event_type"].alias("label"))
+    )
+    out = preference.cohens_kappa_pairs(ann)
+    return out.select(
+        "rater_a",
+        "rater_b",
+        "n_items",
+        F.round("p_o", 6).alias("p_o"),
+        F.round("p_e", 6).alias("p_e"),
+        F.round("kappa", 6).alias("kappa"),
+    )
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass dataset profiler: per-column null/distinct counts,
     string-form min/max, mean length — all expressions of a single
@@ -3363,6 +3555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triplets_bucketed": q_triplets_bucketed,
         "qnorm_approx": q_qnorm_approx,
         "score_model": q_score_model,
+        "best_of_n": q_best_of_n,
+        "pref_pairs": q_pref_pairs,
+        "advantages": q_advantages,
+        "win_matrix": q_win_matrix,
+        "bt_strengths": q_bt_strengths,
+        "fleiss_kappa": q_fleiss,
+        "kappa_pairs": q_kappa_pairs,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -7611,5 +7810,197 @@ def oracle_sql() -> dict[str, str]:
                     WHEN model_score < 0.6 THEN 'middle'
                     ELSE 'head' END AS tier
         FROM s
+    """
+    # ---- preference / annotation-quality family (r10 additions) ----
+    # shared synthetic completion scores: md5-uniform per doc, 6dp
+    _PREF_SC = """
+        SELECT doc_id, doc_id % 200 AS prompt_id,
+               round(CAST(('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)),
+                          1, 15)) AS UBIGINT)::BIGINT
+                     / 1152921504606846976.0, 6) AS score
+        FROM documents
+    """
+    d["best_of_n"] = f"""
+        WITH sc AS ({_PREF_SC})
+        SELECT prompt_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT prompt_id, doc_id, score,
+                 row_number() OVER (PARTITION BY prompt_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM sc
+        ) WHERE rank <= 2
+    """
+    d["pref_pairs"] = f"""
+        WITH sc AS ({_PREF_SC}), ranked AS (
+          SELECT prompt_id, doc_id, score,
+                 row_number() OVER (PARTITION BY prompt_id
+                                    ORDER BY score DESC, doc_id) AS rb,
+                 row_number() OVER (PARTITION BY prompt_id
+                                    ORDER BY score ASC, doc_id) AS rw
+          FROM sc
+        ), c AS (
+          SELECT prompt_id, doc_id AS chosen_id, score AS chosen_score
+          FROM ranked WHERE rb = 1
+        ), r AS (
+          SELECT prompt_id, doc_id AS rejected_id, score AS rejected_score
+          FROM ranked WHERE rw = 1
+        )
+        SELECT prompt_id, chosen_id, chosen_score, rejected_id,
+               rejected_score,
+               round(chosen_score - rejected_score, 6) AS margin
+        FROM c JOIN r USING (prompt_id)
+        WHERE chosen_score - rejected_score > 0
+          AND chosen_score - rejected_score >= 0.2
+    """
+    d["advantages"] = f"""
+        WITH sc AS ({_PREF_SC})
+        SELECT doc_id, prompt_id, score,
+               round((score - avg(score) OVER w)
+                     / (stddev_pop(score) OVER w + 0.00000001), 6)
+                   AS advantage
+        FROM sc WINDOW w AS (PARTITION BY prompt_id)
+    """
+    # shared synthetic arena battles: 30 items, planted BT world
+    _PREF_BT = """
+        SELECT CASE WHEN h % (a + b + 2) <= a THEN a ELSE b END AS winner,
+               CASE WHEN h % (a + b + 2) <= a THEN b ELSE a END AS loser
+        FROM (
+          SELECT user_id % 30 AS a,
+                 (user_id + 1 + (event_id % 29)) % 30 AS b,
+                 CAST(('0x' || substr(md5('coin:' || CAST(event_id AS VARCHAR)),
+                      1, 15)) AS UBIGINT)::BIGINT AS h
+          FROM events
+        )
+    """
+    d["win_matrix"] = f"""
+        SELECT winner, loser, count(*) AS n_wins
+        FROM ({_PREF_BT}) GROUP BY winner, loser
+    """
+    # bradley_terry iters=2 unrolled: MM update p_i <- (W_i + s) /
+    # (sum_j n_ij/(p_i+p_j) + 2s/(p_i+1)), geometric-mean renorm after
+    # each round; iteration 1 runs from p = 1 exactly like the op
+    d["bt_strengths"] = f"""
+        WITH battles AS ({_PREF_BT}), wl AS (
+          SELECT winner, loser, count(*) AS n FROM battles
+          GROUP BY winner, loser
+        ), pairs AS (
+          SELECT least(winner, loser) AS pa, greatest(winner, loser) AS pb,
+                 sum(n) AS n_games
+          FROM wl GROUP BY 1, 2
+        ), wn AS (
+          SELECT winner AS item, sum(n) AS w FROM wl GROUP BY 1
+        ), ls AS (
+          SELECT loser AS item, sum(n) AS l FROM wl GROUP BY 1
+        ), items AS (
+          SELECT coalesce(wn.item, ls.item) AS item,
+                 CAST(coalesce(w, 0) AS BIGINT) AS n_wins,
+                 CAST(coalesce(l, 0) AS BIGINT) AS n_losses
+          FROM wn FULL OUTER JOIN ls ON wn.item = ls.item
+        ), d1 AS (
+          SELECT item, sum(c) AS s FROM (
+            SELECT pa AS item, n_games / (1.0 + 1.0) AS c FROM pairs
+            UNION ALL
+            SELECT pb AS item, n_games / (1.0 + 1.0) AS c FROM pairs
+          ) GROUP BY item
+        ), q1 AS (
+          SELECT i.item, i.n_wins, i.n_losses,
+                 (i.n_wins + 0.5) / (coalesce(d1.s, 0.0) + 1.0 / (1.0 + 1.0))
+                     AS q
+          FROM items i LEFT JOIN d1 ON i.item = d1.item
+        ), p1 AS (
+          SELECT item, n_wins, n_losses,
+                 q / exp((SELECT avg(ln(q)) FROM q1)) AS p
+          FROM q1
+        ), d2 AS (
+          SELECT item, sum(c) AS s FROM (
+            SELECT pa AS item, n_games / (x.p + y.p) AS c
+            FROM pairs JOIN p1 x ON pairs.pa = x.item
+                       JOIN p1 y ON pairs.pb = y.item
+            UNION ALL
+            SELECT pb AS item, n_games / (x.p + y.p) AS c
+            FROM pairs JOIN p1 x ON pairs.pa = x.item
+                       JOIN p1 y ON pairs.pb = y.item
+          ) GROUP BY item
+        ), q2 AS (
+          SELECT p1.item, p1.n_wins, p1.n_losses,
+                 (p1.n_wins + 0.5)
+                 / (coalesce(d2.s, 0.0) + (2.0 * 0.5) / (p1.p + 1.0)) AS q
+          FROM p1 LEFT JOIN d2 ON p1.item = d2.item
+        )
+        SELECT item, round(q / exp((SELECT avg(ln(q)) FROM q2)), 6)
+                   AS strength,
+               n_wins, n_losses, n_wins + n_losses AS n_games
+        FROM q2
+    """
+    d["fleiss_kappa"] = """
+        WITH ann AS (
+          SELECT event_id % 400 AS item, event_type AS label
+          FROM events WHERE event_type IS NOT NULL
+        ), cell AS (
+          SELECT item, label, count(*) AS n FROM ann GROUP BY 1, 2
+        ), per_item AS (
+          SELECT item, sum(n) AS n_i, sum(n * n) AS sq FROM cell GROUP BY 1
+        ), kept AS (
+          SELECT * FROM per_item WHERE n_i >= 2
+        ), pb AS (
+          SELECT avg((sq - n_i) / (n_i * (n_i - 1))) AS p_bar,
+                 CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(n_i) AS BIGINT) AS n_ratings
+          FROM kept
+        ), cat AS (
+          SELECT label, sum(n) AS n_j FROM cell
+          WHERE item IN (SELECT item FROM kept) GROUP BY 1
+        ), pe AS (
+          SELECT sum((n_j / t.tot) * (n_j / t.tot)) AS p_e
+          FROM cat, (SELECT sum(n_j) AS tot FROM cat) t
+        ), nx AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items_excluded
+          FROM per_item WHERE n_i < 2
+        )
+        SELECT round((p_bar - p_e) / (1 - p_e), 6) AS kappa,
+               round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+               n_items, n_ratings, n_items_excluded
+        FROM pb, pe, nx
+    """
+    d["kappa_pairs"] = """
+        WITH ann AS (
+          SELECT event_id % 300 AS item,
+                 'r' || CAST(user_id % 4 AS VARCHAR) AS rater,
+                 arg_min(event_type, event_id) AS label
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY 1, 2
+        ), j AS (
+          SELECT a.item, a.rater AS rater_a, b.rater AS rater_b,
+                 a.label AS la, b.label AS lb
+          FROM ann a JOIN ann b
+            ON a.item = b.item AND a.rater < b.rater
+        ), tot AS (
+          SELECT rater_a, rater_b, CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_agree
+          FROM j GROUP BY 1, 2
+        ), ma AS (
+          SELECT rater_a, rater_b, la AS l, count(*) AS na
+          FROM j GROUP BY 1, 2, 3
+        ), mb AS (
+          SELECT rater_a, rater_b, lb AS l, count(*) AS nb
+          FROM j GROUP BY 1, 2, 3
+        ), pe0 AS (
+          SELECT rater_a, rater_b, CAST(sum(na * nb) AS BIGINT) AS crossp
+          FROM ma JOIN mb USING (rater_a, rater_b, l)
+          GROUP BY 1, 2
+        ), pe AS (
+          -- left join + 0 fill: disjoint-marginal pairs have p_e = 0
+          SELECT t0.rater_a, t0.rater_b, coalesce(crossp, 0) AS crossp
+          FROM tot t0 LEFT JOIN pe0 USING (rater_a, rater_b)
+        )
+        SELECT t.rater_a, t.rater_b, t.n_items,
+               round(n_agree / CAST(n_items AS DOUBLE), 6) AS p_o,
+               round(crossp / (CAST(n_items AS DOUBLE) * n_items), 6) AS p_e,
+               round((n_agree / CAST(n_items AS DOUBLE)
+                      - crossp / (CAST(n_items AS DOUBLE) * n_items))
+                     / (1.0 - crossp / (CAST(n_items AS DOUBLE) * n_items)),
+                     6) AS kappa
+        FROM tot t JOIN pe USING (rater_a, rater_b)
     """
     return d

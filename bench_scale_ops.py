@@ -867,6 +867,57 @@ def main() -> None:
                 jaccard_self_pairs(jc, "text", "doc_id", threshold=0.9)
             )
         )
+        # preference family (r10): the battle log collapses ONCE to
+        # answer-sized pair/win frames; 5 MM iterations then ride
+        # |items|-row joins — per-iteration cost must be independent
+        # of the 10M-row log
+        from earthmover_spark.llm.preference import (
+            bradley_terry,
+            preference_pairs,
+        )
+
+        n_items = 10_000
+        battle_base = (
+            spark.range(rows)
+            .select(
+                F.pmod(F.hash(F.col("id") * 3), F.lit(n_items)).alias("a"),
+                F.pmod(F.hash(F.col("id") * 5), F.lit(n_items)).alias("b"),
+                (F.pmod(F.hash(F.col("id") * 7), F.lit(100)) < 60).alias("c"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.when(F.col("c"), F.greatest("a", "b"))
+                .otherwise(F.least("a", "b"))
+                .alias("winner"),
+                F.when(F.col("c"), F.least("a", "b"))
+                .otherwise(F.greatest("a", "b"))
+                .alias("loser"),
+            )
+        )
+        battle_base.write.mode("overwrite").parquet(f"{base}/battles")
+        bt_in = spark.read.parquet(f"{base}/battles")
+        r["bradley_terry_5iter"] = _t(
+            lambda: _force(bradley_terry(bt_in, iters=5))
+        )
+        # DPO pair construction over 10M completions / 1M prompts:
+        # ONE hash aggregation, one row per prompt shuffles
+        comp = spark.range(rows).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.col("id"), F.lit(rows // 10)).alias("prompt_id"),
+            (
+                F.pmod(F.hash(F.col("id") * 11), F.lit(1_000_000))
+                / F.lit(1_000_000.0)
+            ).alias("score"),
+        )
+        comp.write.mode("overwrite").parquet(f"{base}/completions")
+        comp_in = spark.read.parquet(f"{base}/completions")
+        r["preference_pairs_10m"] = _t(
+            lambda: _force(
+                preference_pairs(
+                    comp_in, "prompt_id", "doc_id", "score", min_margin=0.1
+                )
+            )
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -14,6 +14,7 @@ from earthmover_spark.llm import (  # noqa: F401
     dedup,
     embeddings,
     multimodal,
+    preference,
     selection,
     similarity,
     textstats,

@@ -1,0 +1,636 @@
+"""Preference-data construction and annotation-quality analysis for
+post-training pipelines (DPO / RLHF reward modeling / LLM-judge
+arenas).
+
+The reference engine (edanalytics/earthmover) has no post-training
+surface at all — these are engine extensions in the spirit of
+SURVEY.md §7.2: the operations a 100 TB-scale alignment-data pipeline
+runs between "scored completions land" and "training pairs ship".
+
+- ``best_of_n``: rejection-sampling winner(s) per prompt — top-n by
+  score with deterministic ties.
+- ``preference_pairs``: (chosen, rejected) pair construction per
+  prompt with a margin gate — the DPO dataset builder.
+- ``win_counts`` / ``bradley_terry``: arena battles → pairwise win
+  counts → Bradley-Terry strengths via Hunter's MM algorithm
+  (Hunter, "MM algorithms for generalized Bradley-Terry models",
+  Annals of Statistics 2004) — the Chatbot-Arena-style leaderboard
+  fit, run as bounded per-iteration joins over answer-sized frames.
+- ``fleiss_kappa`` / ``cohens_kappa_pairs``: inter-annotator
+  agreement (Fleiss 1971; Cohen 1960) — the label-quality gate before
+  any of the above trusts its scores.
+
+Scale shapes (100 TB discipline):
+
+* ``best_of_n`` / ``preference_pairs`` are ONE aggregation pass over
+  the completions frame (map-side combine; one row per prompt crosses
+  the shuffle — sort-based agg for the struct-ordered extremes, rank
+  window with map-side WindowGroupLimit pruning for top-n).
+* ``bradley_terry`` never materializes anything larger than the
+  answer: battles collapse ONCE to per-pair counts and per-item win
+  totals; every MM iteration is two equi-joins of the |items|-row
+  strengths frame into the |pairs|-row count frame plus one hash
+  aggregation — corpus-scale data is touched exactly once, up front.
+  ``util.checkpoint_cut`` severs lineage AND cost-model stats every
+  round (bare localCheckpoint preserves origin sizeInBytes, which
+  compounds 3^n here — see checkpoint_cut's docstring).
+* the kappa ops reduce annotations to per-(item,label) or
+  per-(rater-pair,label-pair) counts immediately; nothing wider than
+  a confusion table ever shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from earthmover_spark.util import EarthmoverSparkError, checkpoint_cut
+
+__all__ = [
+    "advantage_normalize",
+    "best_of_n",
+    "preference_pairs",
+    "win_counts",
+    "bradley_terry",
+    "fleiss_kappa",
+    "cohens_kappa_pairs",
+]
+
+
+def _score(df: DataFrame, score_col: str) -> Column:
+    if score_col not in df.columns:
+        raise EarthmoverSparkError(
+            f"preference: score column {score_col!r} not in {df.columns}"
+        )
+    return F.col(score_col).cast("double")
+
+
+def best_of_n(
+    df: DataFrame,
+    group_col: str = "prompt_id",
+    score_col: str = "score",
+    n: int = 1,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep the top-``n`` scored rows per group — rejection sampling's
+    winner selection ("generate k completions, keep the best").
+
+    Rows with a NULL score never win (excluded outright, the r10
+    NULLS-FIRST lesson). Ties are deterministic: higher score first,
+    then ascending ``tiebreak_col`` (required so reruns and the DuckDB
+    twin agree). Output = input columns + ``rank`` (1-based).
+
+    Shape: one rank window partitioned by the prompt; Spark's
+    WindowGroupLimit rewrite prunes to ≤n rows per group map-side, so
+    the shuffle carries candidates, never the corpus of losers.
+    """
+    if n < 1:
+        raise EarthmoverSparkError(f"best_of_n: n must be >= 1, got {n}")
+    tb = tiebreak_col or group_col
+    for c in (group_col, tb):
+        if c not in df.columns:
+            raise EarthmoverSparkError(
+                f"best_of_n: column {c!r} not in {df.columns}"
+            )
+    scored = df.filter(_score(df, score_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(
+        _score(df, score_col).desc(), F.col(tb).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str = "prompt_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    text_col: str | None = None,
+    min_margin: float = 0.0,
+    mode: str = "extreme",
+    max_group_size: int = 64,
+) -> DataFrame:
+    """Build (chosen, rejected) preference pairs per prompt — the DPO
+    dataset constructor.
+
+    ``mode="extreme"`` (default): one pair per prompt — chosen =
+    highest score, rejected = lowest. ONE aggregation pass: both
+    extremes fold into min(struct(...)) argmin carriers. Struct-
+    ordered min plans as sort-based aggregation (struct buffers are
+    not UnsafeRow-mutable, so HashAggregate is unavailable), but it
+    still partial-aggregates map-side — each task emits one row per
+    prompt before the exchange, so only |prompts| rows shuffle.
+    ``mode="all"``:
+    every ordered pair whose margin clears the gate — a within-group
+    self-join whose cost is Σ n_g²; groups larger than
+    ``max_group_size`` raise loudly (the assoc_rules mega-basket
+    guard) because completions-per-prompt is bounded by construction
+    in any sane pipeline.
+
+    Pairs with margin <= 0 are always dropped (equal-score pairs teach
+    a DPO objective nothing); ``min_margin`` raises the gate further.
+    NULL scores are excluded before pairing. Ties break to the
+    smallest id on both sides, so the output is deterministic and
+    engine-reproducible.
+
+    Output: (group, chosen_id, chosen_score, rejected_id,
+    rejected_score, margin [, chosen_text, rejected_text]).
+    """
+    if mode not in ("extreme", "all"):
+        raise EarthmoverSparkError(
+            f"preference_pairs: mode must be 'extreme' or 'all', got {mode!r}"
+        )
+    for c in (group_col, id_col):
+        if c not in df.columns:
+            raise EarthmoverSparkError(
+                f"preference_pairs: column {c!r} not in {df.columns}"
+            )
+    if text_col is not None and text_col not in df.columns:
+        raise EarthmoverSparkError(
+            f"preference_pairs: column {text_col!r} not in {df.columns}"
+        )
+    s = _score(df, score_col)
+    carried = [F.col(id_col).alias("_id"), s.alias("_s")] + (
+        [F.col(text_col).alias("_t")] if text_col else []
+    )
+    base = df.filter(s.isNotNull()).select(
+        F.col(group_col).alias(group_col), *carried
+    )
+
+    def _flat(side: Column, name: str) -> list[Column]:
+        cols = [
+            side["_id"].alias(f"{name}_id"),
+            side["_s"].alias(f"{name}_score"),
+        ]
+        if text_col:
+            cols.append(side["_t"].alias(f"{name}_text"))
+        return cols
+
+    if mode == "extreme":
+        # argmax by (score desc, id asc) == argmin of (-score, id);
+        # argmin by (score asc, id asc) == argmin of (score, id).
+        best = F.min(
+            F.struct(
+                (-F.col("_s")).alias("k1"),
+                F.col("_id").alias("k2"),
+                F.struct(*[F.col(c) for c in ("_id", "_s", "_t")[: len(carried)]]).alias("v"),
+            )
+        )["v"]
+        worst = F.min(
+            F.struct(
+                F.col("_s").alias("k1"),
+                F.col("_id").alias("k2"),
+                F.struct(*[F.col(c) for c in ("_id", "_s", "_t")[: len(carried)]]).alias("v"),
+            )
+        )["v"]
+        agg = base.groupBy(group_col).agg(
+            best.alias("_c"), worst.alias("_r")
+        )
+        out = agg.select(
+            group_col,
+            *_flat(F.col("_c"), "chosen"),
+            *_flat(F.col("_r"), "rejected"),
+        )
+    else:
+        counted = base.withColumn(
+            "_n", F.count("*").over(Window.partitionBy(group_col))
+        )
+        oversized = counted.filter(F.col("_n") > max_group_size)
+        hit = oversized.limit(1).count()
+        if hit:
+            row = oversized.select(group_col, "_n").first()
+            raise EarthmoverSparkError(
+                f"preference_pairs: group {row[0]!r} has {row[1]} scored "
+                f"completions > max_group_size={max_group_size}; all-pairs "
+                "construction is quadratic per group — raise max_group_size "
+                "only if that blowup is intended"
+            )
+        left = base.select(
+            group_col, *[F.col(c).alias(f"c{c}") for c in base.columns[1:]]
+        )
+        right = base.select(
+            group_col, *[F.col(c).alias(f"r{c}") for c in base.columns[1:]]
+        )
+        joined = left.join(right, on=group_col).filter(
+            F.col("c_s") > F.col("r_s")
+        )
+        chosen = F.struct(
+            *[F.col(f"c{c}").alias(c) for c in ("_id", "_s", "_t")[: len(carried)]]
+        )
+        rejected = F.struct(
+            *[F.col(f"r{c}").alias(c) for c in ("_id", "_s", "_t")[: len(carried)]]
+        )
+        out = joined.select(group_col, *_flat(chosen, "chosen"), *_flat(rejected, "rejected"))
+
+    out = out.withColumn(
+        "margin", F.col("chosen_score") - F.col("rejected_score")
+    ).filter(
+        (F.col("margin") > F.lit(0.0))
+        & (F.col("margin") >= F.lit(float(min_margin)))
+    )
+    return out
+
+
+def advantage_normalize(
+    df: DataFrame,
+    group_col: str = "prompt_id",
+    score_col: str = "score",
+    out_col: str = "advantage",
+    eps: float = 1e-8,
+) -> DataFrame:
+    """GRPO-style per-group advantage normalization: ``advantage =
+    (score − group_mean) / (group_popstddev + eps)`` — the whitening a
+    group-relative policy-optimization pipeline applies to each
+    prompt's sampled completions before the policy update (population
+    stddev over the group, matching the GRPO objective; ``eps`` keeps
+    single-completion and constant-score groups finite at 0).
+
+    NULL scores pass through with a NULL advantage (they carry no
+    reward signal but the row may still be wanted downstream).
+
+    Shape: one aggregation per group (mean + population stddev,
+    map-side combined) joined back on the group key. The stats frame
+    is answer-sized, so AQE resolves the join-back as a broadcast hash
+    join — the completions frame never shuffles; at extreme prompt
+    cardinality it degrades to one equi-join exchange, still never a
+    per-group sort (no window over raw rows, so a skewed mega-prompt
+    never serializes into one task).
+    """
+    if group_col not in df.columns:
+        raise EarthmoverSparkError(
+            f"advantage_normalize: column {group_col!r} not in {df.columns}"
+        )
+    s = _score(df, score_col)
+    stats = df.groupBy(group_col).agg(
+        F.avg(s).alias("_mu"),
+        F.coalesce(F.stddev_pop(s), F.lit(0.0)).alias("_sd"),
+    )
+    # left join: a NULL group key never equi-matches — those rows keep
+    # a NULL advantage instead of silently vanishing from the output
+    out = df.join(stats, group_col, "left").withColumn(
+        out_col,
+        (F.col(score_col).cast("double") - F.col("_mu"))
+        / (F.col("_sd") + F.lit(float(eps))),
+    )
+    return out.drop("_mu", "_sd")
+
+
+def win_counts(
+    battles: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Collapse arena battles to ordered-pair win counts: one row per
+    (winner, loser) with ``n_wins`` — the mergeable sufficient
+    statistic every pairwise-ranking fit consumes. Self-battles
+    (winner == loser) are a data bug and raise. ONE hash aggregation,
+    map-side combined; output is answer-sized (≤ |items|²,
+    practically the observed-pair count)."""
+    for c in (winner_col, loser_col):
+        if c not in battles.columns:
+            raise EarthmoverSparkError(
+                f"win_counts: column {c!r} not in {battles.columns}"
+            )
+    b = battles.filter(
+        F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+    )
+    bad = b.filter(F.col(winner_col) == F.col(loser_col)).limit(1).count()
+    if bad:
+        raise EarthmoverSparkError(
+            "win_counts: found battles where winner == loser — "
+            "self-battles carry no ranking information and usually "
+            "mean a join bug upstream; filter them explicitly first"
+        )
+    return (
+        b.groupBy(
+            F.col(winner_col).alias("winner"), F.col(loser_col).alias("loser")
+        )
+        .agg(F.count("*").alias("n_wins"))
+    )
+
+
+def bradley_terry(
+    battles: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 20,
+    smoothing: float = 0.5,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Fit Bradley-Terry strengths from pairwise battles via Hunter's
+    MM algorithm — the Chatbot-Arena leaderboard computation.
+
+    Model: P(i beats j) = p_i / (p_i + p_j). MM update (Hunter 2004,
+    eq. 2): p_i ← W_i / Σ_j n_ij / (p_i + p_j), where W_i = i's total
+    wins and n_ij = games between i and j. Each item additionally
+    plays ``2·smoothing`` virtual games (one win, one loss) against a
+    ghost opponent of fixed strength 1 — the standard regularization
+    that keeps undefeated/winless items finite and makes the fit
+    well-defined on disconnected comparison graphs. After every
+    update, strengths renormalize to geometric mean 1 (the MM fixpoint
+    is scale-invariant; pinning the scale makes output deterministic).
+
+    Distributed shape: battles collapse ONCE to pairs(a, b, n_games)
+    with a < b plus wins(item, n_wins) — both answer-sized. Each of
+    the ``iters`` rounds is: strengths joined into pairs on both
+    endpoints (two equi-joins of an |items|-row frame), one explode to
+    per-endpoint contributions, one hash aggregation, one 1-row
+    geometric-mean broadcast. The raw battle log is never rescanned.
+    ``util.checkpoint_cut`` severs plan, RDD lineage AND cost-model
+    statistics every ``checkpoint_every`` rounds (default EVERY
+    round): each iteration references the previous strengths frame
+    three times (both pair endpoints + the update join), so both
+    un-cut lineage AND bare-localCheckpoint-preserved sizeInBytes
+    estimates compound 3^n across rounds — the latter reaches
+    half-a-million-digit BigInts by round 8 and stalls driver-side
+    planning even on a 3-row frame (measured; see checkpoint_cut's
+    docstring). The checkpointed frame is |items| rows, so the cut is
+    a trivially cheap job by construction.
+
+    Returns (item, strength, n_wins, n_losses, n_games); strengths are
+    comparable across items (ratio = win odds).
+    """
+    if iters < 1:
+        raise EarthmoverSparkError(f"bradley_terry: iters must be >= 1, got {iters}")
+    if smoothing < 0:
+        raise EarthmoverSparkError(
+            f"bradley_terry: smoothing must be >= 0, got {smoothing}"
+        )
+    wl = win_counts(battles, winner_col, loser_col)
+    # undirected pair games: a < b canonical orientation
+    pairs = (
+        wl.select(
+            F.least("winner", "loser").alias("a"),
+            F.greatest("winner", "loser").alias("b"),
+            F.col("n_wins"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("n_wins").alias("n_games"))
+    )
+    wins = wl.groupBy(F.col("winner").alias("item")).agg(
+        F.sum("n_wins").alias("n_wins")
+    )
+    losses = wl.groupBy(F.col("loser").alias("item")).agg(
+        F.sum("n_wins").alias("n_losses")
+    )
+    items = (
+        wins.join(losses, "item", "full_outer")
+        .select(
+            "item",
+            F.coalesce("n_wins", F.lit(0)).alias("n_wins"),
+            F.coalesce("n_losses", F.lit(0)).alias("n_losses"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    s = float(smoothing)
+
+    strengths = items.select("item", F.lit(1.0).alias("p"))
+    for it in range(iters):
+        pa = strengths.select(
+            F.col("item").alias("a"), F.col("p").alias("p_a")
+        )
+        pb = strengths.select(
+            F.col("item").alias("b"), F.col("p").alias("p_b")
+        )
+        contrib = (
+            pairs.join(pa, "a")
+            .join(pb, "b")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("item"),
+                            (
+                                F.col("n_games")
+                                / (F.col("p_a") + F.col("p_b"))
+                            ).alias("d"),
+                        ),
+                        F.struct(
+                            F.col("b").alias("item"),
+                            (
+                                F.col("n_games")
+                                / (F.col("p_a") + F.col("p_b"))
+                            ).alias("d"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.item").alias("item"), F.col("e.d").alias("d"))
+            .groupBy("item")
+            .agg(F.sum("d").alias("denom"))
+        )
+        upd = (
+            items.join(contrib, "item", "left")
+            .join(strengths, "item")
+            .select(
+                "item",
+                (
+                    (F.col("n_wins") + F.lit(s))
+                    / (
+                        F.coalesce(F.col("denom"), F.lit(0.0))
+                        + F.lit(2.0 * s) / (F.col("p") + F.lit(1.0))
+                    )
+                ).alias("p"),
+            )
+        )
+        gm = upd.agg(F.avg(F.log("p")).alias("_lg"))
+        strengths = upd.crossJoin(F.broadcast(gm)).select(
+            "item", (F.col("p") / F.exp(F.col("_lg"))).alias("p")
+        )
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < iters:
+            # checkpoint_cut, NOT bare localCheckpoint: each round
+            # references strengths 3x multiplicatively, so preserved
+            # origin stats compound 3^n and planning hangs by round
+            # ~10 (see util.checkpoint_cut)
+            strengths = checkpoint_cut(strengths)
+    return (
+        items.join(strengths, "item")
+        .select(
+            "item",
+            F.col("p").alias("strength"),
+            "n_wins",
+            "n_losses",
+            (F.col("n_wins") + F.col("n_losses")).alias("n_games"),
+        )
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fleiss' kappa over a (item, label) annotation frame — chance-
+    corrected agreement among many raters (Fleiss, "Measuring nominal
+    scale agreement among many raters", Psych. Bulletin 1971), in the
+    variable-raters-per-item generalization: items keep their own
+    rating count n_i; items with n_i < 2 carry no agreement signal and
+    are excluded (reported in ``n_items_excluded``).
+
+    P_i = (Σ_j n_ij² − n_i) / (n_i (n_i − 1)); P̄ = mean over items;
+    p_j = category share of ALL ratings on included items;
+    P̄_e = Σ_j p_j²; κ = (P̄ − P̄_e) / (1 − P̄_e).
+
+    Shape: one (item,label) count aggregation → one per-item
+    aggregation → one global aggregation. Nothing wider than the
+    confusion counts shuffles; output is a single row:
+    (kappa, p_bar, p_e, n_items, n_ratings, n_items_excluded).
+    κ is NULL when P̄_e == 1 (a single observed category — agreement
+    is undefined, not perfect).
+    """
+    for c in (item_col, label_col):
+        if c not in df.columns:
+            raise EarthmoverSparkError(
+                f"fleiss_kappa: column {c!r} not in {df.columns}"
+            )
+    a = df.filter(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    cell = a.groupBy(
+        F.col(item_col).alias("item"), F.col(label_col).alias("label")
+    ).agg(F.count("*").alias("n"))
+    per_item = cell.groupBy("item").agg(
+        F.sum("n").alias("n_i"), F.sum(F.col("n") * F.col("n")).alias("sq")
+    )
+    excluded = per_item.filter(F.col("n_i") < 2)
+    kept = per_item.filter(F.col("n_i") >= 2)
+    p_bar_f = kept.agg(
+        F.avg(
+            (F.col("sq") - F.col("n_i"))
+            / (F.col("n_i") * (F.col("n_i") - F.lit(1)))
+        ).alias("p_bar"),
+        F.count("*").alias("n_items"),
+        F.sum("n_i").alias("n_ratings"),
+    )
+    # category shares over kept items only (consistency with P̄)
+    cat = (
+        cell.join(kept.select("item"), "item", "left_semi")
+        .groupBy("label")
+        .agg(F.sum("n").alias("n_j"))
+    )
+    p_e_f = cat.crossJoin(
+        F.broadcast(cat.agg(F.sum("n_j").alias("tot")))
+    ).agg(
+        F.sum(
+            (F.col("n_j") / F.col("tot")) * (F.col("n_j") / F.col("tot"))
+        ).alias("p_e")
+    )
+    nx = excluded.agg(F.count("*").alias("n_items_excluded"))
+    return (
+        p_bar_f.crossJoin(F.broadcast(p_e_f))
+        .crossJoin(F.broadcast(nx))
+        .select(
+            F.try_divide(
+                F.col("p_bar") - F.col("p_e"), F.lit(1.0) - F.col("p_e")
+            ).alias("kappa"),
+            "p_bar",
+            "p_e",
+            "n_items",
+            "n_ratings",
+            "n_items_excluded",
+        )
+    )
+
+
+def cohens_kappa_pairs(
+    df: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise Cohen's kappa between every pair of raters that share
+    items — the "which annotator disagrees with everyone" audit
+    (Cohen, Educ. Psych. Measurement 1960).
+
+    For each rater pair (a < b), over items BOTH rated: p_o = share of
+    items with equal labels; p_e = Σ_l p_a(l)·p_b(l) from the pair's
+    own marginals; κ = (p_o − p_e)/(1 − p_e), NULL when p_e == 1.
+    Duplicate (item, rater) annotations raise (ambiguous labels — a
+    data bug this op must not silently argmax away).
+
+    Shape: one self-equi-join on the item key (rater_a < rater_b),
+    reduced immediately to per-(pair, label_a, label_b) confusion
+    counts; marginals and the kappa fold are aggregations of that
+    answer-sized frame. Returns (rater_a, rater_b, n_items, p_o, p_e,
+    kappa).
+    """
+    for c in (item_col, rater_col, label_col):
+        if c not in df.columns:
+            raise EarthmoverSparkError(
+                f"cohens_kappa_pairs: column {c!r} not in {df.columns}"
+            )
+    a = df.filter(
+        F.col(item_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("item"),
+        F.col(rater_col).alias("rater"),
+        F.col(label_col).alias("label"),
+    )
+    dup = (
+        a.groupBy("item", "rater")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise EarthmoverSparkError(
+            "cohens_kappa_pairs: found duplicate (item, rater) "
+            "annotations — resolve multi-annotations upstream "
+            "(e.g. latest_rows or mode_per_group) before computing kappa"
+        )
+    left = a.select(
+        "item", F.col("rater").alias("rater_a"), F.col("label").alias("la")
+    )
+    right = a.select(
+        "item", F.col("rater").alias("rater_b"), F.col("label").alias("lb")
+    )
+    joined = left.join(right, "item").filter(
+        F.col("rater_a") < F.col("rater_b")
+    )
+    conf = joined.groupBy("rater_a", "rater_b", "la", "lb").agg(
+        F.count("*").alias("n")
+    )
+    tot = conf.groupBy("rater_a", "rater_b").agg(
+        F.sum("n").alias("n_items"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("n")).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    ma = conf.groupBy("rater_a", "rater_b", F.col("la").alias("l")).agg(
+        F.sum("n").alias("na")
+    )
+    mb = conf.groupBy("rater_a", "rater_b", F.col("lb").alias("l")).agg(
+        F.sum("n").alias("nb")
+    )
+    pe = (
+        ma.join(mb, ["rater_a", "rater_b", "l"])
+        .groupBy("rater_a", "rater_b")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("cross"))
+    )
+    # left join + 0 fill: a pair whose two raters share NO label at
+    # all (fully disjoint marginals) has p_e = 0, not a missing row
+    return (
+        tot.join(pe, ["rater_a", "rater_b"], "left")
+        .withColumn("cross", F.coalesce(F.col("cross"), F.lit(0)))
+        .select(
+            "rater_a",
+            "rater_b",
+            "n_items",
+            (F.col("n_agree") / F.col("n_items")).alias("p_o"),
+            (
+                F.col("cross") / (F.col("n_items") * F.col("n_items"))
+            ).alias("p_e"),
+            F.try_divide(
+                F.col("n_agree") / F.col("n_items")
+                - F.col("cross") / (F.col("n_items") * F.col("n_items")),
+                F.lit(1.0)
+                - F.col("cross") / (F.col("n_items") * F.col("n_items")),
+            ).alias("kappa"),
+        )
+    )

@@ -306,3 +306,55 @@ def test_quality_scoring_example(spark, tmp_path):
     assert all(r["tier"] == "keep" for r in keep)
     assert {r["doc_id"] for r in keep} == {
         r["doc_id"] for r in scored if r["tier"] == "keep"}
+
+
+def test_preference_data_example(spark, tmp_path):
+    """18_preference_data: arena battles -> Bradley-Terry leaderboard
+    + win matrix; scored completions -> DPO pairs + best-of-n; rater
+    agreement audit — the post-training data loop end to end from YAML."""
+    cfg = os.path.join(EXAMPLES, "18_preference_data", "earthmover.yaml")
+    results = run_project(spark, cfg, params={"SF_DIR": SF_DIR},
+                          output_dir=str(tmp_path))
+    board = [json.loads(ln) for ln in
+             open(results["$destinations.leaderboard_out"]).read().splitlines()]
+    assert len(board) == 30
+    # planted world: strength grows with item id -> the fit must put
+    # the top third of items well above the bottom third on average
+    top = [float(r["strength"]) for r in board if int(r["item"]) >= 20]
+    bot = [float(r["strength"]) for r in board if int(r["item"]) < 10]
+    assert sum(top) / len(top) > 2 * (sum(bot) / len(bot))
+    # leaderboard arrives sorted by strength descending
+    strengths = [float(r["strength"]) for r in board]
+    assert strengths == sorted(strengths, reverse=True)
+    # bookkeeping: wins + losses == games, globally consistent
+    assert all(int(r["n_wins"]) + int(r["n_losses"]) == int(r["n_games"])
+               for r in board)
+    n_events = spark.read.parquet(SF_DIR + "/events.parquet").count()
+    assert sum(int(r["n_wins"]) for r in board) == n_events
+
+    pairs = [json.loads(ln) for ln in
+             open(results["$destinations.dpo_out"]).read().splitlines()]
+    assert pairs and all(
+        float(p["margin"]) >= 0.3
+        and float(p["chosen_score"]) > float(p["rejected_score"])
+        and p["chosen_text"] and p["rejected_text"]
+        for p in pairs)
+    # one pair per prompt in extreme mode
+    assert len({p["prompt_id"] for p in pairs}) == len(pairs)
+
+    best = [json.loads(ln) for ln in
+            open(results["$destinations.best_out"]).read().splitlines()]
+    assert len(best) == 50  # every prompt has a winner
+    # the best-of-n winner per prompt IS each DPO pair's chosen side
+    best_by_prompt = {b["prompt_id"]: b["doc_id"] for b in best}
+    assert all(best_by_prompt[p["prompt_id"]] == p["chosen_id"]
+               for p in pairs)
+
+    agree = [json.loads(ln) for ln in
+             open(results["$destinations.agreement_out"]).read().splitlines()]
+    assert len(agree) == 6  # C(4,2) rater pairs
+    assert all(-1.0 <= float(r["kappa"]) <= 1.0 for r in agree)
+
+    wm = [json.loads(ln) for ln in
+          open(results["$destinations.win_matrix_out"]).read().splitlines()]
+    assert sum(int(r["n_wins"]) for r in wm) == n_events

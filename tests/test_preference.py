@@ -1,0 +1,452 @@
+"""Preference-data ops (llm/preference.py): best_of_n,
+preference_pairs, win_counts, bradley_terry, fleiss_kappa,
+cohens_kappa_pairs — pure-Python reference parity plus the
+determinism / NULL-hygiene / guard cases the r10 self-reviews keep
+finding."""
+
+import math
+
+import pytest
+
+from earthmover_spark.util import EarthmoverSparkError
+
+COMPLETIONS = [
+    # (prompt_id, doc_id, score)
+    (1, 10, 0.9),
+    (1, 11, 0.2),
+    (1, 12, 0.9),   # tie with 10 on top — smaller id wins
+    (1, 13, None),  # NULL never wins
+    (2, 20, 0.5),   # singleton group: no pair
+    (3, 30, 0.4),
+    (3, 31, 0.4),   # all-equal group: margin 0 -> no pair
+    (4, 40, 0.8),
+    (4, 41, 0.1),
+    (4, 42, 0.5),
+]
+CSCHEMA = "prompt_id long, doc_id long, score double"
+
+
+# ---------------------------------------------------------------------------
+# best_of_n
+# ---------------------------------------------------------------------------
+
+
+def test_best_of_n_determinism_and_null(spark):
+    from earthmover_spark.llm.preference import best_of_n
+
+    df = spark.createDataFrame(COMPLETIONS, CSCHEMA)
+    top1 = best_of_n(df, "prompt_id", "score", n=1, tiebreak_col="doc_id")
+    got = {(r.prompt_id, r.doc_id) for r in top1.collect()}
+    # prompt 1: 10 and 12 tie at 0.9 -> smaller doc_id (10); 13's NULL
+    # score never wins even though NULLS FIRST would sort it on top
+    assert got == {(1, 10), (2, 20), (3, 30), (4, 40)}
+
+    top2 = best_of_n(df, "prompt_id", "score", n=2, tiebreak_col="doc_id")
+    rows = {(r.prompt_id, r.doc_id, r.rank) for r in top2.collect()}
+    assert (1, 10, 1) in rows and (1, 12, 2) in rows
+    assert (4, 40, 1) in rows and (4, 42, 2) in rows
+    with pytest.raises(EarthmoverSparkError):
+        best_of_n(df, "prompt_id", "score", n=0)
+
+
+def test_best_of_n_window_group_limit_plan(spark):
+    from earthmover_spark.llm.preference import best_of_n
+
+    df = spark.createDataFrame(COMPLETIONS, CSCHEMA)
+    plan = (
+        best_of_n(df, "prompt_id", "score", n=2, tiebreak_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# preference_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_preference_pairs_extreme(spark):
+    from earthmover_spark.llm.preference import preference_pairs
+
+    df = spark.createDataFrame(COMPLETIONS, CSCHEMA)
+    out = preference_pairs(df, "prompt_id", "doc_id", "score").collect()
+    by_prompt = {r.prompt_id: r for r in out}
+    # prompt 1: chosen = min-id of the 0.9 tie (10), rejected = 11
+    assert set(by_prompt) == {1, 4}  # 2 singleton, 3 zero-margin
+    assert (by_prompt[1].chosen_id, by_prompt[1].rejected_id) == (10, 11)
+    assert by_prompt[1].margin == pytest.approx(0.7)
+    assert (by_prompt[4].chosen_id, by_prompt[4].rejected_id) == (40, 41)
+
+
+def test_preference_pairs_margin_and_text(spark):
+    from earthmover_spark.llm.preference import preference_pairs
+
+    rows = [(1, 10, 0.9, "good"), (1, 11, 0.6, "meh"), (1, 12, 0.1, "bad")]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, doc_id long, score double, text string"
+    )
+    out = preference_pairs(
+        df, "prompt_id", "doc_id", "score", text_col="text", min_margin=0.9
+    ).collect()
+    assert out == []  # max margin is 0.8
+    out = preference_pairs(
+        df, "prompt_id", "doc_id", "score", text_col="text", min_margin=0.5
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].chosen_text, out[0].rejected_text) == ("good", "bad")
+
+
+def test_preference_pairs_all_mode_and_guard(spark):
+    from earthmover_spark.llm.preference import preference_pairs
+
+    df = spark.createDataFrame(COMPLETIONS, CSCHEMA)
+    out = preference_pairs(
+        df, "prompt_id", "doc_id", "score", mode="all"
+    ).collect()
+    got = {(r.prompt_id, r.chosen_id, r.rejected_id) for r in out}
+    # prompt 1: 10>11, 12>11 (10 vs 12 margin 0 -> dropped);
+    # prompt 4: 40>41, 40>42, 42>41
+    assert got == {
+        (1, 10, 11),
+        (1, 12, 11),
+        (4, 40, 41),
+        (4, 40, 42),
+        (4, 42, 41),
+    }
+    with pytest.raises(EarthmoverSparkError, match="max_group_size"):
+        preference_pairs(
+            df, "prompt_id", "doc_id", "score", mode="all", max_group_size=2
+        )
+    with pytest.raises(EarthmoverSparkError, match="mode"):
+        preference_pairs(df, "prompt_id", "doc_id", "score", mode="bogus")
+
+
+# ---------------------------------------------------------------------------
+# win_counts / bradley_terry
+# ---------------------------------------------------------------------------
+
+BATTLES = [
+    ("a", "b"), ("a", "b"), ("a", "b"), ("b", "a"),
+    ("a", "c"), ("a", "c"), ("c", "a"),
+    ("b", "c"), ("c", "b"), ("b", "c"),
+    ("a", "d"), ("d", "b"),
+]
+
+
+def _bt_reference(battles, iters, smoothing):
+    """Independent pure-Python MM replica of bradley_terry."""
+    wins, games = {}, {}
+    items = set()
+    for w, l in battles:
+        items.update((w, l))
+        wins[w] = wins.get(w, 0) + 1
+        k = (min(w, l), max(w, l))
+        games[k] = games.get(k, 0) + 1
+    p = {i: 1.0 for i in items}
+    for _ in range(iters):
+        denom = {i: 2.0 * smoothing / (p[i] + 1.0) for i in items}
+        for (a, b), n in games.items():
+            d = n / (p[a] + p[b])
+            denom[a] += d
+            denom[b] += d
+        p = {i: (wins.get(i, 0) + smoothing) / denom[i] for i in items}
+        lg = sum(math.log(v) for v in p.values()) / len(p)
+        p = {i: v / math.exp(lg) for i, v in p.items()}
+    return p
+
+
+def test_win_counts(spark):
+    from earthmover_spark.llm.preference import win_counts
+
+    df = spark.createDataFrame(BATTLES, "winner string, loser string")
+    got = {(r.winner, r.loser): r.n_wins for r in win_counts(df).collect()}
+    assert got[("a", "b")] == 3 and got[("b", "a")] == 1
+    assert got[("d", "b")] == 1
+    with pytest.raises(EarthmoverSparkError, match="winner == loser"):
+        win_counts(
+            spark.createDataFrame([("a", "a")], "winner string, loser string")
+        )
+
+
+def test_bradley_terry_matches_python_mm(spark):
+    from earthmover_spark.llm.preference import bradley_terry
+
+    df = spark.createDataFrame(BATTLES, "winner string, loser string")
+    out = bradley_terry(df, iters=8, smoothing=0.5)
+    got = {r.item: r for r in out.collect()}
+    ref = _bt_reference(BATTLES, iters=8, smoothing=0.5)
+    assert set(got) == set(ref)
+    for i, pv in ref.items():
+        assert got[i].strength == pytest.approx(pv, rel=1e-9)
+    # a dominates, d is 1-1 against mid-pack; counts faithful
+    assert got["a"].n_wins == 6 and got["a"].n_losses == 2
+    assert got["d"].n_games == 2
+    assert got["a"].strength > got["b"].strength > 0
+    # scale pin: geometric mean == 1
+    logs = sum(math.log(r.strength) for r in got.values())
+    assert logs == pytest.approx(0.0, abs=1e-9)
+
+
+def test_bradley_terry_winless_item_finite(spark):
+    from earthmover_spark.llm.preference import bradley_terry
+
+    # c never wins; smoothing keeps it finite and strictly positive
+    df = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("a", "b"), ("b", "a")],
+        "winner string, loser string",
+    )
+    got = {r.item: r.strength for r in bradley_terry(df, iters=12).collect()}
+    assert 0 < got["c"] < got["a"]
+    assert all(math.isfinite(v) for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa
+# ---------------------------------------------------------------------------
+
+
+def _fleiss_reference(rows):
+    """Independent Fleiss 1971 computation (variable n_i)."""
+    from collections import Counter, defaultdict
+
+    per_item = defaultdict(Counter)
+    for item, label in rows:
+        per_item[item][label] += 1
+    kept = {i: c for i, c in per_item.items() if sum(c.values()) >= 2}
+    p_is = []
+    cat = Counter()
+    for c in kept.values():
+        n = sum(c.values())
+        p_is.append((sum(v * v for v in c.values()) - n) / (n * (n - 1)))
+        cat.update(c)
+    tot = sum(cat.values())
+    p_bar = sum(p_is) / len(p_is)
+    p_e = sum((v / tot) ** 2 for v in cat.values())
+    return (p_bar - p_e) / (1 - p_e), p_bar, p_e
+
+
+def test_fleiss_kappa_matches_python(spark):
+    from earthmover_spark.llm.preference import fleiss_kappa
+
+    rows = [
+        (1, "pos"), (1, "pos"), (1, "neg"),
+        (2, "pos"), (2, "pos"), (2, "pos"),
+        (3, "neg"), (3, "neg"), (3, "neu"),
+        (4, "pos"), (4, "neg"), (4, "neu"),
+        (5, "neu"),            # n_i = 1 -> excluded
+        (6, None), (None, "pos"),  # NULL hygiene
+    ]
+    df = spark.createDataFrame(rows, "item_id long, label string")
+    out = fleiss_kappa(df).collect()[0]
+    valid = [(i, l) for i, l in rows if i is not None and l is not None]
+    k, p_bar, p_e = _fleiss_reference(valid)
+    assert out.kappa == pytest.approx(k, rel=1e-12)
+    assert out.p_bar == pytest.approx(p_bar, rel=1e-12)
+    assert out.p_e == pytest.approx(p_e, rel=1e-12)
+    assert out.n_items == 4 and out.n_items_excluded == 1
+    assert out.n_ratings == 12
+
+
+def test_fleiss_kappa_perfect_and_degenerate(spark):
+    from earthmover_spark.llm.preference import fleiss_kappa
+
+    # single observed category: p_e == 1 -> kappa NULL, not 1.0
+    one = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (2, "x")], "item_id long, label string"
+    )
+    row = fleiss_kappa(one).collect()[0]
+    assert row.kappa is None and row.p_bar == 1.0
+    # perfect two-category agreement: kappa == 1
+    two = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (2, "y")], "item_id long, label string"
+    )
+    assert fleiss_kappa(two).collect()[0].kappa == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa_pairs
+# ---------------------------------------------------------------------------
+
+
+def _cohen_reference(pairs):
+    """kappa from (label_a, label_b) pairs — independent formula."""
+    from collections import Counter
+
+    n = len(pairs)
+    po = sum(1 for a, b in pairs if a == b) / n
+    ca, cb = Counter(a for a, _ in pairs), Counter(b for _, b in pairs)
+    pe = sum(ca[l] * cb.get(l, 0) for l in ca) / (n * n)
+    return (po - pe) / (1 - pe)
+
+
+def test_cohens_kappa_pairs_matches_python(spark):
+    from earthmover_spark.llm.preference import cohens_kappa_pairs
+
+    rows = [
+        # rater r1/r2 overlap on items 1-5; r3 rates 1-2 only
+        (1, "r1", "pos"), (1, "r2", "pos"), (1, "r3", "neg"),
+        (2, "r1", "neg"), (2, "r2", "pos"), (2, "r3", "neg"),
+        (3, "r1", "pos"), (3, "r2", "pos"),
+        (4, "r1", "neg"), (4, "r2", "neg"),
+        (5, "r1", "pos"), (5, "r2", "neg"),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, rater_id string, label string")
+    out = {(r.rater_a, r.rater_b): r for r in cohens_kappa_pairs(df).collect()}
+    assert set(out) == {("r1", "r2"), ("r1", "r3"), ("r2", "r3")}
+    r12 = out[("r1", "r2")]
+    assert r12.n_items == 5
+    pairs12 = [("pos", "pos"), ("neg", "pos"), ("pos", "pos"),
+               ("neg", "neg"), ("pos", "neg")]
+    assert r12.kappa == pytest.approx(_cohen_reference(pairs12), rel=1e-12)
+    # r1 vs r3: labels (pos,neg),(neg,neg) -> po=0.5
+    assert out[("r1", "r3")].p_o == pytest.approx(0.5)
+
+
+def test_cohens_kappa_duplicate_annotation_raises(spark):
+    from earthmover_spark.llm.preference import cohens_kappa_pairs
+
+    df = spark.createDataFrame(
+        [(1, "r1", "pos"), (1, "r1", "neg"), (1, "r2", "pos")],
+        "item_id long, rater_id string, label string",
+    )
+    with pytest.raises(EarthmoverSparkError, match="duplicate"):
+        cohens_kappa_pairs(df)
+
+
+# ---------------------------------------------------------------------------
+# YAML registration
+# ---------------------------------------------------------------------------
+
+
+def test_preference_ops_registered():
+    from earthmover_spark.operators import OPERATIONS
+
+    for name in (
+        "best_of_n",
+        "preference_pairs",
+        "win_counts",
+        "bradley_terry",
+        "fleiss_kappa",
+        "cohens_kappa_pairs",
+    ):
+        assert name in OPERATIONS
+
+
+# ---------------------------------------------------------------------------
+# plan audits
+# ---------------------------------------------------------------------------
+
+
+def test_preference_pairs_extreme_plan_no_window_no_join(spark):
+    """Extreme mode must stay ONE aggregation pass: both extremes fold
+    into min(struct) carriers — no rank window, no self-join. The
+    struct-ordered min forces sort-based aggregation (struct buffers
+    aren't UnsafeRow-mutable), but it still partial-aggregates
+    map-side: each task emits one row per prompt before the exchange."""
+    from earthmover_spark.llm.preference import preference_pairs
+
+    df = spark.createDataFrame(COMPLETIONS, CSCHEMA)
+    plan = (
+        preference_pairs(df, "prompt_id", "doc_id", "score")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+
+
+def test_bradley_terry_plan_answer_sized(spark):
+    """The fit's final plan reads the checkpointed answer-sized frames
+    (pair counts + win totals), never the raw battle log: after the
+    collapse, no scan of the input remains and nothing cartesian."""
+    from earthmover_spark.llm.preference import bradley_terry
+
+    df = spark.createDataFrame(BATTLES, "winner string, loser string")
+    plan = (
+        bradley_terry(df, iters=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# advantage_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_advantage_normalize_matches_python(spark):
+    from earthmover_spark.llm.preference import advantage_normalize
+
+    df = spark.createDataFrame(COMPLETIONS, CSCHEMA)
+    out = advantage_normalize(df, "prompt_id", "score", eps=1e-8)
+    got = {r.doc_id: r.advantage for r in out.collect()}
+    import statistics
+
+    for pid in (1, 4):
+        scores = [s for p, _, s in COMPLETIONS if p == pid and s is not None]
+        mu = sum(scores) / len(scores)
+        sd = statistics.pstdev(scores)
+        for p, d, s in COMPLETIONS:
+            if p == pid and s is not None:
+                assert got[d] == pytest.approx((s - mu) / (sd + 1e-8))
+    # NULL score -> NULL advantage, row retained
+    assert got[13] is None
+    # singleton and constant groups: stddev 0 -> advantage 0 (finite)
+    assert got[20] == pytest.approx(0.0)
+    assert got[30] == pytest.approx(0.0) and got[31] == pytest.approx(0.0)
+    # every input row survives
+    assert out.count() == len(COMPLETIONS)
+
+
+def test_advantage_normalize_broadcast_plan(spark):
+    """The join-back of the answer-sized stats frame must resolve as a
+    broadcast hash join — the completions corpus never shuffles."""
+    from earthmover_spark.llm.preference import advantage_normalize
+
+    df = spark.createDataFrame(COMPLETIONS, CSCHEMA)
+    out = advantage_normalize(df, "prompt_id", "score")
+    out.collect()  # let AQE finalize the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan"
+    # section (which legitimately shows the static SMJ) — judge the
+    # FINAL plan only
+    final = plan.split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_bradley_terry_20_iters_no_stats_blowup(spark):
+    """Regression: bare localCheckpoint preserves origin cost-model
+    stats, and each MM round references strengths 3x — the preserved
+    sizeInBytes compounded 3^n and planning hung by round ~10 even on
+    a 3-row frame. checkpoint_cut resets the stats each round; 20
+    rounds must stay fast and the final frame's sizeInBytes must stay
+    a plain machine-sized number, not a compounded BigInt."""
+    import time
+
+    from earthmover_spark.llm.preference import bradley_terry
+
+    df = spark.createDataFrame(BATTLES, "winner string, loser string")
+    t0 = time.time()
+    out = bradley_terry(df, iters=20, smoothing=0.5)
+    got = {r.item: r.strength for r in out.collect()}
+    wall = time.time() - t0
+    ref = _bt_reference(BATTLES, iters=20, smoothing=0.5)
+    for i, pv in ref.items():
+        assert got[i] == pytest.approx(pv, rel=1e-9)
+    # pre-fix this took minutes (3^20-digit BigInt multiplication);
+    # the generous bound still fails decisively on any regression
+    assert wall < 90, f"20 MM rounds took {wall:.0f}s — stats blowup is back"
+    bits = (
+        out._jdf.queryExecution().optimizedPlan().stats()
+        .sizeInBytes().bit_length()
+    )
+    assert bits < 512, f"sizeInBytes is a {bits}-bit BigInt — stats compound again"
