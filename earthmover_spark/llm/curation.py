@@ -44,7 +44,7 @@ from earthmover_spark.llm.textstats import (
     shingles,
     spread_narrow_scan,
 )
-from earthmover_spark.util import EarthmoverSparkError
+from earthmover_spark.util import EarthmoverSparkError, checkpoint_cut
 
 # ---------------------------------------------------------------------------
 # connected components over near-duplicate pairs
@@ -67,6 +67,14 @@ def dedup_clusters(
     its own label, its neighbors' labels (one hop), and its label's
     label (path doubling). Iterates until a fixpoint, capped at
     ``max_iter`` (2^25-diameter graphs don't happen in dedup).
+
+    Per-round lineage is cut with ``util.checkpoint_cut``, not bare
+    ``localCheckpoint``: each round references the labels frame four
+    times multiplicatively (hop join, stepped join, pointer-jump
+    self-join), and localCheckpoint preserves origin cost-model
+    statistics — the estimated sizeInBytes would compound 4^n across
+    rounds and driver-side planning degrades into BigInt arithmetic on
+    the estimates (measured on bradley_terry; see checkpoint_cut).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -110,8 +118,8 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("p_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        jumped = checkpoint_cut(jumped)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
