@@ -1617,6 +1617,52 @@ def q_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation (retrieval_metrics): NDCG@10 / MRR /
+    P@10 / R@10 per query against a synthetic qrels frame — documents
+    play retrieved results (query = doc_id % 100, md5 scores), every
+    third doc is judged with grade 1..3. Both top-k prunes ride
+    WindowGroupLimit; the twin replays ranking, gains, and ideal DCG
+    with the same tie rule."""
+    from earthmover_spark.llm import retrieval
+
+    docs = _p(spark, sf_dir, "documents")
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(prefix), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    results = docs.select(
+        (F.col("doc_id") % 100).alias("query_id"),
+        F.col("doc_id").alias("doc_id"),
+        F.round(_h("rs:") / F.lit(float(1 << 60)), 6).alias("score"),
+    )
+    qrels = docs.filter(_h("qr:") % 3 == 0).select(
+        (F.col("doc_id") % 100).alias("query_id"),
+        F.col("doc_id").alias("doc_id"),
+        (F.lit(1) + _h("gr:") % 3).alias("grade"),
+    )
+    out = retrieval.retrieval_metrics(results, qrels, k=10)
+    return out.select(
+        "query_id",
+        F.round("ndcg", 6).alias("ndcg"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        "n_retrieved",
+        "n_relevant",
+    )
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass dataset profiler: per-column null/distinct counts,
     string-form min/max, mean length — all expressions of a single
@@ -3562,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_strengths": q_bt_strengths,
         "fleiss_kappa": q_fleiss,
         "kappa_pairs": q_kappa_pairs,
+        "retrieval_eval": q_retrieval_eval,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -7858,6 +7905,60 @@ def oracle_sql() -> dict[str, str]:
                      / (stddev_pop(score) OVER w + 0.00000001), 6)
                    AS advantage
         FROM sc WINDOW w AS (PARTITION BY prompt_id)
+    """
+    d["retrieval_eval"] = """
+        WITH res AS (
+          SELECT doc_id % 100 AS query, doc_id AS doc,
+                 round(CAST(('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)),
+                            1, 15)) AS UBIGINT)::BIGINT
+                       / 1152921504606846976.0, 6) AS s
+          FROM documents
+        ), jud AS (
+          SELECT doc_id % 100 AS query, doc_id AS doc,
+                 CAST(1 + CAST(('0x' || substr(md5('gr:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS UBIGINT)::BIGINT % 3 AS DOUBLE) AS g
+          FROM documents
+          WHERE CAST(('0x' || substr(md5('qr:' || CAST(doc_id AS VARCHAR)),
+                     1, 15)) AS UBIGINT)::BIGINT % 3 = 0
+        ), topk AS (
+          SELECT query, doc, rank FROM (
+            SELECT query, doc,
+                   row_number() OVER (PARTITION BY query
+                                      ORDER BY s DESC, doc) AS rank
+            FROM res
+          ) WHERE rank <= 10
+        ), hit AS (
+          SELECT t.query, t.rank, coalesce(j.g, 0.0) AS g
+          FROM topk t LEFT JOIN jud j ON t.query = j.query AND t.doc = j.doc
+        ), per_q AS (
+          SELECT query,
+                 sum((pow(2.0, g) - 1.0) / log2(rank + 1.0)) AS dcg,
+                 min(CASE WHEN g > 0 THEN rank END) AS first_rel,
+                 sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS n_rel_ret,
+                 CAST(count(*) AS BIGINT) AS n_retrieved
+          FROM hit GROUP BY query
+        ), ideal AS (
+          SELECT query,
+                 sum((pow(2.0, g) - 1.0) / log2(irank + 1.0)) AS idcg
+          FROM (
+            SELECT query, g,
+                   row_number() OVER (PARTITION BY query
+                                      ORDER BY g DESC, doc) AS irank
+            FROM jud WHERE g > 0
+          ) WHERE irank <= 10 GROUP BY query
+        ), nrel AS (
+          SELECT query, CAST(count(*) AS BIGINT) AS n_relevant
+          FROM jud WHERE g > 0 GROUP BY query
+        )
+        SELECT p.query AS query_id,
+               round(p.dcg / i.idcg, 6) AS ndcg,
+               round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
+               round(p.n_rel_ret / 10.0, 6) AS precision_at_k,
+               round(CAST(p.n_rel_ret AS DOUBLE) / n.n_relevant, 6)
+                   AS recall_at_k,
+               p.n_retrieved, coalesce(n.n_relevant, 0) AS n_relevant
+        FROM per_q p LEFT JOIN ideal i ON p.query = i.query
+                     LEFT JOIN nrel n ON p.query = n.query
     """
     # shared synthetic arena battles: 30 items, planted BT world
     _PREF_BT = """

@@ -258,3 +258,150 @@ def inverted_index(
 
 
 __all__ = ["bm25_scores", "bm25_batch", "inverted_index"]
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Per-query ranking-quality metrics against a relevance-judgment
+    frame — the evaluation half of any retrieval / RAG pipeline
+    (NDCG per Järvelin & Kekäläinen, TOIS 2002; the rest are the
+    classic TREC measures).
+
+    ``results`` holds system output (query, doc, score); ``qrels``
+    holds graded judgments (query, doc, grade), grade > 0 = relevant.
+    Returns one row per query that appears in ``results``:
+
+    - ``ndcg``: DCG@k / IDCG@k with the exponential gain
+      (2^grade − 1) / log2(rank + 1); IDCG ranks the query's OWN
+      judged grades (top-k). NULL when the query has no positive
+      judgments (undefined, not 0 — queries absent from qrels don't
+      silently drag a mean down).
+    - ``mrr``: 1 / rank of the first relevant retrieved doc in the
+      top k, 0.0 if none.
+    - ``precision_at_k``: relevant retrieved / k (the fixed
+      denominator — retrieving fewer than k docs is penalized).
+    - ``recall_at_k``: relevant retrieved / total relevant judged,
+      NULL when nothing relevant is judged.
+    - ``n_retrieved``, ``n_relevant``: the raw counts for roll-ups.
+
+    Ranking is deterministic: score descending, then doc id ascending
+    (ties must not make eval runs diff against themselves). Duplicate
+    (query, doc) rows in ``results`` raise — they would double-count
+    gain; dedup upstream deliberately. Duplicate qrels rows raise for
+    the same reason.
+
+    Shape: both inputs prune to top-k per query via rank windows whose
+    WindowGroupLimit rewrite keeps <= k rows per query map-side, so the
+    shuffles carry candidates, never full result lists; the judgment
+    lookup is one equi-join on (query, doc); everything folds in ONE
+    per-query aggregation. Cost is O(|results| + |qrels|) with
+    answer-sized output.
+    """
+    from pyspark.sql import Window
+
+    from earthmover_spark.util import EarthmoverSparkError
+
+    if k < 1:
+        raise EarthmoverSparkError(f"retrieval_metrics: k must be >= 1, got {k}")
+    for frame, name, cols in (
+        (results, "results", (query_col, doc_col, score_col)),
+        (qrels, "qrels", (query_col, doc_col, grade_col)),
+    ):
+        for c in cols:
+            if c not in frame.columns:
+                raise EarthmoverSparkError(
+                    f"retrieval_metrics: column {c!r} not in {name} "
+                    f"frame {frame.columns}"
+                )
+    res = results.select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).alias("doc"),
+        F.col(score_col).cast("double").alias("s"),
+    )
+    jud = qrels.select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).alias("doc"),
+        F.col(grade_col).cast("double").alias("g"),
+    )
+    for frame, name in ((res, "results"), (jud, "qrels")):
+        dup = (
+            frame.groupBy("query", "doc")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise EarthmoverSparkError(
+                f"retrieval_metrics: duplicate (query, doc) rows in {name} "
+                "— they would double-count gain; deduplicate upstream "
+                "(e.g. distinct_rows or latest_rows) first"
+            )
+    w_res = Window.partitionBy("query").orderBy(
+        F.col("s").desc(), F.col("doc").asc()
+    )
+    topk = (
+        res.withColumn("rank", F.row_number().over(w_res))
+        .filter(F.col("rank") <= k)
+    )
+    hit = topk.join(jud, ["query", "doc"], "left").select(
+        "query",
+        "rank",
+        F.coalesce("g", F.lit(0.0)).alias("g"),
+    )
+    per_q = hit.groupBy("query").agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("g")) - F.lit(1.0))
+            / F.log2(F.col("rank") + F.lit(1.0))
+        ).alias("dcg"),
+        F.min(
+            F.when(F.col("g") > 0, F.col("rank"))
+        ).alias("first_rel"),
+        F.sum(F.when(F.col("g") > 0, 1).otherwise(0)).alias("n_rel_ret"),
+        F.count("*").alias("n_retrieved"),
+    )
+    # ideal ranking: the query's own judged grades, best first
+    w_jud = Window.partitionBy("query").orderBy(
+        F.col("g").desc(), F.col("doc").asc()
+    )
+    ideal = (
+        jud.filter(F.col("g") > 0)
+        .withColumn("irank", F.row_number().over(w_jud))
+        .filter(F.col("irank") <= k)
+        .groupBy("query")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("g")) - F.lit(1.0))
+                / F.log2(F.col("irank") + F.lit(1.0))
+            ).alias("idcg")
+        )
+    )
+    n_rel = (
+        jud.filter(F.col("g") > 0)
+        .groupBy("query")
+        .agg(F.count("*").alias("n_relevant"))
+    )
+    return (
+        per_q.join(ideal, "query", "left")
+        .join(n_rel, "query", "left")
+        .select(
+            F.col("query").alias(query_col),
+            F.try_divide(F.col("dcg"), F.col("idcg")).alias("ndcg"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel"), F.lit(0.0)
+            ).alias("mrr"),
+            (F.col("n_rel_ret") / F.lit(float(k))).alias("precision_at_k"),
+            F.try_divide(F.col("n_rel_ret"), F.col("n_relevant")).alias(
+                "recall_at_k"
+            ),
+            "n_retrieved",
+            F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
+        )
+    )

@@ -173,6 +173,8 @@ class Executor:
                 kwargs["corpus"] = self._resolve(op_cfg["corpus"])
             if op_name == "unigram_logprob_ref":
                 kwargs["ref"] = self._resolve(op_cfg["ref"])
+            if op_name == "retrieval_metrics":
+                kwargs["qrels"] = self._resolve(op_cfg["qrels"])
             if op_name == "validate_table" and op_cfg.get("references"):
                 kwargs["references"] = {
                     k: self._resolve(v)

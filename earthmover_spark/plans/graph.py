@@ -28,10 +28,14 @@ def upstream_refs(kind: str, cfg: dict) -> list[str]:
         # resolve_duplicates' `pairs`, decontaminate's `benchmark`,
         # asof/interval joins' `right`, quality_classifier's `weights`,
         # enrich_stream's `static_df`, snapshot_diff's `new`,
-        # cm_estimate/bloom_probe's `keys`, lm_divergence's `b`
+        # cm_estimate/bloom_probe's `keys`, lm_divergence's `b`,
+        # triplet miners' `corpus`, decontaminate_bloom's `sketch`,
+        # retrieval_metrics' `qrels`. A key missing here is not just
+        # an ordering hazard: a node consumed ONLY through it has no
+        # DAG edge, looks dead, and gets pruned before evaluation.
         for key in ("source", "pairs", "benchmark", "right", "weights",
                     "static_df", "updates", "seen", "new", "keys", "b",
-                    "target", "ref"):
+                    "target", "ref", "corpus", "sketch", "qrels"):
             if op.get(key):
                 refs.append(op[key])
         # validate_table's `references` map; filter_domains' list refs
