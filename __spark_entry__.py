@@ -1542,6 +1542,24 @@ def q_win_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference.win_counts(_pref_battles(spark, sf_dir))
 
 
+def q_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-matchup Wilson-interval win rates (win_rates): the
+    leaderboard-table companion to the BT fit — rate plus how little
+    data backs it, closed-form off the same one-agg win counts."""
+    from earthmover_spark.llm import preference
+
+    out = preference.win_rates(_pref_battles(spark, sf_dir))
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_games",
+        "n_wins_a",
+        F.round("rate_a", 6).alias("rate_a"),
+        F.round("wilson_low", 6).alias("wilson_low"),
+        F.round("wilson_high", 6).alias("wilson_high"),
+    )
+
+
 def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strengths via Hunter's MM algorithm
     (bradley_terry, 2 iterations so the DuckDB twin can unroll them
@@ -3605,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_pairs": q_pref_pairs,
         "advantages": q_advantages,
         "win_matrix": q_win_matrix,
+        "win_rates": q_win_rates,
         "bt_strengths": q_bt_strengths,
         "fleiss_kappa": q_fleiss,
         "kappa_pairs": q_kappa_pairs,
@@ -7975,6 +7994,48 @@ def oracle_sql() -> dict[str, str]:
     d["win_matrix"] = f"""
         SELECT winner, loser, count(*) AS n_wins
         FROM ({_PREF_BT}) GROUP BY winner, loser
+    """
+    # win_rates: Wilson interval replayed with the identical
+    # arithmetic shape (z*z written as a product, same grouping)
+    d["win_rates"] = f"""
+        WITH wl AS (
+          SELECT winner, loser, count(*) AS n
+          FROM ({_PREF_BT}) GROUP BY winner, loser
+        ), pair AS (
+          SELECT least(winner, loser) AS item_a,
+                 greatest(winner, loser) AS item_b,
+                 CAST(sum(n) AS BIGINT) AS n_games,
+                 CAST(sum(CASE WHEN winner = least(winner, loser)
+                               THEN n ELSE 0 END) AS BIGINT) AS n_wins_a
+          FROM wl GROUP BY 1, 2
+        )
+        SELECT item_a, item_b, n_games, n_wins_a,
+               round(n_wins_a / CAST(n_games AS DOUBLE), 6) AS rate_a,
+               round((n_wins_a / CAST(n_games AS DOUBLE)
+                      + (1.96 * 1.96) / (2 * CAST(n_games AS DOUBLE)))
+                     / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE))
+                     - 1.96 * sqrt(
+                         n_wins_a / CAST(n_games AS DOUBLE)
+                         * (1 - n_wins_a / CAST(n_games AS DOUBLE))
+                         / CAST(n_games AS DOUBLE)
+                         + (1.96 * 1.96)
+                           / (4 * CAST(n_games AS DOUBLE)
+                              * CAST(n_games AS DOUBLE)))
+                       / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE)),
+                     6) AS wilson_low,
+               round((n_wins_a / CAST(n_games AS DOUBLE)
+                      + (1.96 * 1.96) / (2 * CAST(n_games AS DOUBLE)))
+                     / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE))
+                     + 1.96 * sqrt(
+                         n_wins_a / CAST(n_games AS DOUBLE)
+                         * (1 - n_wins_a / CAST(n_games AS DOUBLE))
+                         / CAST(n_games AS DOUBLE)
+                         + (1.96 * 1.96)
+                           / (4 * CAST(n_games AS DOUBLE)
+                              * CAST(n_games AS DOUBLE)))
+                       / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE)),
+                     6) AS wilson_high
+        FROM pair
     """
     # bradley_terry iters=2 unrolled: MM update p_i <- (W_i + s) /
     # (sum_j n_ij/(p_i+p_j) + 2s/(p_i+1)), geometric-mean renorm after

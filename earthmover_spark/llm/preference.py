@@ -51,6 +51,7 @@ __all__ = [
     "best_of_n",
     "preference_pairs",
     "win_counts",
+    "win_rates",
     "bradley_terry",
     "fleiss_kappa",
     "cohens_kappa_pairs",
@@ -311,6 +312,63 @@ def win_counts(
     )
 
 
+def win_rates(
+    battles: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-matchup win rates with Wilson score intervals — the
+    leaderboard-table companion to ``bradley_terry`` (report the rate
+    AND how little data backs it; Wilson 1927 keeps the interval
+    inside [0, 1] and sane at small n, unlike the normal
+    approximation).
+
+    For each unordered pair {a, b} (canonical a < b): games, a's wins,
+    a's win rate, and the Wilson interval at confidence ``z`` (1.96 =
+    95%). ONE hash aggregation over the battle log plus closed-form
+    arithmetic — answer-sized output, no joins.
+
+    Returns (item_a, item_b, n_games, n_wins_a, rate_a, wilson_low,
+    wilson_high)."""
+    wl = win_counts(battles, winner_col, loser_col)
+    pair = (
+        wl.select(
+            F.least("winner", "loser").alias("item_a"),
+            F.greatest("winner", "loser").alias("item_b"),
+            F.when(
+                F.col("winner") == F.least("winner", "loser"), F.col("n_wins")
+            )
+            .otherwise(0)
+            .alias("wa"),
+            F.col("n_wins").alias("n"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum("n").alias("n_games"),
+            F.sum("wa").alias("n_wins_a"),
+        )
+    )
+    zz = F.lit(float(z) * float(z))
+    n = F.col("n_games").cast("double")
+    p = F.col("n_wins_a") / n
+    center = (p + zz / (2 * n)) / (1 + zz / n)
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1 - p) / n + zz / (4 * n * n))
+        / (1 + zz / n)
+    )
+    return pair.select(
+        "item_a",
+        "item_b",
+        "n_games",
+        "n_wins_a",
+        p.alias("rate_a"),
+        (center - half).alias("wilson_low"),
+        (center + half).alias("wilson_high"),
+    )
+
+
 def bradley_terry(
     battles: DataFrame,
     winner_col: str = "winner",
@@ -357,6 +415,11 @@ def bradley_terry(
     if smoothing < 0:
         raise EarthmoverSparkError(
             f"bradley_terry: smoothing must be >= 0, got {smoothing}"
+        )
+    if checkpoint_every < 1:
+        raise EarthmoverSparkError(
+            "bradley_terry: checkpoint_every must be >= 1, got "
+            f"{checkpoint_every}"
         )
     wl = win_counts(battles, winner_col, loser_col)
     # undirected pair games: a < b canonical orientation

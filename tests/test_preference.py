@@ -450,3 +450,43 @@ def test_bradley_terry_20_iters_no_stats_blowup(spark):
         .sizeInBytes().bit_length()
     )
     assert bits < 512, f"sizeInBytes is a {bits}-bit BigInt — stats compound again"
+
+
+def test_bradley_terry_checkpoint_every_validation(spark):
+    from earthmover_spark.llm.preference import bradley_terry
+
+    df = spark.createDataFrame(BATTLES, "winner string, loser string")
+    with pytest.raises(EarthmoverSparkError, match="checkpoint_every"):
+        bradley_terry(df, iters=2, checkpoint_every=0)
+
+
+def test_win_rates_wilson_matches_python(spark):
+    from earthmover_spark.llm.preference import win_rates
+
+    df = spark.createDataFrame(BATTLES, "winner string, loser string")
+    got = {(r.item_a, r.item_b): r for r in win_rates(df).collect()}
+    # a vs b: a wins 3, b wins 1 -> pair (a, b): n=4, wins_a=3
+    r = got[("a", "b")]
+    assert r.n_games == 4 and r.n_wins_a == 3
+    assert r.rate_a == pytest.approx(0.75)
+
+    def wilson(w, n, z=1.96):
+        p = w / n
+        zz = z * z
+        center = (p + zz / (2 * n)) / (1 + zz / n)
+        half = z * math.sqrt(p * (1 - p) / n + zz / (4 * n * n)) / (1 + zz / n)
+        return center - half, center + half
+
+    lo, hi = wilson(3, 4)
+    assert r.wilson_low == pytest.approx(lo, rel=1e-12)
+    assert r.wilson_high == pytest.approx(hi, rel=1e-12)
+    assert 0.0 <= r.wilson_low < r.rate_a < r.wilson_high <= 1.0
+    # one-sided pair (a beats d 1-0): interval stays inside [0, 1]
+    rd = got[("a", "d")]
+    assert rd.rate_a == 1.0 and rd.wilson_high <= 1.0 and rd.wilson_low > 0.0
+
+
+def test_win_rates_registered():
+    from earthmover_spark.operators import OPERATIONS
+
+    assert "win_rates" in OPERATIONS
