@@ -1635,6 +1635,58 @@ def q_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation QA (validate_chat): synthetic conversations
+    with planted defects — wrong starts, broken alternation, late
+    system turns, unknown roles, blank content, NULL rows — validated
+    by pure array codegen; the twin replays the synthesis AND the
+    structural rules with DuckDB list lambdas."""
+    from earthmover_spark.llm import chat
+
+    docs = _p(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    n = (F.lit(1) + did % 5).alias("n")
+    i = None  # lambdas below bind their own variable
+
+    def role(iv, nv):
+        return (
+            F.when((iv == 1) & (did % 3 == 0), F.lit("system"))
+            .when((did % 11 == 0) & (iv == 2), F.lit("tool"))
+            .otherwise(
+                F.when(F.pmod(iv + did, 2) == 0, F.lit("user")).otherwise(
+                    F.lit("assistant")
+                )
+            )
+        )
+
+    def content(iv, nv):
+        return F.when((did % 13 == 0) & (iv == nv), F.lit(" ")).otherwise(
+            F.concat(F.lit("c"), iv.cast("string"))
+        )
+
+    nn = F.lit(1) + did % 5
+    msgs = F.when(did % 17 == 0, F.lit(None)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nn),
+            lambda iv: F.struct(
+                role(iv, nn).alias("role"), content(iv, nn).alias("content")
+            ),
+        )
+    )
+    conv = docs.select("doc_id", msgs.alias("messages"))
+    out = chat.validate_chat(conv)
+    return out.select(
+        "doc_id",
+        "chat_has_turns",
+        "chat_roles_known",
+        "chat_content_filled",
+        "chat_system_leads",
+        "chat_alternates",
+        "chat_ends_assistant",
+        "chat_valid",
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality evaluation (retrieval_metrics): NDCG@10 / MRR /
     P@10 / R@10 per query against a synthetic qrels frame — documents
@@ -3628,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa": q_fleiss,
         "kappa_pairs": q_kappa_pairs,
         "retrieval_eval": q_retrieval_eval,
+        "validate_chat": q_validate_chat,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -7924,6 +7977,61 @@ def oracle_sql() -> dict[str, str]:
                      / (stddev_pop(score) OVER w + 0.00000001), 6)
                    AS advantage
         FROM sc WINDOW w AS (PARTITION BY prompt_id)
+    """
+    d["validate_chat"] = """
+        WITH conv AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 0 THEN NULL ELSE
+                   list_transform(range(1, CAST(1 + doc_id % 5 AS BIGINT) + 1),
+                     i -> struct_pack(
+                       role := CASE
+                         WHEN i = 1 AND doc_id % 3 = 0 THEN 'system'
+                         WHEN doc_id % 11 = 0 AND i = 2 THEN 'tool'
+                         WHEN (i + doc_id) % 2 = 0 THEN 'user'
+                         ELSE 'assistant' END,
+                       content := CASE
+                         WHEN doc_id % 13 = 0 AND i = 1 + doc_id % 5
+                           THEN ' '
+                         ELSE 'c' || CAST(i AS VARCHAR) END))
+                 END AS messages
+          FROM documents
+        ), r AS (
+          SELECT doc_id, messages,
+                 list_transform(messages, t -> t.role) AS roles
+          FROM conv
+        ), b AS (
+          SELECT doc_id, messages, roles,
+                 CASE WHEN roles[1] = 'system' THEN roles[2:]
+                      ELSE roles END AS body
+          FROM r
+        ), f AS (
+          SELECT doc_id,
+                 coalesce(len(messages) >= 2, false) AS chat_has_turns,
+                 coalesce(len(list_filter(roles,
+                     x -> x IS NULL
+                          OR x NOT IN ('system', 'user', 'assistant')))
+                   = 0, false) AS chat_roles_known,
+                 coalesce(len(list_filter(messages,
+                     t -> t.content IS NULL OR trim(t.content) = ''))
+                   = 0, false) AS chat_content_filled,
+                 coalesce(len(list_filter(roles[2:],
+                     x -> x = 'system')) = 0, false) AS chat_system_leads,
+                 coalesce(len(body) = 0
+                   OR (body[1] = 'user'
+                       AND len(list_filter(range(1, len(body)),
+                           i -> body[i] = body[i + 1])) = 0),
+                   false) AS chat_alternates,
+                 coalesce(roles[-1] = 'assistant', false)
+                     AS chat_ends_assistant
+          FROM b
+        )
+        SELECT doc_id, chat_has_turns, chat_roles_known,
+               chat_content_filled, chat_system_leads, chat_alternates,
+               chat_ends_assistant,
+               (chat_has_turns AND chat_roles_known AND chat_content_filled
+                AND chat_system_leads AND chat_alternates
+                AND chat_ends_assistant) AS chat_valid
+        FROM f
     """
     d["retrieval_eval"] = """
         WITH res AS (

@@ -256,3 +256,112 @@ __all__ = [
     "fim_transform",
     "length_buckets",
 ]
+
+
+def validate_chat(
+    df: DataFrame,
+    messages_col: str = "messages",
+    allowed_roles: tuple[str, ...] = ("system", "user", "assistant"),
+    min_turns: int = 2,
+    behavior: str = "annotate",
+) -> DataFrame:
+    """Structural QA for SFT conversations — the gate between "chat
+    rows landed" and ``render_chat``; malformed turn structure
+    silently poisons loss masks, so it must be caught (or dropped)
+    first.
+
+    Flags added (all booleans; NULL conversation -> all checks fail):
+
+    - ``chat_has_turns``: at least ``min_turns`` turns.
+    - ``chat_roles_known``: every role is in ``allowed_roles``.
+    - ``chat_content_filled``: no NULL/empty/whitespace-only content.
+    - ``chat_system_leads``: any 'system' turn is the FIRST turn only.
+    - ``chat_alternates``: after an optional leading system turn, the
+      remaining roles strictly alternate user/assistant starting with
+      'user'.
+    - ``chat_ends_assistant``: the final turn is the assistant's (a
+      trailing user turn carries no supervision signal).
+    - ``chat_valid``: all of the above.
+
+    ``behavior="annotate"`` (default) adds the flags;
+    ``behavior="drop"`` keeps only valid rows (flags removed).
+
+    Shape: every check is a per-row array expression (``forall`` /
+    ``zip_with`` over sliced role arrays) — pure codegen, zero
+    shuffle, zero Python; a 100 TB conversation corpus validates at
+    scan bandwidth.
+    """
+    if behavior not in ("annotate", "drop"):
+        raise EarthmoverSparkError(
+            f"validate_chat: behavior must be 'annotate' or 'drop', "
+            f"got {behavior!r}"
+        )
+    if min_turns < 1:
+        raise EarthmoverSparkError(
+            f"validate_chat: min_turns must be >= 1, got {min_turns}"
+        )
+    if messages_col not in df.columns:
+        raise EarthmoverSparkError(
+            f"validate_chat: column {messages_col!r} not in {df.columns}"
+        )
+    m = F.col(messages_col)
+    roles = F.transform(m, lambda t: t["role"])
+    n = F.size(m)  # -1 for NULL under legacy conf, NULL under ANSI
+    has_turns = m.isNotNull() & (F.size(m) >= F.lit(int(min_turns)))
+    roles_known = m.isNotNull() & F.forall(
+        roles,
+        lambda r: r.isNotNull()
+        & r.isin(*[F.lit(x) for x in allowed_roles]),
+    )
+    content_filled = m.isNotNull() & F.forall(
+        m,
+        lambda t: t["content"].isNotNull()
+        & (F.trim(t["content"]) != F.lit("")),
+    )
+    # 'system' allowed only at index 1 (slice is 1-based)
+    tail_all = F.slice(roles, 2, F.greatest(n - 1, F.lit(0)))
+    system_leads = m.isNotNull() & F.forall(
+        tail_all, lambda r: r.isNull() | (r != F.lit("system"))
+    )
+    # strip one leading system turn, then demand user/assistant
+    # strict alternation starting with 'user'
+    body = F.when(
+        F.try_element_at(roles, F.lit(1)) == F.lit("system"), tail_all
+    ).otherwise(roles)
+    alternates = m.isNotNull() & (
+        F.size(body) == F.lit(0)
+    ) | (
+        m.isNotNull()
+        & (F.try_element_at(body, F.lit(1)) == F.lit("user"))
+        & F.forall(
+            F.zip_with(
+                F.slice(body, 1, F.greatest(F.size(body) - 1, F.lit(0))),
+                F.slice(body, 2, F.greatest(F.size(body) - 1, F.lit(0))),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    ends_assistant = m.isNotNull() & (
+        F.try_element_at(roles, F.lit(-1)) == F.lit("assistant")
+    )
+    flags = {
+        "chat_has_turns": has_turns,
+        "chat_roles_known": roles_known,
+        "chat_content_filled": content_filled,
+        "chat_system_leads": system_leads,
+        "chat_alternates": alternates,
+        "chat_ends_assistant": ends_assistant,
+    }
+    out = df
+    valid = F.lit(True)
+    for name, expr in flags.items():
+        coerced = F.coalesce(expr, F.lit(False))
+        out = out.withColumn(name, coerced)
+        valid = valid & F.col(name)
+    out = out.withColumn("chat_valid", valid)
+    if behavior == "drop":
+        return out.filter(F.col("chat_valid")).drop(
+            *flags.keys(), "chat_valid"
+        )
+    return out

@@ -490,3 +490,84 @@ def test_win_rates_registered():
     from earthmover_spark.operators import OPERATIONS
 
     assert "win_rates" in OPERATIONS
+
+
+# ---------------------------------------------------------------------------
+# validate_chat (llm/chat.py) — SFT conversation QA
+# ---------------------------------------------------------------------------
+
+CHAT_SCHEMA = (
+    "conv_id long, messages array<struct<role string, content string>>"
+)
+CONVS = [
+    (1, [("system", "be nice"), ("user", "hi"), ("assistant", "hello")]),
+    (2, [("user", "hi"), ("assistant", "yo"), ("user", "more"),
+         ("assistant", "sure")]),
+    (3, [("user", "hi"), ("user", "again"), ("assistant", "ok")]),  # no alternation
+    (4, [("assistant", "i speak first")]),                          # bad start + short
+    (5, [("user", "hi"), ("assistant", " ")]),                      # blank content
+    (6, [("user", "hi"), ("tool", "x"), ("assistant", "ok")]),      # unknown role
+    (7, [("user", "hi"), ("system", "late"), ("assistant", "ok")]), # system not first
+    (8, [("user", "trailing"), ("assistant", "ok"), ("user", "?")]),# ends on user
+    (9, None),                                                      # NULL conversation
+]
+
+
+def test_validate_chat_flags(spark):
+    from earthmover_spark.llm.chat import validate_chat
+
+    df = spark.createDataFrame(CONVS, CHAT_SCHEMA)
+    got = {r.conv_id: r for r in validate_chat(df).collect()}
+    assert got[1].chat_valid and got[2].chat_valid
+    assert not got[3].chat_alternates and not got[3].chat_valid
+    assert not got[4].chat_has_turns and not got[4].chat_alternates
+    assert not got[5].chat_content_filled
+    assert got[5].chat_alternates  # structure fine, content is the problem
+    assert not got[6].chat_roles_known
+    assert not got[7].chat_system_leads
+    assert not got[8].chat_ends_assistant
+    r9 = got[9]
+    assert not any([r9.chat_has_turns, r9.chat_roles_known,
+                    r9.chat_content_filled, r9.chat_system_leads,
+                    r9.chat_alternates, r9.chat_ends_assistant,
+                    r9.chat_valid])
+    # every input row survives annotate mode
+    assert len(got) == len(CONVS)
+
+
+def test_validate_chat_drop_and_validation(spark):
+    from earthmover_spark.llm.chat import validate_chat
+
+    df = spark.createDataFrame(CONVS, CHAT_SCHEMA)
+    kept = validate_chat(df, behavior="drop")
+    assert {r.conv_id for r in kept.collect()} == {1, 2}
+    assert kept.columns == df.columns  # flags removed
+    with pytest.raises(EarthmoverSparkError, match="behavior"):
+        validate_chat(df, behavior="nope")
+    with pytest.raises(EarthmoverSparkError, match="min_turns"):
+        validate_chat(df, min_turns=0)
+    # composes with render_chat: valid rows render cleanly
+    from earthmover_spark.llm.chat import render_chat
+
+    rendered = render_chat(kept)
+    assert rendered.count() == 2
+
+
+def test_validate_chat_plan_no_shuffle(spark):
+    from earthmover_spark.llm.chat import validate_chat
+
+    df = spark.createDataFrame(CONVS, CHAT_SCHEMA)
+    plan = (
+        validate_chat(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_validate_chat_registered():
+    from earthmover_spark.operators import OPERATIONS
+
+    assert "validate_chat" in OPERATIONS
