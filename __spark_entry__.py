@@ -8119,7 +8119,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT item_a, item_b, n_games, n_wins_a,
                round(n_wins_a / CAST(n_games AS DOUBLE), 6) AS rate_a,
-               round((n_wins_a / CAST(n_games AS DOUBLE)
+               round(greatest((n_wins_a / CAST(n_games AS DOUBLE)
                       + (1.96 * 1.96) / (2 * CAST(n_games AS DOUBLE)))
                      / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE))
                      - 1.96 * sqrt(
@@ -8129,9 +8129,9 @@ def oracle_sql() -> dict[str, str]:
                          + (1.96 * 1.96)
                            / (4 * CAST(n_games AS DOUBLE)
                               * CAST(n_games AS DOUBLE)))
-                       / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE)),
+                       / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE)), 0.0),
                      6) AS wilson_low,
-               round((n_wins_a / CAST(n_games AS DOUBLE)
+               round(least((n_wins_a / CAST(n_games AS DOUBLE)
                       + (1.96 * 1.96) / (2 * CAST(n_games AS DOUBLE)))
                      / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE))
                      + 1.96 * sqrt(
@@ -8141,7 +8141,7 @@ def oracle_sql() -> dict[str, str]:
                          + (1.96 * 1.96)
                            / (4 * CAST(n_games AS DOUBLE)
                               * CAST(n_games AS DOUBLE)))
-                       / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE)),
+                       / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE)), 1.0),
                      6) AS wilson_high
         FROM pair
     """

@@ -358,14 +358,16 @@ def win_rates(
         * F.sqrt(p * (1 - p) / n + zz / (4 * n * n))
         / (1 + zz / n)
     )
+    # the interval is mathematically inside [0, 1]; clamp the one-ulp
+    # float spill at p = 0 or 1 so downstream range checks hold exactly
     return pair.select(
         "item_a",
         "item_b",
         "n_games",
         "n_wins_a",
         p.alias("rate_a"),
-        (center - half).alias("wilson_low"),
-        (center + half).alias("wilson_high"),
+        F.greatest(center - half, F.lit(0.0)).alias("wilson_low"),
+        F.least(center + half, F.lit(1.0)).alias("wilson_high"),
     )
 
 
@@ -376,9 +378,17 @@ def bradley_terry(
     iters: int = 20,
     smoothing: float = 0.5,
     checkpoint_every: int = 1,
+    tol: float | None = None,
 ) -> DataFrame:
     """Fit Bradley-Terry strengths from pairwise battles via Hunter's
     MM algorithm — the Chatbot-Arena leaderboard computation.
+
+    ``tol`` (optional): stop early once max |log p_new − log p_old|
+    over items falls below it — ``iters`` becomes a cap instead of a
+    guess. The check is one answer-sized join + 1-row aggregation per
+    round, piggybacking on the round's existing materialization job;
+    leave ``tol=None`` (default) for exactly-``iters`` semantics (the
+    oracle twin unrolls a fixed count).
 
     Model: P(i beats j) = p_i / (p_i + p_j). MM update (Hunter 2004,
     eq. 2): p_i ← W_i / Σ_j n_ij / (p_i + p_j), where W_i = i's total
@@ -421,6 +431,10 @@ def bradley_terry(
             "bradley_terry: checkpoint_every must be >= 1, got "
             f"{checkpoint_every}"
         )
+    if tol is not None and tol <= 0:
+        raise EarthmoverSparkError(
+            f"bradley_terry: tol must be positive when set, got {tol}"
+        )
     wl = win_counts(battles, winner_col, loser_col)
     # undirected pair games: a < b canonical orientation
     pairs = (
@@ -452,6 +466,7 @@ def bradley_terry(
 
     strengths = items.select("item", F.lit(1.0).alias("p"))
     for it in range(iters):
+        prev = strengths
         pa = strengths.select(
             F.col("item").alias("a"), F.col("p").alias("p_a")
         )
@@ -503,12 +518,23 @@ def bradley_terry(
         strengths = upd.crossJoin(F.broadcast(gm)).select(
             "item", (F.col("p") / F.exp(F.col("_lg"))).alias("p")
         )
-        if (it + 1) % checkpoint_every == 0 and (it + 1) < iters:
+        if (it + 1) % checkpoint_every == 0 and (
+            tol is not None or (it + 1) < iters
+        ):
             # checkpoint_cut, NOT bare localCheckpoint: each round
             # references strengths 3x multiplicatively, so preserved
             # origin stats compound 3^n and planning hangs by round
             # ~10 (see util.checkpoint_cut)
             strengths = checkpoint_cut(strengths)
+        if tol is not None and (it + 1) < iters:
+            delta = (
+                strengths.select("item", F.col("p").alias("pn"))
+                .join(prev.select("item", F.col("p").alias("po")), "item")
+                .agg(F.max(F.abs(F.log("pn") - F.log("po"))).alias("d"))
+                .collect()[0][0]
+            )
+            if delta is not None and delta < tol:
+                break
     return (
         items.join(strengths, "item")
         .select(

@@ -358,3 +358,9 @@ def test_preference_data_example(spark, tmp_path):
     wm = [json.loads(ln) for ln in
           open(results["$destinations.win_matrix_out"]).read().splitlines()]
     assert sum(int(r["n_wins"]) for r in wm) == n_events
+
+    mus = [json.loads(ln) for ln in
+           open(results["$destinations.matchups_out"]).read().splitlines()]
+    assert sum(int(r["n_games"]) for r in mus) == n_events
+    assert all(0.0 <= float(r["wilson_low"]) <= float(r["rate_a"])
+               <= float(r["wilson_high"]) <= 1.0 for r in mus)

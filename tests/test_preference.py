@@ -571,3 +571,19 @@ def test_validate_chat_registered():
     from earthmover_spark.operators import OPERATIONS
 
     assert "validate_chat" in OPERATIONS
+
+
+def test_bradley_terry_tol_early_stop(spark):
+    """With tol set, iters is a cap: the fit stops once strengths
+    stabilize and matches a fully-converged reference."""
+    from earthmover_spark.llm.preference import bradley_terry
+
+    df = spark.createDataFrame(BATTLES, "winner string, loser string")
+    got = {r.item: r.strength
+           for r in bradley_terry(df, iters=100, tol=1e-9).collect()}
+    # compare to the python replica run to full convergence
+    ref = _bt_reference(BATTLES, iters=200, smoothing=0.5)
+    for i, pv in ref.items():
+        assert got[i] == pytest.approx(pv, rel=1e-6)
+    with pytest.raises(EarthmoverSparkError, match="tol"):
+        bradley_terry(df, tol=0.0)
