@@ -587,3 +587,79 @@ def test_bradley_terry_tol_early_stop(spark):
         assert got[i] == pytest.approx(pv, rel=1e-6)
     with pytest.raises(EarthmoverSparkError, match="tol"):
         bradley_terry(df, tol=0.0)
+
+
+def test_randomized_parity_sweep(spark):
+    """Seeded random datasets x3: bradley_terry, fleiss_kappa and
+    cohens_kappa_pairs all match their independent pure-Python
+    replicas — parity beyond the hand-built cases."""
+    import random
+
+    from earthmover_spark.llm.preference import (
+        bradley_terry,
+        cohens_kappa_pairs,
+        fleiss_kappa,
+    )
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        items = [f"m{i}" for i in range(8)]
+        battles = []
+        for _ in range(120):
+            a, b = rng.sample(items, 2)
+            battles.append((a, b) if rng.random() < 0.6 else (b, a))
+        df = spark.createDataFrame(battles, "winner string, loser string")
+        got = {r.item: r.strength
+               for r in bradley_terry(df, iters=6).collect()}
+        ref = _bt_reference(battles, iters=6, smoothing=0.5)
+        for i, pv in ref.items():
+            assert got[i] == pytest.approx(pv, rel=1e-9), (seed, i)
+
+        ann = [
+            (it, rng.choice(["a", "b", "c"]))
+            for it in range(30)
+            for _ in range(rng.randint(1, 5))
+        ]
+        fdf = spark.createDataFrame(ann, "item_id long, label string")
+        row = fleiss_kappa(fdf).collect()[0]
+        k, p_bar, p_e = _fleiss_reference(ann)
+        assert row.kappa == pytest.approx(k, rel=1e-12), seed
+        assert row.p_bar == pytest.approx(p_bar, rel=1e-12)
+
+        raters = ["r1", "r2", "r3"]
+        cann = [
+            (it, r, rng.choice(["x", "y"]))
+            for it in range(25)
+            for r in raters
+            if rng.random() < 0.8
+        ]
+        cdf = spark.createDataFrame(
+            cann, "item_id long, rater_id string, label string"
+        )
+        got_k = {(r.rater_a, r.rater_b): r.kappa
+                 for r in cohens_kappa_pairs(cdf).collect()}
+        by_rater = {}
+        for it, r, l in cann:
+            by_rater.setdefault(r, {})[it] = l
+        for i, ra in enumerate(raters):
+            for rb in raters[i + 1:]:
+                shared = sorted(set(by_rater.get(ra, {}))
+                                & set(by_rater.get(rb, {})))
+                if not shared:
+                    assert (ra, rb) not in got_k
+                    continue
+                pairs = [(by_rater[ra][it], by_rater[rb][it])
+                         for it in shared]
+                po = sum(1 for a, b in pairs if a == b) / len(pairs)
+                from collections import Counter
+
+                ca = Counter(a for a, _ in pairs)
+                cb = Counter(b for _, b in pairs)
+                pe = sum(ca[l] * cb.get(l, 0) for l in ca) / len(pairs) ** 2
+                want = None if pe == 1 else (po - pe) / (1 - pe)
+                if want is None:
+                    assert got_k[(ra, rb)] is None, (seed, ra, rb)
+                else:
+                    assert got_k[(ra, rb)] == pytest.approx(
+                        want, rel=1e-12
+                    ), (seed, ra, rb)
