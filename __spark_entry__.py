@@ -1560,6 +1560,48 @@ def q_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judge position-bias audit (position_bias): the synthetic judge
+    presents the eventual winner first 70% of the time (md5 coin), so
+    the audit must flag it biased; one-row output with the Wilson
+    gate, twin replays coin, counts, and interval arithmetic."""
+    from earthmover_spark.llm import preference
+
+    b = _pref_battles(spark, sf_dir)
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("pos:"),
+                        F.col("winner").cast("string"),
+                        F.lit(":"),
+                        F.col("loser").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    battles = b.withColumn(
+        "first",
+        F.when(coin < 7, F.col("winner")).otherwise(F.col("loser")),
+    )
+    out = preference.position_bias(battles)
+    return out.select(
+        "n_battles",
+        "n_first_wins",
+        F.round("first_win_rate", 6).alias("first_win_rate"),
+        F.round("wilson_low", 6).alias("wilson_low"),
+        F.round("wilson_high", 6).alias("wilson_high"),
+        "biased",
+    )
+
+
 def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strengths via Hunter's MM algorithm
     (bradley_terry, 2 iterations so the DuckDB twin can unroll them
@@ -3676,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "advantages": q_advantages,
         "win_matrix": q_win_matrix,
         "win_rates": q_win_rates,
+        "position_bias": q_position_bias,
         "bt_strengths": q_bt_strengths,
         "fleiss_kappa": q_fleiss,
         "kappa_pairs": q_kappa_pairs,
@@ -8144,6 +8187,74 @@ def oracle_sql() -> dict[str, str]:
                        / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE)), 1.0),
                      6) AS wilson_high
         FROM pair
+    """
+    d["position_bias"] = f"""
+        WITH b AS (
+          SELECT winner, loser,
+                 CASE WHEN CAST(('0x' || substr(md5('pos:'
+                        || CAST(winner AS VARCHAR) || ':'
+                        || CAST(loser AS VARCHAR)), 1, 15))
+                      AS UBIGINT)::BIGINT % 10 < 7
+                      THEN winner ELSE loser END AS fst
+          FROM ({_PREF_BT})
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_battles,
+                 CAST(sum(CASE WHEN fst = winner THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_first_wins
+          FROM b
+        )
+        SELECT n_battles, n_first_wins,
+               round(n_first_wins / CAST(n_battles AS DOUBLE), 6)
+                   AS first_win_rate,
+               round(greatest((n_first_wins / CAST(n_battles AS DOUBLE)
+                      + (1.96 * 1.96) / (2 * CAST(n_battles AS DOUBLE)))
+                     / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE))
+                     - 1.96 * sqrt(
+                         n_first_wins / CAST(n_battles AS DOUBLE)
+                         * (1 - n_first_wins / CAST(n_battles AS DOUBLE))
+                         / CAST(n_battles AS DOUBLE)
+                         + (1.96 * 1.96)
+                           / (4 * CAST(n_battles AS DOUBLE)
+                              * CAST(n_battles AS DOUBLE)))
+                       / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE)),
+                     0.0), 6) AS wilson_low,
+               round(least((n_first_wins / CAST(n_battles AS DOUBLE)
+                      + (1.96 * 1.96) / (2 * CAST(n_battles AS DOUBLE)))
+                     / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE))
+                     + 1.96 * sqrt(
+                         n_first_wins / CAST(n_battles AS DOUBLE)
+                         * (1 - n_first_wins / CAST(n_battles AS DOUBLE))
+                         / CAST(n_battles AS DOUBLE)
+                         + (1.96 * 1.96)
+                           / (4 * CAST(n_battles AS DOUBLE)
+                              * CAST(n_battles AS DOUBLE)))
+                       / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE)),
+                     1.0), 6) AS wilson_high,
+               (0.5 < greatest((n_first_wins / CAST(n_battles AS DOUBLE)
+                      + (1.96 * 1.96) / (2 * CAST(n_battles AS DOUBLE)))
+                     / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE))
+                     - 1.96 * sqrt(
+                         n_first_wins / CAST(n_battles AS DOUBLE)
+                         * (1 - n_first_wins / CAST(n_battles AS DOUBLE))
+                         / CAST(n_battles AS DOUBLE)
+                         + (1.96 * 1.96)
+                           / (4 * CAST(n_battles AS DOUBLE)
+                              * CAST(n_battles AS DOUBLE)))
+                       / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE)),
+                     0.0)
+                OR 0.5 > least((n_first_wins / CAST(n_battles AS DOUBLE)
+                      + (1.96 * 1.96) / (2 * CAST(n_battles AS DOUBLE)))
+                     / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE))
+                     + 1.96 * sqrt(
+                         n_first_wins / CAST(n_battles AS DOUBLE)
+                         * (1 - n_first_wins / CAST(n_battles AS DOUBLE))
+                         / CAST(n_battles AS DOUBLE)
+                         + (1.96 * 1.96)
+                           / (4 * CAST(n_battles AS DOUBLE)
+                              * CAST(n_battles AS DOUBLE)))
+                       / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE)),
+                     1.0)) AS biased
+        FROM agg
     """
     # bradley_terry iters=2 unrolled: MM update p_i <- (W_i + s) /
     # (sum_j n_ij/(p_i+p_j) + 2s/(p_i+1)), geometric-mean renorm after

@@ -663,3 +663,49 @@ def test_randomized_parity_sweep(spark):
                     assert got_k[(ra, rb)] == pytest.approx(
                         want, rel=1e-12
                     ), (seed, ra, rb)
+
+
+def test_position_bias(spark):
+    from earthmover_spark.llm.preference import position_bias
+
+    # 9 of 12 battles won by the first-presented side
+    rows = []
+    for i, (w, l) in enumerate(BATTLES):
+        rows.append((w, l, w if i < 9 else l))
+    df = spark.createDataFrame(rows, "winner string, loser string, first string")
+    r = position_bias(df).collect()[0]
+    assert r.n_battles == 12 and r.n_first_wins == 9
+    assert r.first_win_rate == pytest.approx(0.75)
+    assert 0.0 <= r.wilson_low < 0.75 < r.wilson_high <= 1.0
+
+    def wilson(w, n, z=1.96):
+        p = w / n
+        zz = z * z
+        c = (p + zz / (2 * n)) / (1 + zz / n)
+        h = z * math.sqrt(p * (1 - p) / n + zz / (4 * n * n)) / (1 + zz / n)
+        return c - h, c + h
+
+    lo, hi = wilson(9, 12)
+    assert r.wilson_low == pytest.approx(lo, rel=1e-12)
+    assert r.wilson_high == pytest.approx(hi, rel=1e-12)
+    # 0.5 inside the interval at n=12 -> not flagged biased
+    assert r.biased == (0.5 < lo or 0.5 > hi)
+
+    # a large, clearly biased judge IS flagged
+    big = spark.createDataFrame(
+        [("a", "b", "a")] * 80 + [("a", "b", "b")] * 20,
+        "winner string, loser string, first string",
+    )
+    assert position_bias(big).collect()[0].biased
+
+    bad = spark.createDataFrame(
+        [("a", "b", "zzz")], "winner string, loser string, first string"
+    )
+    with pytest.raises(EarthmoverSparkError, match="neither"):
+        position_bias(bad)
+
+
+def test_position_bias_registered():
+    from earthmover_spark.operators import OPERATIONS
+
+    assert "position_bias" in OPERATIONS
