@@ -8061,6 +8061,9 @@ def oracle_sql() -> dict[str, str]:
                      x -> x = 'system')) = 0, false) AS chat_system_leads,
                  coalesce(len(body) = 0
                    OR (body[1] = 'user'
+                       AND len(list_filter(body,
+                           x -> x IS NULL
+                                OR x NOT IN ('user', 'assistant'))) = 0
                        AND len(list_filter(range(1, len(body)),
                            i -> body[i] = body[i + 1])) = 0),
                    false) AS chat_alternates,

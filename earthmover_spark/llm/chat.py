@@ -255,6 +255,7 @@ __all__ = [
     "CHAT_TEMPLATES",
     "fim_transform",
     "length_buckets",
+    "validate_chat",
 ]
 
 
@@ -328,11 +329,18 @@ def validate_chat(
     body = F.when(
         F.try_element_at(roles, F.lit(1)) == F.lit("system"), tail_all
     ).otherwise(roles)
+    # membership pin: adjacent-difference alone is not alternation
+    # once allowed_roles grows past {user, assistant} — [user, tool,
+    # assistant] has no equal neighbors but is NOT u/a alternation
     alternates = m.isNotNull() & (
         F.size(body) == F.lit(0)
     ) | (
         m.isNotNull()
         & (F.try_element_at(body, F.lit(1)) == F.lit("user"))
+        & F.forall(
+            body,
+            lambda r: r.isin(F.lit("user"), F.lit("assistant")),
+        )
         & F.forall(
             F.zip_with(
                 F.slice(body, 1, F.greatest(F.size(body) - 1, F.lit(0))),

@@ -79,8 +79,10 @@ def best_of_n(
 
     Rows with a NULL score never win (excluded outright, the r10
     NULLS-FIRST lesson). Ties are deterministic: higher score first,
-    then ascending ``tiebreak_col`` (required so reruns and the DuckDB
-    twin agree). Output = input columns + ``rank`` (1-based).
+    then ascending ``tiebreak_col`` — REQUIRED, because without a
+    within-group unique key, tied scores pick an arbitrary winner that
+    changes across reruns/retries. Output = input columns + ``rank``
+    (1-based).
 
     Shape: one rank window partitioned by the prompt; Spark's
     WindowGroupLimit rewrite prunes to ≤n rows per group map-side, so
@@ -88,7 +90,14 @@ def best_of_n(
     """
     if n < 1:
         raise EarthmoverSparkError(f"best_of_n: n must be >= 1, got {n}")
-    tb = tiebreak_col or group_col
+    if tiebreak_col is None:
+        raise EarthmoverSparkError(
+            "best_of_n: tiebreak_col is required — without it, tied "
+            "scores pick an arbitrary winner that can change across "
+            "reruns/retries (the group column is constant within its "
+            "own window partition, so it cannot break ties)"
+        )
+    tb = tiebreak_col
     for c in (group_col, tb):
         if c not in df.columns:
             raise EarthmoverSparkError(
@@ -200,9 +209,8 @@ def preference_pairs(
             "_n", F.count("*").over(Window.partitionBy(group_col))
         )
         oversized = counted.filter(F.col("_n") > max_group_size)
-        hit = oversized.limit(1).count()
-        if hit:
-            row = oversized.select(group_col, "_n").first()
+        row = oversized.select(group_col, "_n").first()
+        if row is not None:
             raise EarthmoverSparkError(
                 f"preference_pairs: group {row[0]!r} has {row[1]} scored "
                 f"completions > max_group_size={max_group_size}; all-pairs "
@@ -313,6 +321,22 @@ def win_counts(
     )
 
 
+def _wilson_bounds(p, n, z: float):
+    """Closed-form Wilson score interval as Column expressions; the
+    single source for win_rates AND position_bias (their DuckDB twins
+    unroll the same arithmetic by hand). Clamped to [0, 1] — the
+    interval is mathematically inside it, floats spill one ulp at the
+    endpoints."""
+    zf = F.lit(float(z))
+    zz = F.lit(float(z) * float(z))
+    center = (p + zz / (2 * n)) / (1 + zz / n)
+    half = zf * F.sqrt(p * (1 - p) / n + zz / (4 * n * n)) / (1 + zz / n)
+    return (
+        F.greatest(center - half, F.lit(0.0)),
+        F.least(center + half, F.lit(1.0)),
+    )
+
+
 def win_rates(
     battles: DataFrame,
     winner_col: str = "winner",
@@ -350,25 +374,17 @@ def win_rates(
             F.sum("wa").alias("n_wins_a"),
         )
     )
-    zz = F.lit(float(z) * float(z))
     n = F.col("n_games").cast("double")
     p = F.col("n_wins_a") / n
-    center = (p + zz / (2 * n)) / (1 + zz / n)
-    half = (
-        F.lit(float(z))
-        * F.sqrt(p * (1 - p) / n + zz / (4 * n * n))
-        / (1 + zz / n)
-    )
-    # the interval is mathematically inside [0, 1]; clamp the one-ulp
-    # float spill at p = 0 or 1 so downstream range checks hold exactly
+    lo, hi = _wilson_bounds(p, n, z)
     return pair.select(
         "item_a",
         "item_b",
         "n_games",
         "n_wins_a",
         p.alias("rate_a"),
-        F.greatest(center - half, F.lit(0.0)).alias("wilson_low"),
-        F.least(center + half, F.lit(1.0)).alias("wilson_high"),
+        lo.alias("wilson_low"),
+        hi.alias("wilson_high"),
     )
 
 
@@ -425,17 +441,9 @@ def position_bias(
             F.when(F.col(first_col) == F.col(winner_col), 1).otherwise(0)
         ).alias("n_first_wins"),
     )
-    zz = F.lit(float(z) * float(z))
     n = F.col("n_battles").cast("double")
     p = F.col("n_first_wins") / n
-    center = (p + zz / (2 * n)) / (1 + zz / n)
-    half = (
-        F.lit(float(z))
-        * F.sqrt(p * (1 - p) / n + zz / (4 * n * n))
-        / (1 + zz / n)
-    )
-    lo = F.greatest(center - half, F.lit(0.0))
-    hi = F.least(center + half, F.lit(1.0))
+    lo, hi = _wilson_bounds(p, n, z)
     return agg.select(
         "n_battles",
         "n_first_wins",
@@ -511,6 +519,29 @@ def bradley_terry(
             f"bradley_terry: tol must be positive when set, got {tol}"
         )
     wl = win_counts(battles, winner_col, loser_col)
+    if smoothing == 0:
+        # without the ghost-opponent games, a winless item converges to
+        # strength 0, log(0) drops out of the geometric-mean pin as
+        # NULL, and the documented normalization silently breaks — the
+        # zero-smoothing fit is only well-defined when every item has
+        # at least one win AND one loss
+        wins_c = wl.groupBy(F.col("winner").alias("item")).agg(
+            F.count("*").alias("_w")
+        )
+        loss_c = wl.groupBy(F.col("loser").alias("item")).agg(
+            F.count("*").alias("_l")
+        )
+        one_sided = wins_c.join(loss_c, "item", "full_outer").filter(
+            F.col("_w").isNull() | F.col("_l").isNull()
+        )
+        row = one_sided.select("item").first()
+        if row is not None:
+            raise EarthmoverSparkError(
+                f"bradley_terry: smoothing=0 but item {row[0]!r} has "
+                "no wins or no losses — the unregularized MM fit "
+                "diverges for one-sided items; use smoothing > 0 "
+                "(the default 0.5 ghost-opponent games)"
+            )
     # undirected pair games: a < b canonical orientation
     pairs = (
         wl.select(

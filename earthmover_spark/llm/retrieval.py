@@ -257,7 +257,7 @@ def inverted_index(
     return idx
 
 
-__all__ = ["bm25_scores", "bm25_batch", "inverted_index"]
+__all__ = ["bm25_scores", "bm25_batch", "inverted_index", "retrieval_metrics"]
 
 
 def retrieval_metrics(

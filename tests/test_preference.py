@@ -709,3 +709,54 @@ def test_position_bias_registered():
     from earthmover_spark.operators import OPERATIONS
 
     assert "position_bias" in OPERATIONS
+
+
+def test_best_of_n_requires_tiebreak(spark):
+    """Review fix: a missing tiebreak used to default to the group
+    column — constant within its own window partition, so tied scores
+    picked an arbitrary winner. Now it raises."""
+    from earthmover_spark.llm.preference import best_of_n
+
+    df = spark.createDataFrame(COMPLETIONS, CSCHEMA)
+    with pytest.raises(EarthmoverSparkError, match="tiebreak_col"):
+        best_of_n(df, "prompt_id", "score", n=1)
+
+
+def test_bradley_terry_smoothing_zero_guard(spark):
+    """smoothing=0 with a winless item diverges (strength 0 drops out
+    of the geometric-mean pin as log NULL) — must raise, not silently
+    mis-normalize; a both-sided battle set still fits fine."""
+    from earthmover_spark.llm.preference import bradley_terry
+
+    one_sided = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("a", "b"), ("b", "a")],
+        "winner string, loser string",
+    )
+    with pytest.raises(EarthmoverSparkError, match="smoothing=0"):
+        bradley_terry(one_sided, iters=2, smoothing=0.0)
+    both_sided = spark.createDataFrame(
+        BATTLES, "winner string, loser string"
+    )
+    got = {r.item: r.strength
+           for r in bradley_terry(both_sided, iters=4, smoothing=0.0).collect()}
+    ref = _bt_reference(BATTLES, iters=4, smoothing=0.0)
+    for i, pv in ref.items():
+        assert got[i] == pytest.approx(pv, rel=1e-9)
+
+
+def test_validate_chat_custom_roles_alternation(spark):
+    """Review fix: with a widened allowed_roles, adjacent-difference
+    alone let [user, tool, assistant] pass as 'alternating' — the
+    membership pin now rejects non-user/assistant turns in the body."""
+    from earthmover_spark.llm.chat import validate_chat
+
+    df = spark.createDataFrame(
+        [(1, [("user", "hi"), ("tool", "result"), ("assistant", "ok")])],
+        CHAT_SCHEMA,
+    )
+    out = validate_chat(
+        df, allowed_roles=("system", "user", "assistant", "tool")
+    ).collect()[0]
+    assert out.chat_roles_known          # tool IS allowed in general
+    assert not out.chat_alternates       # but not inside the u/a body
+    assert not out.chat_valid

@@ -19,6 +19,8 @@ RESULTS = [
 ]
 QRELS = [
     ("q1", "d1", 3), ("q1", "d3", 1), ("q1", "d9", 2),  # d9 judged, not retrieved
+    ("q1", "d8", 1), ("q1", "d7", 2),  # 5 relevant total > k=3: recall
+    # denominator must stay 5 while IDCG truncates to the top 3 grades
     ("q2", "d9", 1),
     ("q3", "d6", 2),
     ("q5", "d8", 1),
@@ -50,7 +52,8 @@ def _py_metrics(results, qrels, k):
                 n_rel_ret += 1
                 if first_rel is None:
                     first_rel = i
-        grades = sorted(rel_per_q.get(q, []), reverse=True)[:k]
+        all_grades = sorted(rel_per_q.get(q, []), reverse=True)
+        grades = all_grades[:k]
         idcg = sum(
             (2 ** gr - 1) / math.log2(i + 1)
             for i, gr in enumerate(grades, start=1)
@@ -59,7 +62,10 @@ def _py_metrics(results, qrels, k):
             ndcg=dcg / idcg if idcg else None,
             mrr=1.0 / first_rel if first_rel else 0.0,
             p=n_rel_ret / k,
-            r=n_rel_ret / len(grades) if grades else None,
+            # recall@k divides by ALL judged-relevant docs, NOT the
+            # top-k truncation — the distinction is the whole point of
+            # the metric when a query has more than k relevant docs
+            r=n_rel_ret / len(all_grades) if all_grades else None,
         )
     return out
 
@@ -87,7 +93,7 @@ def test_retrieval_metrics_matches_python(spark):
             assert row.recall_at_k == pytest.approx(want["r"])
     # spot semantics: q1 top-3 = d1(3), d2(0), d3(1); d9's judged grade
     # counts toward IDCG and recall even though it was never retrieved
-    assert got["q1"].n_relevant == 3 and got["q1"].recall_at_k == pytest.approx(2 / 3)
+    assert got["q1"].n_relevant == 5 and got["q1"].recall_at_k == pytest.approx(2 / 5)
     # q3: judged query, nothing relevant retrieved -> ndcg 0/idcg = 0.0, mrr 0
     assert got["q3"].ndcg == pytest.approx(0.0) and got["q3"].mrr == 0.0
     # q4: no judgments at all -> NULL ndcg/recall, NOT zero
@@ -208,15 +214,26 @@ def test_upstream_refs_cover_all_side_frame_keys():
     executor_src = open(
         g.__file__.replace("graph.py", "executor.py")
     ).read()
-    resolved = set(
-        re.findall(r'kwargs\["(\w+)"\] = self\._resolve\(op_cfg\["(\w+)"\]',
-                   executor_src)
-    )
+    resolved = {
+        k
+        for _, k in re.findall(
+            r'kwargs\["(\w+)"\] = self\._resolve\(op_cfg\["(\w+)"\]',
+            executor_src,
+        )
+    }
+    # loop-resolved keys (kwargs[side] = ...) carry no quoted literal
+    # at the assignment; harvest the loop's tuple instead so e.g.
+    # decontaminate_bloom's benchmark/sketch are actually asserted
+    for tup in re.findall(
+        r"for \w+ in \(([^)]*)\):\s*\n\s*if op_cfg\.get\(\w+\):"
+        r"\s*\n\s*kwargs\[\w+\] = self\._resolve",
+        executor_src,
+    ):
+        resolved |= set(re.findall(r'"(\w+)"', tup))
+    assert {"benchmark", "sketch", "qrels"} <= resolved  # regex sanity
     refs = g.upstream_refs(
         "transformation",
-        {"operations": [{k: f"$sources.{k}" for _, k in resolved}]},
+        {"operations": [{k: f"$sources.{k}" for k in resolved}]},
     )
-    missing = {k for _, k in resolved} - {r.split(".")[1] for r in refs}
-    # `side` from decontaminate_bloom's loop resolves benchmark/sketch
-    missing -= {"side"}
+    missing = resolved - {r.split(".")[1] for r in refs}
     assert not missing, f"side-frame keys invisible to the DAG: {missing}"
