@@ -1677,6 +1677,50 @@ def q_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins + ECE (calibration_bins): synthetic scores are
+    md5-uniform and labels are a second md5 coin that fires with
+    probability ~equal to the score — calibrated by construction, so
+    the audit must report small per-bin gaps; the twin replays hash,
+    binning, and the ECE fold."""
+    from earthmover_spark.llm import training
+
+    docs = _p(spark, sf_dir, "documents")
+
+    def _h(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(prefix), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    scored = docs.select(
+        F.round(_h("cs:") / F.lit(float(1 << 60)), 6).alias("model_score"),
+        F.when(
+            _h("cl:") / F.lit(float(1 << 60))
+            < F.round(_h("cs:") / F.lit(float(1 << 60)), 6),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    out = training.calibration_bins(scored, n_bins=10)
+    return out.select(
+        "bin",
+        "n",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("frac_positive", 6).alias("frac_positive"),
+        F.round("abs_gap", 6).alias("abs_gap"),
+        F.round("ece", 6).alias("ece"),
+    )
+
+
 def q_validate_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT conversation QA (validate_chat): synthetic conversations
     with planted defects — wrong starts, broken alternation, late
@@ -1770,6 +1814,7 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mrr", 6).alias("mrr"),
         F.round("precision_at_k", 6).alias("precision_at_k"),
         F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("avg_precision", 6).alias("avg_precision"),
         "n_retrieved",
         "n_relevant",
     )
@@ -3724,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_pairs": q_kappa_pairs,
         "retrieval_eval": q_retrieval_eval,
         "validate_chat": q_validate_chat,
+        "calibration": q_calibration,
     # rows-only by design, kept LAST so they never occupy
     # recorded full-oracle slots: pack_sequences bin ids are
     # partition-dependent; bpe merge learning is iterative (not
@@ -8021,6 +8067,40 @@ def oracle_sql() -> dict[str, str]:
                    AS advantage
         FROM sc WINDOW w AS (PARTITION BY prompt_id)
     """
+    d["calibration"] = """
+        WITH scored AS (
+          SELECT round(CAST(('0x' || substr(md5('cs:' || CAST(doc_id AS VARCHAR)),
+                       1, 15)) AS UBIGINT)::BIGINT
+                  / 1152921504606846976.0, 6) AS s,
+                 CASE WHEN CAST(('0x' || substr(md5('cl:' || CAST(doc_id AS VARCHAR)),
+                            1, 15)) AS UBIGINT)::BIGINT
+                       / 1152921504606846976.0
+                      < round(CAST(('0x' || substr(md5('cs:' || CAST(doc_id AS VARCHAR)),
+                               1, 15)) AS UBIGINT)::BIGINT
+                         / 1152921504606846976.0, 6)
+                      THEN 1 ELSE 0 END AS y
+          FROM documents
+        ), bins AS (
+          SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 avg(s) AS mean_score,
+                 avg(CAST(y AS DOUBLE)) AS frac_positive
+          FROM scored GROUP BY 1
+        ), tot AS (SELECT sum(n) AS t FROM bins),
+        g AS (
+          SELECT bin, n, mean_score, frac_positive,
+                 abs(frac_positive - mean_score) AS abs_gap
+          FROM bins
+        ), e AS (
+          SELECT sum((n / CAST(t AS DOUBLE)) * abs_gap) AS ece
+          FROM g, tot
+        )
+        SELECT bin, n, round(mean_score, 6) AS mean_score,
+               round(frac_positive, 6) AS frac_positive,
+               round(abs_gap, 6) AS abs_gap,
+               round((SELECT ece FROM e), 6) AS ece
+        FROM g
+    """
     d["validate_chat"] = """
         WITH conv AS (
           SELECT doc_id,
@@ -8103,13 +8183,21 @@ def oracle_sql() -> dict[str, str]:
         ), hit AS (
           SELECT t.query, t.rank, coalesce(j.g, 0.0) AS g
           FROM topk t LEFT JOIN jud j ON t.query = j.query AND t.doc = j.doc
+        ), hitc AS (
+          SELECT query, rank, g,
+                 sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY query ORDER BY rank
+                         ROWS UNBOUNDED PRECEDING) AS cum_rel
+          FROM hit
         ), per_q AS (
           SELECT query,
                  sum((pow(2.0, g) - 1.0) / log2(rank + 1.0)) AS dcg,
                  min(CASE WHEN g > 0 THEN rank END) AS first_rel,
                  sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS n_rel_ret,
+                 sum(CASE WHEN g > 0 THEN cum_rel / CAST(rank AS DOUBLE)
+                          ELSE 0.0 END) AS ap_num,
                  CAST(count(*) AS BIGINT) AS n_retrieved
-          FROM hit GROUP BY query
+          FROM hitc GROUP BY query
         ), ideal AS (
           SELECT query,
                  sum((pow(2.0, g) - 1.0) / log2(irank + 1.0)) AS idcg
@@ -8129,6 +8217,7 @@ def oracle_sql() -> dict[str, str]:
                round(p.n_rel_ret / 10.0, 6) AS precision_at_k,
                round(CAST(p.n_rel_ret AS DOUBLE) / n.n_relevant, 6)
                    AS recall_at_k,
+               round(p.ap_num / n.n_relevant, 6) AS avg_precision,
                p.n_retrieved, coalesce(n.n_relevant, 0) AS n_relevant
         FROM per_q p LEFT JOIN ideal i ON p.query = i.query
                      LEFT JOIN nrel n ON p.query = n.query

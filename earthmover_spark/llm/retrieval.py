@@ -285,6 +285,10 @@ def retrieval_metrics(
       silently drag a mean down).
     - ``mrr``: 1 / rank of the first relevant retrieved doc in the
       top k, 0.0 if none.
+    - ``avg_precision``: TREC-style AP@k — Σ P@i over relevant
+      retrieved ranks i ≤ k, divided by TOTAL judged-relevant R (so a
+      query can't score 1.0 by retrieving 1 of its 50 relevant docs);
+      NULL when R = 0. Mean it per system for MAP.
     - ``precision_at_k``: relevant retrieved / k (the fixed
       denominator — retrieving fewer than k docs is penalized).
     - ``recall_at_k``: relevant retrieved / total relevant judged,
@@ -356,6 +360,17 @@ def retrieval_metrics(
         "rank",
         F.coalesce("g", F.lit(0.0)).alias("g"),
     )
+    # cumulative relevant count up to each rank — the P@i numerator;
+    # the window runs over the ALREADY top-k-pruned frame (<= k rows
+    # per query), so it is cheap by construction
+    w_cum = (
+        Window.partitionBy("query")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hit = hit.withColumn(
+        "cum_rel", F.sum(F.when(F.col("g") > 0, 1).otherwise(0)).over(w_cum)
+    )
     per_q = hit.groupBy("query").agg(
         F.sum(
             (F.pow(F.lit(2.0), F.col("g")) - F.lit(1.0))
@@ -365,6 +380,11 @@ def retrieval_metrics(
             F.when(F.col("g") > 0, F.col("rank"))
         ).alias("first_rel"),
         F.sum(F.when(F.col("g") > 0, 1).otherwise(0)).alias("n_rel_ret"),
+        F.sum(
+            F.when(
+                F.col("g") > 0, F.col("cum_rel") / F.col("rank")
+            ).otherwise(0.0)
+        ).alias("ap_num"),
         F.count("*").alias("n_retrieved"),
     )
     # ideal ranking: the query's own judged grades, best first
@@ -400,6 +420,9 @@ def retrieval_metrics(
             (F.col("n_rel_ret") / F.lit(float(k))).alias("precision_at_k"),
             F.try_divide(F.col("n_rel_ret"), F.col("n_relevant")).alias(
                 "recall_at_k"
+            ),
+            F.try_divide(F.col("ap_num"), F.col("n_relevant")).alias(
+                "avg_precision"
             ),
             "n_retrieved",
             F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),

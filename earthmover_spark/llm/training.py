@@ -453,3 +453,65 @@ def binary_metrics(
             F.try_divide(F.col("__tp__") + F.col("__tn__"), F.col("n")), 6
         ).alias("accuracy"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "model_score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins + expected calibration error for a
+    probabilistic classifier — the audit that decides whether
+    ``score_with_model`` output needs a ``fit_platt`` pass (a model
+    can rank perfectly and still be badly calibrated; threshold tiers
+    inherit whatever miscalibration the score carries).
+
+    Scores must lie in [0, 1] (rows outside raise — they mean a raw
+    logit column was passed instead of a probability); NULL scores or
+    labels are excluded. Bin b covers [b/n, (b+1)/n), score 1.0 folds
+    into the last bin. Returns one row per NON-EMPTY bin:
+    (bin, n, mean_score, frac_positive, abs_gap) plus the global
+    ``ece`` (Σ n_b/N · |frac_positive − mean_score|, Naeini et al.
+    AAAI 2015) repeated on every row for one-frame consumption.
+
+    Shape: ONE hash aggregation to ≤ ``n_bins`` rows + a 1-row total
+    broadcast — nothing wider than the bin table shuffles.
+    """
+    if n_bins < 2:
+        raise EarthmoverSparkError(
+            f"calibration_bins: n_bins must be >= 2, got {n_bins}"
+        )
+    for c in (score_col, label_col):
+        if c not in df.columns:
+            raise EarthmoverSparkError(
+                f"calibration_bins: column {c!r} not in {df.columns}"
+            )
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    bad = base.filter((s < 0) | (s > 1)).limit(1).count()
+    if bad:
+        raise EarthmoverSparkError(
+            f"calibration_bins: {score_col!r} has values outside [0, 1] "
+            "— pass a probability (e.g. score_with_model's calibrated "
+            "model_score), not a raw logit"
+        )
+    b = F.least(
+        F.floor(s * F.lit(int(n_bins))).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    bins = base.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.avg(s).alias("mean_score"),
+        F.avg(y).alias("frac_positive"),
+    )
+    tot = bins.agg(F.sum("n").alias("_tot"))
+    gap = F.abs(F.col("frac_positive") - F.col("mean_score"))
+    withgap = bins.withColumn("abs_gap", gap).crossJoin(F.broadcast(tot))
+    ece = withgap.agg(
+        F.sum((F.col("n") / F.col("_tot")) * F.col("abs_gap")).alias("ece")
+    )
+    return (
+        withgap.crossJoin(F.broadcast(ece))
+        .select("bin", "n", "mean_score", "frac_positive", "abs_gap", "ece")
+    )

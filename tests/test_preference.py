@@ -760,3 +760,57 @@ def test_validate_chat_custom_roles_alternation(spark):
     assert out.chat_roles_known          # tool IS allowed in general
     assert not out.chat_alternates       # but not inside the u/a body
     assert not out.chat_valid
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins (llm/training.py)
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_matches_python(spark):
+    from earthmover_spark.llm.training import calibration_bins
+
+    rows = [
+        (0.05, 0), (0.08, 0), (0.12, 0), (0.18, 1),
+        (0.55, 1), (0.58, 0), (0.95, 1), (1.0, 1), (0.97, 1),
+        (None, 1), (0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "model_score double, label int")
+    got = {r.bin: r for r in calibration_bins(df, n_bins=10).collect()}
+    # score 1.0 folds into the LAST bin (9), not a phantom bin 10
+    assert set(got) == {0, 1, 5, 9}
+    valid = [(s, y) for s, y in rows if s is not None and y is not None]
+    import collections
+
+    per_bin = collections.defaultdict(list)
+    for s, y in valid:
+        per_bin[min(int(s * 10), 9)].append((s, y))
+    n_tot = len(valid)
+    ece = 0.0
+    for b, pts in per_bin.items():
+        ms = sum(s for s, _ in pts) / len(pts)
+        fp = sum(y for _, y in pts) / len(pts)
+        ece += len(pts) / n_tot * abs(fp - ms)
+        assert got[b].n == len(pts)
+        assert got[b].mean_score == pytest.approx(ms)
+        assert got[b].frac_positive == pytest.approx(fp)
+        assert got[b].abs_gap == pytest.approx(abs(fp - ms))
+    for r in got.values():
+        assert r.ece == pytest.approx(ece, rel=1e-12)
+
+
+def test_calibration_bins_guards(spark):
+    from earthmover_spark.llm.training import calibration_bins
+
+    df = spark.createDataFrame([(1.5, 1)], "model_score double, label int")
+    with pytest.raises(EarthmoverSparkError, match=r"outside \[0, 1\]"):
+        calibration_bins(df)
+    ok = spark.createDataFrame([(0.5, 1)], "model_score double, label int")
+    with pytest.raises(EarthmoverSparkError, match="n_bins"):
+        calibration_bins(ok, n_bins=1)
+
+
+def test_calibration_bins_registered():
+    from earthmover_spark.operators import OPERATIONS
+
+    assert "calibration_bins" in OPERATIONS

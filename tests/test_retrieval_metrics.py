@@ -44,12 +44,13 @@ def _py_metrics(results, qrels, k):
     out = {}
     for q, docs in by_q.items():
         ranked = sorted(docs, key=lambda t: (-t[1], t[0]))[:k]
-        dcg, first_rel, n_rel_ret = 0.0, None, 0
+        dcg, first_rel, n_rel_ret, ap_num = 0.0, None, 0, 0.0
         for i, (d, _) in enumerate(ranked, start=1):
             gr = g.get((q, d), 0)
             dcg += (2 ** gr - 1) / math.log2(i + 1)
             if gr > 0:
                 n_rel_ret += 1
+                ap_num += n_rel_ret / i
                 if first_rel is None:
                     first_rel = i
         all_grades = sorted(rel_per_q.get(q, []), reverse=True)
@@ -66,6 +67,7 @@ def _py_metrics(results, qrels, k):
             # top-k truncation — the distinction is the whole point of
             # the metric when a query has more than k relevant docs
             r=n_rel_ret / len(all_grades) if all_grades else None,
+            ap=ap_num / len(all_grades) if all_grades else None,
         )
     return out
 
@@ -91,6 +93,10 @@ def test_retrieval_metrics_matches_python(spark):
             assert row.recall_at_k is None
         else:
             assert row.recall_at_k == pytest.approx(want["r"])
+        if want["ap"] is None:
+            assert row.avg_precision is None
+        else:
+            assert row.avg_precision == pytest.approx(want["ap"], rel=1e-12)
     # spot semantics: q1 top-3 = d1(3), d2(0), d3(1); d9's judged grade
     # counts toward IDCG and recall even though it was never retrieved
     assert got["q1"].n_relevant == 5 and got["q1"].recall_at_k == pytest.approx(2 / 5)
