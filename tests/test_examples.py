@@ -306,6 +306,16 @@ def test_quality_scoring_example(spark, tmp_path):
     assert all(r["tier"] == "keep" for r in keep)
     assert {r["doc_id"] for r in keep} == {
         r["doc_id"] for r in scored if r["tier"] == "keep"}
+    cal = [json.loads(ln) for ln in
+           open(results["$destinations.calibration_out"]).read().splitlines()]
+    assert 1 <= len(cal) <= 5
+    assert sum(int(r["n"]) for r in cal) == n_docs
+    # one ece, repeated per bin, consistent with the bins themselves
+    eces = {r["ece"] for r in cal}
+    assert len(eces) == 1
+    want_ece = sum(int(r["n"]) / n_docs * abs(float(r["frac_positive"])
+                   - float(r["mean_score"])) for r in cal)
+    assert float(eces.pop()) == pytest.approx(want_ece, abs=1e-9)
 
 
 def test_preference_data_example(spark, tmp_path):
