@@ -1602,6 +1602,57 @@ def q_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_verbosity_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judge verbosity audit (verbosity_bias): synthetic response
+    lengths give the winner a longer answer ~65% of the time (md5
+    draws; the equal-length slice is excluded and reported); the audit must
+    flag the planted length preference. Twin replays lengths, counts,
+    and interval arithmetic."""
+    from earthmover_spark.llm import preference
+
+    b = _pref_battles(spark, sf_dir)
+
+    def _h(prefix: str, col: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("winner").cast("string"),
+                        F.lit(":"),
+                        F.col("loser").cast("string"),
+                        F.lit(":"),
+                        F.col(col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    base_len = 50 + _h("vl:", "loser") % 20
+    battles = b.select(
+        F.when(
+            _h("vb:", "winner") % 100 < 65, base_len + 1 + _h("vw:", "winner") % 30
+        )
+        .otherwise(base_len - (_h("vs:", "winner") % 3))
+        .alias("winner_len"),
+        base_len.alias("loser_len"),
+    )
+    out = preference.verbosity_bias(battles)
+    return out.select(
+        "n_battles",
+        "n_longer_wins",
+        F.round("longer_win_rate", 6).alias("longer_win_rate"),
+        F.round("wilson_low", 6).alias("wilson_low"),
+        F.round("wilson_high", 6).alias("wilson_high"),
+        "n_equal_len",
+        "biased",
+    )
+
+
 def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strengths via Hunter's MM algorithm
     (bradley_terry, 2 iterations so the DuckDB twin can unroll them
@@ -3764,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_matrix": q_win_matrix,
         "win_rates": q_win_rates,
         "position_bias": q_position_bias,
+        "verbosity_bias": q_verbosity_bias,
         "bt_strengths": q_bt_strengths,
         "fleiss_kappa": q_fleiss,
         "kappa_pairs": q_kappa_pairs,
@@ -8279,6 +8331,98 @@ def oracle_sql() -> dict[str, str]:
                        / (1 + (1.96 * 1.96) / CAST(n_games AS DOUBLE)), 1.0),
                      6) AS wilson_high
         FROM pair
+    """
+    d["verbosity_bias"] = f"""
+        WITH battles AS ({_PREF_BT}), lens AS (
+          SELECT CASE WHEN h_vb % 100 < 65
+                      THEN base_len + 1 + h_vw % 30
+                      ELSE base_len - (h_vs % 3) END AS winner_len,
+                 base_len AS loser_len
+          FROM (
+            SELECT 50 + CAST(('0x' || substr(md5('vl:'
+                     || CAST(winner AS VARCHAR) || ':'
+                     || CAST(loser AS VARCHAR) || ':'
+                     || CAST(loser AS VARCHAR)), 1, 15))
+                   AS UBIGINT)::BIGINT % 20 AS base_len,
+                   CAST(('0x' || substr(md5('vb:'
+                     || CAST(winner AS VARCHAR) || ':'
+                     || CAST(loser AS VARCHAR) || ':'
+                     || CAST(winner AS VARCHAR)), 1, 15))
+                   AS UBIGINT)::BIGINT AS h_vb,
+                   CAST(('0x' || substr(md5('vw:'
+                     || CAST(winner AS VARCHAR) || ':'
+                     || CAST(loser AS VARCHAR) || ':'
+                     || CAST(winner AS VARCHAR)), 1, 15))
+                   AS UBIGINT)::BIGINT AS h_vw,
+                   CAST(('0x' || substr(md5('vs:'
+                     || CAST(winner AS VARCHAR) || ':'
+                     || CAST(loser AS VARCHAR) || ':'
+                     || CAST(winner AS VARCHAR)), 1, 15))
+                   AS UBIGINT)::BIGINT AS h_vs
+            FROM battles
+          )
+        ), agg AS (
+          SELECT CAST(sum(CASE WHEN winner_len <> loser_len THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_battles,
+                 CAST(sum(CASE WHEN winner_len > loser_len THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_longer_wins,
+                 CAST(sum(CASE WHEN winner_len = loser_len THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_equal_len
+          FROM lens
+        )
+        SELECT n_battles, n_longer_wins,
+               round(n_longer_wins / CAST(n_battles AS DOUBLE), 6)
+                   AS longer_win_rate,
+               round(greatest((n_longer_wins / CAST(n_battles AS DOUBLE)
+                      + (1.96 * 1.96) / (2 * CAST(n_battles AS DOUBLE)))
+                     / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE))
+                     - 1.96 * sqrt(
+                         n_longer_wins / CAST(n_battles AS DOUBLE)
+                         * (1 - n_longer_wins / CAST(n_battles AS DOUBLE))
+                         / CAST(n_battles AS DOUBLE)
+                         + (1.96 * 1.96)
+                           / (4 * CAST(n_battles AS DOUBLE)
+                              * CAST(n_battles AS DOUBLE)))
+                       / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE)),
+                     0.0), 6) AS wilson_low,
+               round(least((n_longer_wins / CAST(n_battles AS DOUBLE)
+                      + (1.96 * 1.96) / (2 * CAST(n_battles AS DOUBLE)))
+                     / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE))
+                     + 1.96 * sqrt(
+                         n_longer_wins / CAST(n_battles AS DOUBLE)
+                         * (1 - n_longer_wins / CAST(n_battles AS DOUBLE))
+                         / CAST(n_battles AS DOUBLE)
+                         + (1.96 * 1.96)
+                           / (4 * CAST(n_battles AS DOUBLE)
+                              * CAST(n_battles AS DOUBLE)))
+                       / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE)),
+                     1.0), 6) AS wilson_high,
+               n_equal_len,
+               (0.5 < greatest((n_longer_wins / CAST(n_battles AS DOUBLE)
+                      + (1.96 * 1.96) / (2 * CAST(n_battles AS DOUBLE)))
+                     / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE))
+                     - 1.96 * sqrt(
+                         n_longer_wins / CAST(n_battles AS DOUBLE)
+                         * (1 - n_longer_wins / CAST(n_battles AS DOUBLE))
+                         / CAST(n_battles AS DOUBLE)
+                         + (1.96 * 1.96)
+                           / (4 * CAST(n_battles AS DOUBLE)
+                              * CAST(n_battles AS DOUBLE)))
+                       / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE)),
+                     0.0)
+                OR 0.5 > least((n_longer_wins / CAST(n_battles AS DOUBLE)
+                      + (1.96 * 1.96) / (2 * CAST(n_battles AS DOUBLE)))
+                     / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE))
+                     + 1.96 * sqrt(
+                         n_longer_wins / CAST(n_battles AS DOUBLE)
+                         * (1 - n_longer_wins / CAST(n_battles AS DOUBLE))
+                         / CAST(n_battles AS DOUBLE)
+                         + (1.96 * 1.96)
+                           / (4 * CAST(n_battles AS DOUBLE)
+                              * CAST(n_battles AS DOUBLE)))
+                       / (1 + (1.96 * 1.96) / CAST(n_battles AS DOUBLE)),
+                     1.0)) AS biased
+        FROM agg
     """
     d["position_bias"] = f"""
         WITH b AS (

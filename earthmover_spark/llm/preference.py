@@ -53,6 +53,7 @@ __all__ = [
     "win_counts",
     "win_rates",
     "position_bias",
+    "verbosity_bias",
     "bradley_terry",
     "fleiss_kappa",
     "cohens_kappa_pairs",
@@ -450,6 +451,52 @@ def position_bias(
         p.alias("first_win_rate"),
         lo.alias("wilson_low"),
         hi.alias("wilson_high"),
+        ((F.lit(0.5) < lo) | (F.lit(0.5) > hi)).alias("biased"),
+    )
+
+
+def verbosity_bias(
+    battles: DataFrame,
+    winner_len_col: str = "winner_len",
+    loser_len_col: str = "loser_len",
+    z: float = 1.96,
+) -> DataFrame:
+    """Verbosity-bias audit for judged battles: how often does the
+    LONGER response win? The length-preference counterpart of
+    ``position_bias`` — LLM judges measurably favor verbose answers,
+    and a leaderboard built on one rewards padding, not quality.
+
+    Battles where the two responses have equal length carry no length
+    signal and are excluded (reported in ``n_equal_len``); NULL
+    lengths are excluded too. Output is ONE row: n_battles (with a
+    length difference), n_longer_wins, longer_win_rate, the Wilson
+    interval at confidence ``z``, ``n_equal_len``, and ``biased``
+    (0.5 outside the interval). ONE aggregation pass, closed-form
+    arithmetic, no joins.
+    """
+    for c in (winner_len_col, loser_len_col):
+        if c not in battles.columns:
+            raise EarthmoverSparkError(
+                f"verbosity_bias: column {c!r} not in {battles.columns}"
+            )
+    wl = F.col(winner_len_col).cast("double")
+    ll = F.col(loser_len_col).cast("double")
+    b = battles.filter(wl.isNotNull() & ll.isNotNull())
+    agg = b.agg(
+        F.sum(F.when(wl != ll, 1).otherwise(0)).alias("n_battles"),
+        F.sum(F.when(wl > ll, 1).otherwise(0)).alias("n_longer_wins"),
+        F.sum(F.when(wl == ll, 1).otherwise(0)).alias("n_equal_len"),
+    )
+    n = F.col("n_battles").cast("double")
+    p = F.col("n_longer_wins") / n
+    lo, hi = _wilson_bounds(p, n, z)
+    return agg.select(
+        "n_battles",
+        "n_longer_wins",
+        p.alias("longer_win_rate"),
+        lo.alias("wilson_low"),
+        hi.alias("wilson_high"),
+        "n_equal_len",
         ((F.lit(0.5) < lo) | (F.lit(0.5) > hi)).alias("biased"),
     )
 

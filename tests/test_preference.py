@@ -814,3 +814,43 @@ def test_calibration_bins_registered():
     from earthmover_spark.operators import OPERATIONS
 
     assert "calibration_bins" in OPERATIONS
+
+
+def test_verbosity_bias(spark):
+    from earthmover_spark.llm.preference import verbosity_bias
+
+    rows = (
+        [(100, 50)] * 7      # longer side wins 7x
+        + [(40, 90)] * 2     # shorter side wins 2x
+        + [(60, 60)] * 3     # equal length: excluded, reported
+        + [(None, 10)]       # NULL length: excluded entirely
+    )
+    df = spark.createDataFrame(rows, "winner_len int, loser_len int")
+    r = verbosity_bias(df).collect()[0]
+    assert r.n_battles == 9 and r.n_longer_wins == 7
+    assert r.n_equal_len == 3
+    assert r.longer_win_rate == pytest.approx(7 / 9)
+
+    def wilson(w, n, z=1.96):
+        p = w / n
+        zz = z * z
+        c = (p + zz / (2 * n)) / (1 + zz / n)
+        h = z * math.sqrt(p * (1 - p) / n + zz / (4 * n * n)) / (1 + zz / n)
+        return c - h, c + h
+
+    lo, hi = wilson(7, 9)
+    assert r.wilson_low == pytest.approx(lo, rel=1e-12)
+    assert r.wilson_high == pytest.approx(hi, rel=1e-12)
+    assert r.biased == (0.5 < lo or 0.5 > hi)
+    big = spark.createDataFrame(
+        [(100, 10)] * 90 + [(10, 100)] * 10, "winner_len int, loser_len int"
+    )
+    assert verbosity_bias(big).collect()[0].biased
+    with pytest.raises(EarthmoverSparkError, match="column"):
+        verbosity_bias(df, winner_len_col="nope")
+
+
+def test_verbosity_bias_registered():
+    from earthmover_spark.operators import OPERATIONS
+
+    assert "verbosity_bias" in OPERATIONS
