@@ -324,17 +324,21 @@ def win_counts(
 
 def _wilson_bounds(p, n, z: float):
     """Closed-form Wilson score interval as Column expressions; the
-    single source for win_rates AND position_bias (their DuckDB twins
-    unroll the same arithmetic by hand). Clamped to [0, 1] — the
+    single source for every interval in this module — win_rates,
+    position_bias, verbosity_bias (each op's DuckDB twin unrolls the
+    same arithmetic by hand; change it here, re-verify all three). Clamped to [0, 1] — the
     interval is mathematically inside it, floats spill one ulp at the
     endpoints."""
     zf = F.lit(float(z))
     zz = F.lit(float(z) * float(z))
     center = (p + zz / (2 * n)) / (1 + zz / n)
     half = zf * F.sqrt(p * (1 - p) / n + zz / (4 * n * n)) / (1 + zz / n)
+    # n = 0 (no signal) must yield NULL bounds, and the divisions by n
+    # must sit inside the untaken CASE branch so ANSI mode does not
+    # raise DIVIDE_BY_ZERO while computing them
     return (
-        F.greatest(center - half, F.lit(0.0)),
-        F.least(center + half, F.lit(1.0)),
+        F.when(n > 0, F.greatest(center - half, F.lit(0.0))),
+        F.when(n > 0, F.least(center + half, F.lit(1.0))),
     )
 
 
@@ -427,14 +431,15 @@ def position_bias(
             (F.col(first_col) != F.col(winner_col))
             & (F.col(first_col) != F.col(loser_col))
         )
-        .limit(1)
-        .count()
+        .select(first_col, winner_col, loser_col)
+        .first()
     )
-    if bad:
+    if bad is not None:
         raise EarthmoverSparkError(
-            f"position_bias: rows where {first_col!r} matches neither "
-            "winner nor loser — the presentation column is out of sync "
-            "with the outcome columns (upstream join bug?)"
+            f"position_bias: {first_col!r}={bad[0]!r} matches neither "
+            f"winner={bad[1]!r} nor loser={bad[2]!r} — the presentation "
+            "column is out of sync with the outcome columns "
+            "(upstream join bug?)"
         )
     agg = b.agg(
         F.count("*").alias("n_battles"),
@@ -443,7 +448,9 @@ def position_bias(
         ).alias("n_first_wins"),
     )
     n = F.col("n_battles").cast("double")
-    p = F.col("n_first_wins") / n
+    # try_divide: an empty/all-NULL battle log yields a NULL-rate row
+    # (no signal), not a DIVIDE_BY_ZERO crash under ANSI
+    p = F.try_divide(F.col("n_first_wins"), n)
     lo, hi = _wilson_bounds(p, n, z)
     return agg.select(
         "n_battles",
@@ -451,7 +458,9 @@ def position_bias(
         p.alias("first_win_rate"),
         lo.alias("wilson_low"),
         hi.alias("wilson_high"),
-        ((F.lit(0.5) < lo) | (F.lit(0.5) > hi)).alias("biased"),
+        F.coalesce(
+            (F.lit(0.5) < lo) | (F.lit(0.5) > hi), F.lit(False)
+        ).alias("biased"),
     )
 
 
@@ -488,7 +497,9 @@ def verbosity_bias(
         F.sum(F.when(wl == ll, 1).otherwise(0)).alias("n_equal_len"),
     )
     n = F.col("n_battles").cast("double")
-    p = F.col("n_longer_wins") / n
+    # try_divide: an all-equal-length log (every battle excluded) is
+    # legitimate input — NULL rate, biased=false, not a crash
+    p = F.try_divide(F.col("n_longer_wins"), n)
     lo, hi = _wilson_bounds(p, n, z)
     return agg.select(
         "n_battles",
@@ -497,7 +508,9 @@ def verbosity_bias(
         lo.alias("wilson_low"),
         hi.alias("wilson_high"),
         "n_equal_len",
-        ((F.lit(0.5) < lo) | (F.lit(0.5) > hi)).alias("biased"),
+        F.coalesce(
+            (F.lit(0.5) < lo) | (F.lit(0.5) > hi), F.lit(False)
+        ).alias("biased"),
     )
 
 

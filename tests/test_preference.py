@@ -854,3 +854,23 @@ def test_verbosity_bias_registered():
     from earthmover_spark.operators import OPERATIONS
 
     assert "verbosity_bias" in OPERATIONS
+
+
+def test_bias_audits_degenerate_inputs(spark):
+    """Second-review fix: an empty battle log (position) or an
+    all-equal-length log (verbosity) is legitimate no-signal input —
+    NULL rate, biased=false — not a DIVIDE_BY_ZERO crash under ANSI."""
+    from earthmover_spark.llm.preference import position_bias, verbosity_bias
+
+    empty = spark.createDataFrame(
+        [], "winner string, loser string, first string"
+    )
+    r = position_bias(empty).collect()[0]
+    assert r.n_battles == 0 and r.first_win_rate is None and not r.biased
+
+    eq = spark.createDataFrame(
+        [(60, 60), (70, 70)], "winner_len int, loser_len int"
+    )
+    r2 = verbosity_bias(eq).collect()[0]
+    assert r2.n_battles == 0 and r2.n_equal_len == 2
+    assert r2.longer_win_rate is None and not r2.biased
