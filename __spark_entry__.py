@@ -1698,6 +1698,29 @@ def q_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kripp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over the same synthetic
+    annotations as the Fleiss row (events as ratings): the
+    variable-raters agreement coefficient via the coincidence-matrix
+    closed form; the twin replays the per-item and pooled folds."""
+    from earthmover_spark.llm import preference
+
+    ev = _p(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    ann = ev.select(
+        (F.col("event_id") % 400).alias("item_id"),
+        F.col("event_type").alias("label"),
+    )
+    out = preference.krippendorff_alpha(ann)
+    return out.select(
+        F.round("alpha", 6).alias("alpha"),
+        F.round("d_o", 6).alias("d_o"),
+        F.round("d_e", 6).alias("d_e"),
+        "n_items",
+        "n_ratings",
+        "n_items_excluded",
+    )
+
+
 def q_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Cohen's kappa between 4 synthetic raters (events
     deduped to one label per (item, rater) via deterministic
@@ -3818,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbosity_bias": q_verbosity_bias,
         "bt_strengths": q_bt_strengths,
         "fleiss_kappa": q_fleiss,
+        "kripp_alpha": q_kripp_alpha,
         "kappa_pairs": q_kappa_pairs,
         "retrieval_eval": q_retrieval_eval,
         "validate_chat": q_validate_chat,
@@ -8577,6 +8601,41 @@ def oracle_sql() -> dict[str, str]:
                round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
                n_items, n_ratings, n_items_excluded
         FROM pb, pe, nx
+    """
+    d["kripp_alpha"] = """
+        WITH ann AS (
+          SELECT event_id % 400 AS item, event_type AS label
+          FROM events WHERE event_type IS NOT NULL
+        ), cell AS (
+          SELECT item, label, count(*) AS n FROM ann GROUP BY 1, 2
+        ), per_item AS (
+          SELECT item, sum(n) AS n_i, sum(n * n) AS sq FROM cell GROUP BY 1
+        ), kept AS (
+          SELECT * FROM per_item WHERE n_i >= 2
+        ), do_f AS (
+          SELECT sum((n_i * n_i - sq) / (n_i - 1)) AS do_sum,
+                 CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(n_i) AS BIGINT) AS n_ratings
+          FROM kept
+        ), cat AS (
+          SELECT label, sum(n) AS n_c FROM cell
+          WHERE item IN (SELECT item FROM kept) GROUP BY 1
+        ), cat_f AS (
+          SELECT sum(n_c * n_c) AS sq_c FROM cat
+        ), nx AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items_excluded
+          FROM per_item WHERE n_i < 2
+        )
+        SELECT round(1.0 - (do_sum / CAST(n_ratings AS DOUBLE))
+                     / ((CAST(n_ratings AS DOUBLE) * n_ratings - sq_c)
+                        / (CAST(n_ratings AS DOUBLE) * (n_ratings - 1.0))),
+                     6) AS alpha,
+               round(do_sum / CAST(n_ratings AS DOUBLE), 6) AS d_o,
+               round((CAST(n_ratings AS DOUBLE) * n_ratings - sq_c)
+                     / (CAST(n_ratings AS DOUBLE) * (n_ratings - 1.0)), 6)
+                   AS d_e,
+               n_items, n_ratings, n_items_excluded
+        FROM do_f, cat_f, nx
     """
     d["kappa_pairs"] = """
         WITH ann AS (

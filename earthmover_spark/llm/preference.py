@@ -56,6 +56,7 @@ __all__ = [
     "verbosity_bias",
     "bradley_terry",
     "fleiss_kappa",
+    "krippendorff_alpha",
     "cohens_kappa_pairs",
 ]
 
@@ -783,6 +784,89 @@ def fleiss_kappa(
             ).alias("kappa"),
             "p_bar",
             "p_e",
+            "n_items",
+            "n_ratings",
+            "n_items_excluded",
+        )
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha for nominal labels — the agreement
+    coefficient built for exactly the messy case real annotation
+    tables are in: any number of raters, varying per item, missing
+    judgments ignored (Krippendorff, Content Analysis, 2004). The
+    family's third member: Cohen for one rater pair, Fleiss for a
+    fixed panel, alpha for everything else.
+
+    Closed form used (derived from the coincidence matrix; for item i
+    with n_i ratings and per-label counts n_ic):
+
+        Do_sum = Σ_i (n_i² − Σ_c n_ic²) / (n_i − 1)
+        α = 1 − (N − 1) · Do_sum / (N² − Σ_c n_c²)
+
+    with N = total ratings on kept items and n_c the pooled label
+    counts. Items with a single rating carry no agreement signal and
+    are excluded (reported). α is NULL when every rating is the same
+    label (expected disagreement 0 — undefined, not perfect, matching
+    fleiss_kappa's convention).
+
+    Returns one row: (alpha, d_o, d_e, n_items, n_ratings,
+    n_items_excluded) where d_o/d_e are the average observed/expected
+    disagreements (α = 1 − d_o/d_e).
+
+    Shape: identical to fleiss_kappa — one (item,label) count
+    aggregation, one per-item fold, one global fold; nothing wider
+    than the confusion counts shuffles.
+    """
+    for c in (item_col, label_col):
+        if c not in df.columns:
+            raise EarthmoverSparkError(
+                f"krippendorff_alpha: column {c!r} not in {df.columns}"
+            )
+    a = df.filter(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    cell = a.groupBy(
+        F.col(item_col).alias("item"), F.col(label_col).alias("label")
+    ).agg(F.count("*").alias("n"))
+    per_item = cell.groupBy("item").agg(
+        F.sum("n").alias("n_i"), F.sum(F.col("n") * F.col("n")).alias("sq")
+    )
+    kept = per_item.filter(F.col("n_i") >= 2)
+    do_f = kept.agg(
+        F.sum(
+            (F.col("n_i") * F.col("n_i") - F.col("sq"))
+            / (F.col("n_i") - F.lit(1))
+        ).alias("do_sum"),
+        F.count("*").alias("n_items"),
+        F.sum("n_i").alias("n_ratings"),
+    )
+    cat = (
+        cell.join(kept.select("item"), "item", "left_semi")
+        .groupBy("label")
+        .agg(F.sum("n").alias("n_c"))
+    )
+    cat_f = cat.agg(F.sum(F.col("n_c") * F.col("n_c")).alias("sq_c"))
+    nx = per_item.filter(F.col("n_i") < 2).agg(
+        F.count("*").alias("n_items_excluded")
+    )
+    big_n = F.col("n_ratings").cast("double")
+    d_o = F.try_divide(F.col("do_sum"), big_n)
+    d_e = F.try_divide(
+        big_n * big_n - F.col("sq_c"), big_n * (big_n - F.lit(1.0))
+    )
+    return (
+        do_f.crossJoin(F.broadcast(cat_f))
+        .crossJoin(F.broadcast(nx))
+        .select(
+            (F.lit(1.0) - F.try_divide(d_o, d_e)).alias("alpha"),
+            d_o.alias("d_o"),
+            d_e.alias("d_e"),
             "n_items",
             "n_ratings",
             "n_items_excluded",

@@ -874,3 +874,93 @@ def test_bias_audits_degenerate_inputs(spark):
     r2 = verbosity_bias(eq).collect()[0]
     assert r2.n_battles == 0 and r2.n_equal_len == 2
     assert r2.longer_win_rate is None and not r2.biased
+
+
+# ---------------------------------------------------------------------------
+# krippendorff_alpha
+# ---------------------------------------------------------------------------
+
+
+def _kripp_reference(rows):
+    """Independent pairwise-disagreement replica: enumerate every
+    ordered rating pair within each item explicitly (the textbook
+    definition), no coincidence-matrix shortcut."""
+    from collections import Counter, defaultdict
+
+    per_item = defaultdict(list)
+    for it, lab in rows:
+        per_item[it].append(lab)
+    kept = {i: v for i, v in per_item.items() if len(v) >= 2}
+    if not kept:
+        return None
+    N = sum(len(v) for v in kept.values())
+    do_sum = 0.0
+    for v in kept.values():
+        n = len(v)
+        dis = sum(
+            1 for i in range(n) for j in range(n) if i != j and v[i] != v[j]
+        )
+        do_sum += dis / (n - 1)
+    d_o = do_sum / N
+    pooled = Counter(l for v in kept.values() for l in v)
+    de_num = N * N - sum(c * c for c in pooled.values())
+    d_e = de_num / (N * (N - 1))
+    return None if d_e == 0 else 1 - d_o / d_e
+
+
+def test_krippendorff_alpha_matches_pairwise_replica(spark):
+    from earthmover_spark.llm.preference import krippendorff_alpha
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "b"), (2, "b"),
+        (3, "a"), (3, "c"), (3, "c"), (3, "c"),
+        (4, "a"),              # singleton: excluded
+        (5, None), (None, "a"),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, label string")
+    out = krippendorff_alpha(df).collect()[0]
+    valid = [(i, l) for i, l in rows if i is not None and l is not None]
+    want = _kripp_reference(valid)
+    assert out.alpha == pytest.approx(want, rel=1e-12)
+    assert out.n_items == 3 and out.n_items_excluded == 1
+    assert out.n_ratings == 9
+    assert out.alpha == pytest.approx(1 - out.d_o / out.d_e, rel=1e-12)
+
+    import random
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        rnd = [(it, rng.choice(["x", "y", "z"]))
+               for it in range(40) for _ in range(rng.randint(1, 5))]
+        rdf = spark.createDataFrame(rnd, "item_id long, label string")
+        got = krippendorff_alpha(rdf).collect()[0].alpha
+        assert got == pytest.approx(_kripp_reference(rnd), rel=1e-12), seed
+
+
+def test_krippendorff_alpha_degenerate(spark):
+    from earthmover_spark.llm.preference import krippendorff_alpha
+
+    # perfect multi-category agreement: alpha == 1
+    perfect = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (2, "y")], "item_id long, label string"
+    )
+    assert krippendorff_alpha(perfect).collect()[0].alpha == pytest.approx(1.0)
+    # single observed category: d_e == 0 -> alpha NULL, not 1.0
+    one = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (2, "x")], "item_id long, label string"
+    )
+    row = krippendorff_alpha(one).collect()[0]
+    assert row.alpha is None and row.d_e == 0.0
+    # all singletons: nothing kept, NULL alpha, everything reported
+    single = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "item_id long, label string"
+    )
+    r = krippendorff_alpha(single).collect()[0]
+    assert r.alpha is None and r.n_items == 0 and r.n_items_excluded == 2
+
+
+def test_krippendorff_alpha_registered():
+    from earthmover_spark.operators import OPERATIONS
+
+    assert "krippendorff_alpha" in OPERATIONS
