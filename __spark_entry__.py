@@ -8032,7 +8032,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), m AS (
               SELECT source, count(*) AS n_docs,
-                     sum(nt) AS n_tokens_total,
+                     CAST(sum(nt) AS BIGINT) AS n_tokens_total,
                      round(avg(nt), 6) AS mean_tokens,
                      round(quantile_cont(nt::DOUBLE, 0.5), 6)
                          AS median_tokens,

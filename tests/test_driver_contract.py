@@ -30,6 +30,42 @@ def test_oracle_sql_is_text():
         assert isinstance(sql, str) and sql.strip(), name
 
 
+def test_no_oracle_emits_driver_lossy_types(sf_dir):
+    """The official driver canonicalizer is pandas-based and coerces
+    DuckDB HUGEINT (int128 — produced by any un-CAST ``sum(BIGINT)``)
+    and DECIMAL lossily (→ float/object) while Spark yields plain
+    ints/floats, so the value hash diverges on identical values — the
+    r10 ``manifest`` red row. DESCRIBE every oracle and fail on any
+    HUGEINT/DECIMAL output column; the fix is always
+    ``CAST(... AS BIGINT/DOUBLE)`` in the oracle SQL."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        bad = [
+            f"{cname}:{ctype}"
+            for cname, ctype, *_ in con.execute(
+                f"DESCRIBE {sql}"
+            ).fetchall()
+            if ctype == "HUGEINT" or ctype.startswith("DECIMAL")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles with driver-lossy output types "
+        f"(CAST to BIGINT/DOUBLE): {offenders}"
+    )
+
+
 #: queries allowed a vectorized (Arrow-batched) Python stage, each
 #: documented: jinja_md5 exercises the full-Jinja pandas_udf path by
 #: design; norm_nfc needs Python's unicodedata for NFC normalization

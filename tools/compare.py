@@ -103,6 +103,29 @@ def compare(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"ok? {name}: rows-only check, {len(srows)} rows")
             continue
         try:
+            # Pre-flight oracle-type guard: the OFFICIAL driver
+            # canonicalizer is pandas-based and coerces DuckDB HUGEINT
+            # (int128, e.g. any sum(BIGINT)) and DECIMAL lossily
+            # (→ float/object) while Spark yields plain ints — the r10
+            # `manifest` red row. Local fetchall() returns Python ints,
+            # so the hash below would silently PASS what the driver
+            # rejects; fail loudly here. Fix: CAST(... AS BIGINT/DOUBLE)
+            # in the oracle SQL.
+            bad_types = [
+                f"{cname}:{ctype}"
+                for cname, ctype, *_ in con.execute(
+                    f"DESCRIBE {sql}"
+                ).fetchall()
+                if ctype == "HUGEINT" or ctype.startswith("DECIMAL")
+            ]
+            if bad_types:
+                print(
+                    f"FAIL {name}: oracle output has driver-lossy "
+                    f"types {bad_types} — CAST to BIGINT/DOUBLE in "
+                    "the oracle SQL"
+                )
+                failures += 1
+                continue
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
