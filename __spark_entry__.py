@@ -8267,7 +8267,8 @@ def oracle_sql() -> dict[str, str]:
           FROM hit
         ), per_q AS (
           SELECT query,
-                 sum((pow(2.0, g) - 1.0) / log2(rank + 1.0)) AS dcg,
+                 sum(CASE WHEN g > 0 THEN pow(2.0, g) - 1.0 ELSE 0.0 END
+                     / log2(rank + 1.0)) AS dcg,
                  min(CASE WHEN g > 0 THEN rank END) AS first_rel,
                  sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS n_rel_ret,
                  sum(CASE WHEN g > 0 THEN cum_rel / CAST(rank AS DOUBLE)

@@ -207,23 +207,40 @@ def preference_pairs(
             *_flat(F.col("_r"), "rejected"),
         )
     else:
+        # lazy oversize guard: the all-pairs join below shuffles on
+        # group_col anyway, so the per-group count rides the same
+        # exchange as a window (one extra sort, ZERO extra jobs) and
+        # raises from inside the plan instead of an eager pre-scan
         counted = base.withColumn(
             "_n", F.count("*").over(Window.partitionBy(group_col))
         )
-        oversized = counted.filter(F.col("_n") > max_group_size)
-        row = oversized.select(group_col, "_n").first()
-        if row is not None:
-            raise EarthmoverSparkError(
-                f"preference_pairs: group {row[0]!r} has {row[1]} scored "
-                f"completions > max_group_size={max_group_size}; all-pairs "
-                "construction is quadratic per group — raise max_group_size "
-                "only if that blowup is intended"
-            )
-        left = base.select(
-            group_col, *[F.col(c).alias(f"c{c}") for c in base.columns[1:]]
+        checked = counted.withColumn(
+            "_s",
+            F.coalesce(
+                F.assert_true(
+                    F.col("_n") <= F.lit(int(max_group_size)),
+                    F.concat(
+                        F.lit("preference_pairs: group "),
+                        F.col(group_col).cast("string"),
+                        F.lit(" has "),
+                        F.col("_n").cast("string"),
+                        F.lit(
+                            " scored completions > max_group_size="
+                            f"{max_group_size}; all-pairs construction "
+                            "is quadratic per group — raise "
+                            "max_group_size only if that blowup is "
+                            "intended"
+                        ),
+                    ),
+                ).cast("double"),
+                F.col("_s"),
+            ),
+        ).drop("_n")
+        left = checked.select(
+            group_col, *[F.col(c).alias(f"c{c}") for c in checked.columns[1:]]
         )
-        right = base.select(
-            group_col, *[F.col(c).alias(f"r{c}") for c in base.columns[1:]]
+        right = checked.select(
+            group_col, *[F.col(c).alias(f"r{c}") for c in checked.columns[1:]]
         )
         joined = left.join(right, on=group_col).filter(
             F.col("c_s") > F.col("r_s")
@@ -297,9 +314,13 @@ def win_counts(
     """Collapse arena battles to ordered-pair win counts: one row per
     (winner, loser) with ``n_wins`` — the mergeable sufficient
     statistic every pairwise-ranking fit consumes. Self-battles
-    (winner == loser) are a data bug and raise. ONE hash aggregation,
-    map-side combined; output is answer-sized (≤ |items|²,
-    practically the observed-pair count)."""
+    (winner == loser) are a data bug and raise — lazily, via an
+    assert column on the ANSWER-SIZED aggregated frame (a self-battle
+    group keys on winner == loser, so the violation survives the
+    groupBy), keeping the op at exactly ONE map-side-combined hash
+    aggregation with no extra validation scan of the battle log.
+    Output is answer-sized (≤ |items|², practically the observed-pair
+    count)."""
     for c in (winner_col, loser_col):
         if c not in battles.columns:
             raise EarthmoverSparkError(
@@ -308,18 +329,32 @@ def win_counts(
     b = battles.filter(
         F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
     )
-    bad = b.filter(F.col(winner_col) == F.col(loser_col)).limit(1).count()
-    if bad:
-        raise EarthmoverSparkError(
-            "win_counts: found battles where winner == loser — "
-            "self-battles carry no ranking information and usually "
-            "mean a join bug upstream; filter them explicitly first"
-        )
-    return (
-        b.groupBy(
-            F.col(winner_col).alias("winner"), F.col(loser_col).alias("loser")
-        )
-        .agg(F.count("*").alias("n_wins"))
+    agg = b.groupBy(
+        F.col(winner_col).alias("winner"), F.col(loser_col).alias("loser")
+    ).agg(F.count("*").alias("n_wins"))
+    # lazy self-battle guard: raises USER_RAISED_EXCEPTION at action
+    # time from inside the aggregation's output projection
+    return agg.select(
+        "winner",
+        "loser",
+        F.coalesce(
+            F.assert_true(
+                F.col("winner") != F.col("loser"),
+                F.concat(
+                    F.lit(
+                        "win_counts: found battles where winner == "
+                        "loser (item "
+                    ),
+                    F.col("winner").cast("string"),
+                    F.lit(
+                        ") — self-battles carry no ranking information "
+                        "and usually mean a join bug upstream; filter "
+                        "them explicitly first"
+                    ),
+                ),
+            ).cast("long"),
+            F.col("n_wins"),
+        ).alias("n_wins"),
     )
 
 
@@ -427,26 +462,46 @@ def position_bias(
         & F.col(loser_col).isNotNull()
         & F.col(first_col).isNotNull()
     )
-    bad = (
-        b.filter(
-            (F.col(first_col) != F.col(winner_col))
-            & (F.col(first_col) != F.col(loser_col))
-        )
-        .select(first_col, winner_col, loser_col)
-        .first()
-    )
-    if bad is not None:
-        raise EarthmoverSparkError(
-            f"position_bias: {first_col!r}={bad[0]!r} matches neither "
-            f"winner={bad[1]!r} nor loser={bad[2]!r} — the presentation "
-            "column is out of sync with the outcome columns "
-            "(upstream join bug?)"
-        )
+    # the first-matches-neither guard is folded INTO the one hash
+    # aggregation (a violation count alongside the real counts) and
+    # asserted lazily on the 1-row result — zero extra scans of the
+    # battle log, raises USER_RAISED_EXCEPTION at action time
     agg = b.agg(
         F.count("*").alias("n_battles"),
         F.sum(
             F.when(F.col(first_col) == F.col(winner_col), 1).otherwise(0)
         ).alias("n_first_wins"),
+        # coalesce: sum over an EMPTY battle log is NULL, which would
+        # trip assert_true (NULL is not true) on the no-signal row
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col(first_col) != F.col(winner_col))
+                    & (F.col(first_col) != F.col(loser_col)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("_n_bad"),
+    )
+    agg = agg.select(
+        F.coalesce(
+            F.assert_true(
+                F.col("_n_bad") == 0,
+                F.concat(
+                    F.lit(f"position_bias: {first_col!r} matches neither "),
+                    F.lit(f"{winner_col!r} nor {loser_col!r} on "),
+                    F.col("_n_bad").cast("string"),
+                    F.lit(
+                        " battles — the presentation column is out of "
+                        "sync with the outcome columns (upstream join "
+                        "bug?)"
+                    ),
+                ),
+            ).cast("long"),
+            F.col("n_battles"),
+        ).alias("n_battles"),
+        "n_first_wins",
     )
     n = F.col("n_battles").cast("double")
     # try_divide: an empty/all-NULL battle log yields a NULL-rate row

@@ -371,9 +371,17 @@ def retrieval_metrics(
     hit = hit.withColumn(
         "cum_rel", F.sum(F.when(F.col("g") > 0, 1).otherwise(0)).over(w_cum)
     )
+    # DCG gain is clamped to relevant judgments (g > 0): TREC-style
+    # qrels encode non-relevant as 0 or -1 / -2, and an unclamped
+    # 2^g - 1 would give them negative gain (e.g. -0.5 at g = -1),
+    # diverging from trec_eval, which treats g <= 0 as gain 0. The
+    # IDCG side below already filters g > 0, so this keeps both sums
+    # on the same gain function.
     per_q = hit.groupBy("query").agg(
         F.sum(
-            (F.pow(F.lit(2.0), F.col("g")) - F.lit(1.0))
+            F.when(
+                F.col("g") > 0, F.pow(F.lit(2.0), F.col("g")) - F.lit(1.0)
+            ).otherwise(0.0)
             / F.log2(F.col("rank") + F.lit(1.0))
         ).alias("dcg"),
         F.min(

@@ -9,13 +9,27 @@ name; specs without wildcard chars must (optionally) match exactly.
 from __future__ import annotations
 
 import fnmatch
+import logging
 import re
 from collections.abc import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+try:  # classic py4j-backed PySpark
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover - Spark Connect-only install
+    class _Py4JError(Exception):
+        pass
+
 _WILDCARD_CHARS = set("*?[]")
+
+_logger = logging.getLogger(__name__)
+
+#: checkpoint_cut's collect-based fallback is only safe on answer-sized
+#: frames; above this the cut degrades to a plain localCheckpoint with
+#: a loud warning instead of silently pulling a corpus to the driver.
+_CUT_FALLBACK_MAX_ROWS = 200_000
 
 
 class EarthmoverSparkError(Exception):
@@ -42,10 +56,18 @@ def checkpoint_cut(df: DataFrame) -> DataFrame:
     The cut: checkpoint, then rebuild the frame over the checkpointed
     InternalRow RDD so the LogicalRDD carries fresh default stats
     (constant 63-bit sizeInBytes) instead of the compounded product.
-    Falls back to a driver collect + re-create (exact LocalRelation
-    stats) if the internal constructor moves — correctness is
-    identical either way; both give per-round cost independent of the
-    round number."""
+
+    The primary path uses private APIs (``_jdf``,
+    ``internalCreateDataFrame``) that are absent under Spark Connect
+    and may move across PySpark versions. When they raise (expected
+    AttributeError / TypeError / Py4JError only — anything else
+    propagates), the fallback is bounded: a driver collect + re-create
+    (exact LocalRelation stats) ONLY for answer-sized frames
+    (<= _CUT_FALLBACK_MAX_ROWS, count is cheap on the already-
+    materialized checkpoint); larger frames keep the plain
+    localCheckpoint with a loud warning that planning stats may
+    compound — degraded planning beats a silent corpus-sized driver
+    collect."""
     ck = df.localCheckpoint(eager=True)
     spark = ck.sparkSession
     try:
@@ -54,8 +76,19 @@ def checkpoint_cut(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(new_jdf, spark)
-    except Exception:  # pragma: no cover - private-API drift fallback
-        return spark.createDataFrame(ck.collect(), schema=ck.schema)
+    except (AttributeError, TypeError, _Py4JError):
+        # pragma: no cover - private-API drift fallback
+        n = ck.count()
+        if n <= _CUT_FALLBACK_MAX_ROWS:
+            return spark.createDataFrame(ck.collect(), schema=ck.schema)
+        _logger.warning(
+            "checkpoint_cut: internalCreateDataFrame unavailable and "
+            "frame has %d rows (> %d); keeping plain localCheckpoint — "
+            "iterative loops may see compounding planner statistics",
+            n,
+            _CUT_FALLBACK_MAX_ROWS,
+        )
+        return ck
 
 
 def is_wildcard(spec: str) -> bool:

@@ -115,10 +115,12 @@ def test_preference_pairs_all_mode_and_guard(spark):
         (4, 40, 42),
         (4, 42, 41),
     }
-    with pytest.raises(EarthmoverSparkError, match="max_group_size"):
+    # the oversize guard is a lazy assert column riding the all-pairs
+    # shuffle (no eager pre-scan), so it raises at ACTION time
+    with pytest.raises(Exception, match="max_group_size"):
         preference_pairs(
             df, "prompt_id", "doc_id", "score", mode="all", max_group_size=2
-        )
+        ).collect()
     with pytest.raises(EarthmoverSparkError, match="mode"):
         preference_pairs(df, "prompt_id", "doc_id", "score", mode="bogus")
 
@@ -164,10 +166,12 @@ def test_win_counts(spark):
     got = {(r.winner, r.loser): r.n_wins for r in win_counts(df).collect()}
     assert got[("a", "b")] == 3 and got[("b", "a")] == 1
     assert got[("d", "b")] == 1
-    with pytest.raises(EarthmoverSparkError, match="winner == loser"):
+    # the self-battle guard is a lazy assert column on the aggregated
+    # frame (no extra validation scan), so it raises at ACTION time
+    with pytest.raises(Exception, match="winner == loser"):
         win_counts(
             spark.createDataFrame([("a", "a")], "winner string, loser string")
-        )
+        ).collect()
 
 
 def test_bradley_terry_matches_python_mm(spark):
@@ -701,8 +705,10 @@ def test_position_bias(spark):
     bad = spark.createDataFrame(
         [("a", "b", "zzz")], "winner string, loser string, first string"
     )
-    with pytest.raises(EarthmoverSparkError, match="neither"):
-        position_bias(bad)
+    # the mismatch guard is a violation count folded into the ONE hash
+    # aggregation (no eager pre-scan), so it raises at ACTION time
+    with pytest.raises(Exception, match="neither"):
+        position_bias(bad).collect()
 
 
 def test_position_bias_registered():

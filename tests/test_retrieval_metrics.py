@@ -47,7 +47,10 @@ def _py_metrics(results, qrels, k):
         dcg, first_rel, n_rel_ret, ap_num = 0.0, None, 0, 0.0
         for i, (d, _) in enumerate(ranked, start=1):
             gr = g.get((q, d), 0)
-            dcg += (2 ** gr - 1) / math.log2(i + 1)
+            # trec_eval semantics: non-relevant judgments (g <= 0,
+            # incl. TREC-style -1/-2) contribute zero gain
+            if gr > 0:
+                dcg += (2 ** gr - 1) / math.log2(i + 1)
             if gr > 0:
                 n_rel_ret += 1
                 ap_num += n_rel_ret / i
@@ -129,6 +132,27 @@ def test_retrieval_metrics_k_truncation_and_guards(spark):
     )
     with pytest.raises(EarthmoverSparkError, match="duplicate"):
         retrieval_metrics(res, dupq)
+
+
+def test_retrieval_metrics_negative_grades_zero_gain(spark):
+    """TREC-style qrels encode non-relevant as -1/-2; those judgments
+    must contribute ZERO DCG gain (trec_eval clamps g <= 0), not the
+    negative 2^g - 1 (= -0.5 at g = -1) an unclamped formula yields."""
+    from earthmover_spark.llm.retrieval import retrieval_metrics
+
+    res = spark.createDataFrame(
+        [("q1", "d1", 0.9), ("q1", "d2", 0.8)], RSCHEMA
+    )
+    jud = spark.createDataFrame(
+        [("q1", "d1", -1), ("q1", "d2", 1)], QSCHEMA
+    )
+    row = retrieval_metrics(res, jud, k=2).collect()[0]
+    # DCG = 0 (d1 judged -1 -> gain 0) + 1/log2(3); IDCG = 1/log2(2)
+    want = (1.0 / math.log2(3)) / 1.0
+    assert row.ndcg == pytest.approx(want, rel=1e-12)
+    assert row.ndcg > 0  # unclamped formula would drop it below `want`
+    assert row.mrr == pytest.approx(0.5)  # d1 is NOT relevant
+    assert row.n_relevant == 1  # g <= 0 judgments are not relevant
 
 
 def test_retrieval_metrics_plan_window_group_limit(spark):
