@@ -906,11 +906,25 @@ def q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing (rows-only check: bin assignment is
-    partition-dependent by design; row count and schema are stable)."""
+    """Greedy sequence packing, pinned to a full value-hash oracle: the
+    partition-greedy packer's bin assignment is a function of the
+    physical partitioning by design (that's what makes it the 100 TB
+    path — no cross-partition coordination; benched partition-parallel
+    in bench_scale_ops), so the registered row drives the REAL
+    ``pack_sequences`` mapInPandas loop over a deterministic
+    single-partition doc_id-ordered stream (first 2000 docs), where
+    greedy == global next-fit in doc_id order — exactly replayable by
+    a recursive-CTE twin. ``pack_sequences_ordered`` remains the
+    deterministic-at-scale variant with its own oracle."""
     from earthmover_spark.llm import sampling
 
-    docs = _p(spark, sf_dir, "documents")
+    docs = (
+        _p(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "n_chars")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
     out = sampling.pack_sequences(docs, max_length=4096)
     return out.select("doc_id", "n_chars", "bin_id")
 
@@ -1220,16 +1234,41 @@ def q_latest_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "event_type", "value")
 
 
+#: frozen BPE merge table — learned ONCE from the sf0.01 corpus
+#: (bpe.learn_bpe(docs, num_merges=60)) and pinned, the
+#: frozen-tokenizer deployment mode of bpe_encode. Pinning lets the
+#: DuckDB twin replay the greedy lowest-rank-leftmost segmenter
+#: exactly; learn_bpe's iterative corpus learning stays pytest-pinned
+#: (tests/test_curation.py::test_bpe_learn_and_encode).
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er</w>"),
+    ("a", "l"), ("al", "l"), ("all", "</w>"), ("m", "all</w>"),
+    ("s", "mall</w>"), ("er", "g"), ("erg", "e</w>"), ("l", "ow</w>"),
+    ("m", "erge</w>"), ("s", "low</w>"), ("c", "t"), ("ct", "or"),
+    ("ctor", "</w>"), ("d", "er</w>"), ("e", "ctor</w>"),
+    ("or", "der</w>"),
+]
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenization: merges learned from the corpus's own word
-    counts (distributed agg + driver-side learning on the vocab), then
-    Arrow-batched greedy encoding. Deterministic but not
-    SQL-expressible (iterative merge learning) — rows-only check."""
+    """BPE tokenization with the frozen ``_BPE_MERGES`` table:
+    Arrow-batched greedy encoding (lowest-rank merge first, leftmost on
+    ties) over the full corpus — full value-hash oracle via a
+    recursive-CTE replay of the segmenter on the distinct-word set."""
     from earthmover_spark.llm import bpe
 
     docs = _p(spark, sf_dir, "documents")
-    merges = bpe.learn_bpe(docs, num_merges=60)
-    out = bpe.bpe_encode(docs, merges)
+    out = bpe.bpe_encode(docs, _BPE_MERGES)
     return out.select(
         "doc_id",
         F.concat_ws("|", "bpe_pieces").alias("pieces"),
@@ -3846,10 +3885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "validate_chat": q_validate_chat,
         "calibration": q_calibration,
-    # rows-only by design, kept LAST so they never occupy
-    # recorded full-oracle slots: pack_sequences bin ids are
-    # partition-dependent; bpe merge learning is iterative (not
-    # SQL-expressible)
         "pack_sequences": q_pack_sequences,
         "bpe_encode": q_bpe_encode,
     }
@@ -8680,4 +8715,103 @@ def oracle_sql() -> dict[str, str]:
                      6) AS kappa
         FROM tot t JOIN pe USING (rater_a, rater_b)
     """
+    # greedy next-fit packing over the deterministic single-partition
+    # doc_id-ordered stream (doc_id < 2000): recursive-CTE replay of
+    # pack_sequences' per-partition loop (new bin when no open bin or
+    # the doc exceeds the open room; a bin closes when its room hits 0,
+    # so oversized docs get their own bin)
+    d["pack_sequences"] = """
+        WITH RECURSIVE ordered AS (
+          SELECT doc_id, n_chars, coalesce(n_chars, 0) AS n,
+                 row_number() OVER (ORDER BY doc_id) AS rn
+          FROM documents WHERE doc_id < 2000
+        ), packed AS (
+          SELECT rn, doc_id, n_chars, 0 AS bin,
+                 4096 - least(n, 4096) AS room
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT x.rn, x.doc_id, x.n_chars,
+                 CASE WHEN p.room <= 0 OR x.n > p.room
+                      THEN p.bin + 1 ELSE p.bin END,
+                 (CASE WHEN p.room <= 0 OR x.n > p.room
+                       THEN 4096 ELSE p.room END) - least(x.n, 4096)
+          FROM packed p JOIN ordered x ON x.rn = p.rn + 1
+        )
+        SELECT doc_id, n_chars, CAST(bin AS BIGINT) AS bin_id FROM packed
+    """
+    d["bpe_encode"] = _bpe_oracle()
     return d
+
+
+def _bpe_oracle() -> str:
+    """DuckDB twin of ``q_bpe_encode``: replays the greedy BPE
+    segmenter (lowest-rank merge first, leftmost on ties — exactly
+    ``bpe._encode_word``) as a recursive CTE over the corpus's
+    DISTINCT normalized words, with the frozen ``_BPE_MERGES`` table
+    inlined as a rank map (chr(1)-joined pair keys — chr(1) cannot
+    appear in normalized text), then reassembles per-document piece
+    strings in word order."""
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    keys = ", ".join(
+        f"{_q(a)} || chr(1) || {_q(b)}" for a, b in _BPE_MERGES
+    )
+    ranks = ", ".join(str(i) for i in range(len(_BPE_MERGES)))
+    map_expr = f"map([{keys}], [{ranks}])"
+    return f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, coalesce({_NORM_SQL}, '') AS norm FROM documents
+        ), dw AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(ws))) AS pos, ws
+          FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM d)
+        ), dwx AS (
+          SELECT doc_id, pos, ws[pos] AS w FROM dw WHERE ws[pos] != ''
+        ), words AS (
+          SELECT DISTINCT w FROM dwx
+        ), seed AS (
+          SELECT w,
+                 list_append(list_transform(generate_series(1, len(w)),
+                             i -> substr(w, i, 1)), '</w>') AS syms
+          FROM words
+        ), enc AS (
+          SELECT w, syms FROM seed
+          UNION ALL
+          SELECT w,
+                 list_concat(list_concat(list_slice(syms, 1, bi - 1),
+                             [syms[bi] || syms[bi + 1]]),
+                             list_slice(syms, bi + 2, len(syms))) AS syms
+          FROM (
+            SELECT w, syms, list_min(rks) AS br,
+                   list_position(rks, list_min(rks)) AS bi
+            FROM (
+              SELECT w, syms,
+                     list_transform(generate_series(1, len(syms) - 1),
+                       i -> coalesce(list_extract(map_extract({map_expr},
+                                syms[i] || chr(1) || syms[i + 1]), 1),
+                            1000000)) AS rks
+              FROM enc WHERE len(syms) > 1
+            )
+          ) WHERE br < 1000000
+        ), encf AS (
+          SELECT w, array_to_string(syms, '|') AS pstr,
+                 len(syms) AS n_w
+          FROM (
+            SELECT w, syms,
+                   row_number() OVER (PARTITION BY w
+                                      ORDER BY len(syms)) AS rn
+            FROM enc
+          ) WHERE rn = 1
+        ), wp AS (
+          SELECT x.doc_id, x.pos, e.pstr, e.n_w
+          FROM dwx x JOIN encf e ON x.w = e.w
+        )
+        SELECT d.doc_id,
+               coalesce(string_agg(wp.pstr, '|' ORDER BY wp.pos), '')
+                   AS pieces,
+               CAST(coalesce(sum(wp.n_w), 0) AS BIGINT) AS n_pieces
+        FROM d LEFT JOIN wp ON d.doc_id = wp.doc_id
+        GROUP BY d.doc_id
+    """

@@ -6,10 +6,11 @@ import pytest
 
 import __spark_entry__ as entry
 
-#: genuinely non-SQL-expressible queries (driver records rows-only)
-#: pack_sequences is partition-dependent by design; bpe_encode's merge
-#: learning is iterative and not SQL-expressible
-ROWS_ONLY = {"pack_sequences", "bpe_encode"}
+#: queries without a full DuckDB oracle — NONE since r11:
+#: pack_sequences is pinned on a deterministic single-partition stream
+#: (recursive-CTE next-fit twin) and bpe_encode runs the frozen
+#: _BPE_MERGES table (recursive-CTE segmenter replay)
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():
