@@ -918,6 +918,66 @@ def main() -> None:
                 )
             )
         )
+
+        # --- r11: multi-file zone-map + compaction-plan semantics ----
+        # The sf test dirs are single-file tables, so file_stats' per-
+        # input_file_name grouping and compact_plan's bin math had only
+        # ever seen ONE file per table. Probe both over a 32-part copy
+        # with INDEPENDENT oracles: parquet footers for per-file rows
+        # and min/max, a driver-side prefix-sum replay for the bins.
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from earthmover_spark.operators.profile import file_stats
+        from earthmover_spark.operators.zorder import compact_plan
+
+        multi = f"{base}/multi32"
+        plain.repartition(32).write.mode("overwrite").parquet(multi)
+        parts = sorted(glob.glob(f"{multi}/part-*.parquet"))
+        assert len(parts) == 32, f"expected 32 part files, got {len(parts)}"
+        scan = spark.read.parquet(multi)
+        t0 = time.time()
+        manifest = {
+            row["file"]: row
+            for row in file_stats(scan, ["a", "row_id"]).collect()
+        }
+        r["file_stats_32files"] = round(time.time() - t0, 3)
+        assert len(manifest) == 32, f"manifest rows: {len(manifest)}"
+        assert sum(m["n_rows"] for m in manifest.values()) == rows
+        for p in parts:
+            meta = pq.ParquetFile(p).metadata
+            row = manifest[os.path.basename(p)]
+            assert row["n_rows"] == meta.num_rows, (p, row["n_rows"])
+            a_idx = next(
+                i for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == "a"
+            )
+            fmin = min(
+                meta.row_group(g).column(a_idx).statistics.min
+                for g in range(meta.num_row_groups)
+            )
+            fmax = max(
+                meta.row_group(g).column(a_idx).statistics.max
+                for g in range(meta.num_row_groups)
+            )
+            assert (row["min_a"], row["max_a"]) == (fmin, fmax), p
+
+        fm = [(os.path.basename(p), os.path.getsize(p)) for p in parts]
+        files_df = spark.createDataFrame(fm, "file string, bytes long")
+        target = max(1, sum(b for _, b in fm) // 8)
+        t0 = time.time()
+        plan = {
+            row["file"]: row["bin_id"]
+            for row in compact_plan(
+                files_df, target_bytes=target
+            ).collect()
+        }
+        r["compact_plan_32files"] = round(time.time() - t0, 3)
+        acc = 0
+        for fn, b in sorted(fm):
+            assert plan[fn] == acc // target, (fn, plan[fn], acc // target)
+            acc += b
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -475,6 +475,16 @@ def read_source(
     return add_optional_fields(df, list(optional_fields or []))
 
 
+#: driver-side size cap for the pandas-bridge formats. These reads are
+#: inherently single-process (matching the reference's own driver-side
+#: readers, source.py:407-418) and fine at dimension-table scale; an
+#: oversized file should fail with a clear error, not an opaque driver
+#: OOM mid-read. Override via EARTHMOVER_SPARK_BRIDGE_MAX_BYTES.
+PANDAS_BRIDGE_MAX_BYTES = int(
+    os.environ.get("EARTHMOVER_SPARK_BRIDGE_MAX_BYTES", 2 << 30)
+)
+
+
 def _pandas_bridge(
     spark: SparkSession, file: str, ftype: str, *, sheet, match, xpath,
     encoding, header_rows, orientation, object_type="frame",
@@ -482,6 +492,21 @@ def _pandas_bridge(
     """Driver-side pandas read for non-splittable formats
     (reference source.py:407-418) -> Arrow createDataFrame."""
     import pandas as pd
+
+    try:
+        size = os.path.getsize(file)
+    except OSError:
+        size = 0  # missing/unstatable files fail in the reader below
+    if size > PANDAS_BRIDGE_MAX_BYTES:
+        raise EarthmoverSparkError(
+            f"{ftype} source {file!r} is {size} bytes, over the "
+            f"driver-side pandas-bridge cap of {PANDAS_BRIDGE_MAX_BYTES} "
+            "bytes — this format is read single-process on the driver "
+            "and an oversized file would OOM it. Convert the data to a "
+            "splittable format (parquet/csv/jsonl) for distributed "
+            "reads, or raise EARTHMOVER_SPARK_BRIDGE_MAX_BYTES if the "
+            "driver genuinely has the memory."
+        )
 
     if ftype == "json":
         # pandas-layout orientations (columns/index/split/values) and

@@ -220,3 +220,25 @@ def test_json_orientations(spark, tmp_path):
     assert sorted((r["index"], r.value) for r in df2.collect()) == [
         ("feb", 5), ("jan", 3)
     ]
+
+
+def test_pandas_bridge_size_cap(spark, tmp_path, monkeypatch):
+    """Driver-side bridge formats are capped by file size: an oversized
+    file must fail with a clear error naming the env override, not an
+    opaque driver OOM mid-read."""
+    import json as _json
+
+    from earthmover_spark.sources import readers
+    from earthmover_spark.sources.readers import read_source
+
+    f = tmp_path / "c.json"
+    f.write_text(_json.dumps({"a": {"0": 1}, "b": {"0": "x"}}))
+    monkeypatch.setattr(readers, "PANDAS_BRIDGE_MAX_BYTES", 4)
+    with pytest.raises(
+        EarthmoverSparkError, match="pandas-bridge cap"
+    ) as ei:
+        read_source(spark, str(f), orientation="columns")
+    assert "EARTHMOVER_SPARK_BRIDGE_MAX_BYTES" in str(ei.value)
+    # under the cap the same file reads fine
+    monkeypatch.setattr(readers, "PANDAS_BRIDGE_MAX_BYTES", 1 << 20)
+    assert read_source(spark, str(f), orientation="columns").count() == 1
