@@ -333,6 +333,41 @@ def lower_template(
 _TEMPLATE_CACHE: dict = {}  # per-process compile cache (executor-side)
 
 
+_MACRO_DEF_RE = re.compile(r"\{%-?\s*macro\s+([A-Za-z_][A-Za-z0-9_]*)")
+_MACRO_BLOCK_RE = re.compile(
+    r"\{%-?\s*macro\b.*?\bendmacro\s*-?%\}", re.DOTALL
+)
+_JINJA_COMMENT_RE = re.compile(r"\{#.*?#\}", re.DOTALL)
+
+
+def macros_allow_lowering(template: str, macros: str) -> bool:
+    """True when the project's ``macros:`` block cannot affect this
+    template's render, so the peephole lowering stays sound.
+
+    Jinja compiles ``macros + template`` as one source, so macros can
+    change a render in exactly two ways: top-level statements/text
+    outside macro definitions (a ``{% set %}``, stray text — both
+    would leak into every render), or a defined macro actually being
+    CALLED by the template. When the macros string is purely
+    ``{% macro %}…{% endmacro %}`` definitions (plus whitespace and
+    comments) and none of the defined names is invoked, defining
+    macros is render-neutral — without this check, merely declaring a
+    project macro used to force EVERY row template in the project
+    (including the reference's own golden suite, which defines
+    ``test``/``test2`` but never calls them in row templates) onto
+    the 10-100x-slower Python UDF path."""
+    if not macros:
+        return True
+    stripped = _MACRO_BLOCK_RE.sub("", macros)
+    stripped = _JINJA_COMMENT_RE.sub("", stripped)
+    if stripped.strip():
+        return False  # top-level set/text — affects every render
+    return not any(
+        re.search(rf"\b{re.escape(name)}\s*\(", template)
+        for name in _MACRO_DEF_RE.findall(macros)
+    )
+
+
 def _jinja_globals() -> dict:
     import hashlib
     import json
@@ -471,8 +506,11 @@ def template_column(
     self_row_data: bool = False,
 ) -> Column:
     """Compile a Jinja template to a Column: native when lowerable
-    (macros/includes force the fallback), else the pandas_udf renderer."""
-    if not macros and "{% include" not in template:
+    (includes, or macros that could affect the render, force the
+    fallback), else the pandas_udf renderer."""
+    if "{% include" not in template and macros_allow_lowering(
+        template, macros
+    ):
         lowered = lower_template(template, columns, value_col)
         if lowered is not None:
             return lowered

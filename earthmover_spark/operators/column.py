@@ -32,9 +32,12 @@ def _is_template(value) -> bool:
 def _needs_jinja_udf(value: str, columns: list[str], value_col: str | None,
                      macros: str) -> bool:
     """True when `template_column` would fall back to the pandas UDF."""
-    from earthmover_spark.functions.jinja_compute import lower_template
+    from earthmover_spark.functions.jinja_compute import (
+        lower_template,
+        macros_allow_lowering,
+    )
 
-    if macros or "{% include" in value:
+    if "{% include" in value or not macros_allow_lowering(value, macros):
         return True
     return lower_template(value, columns, value_col) is None
 
