@@ -3637,24 +3637,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship(spark, "/root/testdata/sf0.001")
 
 
+#: The driver's per-round snapshot records a 50-query prefix of
+#: ``queries()``, so coverage ROTATES across rounds (COVERAGE.md
+#: rotation log). The r11 prefix — the rotation-debt CLOSE-OUT:
+#: (a) manifest — the one red r10 row (oracle HUGEINT fix, engine
+#:     values verified identical at both SFs);
+#: (b) pack_sequences + bpe_encode — first FULL value-hash rows (the
+#:     registry's last two rows-only checks, converted this round);
+#: (c) the 17 r10-late additions — first official rows (all
+#:     judge-re-verified PASS at sf0.01 in the r10 verdict);
+#: (d) the 9-query r6-stale remainder — the last rows older than r7;
+#: (e) dedup_resolve / dedup_keep_best — implementation changed
+#:     (checkpoint_cut per-round lineage cut + the r11 bounded
+#:     fallback), newest official rows predate the change;
+#: (f) 19 oldest-green r7 fills in registry order.
+#: After r11 no query's newest official row predates r7; from r12 the
+#: rotation is purely "new + changed + oldest-green fills".
+_R11_PREFIX = [
+    "manifest",
+    "pack_sequences", "bpe_encode",
+    "triplets_bucketed", "qnorm_approx", "score_model",
+    "best_of_n", "pref_pairs", "advantages", "win_matrix", "win_rates",
+    "position_bias", "verbosity_bias", "bt_strengths", "fleiss_kappa",
+    "kripp_alpha", "kappa_pairs", "retrieval_eval", "validate_chat",
+    "calibration",
+    "dedup_embedding", "sim_topk", "sim_lsh_topk", "sim_ivf_topk",
+    "join_anti", "set_intersect", "group_by_cube", "group_by_salted",
+    "explode_array",
+    "dedup_resolve", "dedup_keep_best",
+    "lsh_cross", "decon_near", "emb_pca_cov", "bm25_multi",
+    "corr_pairs", "profile_drift", "target_mix", "ngram_overlap",
+    "cm_heavy", "kfold", "strip_markup", "winnow_near_dups",
+    "bigram_logprob", "tokenize_ids", "winnow_fp", "text_tfidf",
+    "quality_classifier", "cap_per_group", "merge_upsert",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-    # Ordering note: the driver's per-round snapshot records a 50-query
-    # prefix of this dict, so coverage ROTATES across rounds (see the
-    # rotation log in COVERAGE.md). r10 prefix = (a) the 14 r9-late
-    # additions — first official rows (all oracle-verified at BOTH SFs
-    # in r9 and judge-verified PASS at sf0.01 in the r9 verdict's own
-    # compare run); (b) jl_project — the one red r9 row, its QUERY
-    # schema fixed this round (posexplode to scalar (vec_id, dim,
-    # value) rows; the random_project operator itself was already
-    # oracle-matched); (c) ev_window_agg — the batch window_agg twin
-    # gained r9's type-faithful min/max rule, and its newest official
-    # row predates that change; (d) 34 of the 43 queries whose newest
-    # official row is r6, oldest-first (group_by_stats heads). The
-    # 9-query r6 remainder (dedup_embedding .. explode_array, directly
-    # below the prefix) is scheduled for the r11 prefix — COVERAGE.md
-    # rotation log. Everything rotated out holds a green r6-r9 row
-    # with an unchanged implementation.
+    base = {
     # --- first official rows: the 14 r9-late additions ---
         "links": q_extract_links,
         "hostgraph": q_host_graph,
@@ -3888,6 +3908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bpe_encode": q_bpe_encode,
     }
+    # apply the rotation: prefix first (the driver records these 50),
+    # everything else in stable registry order behind it
+    out = {name: base.pop(name) for name in _R11_PREFIX}
+    out.update(base)
+    return out
 
 
 def _jl_oracle(dims: int = 64, k: int = 8) -> str:

@@ -167,6 +167,27 @@ HEADLINE = [
     "score_model",  # broadcast weights + one id agg + codegen tiers
 ]
 
+#: r10-late families (preference / retrieval-eval / chat-QA /
+#: agreement) tracked round-over-round WITHOUT perturbing the primary
+#: list's comparability: timed identically, reported under a separate
+#: "secondary" key and excluded from the headline total.
+SECONDARY = [
+    "best_of_n",  # struct-argmax per prompt, one hash agg
+    "pref_pairs",  # extreme-mode chosen/rejected, one hash agg
+    "advantages",  # group stats + broadcast join-back
+    "win_matrix",  # ONE map-side-combined battle agg
+    "win_rates",  # win_matrix + Wilson interval arithmetic
+    "bt_strengths",  # iterative MM fit over answer-sized frames
+    "position_bias",  # one agg, closed-form Wilson gate
+    "verbosity_bias",  # one agg over length-vs-outcome
+    "fleiss_kappa",  # item-label counts + marginal fold
+    "kripp_alpha",  # coincidence matrix from pair joins
+    "kappa_pairs",  # per-rater-pair agreement joins
+    "retrieval_eval",  # WindowGroupLimit top-k + qrels equi-join
+    "validate_chat",  # per-row array codegen, zero exchange
+    "calibration",  # binned reliability agg
+]
+
 
 def _force(df) -> int:
     """Execute the full plan without materializing to the driver."""
@@ -222,6 +243,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — bench must survive
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        try:
+            fn = qmap[name]
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            secondary[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — bench must survive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+
     # reference-comparable throughput pipeline (plan execution only)
     em_sec = em_write_sec = None
     li_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
@@ -262,6 +293,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(m.group(1)) if m else os.path.basename(SF_DIR.rstrip("/")),
     }
+    if secondary:
+        payload["secondary"] = secondary
     if em_sec:
         payload["em_pipeline_rows_per_sec"] = int(li_rows / em_sec)
     if em_write_sec:
