@@ -54,7 +54,7 @@ def render_lines(
             template = re.sub(r"\s+", " ", template)
         line = template_column(
             template, cols, macros=macros, loader_dir=loader_dir,
-            self_row_data=True,
+            self_row_data=True, schema=casted.schema,
         )
     return casted.select(line.alias("line"))
 

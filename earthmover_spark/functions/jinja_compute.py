@@ -72,14 +72,19 @@ _SLICE_RE = re.compile(rf"^({_IDENT})\[(-?\d*):(-?\d*)\]$")
 _INDEX_RE = re.compile(rf"^({_IDENT})\[(-?\d+)\]$")
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
 _STR_LIT_RE = re.compile(r"""^'([^'\\]*)'$|^"([^"\\]*)"$""")
-_BINOP_RE = re.compile(r"^(.*?)\s*([+\-*])\s*([^+\-*]+)$")
+_DOTTED_RE = re.compile(rf"^({_IDENT})((?:\.{_IDENT})+)$")
 
 
 class _NotLowerable(Exception):
     pass
 
 
-def _lower_term(term: str, columns: list[str], value_col: str | None):
+def _lower_term(
+    term: str,
+    columns: list[str],
+    value_col: str | None,
+    schema=None,
+):
     """Lower one filter-free term -> (Column, kind). Raises _NotLowerable."""
     term = term.strip()
     if _NUM_RE.match(term):
@@ -91,7 +96,7 @@ def _lower_term(term: str, columns: list[str], value_col: str | None):
         return F.lit(m.group(1) if m.group(1) is not None else m.group(2)), "str"
     m = _SLICE_RE.match(term)
     if m:
-        col = _resolve_name(m.group(1), columns, value_col)
+        col, _ = _resolve_name(m.group(1), columns, value_col, schema)
         start = int(m.group(2)) if m.group(2) else 0
         stop = m.group(3)
         s = col.cast("string")
@@ -104,39 +109,219 @@ def _lower_term(term: str, columns: list[str], value_col: str | None):
         raise _NotLowerable(term)
     m = _INDEX_RE.match(term)
     if m:
-        col = _resolve_name(m.group(1), columns, value_col)
+        col, _ = _resolve_name(m.group(1), columns, value_col, schema)
         idx = int(m.group(2))
         if idx >= 0:
             return F.substring(col.cast("string"), idx + 1, 1), "str"
         raise _NotLowerable(term)
-    if re.match(rf"^{_IDENT}$", term):
-        return _resolve_name(term, columns, value_col), "str"
+    if re.match(rf"^{_IDENT}$", term) or _DOTTED_RE.match(term):
+        return _resolve_name(term, columns, value_col, schema)
     raise _NotLowerable(term)
 
 
-def _resolve_name(name: str, columns: list[str], value_col: str | None) -> Column:
+#: Spark leaf types with a lowering-safe Jinja render/arithmetic story.
+#: Strings render as-is; integrals render identically to Python ints;
+#: float/double may only appear inside arithmetic, comparisons, or
+#: |int-style filters (direct renders differ: 1.0E7 vs 10000000.0) —
+#: the existing 'float'-kind guards enforce that. Booleans (true vs
+#: True), decimals, dates, and nested complex leaves fall back.
+_LEAF_KINDS = {
+    "string": "str",
+    "byte": "int", "short": "int", "integer": "int", "long": "int",
+    "float": "float", "double": "float",
+}
+
+
+def _resolve_name(
+    name: str,
+    columns: list[str],
+    value_col: str | None,
+    schema=None,
+):
+    """Resolve a (possibly dotted) name -> (Column, kind).
+
+    Flat names keep the all-string model ('str' kind, render via
+    string_view). Dotted paths (``weather.temperatures.avg_highs.Jan``
+    — nested-JSONL struct navigation, the reference's cities_weather
+    pattern) need the frame ``schema`` to prove the leaf type is
+    render-safe; without a schema, or on a non-struct step / missing
+    field / unsafe leaf type, lowering declines and the full Jinja UDF
+    takes over.
+
+    Null-leaf note: a lowered dotted render yields ``''`` for a NULL
+    leaf (the reference's behavior for a MISSING key — pandas dicts
+    simply lack it, Jinja Undefined renders ''). The Jinja UDF over
+    Arrow structs cannot distinguish missing from explicit-null and
+    renders Python ``None`` as ``'None'`` for both; templates that
+    must preserve that exact behavior on nullable leaves should not
+    rely on it — the reference itself renders missing keys as ''."""
     if name == "value":
         if value_col is None:
             raise _NotLowerable("value outside modify_columns")
-        return F.col(value_col)
+        return F.col(value_col), "str"
     if name in columns:
-        return F.col(name)
+        return F.col(name), "str"
+    m = _DOTTED_RE.match(name)
+    if m and schema is not None:
+        parts = name.split(".")
+        if parts[0] not in columns:
+            raise _NotLowerable(name)
+        try:
+            dt = schema[parts[0]].dataType
+        except Exception as exc:
+            raise _NotLowerable(name) from exc
+        col = F.col(parts[0])
+        for part in parts[1:]:
+            if dt.typeName() != "struct" or part not in dt.fieldNames():
+                raise _NotLowerable(name)
+            dt = dt[part].dataType
+            col = col.getField(part)
+        kind = _LEAF_KINDS.get(dt.typeName())
+        if kind is None:
+            raise _NotLowerable(f"{name}: un-lowerable leaf type {dt}")
+        return col, kind
     raise _NotLowerable(name)
 
 
 _INLINE_IF_RE = re.compile(r"^(.+?)\s+if\s+(.+?)\s+else\s+(.+)$")
 
 
-def _lower_expr(expr: str, columns: list[str], value_col: str | None):
+def _split_ops(expr: str, opchars: str) -> list[str]:
+    """Split ``expr`` on top-level operators from ``opchars`` (outside
+    quotes, parens, AND brackets), returning the alternating list
+    ``[operand, op, operand, ...]``. A '-' at the start of an operand
+    is a sign, not an operator."""
+    out: list[str] = []
+    depth, quote, cur = 0, None, []
+    for ch in expr:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch in opchars and depth == 0:
+            if ch == "-" and not "".join(cur).strip():
+                cur.append(ch)  # leading sign
+            else:
+                out.append("".join(cur))
+                out.append(ch)
+                cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def _numeric_pair(lk: str, rk: str, expr: str) -> str:
+    if lk not in ("int", "float") or rk not in ("int", "float"):
+        # Jinja/Python '+' on strings concatenates, 'x' * 3 repeats —
+        # semantics the peephole does not model
+        raise _NotLowerable(expr)
+    return "int" if (lk, rk) == ("int", "int") else "float"
+
+
+def _parens_enclose(s: str) -> bool:
+    """True when s starts with '(' and that paren closes only at the
+    very last character (quote-aware), so stripping the pair is safe."""
+    if not (s.startswith("(") and s.endswith(")")):
+        return False
+    depth, quote = 0, None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth == 0 and i < len(s) - 1:
+                return False
+    return depth == 0
+
+
+def _lower_arith_atom(expr, columns, value_col, schema):
+    expr = expr.strip()
+    if _parens_enclose(expr):
+        return _lower_expr(expr[1:-1], columns, value_col, schema)
+    return _lower_filter_chain(expr, columns, value_col, schema)
+
+
+def _lower_product(expr, columns, value_col, schema):
+    parts = _split_ops(expr, "*/")
+    if len(parts) == 1:
+        return _lower_arith_atom(expr, columns, value_col, schema)
+    left, lk = _lower_arith_atom(parts[0], columns, value_col, schema)
+    for op, rhs in zip(parts[1::2], parts[2::2]):
+        if not rhs.strip():
+            raise _NotLowerable(expr)  # '//' floor-div etc.
+        right, rk = _lower_arith_atom(rhs, columns, value_col, schema)
+        kind = _numeric_pair(lk, rk, expr)
+        if op == "*":
+            left, lk = left * right, kind
+        else:
+            # Python '/' is TRUE division (always float) and raises on
+            # zero where Spark yields NULL — only a provably nonzero
+            # numeric literal divisor keeps the semantics identical
+            lit = rhs.strip()
+            if not _NUM_RE.match(lit) or float(lit) == 0:
+                raise _NotLowerable(expr)
+            left, lk = left / right, "float"
+    return left, lk
+
+
+def _lower_sum(expr, columns, value_col, schema):
+    parts = _split_ops(expr, "+-")
+    if len(parts) == 1:
+        return _lower_product(expr, columns, value_col, schema)
+    left, lk = _lower_product(parts[0], columns, value_col, schema)
+    for op, rhs in zip(parts[1::2], parts[2::2]):
+        right, rk = _lower_product(rhs, columns, value_col, schema)
+        kind = _numeric_pair(lk, rk, expr)
+        left, lk = (left + right if op == "+" else left - right), kind
+    return left, lk
+
+
+def _lower_filter_chain(expr, columns, value_col, schema):
+    """term|f1|f2('arg') — the leaf grammar. The base may itself be a
+    parenthesized expression (``((a|int + b|int)/12)|int``)."""
+    parts = [p.strip() for p in _split_top_level(expr, "|")]
+    base, filters = parts[0], parts[1:]
+    if _parens_enclose(base):
+        col, kind = _lower_expr(base[1:-1], columns, value_col, schema)
+    else:
+        col, kind = _lower_term(base, columns, value_col, schema)
+    for f in filters:
+        col, kind = _apply_filter(f, col, kind)
+    return col, kind
+
+
+def _lower_expr(
+    expr: str,
+    columns: list[str],
+    value_col: str | None,
+    schema=None,
+):
     """Lower one ``{{ ... }}`` body -> (Column, kind)."""
     expr = expr.strip()
     # inline conditional:  A if COND else B
     m = _INLINE_IF_RE.match(expr)
     if m:
         try:
-            cond = _lower_condition(m.group(2), columns, value_col)
-            a, ak = _lower_expr(m.group(1), columns, value_col)
-            b, bk = _lower_expr(m.group(3), columns, value_col)
+            cond = _lower_condition(m.group(2), columns, value_col, schema)
+            a, ak = _lower_expr(m.group(1), columns, value_col, schema)
+            b, bk = _lower_expr(m.group(3), columns, value_col, schema)
             if ak == bk:
                 return F.when(cond, a).otherwise(b), ak
             if "float" not in (ak, bk):
@@ -146,42 +331,30 @@ def _lower_expr(expr: str, columns: list[str], value_col: str | None):
                 )
         except _NotLowerable:
             pass  # fall through (e.g. ' if ' inside a string literal)
-    # single binary arithmetic: A op B  (either side may carry filters)
-    m = _BINOP_RE.match(expr)
-    if m and not _NUM_RE.match(expr):
-        left_s, op, right_s = m.group(1), m.group(2), m.group(3)
+    # arithmetic with Python/Jinja precedence: parens, + - * /, filters
+    # binding tighter than operators (a|int + b|int), division only by
+    # nonzero numeric literals
+    add_parts = _split_ops(expr, "+-")
+    mul_parts = _split_ops(expr, "*/")
+    if (len(add_parts) > 1 or len(mul_parts) > 1) and not _NUM_RE.match(expr):
         try:
-            left, lk = _lower_expr(left_s, columns, value_col)
-            right, rk = _lower_expr(right_s, columns, value_col)
-            if lk in ("int", "float") and rk in ("int", "float"):
-                kind = "int" if (lk, rk) == ("int", "int") else "float"
-                if op == "+":
-                    return left + right, kind
-                if op == "-":
-                    return left - right, kind
-                return left * right, kind
+            return _lower_sum(expr, columns, value_col, schema)
         except _NotLowerable:
-            pass  # fall through to filter-chain / term parse
+            pass  # e.g. '-' inside unquoted literal text -> other paths
     # string concatenation:  A ~ B ~ C (Jinja's ~ stringifies operands)
     if "~" in expr:
         segs = _split_top_level(expr, "~")
         if len(segs) > 1:
-            lowered = [_lower_expr(seg, columns, value_col) for seg in segs]
+            lowered = [
+                _lower_expr(seg, columns, value_col, schema) for seg in segs
+            ]
             if any(kind == "float" for _, kind in lowered):
                 # Spark stringifies large doubles as 1.0E7 where Jinja
                 # renders 10000000.0 — same guard as the direct-render
                 # and inline-if paths: fall back to the Jinja UDF.
                 raise _NotLowerable(expr)
             return F.concat(*[string_view(col) for col, _ in lowered]), "str"
-    # filter chain:  term|f1|f2('arg')
-    parts = [p.strip() for p in _split_top_level(expr, "|")]
-    base, filters = parts[0], parts[1:]
-    if filters:
-        col, kind = _lower_term(base, columns, value_col)
-        for f in filters:
-            col, kind = _apply_filter(f, col, kind)
-        return col, kind
-    return _lower_term(expr, columns, value_col)
+    return _lower_filter_chain(expr, columns, value_col, schema)
 
 
 def _split_top_level(expr: str, sep: str) -> list[str]:
@@ -256,12 +429,17 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _lower_condition(cond: str, columns: list[str], value_col: str | None) -> Column:
+def _lower_condition(
+    cond: str,
+    columns: list[str],
+    value_col: str | None,
+    schema=None,
+) -> Column:
     m = _COND_RE.match(cond.strip())
     if not m:
         raise _NotLowerable(cond)
-    left, _ = _lower_expr(m.group(1), columns, value_col)
-    right, _ = _lower_expr(m.group(3), columns, value_col)
+    left, _ = _lower_expr(m.group(1), columns, value_col, schema)
+    right, _ = _lower_expr(m.group(3), columns, value_col, schema)
     op = m.group(2)
     return {
         "==": left == right,
@@ -274,12 +452,17 @@ def _lower_condition(cond: str, columns: list[str], value_col: str | None) -> Co
 
 
 def lower_template(
-    template: str, columns: list[str], value_col: str | None = None
+    template: str,
+    columns: list[str],
+    value_col: str | None = None,
+    schema=None,
 ) -> Column | None:
     """Try to compile a Jinja template to a native StringType Column.
 
     Lowerable surface: ``{{col}}`` placeholders with the native filter
-    set, slices, single arithmetic, and non-nested
+    set, slices, parenthesized +,-,*,/ arithmetic (division only by
+    nonzero numeric literals), dotted nested-struct access when
+    ``schema`` proves the leaf type render-safe, and non-nested
     ``{% if <cmp> %}A{% else %}B{% endif %}`` blocks (-> ``F.when``).
     Returns None when the template needs the full Jinja engine.
     """
@@ -293,7 +476,9 @@ def lower_template(
                     return None  # unmatched/unsupported block syntax
                 pieces.append(F.lit(lit))
             if m.group("expr") is not None:
-                col, kind = _lower_expr(m.group("expr"), columns, value_col)
+                col, kind = _lower_expr(
+                    m.group("expr"), columns, value_col, schema
+                )
                 if kind == "float":
                     # Spark double->string uses scientific notation where
                     # Python doesn't; only the Jinja UDF renders floats
@@ -305,9 +490,15 @@ def lower_template(
                 else_part = m.group("els") or ""
                 if _BLOCK_RE.search(then_part) or _BLOCK_RE.search(else_part):
                     return None  # nested blocks -> full Jinja
-                cond = _lower_condition(m.group("cond"), columns, value_col)
-                then_col = lower_template(then_part, columns, value_col)
-                else_col = lower_template(else_part, columns, value_col)
+                cond = _lower_condition(
+                    m.group("cond"), columns, value_col, schema
+                )
+                then_col = lower_template(
+                    then_part, columns, value_col, schema
+                )
+                else_col = lower_template(
+                    else_part, columns, value_col, schema
+                )
                 if then_col is None or else_col is None:
                     return None
                 pieces.append(F.when(cond, then_col).otherwise(else_col))
@@ -504,14 +695,16 @@ def template_column(
     macros: str = "",
     loader_dir: str | None = None,
     self_row_data: bool = False,
+    schema=None,
 ) -> Column:
     """Compile a Jinja template to a Column: native when lowerable
     (includes, or macros that could affect the render, force the
-    fallback), else the pandas_udf renderer."""
+    fallback), else the pandas_udf renderer. Pass the frame ``schema``
+    to enable dotted nested-struct lowering."""
     if "{% include" not in template and macros_allow_lowering(
         template, macros
     ):
-        lowered = lower_template(template, columns, value_col)
+        lowered = lower_template(template, columns, value_col, schema)
         if lowered is not None:
             return lowered
     return jinja_udf_column(

@@ -30,7 +30,7 @@ def _is_template(value) -> bool:
 
 
 def _needs_jinja_udf(value: str, columns: list[str], value_col: str | None,
-                     macros: str) -> bool:
+                     macros: str, schema=None) -> bool:
     """True when `template_column` would fall back to the pandas UDF."""
     from earthmover_spark.functions.jinja_compute import (
         lower_template,
@@ -39,7 +39,7 @@ def _needs_jinja_udf(value: str, columns: list[str], value_col: str | None,
 
     if "{% include" in value or not macros_allow_lowering(value, macros):
         return True
-    return lower_template(value, columns, value_col) is None
+    return lower_template(value, columns, value_col, schema) is None
 
 
 def _flush_jinja_batch(out: DataFrame, pending: list, macros: str) -> DataFrame:
@@ -78,13 +78,16 @@ def add_columns(
     for name, value in columns.items():
         if _is_template(value):
             tmpl = str(value)
-            if _needs_jinja_udf(tmpl, out.columns, None, macros):
+            if _needs_jinja_udf(tmpl, out.columns, None, macros, out.schema):
                 pending.append((name, tmpl, None))
                 continue
             out = _flush_jinja_batch(out, pending, macros)
             pending = []
             out = out.withColumn(
-                name, template_column(tmpl, out.columns, macros=macros)
+                name,
+                template_column(
+                    tmpl, out.columns, macros=macros, schema=out.schema
+                ),
             )
         else:
             out = _flush_jinja_batch(out, pending, macros)
@@ -108,14 +111,19 @@ def modify_columns(
         for name in expand_column_specs([spec], out.columns):
             if _is_template(value):
                 tmpl = str(value)
-                if _needs_jinja_udf(tmpl, out.columns, name, macros):
+                if _needs_jinja_udf(
+                    tmpl, out.columns, name, macros, out.schema
+                ):
                     pending.append((name, tmpl, name))
                     continue
                 out = _flush_jinja_batch(out, pending, macros)
                 pending = []
                 out = out.withColumn(
                     name,
-                    template_column(tmpl, out.columns, value_col=name, macros=macros),
+                    template_column(
+                        tmpl, out.columns, value_col=name, macros=macros,
+                        schema=out.schema,
+                    ),
                 )
             else:
                 out = _flush_jinja_batch(out, pending, macros)

@@ -207,7 +207,10 @@ class Executor:
                 )
         for exp in cfg.get("expect") or []:
             tmpl = exp if "{{" in str(exp) or "{%" in str(exp) else "{{" + str(exp) + "}}"
-            rendered = template_column(tmpl, df.columns, macros=self.project.macros)
+            rendered = template_column(
+                tmpl, df.columns, macros=self.project.macros,
+                schema=df.schema,
+            )
             failing = df.filter(~(rendered == F.lit("True"))).count()
             if failing:
                 raise EarthmoverSparkError(

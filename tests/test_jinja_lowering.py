@@ -40,6 +40,12 @@ LOWERABLE = [
     "x={% if qty > 10 %}big{% else %}small{% endif %}",
     "{% if flag == 'F' %}final{% else %}open{% endif %}",
     "{% if qty <= 2.5 %}low{% endif %}",
+    # r11 precedence arithmetic parser: multi-term, parens, Python
+    # precedence, literal division folded away by a trailing |int
+    "{{num|int + 10 - 2 * 3}}",
+    "{{(num|int + 2) * 3}}",
+    "{{((num|int + qty|int)/2)|int}}",
+    "{{(num|int - 3) * (num|int + 3)}}",
 ]
 
 NOT_LOWERABLE = [
@@ -49,6 +55,11 @@ NOT_LOWERABLE = [
     "{{md5(name)}}",
     "{{__row_data__}}",
     "{% if qty > 1 %}{% if flag == 'F' %}n{% endif %}{% endif %}",
+    "{{(num|int)/2}}",  # direct float render (true division)
+    "{{num|int / qty|int}}",  # non-literal divisor: /0 raises in Python
+    "{{num|int / 0}}",  # zero divisor: Python raises, Spark NULLs
+    "{{num|int // 2}}",  # floor division not modeled
+    "{{name + flag}}",  # '+' on strings concatenates in Python
 ]
 
 
@@ -189,3 +200,101 @@ class TestInlineIf:
         got = df.select(lowered.alias("v")).collect()[0].v
         want = df.select(jinja_udf_column(t, ["c"]).alias("v")).collect()[0].v
         assert got == want == " if "
+
+
+class TestDottedStructLowering:
+    """r11 schema-aware dotted nested-struct lowering: renders,
+    filters, arithmetic, and conditions over struct leaves lower to
+    native getField chains; unsafe leaf types and schemaless calls
+    fall back."""
+
+    @pytest.fixture(scope="class")
+    def nested(self, spark, tmp_path_factory):
+        import json
+
+        d = tmp_path_factory.mktemp("nested")
+        rows = [
+            {"name": "A", "w": {"rain": {"jan": 8, "feb": 7},
+                                "avg": 2.5, "wet": True}},
+            {"name": "B", "w": {"rain": {"jan": 2, "feb": 3},
+                                "avg": 4.0, "wet": False}},
+        ]
+        (d / "x.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+        return spark.read.json(str(d / "x.jsonl"))
+
+    LOWERED = [
+        "{{w.rain.jan}}",
+        "rain={{w.rain.jan}} feb={{w.rain.feb}}",
+        "{{w.rain.jan|int + w.rain.feb|int}}",
+        "{{((w.rain.jan|int + w.rain.feb|int)/2)|int}}",
+        "{% if w.rain.jan|int > 5 %}wet{% else %}dry{% endif %}",
+        "{% if w.avg > 3 %}hi{% else %}lo{% endif %}",  # float in cond only
+    ]
+
+    @pytest.mark.parametrize("template", LOWERED)
+    def test_dotted_lowers_and_matches_jinja(self, nested, template):
+        from earthmover_spark.functions.jinja_compute import (
+            jinja_udf_column,
+            lower_template,
+        )
+
+        lowered = lower_template(
+            template, nested.columns, schema=nested.schema
+        )
+        assert lowered is not None, template
+        for r in nested.select(
+            lowered.alias("low"),
+            jinja_udf_column(template, nested.columns).alias("full"),
+        ).collect():
+            assert r.low == r.full, template
+
+    FALLBACK = [
+        "{{w.avg}}",        # direct float render
+        "{{w.wet}}",        # boolean leaf: True vs true
+        "{{w.rain}}",       # struct leaf renders a dict repr
+        "{{w.missing.x}}",  # path not in schema
+        "{{w.rain.jan.x}}", # descends through a non-struct leaf
+    ]
+
+    @pytest.mark.parametrize("template", FALLBACK)
+    def test_unsafe_dotted_falls_back(self, nested, template):
+        from earthmover_spark.functions.jinja_compute import lower_template
+
+        assert (
+            lower_template(template, nested.columns, schema=nested.schema)
+            is None
+        ), template
+
+    def test_dotted_requires_schema(self, nested):
+        from earthmover_spark.functions.jinja_compute import lower_template
+
+        assert lower_template("{{w.rain.jan}}", nested.columns) is None
+
+    def test_null_leaf_renders_empty_like_reference(self, spark):
+        """Documented semantics choice: a lowered dotted render gives
+        '' for a NULL leaf — the REFERENCE's behavior for a missing
+        key (pandas dict lacks it -> Jinja Undefined -> ''). The Arrow
+        UDF cannot distinguish missing from explicit-null and renders
+        'None' for both; the lowered path standardizes on the
+        reference's missing-key semantics."""
+        import json
+
+        import tempfile
+        d = tempfile.mkdtemp()
+        with open(f"{d}/x.jsonl", "w") as fh:
+            fh.write(json.dumps({"id": 1, "w": {"a": 5}}) + "\n")
+            fh.write(json.dumps({"id": 2, "w": {}}) + "\n")
+        df = spark.read.json(f"{d}/x.jsonl")
+        from earthmover_spark.functions.jinja_compute import lower_template
+
+        lowered = lower_template(
+            "v={{w.a}}", df.columns, schema=df.schema
+        )
+        assert lowered is not None
+        got = {
+            r.id: r.v
+            for r in df.select("id", lowered.alias("v")).collect()
+        }
+        assert got == {1: "v=5", 2: "v="}

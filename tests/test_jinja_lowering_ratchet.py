@@ -23,8 +23,11 @@ REF_TESTS = "/root/reference/earthmover/tests"
 
 #: templates the golden suite must compile NATIVELY (whole-stage
 #: codegen, zero Python) — the ratchet floor. Any of these falling
-#: back to the UDF is a silent 10-100x regression.
-EXPECTED_LOWERED = {
+#: back to the UDF is a silent 10-100x regression. The dotted
+#: nested-struct renders and the 12-month arithmetic templates joined
+#: this set in r11 (schema-aware dotted lowering + the precedence
+#: arithmetic parser) — see _dotted_lowered() below.
+_STATIC_LOWERED = {
     "0.0",
     "1_{{value}}",
     "2_{{value}}",
@@ -49,9 +52,11 @@ EXPECTED_LOWERED = {
 }
 
 
-def _expected_fallbacks() -> set:
-    """The suite's genuinely non-lowerable templates: __row_data__
-    loops and dotted nested-JSON attribute access."""
+def _dotted_lowered() -> set:
+    """The cities_weather dotted renders and 12-month arithmetic
+    templates — native since the r11 schema-aware dotted lowering +
+    precedence arithmetic parser (39 templates that previously paid
+    the UDF)."""
     months = [
         "January", "February", "March", "April", "May", "June",
         "July", "August", "September", "October", "November",
@@ -69,23 +74,28 @@ def _expected_fallbacks() -> set:
             out.add("{{%s}}" % total)
         else:
             out.add("{{((%s)/12)|int}}" % total)
-    # the two __row_data__ loop templates (destination file + inline),
-    # whitespace differs between them
-    out.add(
+    return out
+
+
+EXPECTED_LOWERED = _STATIC_LOWERED | _dotted_lowered()
+
+
+def _expected_fallbacks() -> set:
+    """The suite's only remaining non-lowerable templates: the two
+    __row_data__ loop templates (destination file + inline; whitespace
+    differs between them)."""
+    return {
         '{\n    {% for key in __row_data__.keys() -%}\n    '
         '{% if key != "__row_data__" -%}\n    '
         "{% if not loop.first %},{% endif -%}\n    "
         '"{{key}}": "{{__row_data__[key]|trim}}"\n    '
-        "{%- endif %}\n    {% endfor -%}\n}"
-    )
-    out.add(
+        "{%- endif %}\n    {% endfor -%}\n}",
         "{ {% for key in __row_data__.keys() -%} "
         '{% if key != "__row_data__" -%} '
         "{% if not loop.first %},{% endif -%} "
         '"{{key}}": "{{__row_data__[key]|trim}}" '
-        "{%- endif %} {% endfor -%} }"
-    )
-    return out
+        "{%- endif %} {% endfor -%} }",
+    }
 
 
 @pytest.mark.skipif(
@@ -100,8 +110,8 @@ def test_golden_suite_lowering_manifest(spark, tmp_path):
     orig_udf_col = jc.jinja_udf_column
     orig_udf_struct = jc.jinja_udf_struct
 
-    def spy_lower(template, columns, value_col=None):
-        out = orig_lower(template, columns, value_col)
+    def spy_lower(template, columns, value_col=None, schema=None):
+        out = orig_lower(template, columns, value_col, schema)
         (lowered if out is not None else fell_back).add(template)
         return out
 
