@@ -176,3 +176,22 @@ def test_embedding_near_dups_still_finds_true_dups(spark):
     )
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert {(i, i + 1_000_000) for i in range(5)} <= found
+
+
+def test_debug_transpose(spark, capsys):
+    """debug's transpose option (reference dataframe.py:244-245):
+    rows become columns with an added `column` index column — the
+    wide-frame inspection layout."""
+    from earthmover_spark.operators import dataframe as dfops
+
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], ["name", "val"]
+    )
+    out = dfops.debug(df, function="head", rows=2, transpose=True)
+    assert out is df
+    printed = capsys.readouterr().out
+    lines = [ln.split() for ln in printed.strip().splitlines()]
+    # transposed layout: one row per COLUMN, led by the 'column' label
+    assert lines[0][0] == "column"
+    assert [ln[0] for ln in lines[1:]] == ["name", "val"]
+    assert lines[1][1:] == ["a", "b"] and lines[2][1:] == ["1", "2"]
