@@ -38,7 +38,6 @@ from earthmover_spark.util import string_view
 # ---------------------------------------------------------------------------
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
-_EXPR_RE = re.compile(r"\{\{(.*?)\}\}", re.DOTALL)
 _BLOCK_RE = re.compile(r"\{%|\{#")
 
 # filters lowerable to native expressions; each maps a Column ->
@@ -189,17 +188,18 @@ _INLINE_IF_RE = re.compile(r"^(.+?)\s+if\s+(.+?)\s+else\s+(.+)$")
 def _split_ops(expr: str, opchars: str) -> list[str]:
     """Split ``expr`` on top-level operators from ``opchars`` (outside
     quotes, parens, AND brackets), returning the alternating list
-    ``[operand, op, operand, ...]``. A '-' at the start of an operand
-    is a sign, not an operator."""
+    ``[operand, op, operand, ...]``. A '-' is a SIGN, not an operator,
+    when the last non-space character before it is nothing or another
+    operator/open-paren (``3 * -2``, ``-2 + x``)."""
     out: list[str] = []
     depth, quote, cur = 0, None, []
+    prev = ""  # last non-space char seen at any depth
     for ch in expr:
         if quote:
             cur.append(ch)
             if ch == quote:
                 quote = None
-            continue
-        if ch in "'\"":
+        elif ch in "'\"":
             quote = ch
             cur.append(ch)
         elif ch in "([":
@@ -209,14 +209,20 @@ def _split_ops(expr: str, opchars: str) -> list[str]:
             depth -= 1
             cur.append(ch)
         elif ch in opchars and depth == 0:
-            if ch == "-" and not "".join(cur).strip():
-                cur.append(ch)  # leading sign
+            # '-' after an operator/open-paren is a sign; a minus at
+            # the very START of the expression is NOT treated as one —
+            # Jinja gives a leading unary minus surprising precedence
+            # (lower than '+'), so such expressions must fall back
+            if ch == "-" and prev != "" and prev in "+-*/%(~|,":
+                cur.append(ch)  # sign
             else:
                 out.append("".join(cur))
                 out.append(ch)
                 cur = []
         else:
             cur.append(ch)
+        if not ch.isspace():
+            prev = ch
     out.append("".join(cur))
     return out
 
@@ -466,6 +472,11 @@ def lower_template(
     ``{% if <cmp> %}A{% else %}B{% endif %}`` blocks (-> ``F.when``).
     Returns None when the template needs the full Jinja engine.
     """
+    # whitespace-control markers: '{{-' / '-}}' trim adjacent literal
+    # whitespace in Jinja (so '{{-2}}' renders '2', NOT '-2'); block
+    # markers ('{%-') already fail the _TOKEN_RE match and fall back.
+    if "{{-" in template or "-}}" in template:
+        return None
     pieces: list[Column] = []
     pos = 0
     try:

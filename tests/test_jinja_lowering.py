@@ -298,3 +298,41 @@ class TestDottedStructLowering:
             for r in df.select("id", lowered.alias("v")).collect()
         }
         assert got == {1: "v=5", 2: "v="}
+
+
+class TestSignAndTrimMarkers:
+    """r11 self-review fixes: negative literals after operators lower
+    correctly; leading-minus expressions and Jinja whitespace-control
+    markers ('{{-' trims — '{{-2}}' renders '2'!) must fall back."""
+
+    def test_negative_literal_after_operator(self, spark):
+        df = spark.createDataFrame([("10",)], ["num"])
+        for t, want in [
+            ("{{3 * -2}}", "-6"),
+            ("{{num|int * -1}}", "-10"),
+            ("{{num|int - -3}}", "13"),
+        ]:
+            low = lower_template(t, df.columns)
+            assert low is not None, t
+            r = df.select(
+                low.alias("l"), jinja_udf_column(t, df.columns).alias("u")
+            ).collect()[0]
+            assert r.l == r.u == want, t
+
+    def test_leading_minus_falls_back(self, df):
+        # Jinja gives a leading unary minus surprising precedence
+        # ('{{-2 + num|int}}' != -2 + num); never lower it
+        assert lower_template("{{-2 + num|int}}", df.columns) is None
+        assert lower_template("{{(-2 + num|int)}}", df.columns) is None
+
+    def test_trim_markers_fall_back(self, df):
+        # '{{-2}}' is whitespace-control + literal 2 in Jinja
+        assert lower_template("{{-2}}", df.columns) is None
+        assert lower_template("a {{- name}}", df.columns) is None
+        assert lower_template("{{name -}} b", df.columns) is None
+        # sanity: the UDF renders the trim semantics
+        sdf_cols = df.columns
+        got = df.select(
+            jinja_udf_column("x {{-2}}", sdf_cols).alias("v")
+        ).collect()[0].v
+        assert got == "x2"
