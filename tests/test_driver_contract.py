@@ -26,6 +26,20 @@ def test_flagship_registered():
     assert "flagship" in entry.queries()
 
 
+def test_rotation_prefix_applied():
+    """The driver records the FIRST 50 queries() entries; the rotation
+    (COVERAGE.md log) is applied by reordering the registry dict, so
+    the declared prefix must actually lead the iteration order and
+    every prefix query must carry a full oracle."""
+    q = list(entry.queries())
+    prefix = entry._R11_PREFIX
+    assert len(prefix) == 50
+    assert q[:50] == prefix
+    oracles = entry.oracle_sql()
+    missing = [name for name in prefix if name not in oracles]
+    assert not missing, f"prefix queries without oracles: {missing}"
+
+
 def test_oracle_sql_is_text():
     for name, sql in entry.oracle_sql().items():
         assert isinstance(sql, str) and sql.strip(), name
