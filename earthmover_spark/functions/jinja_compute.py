@@ -131,6 +131,32 @@ _LEAF_KINDS = {
 }
 
 
+def _flat_kind(name: str, schema) -> str:
+    """Render kind for a top-level column. Without a schema (direct
+    lower_template calls) every column is assumed string — the
+    reference's all-string data model. WITH a schema (the engine's
+    template_column paths), non-string types are classified like
+    dotted leaves: integrals render identically to Python, float/
+    double only participate in arithmetic/filters (a direct render
+    would print 1.0E7 where Python prints 10000000.0), and boolean/
+    array/struct/date leaves decline lowering entirely (Spark's
+    'true' / '[1, 2]' / timestamp strings differ from the Python
+    reprs the Jinja UDF renders)."""
+    if schema is None:
+        return "str"
+    try:
+        dt = schema[name].dataType
+    except Exception:
+        return "str"  # name not in this schema view — keep old behavior
+    kind = _LEAF_KINDS.get(dt.typeName())
+    if kind is None:
+        raise _NotLowerable(
+            f"{name}: un-lowerable column type {dt} (render differs "
+            "between Spark casts and Python reprs)"
+        )
+    return kind
+
+
 def _resolve_name(
     name: str,
     columns: list[str],
@@ -157,9 +183,9 @@ def _resolve_name(
     if name == "value":
         if value_col is None:
             raise _NotLowerable("value outside modify_columns")
-        return F.col(value_col), "str"
+        return F.col(value_col), _flat_kind(value_col, schema)
     if name in columns:
-        return F.col(name), "str"
+        return F.col(name), _flat_kind(name, schema)
     m = _DOTTED_RE.match(name)
     if m and schema is not None:
         parts = name.split(".")

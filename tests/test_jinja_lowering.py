@@ -336,3 +336,73 @@ class TestSignAndTrimMarkers:
             jinja_udf_column("x {{-2}}", sdf_cols).alias("v")
         ).collect()[0].v
         assert got == "x2"
+
+
+class TestFlatTypeAwareLowering:
+    """r11: with the frame schema available (the engine's
+    template_column paths), flat non-string columns get the same
+    type-faithful treatment as dotted leaves — double direct renders
+    and boolean/array columns fall back to the UDF (Spark's '1.0E7' /
+    'true' / '[1, 2]' casts differ from Python's reprs), while
+    integral columns render and now participate in native
+    arithmetic."""
+
+    @pytest.fixture(scope="class")
+    def typed(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(2).select(
+            F.col("id").alias("n"),
+            (F.col("id") * 1e7).alias("d"),
+            (F.col("id") == 0).alias("b"),
+            F.array(F.lit(1), F.lit(2)).alias("arr"),
+            F.lit("s").alias("t"),
+        )
+
+    def test_double_direct_render_falls_back(self, typed):
+        assert (
+            lower_template("{{d}}", typed.columns, schema=typed.schema)
+            is None
+        )
+        # ...but schema-less calls keep the all-string assumption
+        assert lower_template("{{d}}", typed.columns) is not None
+
+    def test_bool_and_array_fall_back(self, typed):
+        for t in ("{{b}}", "{{arr}}", "x {{b}} y"):
+            assert (
+                lower_template(t, typed.columns, schema=typed.schema)
+                is None
+            ), t
+        # UDF renders Python style — the reason these must not lower
+        got = [
+            r.v
+            for r in typed.select(
+                jinja_udf_column("{{b}}", typed.columns).alias("v")
+            ).collect()
+        ]
+        assert sorted(got) == ["False", "True"]
+
+    def test_integral_renders_and_does_arithmetic(self, typed):
+        for t, want in [("{{n}}", ["0", "1"]), ("{{n + 10}}", ["10", "11"])]:
+            low = lower_template(t, typed.columns, schema=typed.schema)
+            assert low is not None, t
+            rows = typed.select(
+                low.alias("l"),
+                jinja_udf_column(t, typed.columns).alias("u"),
+            ).collect()
+            assert sorted(r.l for r in rows) == want, t
+            assert all(r.l == r.u for r in rows), t
+
+    def test_double_in_filter_and_condition_still_lowers(self, typed):
+        for t in (
+            "{{d|int}}",
+            "{% if d > 5 %}hi{% else %}lo{% endif %}",
+            "{{(d|int + n)|string}}",
+        ):
+            low = lower_template(t, typed.columns, schema=typed.schema)
+            assert low is not None, t
+            rows = typed.select(
+                low.alias("l"),
+                jinja_udf_column(t, typed.columns).alias("u"),
+            ).collect()
+            assert all(r.l == r.u for r in rows), t
