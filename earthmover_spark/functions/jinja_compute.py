@@ -95,7 +95,11 @@ def _lower_term(
         return F.lit(m.group(1) if m.group(1) is not None else m.group(2)), "str"
     m = _SLICE_RE.match(term)
     if m:
-        col, _ = _resolve_name(m.group(1), columns, value_col, schema)
+        col, kind = _resolve_name(m.group(1), columns, value_col, schema)
+        if kind != "str":
+            # Jinja [a:b] on a non-string is list slicing / an error,
+            # not substring
+            raise _NotLowerable(term)
         start = int(m.group(2)) if m.group(2) else 0
         stop = m.group(3)
         s = col.cast("string")
@@ -108,7 +112,10 @@ def _lower_term(
         raise _NotLowerable(term)
     m = _INDEX_RE.match(term)
     if m:
-        col, _ = _resolve_name(m.group(1), columns, value_col, schema)
+        col, kind = _resolve_name(m.group(1), columns, value_col, schema)
+        if kind != "str":
+            # Jinja [i] on a non-string is element access, not a char
+            raise _NotLowerable(term)
         idx = int(m.group(2))
         if idx >= 0:
             return F.substring(col.cast("string"), idx + 1, 1), "str"

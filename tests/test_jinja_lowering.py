@@ -406,3 +406,19 @@ class TestFlatTypeAwareLowering:
                 jinja_udf_column(t, typed.columns).alias("u"),
             ).collect()
             assert all(r.l == r.u for r in rows), t
+
+    def test_slice_on_nonstring_falls_back(self, typed):
+        # Jinja [a:b]/[i] on an int column is not substring semantics
+        assert (
+            lower_template("{{n[0:2]}}", typed.columns, schema=typed.schema)
+            is None
+        )
+        assert (
+            lower_template("{{n[0]}}", typed.columns, schema=typed.schema)
+            is None
+        )
+        # string columns keep the substring lowering
+        assert (
+            lower_template("{{t[0:1]}}", typed.columns, schema=typed.schema)
+            is not None
+        )
