@@ -722,3 +722,58 @@ def test_impute_median_matches_numpy_reference(spark, groups):
                 assert have is None
             else:
                 assert have == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# r11: recursive arithmetic + dotted-access fuzz for the precedence parser
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def arith_exprs(draw, depth=0):
+    """Random arithmetic over int-kind atoms: literals, |int-filtered
+    columns, dotted struct leaves; + - * with optional parens, and /
+    only by nonzero literals (the only division the peephole lowers)."""
+    if depth >= 3 or draw(st.booleans()):
+        kind = draw(st.sampled_from(["lit", "colint", "dotted"]))
+        if kind == "lit":
+            return str(draw(st.integers(0, 99)))
+        if kind == "colint":
+            return "qty|int"
+        return draw(st.sampled_from(["w.rain.jan", "w.rain.feb"]))
+    left = draw(arith_exprs(depth + 1))
+    op = draw(st.sampled_from(["+", "-", "*", "/"]))
+    if op == "/":
+        right = str(draw(st.integers(1, 9)))
+    else:
+        right = draw(arith_exprs(depth + 1))
+    e = f"{left} {op} {right}"
+    return f"({e})" if draw(st.booleans()) else e
+
+
+@given(expr=arith_exprs())
+@settings(**SETTINGS)
+def test_arith_parser_matches_jinja(spark, expr):
+    """Every arithmetic expression the precedence parser lowers must
+    compute exactly what Jinja/Python computes — precedence, paren
+    grouping, filter binding, truncating |int, dotted leaves."""
+    from earthmover_spark.functions.jinja_compute import (
+        jinja_udf_column,
+        lower_template,
+    )
+
+    df = spark.createDataFrame(
+        [("42", ((8, 3),)), ("7", ((2, 11),)), ("0", ((0, 0),))],
+        "qty string, w struct<rain: struct<jan: long, feb: long>>",
+    )
+    # direct render is only exact for int kind; '/' makes it float, so
+    # pin the result through |int (truncation matches cast long)
+    template = "{{(" + expr + ")|int}}" if "/" in expr else "{{" + expr + "}}"
+    lowered = lower_template(template, df.columns, schema=df.schema)
+    assert lowered is not None, template
+    rows = df.select(
+        lowered.alias("low"),
+        jinja_udf_column(template, df.columns).alias("full"),
+    ).collect()
+    for r in rows:
+        assert r.low == r.full, template
