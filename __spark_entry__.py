@@ -1223,6 +1223,28 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten_struct_columns: nested structs -> lvl1__lvl2 scalar leaf
+    columns (the nested-source bridge). The query builds a two-level
+    struct from events columns and flattens it back — a pure
+    projection, zero shuffle; the twin selects the original columns
+    under the flattened names."""
+    from earthmover_spark.operators.column import flatten_struct_columns
+
+    ev = _p(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.col("value").alias("v"),
+            ).alias("meta"),
+        ).alias("info"),
+    )
+    return flatten_struct_columns(nested)
+
+
 def q_latest_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each user's most recent event (CDC-log compaction);
     WindowGroupLimit prunes map-side."""
@@ -3654,6 +3676,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: After r11 no query's newest official row predates r7; from r12 the
 #: rotation is purely "new + changed + oldest-green fills".
 _R11_PREFIX = [
+    "flatten_struct",
     "manifest",
     "pack_sequences", "bpe_encode",
     "triplets_bucketed", "qnorm_approx", "score_model",
@@ -3669,7 +3692,7 @@ _R11_PREFIX = [
     "corr_pairs", "profile_drift", "target_mix", "ngram_overlap",
     "cm_heavy", "kfold", "strip_markup", "winnow_near_dups",
     "bigram_logprob", "tokenize_ids", "winnow_fp", "text_tfidf",
-    "quality_classifier", "cap_per_group", "merge_upsert",
+    "quality_classifier", "cap_per_group",
 ]
 
 
@@ -3867,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_quantiles": q_group_by_quantiles,
         "interval_join": q_interval_join,
         "latest_rows": q_latest_rows,
+        "flatten_struct": q_flatten_struct,
         "src_parquet_scan": q_src_parquet_scan,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
@@ -8765,6 +8789,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_chars, CAST(bin AS BIGINT) AS bin_id FROM packed
     """
     d["bpe_encode"] = _bpe_oracle()
+    d["flatten_struct"] = """
+        SELECT event_id, user_id AS info__uid,
+               event_type AS info__meta__t, value AS info__meta__v
+        FROM events
+    """
     return d
 
 

@@ -315,6 +315,86 @@ def snake_case_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*new_names)
 
 
+def flatten_struct_columns(
+    df: DataFrame,
+    *,
+    columns: Iterable[str] | None = None,
+    separator: str = "__",
+) -> DataFrame:
+    """Flatten struct columns into scalar leaf columns named
+    ``parent<sep>child<sep>leaf`` — the bridge between nested sources
+    (JSONL/parquet structs) and the flat all-string operator surface
+    (keep/drop/map_values/group_by all want scalar columns). The
+    ``__`` naming matches the engine's multi-line sparse-header
+    convention (``lvl1__lvl2`` — readers.py `_read_header_names`), so
+    a flattened nested source looks exactly like a multi-header CSV.
+
+    ``columns`` limits flattening to the named struct columns
+    (wildcards ok); default flattens every struct column. Non-struct
+    leaves inside a struct (scalars, arrays, maps) are emitted as-is
+    at their path name; nested structs recurse. Column order is
+    preserved, with each struct replaced in place by its leaves in
+    field order. Name collisions with existing columns (or between
+    leaves) raise.
+
+    Scale shape: a pure projection — zero shuffle, whole-stage
+    codegen; at 100 TB this is a free schema transform riding
+    whatever scan produced the structs (and Parquet nested-column
+    pruning means untouched leaves are never read downstream of a
+    select)."""
+    if columns is not None:
+        targets = set(
+            expand_column_specs(
+                ensure_list(columns), df.columns, on_missing="error"
+            )
+        )
+        non_struct = [
+            c for c in targets
+            if df.schema[c].dataType.typeName() != "struct"
+        ]
+        if non_struct:
+            raise EarthmoverSparkError(
+                f"flatten_struct_columns: not struct columns: {non_struct}"
+            )
+    else:
+        targets = {
+            f.name for f in df.schema.fields
+            if f.dataType.typeName() == "struct"
+        }
+
+    def _leaves(prefix: str, col: F.Column, dt) -> list:
+        if dt.typeName() != "struct":
+            return [(prefix, col)]
+        out = []
+        for field in dt.fields:
+            out.extend(
+                _leaves(
+                    f"{prefix}{separator}{field.name}",
+                    col.getField(field.name),
+                    field.dataType,
+                )
+            )
+        return out
+
+    selected, names = [], []
+    for f in df.schema.fields:
+        if f.name in targets:
+            pairs = _leaves(f.name, F.col(f.name), f.dataType)
+        else:
+            pairs = [(f.name, F.col(f.name))]
+        for name, col in pairs:
+            names.append(name)
+            selected.append(col.alias(name))
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise EarthmoverSparkError(
+            f"flatten_struct_columns: name collisions {sorted(dupes)} — "
+            f"choose a different separator than {separator!r} or rename "
+            "upstream"
+        )
+    return df.select(*selected)
+
+
 def lowercase_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*[c.lower() for c in df.columns])
 
