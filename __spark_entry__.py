@@ -389,6 +389,46 @@ def q_jinja_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "name_hash")
 
 
+def q_jinja_if_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 compound-condition lowering: and/or/not chains and list
+    membership inside {% if %} compile to native boolean Columns
+    (jinja_compute._lower_condition) — the plan lint proves no Python
+    UDF ran, and this oracle proves branch parity with SQL CASE."""
+    li = _p(spark, sf_dir, "lineitem")
+    out = C.add_columns(
+        li,
+        columns={
+            "band": (
+                "{% if l_quantity > 10 and l_quantity <= 40 "
+                "or l_returnflag == 'R' %}mid-or-returned"
+                "{% else %}other{% endif %}"
+            ),
+            "member": (
+                "{% if l_returnflag in ['A', 'N'] and "
+                "not (l_discount > 0.05) %}keep{% else %}drop{% endif %}"
+            ),
+        },
+    )
+    return out.select("l_orderkey", "l_linenumber", "band", "member")
+
+
+def q_jinja_float_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 float-render lowering: a direct float render (true
+    division) and a float concat compile natively through
+    py_float_repr — CPython repr text, no UDF. The DuckDB twin's
+    shortest-repr double::VARCHAR matches in the fixed-notation zone
+    these values live in."""
+    li = _p(spark, sf_dir, "lineitem")
+    out = C.add_columns(
+        li,
+        columns={
+            "price_each": "{{l_extendedprice|float / 7}}",
+            "qty_disc": "{{l_quantity ~ '|' ~ l_discount}}",
+        },
+    )
+    return out.select("l_orderkey", "l_linenumber", "price_each", "qty_disc")
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extension queries (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -3931,6 +3971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "pack_sequences": q_pack_sequences,
         "bpe_encode": q_bpe_encode,
+    # NEW in r12: compound-condition + float-render Jinja lowering
+        "jinja_if_and": q_jinja_if_and,
+        "jinja_float_render": q_jinja_float_render,
     }
     # apply the rotation: prefix first (the driver records these 50),
     # everything else in stable registry order behind it
@@ -4524,6 +4567,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jinja_md5": """
             SELECT c_custkey, md5(c_name) AS name_hash FROM customer
+        """,
+        "jinja_if_and": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN (l_quantity > 10 AND l_quantity <= 40)
+                             OR l_returnflag = 'R'
+                        THEN 'mid-or-returned' ELSE 'other' END AS band,
+                   CASE WHEN l_returnflag IN ('A', 'N')
+                             AND NOT (l_discount > 0.05)
+                        THEN 'keep' ELSE 'drop' END AS member
+            FROM lineitem
+        """,
+        "jinja_float_render": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_extendedprice / 7 AS VARCHAR) AS price_each,
+                   CAST(l_quantity AS VARCHAR) || '|' ||
+                   CAST(l_discount AS VARCHAR) AS qty_disc
+            FROM lineitem
         """,
         # ---- LLM-pipeline extensions --------------------------------------
         "dedup_exact": f"""

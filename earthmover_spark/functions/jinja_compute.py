@@ -31,6 +31,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
+from earthmover_spark.functions.pyfloat import py_float_repr
 from earthmover_spark.util import string_view
 
 # ---------------------------------------------------------------------------
@@ -42,9 +43,9 @@ _BLOCK_RE = re.compile(r"\{%|\{#")
 
 # filters lowerable to native expressions; each maps a Column ->
 # (Column, result kind). Kinds: 'str' | 'int' | 'float'. Float results
-# may only be lowered inside comparisons/arithmetic — rendered directly
-# they'd hit Spark's scientific notation (1.0E7) where Python prints
-# 10000000.0, so direct float renders fall back to the Jinja UDF.
+# render through py_float_repr (CPython-repr formatting, r12) — before
+# that they could only appear inside comparisons/arithmetic because
+# Spark's cast prints 1.0E7 where Python prints 10000000.0.
 def _num(c: Column) -> Column:
     """ANSI-safe numeric view of an all-string cell: unparseable input
     (incl. the data model's ``''`` for missing) becomes NULL instead of
@@ -54,6 +55,8 @@ def _num(c: Column) -> Column:
 
 #: Jinja's |int and |float return 0 / 0.0 for unparseable input
 #: (jinja2 do_int/do_float default) — the goldens rely on ''|int == 0.
+#: |round is Jinja's method='common' = Python round() = HALF_EVEN, so
+#: it lowers to bround, NOT F.round (HALF_UP — 2.5 must render 2.0).
 _NATIVE_FILTERS = {
     "int": lambda c: (F.coalesce(_num(c), F.lit(0.0)).cast("long"), "int"),
     "float": lambda c: (F.coalesce(_num(c), F.lit(0.0)), "float"),
@@ -64,8 +67,19 @@ _NATIVE_FILTERS = {
     "length": lambda c: (F.length(c.cast("string")), "int"),
     "string": lambda c: (c.cast("string"), "str"),
     "abs": lambda c: (F.abs(_num(c)), "float"),
-    "round": lambda c: (F.round(_num(c)), "float"),
+    "round": lambda c: (F.bround(_num(c)), "float"),
 }
+
+
+def _render_view(col: Column, kind: str) -> Column:
+    """String render of a lowered (col, kind): NULL -> '' (the
+    reference's missing-value render); float kind goes through
+    py_float_repr so the text matches CPython repr exactly (Spark's
+    cast would print 1.0E7 where Jinja renders 10000000.0 — before
+    r12 any float render forced the whole template onto the UDF)."""
+    if kind == "float":
+        return F.coalesce(py_float_repr(col), F.lit(""))
+    return string_view(col)
 
 _SLICE_RE = re.compile(rf"^({_IDENT})\[(-?\d*):(-?\d*)\]$")
 _INDEX_RE = re.compile(rf"^({_IDENT})\[(-?\d+)\]$")
@@ -127,10 +141,9 @@ def _lower_term(
 
 #: Spark leaf types with a lowering-safe Jinja render/arithmetic story.
 #: Strings render as-is; integrals render identically to Python ints;
-#: float/double may only appear inside arithmetic, comparisons, or
-#: |int-style filters (direct renders differ: 1.0E7 vs 10000000.0) —
-#: the existing 'float'-kind guards enforce that. Booleans (true vs
-#: True), decimals, dates, and nested complex leaves fall back.
+#: float/double render through py_float_repr (exact CPython repr,
+#: r12). Booleans (true vs True), decimals, dates, and nested complex
+#: leaves fall back.
 _LEAF_KINDS = {
     "string": "str",
     "byte": "int", "short": "int", "integer": "int", "long": "int",
@@ -144,11 +157,10 @@ def _flat_kind(name: str, schema) -> str:
     reference's all-string data model. WITH a schema (the engine's
     template_column paths), non-string types are classified like
     dotted leaves: integrals render identically to Python, float/
-    double only participate in arithmetic/filters (a direct render
-    would print 1.0E7 where Python prints 10000000.0), and boolean/
-    array/struct/date leaves decline lowering entirely (Spark's
-    'true' / '[1, 2]' / timestamp strings differ from the Python
-    reprs the Jinja UDF renders)."""
+    double render through py_float_repr (exact CPython repr), and
+    boolean/array/struct/date leaves decline lowering entirely
+    (Spark's 'true' / '[1, 2]' / timestamp strings differ from the
+    Python reprs the Jinja UDF renders)."""
     if schema is None:
         return "str"
     try:
@@ -363,11 +375,14 @@ def _lower_expr(
             b, bk = _lower_expr(m.group(3), columns, value_col, schema)
             if ak == bk:
                 return F.when(cond, a).otherwise(b), ak
-            if "float" not in (ak, bk):
-                return (
-                    F.when(cond, string_view(a)).otherwise(string_view(b)),
-                    "str",
-                )
+            # mixed kinds render per-branch (Python keeps the branch's
+            # type: '5' vs '5.0'), so the result is a string
+            return (
+                F.when(cond, _render_view(a, ak)).otherwise(
+                    _render_view(b, bk)
+                ),
+                "str",
+            )
         except _NotLowerable:
             pass  # fall through (e.g. ' if ' inside a string literal)
     # arithmetic with Python/Jinja precedence: parens, + - * /, filters
@@ -375,6 +390,13 @@ def _lower_expr(
     # nonzero numeric literals
     add_parts = _split_ops(expr, "+-")
     mul_parts = _split_ops(expr, "*/")
+    if len(add_parts) > 1 and len(_split_top_level(expr, "~")) > 1:
+        # Jinja binds '~' TIGHTER than +/- (jinja2 parse_math1 is built
+        # from parse_concat), so 'a ~ 1 - 2' is (a ~ 1) - 2 — a str-int
+        # TypeError at render. Splitting on +/- first would silently
+        # lower it to concat(a, '-1'); decline instead so the full
+        # Jinja engine surfaces the same error the reference would.
+        raise _NotLowerable(expr)
     if (len(add_parts) > 1 or len(mul_parts) > 1) and not _NUM_RE.match(expr):
         try:
             return _lower_sum(expr, columns, value_col, schema)
@@ -387,12 +409,10 @@ def _lower_expr(
             lowered = [
                 _lower_expr(seg, columns, value_col, schema) for seg in segs
             ]
-            if any(kind == "float" for _, kind in lowered):
-                # Spark stringifies large doubles as 1.0E7 where Jinja
-                # renders 10000000.0 — same guard as the direct-render
-                # and inline-if paths: fall back to the Jinja UDF.
-                raise _NotLowerable(expr)
-            return F.concat(*[string_view(col) for col, _ in lowered]), "str"
+            return (
+                F.concat(*[_render_view(col, k) for col, k in lowered]),
+                "str",
+            )
     return _lower_filter_chain(expr, columns, value_col, schema)
 
 
@@ -454,8 +474,15 @@ def _apply_filter(f: str, col: Column, kind: str):
         # column is always defined, so this is the identity here. (An
         # unknown column name already failed lowering -> full Jinja.)
         return col, kind
-    if name == "round" and len(lits) == 1 and "." not in lits[0]:
-        return F.round(_num(col), int(lits[0])), "float"
+    if name == "round" and len(lits) == 1 and lits[0] in ("0", "-0"):
+        # only precision 0 lowers: Jinja 'common' rounding is Python
+        # round() (HALF_EVEN on the BINARY value). bround matches it
+        # exactly at integer precision (the shortest-decimal detour
+        # through BigDecimal cannot cross a .5 boundary there), but at
+        # n > 0 it can — round(2.675, 2) is 2.67 in Python (binary
+        # 2.67499...) and 2.68 via BigDecimal('2.675') — so fractional
+        # precisions keep the full Jinja engine.
+        return F.bround(_num(col), 0), "float"
     raise _NotLowerable(f)
 
 
@@ -468,26 +495,241 @@ _TOKEN_RE = re.compile(
 )
 
 
+_KW_BOUND = re.compile(r"[A-Za-z0-9_]")
+
+
+def _split_keyword(expr: str, kw: str) -> list[str]:
+    """Split on the bare keyword ``kw`` at top level (outside quoted
+    strings, parens, and brackets), word-boundary aware — the
+    word-token sibling of ``_split_ops``."""
+    out: list[str] = []
+    depth, quote, cur = 0, None, []
+    i, n, k = 0, len(expr), len(kw)
+    while i < n:
+        ch = expr[i]
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+        elif ch in "'\"":
+            quote = ch
+            cur.append(ch)
+            i += 1
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+            i += 1
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+            i += 1
+        elif (
+            depth == 0
+            and expr.startswith(kw, i)
+            and (i == 0 or not _KW_BOUND.match(expr[i - 1]))
+            and (i + k == n or not _KW_BOUND.match(expr[i + k]))
+        ):
+            out.append("".join(cur))
+            cur = []
+            i += k
+        else:
+            cur.append(ch)
+            i += 1
+    out.append("".join(cur))
+    return out
+
+
+def _as_bool(col: Column) -> Column:
+    """Two-valued view of a possibly-NULL boolean. Python/Jinja logic
+    has no UNKNOWN: a NULL comparison already falls to the else
+    branch under ``F.when``, so pinning NULL -> False keeps single-
+    condition behavior identical while making not/and/or compose
+    exactly like Python booleans (``not (a == b)`` on a NULL operand
+    must be True, which raw three-valued ``~NULL`` would not give)."""
+    return F.coalesce(col, F.lit(False))
+
+
 def _lower_condition(
     cond: str,
     columns: list[str],
     value_col: str | None,
     schema=None,
 ) -> Column:
-    m = _COND_RE.match(cond.strip())
-    if not m:
+    """Lower a ``{% if %}`` / inline-if condition to a NON-NULL
+    boolean Column with Python two-valued semantics.
+
+    Grammar (Jinja precedence: ``or`` < ``and`` < ``not`` <
+    comparison/membership)::
+
+        cond     := and_chain (' or ' and_chain)*
+        and_chain:= not_atom (' and ' not_atom)*
+        not_atom := 'not' not_atom | atom
+        atom     := '(' cond ')'
+                  | X 'is' ['not'] ('none' | 'defined')
+                  | A ['not'] 'in' B      # literal list/tuple, or
+                  |                       # substring when B is str
+                  | A <cmp> B             # kind-checked: str~str or
+                  |                       # numeric~numeric; mixed ==/
+                  |                       # != constant-fold, mixed
+                  |                       # ordering declines (Python
+                  |                       # TypeError -> full Jinja)
+                  | expr                  # truthiness: '' / 0 falsy
+
+    Anything outside this surface raises ``_NotLowerable`` and the
+    template falls back to the full Jinja UDF.
+    """
+    return _lower_cond_or(cond.strip(), columns, value_col, schema)
+
+
+def _lower_cond_or(cond, columns, value_col, schema):
+    parts = _split_keyword(cond, "or")
+    out = _lower_cond_and(parts[0], columns, value_col, schema)
+    for p in parts[1:]:
+        out = out | _lower_cond_and(p, columns, value_col, schema)
+    return out
+
+
+def _lower_cond_and(cond, columns, value_col, schema):
+    parts = _split_keyword(cond, "and")
+    out = _lower_cond_not(parts[0], columns, value_col, schema)
+    for p in parts[1:]:
+        out = out & _lower_cond_not(p, columns, value_col, schema)
+    return out
+
+
+def _lower_cond_not(cond, columns, value_col, schema):
+    s = cond.strip()
+    if not s:
         raise _NotLowerable(cond)
-    left, _ = _lower_expr(m.group(1), columns, value_col, schema)
-    right, _ = _lower_expr(m.group(3), columns, value_col, schema)
-    op = m.group(2)
-    return {
-        "==": left == right,
-        "!=": left != right,
-        ">": left > right,
-        ">=": left >= right,
-        "<": left < right,
-        "<=": left <= right,
-    }[op]
+    if s.startswith("not") and (len(s) == 3 or not _KW_BOUND.match(s[3])):
+        return ~_lower_cond_not(s[3:], columns, value_col, schema)
+    return _lower_cond_atom(s, columns, value_col, schema)
+
+
+def _lower_cond_atom(cond, columns, value_col, schema):
+    s = cond.strip()
+    if _parens_enclose(s):
+        return _lower_cond_or(s[1:-1], columns, value_col, schema)
+    # --- 'X is [not] none/defined' tests -------------------------------
+    is_parts = _split_keyword(s, "is")
+    if len(is_parts) == 2:
+        lhs = is_parts[0].strip()
+        rhs = re.sub(r"\s+", " ", is_parts[1].strip())
+        neg = rhs.startswith("not ")
+        test = rhs[4:] if neg else rhs
+        if test == "defined" and re.match(rf"^{_IDENT}$", lhs):
+            # defined-ness is static: known column (or 'value' inside
+            # modify_columns) -> True. An unknown name is a constant
+            # False — the one place lowering may touch a name outside
+            # the frame, exactly as Jinja's Undefined would.
+            known = lhs in columns or (lhs == "value" and value_col)
+            return F.lit(bool(known) != neg)
+        if test == "none":
+            col, _ = _lower_expr(lhs, columns, value_col, schema)
+            return col.isNotNull() if neg else col.isNull()
+        raise _NotLowerable(cond)
+    if len(is_parts) > 2:
+        raise _NotLowerable(cond)
+    # --- membership: A [not] in B --------------------------------------
+    in_parts = _split_keyword(s, "in")
+    if len(in_parts) == 2:
+        lhs, rhs = in_parts[0].strip(), in_parts[1].strip()
+        neg = False
+        if lhs == "not" or (
+            lhs.endswith("not")
+            and not _KW_BOUND.match(lhs[-4])
+        ):
+            neg = True
+            lhs = lhs[:-3].strip()
+        base = _lower_membership(lhs, rhs, columns, value_col, schema)
+        return ~base if neg else base
+    if len(in_parts) > 2:
+        raise _NotLowerable(cond)
+    # --- comparison ------------------------------------------------------
+    m = _COND_RE.match(s)
+    if m:
+        left, lk = _lower_expr(m.group(1), columns, value_col, schema)
+        right, rk = _lower_expr(m.group(3), columns, value_col, schema)
+        op = m.group(2)
+        if lk == rk or {lk, rk} <= {"int", "float"}:
+            cmp = {
+                "==": lambda a, b: a == b,
+                "!=": lambda a, b: a != b,
+                ">": lambda a, b: a > b,
+                ">=": lambda a, b: a >= b,
+                "<": lambda a, b: a < b,
+                "<=": lambda a, b: a <= b,
+            }[op](left, right)
+            return _as_bool(cmp)
+        # mixed str vs numeric: Python equality across types is always
+        # False (the all-string model's '3' == 3 is False, NOT Spark's
+        # coerced numeric equality); ordering raises TypeError in
+        # Python, so those templates must keep the full Jinja engine
+        if op == "==":
+            return F.lit(False)
+        if op == "!=":
+            return F.lit(True)
+        raise _NotLowerable(s)
+    # --- truthiness ------------------------------------------------------
+    col, kind = _lower_expr(s, columns, value_col, schema)
+    if kind == "str":
+        return _as_bool(col.cast("string") != F.lit(""))
+    return _as_bool(col != F.lit(0))
+
+
+_LIST_ITEM_SPLIT = re.compile(r",")
+
+
+def _lower_membership(lhs, rhs, columns, value_col, schema):
+    """``A in B`` -> non-null boolean. B may be a literal list/tuple
+    (string/number items; Python cross-type equality is always False,
+    so items whose kind cannot match A's are dropped) or a str-kind
+    expression (substring containment, Python's ``'x' in 'xyz'``)."""
+    left, lk = _lower_expr(lhs, columns, value_col, schema)
+    rhs = rhs.strip()
+    is_list = rhs.startswith("[") and rhs.endswith("]") and _parens_enclose(
+        "(" + rhs[1:-1] + ")"
+    )
+    is_tuple = False
+    if not is_list and _parens_enclose(rhs):
+        inner = rhs[1:-1]
+        # a tuple literal needs a top-level comma; a single
+        # parenthesized expression is NOT a tuple
+        if len(_split_top_level(inner, ",")) > 1:
+            is_tuple = True
+    if is_list or is_tuple:
+        items = [
+            it.strip()
+            for it in _split_top_level(rhs[1:-1], ",")
+            if it.strip()  # tolerate a trailing comma
+        ]
+        if not items:
+            return F.lit(False)  # x in [] -> False
+        keep: list = []
+        for it in items:
+            sm = _STR_LIT_RE.match(it)
+            if sm:
+                if lk == "str":
+                    keep.append(
+                        sm.group(1) if sm.group(1) is not None else sm.group(2)
+                    )
+            elif _NUM_RE.match(it):
+                if lk in ("int", "float"):
+                    keep.append(float(it))
+            else:
+                raise _NotLowerable(it)  # non-literal item -> full Jinja
+        if not keep:
+            return F.lit(False)  # no item can ever equal A's type
+        if lk == "str":
+            return _as_bool(left.cast("string").isin(*keep))
+        return _as_bool(left.cast("double").isin(*keep))
+    # substring containment — both sides must be str-kind (Python
+    # raises TypeError on 5 in 'xyz')
+    rcol, rkind = _lower_expr(rhs, columns, value_col, schema)
+    if lk != "str" or rkind != "str":
+        raise _NotLowerable(f"{lhs} in {rhs}")
+    return _as_bool(F.contains(rcol.cast("string"), left.cast("string")))
 
 
 def lower_template(
@@ -502,8 +744,12 @@ def lower_template(
     set, slices, parenthesized +,-,*,/ arithmetic (division only by
     nonzero numeric literals), dotted nested-struct access when
     ``schema`` proves the leaf type render-safe, and non-nested
-    ``{% if <cmp> %}A{% else %}B{% endif %}`` blocks (-> ``F.when``).
-    Returns None when the template needs the full Jinja engine.
+    ``{% if <cond> %}A{% else %}B{% endif %}`` blocks (-> ``F.when``)
+    where ``<cond>`` is any ``and``/``or``/``not`` combination of
+    comparisons, ``[not] in`` membership (literal lists or substring),
+    ``is [not] none/defined`` tests, and truthiness — see
+    ``_lower_condition``. Returns None when the template needs the
+    full Jinja engine.
     """
     # whitespace-control markers: '{{-' / '-}}' trim adjacent literal
     # whitespace in Jinja (so '{{-2}}' renders '2', NOT '-2'); block
@@ -523,12 +769,7 @@ def lower_template(
                 col, kind = _lower_expr(
                     m.group("expr"), columns, value_col, schema
                 )
-                if kind == "float":
-                    # Spark double->string uses scientific notation where
-                    # Python doesn't; only the Jinja UDF renders floats
-                    # faithfully
-                    return None
-                pieces.append(string_view(col))
+                pieces.append(_render_view(col, kind))
             else:
                 then_part = m.group("then")
                 else_part = m.group("els") or ""
@@ -590,7 +831,13 @@ def macros_allow_lowering(template: str, macros: str) -> bool:
     project macro used to force EVERY row template in the project
     (including the reference's own golden suite, which defines
     ``test``/``test2`` but never calls them in row templates) onto
-    the 10-100x-slower Python UDF path."""
+    the 10-100x-slower Python UDF path.
+
+    A BARE occurrence of a defined macro name also blocks lowering,
+    not just a call: macro definitions shadow context variables, so a
+    template rendering ``{{ test }}`` over a column named ``test``
+    renders the macro OBJECT under full Jinja but the column value
+    under the lowered path."""
     if not macros:
         return True
     stripped = _MACRO_BLOCK_RE.sub("", macros)
@@ -598,7 +845,7 @@ def macros_allow_lowering(template: str, macros: str) -> bool:
     if stripped.strip():
         return False  # top-level set/text — affects every render
     return not any(
-        re.search(rf"\b{re.escape(name)}\s*\(", template)
+        re.search(rf"\b{re.escape(name)}\b", template)
         for name in _MACRO_DEF_RE.findall(macros)
     )
 

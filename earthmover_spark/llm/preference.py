@@ -140,7 +140,11 @@ def preference_pairs(
     self-join whose cost is Σ n_g²; groups larger than
     ``max_group_size`` raise loudly (the assoc_rules mega-basket
     guard) because completions-per-prompt is bounded by construction
-    in any sane pipeline.
+    in any sane pipeline. That guard is a lazy assert column: it
+    fires at ACTION time with Spark's ``USER_RAISED_EXCEPTION``
+    (``pyspark.errors.SparkRuntimeException``), and only when the
+    guarded column survives Catalyst pruning to the action — not an
+    eager ``EarthmoverSparkError`` scan.
 
     Pairs with margin <= 0 are always dropped (equal-score pairs teach
     a DPO objective nothing); ``min_margin`` raises the gate further.
@@ -314,11 +318,21 @@ def win_counts(
     """Collapse arena battles to ordered-pair win counts: one row per
     (winner, loser) with ``n_wins`` — the mergeable sufficient
     statistic every pairwise-ranking fit consumes. Self-battles
-    (winner == loser) are a data bug and raise — lazily, via an
-    assert column on the ANSWER-SIZED aggregated frame (a self-battle
-    group keys on winner == loser, so the violation survives the
-    groupBy), keeping the op at exactly ONE map-side-combined hash
-    aggregation with no extra validation scan of the battle log.
+    (winner == loser) are a data bug and raise — lazily and
+    BEST-EFFORT, via an assert column riding ``n_wins`` on the
+    ANSWER-SIZED aggregated frame (a self-battle group keys on
+    winner == loser, so the violation survives the groupBy), keeping
+    the op at exactly ONE map-side-combined hash aggregation with no
+    extra validation scan of the battle log. The guard fires only
+    when ``n_wins`` survives Catalyst column pruning to an action
+    (``out.select('winner','loser').count()`` skips it), and it
+    raises Spark's ``USER_RAISED_EXCEPTION``
+    (``pyspark.errors.SparkRuntimeException``) at ACTION time — not
+    ``EarthmoverSparkError`` at build time. Callers needing an
+    unconditional pre-flight check should run the eager twin::
+
+        n = battles.filter(F.col(w) == F.col(l)).count()  # extra scan
+
     Output is answer-sized (≤ |items|², practically the observed-pair
     count)."""
     for c in (winner_col, loser_col):
@@ -444,8 +458,14 @@ def position_bias(
 
     ``first_col`` holds the item presented first (must equal the
     row's winner or loser; anything else raises — it means an
-    upstream join mixed up battles). Ties-in-presentation aren't
-    representable here; drop tied outcomes upstream.
+    upstream join mixed up battles). The guard is lazy and
+    best-effort: it rides the 1-row aggregate as an assert column,
+    fires only when that column is consumed by an action, and raises
+    Spark's ``USER_RAISED_EXCEPTION``
+    (``pyspark.errors.SparkRuntimeException``) at action time rather
+    than ``EarthmoverSparkError`` at build time.
+    Ties-in-presentation aren't representable here; drop tied
+    outcomes upstream.
 
     Output is ONE row: n_battles, n_first_wins, first_win_rate, the
     Wilson interval at confidence ``z``, and ``biased`` (true when

@@ -479,10 +479,19 @@ def read_source(
 #: inherently single-process (matching the reference's own driver-side
 #: readers, source.py:407-418) and fine at dimension-table scale; an
 #: oversized file should fail with a clear error, not an opaque driver
-#: OOM mid-read. Override via EARTHMOVER_SPARK_BRIDGE_MAX_BYTES.
-PANDAS_BRIDGE_MAX_BYTES = int(
-    os.environ.get("EARTHMOVER_SPARK_BRIDGE_MAX_BYTES", 2 << 30)
-)
+#: OOM mid-read. Override via EARTHMOVER_SPARK_BRIDGE_MAX_BYTES —
+#: read at CALL time in _bridge_max_bytes(), so setting the env var
+#: after this module is imported (os.environ mutation mid-session)
+#: still takes effect; this constant is only the default.
+PANDAS_BRIDGE_MAX_BYTES = 2 << 30
+
+
+def _bridge_max_bytes() -> int:
+    return int(
+        os.environ.get(
+            "EARTHMOVER_SPARK_BRIDGE_MAX_BYTES", PANDAS_BRIDGE_MAX_BYTES
+        )
+    )
 
 
 def _pandas_bridge(
@@ -497,10 +506,11 @@ def _pandas_bridge(
         size = os.path.getsize(file)
     except OSError:
         size = 0  # missing/unstatable files fail in the reader below
-    if size > PANDAS_BRIDGE_MAX_BYTES:
+    cap = _bridge_max_bytes()
+    if size > cap:
         raise EarthmoverSparkError(
             f"{ftype} source {file!r} is {size} bytes, over the "
-            f"driver-side pandas-bridge cap of {PANDAS_BRIDGE_MAX_BYTES} "
+            f"driver-side pandas-bridge cap of {cap} "
             "bytes — this format is read single-process on the driver "
             "and an oversized file would OOM it. Convert the data to a "
             "splittable format (parquet/csv/jsonl) for distributed "

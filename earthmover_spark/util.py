@@ -31,6 +31,11 @@ _logger = logging.getLogger(__name__)
 #: a loud warning instead of silently pulling a corpus to the driver.
 _CUT_FALLBACK_MAX_ROWS = 200_000
 
+#: test seam: force checkpoint_cut onto its Spark Connect fallback
+#: (tests/test_r12_ops.py) — private py4j handles can't be removed
+#: from a classic session, so the degraded path is simulated here
+_FORCE_CONNECT_FALLBACK = False
+
 
 class EarthmoverSparkError(Exception):
     """Engine-level configuration or semantics error."""
@@ -71,13 +76,18 @@ def checkpoint_cut(df: DataFrame) -> DataFrame:
     ck = df.localCheckpoint(eager=True)
     spark = ck.sparkSession
     try:
+        if _FORCE_CONNECT_FALLBACK:
+            # test seam (tests/test_r12_ops.py): simulate Spark
+            # Connect, where the py4j handles below do not exist
+            raise AttributeError("_jdf (simulated Spark Connect)")
         jdf = ck._jdf
         new_jdf = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(new_jdf, spark)
     except (AttributeError, TypeError, _Py4JError):
-        # pragma: no cover - private-API drift fallback
+        # private-API drift fallback (Spark Connect): exercised
+        # end-to-end by tests/test_r12_ops.py via a _jdf-less proxy
         n = ck.count()
         if n <= _CUT_FALLBACK_MAX_ROWS:
             return spark.createDataFrame(ck.collect(), schema=ck.schema)

@@ -46,26 +46,47 @@ LOWERABLE = [
     "{{(num|int + 2) * 3}}",
     "{{((num|int + qty|int)/2)|int}}",
     "{{(num|int - 3) * (num|int + 3)}}",
+    # r12: compound {% if %} conditions (and/or/not, membership, is
+    # tests, truthiness) lower to native boolean Columns
+    "{% if name and num|int > 5 %}Y{% else %}N{% endif %}",
+    "{% if flag == 'F' or flag == 'O' %}known{% else %}?{% endif %}",
+    "{% if not (num|int > 8) %}le8{% else %}gt8{% endif %}",
+    "{% if flag in ['F', 'X'] %}hit{% else %}miss{% endif %}",
+    "{% if flag not in ['F'] %}other{% else %}eff{% endif %}",
+    "{% if 'a' in name %}has-a{% else %}no-a{% endif %}",
+    "{% if name is defined %}d{% else %}u{% endif %}",
+    "{% if nope is defined %}d{% else %}u{% endif %}",
+    # r12: float renders lower through py_float_repr (exact CPython
+    # repr, incl. the 1.0E7-vs-10000000.0 notation gap)
+    "{{qty|float}}",
+    "{{qty|float ~ '-k'}}",
+    "{{(num|int)/2}}",
+    "{{qty|float * 2 + 0.25}}",
+    "{{num|int / 4}}",
+    "{{qty|round}}",
 ]
 
 NOT_LOWERABLE = [
-    "{{qty|float ~ '-k'}}",  # float segment: Spark renders 1.0E7, Jinja 10000000.0
     "{{unknown_filter|wat}}",
     "{% for x in items %}{{x}}{% endfor %}",
     "{{md5(name)}}",
     "{{__row_data__}}",
     "{% if qty > 1 %}{% if flag == 'F' %}n{% endif %}{% endif %}",
-    "{{(num|int)/2}}",  # direct float render (true division)
     "{{num|int / qty|int}}",  # non-literal divisor: /0 raises in Python
     "{{num|int / 0}}",  # zero divisor: Python raises, Spark NULLs
     "{{num|int // 2}}",  # floor division not modeled
     "{{name + flag}}",  # '+' on strings concatenates in Python
+    # r12 fidelity guards
+    "{{name ~ 1 - 2}}",  # Jinja binds ~ tighter than +/- -> TypeError
+    "{% if name > 10 %}x{% endif %}",  # str vs int ordering: TypeError
+    "{{qty|round(2)}}",  # fractional round: BigDecimal vs binary HALF_EVEN
+    "{% if flag is odd %}x{% endif %}",  # unsupported is-test
 ]
 
 
 @pytest.mark.parametrize("template", LOWERABLE)
 def test_lowered_matches_jinja(df, template):
-    lowered = lower_template(template, df.columns)
+    lowered = lower_template(template, df.columns, schema=df.schema)
     assert lowered is not None, f"expected lowerable: {template}"
     native = [r.v for r in df.select(lowered.alias("v")).collect()]
     via_jinja = [
@@ -79,15 +100,18 @@ def test_lowered_matches_jinja(df, template):
 
 @pytest.mark.parametrize("template", NOT_LOWERABLE)
 def test_not_lowerable_falls_back(df, template):
-    assert lower_template(template, df.columns) is None
+    assert lower_template(template, df.columns, schema=df.schema) is None
 
 
 def test_float_concat_renders_python_style(spark):
-    """`~` with a float segment must take the UDF path so large doubles
-    render 10000000.0 (Python) rather than 1.0E7 (Spark)."""
+    """`~` with a float segment renders Python-style — natively since
+    r12 (py_float_repr): 10000000.0, never Spark's 1.0E7."""
     from earthmover_spark.functions.jinja_compute import template_column
 
     sdf = spark.createDataFrame([("10000000",)], ["qty"])
+    assert (
+        lower_template("{{qty|float ~ '-k'}}", sdf.columns) is not None
+    ), "float concat should lower natively since r12"
     out = sdf.select(
         template_column("{{qty|float ~ '-k'}}", sdf.columns).alias("v")
     ).collect()
@@ -231,6 +255,8 @@ class TestDottedStructLowering:
         "{{((w.rain.jan|int + w.rain.feb|int)/2)|int}}",
         "{% if w.rain.jan|int > 5 %}wet{% else %}dry{% endif %}",
         "{% if w.avg > 3 %}hi{% else %}lo{% endif %}",  # float in cond only
+        "{{w.avg}}",  # direct float render — native since r12
+        "{{w.avg ~ 'mm'}}",
     ]
 
     @pytest.mark.parametrize("template", LOWERED)
@@ -251,7 +277,6 @@ class TestDottedStructLowering:
             assert r.low == r.full, template
 
     FALLBACK = [
-        "{{w.avg}}",        # direct float render
         "{{w.wet}}",        # boolean leaf: True vs true
         "{{w.rain}}",       # struct leaf renders a dict repr
         "{{w.missing.x}}",  # path not in schema

@@ -242,3 +242,10 @@ def test_pandas_bridge_size_cap(spark, tmp_path, monkeypatch):
     # under the cap the same file reads fine
     monkeypatch.setattr(readers, "PANDAS_BRIDGE_MAX_BYTES", 1 << 20)
     assert read_source(spark, str(f), orientation="columns").count() == 1
+    # the env override is read at CALL time, not import time: setting
+    # it mid-session (after the module is long imported) takes effect
+    monkeypatch.setenv("EARTHMOVER_SPARK_BRIDGE_MAX_BYTES", "4")
+    with pytest.raises(EarthmoverSparkError, match="pandas-bridge cap"):
+        read_source(spark, str(f), orientation="columns")
+    monkeypatch.setenv("EARTHMOVER_SPARK_BRIDGE_MAX_BYTES", str(1 << 20))
+    assert read_source(spark, str(f), orientation="columns").count() == 1

@@ -777,3 +777,152 @@ def test_arith_parser_matches_jinja(spark, expr):
     ).collect()
     for r in rows:
         assert r.low == r.full, template
+
+
+# ---------------------------------------------------------------------------
+# r12: compound {% if %} condition fuzz — parser vs the full Jinja engine
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def cond_exprs(draw, depth=0):
+    """Random boolean conditions over the lowerable surface: kind-safe
+    comparisons, [not] in membership (literal lists + substring),
+    is none/defined tests, truthiness, combined with and/or/not and
+    parens at Jinja precedence."""
+    if depth >= 3 or draw(st.booleans()):
+        kind = draw(st.sampled_from(
+            ["cmp_num", "cmp_str", "in_list", "in_str", "truthy",
+             "defined", "notkw"]))
+        if kind == "cmp_num":
+            op = draw(st.sampled_from(["==", "!=", ">", ">=", "<", "<="]))
+            return f"qty|int {op} {draw(st.integers(-2, 12))}"
+        if kind == "cmp_str":
+            op = draw(st.sampled_from(["==", "!="]))
+            lit = draw(st.sampled_from(["'a'", "'b'", "''", "'x y'"]))
+            return f"tag {op} {lit}"
+        if kind == "in_list":
+            items = draw(st.lists(
+                st.sampled_from(["'a'", "'b'", "'c'", "7", "0"]),
+                min_size=0, max_size=3))
+            neg = draw(st.booleans())
+            lhs = draw(st.sampled_from(["tag", "qty|int"]))
+            return f"{lhs} {'not in' if neg else 'in'} [{', '.join(items)}]"
+        if kind == "in_str":
+            lhs = draw(st.sampled_from(["'a'", "tag"]))
+            return f"{lhs} in text"
+        if kind == "truthy":
+            return draw(st.sampled_from(["tag", "text", "qty|int"]))
+        if kind == "defined":
+            name = draw(st.sampled_from(["tag", "missing_col"]))
+            neg = draw(st.booleans())
+            return f"{name} is {'not ' if neg else ''}defined"
+        return f"not {draw(cond_exprs(depth=3))}"
+    left = draw(cond_exprs(depth + 1))
+    op = draw(st.sampled_from(["and", "or"]))
+    right = draw(cond_exprs(depth + 1))
+    e = f"{left} {op} {right}"
+    return f"({e})" if draw(st.booleans()) else e
+
+
+@given(cond=cond_exprs())
+@settings(**SETTINGS)
+def test_condition_parser_matches_jinja(spark, cond):
+    """Every condition the r12 grammar lowers must pick the same
+    branch the full Jinja engine picks, on every row."""
+    from earthmover_spark.functions.jinja_compute import (
+        jinja_udf_column,
+        lower_template,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "3", "x a y"),
+            ("b", "0", ""),
+            ("", "7", "bb"),
+            ("c", "-2", "a"),
+            ("x y", "11", "zzz"),
+        ],
+        "tag string, qty string, text string",
+    )
+    template = "{% if " + cond + " %}T{% else %}F{% endif %}"
+    lowered = lower_template(template, df.columns, schema=df.schema)
+    assert lowered is not None, template
+    rows = df.select(
+        lowered.alias("low"),
+        jinja_udf_column(template, df.columns).alias("full"),
+    ).collect()
+    for r in rows:
+        assert r.low == r.full, template
+
+
+# ---------------------------------------------------------------------------
+# r12: direct float render fuzz — py_float_repr vs CPython repr, and
+# lowered float arithmetic WITHOUT the |int pin
+# ---------------------------------------------------------------------------
+
+
+@given(
+    xs=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_py_float_repr_matches_repr(spark, xs):
+    """py_float_repr must reproduce CPython repr bit-for-bit on
+    arbitrary finite doubles (hypothesis drives the nasty boundary
+    values: subnormals, powers of two, shortest-digit edges)."""
+    from earthmover_spark.functions.pyfloat import py_float_repr
+
+    data = [(x, repr(x)) for x in xs]
+    df = spark.createDataFrame(data, "x double, want string")
+    bad = df.select(
+        "x", "want", py_float_repr(F.col("x")).alias("r")
+    ).filter(F.col("r") != F.col("want"))
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_py_float_repr_specials(spark):
+    from earthmover_spark.functions.pyfloat import py_float_repr
+
+    vals = [
+        0.0, -0.0, 1e7, 1e16, 1e-4, 1e-5, 0.1, 1 / 3, 5e-324, 1e22,
+        2.5, -2.5, 9.193354925181162e18, 3.6573158253896617e25,
+        float("inf"), float("-inf"),
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.r for r in df.select(py_float_repr(F.col("x")).alias("r")).collect()]
+    assert got == [repr(v) for v in vals]
+    # NaN and NULL
+    df2 = spark.createDataFrame([(float("nan"),), (None,)], "x double")
+    got2 = [r.r for r in df2.select(py_float_repr(F.col("x")).alias("r")).collect()]
+    assert got2 == ["nan", None]
+
+
+@given(expr=arith_exprs())
+@settings(**SETTINGS)
+def test_float_arith_render_matches_jinja(spark, expr):
+    """The r11 fuzz pinned '/' expressions through |int; since r12 the
+    direct float render must match too (py_float_repr closes the
+    1.0E7-vs-10000000.0 gap), so the same arithmetic grammar is
+    re-fuzzed rendered as '... / <lit>' floats with no pin."""
+    from earthmover_spark.functions.jinja_compute import (
+        jinja_udf_column,
+        lower_template,
+    )
+
+    df = spark.createDataFrame(
+        [("42", ((8, 3),)), ("7", ((2, 11),)), ("0", ((0, 0),))],
+        "qty string, w struct<rain: struct<jan: long, feb: long>>",
+    )
+    template = "{{(" + expr + ") / 7}}"  # force a float-kind result
+    lowered = lower_template(template, df.columns, schema=df.schema)
+    assert lowered is not None, template
+    rows = df.select(
+        lowered.alias("low"),
+        jinja_udf_column(template, df.columns).alias("full"),
+    ).collect()
+    for r in rows:
+        assert r.low == r.full, template
