@@ -3155,6 +3155,57 @@ def q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the r12 stdlib PNG codec (no Pillow
+    in this container): each doc gets a deterministic 4x4 grayscale
+    PNG whose pixels are the md5 digest bytes of its doc_id; the real
+    codec decodes + average-pools a 2x2 feature grid. The DuckDB twin
+    replays digest-byte extraction and cell means — byte-exact PNG
+    decode verified end-to-end with zero Python on the oracle side.
+    Rounded to 4dp: features live on the k/1020 grid, whose minimum
+    distance to a 4-decimal rounding boundary (9.8e-7) clears float32
+    storage error (3e-8) with 30x margin; at 6dp it would not."""
+    import hashlib
+
+    from earthmover_spark.llm import multimodal as M
+    from earthmover_spark.llm.png import encode_png
+
+    docs = (
+        _p(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def _mk(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_png(
+                    4,
+                    4,
+                    [d[r * 4:(r + 1) * 4] for r in range(4)],
+                    gray=True,
+                )
+                for d in (
+                    hashlib.md5(str(int(i)).encode()).digest()
+                    for i in pdf["doc_id"]
+                )
+            ]
+            yield pdf
+
+    imgs = docs.mapInPandas(_mk, schema="doc_id long, payload binary")
+    feats = M.extract_features(imgs, "payload", n_features=4, codec="real")
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 4).alias(
+                f"f{i}"
+            )
+            for i in range(4)
+        ],
+    )
+
+
 def q_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type inference over an all-string frame (the reference's data
     model): one bool_and verdict agg + pure cast codegen. Columns
@@ -3701,38 +3752,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's per-round snapshot records a 50-query prefix of
 #: ``queries()``, so coverage ROTATES across rounds (COVERAGE.md
-#: rotation log). The r11 prefix — the rotation-debt CLOSE-OUT:
-#: (a) manifest — the one red r10 row (oracle HUGEINT fix, engine
-#:     values verified identical at both SFs);
-#: (b) pack_sequences + bpe_encode — first FULL value-hash rows (the
-#:     registry's last two rows-only checks, converted this round);
-#: (c) the 17 r10-late additions — first official rows (all
-#:     judge-re-verified PASS at sf0.01 in the r10 verdict);
-#: (d) the 9-query r6-stale remainder — the last rows older than r7;
-#: (e) dedup_resolve / dedup_keep_best — implementation changed
-#:     (checkpoint_cut per-round lineage cut + the r11 bounded
-#:     fallback), newest official rows predate the change;
-#: (f) 19 oldest-green r7 fills in registry order.
-#: After r11 no query's newest official row predates r7; from r12 the
-#: rotation is purely "new + changed + oldest-green fills".
-_R11_PREFIX = [
-    "flatten_struct",
-    "manifest",
-    "pack_sequences", "bpe_encode",
-    "triplets_bucketed", "qnorm_approx", "score_model",
-    "best_of_n", "pref_pairs", "advantages", "win_matrix", "win_rates",
-    "position_bias", "verbosity_bias", "bt_strengths", "fleiss_kappa",
-    "kripp_alpha", "kappa_pairs", "retrieval_eval", "validate_chat",
-    "calibration",
-    "dedup_embedding", "sim_topk", "sim_lsh_topk", "sim_ivf_topk",
-    "join_anti", "set_intersect", "group_by_cube", "group_by_salted",
-    "explode_array",
+#: rotation log). The r12 prefix — "new + changed + oldest-green
+#: fills", in order:
+#: (a) the 3 NEW r12 queries — compound-if + float-render lowering,
+#:     stdlib-PNG real decode;
+#: (b) 4 changed-implementation refreshes: jinja_conditional and
+#:     add_columns_jinja_arith traverse the rewritten _lower_condition
+#:     / _lower_expr paths; dedup_resolve and dedup_keep_best sit on
+#:     checkpoint_cut, which gained the Connect-fallback test seam;
+#: (c) the FULL 26-query r7-stale remainder — closes the r7 block
+#:     exactly as the r11 plan ordered;
+#: (d) 17 oldest-green r8 fills in registry order (attribution, the
+#:     18th-oldest, defers to r13 to make room for the codec row).
+#: After r12 no query's newest official row predates r8.
+_R12_PREFIX = [
+    "jinja_if_and", "jinja_float_render", "multimodal_real_decode",
+    "jinja_conditional", "add_columns_jinja_arith",
     "dedup_resolve", "dedup_keep_best",
-    "lsh_cross", "decon_near", "emb_pca_cov", "bm25_multi",
-    "corr_pairs", "profile_drift", "target_mix", "ngram_overlap",
-    "cm_heavy", "kfold", "strip_markup", "winnow_near_dups",
-    "bigram_logprob", "tokenize_ids", "winnow_fp", "text_tfidf",
-    "quality_classifier", "cap_per_group",
+    "flag_outliers", "retention_cohorts", "ev_asof_join",
+    "ev_window_sliding", "group_by_quantiles", "interval_join",
+    "latest_rows", "src_parquet_scan", "decontaminate",
+    "repetition_stats", "redact_pii", "chunk_documents",
+    "det_sample", "split_dataset", "multimodal_features",
+    "multimodal_frames", "multimodal_resize", "emb_normalize",
+    "emb_mean_pool", "emb_quantize", "sim_pq_topk", "join_semi",
+    "set_except", "group_by_rollup", "budget_sample",
+    "temperature_mix",
+    "bloom_member", "lm_jsd", "ladder", "canon_urls", "c4_lines",
+    "kmv_overlap", "gopher_quality", "line_repetition", "chat_render",
+    "quantile_sk", "flagship", "window_calc", "top_n", "funnel",
+    "pack_sequences_ordered", "snap_diff", "corpus_fp",
 ]
 
 
@@ -3971,15 +4020,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "pack_sequences": q_pack_sequences,
         "bpe_encode": q_bpe_encode,
-    # NEW in r12: compound-condition + float-render Jinja lowering
+    # NEW in r12: compound-condition + float-render Jinja lowering,
+    # stdlib-PNG real decode
         "jinja_if_and": q_jinja_if_and,
         "jinja_float_render": q_jinja_float_render,
+        "multimodal_real_decode": q_multimodal_real_decode,
     }
     # apply the rotation: prefix first (the driver records these 50),
     # everything else in stable registry order behind it
-    out = {name: base.pop(name) for name in _R11_PREFIX}
+    out = {name: base.pop(name) for name in _R12_PREFIX}
     out.update(base)
     return out
+
+
+def _mm_real_decode_oracle() -> str:
+    """DuckDB twin of q_multimodal_real_decode: the 4x4 PNG's pixels
+    ARE the md5 digest bytes of str(doc_id), so the real-codec
+    grayscale pooling replays as hex-pair byte extraction + 2x2 cell
+    means — no image code on the oracle side, which is exactly the
+    point: it independently verifies the stdlib PNG encode->decode
+    round-trip is byte-exact."""
+    def byte(k: int) -> str:
+        return (
+            f"(16*(strpos('0123456789abcdef', substr(h,{2 * k + 1},1))-1)"
+            f" + strpos('0123456789abcdef', substr(h,{2 * k + 2},1))-1)"
+        )
+
+    cells = {
+        "f0": [0, 1, 4, 5],
+        "f1": [2, 3, 6, 7],
+        "f2": [8, 9, 12, 13],
+        "f3": [10, 11, 14, 15],
+    }
+    sels = ", ".join(
+        f"round(({' + '.join(byte(k) for k in ks)})/4.0/255.0, 4) AS {n}"
+        for n, ks in cells.items()
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                   FROM documents WHERE doc_id < 300)
+        SELECT doc_id, {sels} FROM d
+    """
 
 
 def _jl_oracle(dims: int = 64, k: int = 8) -> str:
@@ -4585,6 +4666,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_discount AS VARCHAR) AS qty_disc
             FROM lineitem
         """,
+        "multimodal_real_decode": _mm_real_decode_oracle(),
         # ---- LLM-pipeline extensions --------------------------------------
         "dedup_exact": f"""
             WITH corpus AS ({_CORPUS_SQL})

@@ -19,6 +19,7 @@ Fidelity:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame
@@ -26,6 +27,21 @@ from pyspark.sql import functions as F
 
 from earthmover_spark.functions.jinja_compute import _compile, template_column
 from earthmover_spark.util import string_view
+
+_logger = logging.getLogger(__name__)
+
+#: warn threshold for the single-file sink (bytes, Catalyst estimate);
+#: read at call time so a mid-session env override takes effect
+SINGLE_FILE_WARN_BYTES = 4 << 30
+
+
+def _single_file_warn_bytes() -> int:
+    return int(
+        os.environ.get(
+            "EARTHMOVER_SPARK_SINGLE_FILE_WARN_BYTES",
+            SINGLE_FILE_WARN_BYTES,
+        )
+    )
 
 
 def render_lines(
@@ -164,7 +180,32 @@ def write_destination(
     # Single-file compat mode: render in parallel to part files, then
     # stream-concatenate them on the driver (sequential buffered I/O —
     # orders of magnitude faster than per-row toLocalIterator, still
-    # bounded memory). Executors do all the rendering.
+    # bounded memory). Executors do all the rendering. Memory-bounded
+    # but WALL-CLOCK-unbounded: the concatenation is one sequential
+    # pass on the driver, so a corpus-sized frame belongs in
+    # mode='directory' — warn when Catalyst's estimate crosses the
+    # cap (mirrors the pandas-bridge size cap on the read side).
+    try:
+        est = estimated_plan_bytes(df)
+    except Exception:  # Spark Connect: no _jdf — skip the heuristic
+        est = 0
+    if est >= (1 << 63) - 1:
+        # Long.MaxValue is Catalyst's UNKNOWN-stats sentinel (e.g. a
+        # Python-created local relation) — no signal, no warning
+        est = 0
+    cap = _single_file_warn_bytes()
+    if est > cap:
+        _logger.warning(
+            "write_destination(mode='file'): plan estimate for %r is "
+            "%d bytes (> %d); the single-file sink concatenates "
+            "sequentially on the driver — use mode='directory' for "
+            "parallel part files, or raise "
+            "EARTHMOVER_SPARK_SINGLE_FILE_WARN_BYTES if a file this "
+            "size is intended",
+            name,
+            est,
+            cap,
+        )
     import glob
     import shutil
     import tempfile

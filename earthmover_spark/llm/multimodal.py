@@ -80,15 +80,16 @@ def _fake_decode(payload: bytes, n_features: int) -> list[float]:
 
 
 def _pick_codec(codec: str) -> bool:
-    """Resolve ``codec`` ('stub' | 'real' | 'auto') to use_real."""
+    """Resolve ``codec`` ('stub' | 'real' | 'auto') to use_real.
+
+    ``'real'`` is always available: Pillow when installed (any format
+    it reads), else the pure-stdlib PNG codec — non-PNG payloads then
+    raise NotImplementedError per row, at action time. ``'auto'``
+    stays conservative: real only under Pillow (mixed-format corpora
+    shouldn't start failing because the fallback is PNG-only)."""
     if codec == "stub":
         return False
     if codec == "real":
-        if not HAS_PIL:
-            raise NotImplementedError(
-                "codec='real' requires Pillow, which is not installed; "
-                "pass codec='stub' (deterministic fake) or 'auto'"
-            )
         return True
     if codec == "auto":
         return HAS_PIL
@@ -221,39 +222,79 @@ def frame_sample_plan(
     )
 
 
-def decode_real(payload: bytes, n_features: int = 16) -> list[float]:
-    """Real image decode + feature extraction (Pillow, optional
-    import): grayscale the image, average-pool it onto a fixed
-    ``ceil(sqrt(n))``-square grid, and return the first ``n_features``
-    cell means normalized to [0, 1]. Same contract as ``_fake_decode``
-    (bytes -> fixed-length float vector), so the two are drop-in
-    interchangeable via ``extract_features(codec=...)``."""
-    if not HAS_PIL:  # pragma: no cover - container has no Pillow
+def _gray_grid(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode to a grayscale pixel grid (width, height, rows of 0-255
+    luma). Pillow when installed (any format it reads); otherwise the
+    pure-stdlib PNG codec (earthmover_spark.llm.png) for PNG payloads
+    — both produce IDENTICAL luma (Pillow's fixed-point ITU-R 601-2),
+    so downstream features don't depend on which decoder ran."""
+    if HAS_PIL:  # pragma: no cover - container has no Pillow
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            g = im.convert("L")
+            w, h = g.size
+            px = list(g.getdata())
+        return w, h, [px[r * w:(r + 1) * w] for r in range(h)]
+    from earthmover_spark.llm import png as _png
+
+    if not _png.is_png(payload):
         raise NotImplementedError(
-            "decode_real requires Pillow (pip install pillow); "
-            "extract_features(codec='stub') uses a deterministic fake"
+            "decode without Pillow handles PNG only (stdlib codec); "
+            "pip install pillow for other formats, or use the "
+            "deterministic stub codec"
         )
+    w, h, rows = _png.decode_png(payload)
+    return w, h, _png.gray_rows(rows)
+
+
+def decode_real(payload: bytes, n_features: int = 16) -> list[float]:
+    """Real image decode + feature extraction: grayscale the image,
+    average-pool it onto a fixed ``ceil(sqrt(n))``-square grid, and
+    return the first ``n_features`` cell means normalized to [0, 1].
+    Same contract as ``_fake_decode`` (bytes -> fixed-length float
+    vector), so the two are drop-in interchangeable via
+    ``extract_features(codec=...)``.
+
+    Decoding uses Pillow when installed, else the stdlib PNG codec;
+    the pooling itself is exact cell-mean arithmetic here (not a
+    resampler), so the features are identical under either decoder
+    and replayable by a pure-Python oracle."""
     side = max(1, int(n_features**0.5 + 0.9999))
-    with _PILImage.open(io.BytesIO(payload)) as im:
-        pooled = im.convert("L").resize((side, side))
-        px = list(pooled.getdata())
-    feats = [v / 255.0 for v in px]
-    # pad (tiny images) / trim to the exact contract length
-    feats = (feats + [0.0] * n_features)[:n_features]
-    return feats
+    w, h, grid = _gray_grid(payload)
+    feats: list[float] = []
+    for i in range(side):
+        y0, y1 = (i * h) // side, max((i * h) // side + 1, ((i + 1) * h) // side)
+        y1 = min(y1, h)
+        for j in range(side):
+            x0, x1 = (j * w) // side, max((j * w) // side + 1, ((j + 1) * w) // side)
+            x1 = min(x1, w)
+            if y0 >= h or x0 >= w:
+                feats.append(0.0)
+                continue
+            s = sum(sum(row[x0:x1]) for row in grid[y0:y1])
+            feats.append(s / ((y1 - y0) * (x1 - x0)) / 255.0)
+    return (feats + [0.0] * n_features)[:n_features]
 
 
 def resize_real(payload: bytes, width: int, height: int) -> bytes:
-    """Real image resize (Pillow, optional import): decode, bilinear
-    resize to (width, height), re-encode in the source format (PNG
-    fallback for formats Pillow cannot write). Same contract as
-    ``_fake_resize``."""
-    if not HAS_PIL:  # pragma: no cover - container has no Pillow
-        raise NotImplementedError(
-            "resize_real requires Pillow (pip install pillow); "
-            "resize_images(codec='stub') uses a deterministic fake"
-        )
-    with _PILImage.open(io.BytesIO(payload)) as im:
+    """Real image resize. With Pillow: decode, resample to
+    (width, height) with Pillow's default kernel, re-encode in the
+    source format (PNG fallback for formats Pillow cannot write).
+    Without Pillow: the stdlib PNG codec with deterministic
+    nearest-neighbor resampling, PNG in / PNG out. Same contract as
+    ``_fake_resize`` (bytes -> decodable image bytes of the requested
+    size)."""
+    if not HAS_PIL:
+        from earthmover_spark.llm import png as _png
+
+        if not _png.is_png(payload):
+            raise NotImplementedError(
+                "resize without Pillow handles PNG only (stdlib "
+                "codec); pip install pillow for other formats"
+            )
+        w, h, rows = _png.decode_png(payload)
+        out = _png.resize_nearest(rows, w, h, width, height)
+        return _png.encode_png(width, height, out)
+    with _PILImage.open(io.BytesIO(payload)) as im:  # pragma: no cover
         fmt = im.format or "PNG"
         resized = im.resize((width, height))
         buf = io.BytesIO()

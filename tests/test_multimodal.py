@@ -45,34 +45,109 @@ def test_codec_selection_and_gating(spark):
     row = feats.collect()[0]
     assert len(row.features) == 4
     if not M.HAS_PIL:
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            M.extract_features(df, "payload", codec="real")
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            M.resize_images(df, "payload", 8, 8, codec="real")
+        # r12: codec='real' resolves to the stdlib PNG codec without
+        # Pillow; a NON-PNG payload raises per row at ACTION time
+        with pytest.raises(Exception, match="PNG only"):
+            M.extract_features(df, "payload", codec="real").collect()
+        with pytest.raises(Exception, match="PNG only"):
+            M.resize_images(df, "payload", 8, 8, codec="real").collect()
     with pytest.raises(ValueError, match="stub|real|auto"):
         M.extract_features(df, "payload", codec="bogus")
 
 
 def test_real_codec_roundtrip(spark):
-    """Pillow-gated: real decode + resize over an actual PNG."""
-    import pytest
-
+    """Real decode + resize over an actual PNG — Pillow when present,
+    the stdlib codec otherwise. No skip either way since r12."""
     from earthmover_spark.llm import multimodal as M
+    from earthmover_spark.llm import png as P
 
-    if not M.HAS_PIL:
-        pytest.skip("Pillow not installed; real-codec path gated off")
-    import io
+    if M.HAS_PIL:
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    buf = io.BytesIO()
-    Image.new("L", (10, 10), color=128).save(buf, format="PNG")
-    png = buf.getvalue()
+        buf = io.BytesIO()
+        Image.new("L", (10, 10), color=128).save(buf, format="PNG")
+        png = buf.getvalue()
+    else:
+        png = P.encode_png(
+            10, 10, [bytes([128] * 10) for _ in range(10)], gray=True
+        )
     df = spark.createDataFrame([(1, png)], ["doc_id", "payload"])
     feats = M.extract_features(df, "payload", n_features=4, codec="real")
     vals = feats.collect()[0].features
     assert len(vals) == 4
     assert all(abs(v - 128 / 255) < 1e-3 for v in vals)  # flat gray
     out = M.resize_images(df, "payload", 4, 6, codec="real").collect()[0]
-    with Image.open(io.BytesIO(bytes(out.payload))) as im:
-        assert im.size == (4, 6)
+    w, h, _rows = P.decode_png(bytes(out.payload))
+    assert (w, h) == (4, 6)
+
+
+def test_stdlib_png_codec_shapes(spark):
+    """The stdlib PNG codec handles every supported color type and
+    all five scanline filters; features are identical whichever shape
+    carried the same pixels."""
+    import zlib as _zlib
+
+    from earthmover_spark.llm import multimodal as M
+    from earthmover_spark.llm import png as P
+
+    # gradient image in gray and in RGB (same luma by construction:
+    # r=g=b so the 601 fixed-point luma equals the channel value)
+    w, h = 8, 8
+    gray_rows = [bytes((x * 7 + y * 11) % 256 for x in range(w)) for y in range(h)]
+    rgb_rows = [
+        bytes(v for g in row for v in (g, g, g)) for row in gray_rows
+    ]
+    p_gray = P.encode_png(w, h, gray_rows, gray=True)
+    p_rgb = P.encode_png(w, h, rgb_rows)
+    f_gray = M.decode_real(p_gray, 9)
+    f_rgb = M.decode_real(p_rgb, 9)
+    assert f_gray == f_rgb
+    # decoded pixels round-trip exactly
+    ww, hh, rows = P.decode_png(p_rgb)
+    assert (ww, hh) == (w, h) and rows == rgb_rows
+    # a filtered stream (Sub/Up/Average/Paeth cycling) — hand-built
+    # IDAT so the unfilter paths are all exercised
+    import struct as _struct
+
+    def chunk(ct, data):
+        return (
+            _struct.pack(">I", len(data)) + ct + data
+            + _struct.pack(">I", _zlib.crc32(ct + data) & 0xFFFFFFFF)
+        )
+
+    # build with filter type t on row t % 5 by inverse-filtering the
+    # target scanlines
+    stride = w * 3
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, row in enumerate(rgb_rows):
+        t = y % 5
+        line = bytearray(row)
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if t == 0:
+                enc[i] = line[i]
+            elif t == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif t == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif t == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                enc[i] = (line[i] - P._paeth(a, b, c)) & 0xFF
+        raw += bytes([t]) + bytes(enc)
+        prev = line
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    fancy = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    ww2, hh2, rows2 = P.decode_png(fancy)
+    assert rows2 == rgb_rows, "filtered-stream decode mismatch"

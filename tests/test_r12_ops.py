@@ -103,3 +103,77 @@ def test_checkpoint_cut_primary_path_still_cuts(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Project" not in plan and "Range" not in plan, plan
     assert sorted(r.v for r in out.collect()) == [3 * i for i in range(10)]
+
+
+def test_single_file_sink_guard(spark, tmp_path, monkeypatch, caplog):
+    """mode='file' warns (naming the env override and the directory
+    alternative) when Catalyst's estimate crosses the cap, and stays
+    silent under it — output bytes identical either way."""
+    from earthmover_spark.destinations import file_destination as fd
+    from earthmover_spark.destinations.file_destination import (
+        write_destination,
+    )
+
+    src = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "k string, v string"
+    )
+    # a parquet-backed frame has REAL Catalyst stats; a Python local
+    # relation carries the Long.MaxValue unknown sentinel, which the
+    # guard must ignore (also asserted below)
+    src.write.mode("overwrite").parquet(str(tmp_path / "src.parquet"))
+    df = spark.read.parquet(str(tmp_path / "src.parquet"))
+    with caplog.at_level(logging.WARNING, logger=fd.__name__):
+        p1 = write_destination(df, "quiet", str(tmp_path / "o1"))
+    assert not any(
+        "single-file sink" in r.getMessage() for r in caplog.records
+    )
+    caplog.clear()
+    monkeypatch.setenv("EARTHMOVER_SPARK_SINGLE_FILE_WARN_BYTES", "1")
+    with caplog.at_level(logging.WARNING, logger=fd.__name__):
+        p2 = write_destination(df, "loud", str(tmp_path / "o2"))
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("mode='directory'" in m for m in msgs), msgs
+    assert any("EARTHMOVER_SPARK_SINGLE_FILE_WARN_BYTES" in m for m in msgs)
+    with open(p1) as f1, open(p2) as f2:
+        assert sorted(f1.read().splitlines()) == sorted(
+            f2.read().splitlines()
+        )
+    # unknown-stats sentinel (Python local relation): never warns,
+    # even with the cap at 1 byte
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=fd.__name__):
+        write_destination(src, "sentinel", str(tmp_path / "o3"))
+    assert not any(
+        "single-file sink" in r.getMessage() for r in caplog.records
+    )
+
+
+def test_file_stats_multipart(spark, tmp_path):
+    """file_stats is file-layout-keyed BY CONTRACT (the one query the
+    multi-part oracle matrix skips): on an N-file table it returns N
+    rows whose counts/null-counts SUM to, and min/max FOLD to, the
+    single-file manifest row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from earthmover_spark.operators.profile import file_stats
+
+    t = pa.table({"k": list(range(100)), "v": [i * 1.5 for i in range(100)]})
+    single = tmp_path / "single.parquet"
+    pq.write_table(t, single)
+    multi = tmp_path / "multi.parquet"
+    multi.mkdir()
+    for i in range(4):
+        pq.write_table(t.slice(i * 25, 25), multi / f"part-{3 - i:04d}.parquet")
+
+    one = file_stats(spark.read.parquet(str(single)), ["k", "v"]).collect()
+    many = file_stats(spark.read.parquet(str(multi)), ["k", "v"]).collect()
+    assert len(one) == 1 and len(many) == 4
+    assert sum(r.n_rows for r in many) == one[0].n_rows == 100
+    assert min(r.min_k for r in many) == one[0].min_k == 0
+    assert max(r.max_k for r in many) == one[0].max_k == 99
+    assert sum(r.nulls_v for r in many) == one[0].nulls_v == 0
+    # file names are the part basenames — the per-file key is real
+    assert sorted(r.file for r in many) == [
+        f"part-{i:04d}.parquet" for i in range(4)
+    ]

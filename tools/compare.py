@@ -5,7 +5,15 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count, column names, and an order-insensitive value hash
 (columns sorted by name, rows sorted, values stringified).
 
-Usage:  python tools/compare.py [sf_dir] [query ...]
+Usage:  python tools/compare.py [sf_dir] [query ...] [--parts N]
+
+``--parts N`` first materializes an N-file-per-table copy of the
+sf_dir (each ``table.parquet`` becomes a DIRECTORY of N row-slice
+files whose lexical filename order is the REVERSE of row order) and
+runs the matrix against that copy — the adversarial probe for
+order-dependent scan paths (__row_order__ capture, agg(c, sep)
+concatenation, group_by_with_rank): a query whose result depends on
+single-file scan order diverges from its oracle here.
 """
 
 from __future__ import annotations
@@ -53,17 +61,66 @@ def frame_fingerprint(rows: list[tuple], columns: list[str]) -> str:
     return h.hexdigest()
 
 
-def compare(sf_dir: str, only: list[str] | None = None) -> int:
+def make_multipart_copy(sf_dir: str, parts: int) -> str:
+    """Split every table into ``parts`` row-slice files under a
+    sibling temp dir; slice i of k lands in a file named so lexical
+    order REVERSES row order (part-<k-1-i>), the nastiest legal file
+    layout for scan-order assumptions. Reuses an existing copy."""
+    import pyarrow.parquet as pq
+
+    src = Path(sf_dir)
+    dst = Path("/tmp") / f"em_multipart_{src.name}_{parts}"
+    marker = dst / ".complete"
+    if marker.exists():
+        return str(dst)
+    dst.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        table = pq.read_table(src / f"{t}.parquet")
+        tdir = dst / f"{t}.parquet"
+        tdir.mkdir(exist_ok=True)
+        n = table.num_rows
+        step = max(1, -(-n // parts))
+        for i in range(parts):
+            sl = table.slice(i * step, step)
+            # reverse-name the slices: the file listing order a scan
+            # sees is NOT the row order the single file had
+            pq.write_table(sl, tdir / f"part-{parts - 1 - i:04d}.parquet")
+    marker.touch()
+    return str(dst)
+
+
+#: queries whose OUTPUT is keyed by input file by contract — their
+#: row count tracks the physical layout, so the single-file oracle
+#: cannot hold on a multi-part copy. file_stats' per-file semantics
+#: are proven separately: test_r12_ops.py::test_file_stats_multipart
+#: checks the 4-file output folds back to the single-file row, and
+#: the r11 file_stats_32files probe (SCALE.md) verifies 32-file
+#: manifests against pyarrow footers.
+LAYOUT_KEYED = {"file_stats"}
+
+
+def compare(
+    sf_dir: str, only: list[str] | None = None, parts: int = 0
+) -> int:
     import duckdb
 
     import __spark_entry__ as entry
     from earthmover_spark import get_spark
 
+    skip: set[str] = set()
+    if parts > 1:
+        sf_dir = make_multipart_copy(sf_dir, parts)
+        skip = LAYOUT_KEYED
+        print(f"# multi-part mode: {parts} files/table at {sf_dir}")
+
     spark = get_spark("oracle-compare")
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if Path(path).is_dir():
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     queries = entry.queries()
@@ -71,6 +128,13 @@ def compare(sf_dir: str, only: list[str] | None = None) -> int:
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(
+                f"SKIP {name}: output is file-layout-keyed by contract "
+                "(see LAYOUT_KEYED); covered by its dedicated "
+                "multi-part test"
+            )
             continue
         try:
             sdf = fn(spark, sf_dir)
@@ -166,6 +230,11 @@ def compare(sf_dir: str, only: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    parts = 0
+    if "--parts" in args:
+        i = args.index("--parts")
+        parts = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
-    sys.exit(1 if compare(sf, only or None) else 0)
+    sys.exit(1 if compare(sf, only or None, parts=parts) else 0)
