@@ -407,9 +407,15 @@ def q_jinja_if_and(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "{% if l_returnflag in ['A', 'N'] and "
                 "not (l_discount > 0.05) %}keep{% else %}drop{% endif %}"
             ),
+            "tier": (
+                "{% if l_quantity > 45 %}xl{% elif l_quantity > 30 %}l"
+                "{% elif l_quantity > 15 %}m{% else %}s{% endif %}"
+            ),
         },
     )
-    return out.select("l_orderkey", "l_linenumber", "band", "member")
+    return out.select(
+        "l_orderkey", "l_linenumber", "band", "member", "tier"
+    )
 
 
 def q_jinja_float_render(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4656,7 +4662,11 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'mid-or-returned' ELSE 'other' END AS band,
                    CASE WHEN l_returnflag IN ('A', 'N')
                              AND NOT (l_discount > 0.05)
-                        THEN 'keep' ELSE 'drop' END AS member
+                        THEN 'keep' ELSE 'drop' END AS member,
+                   CASE WHEN l_quantity > 45 THEN 'xl'
+                        WHEN l_quantity > 30 THEN 'l'
+                        WHEN l_quantity > 15 THEN 'm'
+                        ELSE 's' END AS tier
             FROM lineitem
         """,
         "jinja_float_render": """

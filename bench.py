@@ -186,6 +186,10 @@ SECONDARY = [
     "retrieval_eval",  # WindowGroupLimit top-k + qrels equi-join
     "validate_chat",  # per-row array codegen, zero exchange
     "calibration",  # binned reliability agg
+    # --- r12 additions ---
+    "jinja_if_and",  # compound-if conditions lowered to native booleans
+    "jinja_float_render",  # py_float_repr float renders, zero Python
+    "multimodal_real_decode",  # stdlib-PNG real decode via mapInPandas
 ]
 
 

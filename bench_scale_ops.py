@@ -963,6 +963,59 @@ def main() -> None:
             )
             assert (row["min_a"], row["max_a"]) == (fmin, fmax), p
 
+        # --- r12: float-render + compound-if lowering payoff ----------
+        # Both template shapes forced the Arrow UDF before r12; the
+        # native path must beat the ALREADY-batched struct UDF, and a
+        # 2k-row parity check pins byte equality against full Jinja.
+        from earthmover_spark.functions.jinja_compute import (
+            jinja_udf_column,
+            jinja_udf_struct,
+            lower_template,
+        )
+
+        frows = min(rows, 1_000_000)
+        fr = spark.range(frows).select(
+            (F.col("id") % 97 / 7.0).alias("x"),
+            (F.col("id") % 13).cast("double").alias("y"),
+            (F.col("id") % 5).cast("string").alias("tag"),
+        )
+        fr.write.mode("overwrite").parquet(f"{base}/floats")
+        fr_in = spark.read.parquet(f"{base}/floats")
+        tpl_f = "{{ x ~ '|' ~ y }}"
+        tpl_if = (
+            "{% if (x > 5 and y <= 9) or tag == '3' %}"
+            "hit{% else %}miss{% endif %}"
+        )
+        low_f = lower_template(tpl_f, fr_in.columns, schema=fr_in.schema)
+        low_if = lower_template(tpl_if, fr_in.columns, schema=fr_in.schema)
+        assert low_f is not None and low_if is not None, "must lower"
+        r["jinja_float_if_native_1m"] = _t(
+            lambda: _force(
+                fr_in.select(low_f.alias("a"), low_if.alias("b"))
+            )
+        )
+        r["jinja_float_if_udf_1m"] = _t(
+            lambda: _force(
+                fr_in.select(
+                    jinja_udf_struct(
+                        [("a", tpl_f, None), ("b", tpl_if, None)],
+                        fr_in.columns,
+                    ).alias("s")
+                )
+            )
+        )
+        chk = fr_in.limit(2000)
+        for tpl in (tpl_f, tpl_if):
+            low = lower_template(tpl, chk.columns, schema=chk.schema)
+            mism = (
+                chk.select(
+                    (low != jinja_udf_column(tpl, chk.columns)).alias("m")
+                )
+                .filter("m")
+                .count()
+            )
+            assert mism == 0, f"native/Jinja divergence: {tpl}"
+
         fm = [(os.path.basename(p), os.path.getsize(p)) for p in parts]
         files_df = spark.createDataFrame(fm, "file string, bytes long")
         target = max(1, sum(b for _, b in fm) // 8)

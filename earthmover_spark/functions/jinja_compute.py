@@ -489,10 +489,11 @@ def _apply_filter(f: str, col: Column, kind: str):
 _COND_RE = re.compile(r"^(.+?)\s*(==|!=|>=|<=|>|<)\s*(.+)$")
 _TOKEN_RE = re.compile(
     r"\{\{(?P<expr>.*?)\}\}"
-    r"|\{%\s*if\s+(?P<cond>.+?)\s*%\}(?P<then>.*?)"
-    r"(?:\{%\s*else\s*%\}(?P<els>.*?))?\{%\s*endif\s*%\}",
+    r"|\{%\s*if\s+(?P<cond>.+?)\s*%\}(?P<body>.*?)\{%\s*endif\s*%\}",
     re.DOTALL,
 )
+_ELIF_RE = re.compile(r"\{%\s*elif\s+(.+?)\s*%\}", re.DOTALL)
+_ELSE_RE = re.compile(r"\{%\s*else\s*%\}")
 
 
 _KW_BOUND = re.compile(r"[A-Za-z0-9_]")
@@ -566,7 +567,8 @@ def _lower_condition(
         and_chain:= not_atom (' and ' not_atom)*
         not_atom := 'not' not_atom | atom
         atom     := '(' cond ')'
-                  | X 'is' ['not'] ('none' | 'defined')
+                  | X 'is' ['not'] ('none' | 'defined' | 'odd' |
+                  |                 'even' | 'number' | 'string')
                   | A ['not'] 'in' B      # literal list/tuple, or
                   |                       # substring when B is str
                   | A <cmp> B             # kind-checked: str~str or
@@ -628,6 +630,23 @@ def _lower_cond_atom(cond, columns, value_col, schema):
         if test == "none":
             col, _ = _lower_expr(lhs, columns, value_col, schema)
             return col.isNotNull() if neg else col.isNull()
+        if test in ("odd", "even"):
+            col, kind = _lower_expr(lhs, columns, value_col, schema)
+            if kind not in ("int", "float"):
+                # Jinja do_odd is value % 2 == 1 — a str operand
+                # raises TypeError, so keep the full engine
+                raise _NotLowerable(cond)
+            # pmod, not %: Python's modulo takes the DIVISOR's sign
+            # (-3 % 2 == 1, odd), Spark's % the dividend's (-1)
+            base = F.pmod(col, F.lit(2)) == (1 if test == "odd" else 0)
+            return ~_as_bool(base) if neg else _as_bool(base)
+        if test in ("number", "string"):
+            # static by kind: the all-string model's '5' is NOT a
+            # number to Jinja; int/float kinds are
+            _, kind = _lower_expr(lhs, columns, value_col, schema)
+            isnum = kind in ("int", "float")
+            val = isnum if test == "number" else not isnum
+            return F.lit(val != neg)
         raise _NotLowerable(cond)
     if len(is_parts) > 2:
         raise _NotLowerable(cond)
@@ -771,22 +790,37 @@ def lower_template(
                 )
                 pieces.append(_render_view(col, kind))
             else:
-                then_part = m.group("then")
-                else_part = m.group("els") or ""
-                if _BLOCK_RE.search(then_part) or _BLOCK_RE.search(else_part):
-                    return None  # nested blocks -> full Jinja
-                cond = _lower_condition(
-                    m.group("cond"), columns, value_col, schema
-                )
-                then_col = lower_template(
-                    then_part, columns, value_col, schema
-                )
+                # {% if %}...{% elif %}...{% else %}...{% endif %} ->
+                # a chained F.when. Nested blocks: an inner {% if %}'s
+                # endif ends the non-greedy body match early, leaving
+                # stray {% in the tail — caught below, full Jinja.
+                body = m.group("body")
+                parts = _ELSE_RE.split(body)
+                if len(parts) > 2:
+                    return None  # two {% else %} — malformed, let Jinja err
+                main = parts[0]
+                else_part = parts[1] if len(parts) == 2 else ""
+                segs = _ELIF_RE.split(main)
+                conds = [m.group("cond")] + segs[1::2]
+                texts = [segs[0]] + segs[2::2]
+                if any(_BLOCK_RE.search(t) for t in texts + [else_part]):
+                    return None  # nested/unsupported blocks -> full Jinja
+                branches = []
+                for c, t in zip(conds, texts):
+                    cond = _lower_condition(c, columns, value_col, schema)
+                    t_col = lower_template(t, columns, value_col, schema)
+                    if t_col is None:
+                        return None
+                    branches.append((cond, t_col))
                 else_col = lower_template(
                     else_part, columns, value_col, schema
                 )
-                if then_col is None or else_col is None:
+                if else_col is None:
                     return None
-                pieces.append(F.when(cond, then_col).otherwise(else_col))
+                out = F.when(branches[0][0], branches[0][1])
+                for cond, t_col in branches[1:]:
+                    out = out.when(cond, t_col)
+                pieces.append(out.otherwise(else_col))
             pos = m.end()
         tail = template[pos:]
         if tail:

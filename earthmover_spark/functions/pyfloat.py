@@ -288,38 +288,52 @@ def _assemble(dp: Column) -> Column:
 
 def py_float_repr(col: Column) -> Column:
     """Render a double Column exactly as CPython ``repr``/``str``
-    would — the Jinja float render. NULL stays NULL."""
+    would — the Jinja float render. NULL stays NULL.
+
+    Fast path: for 1e-3 <= |x| < 1e7 Java's own string IS Python's
+    repr — both print fixed notation there, and below 2^52 Java's
+    dtoa digit generation is shortest-and-correctly-rounded (its
+    non-shortest/wrong-bracket bugs live in the big-integer path,
+    >= 2^52; fuzz-verified on 4M+ random-mantissa doubles pinned to
+    this exponent zone, tests/test_property.py). That zone is where
+    real pipeline floats live, so the common render is a plain cast;
+    the parse/repair/assemble machinery only runs outside it."""
     return _let(
         col.cast("double"),
         lambda x: _let(
             x.cast("string"),  # Java notation, the digit source
-            lambda s: _let(
-                F.when(
-                    s.startswith("-"), F.substring(s, 2, _MAX)
-                ).otherwise(s),
-                lambda u: (
-                    F.when(x.isNull(), F.lit(None).cast("string"))
-                    .when(F.isnan(x), F.lit("nan"))
-                    .when(x == F.lit(float("inf")), F.lit("inf"))
-                    .when(x == F.lit(float("-inf")), F.lit("-inf"))
-                    .when(
-                        x == 0,
+            lambda s: (
+                F.when(x.isNull(), F.lit(None).cast("string"))
+                .when(F.isnan(x), F.lit("nan"))
+                .when(x == F.lit(float("inf")), F.lit("inf"))
+                .when(x == F.lit(float("-inf")), F.lit("-inf"))
+                .when(
+                    x == 0,
+                    F.when(
+                        s.startswith("-"), F.lit("-0.0")
+                    ).otherwise(F.lit("0.0")),
+                )
+                .when(
+                    (F.abs(x) >= F.lit(1.0e-3)) & (F.abs(x) < F.lit(1.0e7)),
+                    s,
+                )
+                .otherwise(
+                    F.concat(
                         F.when(
-                            s.startswith("-"), F.lit("-0.0")
-                        ).otherwise(F.lit("0.0")),
-                    )
-                    .otherwise(
-                        F.concat(
+                            s.startswith("-"), F.lit("-")
+                        ).otherwise(F.lit("")),
+                        _let(
                             F.when(
-                                s.startswith("-"), F.lit("-")
-                            ).otherwise(F.lit("")),
-                            _let(
+                                s.startswith("-"),
+                                F.substring(s, 2, _MAX),
+                            ).otherwise(s),
+                            lambda u: _let(
                                 _repair(x, _digits_p(u)),
                                 _assemble,
                             ),
-                        )
+                        ),
                     )
-                ),
+                )
             ),
         ),
     )

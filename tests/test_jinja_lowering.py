@@ -56,6 +56,13 @@ LOWERABLE = [
     "{% if 'a' in name %}has-a{% else %}no-a{% endif %}",
     "{% if name is defined %}d{% else %}u{% endif %}",
     "{% if nope is defined %}d{% else %}u{% endif %}",
+    # r12: elif chains -> chained F.when
+    "{% if num|int > 8 %}hi{% elif num|int > 5 %}mid{% else %}lo{% endif %}",
+    "{% if flag == 'F' %}A{% elif flag == 'O' %}B{% elif name %}C{% endif %}",
+    # r12: is-tests
+    "{% if num|int is odd %}O{% else %}E{% endif %}",
+    "{% if qty is even %}E{% else %}O{% endif %}",
+    "{% if qty is number and name is string %}ok{% else %}no{% endif %}",
     # r12: float renders lower through py_float_repr (exact CPython
     # repr, incl. the 1.0E7-vs-10000000.0 notation gap)
     "{{qty|float}}",
@@ -81,6 +88,8 @@ NOT_LOWERABLE = [
     "{% if name > 10 %}x{% endif %}",  # str vs int ordering: TypeError
     "{{qty|round(2)}}",  # fractional round: BigDecimal vs binary HALF_EVEN
     "{% if flag is odd %}x{% endif %}",  # unsupported is-test
+    "{% if flag -%}x{% endif %}",  # whitespace-control trim marker
+    "{% if flag %}a{% else %}b{% else %}c{% endif %}",  # malformed
 ]
 
 
@@ -384,12 +393,19 @@ class TestFlatTypeAwareLowering:
             F.lit("s").alias("t"),
         )
 
-    def test_double_direct_render_falls_back(self, typed):
-        assert (
-            lower_template("{{d}}", typed.columns, schema=typed.schema)
-            is None
-        )
-        # ...but schema-less calls keep the all-string assumption
+    def test_double_direct_render_lowers_since_r12(self, typed):
+        """Double direct renders lower through py_float_repr since
+        r12 (they used to force the UDF) — and must render exactly
+        what Jinja renders, scientific-notation edges included."""
+        low = lower_template("{{d}}", typed.columns, schema=typed.schema)
+        assert low is not None
+        rows = typed.select(
+            low.alias("low"),
+            jinja_udf_column("{{d}}", typed.columns).alias("full"),
+        ).collect()
+        for r in rows:
+            assert r.low == r.full
+        # schema-less calls keep the all-string assumption
         assert lower_template("{{d}}", typed.columns) is not None
 
     def test_bool_and_array_fall_back(self, typed):

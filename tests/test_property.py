@@ -793,7 +793,7 @@ def cond_exprs(draw, depth=0):
     if depth >= 3 or draw(st.booleans()):
         kind = draw(st.sampled_from(
             ["cmp_num", "cmp_str", "in_list", "in_str", "truthy",
-             "defined", "notkw"]))
+             "defined", "parity", "notkw"]))
         if kind == "cmp_num":
             op = draw(st.sampled_from(["==", "!=", ">", ">=", "<", "<="]))
             return f"qty|int {op} {draw(st.integers(-2, 12))}"
@@ -817,6 +817,10 @@ def cond_exprs(draw, depth=0):
             name = draw(st.sampled_from(["tag", "missing_col"]))
             neg = draw(st.booleans())
             return f"{name} is {'not ' if neg else ''}defined"
+        if kind == "parity":
+            neg = draw(st.booleans())
+            test = draw(st.sampled_from(["odd", "even"]))
+            return f"qty|int is {'not ' if neg else ''}{test}"
         return f"not {draw(cond_exprs(depth=3))}"
     left = draw(cond_exprs(depth + 1))
     op = draw(st.sampled_from(["and", "or"]))
