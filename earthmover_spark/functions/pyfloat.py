@@ -296,44 +296,38 @@ def py_float_repr(col: Column) -> Column:
     non-shortest/wrong-bracket bugs live in the big-integer path,
     >= 2^52; fuzz-verified on 4M+ random-mantissa doubles pinned to
     this exponent zone, tests/test_property.py). That zone is where
-    real pipeline floats live, so the common render is a plain cast;
-    the parse/repair/assemble machinery only runs outside it."""
-    return _let(
-        col.cast("double"),
-        lambda x: _let(
-            x.cast("string"),  # Java notation, the digit source
-            lambda s: (
-                F.when(x.isNull(), F.lit(None).cast("string"))
-                .when(F.isnan(x), F.lit("nan"))
-                .when(x == F.lit(float("inf")), F.lit("inf"))
-                .when(x == F.lit(float("-inf")), F.lit("-inf"))
-                .when(
-                    x == 0,
-                    F.when(
-                        s.startswith("-"), F.lit("-0.0")
-                    ).otherwise(F.lit("0.0")),
-                )
-                .when(
-                    (F.abs(x) >= F.lit(1.0e-3)) & (F.abs(x) < F.lit(1.0e7)),
-                    s,
-                )
-                .otherwise(
-                    F.concat(
-                        F.when(
-                            s.startswith("-"), F.lit("-")
-                        ).otherwise(F.lit("")),
-                        _let(
-                            F.when(
-                                s.startswith("-"),
-                                F.substring(s, 2, _MAX),
-                            ).otherwise(s),
-                            lambda u: _let(
-                                _repair(x, _digits_p(u)),
-                                _assemble,
-                            ),
-                        ),
-                    )
-                )
+    real pipeline floats live, so the common render is a plain cast
+    that stays inside whole-stage codegen — the branch structure
+    keeps every ``_let`` (higher-order transform, interpreted eval)
+    strictly inside the OTHERWISE, so fast-zone rows never touch it
+    (moving the lets outside measured ~3x slower on an all-fast-zone
+    render)."""
+    x = col.cast("double")
+    s = x.cast("string")  # Java notation, the digit source
+    slow = F.concat(
+        F.when(s.startswith("-"), F.lit("-")).otherwise(F.lit("")),
+        _let(
+            x,
+            lambda xv: _let(
+                F.when(
+                    xv.cast("string").startswith("-"),
+                    F.substring(xv.cast("string"), 2, _MAX),
+                ).otherwise(xv.cast("string")),
+                lambda u: _let(_repair(xv, _digits_p(u)), _assemble),
             ),
         ),
+    )
+    return (
+        F.when(x.isNull(), F.lit(None).cast("string"))
+        .when(F.isnan(x), F.lit("nan"))
+        .when(x == F.lit(float("inf")), F.lit("inf"))
+        .when(x == F.lit(float("-inf")), F.lit("-inf"))
+        .when(
+            x == 0,
+            F.when(s.startswith("-"), F.lit("-0.0")).otherwise(
+                F.lit("0.0")
+            ),
+        )
+        .when((F.abs(x) >= F.lit(1.0e-3)) & (F.abs(x) < F.lit(1.0e7)), s)
+        .otherwise(slow)
     )
