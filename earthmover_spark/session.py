@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # stage-progress \r bars interleave with harness prints and
+        # can swallow a FAIL line when piped through grep (SKILL.md
+        # gotcha; it cost a round-12 triage an afternoon) — the
+        # engine's own output is the source of truth, not the bar
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

@@ -66,13 +66,22 @@ def make_multipart_copy(sf_dir: str, parts: int) -> str:
     sibling temp dir; slice i of k lands in a file named so lexical
     order REVERSES row order (part-<k-1-i>), the nastiest legal file
     layout for scan-order assumptions. Reuses an existing copy."""
+    import shutil
+
     import pyarrow.parquet as pq
 
     src = Path(sf_dir)
     dst = Path("/tmp") / f"em_multipart_{src.name}_{parts}"
     marker = dst / ".complete"
-    if marker.exists():
+    # reuse only a copy NEWER than every source table — the driver
+    # regenerates testdata between rounds and a stale cache would
+    # silently compare against old data
+    src_mtime = max(
+        (src / f"{t}.parquet").stat().st_mtime for t in TABLES
+    )
+    if marker.exists() and marker.stat().st_mtime >= src_mtime:
         return str(dst)
+    shutil.rmtree(dst, ignore_errors=True)
     dst.mkdir(parents=True, exist_ok=True)
     for t in TABLES:
         table = pq.read_table(src / f"{t}.parquet")
