@@ -61,6 +61,27 @@ def test_lowered_jinja_stays_jvm_side(plans):
     assert "codegen id" in p  # formatted explain's whole-stage-codegen marker
 
 
+def test_compound_conditions_stay_jvm_side(plans):
+    """r12: compound and/or/membership {% if %} conditions (incl. the
+    elif tier chain) lower to native CASE/boolean Columns — no Python
+    stage, whole-stage codegen intact."""
+    p = plans("jinja_if_and")
+    assert "EvalPython" not in p
+    assert "codegen id" in p
+    # the lowered conditions land as CASE WHEN over native predicates
+    assert "CASE WHEN" in p
+
+
+def test_float_renders_stay_jvm_side_with_codegen(plans):
+    """r12: float renders go through py_float_repr natively. The slow
+    branch's higher-order lets are interpreted, but they must stay
+    INSIDE a CASE so the scan/projection pipeline itself remains
+    whole-stage codegen with zero Python."""
+    p = plans("jinja_float_render")
+    assert "EvalPython" not in p
+    assert "codegen id" in p
+
+
 def test_flagship_is_whole_stage_codegen_agg(plans):
     p = plans("flagship")
     assert "HashAggregate" in p
