@@ -5,12 +5,19 @@ The reference's scalar-function surface is Jinja2 rendered per row
 earthmover/operations/column.py:53-59,115-121). Here every template goes
 through a two-stage compiler:
 
-1. **Peephole lowering** (`lower_template`): simple templates —
-   ``{{col}}``, ``{{value|int}}``, slices ``{{col[0:4]}}``, literal
-   text + placeholder concatenation, single arithmetic ops — compile to
-   native Column expressions that stay inside whole-stage codegen.
-   This is the perf-critical path at 100 TB: a lowered template never
-   leaves the JVM.
+1. **Peephole lowering** (`lower_template`): ``{{col}}`` placeholders
+   with the native filter set, slices, full-precedence arithmetic,
+   dotted nested-struct access, ``~`` concatenation, float renders
+   with exact CPython-repr text (functions/pyfloat.py), and
+   ``{% if %}``/``{% elif %}``/``{% else %}`` blocks whose conditions
+   span and/or/not chains, ``[not] in`` membership, ``is`` tests, and
+   truthiness — all compiled to native Column expressions that stay
+   inside whole-stage codegen. This is the perf-critical path at
+   100 TB: a lowered template never leaves the JVM. Fidelity rule:
+   anything whose Spark semantics could diverge from Jinja's (string
+   '+', float division by a runtime value, trim markers, mixed-type
+   ordering, macros that could shadow a name, ...) DECLINES lowering
+   rather than approximating.
 
 2. **Arrow pandas_udf fallback** (`jinja_udf_column`): the full Jinja2
    engine (filters, loops, conditionals, macros, ``__row_data__``,
