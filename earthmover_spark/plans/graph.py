@@ -176,10 +176,9 @@ def render_png(
     """Render the DAG to a PNG like the reference's --show-graph
     (reference earthmover/graph.py:116-160, which uses matplotlib +
     pygraphviz). Tries the graphviz ``dot`` binary first, then
-    networkx + matplotlib; returns the written path, or None when no
-    renderer is available (callers keep the DOT fallback — this
-    container ships neither renderer, so the PNG path is exercised only
-    where one is installed)."""
+    networkx + matplotlib, then (since r12) the pure-stdlib raster
+    tier (plans/rasterdot.py + the llm/png.py encoder) — a PNG is
+    ALWAYS produced, so --show-graph works in minimal containers."""
     import shutil as _shutil
     import subprocess
 
@@ -201,7 +200,24 @@ def render_png(
         import matplotlib.pyplot as plt
         import networkx as nx
     except ImportError:
-        return None
+        from earthmover_spark.plans.rasterdot import render_graph_png
+
+        names = sorted(subset if subset is not None else set(graph.nodes))
+        labels = {}
+        for name in names:
+            rows = (stats or {}).get(name, {}).get("rows")
+            labels[name] = (
+                f"{name}\n{rows} rows" if rows is not None else name
+            )
+        return render_graph_png(
+            {n: graph.nodes[n].kind for n in names},
+            {
+                n: [p for p in graph.parents.get(n, []) if p in names]
+                for n in names
+            },
+            path,
+            labels=labels,
+        )
     names = sorted(subset if subset is not None else set(graph.nodes))
     g = nx.DiGraph()
     layer_of = {"sources": 0, "transformations": 1, "destinations": 2}
