@@ -60,17 +60,36 @@ def _num(c: Column) -> Column:
     return c.cast("string").try_cast("double")
 
 
+#: the exact character set CPython's no-arg ``str.strip()`` removes
+#: (every codepoint where str.isspace() is True) — Spark's ``trim``
+#: strips ONLY 0x20, so ``'y\t'|trim`` lowered via F.trim kept the tab
+#: the Jinja engine strips (pre-r13 fidelity bug); ``btrim`` with this
+#: set is exact and stays a cheap non-regex codegen expression.
+_PY_WHITESPACE = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008"
+    "\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def _py_strip(c: Column) -> Column:
+    return F.btrim(c.cast("string"), F.lit(_PY_WHITESPACE))
+
+
 #: Jinja's |int and |float return 0 / 0.0 for unparseable input
 #: (jinja2 do_int/do_float default) — the goldens rely on ''|int == 0.
 #: |round is Jinja's method='common' = Python round() = HALF_EVEN, so
 #: it lowers to bround, NOT F.round (HALF_UP — 2.5 must render 2.0).
+#: |title is NOT here: Jinja capitalizes after ``-({[<`` as well as
+#: whitespace (jinja2 _word_beginning_split_re) where initcap splits
+#: on whitespace only — 'foo-bar' must render 'Foo-Bar', so |title
+#: keeps the full engine (fidelity rule: divergence declines).
 _NATIVE_FILTERS = {
     "int": lambda c: (F.coalesce(_num(c), F.lit(0.0)).cast("long"), "int"),
     "float": lambda c: (F.coalesce(_num(c), F.lit(0.0)), "float"),
     "upper": lambda c: (F.upper(c.cast("string")), "str"),
     "lower": lambda c: (F.lower(c.cast("string")), "str"),
-    "trim": lambda c: (F.trim(c.cast("string")), "str"),
-    "title": lambda c: (F.initcap(c.cast("string")), "str"),
+    "trim": lambda c: (_py_strip(c), "str"),
     "length": lambda c: (F.length(c.cast("string")), "int"),
     "string": lambda c: (c.cast("string"), "str"),
     "abs": lambda c: (F.abs(_num(c)), "float"),
@@ -469,19 +488,33 @@ def _apply_filter(f: str, col: Column, kind: str):
         if lm:
             lits.append(lm.group(1) if lm.group(1) is not None else lm.group(2))
         elif _NUM_RE.match(a):
-            lits.append(a)
+            lits.append(float(a) if "." in a else int(a))
         else:
             raise _NotLowerable(f)
-    if name == "replace" and len(lits) == 2:
+    return _apply_filter_args(name, lits, col, kind)
+
+
+def _apply_filter_args(name: str, lits: list, col: Column, kind: str):
+    """Arg-taking native filters, shared by the token-regex and AST
+    paths. ``lits`` are compile-time Python values (str/int/float)."""
+    if name == "replace" and len(lits) == 2 and all(
+        isinstance(a, str) for a in lits
+    ):
         return F.replace(
-            col.cast("string"), F.lit(str(lits[0])), F.lit(str(lits[1]))
+            col.cast("string"), F.lit(lits[0]), F.lit(lits[1])
         ), "str"
     if name == "default" and len(lits) == 1:
         # Jinja default() replaces *undefined* values only; a resolved
         # column is always defined, so this is the identity here. (An
         # unknown column name already failed lowering -> full Jinja.)
+        # NULL-leaf note: on a schema-typed NULL cell the lowered
+        # render stays '' (the reference's missing-key behavior, same
+        # documented convention as _resolve_name) where the Arrow UDF
+        # would print 'None'.
         return col, kind
-    if name == "round" and len(lits) == 1 and lits[0] in ("0", "-0"):
+    if name == "round" and len(lits) == 1 and (
+        isinstance(lits[0], int) and lits[0] == 0
+    ):
         # only precision 0 lowers: Jinja 'common' rounding is Python
         # round() (HALF_EVEN on the BINARY value). bround matches it
         # exactly at integer precision (the shortest-decimal detour
@@ -490,7 +523,7 @@ def _apply_filter(f: str, col: Column, kind: str):
         # 2.67499...) and 2.68 via BigDecimal('2.675') — so fractional
         # precisions keep the full Jinja engine.
         return F.bround(_num(col), 0), "float"
-    raise _NotLowerable(f)
+    raise _NotLowerable(name)
 
 
 _COND_RE = re.compile(r"^(.+?)\s*(==|!=|>=|<=|>|<)\s*(.+)$")
@@ -587,6 +620,20 @@ def _lower_condition(
 
     Anything outside this surface raises ``_NotLowerable`` and the
     template falls back to the full Jinja UDF.
+
+    NULL convention (r13): a NULL cell on a schema-typed frame is the
+    all-string model's MISSING value, so str-kind comparison/
+    membership/truthiness operands coalesce through ``string_view``
+    (NULL ≡ '', exactly how the reference — pandas dicts with '' for
+    missing — behaves); numeric ``==``/``!=`` use ``eqNullSafe``
+    (Python's ``None == 5`` is False, ``None != 5`` True); numeric
+    ``is odd/even`` on NULL raises at runtime like Jinja's TypeError.
+    Known residual divergence: numeric ORDERING on a NULL operand
+    yields False where Python raises TypeError — reachable only on
+    nullable typed numeric columns (``|int``/``|float`` coalesce NULL
+    to 0 first). The Arrow-UDF fallback renders Python ``None``
+    semantics instead ('None' text, ``None != 'a'`` True) — the same
+    documented deviation as ``_resolve_name``'s null-leaf note.
     """
     return _lower_cond_or(cond.strip(), columns, value_col, schema)
 
@@ -643,9 +690,19 @@ def _lower_cond_atom(cond, columns, value_col, schema):
                 # Jinja do_odd is value % 2 == 1 — a str operand
                 # raises TypeError, so keep the full engine
                 raise _NotLowerable(cond)
+            # NULL operand (possible only on schema-typed numeric
+            # frames — |int/|float coalesce to 0): Jinja's do_odd
+            # raises TypeError from None % 2, so surface an error
+            # instead of silently picking a branch (r13 ADVICE fix)
+            checked = F.when(col.isNotNull(), col).otherwise(
+                F.raise_error(F.lit(
+                    "is odd/even on a NULL value (Jinja raises "
+                    "TypeError here)"
+                ))
+            )
             # pmod, not %: Python's modulo takes the DIVISOR's sign
             # (-3 % 2 == 1, odd), Spark's % the dividend's (-1)
-            base = F.pmod(col, F.lit(2)) == (1 if test == "odd" else 0)
+            base = F.pmod(checked, F.lit(2)) == (1 if test == "odd" else 0)
             return ~_as_bool(base) if neg else _as_bool(base)
         if test in ("number", "string"):
             # static by kind: the all-string model's '5' is NOT a
@@ -679,6 +736,20 @@ def _lower_cond_atom(cond, columns, value_col, schema):
         right, rk = _lower_expr(m.group(3), columns, value_col, schema)
         op = m.group(2)
         if lk == rk or {lk, rk} <= {"int", "float"}:
+            if lk == rk == "str":
+                # NULL ≡ '' under the all-string data model (the
+                # reference's missing value) — without this a lowered
+                # `col != 'a'` on a genuinely-NULL schema-typed cell
+                # took the else branch where `'' != 'a'` is True
+                # (r13 ADVICE fix)
+                left, right = string_view(left), string_view(right)
+            elif op in ("==", "!="):
+                # numeric NULLs: Python's None == 5 is False and
+                # None != 5 is True — eqNullSafe models both exactly
+                # (plain ==/!= would yield NULL -> else-branch both
+                # ways)
+                eq = left.eqNullSafe(right)
+                return eq if op == "==" else ~eq
             cmp = {
                 "==": lambda a, b: a == b,
                 "!=": lambda a, b: a != b,
@@ -700,7 +771,8 @@ def _lower_cond_atom(cond, columns, value_col, schema):
     # --- truthiness ------------------------------------------------------
     col, kind = _lower_expr(s, columns, value_col, schema)
     if kind == "str":
-        return _as_bool(col.cast("string") != F.lit(""))
+        # string_view: NULL ≡ '' (falsy), the all-string model
+        return _as_bool(string_view(col) != F.lit(""))
     return _as_bool(col != F.lit(0))
 
 
@@ -748,14 +820,386 @@ def _lower_membership(lhs, rhs, columns, value_col, schema):
         if not keep:
             return F.lit(False)  # no item can ever equal A's type
         if lk == "str":
-            return _as_bool(left.cast("string").isin(*keep))
+            # string_view: a NULL cell is the model's '' — it matches
+            # a literal '' item exactly like the reference would
+            return _as_bool(string_view(left).isin(*keep))
         return _as_bool(left.cast("double").isin(*keep))
     # substring containment — both sides must be str-kind (Python
     # raises TypeError on 5 in 'xyz')
     rcol, rkind = _lower_expr(rhs, columns, value_col, schema)
     if lk != "str" or rkind != "str":
         raise _NotLowerable(f"{lhs} in {rhs}")
-    return _as_bool(F.contains(rcol.cast("string"), left.cast("string")))
+    # string_view both sides: NULL ≡ '' ('' in 'xyz' is True in Python)
+    return _as_bool(F.contains(string_view(rcol), string_view(left)))
+
+
+# ---------------------------------------------------------------------------
+# {% for %} loop unrolling (Jinja-AST partial evaluation)
+# ---------------------------------------------------------------------------
+#
+# The most common "dump the row" idiom in reference configs is a loop
+# over ``__row_data__`` (reference earthmover/tests/templates/
+# verbatim.jsont:1, rendered per row at earthmover/nodes/
+# destination.py:170). The iteration domain is STATIC — the frame's
+# column list (plus the ``__row_data__`` self-key for destination
+# renders) — so the loop unrolls at compile time: ``jinja2``'s own
+# parser yields an AST with whitespace-control already applied, the
+# loop variable and ``loop.first/last/index/...`` become compile-time
+# constants per iteration, ``{% if %}`` tests over them constant-fold,
+# and the surviving ``{{__row_data__[key]|filter}}`` emits lower
+# through the same filter machinery as flat placeholders. Anything
+# outside that surface (a non-constant test, a dynamic key, an
+# unsupported node type) raises ``_NotLowerable`` and the template
+# keeps the full Jinja engine.
+
+_FOR_TAG_RE = re.compile(r"\{%-?\s*for\b")
+
+
+class _NotConst(Exception):
+    pass
+
+
+class _ColRef:
+    """Loop-value binding from ``__row_data__.items()`` — a reference
+    to the column named ``name`` for the current unrolled iteration."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
+
+
+_CMP_OPS = {
+    "eq": lambda a, b: a == b,
+    "ne": lambda a, b: a != b,
+    "lt": lambda a, b: a < b,
+    "gt": lambda a, b: a > b,
+    "lteq": lambda a, b: a <= b,
+    "gteq": lambda a, b: a >= b,
+    "in": lambda a, b: a in b,
+    "notin": lambda a, b: a not in b,
+}
+
+
+def _ast_const(node, env):
+    """Evaluate an AST expression to a compile-time Python value using
+    only literals and env bindings (loop vars, ``loop.*``). Raises
+    ``_NotConst`` when the value depends on row data."""
+    from jinja2 import nodes
+
+    if isinstance(node, nodes.Const):
+        return node.value
+    if isinstance(node, (nodes.List, nodes.Tuple)):
+        return [_ast_const(i, env) for i in node.items]
+    if isinstance(node, nodes.Name):
+        if node.name in env and not isinstance(env[node.name], _ColRef):
+            return env[node.name]
+        raise _NotConst(node.name)
+    if isinstance(node, nodes.Getattr):
+        obj = _ast_const(node.node, env)
+        if isinstance(obj, dict) and node.attr in obj:
+            return obj[node.attr]
+        raise _NotConst(node.attr)
+    if isinstance(node, nodes.Getitem):
+        obj = _ast_const(node.node, env)
+        arg = node.arg
+        try:
+            if isinstance(arg, nodes.Slice):
+                lo = _ast_const(arg.start, env) if arg.start else None
+                hi = _ast_const(arg.stop, env) if arg.stop else None
+                st = _ast_const(arg.step, env) if arg.step else None
+                return obj[lo:hi:st]
+            return obj[_ast_const(arg, env)]
+        except (TypeError, KeyError, IndexError) as exc:
+            # Jinja yields Undefined here; decline rather than model it
+            raise _NotConst(str(exc)) from exc
+    if isinstance(node, nodes.Not):
+        return not _ast_const(node.node, env)
+    if isinstance(node, nodes.And):
+        return _ast_const(node.left, env) and _ast_const(node.right, env)
+    if isinstance(node, nodes.Or):
+        return _ast_const(node.left, env) or _ast_const(node.right, env)
+    if isinstance(node, nodes.Compare):
+        left = _ast_const(node.expr, env)
+        for op in node.ops:
+            if op.op not in _CMP_OPS:
+                raise _NotConst(op.op)
+            right = _ast_const(op.expr, env)
+            if not _CMP_OPS[op.op](left, right):
+                return False
+            left = right  # Python comparison chaining: a < b < c
+        return True
+    raise _NotConst(type(node).__name__)
+
+
+def _jinja_str(v) -> str:
+    """Render a compile-time constant the way Jinja's default finalize
+    (plain ``str``) would."""
+    return str(v)
+
+
+def _const_lit(v):
+    """Constant -> (Column, kind) for use inside lowered expressions."""
+    if isinstance(v, str):
+        return F.lit(v), "str"
+    if isinstance(v, bool) or v is None:
+        raise _NotLowerable(f"un-lowerable constant {v!r}")
+    if isinstance(v, int):
+        return F.lit(v), "int"
+    if isinstance(v, float):
+        return F.lit(v), "float"
+    raise _NotLowerable(f"un-lowerable constant {v!r}")
+
+
+def _ast_expr_column(node, env, columns, value_col, schema):
+    """Lower an AST expression (under the unroll env) -> (Column, kind)."""
+    from jinja2 import nodes
+
+    try:
+        return _const_lit(_ast_const(node, env))
+    except _NotConst:
+        pass
+    if isinstance(node, nodes.Getitem):
+        base = node.node
+        if (
+            isinstance(base, nodes.Name)
+            and base.name == "__row_data__"
+            and "__row_data__" not in env
+        ):
+            try:
+                key = _ast_const(node.arg, env)
+            except _NotConst as exc:
+                raise _NotLowerable("dynamic __row_data__ key") from exc
+            if (
+                not isinstance(key, str)
+                or key == "__row_data__"
+                or key not in columns
+            ):
+                raise _NotLowerable(f"__row_data__[{key!r}]")
+            return F.col(key), _flat_kind(key, schema)
+        raise _NotLowerable("getitem base")
+    if isinstance(node, nodes.Name):
+        ref = env.get(node.name)
+        if isinstance(ref, _ColRef):
+            if ref.name not in columns:
+                # the destination self-key's items() value is the dict
+                # itself — not lowerable
+                raise _NotLowerable(f"items() value of {ref.name!r}")
+            return F.col(ref.name), _flat_kind(ref.name, schema)
+        if node.name not in env:
+            return _resolve_name(node.name, columns, value_col, schema)
+        raise _NotLowerable(node.name)
+    if isinstance(node, nodes.Getattr):
+        # dotted nested-struct access ({{weather.avg_highs.Jan}})
+        parts: list[str] = []
+        cur = node
+        while isinstance(cur, nodes.Getattr):
+            parts.append(cur.attr)
+            cur = cur.node
+        if isinstance(cur, nodes.Name) and cur.name not in env:
+            dotted = ".".join([cur.name] + parts[::-1])
+            return _resolve_name(dotted, columns, value_col, schema)
+        raise _NotLowerable("getattr base")
+    if isinstance(node, nodes.Filter):
+        if node.kwargs or node.dyn_args or node.dyn_kwargs:
+            raise _NotLowerable(node.name)
+        col, kind = _ast_expr_column(
+            node.node, env, columns, value_col, schema
+        )
+        if not node.args:
+            if node.name not in _NATIVE_FILTERS:
+                raise _NotLowerable(node.name)
+            return _NATIVE_FILTERS[node.name](col)
+        try:
+            args = [_ast_const(a, env) for a in node.args]
+        except _NotConst as exc:
+            raise _NotLowerable(node.name) from exc
+        return _apply_filter_args(node.name, args, col, kind)
+    if isinstance(node, nodes.Concat):
+        lowered = [
+            _ast_expr_column(n, env, columns, value_col, schema)
+            for n in node.nodes
+        ]
+        return F.concat(*[_render_view(c, k) for c, k in lowered]), "str"
+    raise _NotLowerable(type(node).__name__)
+
+
+def _for_domain(node, env, columns, self_row_data):
+    """Resolve a For node's iteration domain at compile time.
+
+    Returns ``("keys", [names])`` for ``__row_data__`` /
+    ``__row_data__.keys()``, ``("items", [names])`` for
+    ``__row_data__.items()``, or ``("const", [values])`` for a
+    literal/env-constant list. The name list mirrors dict insertion
+    order in the UDF context: struct column order, plus the
+    ``__row_data__`` self-key LAST for destination renders
+    (``ctx["__row_data__"] = ctx``, jinja_udf_column)."""
+    from jinja2 import nodes
+
+    it = node.iter
+    keys = list(columns) + (["__row_data__"] if self_row_data else [])
+    if (
+        isinstance(it, nodes.Name)
+        and it.name == "__row_data__"
+        and "__row_data__" not in env
+    ):
+        return "keys", keys
+    if (
+        isinstance(it, nodes.Call)
+        and not (it.args or it.kwargs or it.dyn_args or it.dyn_kwargs)
+        and isinstance(it.node, nodes.Getattr)
+        and isinstance(it.node.node, nodes.Name)
+        and it.node.node.name == "__row_data__"
+        and "__row_data__" not in env
+    ):
+        if it.node.attr == "keys":
+            return "keys", keys
+        if it.node.attr == "items":
+            return "items", keys
+        raise _NotLowerable(f"__row_data__.{it.node.attr}()")
+    try:
+        dom = _ast_const(it, env)
+    except _NotConst as exc:
+        raise _NotLowerable("non-static for domain") from exc
+    if isinstance(dom, list):
+        return "const", dom
+    raise _NotLowerable(f"for over {type(dom).__name__}")
+
+
+def _ast_stmts(body, env, columns, value_col, schema, self_row_data, pieces):
+    """Compile a statement list, appending str literals / Columns to
+    ``pieces``."""
+    from jinja2 import nodes
+
+    for node in body:
+        if isinstance(node, nodes.Output):
+            for child in node.nodes:
+                if isinstance(child, nodes.TemplateData):
+                    pieces.append(child.data)
+                    continue
+                try:
+                    pieces.append(_jinja_str(_ast_const(child, env)))
+                except _NotConst:
+                    col, kind = _ast_expr_column(
+                        child, env, columns, value_col, schema
+                    )
+                    pieces.append(_render_view(col, kind))
+        elif isinstance(node, nodes.If):
+            # tests must constant-fold under the unroll env (loop var /
+            # loop.* / literals); a row-data-dependent test inside a
+            # loop body would need per-branch whitespace semantics the
+            # unroll does not model -> full Jinja
+            taken = node.else_
+            branches = [(node.test, node.body)] + [
+                (e.test, e.body) for e in node.elif_
+            ]
+            for test, b in branches:
+                try:
+                    truth = bool(_ast_const(test, env))
+                except _NotConst as exc:
+                    raise _NotLowerable("non-constant if in loop") from exc
+                if truth:
+                    taken = b
+                    break
+            _ast_stmts(
+                taken, env, columns, value_col, schema, self_row_data, pieces
+            )
+        elif isinstance(node, nodes.For):
+            if node.else_ or node.test is not None or node.recursive:
+                raise _NotLowerable("for-else/filtered/recursive loop")
+            mode, domain = _for_domain(node, env, columns, self_row_data)
+            n = len(domain)
+            for i, item in enumerate(domain):
+                env2 = dict(env)
+                env2["loop"] = {
+                    "first": i == 0,
+                    "last": i == n - 1,
+                    "index": i + 1,
+                    "index0": i,
+                    "length": n,
+                    "revindex": n - i,
+                    "revindex0": n - i - 1,
+                }
+                if mode == "items":
+                    if not (
+                        isinstance(node.target, nodes.Tuple)
+                        and len(node.target.items) == 2
+                        and all(
+                            isinstance(t, nodes.Name)
+                            for t in node.target.items
+                        )
+                    ):
+                        raise _NotLowerable("items() needs a (k, v) target")
+                    kname, vname = (t.name for t in node.target.items)
+                    env2[kname] = item
+                    # the destination self-key's value is the dict
+                    # itself; _ColRef('__row_data__') never resolves,
+                    # so a branch USING it declines — branches that
+                    # filter it out constant-fold first and stay sound
+                    env2[vname] = _ColRef(item)
+                else:
+                    if not isinstance(node.target, nodes.Name):
+                        raise _NotLowerable("unsupported for target")
+                    env2[node.target.name] = item
+                _ast_stmts(
+                    node.body, env2, columns, value_col, schema,
+                    self_row_data, pieces,
+                )
+        else:
+            raise _NotLowerable(type(node).__name__)
+
+
+def _lower_loop_template(
+    template: str,
+    columns: list[str],
+    value_col: str | None,
+    schema,
+    self_row_data: bool,
+) -> Column | None:
+    """Compile a template containing ``{% for %}`` by unrolling static
+    loops (see module section comment). Returns None when any part
+    falls outside the supported surface."""
+    if self_row_data and value_col is not None:
+        # jinja_udf_column would add 'value' to the self-referencing
+        # dict AFTER creation — an iteration-domain shape this unroll
+        # does not model (destinations never pass value_col)
+        return None
+    import jinja2
+
+    try:
+        ast = jinja2.Environment(undefined=jinja2.Undefined).parse(template)
+    except jinja2.TemplateSyntaxError:
+        return None  # let the full engine surface the error
+    pieces: list = []
+    try:
+        _ast_stmts(
+            ast.body, {}, columns, value_col, schema, self_row_data, pieces
+        )
+    except _NotLowerable:
+        return None
+    return _assemble_pieces(pieces)
+
+
+def _assemble_pieces(pieces: list) -> Column:
+    """Merge adjacent literal strings and concat into one StringType
+    Column."""
+    merged: list[Column] = []
+    buf: list[str] = []
+    for p in pieces:
+        if isinstance(p, str):
+            buf.append(p)
+        else:
+            if buf:
+                merged.append(F.lit("".join(buf)))
+                buf = []
+            merged.append(p)
+    if buf:
+        merged.append(F.lit("".join(buf)))
+    if not merged:
+        return F.lit("")
+    if len(merged) == 1:
+        return merged[0].cast("string")
+    return F.concat(*merged)
 
 
 def lower_template(
@@ -763,6 +1207,7 @@ def lower_template(
     columns: list[str],
     value_col: str | None = None,
     schema=None,
+    self_row_data: bool = False,
 ) -> Column | None:
     """Try to compile a Jinja template to a native StringType Column.
 
@@ -774,9 +1219,18 @@ def lower_template(
     where ``<cond>`` is any ``and``/``or``/``not`` combination of
     comparisons, ``[not] in`` membership (literal lists or substring),
     ``is [not] none/defined`` tests, and truthiness — see
-    ``_lower_condition``. Returns None when the template needs the
-    full Jinja engine.
+    ``_lower_condition``. Templates containing ``{% for %}`` take the
+    AST unroll path (``_lower_loop_template``) instead — the
+    ``__row_data__`` dict-dump idiom compiles to a native column-list
+    concat there. Returns None when the template needs the full Jinja
+    engine.
     """
+    if _FOR_TAG_RE.search(template):
+        # the token-regex path below cannot express loops; the AST
+        # path handles ALL whitespace-control markers via the lexer
+        return _lower_loop_template(
+            template, columns, value_col, schema, self_row_data
+        )
     # whitespace-control markers: '{{-' / '-}}' trim adjacent literal
     # whitespace in Jinja (so '{{-2}}' renders '2', NOT '-2'); block
     # markers ('{%-') already fail the _TOKEN_RE match and fall back.
@@ -1036,7 +1490,9 @@ def template_column(
     if "{% include" not in template and macros_allow_lowering(
         template, macros
     ):
-        lowered = lower_template(template, columns, value_col, schema)
+        lowered = lower_template(
+            template, columns, value_col, schema, self_row_data
+        )
         if lowered is not None:
             return lowered
     return jinja_udf_column(

@@ -78,6 +78,15 @@ def decode_png(payload: bytes):
             f"interlace={interlace} (stdlib codec handles 8-bit "
             "non-interlaced gray/RGB/palette/alpha)"
         )
+    if colortype == 3:
+        # palette indexing below reads palette[3*idx+2] for every
+        # index byte — a missing/truncated/ragged PLTE must fail with
+        # the module's error contract, not a bare IndexError
+        if not palette or len(palette) % 3:
+            raise PngError(
+                f"palette image with missing/ragged PLTE "
+                f"({len(palette)} bytes)"
+            )
     ch = _CHANNELS[colortype]
     stride = width * ch
     raw = zlib.decompress(bytes(idat))
@@ -130,6 +139,11 @@ def decode_png(payload: bytes):
                 )
             )
         else:  # palette
+            if line and 3 * max(line) + 3 > len(palette):
+                raise PngError(
+                    f"palette index {max(line)} out of range for "
+                    f"{len(palette) // 3}-entry PLTE"
+                )
             rows.append(
                 bytes(
                     palette[3 * idx + k]

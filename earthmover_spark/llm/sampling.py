@@ -21,6 +21,34 @@ from earthmover_spark.util import EarthmoverSparkError
 #: 60-bit hash space (15 hex chars of md5 — fits a positive BIGINT)
 _HASH_SPACE = float(1 << 60)
 
+#: per-stratum count collects (temperature_mix / target_mix) are
+#: bounded only by strata cardinality — gate them like every other
+#: bounded-collect site in the package so a pathological config
+#: (stratifying on a near-unique key) fails loudly instead of pulling
+#: millions of rows to the driver (r13 VERDICT item)
+_STRATA_GATE = 100_000
+
+
+def _strata_counts(df: DataFrame, strata_col: str, op: str) -> list:
+    """Per-stratum counts with a cardinality gate: collects at most
+    ``_STRATA_GATE + 1`` rows (LIMIT pushes into the aggregate) and
+    raises when the gate trips — the mixing math needs EVERY stratum,
+    so proceeding on a truncated set would silently mis-weight."""
+    rows = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(_STRATA_GATE + 1)
+        .collect()
+    )
+    if len(rows) > _STRATA_GATE:
+        raise EarthmoverSparkError(
+            f"{op}: more than {_STRATA_GATE:,} distinct values in "
+            f"strata column {strata_col!r} — stratifying on a "
+            "near-unique key would collect the corpus to the driver; "
+            "stratify on a low-cardinality column"
+        )
+    return rows
+
 
 def _h60(col: Column, salt: str) -> Column:
     return F.conv(
@@ -175,7 +203,7 @@ def temperature_mix(
     zero data-scale shuffle."""
     if temperature <= 0:
         raise EarthmoverSparkError("temperature_mix: temperature must be > 0")
-    rows = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    rows = _strata_counts(df, strata_col, "temperature_mix")
     if not rows:
         return df
     total = float(sum(r["n"] for r in rows))
@@ -225,7 +253,7 @@ def target_mix(
             raise EarthmoverSparkError(
                 f"target_mix: share for {name!r} must be > 0"
             )
-    rows = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    rows = _strata_counts(df, strata_col, "target_mix")
     counts = {str(r[strata_col]): r["n"] for r in rows}
     missing = [str(s) for s in shares if str(s) not in counts]
     if missing:

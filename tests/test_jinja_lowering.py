@@ -463,3 +463,82 @@ class TestFlatTypeAwareLowering:
             lower_template("{{t[0:1]}}", typed.columns, schema=typed.schema)
             is not None
         )
+
+
+class TestNullCellConditions:
+    """r13 ADVICE fixes: NULL cells on schema-typed frames follow the
+    all-string model (NULL ≡ '' — the reference's missing value) in
+    lowered str-kind conditions; numeric ==/!= follow Python's None
+    semantics via eqNullSafe; `is odd/even` on NULL raises like
+    Jinja's TypeError instead of silently picking a branch.
+
+    Parity target for NULLs is the REFERENCE model (missing ≡ ''),
+    pinned by comparing the lowered render on a NULL-bearing frame
+    against the full-Jinja UDF on the same frame with NULLs replaced
+    by '' — the UDF itself renders Python None semantics, the
+    documented deviation."""
+
+    @pytest.fixture(scope="class")
+    def nulls(self, spark):
+        return spark.createDataFrame(
+            [("a", "3"), (None, "0"), ("", None), (None, None)],
+            "tag string, qty string",
+        )
+
+    CONDS = [
+        "tag != 'a'",
+        "tag == ''",
+        "tag == 'a' or qty == '3'",
+        "not (tag != '')",
+        "tag in ['a', '']",
+        "tag not in ['b']",
+        "tag in qty",
+        "'3' in qty",
+        "tag",
+        "qty|int > 1",
+        "qty|int is odd",
+    ]
+
+    @pytest.mark.parametrize("cond", CONDS)
+    def test_null_means_empty_string(self, nulls, cond):
+        template = "{% if " + cond + " %}T{% else %}F{% endif %}"
+        lowered = lower_template(
+            template, nulls.columns, schema=nulls.schema
+        )
+        assert lowered is not None, template
+        filled = nulls.na.fill("")
+        rows = nulls.select(lowered.alias("low")).collect()
+        want = filled.select(
+            jinja_udf_column(template, filled.columns).alias("full")
+        ).collect()
+        assert [r.low for r in rows] == [r.full for r in want], template
+
+    def test_numeric_eq_follows_python_none(self, spark):
+        """On a typed numeric frame, lowered ==/!= match Python's
+        None == 5 -> False / None != 5 -> True (eqNullSafe)."""
+        df = spark.createDataFrame(
+            [(5,), (None,), (7,)], "n long"
+        )
+        t_eq = "{% if n == 5 %}T{% else %}F{% endif %}"
+        t_ne = "{% if n != 5 %}T{% else %}F{% endif %}"
+        low_eq = lower_template(t_eq, df.columns, schema=df.schema)
+        low_ne = lower_template(t_ne, df.columns, schema=df.schema)
+        got = df.select(
+            low_eq.alias("eq"), low_ne.alias("ne")
+        ).collect()
+        assert [(r.eq, r.ne) for r in got] == [
+            ("T", "F"), ("F", "T"), ("F", "T")
+        ]
+
+    def test_is_odd_on_null_raises(self, spark):
+        """Jinja's do_odd raises TypeError on None % 2; the lowered
+        path must error too, not silently take a branch."""
+        df = spark.createDataFrame([(3,), (None,)], "n long")
+        t = "{% if n is odd %}T{% else %}F{% endif %}"
+        lowered = lower_template(t, df.columns, schema=df.schema)
+        assert lowered is not None
+        with pytest.raises(Exception, match="odd/even on a NULL"):
+            df.select(lowered.alias("v")).collect()
+        # non-null rows still evaluate fine
+        ok = df.na.drop().select(lowered.alias("v")).collect()
+        assert [r.v for r in ok] == ["T"]

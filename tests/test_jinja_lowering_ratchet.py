@@ -77,13 +77,12 @@ def _dotted_lowered() -> set:
     return out
 
 
-EXPECTED_LOWERED = _STATIC_LOWERED | _dotted_lowered()
-
-
-def _expected_fallbacks() -> set:
-    """The suite's only remaining non-lowerable templates: the two
-    __row_data__ loop templates (destination file + inline; whitespace
-    differs between them)."""
+def _loop_templates() -> set:
+    """The __row_data__ dict-dump loop templates (destination file +
+    inline; whitespace differs between them) — native since the r13
+    AST loop unroll (jinja_compute._lower_loop_template): the
+    iteration domain is the static column list, so the loop unrolls to
+    a per-column concat inside whole-stage codegen."""
     return {
         '{\n    {% for key in __row_data__.keys() -%}\n    '
         '{% if key != "__row_data__" -%}\n    '
@@ -98,6 +97,16 @@ def _expected_fallbacks() -> set:
     }
 
 
+def _expected_fallbacks() -> set:
+    """Since r13 the golden suite has ZERO UDF fallbacks — every
+    template in the reference's own test project compiles to native
+    Column expressions."""
+    return set()
+
+
+EXPECTED_LOWERED = _STATIC_LOWERED | _dotted_lowered() | _loop_templates()
+
+
 @pytest.mark.skipif(
     not os.path.isdir(REF_TESTS), reason="reference checkout not available"
 )
@@ -110,8 +119,10 @@ def test_golden_suite_lowering_manifest(spark, tmp_path):
     orig_udf_col = jc.jinja_udf_column
     orig_udf_struct = jc.jinja_udf_struct
 
-    def spy_lower(template, columns, value_col=None, schema=None):
-        out = orig_lower(template, columns, value_col, schema)
+    def spy_lower(template, columns, value_col=None, schema=None,
+                  self_row_data=False):
+        out = orig_lower(template, columns, value_col, schema,
+                         self_row_data)
         (lowered if out is not None else fell_back).add(template)
         return out
 

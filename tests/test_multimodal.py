@@ -1,3 +1,6 @@
+import pytest
+
+
 
 
 def test_resize_images_updates_meta(spark):
@@ -151,3 +154,80 @@ def test_stdlib_png_codec_shapes(spark):
     )
     ww2, hh2, rows2 = P.decode_png(fancy)
     assert rows2 == rgb_rows, "filtered-stream decode mismatch"
+
+
+def _palette_png(indices_rows, palette: bytes) -> bytes:
+    """Hand-build a colortype-3 PNG (our encoder writes gray/RGB only)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from earthmover_spark.llm import png as P
+
+    h = len(indices_rows)
+    w = len(indices_rows[0]) if h else 0
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(r) for r in indices_rows)
+    out = b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += P._chunk(b"PLTE", palette)
+    out += P._chunk(b"IDAT", _zlib.compress(raw)) + P._chunk(b"IEND", b"")
+    return out
+
+
+def test_palette_decode_and_plte_validation():
+    """r13 ADVICE fix: palette decode validates the PLTE chunk — a
+    missing, ragged, or too-short palette raises the module's PngError
+    contract, never a bare IndexError."""
+    import pytest as _pytest
+
+    from earthmover_spark.llm import png as P
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # 3 entries
+    ok = _palette_png([[0, 1], [2, 0]], pal)
+    w, h, rows = P.decode_png(ok)
+    assert (w, h) == (2, 2)
+    assert rows[0] == bytes([255, 0, 0, 0, 255, 0])
+    # index beyond the palette
+    with _pytest.raises(P.PngError, match="out of range"):
+        P.decode_png(_palette_png([[0, 5]], pal))
+    # missing PLTE entirely
+    with _pytest.raises(P.PngError, match="PLTE"):
+        P.decode_png(_palette_png([[0]], None))
+    # ragged PLTE (not a multiple of 3)
+    with _pytest.raises(P.PngError, match="PLTE"):
+        P.decode_png(_palette_png([[0]], bytes([1, 2, 3, 4])))
+
+
+@pytest.mark.skipif(
+    not __import__("earthmover_spark.llm.multimodal", fromlist=["HAS_PIL"]).HAS_PIL,
+    reason="Pillow not installed (stdlib codec is the only path here)",
+)
+def test_pillow_and_stdlib_gray_grid_agree():
+    """r13 ADVICE fix: when Pillow IS installed, its _gray_grid path
+    must produce the identical luma grid (and therefore identical
+    decode_real features) as the stdlib codec on the same PNGs —
+    pinning the claim that features are decoder-independent."""
+    from earthmover_spark.llm import multimodal as M
+    from earthmover_spark.llm import png as P
+
+    w, h = 9, 7
+    gray = [bytes((x * 31 + y * 17) % 256 for x in range(w)) for y in range(h)]
+    rgb = [
+        bytes(((x * 7) % 256, (y * 13) % 256, (x * y) % 256)[k] for x in range(w) for k in range(3))
+        for y in range(h)
+    ]
+    fixtures = [
+        P.encode_png(w, h, gray, gray=True),
+        P.encode_png(w, h, rgb),
+        _palette_png(
+            [[(x + y) % 4 for x in range(5)] for y in range(4)],
+            bytes([10, 20, 30, 200, 100, 0, 0, 0, 0, 255, 255, 255]),
+        ),
+    ]
+    for payload in fixtures:
+        pil_grid = M._gray_grid(payload)  # Pillow branch (HAS_PIL)
+        sw, sh, rows = P.decode_png(payload)
+        stdlib_grid = (sw, sh, P.gray_rows(rows))
+        # identical grids => decode_real (pure arithmetic over the
+        # grid) is decoder-independent by construction
+        assert pil_grid == stdlib_grid

@@ -195,7 +195,13 @@ def test_lowered_jinja_matches_full_engine(spark, template):
     )
 
     df = spark.createDataFrame(
-        [("Anna Maria", "42"), ("bo", "7"), ("", "0")], ["name", "qty"]
+        # edge whitespace (tab / ideographic space — the F.trim-vs-
+        # str.strip gap caught in r13) and word-boundary punctuation
+        # (|title capitalizes after '-' where initcap does not — the
+        # reason |title no longer lowers)
+        [("Anna Maria", "42"), ("bo", "7"), ("", "0"),
+         ("\tfoo-bar ", "9"), (" mixed　CASE\n", "03")],
+        ["name", "qty"],
     )
     lowered = lower_template(template, df.columns)
     if lowered is None:
@@ -858,6 +864,43 @@ def test_condition_parser_matches_jinja(spark, cond):
     ).collect()
     for r in rows:
         assert r.low == r.full, template
+
+
+@given(cond=cond_exprs())
+@settings(**SETTINGS)
+def test_condition_parser_null_cells_mean_empty(spark, cond):
+    """r13 ADVICE fix pin: on a NULL-bearing schema-typed frame, every
+    lowered condition must pick the branch the full engine picks for
+    the SAME frame with NULLs replaced by '' — NULL is the all-string
+    model's missing value, not Python None (the Arrow UDF's own
+    None-semantics render is the documented deviation)."""
+    from earthmover_spark.functions.jinja_compute import (
+        jinja_udf_column,
+        lower_template,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", None, "x a y"),
+            (None, "0", None),
+            ("", "7", "bb"),
+            (None, None, None),
+            ("x y", "11", "zzz"),
+        ],
+        "tag string, qty string, text string",
+    )
+    template = "{% if " + cond + " %}T{% else %}F{% endif %}"
+    lowered = lower_template(template, df.columns, schema=df.schema)
+    assert lowered is not None, template
+    low = [r.v for r in df.select(lowered.alias("v")).collect()]
+    filled = df.na.fill("")
+    full = [
+        r.v
+        for r in filled.select(
+            jinja_udf_column(template, filled.columns).alias("v")
+        ).collect()
+    ]
+    assert low == full, template
 
 
 # ---------------------------------------------------------------------------
