@@ -435,6 +435,100 @@ def q_jinja_float_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "price_each", "qty_disc")
 
 
+#: the reference's own verbatim.jsont dict-dump template
+#: (earthmover/tests/templates/verbatim.jsont:1) — the stock
+#: "dump the row" destination idiom the r13 loop unroll lowers
+_ROW_DUMP_TMPL = (
+    '{\n    {% for key in __row_data__.keys() -%}\n    '
+    '{% if key != "__row_data__" -%}\n    '
+    "{% if not loop.first %},{% endif -%}\n    "
+    '"{{key}}": "{{__row_data__[key]|trim}}"\n    '
+    "{%- endif %}\n    {% endfor -%}\n}"
+)
+
+
+def q_jinja_row_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 loop-unroll lowering: the reference's verbatim.jsont
+    __row_data__ dict-dump renders through the DESTINATION surface
+    (render_lines, self-referencing context, linearized source) as a
+    native per-column concat — the registry plan lint proves zero
+    Python stages. The emit's |trim runs the exact CPython whitespace
+    set (jinja_compute._PY_WHITESPACE via btrim), exercised by a
+    column padded with tab/ideographic-space edges the pre-r13 F.trim
+    lowering would have kept."""
+    from earthmover_spark.destinations.file_destination import render_lines
+
+    docs = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.lit(" \t"), F.col("lang"), F.lit("　 ")
+        ).alias("padded"),
+    )
+    return render_lines(docs, _ROW_DUMP_TMPL)
+
+
+def q_jinja_default_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 arg-filter + strlist lowering oracle: |default on a
+    genuinely-NULL typed cell renders '' (the all-string missing-value
+    convention, NOT Python's 'None'), |replace rewrites JVM-side, and
+    |join(sep) lowers an array<string> column through F.array_join —
+    all native (plan lint)."""
+    docs = _p(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, F.col("source")).alias("maybe"),
+        F.array(F.col("lang"), F.col("source")).alias("tags"),
+    )
+    out = C.add_columns(
+        base,
+        columns={
+            "srcd": "{{maybe|default('missing')}}",
+            "srcr": "[{{source|replace('src', 'S-')}}]",
+            "pair": (
+                "{{lang|replace('e', 'E')}}/"
+                "{{maybe|default('x')|replace('src', '#')}}"
+            ),
+            "tag_str": "{{tags|join('+')}} n={{tags|length}}",
+        },
+    )
+    return out.select("doc_id", "srcd", "srcr", "pair", "tag_str")
+
+
+def q_jinja_null_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 NULL-condition convention oracle: a NULL cell in a lowered
+    {% if %} behaves as the all-string model's '' — `maybe != 'en'` on
+    NULL picks the then branch ('' != 'en'), `== ''` matches, list
+    membership sees '', truthiness is falsy — where the pre-r13
+    lowering silently pinned every NULL comparison to False."""
+    docs = _p(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 4 != 1, F.col("lang")).alias("maybe"),
+    )
+    out = C.add_columns(
+        base,
+        columns={
+            "ne": (
+                "{% if maybe != 'en' %}not-en"
+                "{% else %}is-en{% endif %}"
+            ),
+            "eq_empty": (
+                "{% if maybe == '' %}blank{% else %}set{% endif %}"
+            ),
+            "member": (
+                "{% if maybe in ['en', ''] %}hit{% else %}miss{% endif %}"
+            ),
+            "truthy": "{% if maybe %}t{% else %}f{% endif %}",
+        },
+    )
+    return out.select("doc_id", "ne", "eq_empty", "member", "truthy")
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extension queries (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -3758,36 +3852,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's per-round snapshot records a 50-query prefix of
 #: ``queries()``, so coverage ROTATES across rounds (COVERAGE.md
-#: rotation log). The r12 prefix — "new + changed + oldest-green
+#: rotation log). The r13 prefix — "new + changed + oldest-green
 #: fills", in order:
-#: (a) the 3 NEW r12 queries — compound-if + float-render lowering,
-#:     stdlib-PNG real decode;
-#: (b) 4 changed-implementation refreshes: jinja_conditional and
-#:     add_columns_jinja_arith traverse the rewritten _lower_condition
-#:     / _lower_expr paths; dedup_resolve and dedup_keep_best sit on
-#:     checkpoint_cut, which gained the Connect-fallback test seam;
-#: (c) the FULL 26-query r7-stale remainder — closes the r7 block
-#:     exactly as the r11 plan ordered;
-#: (d) 17 oldest-green r8 fills in registry order (attribution, the
-#:     18th-oldest, defers to r13 to make room for the codec row).
-#: After r12 no query's newest official row predates r8.
-_R12_PREFIX = [
-    "jinja_if_and", "jinja_float_render", "multimodal_real_decode",
-    "jinja_conditional", "add_columns_jinja_arith",
-    "dedup_resolve", "dedup_keep_best",
-    "flag_outliers", "retention_cohorts", "ev_asof_join",
-    "ev_window_sliding", "group_by_quantiles", "interval_join",
-    "latest_rows", "src_parquet_scan", "decontaminate",
-    "repetition_stats", "redact_pii", "chunk_documents",
-    "det_sample", "split_dataset", "multimodal_features",
-    "multimodal_frames", "multimodal_resize", "emb_normalize",
-    "emb_mean_pool", "emb_quantize", "sim_pq_topk", "join_semi",
-    "set_except", "group_by_rollup", "budget_sample",
-    "temperature_mix",
-    "bloom_member", "lm_jsd", "ladder", "canon_urls", "c4_lines",
-    "kmv_overlap", "gopher_quality", "line_repetition", "chat_render",
-    "quantile_sk", "flagship", "window_calc", "top_n", "funnel",
-    "pack_sequences_ordered", "snap_diff", "corpus_fp",
+#: (a) the 3 NEW r13 queries — __row_data__ loop-unroll through the
+#:     destination surface, |default/|replace/|join arg-filters over
+#:     a nullable + array column, and the NULL-≡-'' condition
+#:     convention;
+#: (b) 6 changed-implementation refreshes: jinja_if_and /
+#:     jinja_conditional / jinja_null paths traverse the r13
+#:     string_view-coalesced comparisons, add_columns_jinja_arith and
+#:     jinja_float_render recompile through the refactored filter
+#:     application (_apply_noarg_filter/_apply_filter_args), and
+#:     temperature_mix / target_mix gained the strata-cardinality
+#:     collect gate;
+#: (c) merge_upsert — an r7 row the r11/r12 bookkeeping MISSED (the
+#:     "only attribution predates r8" claim was wrong; its newest
+#:     official row was r7) — plus attribution and the full 30-query
+#:     r8 remainder in registry order: after r13 NO query's newest
+#:     official row predates r9 except the r9 block itself;
+#: (d) 9 oldest-green r9 fills in registry order (dsir_w .. ppx_ref;
+#:     the remaining r9 rows continue in r14).
+_R13_PREFIX = [
+    "jinja_row_dump", "jinja_default_replace", "jinja_null_conditions",
+    "jinja_if_and", "jinja_conditional", "add_columns_jinja_arith",
+    "jinja_float_render", "temperature_mix", "target_mix",
+    "merge_upsert",
+    "attribution", "bin_metrics", "bm25_rank", "dedup_spans",
+    "downsample_latest", "drop_columns", "emb_standardize",
+    "epoch_repeat", "ev_sessionize", "extract_json", "filter_rows",
+    "fuzzy_pairs", "histogram_value", "jaccard_pairs", "join_inner",
+    "keep_columns", "kmeans_clusters", "melt", "mode_per_group",
+    "ngram_counts", "novel_docs", "pagerank", "percentile_band",
+    "pivot", "profile_table", "rename_columns", "rolling_agg",
+    "scd2_history", "semantic_dedup", "shuffle_shard",
+    "split_sentences",
+    "dsir_w", "dsir_smp", "ppx_tiers", "redact_cards", "fim_psm",
+    "len_batches", "clean_docs", "script_mix", "ppx_ref",
 ]
 
 
@@ -4031,10 +4131,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jinja_if_and": q_jinja_if_and,
         "jinja_float_render": q_jinja_float_render,
         "multimodal_real_decode": q_multimodal_real_decode,
+    # --- r13: loop-unroll + arg-filter + NULL-convention lowering ---
+        "jinja_row_dump": q_jinja_row_dump,
+        "jinja_default_replace": q_jinja_default_replace,
+        "jinja_null_conditions": q_jinja_null_conditions,
     }
     # apply the rotation: prefix first (the driver records these 50),
     # everything else in stable registry order behind it
-    out = {name: base.pop(name) for name in _R12_PREFIX}
+    out = {name: base.pop(name) for name in _R13_PREFIX}
     out.update(base)
     return out
 
@@ -4654,6 +4758,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jinja_md5": """
             SELECT c_custkey, md5(c_name) AS name_hash FROM customer
+        """,
+        # r13: the dict-dump render replayed as plain concatenation —
+        # the |trim of the padded column derives independently (the
+        # trimmed value IS lang by construction), verifying the
+        # btrim-based CPython whitespace semantics byte-exactly
+        "jinja_row_dump": """
+            SELECT '{ "doc_id": "' || CAST(doc_id AS VARCHAR)
+                || '" ,"lang": "' || lang
+                || '" ,"source": "' || source
+                || '" ,"padded": "' || lang
+                || '"  }' AS line
+            FROM documents
+        """,
+        "jinja_default_replace": """
+            SELECT doc_id,
+                   COALESCE(CASE WHEN doc_id % 3 = 0 THEN source END,
+                            '') AS srcd,
+                   '[' || replace(source, 'src', 'S-') || ']' AS srcr,
+                   replace(lang, 'e', 'E') || '/' ||
+                     replace(COALESCE(CASE WHEN doc_id % 3 = 0
+                                           THEN source END, ''),
+                             'src', '#') AS pair,
+                   lang || '+' || source || ' n=2' AS tag_str
+            FROM documents
+        """,
+        "jinja_null_conditions": """
+            SELECT doc_id,
+                   CASE WHEN m <> 'en' THEN 'not-en'
+                        ELSE 'is-en' END AS ne,
+                   CASE WHEN m = '' THEN 'blank' ELSE 'set' END
+                     AS eq_empty,
+                   CASE WHEN m IN ('en', '') THEN 'hit'
+                        ELSE 'miss' END AS member,
+                   CASE WHEN m <> '' THEN 't' ELSE 'f' END AS truthy
+            FROM (SELECT doc_id,
+                         COALESCE(CASE WHEN doc_id % 4 <> 1
+                                       THEN lang END, '') AS m
+                  FROM documents)
         """,
         "jinja_if_and": """
             SELECT l_orderkey, l_linenumber,

@@ -90,7 +90,8 @@ _NATIVE_FILTERS = {
     "upper": lambda c: (F.upper(c.cast("string")), "str"),
     "lower": lambda c: (F.lower(c.cast("string")), "str"),
     "trim": lambda c: (_py_strip(c), "str"),
-    "length": lambda c: (F.length(c.cast("string")), "int"),
+    # NULL ≡ '' (the all-string missing value) -> length 0, not NULL
+    "length": lambda c: (F.coalesce(F.length(c.cast("string")), F.lit(0)), "int"),
     "string": lambda c: (c.cast("string"), "str"),
     "abs": lambda c: (F.abs(_num(c)), "float"),
     "round": lambda c: (F.bround(_num(c)), "float"),
@@ -102,7 +103,11 @@ def _render_view(col: Column, kind: str) -> Column:
     reference's missing-value render); float kind goes through
     py_float_repr so the text matches CPython repr exactly (Spark's
     cast would print 1.0E7 where Jinja renders 10000000.0 — before
-    r12 any float render forced the whole template onto the UDF)."""
+    r12 any float render forced the whole template onto the UDF).
+    'strlist' declines — Spark's array cast ('[a, b]') is not
+    Python's list repr ("['a', 'b']"); join it first."""
+    if kind == "strlist":
+        raise _NotLowerable("direct render of an array column")
     if kind == "float":
         return F.coalesce(py_float_repr(col), F.lit(""))
     return string_view(col)
@@ -169,12 +174,24 @@ def _lower_term(
 #: Strings render as-is; integrals render identically to Python ints;
 #: float/double render through py_float_repr (exact CPython repr,
 #: r12). Booleans (true vs True), decimals, dates, and nested complex
-#: leaves fall back.
+#: leaves fall back. 'strlist' (array<string>, r13) is a RESTRICTED
+#: kind: only ``|join(sep)`` and ``|length`` accept it — a direct
+#: render, comparison, arithmetic, or other filter declines (Python's
+#: list repr / TypeErrors are not modeled).
 _LEAF_KINDS = {
     "string": "str",
     "byte": "int", "short": "int", "integer": "int", "long": "int",
     "float": "float", "double": "float",
 }
+
+
+def _leaf_kind_of(dt) -> str | None:
+    kind = _LEAF_KINDS.get(dt.typeName())
+    if kind is None and dt.typeName() == "array" and (
+        dt.elementType.typeName() == "string"
+    ):
+        return "strlist"
+    return kind
 
 
 def _flat_kind(name: str, schema) -> str:
@@ -193,7 +210,7 @@ def _flat_kind(name: str, schema) -> str:
         dt = schema[name].dataType
     except Exception:
         return "str"  # name not in this schema view — keep old behavior
-    kind = _LEAF_KINDS.get(dt.typeName())
+    kind = _leaf_kind_of(dt)
     if kind is None:
         raise _NotLowerable(
             f"{name}: un-lowerable column type {dt} (render differs "
@@ -246,7 +263,7 @@ def _resolve_name(
                 raise _NotLowerable(name)
             dt = dt[part].dataType
             col = col.getField(part)
-        kind = _LEAF_KINDS.get(dt.typeName())
+        kind = _leaf_kind_of(dt)
         if kind is None:
             raise _NotLowerable(f"{name}: un-lowerable leaf type {dt}")
         return col, kind
@@ -472,15 +489,30 @@ def _split_top_level(expr: str, sep: str) -> list[str]:
 _FILTER_CALL_RE = re.compile(rf"^({_IDENT})(?:\((.*)\))?$")
 
 
+def _apply_noarg_filter(name: str, col: Column, kind: str):
+    """No-arg native filters, kind-gated; shared by the token-regex
+    and AST paths."""
+    if kind == "strlist":
+        if name == "length":
+            # Python len(list); NULL ≡ missing ≡ [] -> 0
+            return F.coalesce(F.size(col), F.lit(0)), "int"
+        if name == "join":
+            # ''.join; null elements render 'None' (Python soft_str),
+            # NULL array ≡ missing -> '' via the NULL-propagating join
+            return F.array_join(col, "", "None"), "str"
+        raise _NotLowerable(f"{name} on an array column")
+    if name not in _NATIVE_FILTERS:
+        raise _NotLowerable(name)
+    return _NATIVE_FILTERS[name](col)
+
+
 def _apply_filter(f: str, col: Column, kind: str):
     m = _FILTER_CALL_RE.match(f.strip())
     if not m:
         raise _NotLowerable(f)
     name, argstr = m.group(1), m.group(2)
     if argstr is None:
-        if name not in _NATIVE_FILTERS:
-            raise _NotLowerable(f)
-        return _NATIVE_FILTERS[name](col)
+        return _apply_noarg_filter(name, col, kind)
     args = [a.strip() for a in _split_top_level(argstr, ",")] if argstr.strip() else []
     lits = []
     for a in args:
@@ -497,6 +529,18 @@ def _apply_filter(f: str, col: Column, kind: str):
 def _apply_filter_args(name: str, lits: list, col: Column, kind: str):
     """Arg-taking native filters, shared by the token-regex and AST
     paths. ``lits`` are compile-time Python values (str/int/float)."""
+    if kind == "strlist":
+        if name == "join" and len(lits) == 1 and isinstance(lits[0], str):
+            # Jinja do_join: sep.join(soft_str(item)) — null elements
+            # print 'None', a NULL array is the missing value ('')
+            return F.array_join(col, lits[0], "None"), "str"
+        if name == "default" and len(lits) == 1:
+            return col, kind  # identity on a defined column (see below)
+        raise _NotLowerable(f"{name} on an array column")
+    if name == "join":
+        # str.join over a string iterates CHARS; lists of non-string
+        # leaves never reach here (array<string> only) — decline
+        raise _NotLowerable(name)
     if name == "replace" and len(lits) == 2 and all(
         isinstance(a, str) for a in lits
     ):
@@ -735,6 +779,10 @@ def _lower_cond_atom(cond, columns, value_col, schema):
         left, lk = _lower_expr(m.group(1), columns, value_col, schema)
         right, rk = _lower_expr(m.group(3), columns, value_col, schema)
         op = m.group(2)
+        if lk == rk == "strlist":
+            # array == array: Spark's null-element equality differs
+            # from Python's [None] == [None]
+            raise _NotLowerable(s)
         if lk == rk or {lk, rk} <= {"int", "float"}:
             if lk == rk == "str":
                 # NULL ≡ '' under the all-string data model (the
@@ -770,6 +818,8 @@ def _lower_cond_atom(cond, columns, value_col, schema):
         raise _NotLowerable(s)
     # --- truthiness ------------------------------------------------------
     col, kind = _lower_expr(s, columns, value_col, schema)
+    if kind == "strlist":
+        raise _NotLowerable(s)  # list truthiness: keep the full engine
     if kind == "str":
         # string_view: NULL ≡ '' (falsy), the all-string model
         return _as_bool(string_view(col) != F.lit(""))
@@ -1007,9 +1057,7 @@ def _ast_expr_column(node, env, columns, value_col, schema):
             node.node, env, columns, value_col, schema
         )
         if not node.args:
-            if node.name not in _NATIVE_FILTERS:
-                raise _NotLowerable(node.name)
-            return _NATIVE_FILTERS[node.name](col)
+            return _apply_noarg_filter(node.name, col, kind)
         try:
             args = [_ast_const(a, env) for a in node.args]
         except _NotConst as exc:

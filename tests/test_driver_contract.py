@@ -32,7 +32,7 @@ def test_rotation_prefix_applied():
     the declared prefix must actually lead the iteration order and
     every prefix query must carry a full oracle."""
     q = list(entry.queries())
-    prefix = entry._R12_PREFIX
+    prefix = entry._R13_PREFIX
     assert len(prefix) == 50
     assert q[:50] == prefix
     oracles = entry.oracle_sql()

@@ -542,3 +542,75 @@ class TestNullCellConditions:
         # non-null rows still evaluate fine
         ok = df.na.drop().select(lowered.alias("v")).collect()
         assert [r.v for r in ok] == ["T"]
+
+
+class TestStrListJoin:
+    """r13: array<string> columns get a RESTRICTED 'strlist' kind —
+    only |join(sep) and |length lower (plus |default identity); a
+    direct render, comparison, truthiness, or any other filter
+    declines to the full engine. Lowered joins are byte-compared to
+    the full Jinja render."""
+
+    @pytest.fixture(scope="class")
+    def arr(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [("a", "b"), ("x y", ""), ("", "z")], ["u", "v"]
+        ).select(
+            "u", "v", F.array("u", "v").alias("tags")
+        )
+
+    LOWER_JOIN = [
+        "{{tags|join(',')}}",
+        "{{tags|join('-')}}!",
+        "{{tags|join}}",
+        "{{tags|length}}",
+        "n={{tags|join('/')}} u={{u}}",
+        "{{tags|default('d')|join('+')}}",
+    ]
+
+    @pytest.mark.parametrize("template", LOWER_JOIN)
+    def test_join_parity(self, arr, template):
+        lowered = lower_template(template, arr.columns, schema=arr.schema)
+        assert lowered is not None, template
+        rows = arr.select(
+            lowered.alias("low"),
+            jinja_udf_column(template, arr.columns).alias("full"),
+        ).collect()
+        for r in rows:
+            assert r.low == r.full, template
+
+    DECLINE = [
+        "{{tags}}",                      # Python list repr not modeled
+        "{{tags|upper}}",                # TypeError in Jinja
+        "{% if tags %}y{% else %}n{% endif %}",   # list truthiness
+        "{% if tags == tags %}y{% endif %}",      # array equality
+        "{{tags[0]}}",                   # element access (index is str path)
+        "{{tags|join(',')|join('-')}}",  # join of a str iterates chars
+    ]
+
+    @pytest.mark.parametrize("template", DECLINE)
+    def test_strlist_declines(self, arr, template):
+        assert (
+            lower_template(template, arr.columns, schema=arr.schema)
+            is None
+        ), template
+
+    def test_null_array_renders_empty(self, spark):
+        """NULL array ≡ missing -> '' ; a null ELEMENT prints 'None'
+        (Python soft_str), matching the full engine on defined data."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1,), (2,)], ["k"]).select(
+            "k",
+            F.when(F.col("k") == 1, F.array(F.lit("a"), F.lit(None))).alias(
+                "tags"
+            ),
+        )
+        low = lower_template(
+            "{{tags|join('|')}}", df.columns, schema=df.schema
+        )
+        assert low is not None
+        got = {r.k: r.v for r in df.select("k", low.alias("v")).collect()}
+        assert got == {1: "a|None", 2: ""}
