@@ -190,6 +190,10 @@ SECONDARY = [
     "jinja_if_and",  # compound-if conditions lowered to native booleans
     "jinja_float_render",  # py_float_repr float renders, zero Python
     "multimodal_real_decode",  # stdlib-PNG real decode via mapInPandas
+    # --- r13 additions ---
+    "jinja_row_dump",  # __row_data__ loop unrolled to a native concat
+    "jinja_default_replace",  # arg-filters + array join, zero Python
+    "jinja_null_conditions",  # NULL ≡ '' condition convention
 ]
 
 

@@ -500,7 +500,25 @@ def _apply_noarg_filter(name: str, col: Column, kind: str):
             # ''.join; null elements render 'None' (Python soft_str),
             # NULL array ≡ missing -> '' via the NULL-propagating join
             return F.array_join(col, "", "None"), "str"
+        if name in ("first", "last"):
+            # Jinja do_first/do_last: Undefined (-> '') when the seq is
+            # empty or missing, but a null ELEMENT prints 'None'
+            # (Python str(None) — same choice as |join); F.get is NULL
+            # out-of-bounds even under ANSI, so gate on size to keep
+            # the two cases apart
+            idx = F.lit(0) if name == "first" else F.size(col) - 1
+            return (
+                F.when(
+                    F.size(col) > 0,
+                    F.coalesce(F.get(col, idx), F.lit("None")),
+                ),
+                "str",
+            )
         raise _NotLowerable(f"{name} on an array column")
+    if name in ("first", "last") and kind == "str":
+        # a string iterates chars: first/last character, '' stays ''
+        pos = 1 if name == "first" else -1
+        return F.substring(col.cast("string"), pos, 1), "str"
     if name not in _NATIVE_FILTERS:
         raise _NotLowerable(name)
     return _NATIVE_FILTERS[name](col)
@@ -984,8 +1002,12 @@ def _ast_const(node, env):
 
 def _jinja_str(v) -> str:
     """Render a compile-time constant the way Jinja's default finalize
-    (plain ``str``) would."""
-    return str(v)
+    (plain ``str``) would. Scalars only — a dict/list const (e.g.
+    ``{{loop}}`` itself, whose Jinja render is a LoopContext repr)
+    declines rather than printing the Python container repr."""
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return str(v)
+    raise _NotLowerable(f"non-scalar constant render {type(v).__name__}")
 
 
 def _const_lit(v):

@@ -614,3 +614,75 @@ class TestStrListJoin:
         assert low is not None
         got = {r.k: r.v for r in df.select("k", low.alias("v")).collect()}
         assert got == {1: "a|None", 2: ""}
+
+
+class TestFirstLast:
+    """r13: |first / |last lower for strings (first/last CHAR — Python
+    string iteration) and array<string> columns (F.get — NULL, not an
+    ANSI error, when empty); empty/NULL inputs render '' like Jinja's
+    Undefined."""
+
+    @pytest.fixture(scope="class")
+    def fl(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [("abc", "x"), ("", "yz"), ("q", "")], ["s", "t"]
+        ).select("s", "t", F.array("s", "t").alias("tags"))
+
+    CASES = [
+        "{{s|first}}", "{{s|last}}", "{{t|first}}-{{t|last}}",
+        "{{tags|first}}", "{{tags|last}}",
+        "{{tags|first|upper}}",
+    ]
+
+    @pytest.mark.parametrize("template", CASES)
+    def test_first_last_parity(self, fl, template):
+        lowered = lower_template(template, fl.columns, schema=fl.schema)
+        assert lowered is not None, template
+        rows = fl.select(
+            lowered.alias("low"),
+            jinja_udf_column(template, fl.columns).alias("full"),
+        ).collect()
+        for r in rows:
+            assert r.low == r.full, template
+
+    def test_first_last_null_element_and_empty(self, spark):
+        """A null ELEMENT prints 'None' (Python str, same as |join);
+        an empty or NULL array is the missing value and renders ''."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1,), (2,), (3,)], ["k"]).select(
+            "k",
+            F.when(
+                F.col("k") == 1, F.array(F.lit(None), F.lit("x"))
+            ).when(
+                F.col("k") == 2,
+                F.array_except(F.array(F.lit("a")), F.array(F.lit("a"))),
+            ).alias("tags"),
+        )
+        for tmpl, want in [
+            ("{{tags|first}}", {1: "None", 2: "", 3: ""}),
+            ("{{tags|last}}", {1: "x", 2: "", 3: ""}),
+        ]:
+            low = lower_template(tmpl, df.columns, schema=df.schema)
+            assert low is not None, tmpl
+            got = {
+                r.k: r.v for r in df.select("k", low.alias("v")).collect()
+            }
+            assert got == want, tmpl
+
+    def test_first_on_number_declines(self, fl):
+        # Jinja raises TypeError iterating an int — keep the engine
+        assert (
+            lower_template(
+                "{{s|length|first}}", fl.columns, schema=fl.schema
+            )
+            is None
+        )
+
+    def test_loop_context_render_declines(self, spark):
+        # {{loop}} renders a LoopContext repr in Jinja — not modeled
+        t = "{% for k in __row_data__ %}{{loop}}{% endfor %}"
+        df = spark.createDataFrame([("a",)], ["c"])
+        assert lower_template(t, df.columns, schema=df.schema) is None
