@@ -226,6 +226,31 @@ def em_pipeline(spark, sf_dir: str):
     return out.select(F.to_json(F.struct(*cols)).alias("line"))
 
 
+def em_rowdump(spark, sf_dir: str):
+    """The same pipeline rendered through the reference's ACTUAL
+    destination template idiom (verbatim.jsont's __row_data__ loop)
+    instead of the default to_json — native since the r13 loop unroll;
+    before it, this exact workload paid the Arrow UDF per row."""
+    from earthmover_spark.destinations.file_destination import render_lines
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from earthmover_spark.operators import column as C
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = C.map_values(
+        li, column="l_returnflag", mapping={"A": "accepted", "R": "returned", "N": "none"}
+    )
+    out = C.rename_columns(out, columns={"l_returnflag": "status"})
+    tmpl = (
+        "{ {% for key in __row_data__.keys() -%} "
+        '{% if key != "__row_data__" -%} '
+        "{% if not loop.first %},{% endif -%} "
+        '"{{key}}": "{{__row_data__[key]|trim}}" '
+        "{%- endif %} {% endfor -%} }"
+    )
+    return render_lines(out, tmpl)
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from earthmover_spark import get_spark
@@ -290,6 +315,19 @@ def main() -> None:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    # the same scenario through the reference's real destination
+    # template (loop-unrolled native render since r13) — top-level
+    # metric + secondary timing so the 137-query headline total stays
+    # comparable across rounds
+    em_dump_sec = None
+    try:
+        t0 = time.perf_counter()
+        _force(em_rowdump(spark, SF_DIR))
+        em_dump_sec = time.perf_counter() - t0
+        secondary["em_rowdump"] = round(em_dump_sec, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["em_rowdump"] = f"{type(exc).__name__}: {exc}"[:300]
+
     total = round(sum(timings.values()), 3)
     import re
 
@@ -307,6 +345,8 @@ def main() -> None:
         payload["em_pipeline_rows_per_sec"] = int(li_rows / em_sec)
     if em_write_sec:
         payload["em_pipeline_write_rows_per_sec"] = int(li_rows / em_write_sec)
+    if em_dump_sec:
+        payload["em_rowdump_rows_per_sec"] = int(li_rows / em_dump_sec)
     if errors:
         payload["errors"] = errors
 

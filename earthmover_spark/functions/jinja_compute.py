@@ -920,7 +920,12 @@ def _lower_membership(lhs, rhs, columns, value_col, schema):
 # unsupported node type) raises ``_NotLowerable`` and the template
 # keeps the full Jinja engine.
 
-_FOR_TAG_RE = re.compile(r"\{%-?\s*for\b")
+#: templates with {% for %} or {% set %} take the AST unroll path —
+#: the token-regex path cannot express either. Caveat: inside the AST
+#: path {% if %} tests must constant-fold, so a template mixing
+#: {% set %} with a COLUMN-dependent condition declines to the full
+#: engine (correct, just unlowered) — unify when a real config needs it.
+_FOR_TAG_RE = re.compile(r"\{%-?\s*(?:for|set)\b")
 
 
 class _NotConst(Exception):
@@ -987,6 +992,29 @@ def _ast_const(node, env):
         return _ast_const(node.left, env) and _ast_const(node.right, env)
     if isinstance(node, nodes.Or):
         return _ast_const(node.left, env) or _ast_const(node.right, env)
+    if isinstance(node, (nodes.Add, nodes.Sub, nodes.Mul, nodes.Div,
+                         nodes.FloorDiv, nodes.Mod, nodes.Pow)):
+        # Jinja binary math IS Python's on constants
+        a = _ast_const(node.left, env)
+        b = _ast_const(node.right, env)
+        try:
+            return {
+                nodes.Add: lambda: a + b, nodes.Sub: lambda: a - b,
+                nodes.Mul: lambda: a * b, nodes.Div: lambda: a / b,
+                nodes.FloorDiv: lambda: a // b, nodes.Mod: lambda: a % b,
+                nodes.Pow: lambda: a ** b,
+            }[type(node)]()
+        except Exception as exc:  # TypeError/ZeroDivisionError -> engine
+            raise _NotConst(str(exc)) from exc
+    if isinstance(node, nodes.Neg):
+        v = _ast_const(node.node, env)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return -v
+        raise _NotConst("unary minus on non-number")
+    if isinstance(node, nodes.Concat):
+        return "".join(
+            _jinja_str(_ast_const(n, env)) for n in node.nodes
+        )
     if isinstance(node, nodes.Compare):
         left = _ast_const(node.expr, env)
         for op in node.ops:
@@ -1174,6 +1202,19 @@ def _ast_stmts(body, env, columns, value_col, schema, self_row_data, pieces):
             _ast_stmts(
                 taken, env, columns, value_col, schema, self_row_data, pieces
             )
+        elif isinstance(node, nodes.Assign):
+            # {% set name = <const expr> %} — binds into the current
+            # env. Scoping matches Jinja: a set inside a loop body
+            # mutates that iteration's env copy (doesn't leak out), a
+            # set inside an {% if %} or at top level persists for the
+            # rest of the statement list. Non-constant values (column
+            # refs) decline — the full engine handles them.
+            if not isinstance(node.target, nodes.Name):
+                raise _NotLowerable("non-name set target")
+            try:
+                env[node.target.name] = _ast_const(node.node, env)
+            except _NotConst as exc:
+                raise _NotLowerable("non-constant {% set %}") from exc
         elif isinstance(node, nodes.For):
             if node.else_ or node.test is not None or node.recursive:
                 raise _NotLowerable("for-else/filtered/recursive loop")

@@ -221,3 +221,45 @@ def test_loop_fuzz_matches_full_engine(df, template, self_rd):
         return  # outside the supported surface — UDF covers it
     got = [r[0] for r in df.select(low.alias("o")).collect()]
     assert got == _jinja_rows(template, self_rd), (template, self_rd)
+
+
+SET_LOWERABLE = [
+    # const set used in emits and loop guards
+    "{% set sep = ' | ' %}{% for k in __row_data__ %}"
+    "{% if not loop.first %}{{sep}}{% endif %}{{k}}{% endfor %}",
+    # set without any loop — AST path triggers on {% set %} alone
+    "{% set tag = 'v1' %}{{tag}}:{{c1|trim}}",
+    # const arithmetic + concat folding
+    "{% set n = 2 + 3 * 4 %}{{n}}",
+    "{% set label = 'a' ~ '-' ~ 7 %}{{label}}={{c_2}}",
+    # set shadows a column name (Jinja scoping)
+    "{% set c1 = 'shadowed' %}{{c1}}",
+    # set inside an if leaks to the rest (Jinja if-blocks don't scope)
+    "{% set x = 'A' %}{% for k in __row_data__ %}"
+    "{% if loop.first %}{% set x = 'B' %}{% endif %}{{x}}{% endfor %}",
+]
+
+
+@pytest.mark.parametrize("template", SET_LOWERABLE)
+@pytest.mark.parametrize("self_rd", [True, False])
+def test_set_const_parity(df, template, self_rd):
+    _check(df, template, self_rd)
+
+
+SET_DECLINE = [
+    # non-constant set value (column ref) — full engine
+    "{% set x = c1 %}{{x}}",
+    # set + column-dependent condition: AST ifs must constant-fold
+    "{% set x = 'a' %}{% if c1 == 'a' %}{{x}}{% endif %}",
+    # block-assign form not modeled
+    "{% set x %}body{% endset %}{{x}}",
+    # tuple target
+    "{% set a, b = 1, 2 %}{{a}}",
+]
+
+
+@pytest.mark.parametrize("template", SET_DECLINE)
+def test_set_declines(df, template):
+    assert (
+        lower_template(template, COLS, None, df.schema) is None
+    ), template
