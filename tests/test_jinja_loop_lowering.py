@@ -212,7 +212,10 @@ def loop_templates(draw):
 
 
 @given(template=loop_templates(), self_rd=st.booleans())
-@settings(max_examples=30, deadline=None)
+@settings(
+    max_examples=int(__import__("os").environ.get("EM_FUZZ_EXAMPLES", 30)),
+    deadline=None,
+)
 def test_loop_fuzz_matches_full_engine(df, template, self_rd):
     low = lower_template(
         template, COLS, None, df.schema, self_row_data=self_rd

@@ -19,8 +19,10 @@ from hypothesis import strategies as st
 from earthmover_spark.functions.pandas_query import pandas_query_to_sql
 from earthmover_spark.util import snake_case
 
+#: EM_FUZZ_EXAMPLES raises the per-strategy example count for
+#: deep-fuzz sessions (CI default 30; the round close-out runs 500)
 SETTINGS = dict(
-    max_examples=30,
+    max_examples=int(__import__("os").environ.get("EM_FUZZ_EXAMPLES", 30)),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
