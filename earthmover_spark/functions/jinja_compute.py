@@ -768,10 +768,14 @@ def _lower_cond_atom(cond, columns, value_col, schema):
             return ~_as_bool(base) if neg else _as_bool(base)
         if test in ("number", "string"):
             # static by kind: the all-string model's '5' is NOT a
-            # number to Jinja; int/float kinds are
+            # number to Jinja; int/float kinds are. 'string' must be
+            # kind == 'str' exactly — an array column (strlist) is
+            # neither a number nor a string
             _, kind = _lower_expr(lhs, columns, value_col, schema)
-            isnum = kind in ("int", "float")
-            val = isnum if test == "number" else not isnum
+            if test == "number":
+                val = kind in ("int", "float")
+            else:
+                val = kind == "str"
             return F.lit(val != neg)
         raise _NotLowerable(cond)
     if len(is_parts) > 2:
@@ -796,44 +800,7 @@ def _lower_cond_atom(cond, columns, value_col, schema):
     if m:
         left, lk = _lower_expr(m.group(1), columns, value_col, schema)
         right, rk = _lower_expr(m.group(3), columns, value_col, schema)
-        op = m.group(2)
-        if lk == rk == "strlist":
-            # array == array: Spark's null-element equality differs
-            # from Python's [None] == [None]
-            raise _NotLowerable(s)
-        if lk == rk or {lk, rk} <= {"int", "float"}:
-            if lk == rk == "str":
-                # NULL ≡ '' under the all-string data model (the
-                # reference's missing value) — without this a lowered
-                # `col != 'a'` on a genuinely-NULL schema-typed cell
-                # took the else branch where `'' != 'a'` is True
-                # (r13 ADVICE fix)
-                left, right = string_view(left), string_view(right)
-            elif op in ("==", "!="):
-                # numeric NULLs: Python's None == 5 is False and
-                # None != 5 is True — eqNullSafe models both exactly
-                # (plain ==/!= would yield NULL -> else-branch both
-                # ways)
-                eq = left.eqNullSafe(right)
-                return eq if op == "==" else ~eq
-            cmp = {
-                "==": lambda a, b: a == b,
-                "!=": lambda a, b: a != b,
-                ">": lambda a, b: a > b,
-                ">=": lambda a, b: a >= b,
-                "<": lambda a, b: a < b,
-                "<=": lambda a, b: a <= b,
-            }[op](left, right)
-            return _as_bool(cmp)
-        # mixed str vs numeric: Python equality across types is always
-        # False (the all-string model's '3' == 3 is False, NOT Spark's
-        # coerced numeric equality); ordering raises TypeError in
-        # Python, so those templates must keep the full Jinja engine
-        if op == "==":
-            return F.lit(False)
-        if op == "!=":
-            return F.lit(True)
-        raise _NotLowerable(s)
+        return _compare_columns(left, lk, right, rk, m.group(2), s)
     # --- truthiness ------------------------------------------------------
     col, kind = _lower_expr(s, columns, value_col, schema)
     if kind == "strlist":
@@ -842,6 +809,77 @@ def _lower_cond_atom(cond, columns, value_col, schema):
         # string_view: NULL ≡ '' (falsy), the all-string model
         return _as_bool(string_view(col) != F.lit(""))
     return _as_bool(col != F.lit(0))
+
+
+def _compare_columns(
+    left: Column, lk: str, right: Column, rk: str, op: str, src: str
+) -> Column:
+    """Kind-checked comparison core, shared by the token-regex and AST
+    condition paths (identical NULL conventions — see
+    ``_lower_condition``)."""
+    if lk == rk == "strlist":
+        # array == array: Spark's null-element equality differs
+        # from Python's [None] == [None]
+        raise _NotLowerable(src)
+    if lk == rk or {lk, rk} <= {"int", "float"}:
+        if lk == rk == "str":
+            # NULL ≡ '' under the all-string data model (the
+            # reference's missing value) — without this a lowered
+            # `col != 'a'` on a genuinely-NULL schema-typed cell
+            # took the else branch where `'' != 'a'` is True
+            # (r13 ADVICE fix)
+            left, right = string_view(left), string_view(right)
+        elif op in ("==", "!="):
+            # numeric NULLs: Python's None == 5 is False and
+            # None != 5 is True — eqNullSafe models both exactly
+            # (plain ==/!= would yield NULL -> else-branch both ways)
+            eq = left.eqNullSafe(right)
+            return eq if op == "==" else ~eq
+        cmp = {
+            "==": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+        }[op](left, right)
+        return _as_bool(cmp)
+    # mixed str vs numeric: Python equality across types is always
+    # False (the all-string model's '3' == 3 is False, NOT Spark's
+    # coerced numeric equality); ordering raises TypeError in
+    # Python, so those templates must keep the full Jinja engine
+    if op == "==":
+        return F.lit(False)
+    if op == "!=":
+        return F.lit(True)
+    raise _NotLowerable(src)
+
+
+def _membership_from_items(left: Column, lk: str, items: list, src: str):
+    """``A in <literal list>`` core shared by both paths: items whose
+    Python type can never equal A's kind drop out (cross-type equality
+    is False); str-kind membership follows the NULL ≡ '' convention."""
+    if not items:
+        return F.lit(False)  # x in [] -> False
+    keep: list = []
+    for it in items:
+        if isinstance(it, str):
+            if lk == "str":
+                keep.append(it)
+        elif isinstance(it, bool):
+            raise _NotLowerable(src)  # True/1 equality not modeled
+        elif isinstance(it, (int, float)):
+            if lk in ("int", "float"):
+                keep.append(float(it))
+        else:
+            raise _NotLowerable(src)
+    if not keep:
+        return F.lit(False)  # no item can ever equal A's type
+    if lk == "str":
+        # string_view: a NULL cell is the model's '' — it matches
+        # a literal '' item exactly like the reference would
+        return _as_bool(string_view(left).isin(*keep))
+    return _as_bool(left.cast("double").isin(*keep))
 
 
 _LIST_ITEM_SPLIT = re.compile(r",")
@@ -865,33 +903,21 @@ def _lower_membership(lhs, rhs, columns, value_col, schema):
         if len(_split_top_level(inner, ",")) > 1:
             is_tuple = True
     if is_list or is_tuple:
-        items = [
-            it.strip()
-            for it in _split_top_level(rhs[1:-1], ",")
-            if it.strip()  # tolerate a trailing comma
-        ]
-        if not items:
-            return F.lit(False)  # x in [] -> False
-        keep: list = []
-        for it in items:
+        items: list = []
+        for it in _split_top_level(rhs[1:-1], ","):
+            it = it.strip()
+            if not it:
+                continue  # tolerate a trailing comma
             sm = _STR_LIT_RE.match(it)
             if sm:
-                if lk == "str":
-                    keep.append(
-                        sm.group(1) if sm.group(1) is not None else sm.group(2)
-                    )
+                items.append(
+                    sm.group(1) if sm.group(1) is not None else sm.group(2)
+                )
             elif _NUM_RE.match(it):
-                if lk in ("int", "float"):
-                    keep.append(float(it))
+                items.append(float(it))
             else:
                 raise _NotLowerable(it)  # non-literal item -> full Jinja
-        if not keep:
-            return F.lit(False)  # no item can ever equal A's type
-        if lk == "str":
-            # string_view: a NULL cell is the model's '' — it matches
-            # a literal '' item exactly like the reference would
-            return _as_bool(string_view(left).isin(*keep))
-        return _as_bool(left.cast("double").isin(*keep))
+        return _membership_from_items(left, lk, items, rhs)
     # substring containment — both sides must be str-kind (Python
     # raises TypeError on 5 in 'xyz')
     rcol, rkind = _lower_expr(rhs, columns, value_col, schema)
@@ -921,10 +947,11 @@ def _lower_membership(lhs, rhs, columns, value_col, schema):
 # keeps the full Jinja engine.
 
 #: templates with {% for %} or {% set %} take the AST unroll path —
-#: the token-regex path cannot express either. Caveat: inside the AST
-#: path {% if %} tests must constant-fold, so a template mixing
-#: {% set %} with a COLUMN-dependent condition declines to the full
-#: engine (correct, just unlowered) — unify when a real config needs it.
+#: the token-regex path cannot express either. {% if %} tests there
+#: constant-fold when they depend only on the unroll env, and compile
+#: via _ast_condition (same cores/NULL conventions as the token path)
+#: when they depend on row data — e.g. the skip-empty-fields dump
+#: `{% if __row_data__[key] != '' %}` (r13b).
 _FOR_TAG_RE = re.compile(r"\{%-?\s*(?:for|set)\b")
 
 
@@ -1122,6 +1149,139 @@ def _ast_expr_column(node, env, columns, value_col, schema):
     raise _NotLowerable(type(node).__name__)
 
 
+_AST_CMP_SYMS = {
+    "eq": "==", "ne": "!=", "lt": "<", "gt": ">",
+    "lteq": "<=", "gteq": ">=",
+}
+
+
+def _ast_condition(node, env, columns, value_col, schema) -> Column:
+    """Lower an AST condition (an {% if %} test the unroll env cannot
+    constant-fold) to a NON-NULL boolean Column — the AST sibling of
+    ``_lower_condition``, sharing its comparison/membership cores and
+    NULL conventions."""
+    from jinja2 import nodes
+
+    try:
+        return F.lit(bool(_ast_const(node, env)))
+    except _NotConst:
+        pass
+    if isinstance(node, nodes.Not):
+        return ~_ast_condition(node.node, env, columns, value_col, schema)
+    if isinstance(node, nodes.And):
+        return _ast_condition(
+            node.left, env, columns, value_col, schema
+        ) & _ast_condition(node.right, env, columns, value_col, schema)
+    if isinstance(node, nodes.Or):
+        return _ast_condition(
+            node.left, env, columns, value_col, schema
+        ) | _ast_condition(node.right, env, columns, value_col, schema)
+    if isinstance(node, nodes.Test):
+        if node.args or node.kwargs or node.dyn_args or node.dyn_kwargs:
+            raise _NotLowerable(f"is {node.name}(...)")
+        if node.name == "none":
+            col, _ = _ast_expr_column(
+                node.node, env, columns, value_col, schema
+            )
+            return col.isNull()
+        if node.name == "defined":
+            # resolvable -> statically True; a plain unknown Name is
+            # statically undefined -> False; anything else declines
+            try:
+                _ast_expr_column(node.node, env, columns, value_col, schema)
+                return F.lit(True)
+            except _NotLowerable:
+                if (
+                    isinstance(node.node, nodes.Name)
+                    and node.node.name not in env
+                ):
+                    return F.lit(False)
+                raise
+        if node.name in ("odd", "even"):
+            col, kind = _ast_expr_column(
+                node.node, env, columns, value_col, schema
+            )
+            if kind not in ("int", "float"):
+                raise _NotLowerable(f"is {node.name} on {kind}")
+            checked = F.when(col.isNotNull(), col).otherwise(
+                F.raise_error(F.lit(
+                    "is odd/even on a NULL value (Jinja raises "
+                    "TypeError here)"
+                ))
+            )
+            return _as_bool(
+                F.pmod(checked, F.lit(2))
+                == (1 if node.name == "odd" else 0)
+            )
+        if node.name in ("number", "string"):
+            _, kind = _ast_expr_column(
+                node.node, env, columns, value_col, schema
+            )
+            if node.name == "number":
+                return F.lit(kind in ("int", "float"))
+            return F.lit(kind == "str")
+        raise _NotLowerable(f"is {node.name}")
+    if isinstance(node, nodes.Compare):
+        # chained comparisons fold pairwise with AND — pure column
+        # expressions, so double evaluation is semantically free
+        out = None
+        lnode = node.expr
+        for op in node.ops:
+            if op.op in ("in", "notin"):
+                base = _ast_membership_node(
+                    lnode, op.expr, env, columns, value_col, schema
+                )
+                c = ~base if op.op == "notin" else base
+            elif op.op in _AST_CMP_SYMS:
+                left, lk = _ast_expr_column(
+                    lnode, env, columns, value_col, schema
+                )
+                right, rk = _ast_expr_column(
+                    op.expr, env, columns, value_col, schema
+                )
+                c = _compare_columns(
+                    left, lk, right, rk, _AST_CMP_SYMS[op.op], op.op
+                )
+            else:
+                raise _NotLowerable(op.op)
+            out = c if out is None else (out & c)
+            lnode = op.expr
+        return out
+    # truthiness
+    col, kind = _ast_expr_column(node, env, columns, value_col, schema)
+    if kind == "strlist":
+        raise _NotLowerable("list truthiness")
+    if kind == "str":
+        return _as_bool(string_view(col) != F.lit(""))
+    return _as_bool(col != F.lit(0))
+
+
+def _ast_membership_node(lnode, rnode, env, columns, value_col, schema):
+    """``A in B`` where B is a compile-time list or a str-kind
+    expression (substring containment) — AST sibling of
+    ``_lower_membership``."""
+    left, lk = _ast_expr_column(lnode, env, columns, value_col, schema)
+    try:
+        items = _ast_const(rnode, env)
+    except _NotConst:
+        items = None
+    if isinstance(items, list):
+        return _membership_from_items(left, lk, items, "in <list>")
+    if items is not None:
+        if isinstance(items, str):
+            # A in 'literal': substring containment against a constant
+            if lk != "str":
+                raise _NotLowerable("non-str in str")
+            return _as_bool(
+                F.contains(F.lit(items), string_view(left))
+            )
+        raise _NotLowerable(f"in {type(items).__name__}")
+    rcol, rkind = _ast_expr_column(rnode, env, columns, value_col, schema)
+    if lk != "str" or rkind != "str":
+        raise _NotLowerable("in: both sides must be str")
+    return _as_bool(F.contains(string_view(rcol), string_view(left)))
+
+
 def _for_domain(node, env, columns, self_row_data):
     """Resolve a For node's iteration domain at compile time.
 
@@ -1183,25 +1343,54 @@ def _ast_stmts(body, env, columns, value_col, schema, self_row_data, pieces):
                     )
                     pieces.append(_render_view(col, kind))
         elif isinstance(node, nodes.If):
-            # tests must constant-fold under the unroll env (loop var /
-            # loop.* / literals); a row-data-dependent test inside a
-            # loop body would need per-branch whitespace semantics the
-            # unroll does not model -> full Jinja
-            taken = node.else_
+            # constant tests (loop var / loop.* / literals) fold away
+            # branch-by-branch; ROW-DEPENDENT tests (r13b) compile via
+            # _ast_condition into a chained F.when whose branches are
+            # each assembled to one string Column — a const-False
+            # branch drops, a const-True branch becomes the fallback
+            # for the runtime conditions before it (nothing after it
+            # can run)
             branches = [(node.test, node.body)] + [
                 (e.test, e.body) for e in node.elif_
             ]
+            runtime: list = []  # (cond Column, body) in order
+            tail_body = node.else_
             for test, b in branches:
                 try:
                     truth = bool(_ast_const(test, env))
-                except _NotConst as exc:
-                    raise _NotLowerable("non-constant if in loop") from exc
+                except _NotConst:
+                    cond = _ast_condition(
+                        test, env, columns, value_col, schema
+                    )
+                    runtime.append((cond, b))
+                    continue
                 if truth:
-                    taken = b
+                    tail_body = b
                     break
-            _ast_stmts(
-                taken, env, columns, value_col, schema, self_row_data, pieces
-            )
+            if not runtime:
+                _ast_stmts(
+                    tail_body, env, columns, value_col, schema,
+                    self_row_data, pieces,
+                )
+            else:
+                whens = [
+                    (
+                        c,
+                        _ast_branch_column(
+                            b, env, columns, value_col, schema,
+                            self_row_data,
+                        ),
+                    )
+                    for c, b in runtime
+                ]
+                else_col = _ast_branch_column(
+                    tail_body, env, columns, value_col, schema,
+                    self_row_data,
+                )
+                out = F.when(whens[0][0], whens[0][1])
+                for c, col in whens[1:]:
+                    out = out.when(c, col)
+                pieces.append(out.otherwise(else_col))
         elif isinstance(node, nodes.Assign):
             # {% set name = <const expr> %} — binds into the current
             # env. Scoping matches Jinja: a set inside a loop body
@@ -1258,6 +1447,21 @@ def _ast_stmts(body, env, columns, value_col, schema, self_row_data, pieces):
                 )
         else:
             raise _NotLowerable(type(node).__name__)
+
+
+def _ast_branch_column(
+    body, env, columns, value_col, schema, self_row_data
+) -> Column:
+    """Compile a runtime-conditional branch body to ONE string Column.
+    The branch gets a COPY of the env: a ``{% set %}`` inside it would
+    have to apply conditionally per row, which the compile-time env
+    cannot express — any env mutation declines."""
+    env2 = dict(env)
+    sub: list = []
+    _ast_stmts(body, env2, columns, value_col, schema, self_row_data, sub)
+    if env2 != env:
+        raise _NotLowerable("{% set %} inside a runtime-conditional branch")
+    return _assemble_pieces(sub)
 
 
 def _lower_loop_template(

@@ -105,8 +105,6 @@ def test_loop_shapes_parity(df, template, self_rd):
 
 
 LOOP_NOT_LOWERABLE = [
-    # row-data-dependent condition inside the loop body
-    "{% for k in __row_data__ %}{% if c1 == 'a' %}x{% endif %}{% endfor %}",
     # non-static iteration domain
     "{% for k in unknown_list %}{{k}}{% endfor %}",
     # dynamic __row_data__ key (a column value, not the loop var)
@@ -189,6 +187,14 @@ _GUARDS = st.sampled_from(
         "{%% if not loop.first %%}%s{%% endif %%}",
         "{%% if loop.index0 > 0 and key != '__row_data__' %%}%s"
         "{%% endif %%}",
+        # row-dependent guards (r13b): compile via _ast_condition; the
+        # self-key access declines under self_rd and the fuzz skips it
+        '{%% if key != "__row_data__" and __row_data__[key]|trim != "" '
+        "%%}%s{%% endif %%}",
+        '{%% if key != "__row_data__" and __row_data__[key] %%}%s'
+        "{%% else %%}-{%% endif %%}",
+        '{%% if key != "__row_data__" and __row_data__[key]|length > 2 '
+        "%%}%s{%% endif %%}",
     ]
 )
 _ITERS = st.sampled_from(
@@ -252,12 +258,12 @@ def test_set_const_parity(df, template, self_rd):
 SET_DECLINE = [
     # non-constant set value (column ref) — full engine
     "{% set x = c1 %}{{x}}",
-    # set + column-dependent condition: AST ifs must constant-fold
-    "{% set x = 'a' %}{% if c1 == 'a' %}{{x}}{% endif %}",
     # block-assign form not modeled
     "{% set x %}body{% endset %}{{x}}",
     # tuple target
     "{% set a, b = 1, 2 %}{{a}}",
+    # set inside a ROW-dependent branch would have to apply per row
+    "{% set y = 'n' %}{% if c1 == 'a,b' %}{% set y = 'x' %}{% endif %}{{y}}",
 ]
 
 
@@ -266,3 +272,70 @@ def test_set_declines(df, template):
     assert (
         lower_template(template, COLS, None, df.schema) is None
     ), template
+
+
+# r13b: row-dependent {% if %} inside the AST path — _ast_condition
+# compiles the test to a chained F.when over assembled branch columns
+
+ROW_COND_BOTH = [
+    # the skip-empty-fields dump — the idiom this exists for (the
+    # self-key guard keeps the dict itself out of the emit)
+    "{ {% for key in __row_data__.keys() -%} "
+    '{% if key != "__row_data__" and __row_data__[key]|trim != "" -%} '
+    '"{{key}}": "{{__row_data__[key]|trim}}", '
+    "{%- endif %} {% endfor -%} }",
+    # row-dependent condition outside any loop, via the set trigger
+    "{% set tag = 'T' %}{% if c1|trim != '' %}{{tag}}:{{c1|trim}}"
+    "{% else %}empty{% endif %}",
+    "{% set z = 1 %}{% if c_2 %}y{% else %}n{% endif %}{{z}}",
+    "{% set z = 1 %}{% if c_2 is none %}N{% else %}V{% endif %}",
+]
+
+#: these touch __row_data__[k] with NO self-key guard: in the
+#: destination (self) context the last iteration's value is the dict
+#: itself, which Jinja renders as a Python repr — so they must
+#: DECLINE under self_rd=True and lower only in the transformation
+#: context
+ROW_COND_NONSELF_ONLY = [
+    # elif chain mixing const and row-dependent tests
+    "{% for k in __row_data__ %}"
+    "{% if loop.first %}<{{k}}>{% elif __row_data__[k] == '' %}[]"
+    "{% else %}({{__row_data__[k]|trim}}){% endif %}{% endfor %}",
+    # membership over row values
+    "{% for k in __row_data__ %}"
+    "{% if __row_data__[k] in ['a,b', ''] %}*{% else %}.{% endif %}"
+    "{% endfor %}",
+    # nested runtime ifs
+    "{% for k in __row_data__ %}"
+    "{% if __row_data__[k]|length > 1 %}"
+    "{% if k == 'c1' %}A{% else %}B{% endif %}"
+    "{% endif %}{% endfor %}",
+]
+
+
+@pytest.mark.parametrize("template", ROW_COND_BOTH)
+@pytest.mark.parametrize("self_rd", [True, False])
+def test_row_dependent_conditions_parity(df, template, self_rd):
+    _check(df, template, self_rd)
+
+
+@pytest.mark.parametrize("template", ROW_COND_NONSELF_ONLY)
+def test_row_dependent_unguarded_self_declines(df, template):
+    assert (
+        lower_template(template, COLS, None, df.schema, self_row_data=True)
+        is None
+    ), template
+    _check(df, template, False)
+
+
+def test_row_cond_plans_no_python(df):
+    from earthmover_spark.functions.jinja_compute import template_column
+
+    out = df.select(
+        template_column(
+            ROW_COND_BOTH[0], COLS, self_row_data=True,
+            schema=df.schema,
+        ).alias("line")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
