@@ -498,6 +498,30 @@ def q_jinja_default_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "srcd", "srcr", "pair", "tag_str")
 
 
+def q_jinja_sparse_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13b row-dependent-condition lowering: the skip-empty-fields
+    dump — `{% if key != "__row_data__" and __row_data__[key]|trim
+    != "" %}` — renders through the destination surface as a chained
+    F.when over per-column branch strings (jinja_compute
+    _ast_condition), zero Python stages. A column that is genuinely
+    NULL/empty drops its field from the emitted object per ROW."""
+    from earthmover_spark.destinations.file_destination import render_lines
+
+    docs = _p(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 5 != 2, F.col("lang")).alias("maybe"),
+        "source",
+    )
+    tmpl = (
+        '{ {% for key in __row_data__.keys() -%} '
+        '{% if key != "__row_data__" and __row_data__[key]|trim != "" -%} '
+        '"{{key}}": "{{__row_data__[key]|trim}}", '
+        "{%- endif %} {% endfor -%} }"
+    )
+    return render_lines(docs, tmpl)
+
+
 def q_jinja_null_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13 NULL-condition convention oracle: a NULL cell in a lowered
     {% if %} behaves as the all-string model's '' — `maybe != 'en'` on
@@ -3854,10 +3878,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ``queries()``, so coverage ROTATES across rounds (COVERAGE.md
 #: rotation log). The r13 prefix — "new + changed + oldest-green
 #: fills", in order:
-#: (a) the 3 NEW r13 queries — __row_data__ loop-unroll through the
+#: (a) the 4 NEW r13 queries — __row_data__ loop-unroll through the
 #:     destination surface, |default/|replace/|join arg-filters over
-#:     a nullable + array column, and the NULL-≡-'' condition
-#:     convention;
+#:     a nullable + array column, the NULL-≡-'' condition
+#:     convention, and the r13b skip-empty-fields dump (row-
+#:     dependent {% if %} compiled to chained F.when);
 #: (b) 6 changed-implementation refreshes: jinja_if_and /
 #:     jinja_conditional / jinja_null paths traverse the r13
 #:     string_view-coalesced comparisons, add_columns_jinja_arith and
@@ -3870,10 +3895,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     official row was r7) — plus attribution and the full 30-query
 #:     r8 remainder in registry order: after r13 NO query's newest
 #:     official row predates r9 except the r9 block itself;
-#: (d) 9 oldest-green r9 fills in registry order (dsir_w .. ppx_ref;
-#:     the remaining r9 rows continue in r14).
+#: (d) 8 oldest-green r9 fills in registry order (dsir_w ..
+#:     script_mix; the remaining r9 rows continue in r14).
 _R13_PREFIX = [
     "jinja_row_dump", "jinja_default_replace", "jinja_null_conditions",
+    "jinja_sparse_dump",
     "jinja_if_and", "jinja_conditional", "add_columns_jinja_arith",
     "jinja_float_render", "temperature_mix", "target_mix",
     "merge_upsert",
@@ -3887,7 +3913,7 @@ _R13_PREFIX = [
     "scd2_history", "semantic_dedup", "shuffle_shard",
     "split_sentences",
     "dsir_w", "dsir_smp", "ppx_tiers", "redact_cards", "fim_psm",
-    "len_batches", "clean_docs", "script_mix", "ppx_ref",
+    "len_batches", "clean_docs", "script_mix",
 ]
 
 
@@ -4135,6 +4161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jinja_row_dump": q_jinja_row_dump,
         "jinja_default_replace": q_jinja_default_replace,
         "jinja_null_conditions": q_jinja_null_conditions,
+        "jinja_sparse_dump": q_jinja_sparse_dump,
     }
     # apply the rotation: prefix first (the driver records these 50),
     # everything else in stable registry order behind it
@@ -4795,6 +4822,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          COALESCE(CASE WHEN doc_id % 4 <> 1
                                        THEN lang END, '') AS m
+                  FROM documents)
+        """,
+        # r13b: the skip-empty-fields dump — per-column CASE replays
+        # the chained-F.when branch render; an excluded field leaves
+        # only its iteration separator space
+        "jinja_sparse_dump": """
+            SELECT '{ '
+                || '"doc_id": "' || CAST(doc_id AS VARCHAR) || '", '
+                || '"lang": "' || lang || '", '
+                || CASE WHEN m <> ''
+                        THEN '"maybe": "' || m || '", '
+                        ELSE ' ' END
+                || '"source": "' || source || '", '
+                || ' }' AS line
+            FROM (SELECT doc_id, lang,
+                         COALESCE(CASE WHEN doc_id % 5 <> 2
+                                       THEN lang END, '') AS m,
+                         source
                   FROM documents)
         """,
         "jinja_if_and": """
