@@ -17,6 +17,7 @@ from earthmover_spark.operators import dataframe as D
 from earthmover_spark.operators import groupby as G
 from earthmover_spark.operators import row as R
 from earthmover_spark.operators.row import ROW_ORDER
+from earthmover_spark.util import lit_double_array as _lit_darr
 
 
 def _p(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3714,11 +3715,15 @@ def q_triplets_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _p(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") % 83 == 1)
-    # max_iter=2: when ALL cells are probed the output is independent
-    # of clustering quality, so a short KMeans fit buys the same exact
-    # result for less (the fit dominated this query's bench time)
+    # max_iter=2 + init_mode="random": when ALL cells are probed the
+    # output is independent of clustering quality (_triplets_attach
+    # ranks by score with a cand_id tiebreak, and every candidate
+    # reaches every anchor exactly once), so a short, cheap-init
+    # KMeans fit buys the same exact result for less — k-means||'s
+    # init passes dominated this query's bench time
     return similarity.mine_triplets_bucketed(
-        anchors, emb, k_neg=3, n_centroids=4, n_probe=4, max_iter=2
+        anchors, emb, k_neg=3, n_centroids=4, n_probe=4, max_iter=2,
+        init_mode="random",
     )
 
 
@@ -3794,7 +3799,7 @@ def q_qnorm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = present.agg(
         F.percentile(
             F.col("value").cast("double"),
-            F.array(*[F.lit(x) for x in pcts]),
+            _lit_darr(pcts),  # ONE py4j call for the 1001-point grid
         ).alias("__qe__"),
         (F.max("value") - F.min("value")).cast("double").alias("__rng__"),
     )

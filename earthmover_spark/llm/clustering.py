@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from earthmover_spark.util import EarthmoverSparkError
+from earthmover_spark.util import EarthmoverSparkError, lit_double_matrix
 
 
 def kmeans_assign(
@@ -46,9 +46,7 @@ def kmeans_assign(
     the plan out of whole-stage codegen. Zero shuffle: the centroid
     matrix is a literal, broadcast by construction."""
     v = F.col(vec_col).cast("array<double>")
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cent_arr = lit_double_matrix(centroids)  # ONE py4j round trip
     dists = F.transform(
         cent_arr,
         lambda c: F.aggregate(

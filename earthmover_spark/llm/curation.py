@@ -44,7 +44,11 @@ from earthmover_spark.llm.textstats import (
     shingles,
     spread_narrow_scan,
 )
-from earthmover_spark.util import EarthmoverSparkError, checkpoint_cut
+from earthmover_spark.util import (
+    EarthmoverSparkError,
+    checkpoint_cut,
+    lit_string_array,
+)
 
 # ---------------------------------------------------------------------------
 # connected components over near-duplicate pairs
@@ -95,10 +99,16 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the round's INPUT label rides along as __old__ so the
+        # fixpoint test below is a filter over the already-checkpointed
+        # frame instead of a third per-round join back to `labels`
+        # (one exchange + one join fewer per round; same convergence
+        # decision — __old__ IS the label the old join compared)
         stepped = (
             labels.join(hop, labels["node"] == hop["src"], "left")
             .select(
                 "node",
+                F.col("label").alias("__old__"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
@@ -114,19 +124,15 @@ def dedup_clusters(
             stepped.join(parent, stepped["label"] == parent["p_node"], "left")
             .select(
                 "node",
+                "__old__",
                 F.least(
                     F.col("label"), F.coalesce("p_label", "label")
                 ).alias("label"),
             )
         )
         jumped = checkpoint_cut(jumped)
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("label") != F.col("__old__")).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
@@ -774,7 +780,7 @@ def gopher_quality_filter(
         n_words > 0,
         F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]"))) / n_words,
     )
-    stops = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+    stops = lit_string_array(list(GOPHER_STOP_WORDS))  # ONE py4j call
     # materialize the lowered word array as a column: lambda bodies
     # re-evaluate non-element expressions per element, so referencing
     # the transform() inline would lower the whole doc once per stop

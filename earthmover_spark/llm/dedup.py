@@ -126,14 +126,19 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh__"),
     )
+    # each agg/array as ONE parsed expression: the per-Column form costs
+    # ~8 py4j round trips per hash (x16 hashes, per corpus side) of pure
+    # driver latency; the parsed string builds the identical plan
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("__sh__")))).alias(f"__m{i}__")
+        F.expr(f"min(md5(concat('mh{i}:', __sh__))) AS __m{i}__")
         for i in range(num_hashes)
     ]
     sig = ex.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
-        F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ",".join(f"__m{i}__" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
     )
 
 
@@ -145,27 +150,19 @@ def _banded(
     per-row projection (no shuffle) — the bucket-join downstream is the
     only exchange."""
     rows_per_band = num_hashes // bands
+    # ONE parsed expression instead of ~6 py4j round trips per band
+    structs = ",".join(
+        "named_struct('band', {b}, 'bh', md5(concat_ws(',', {slots})))".format(
+            b=b,
+            slots=",".join(
+                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigs.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.expr(f"array({structs})")).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
 
 

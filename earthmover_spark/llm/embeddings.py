@@ -115,9 +115,19 @@ def standardize(
         if first is None:
             return df.withColumn(out_col, v)
         dims = first["d"]
+    # ONE parsed expression per stats array instead of ~6 py4j round
+    # trips per dimension (x2 arrays x dims)
+    esc = vec_col.replace("`", "``")
+    velems = [f"cast(`{esc}` as array<double>)[{i}]" for i in range(dims)]
     stats = df.agg(
-        F.array(*[F.avg(v[i]) for i in range(dims)]).alias("__mu__"),
-        F.array(*[F.stddev_pop(v[i]) for i in range(dims)]).alias("__sd__"),
+        F.expr(
+            "array(" + ",".join(f"avg({e})" for e in velems) + ") AS __mu__"
+        ),
+        F.expr(
+            "array("
+            + ",".join(f"stddev_pop({e})" for e in velems)
+            + ") AS __sd__"
+        ),
     )
     mu, sd = F.col("__mu__"), F.col("__sd__")
     z = F.transform(
@@ -345,10 +355,20 @@ def random_project(
         )
     signs = jl_signs(dims, k, seed)
     inv = 1.0 / math.sqrt(k)
-    cols = []
+    # the projection is the same left-folded multiply-add chain as
+    # before (term order preserved — float addition is order-
+    # sensitive), but assembled as ONE SQL string instead of ~dims*k
+    # Column operations: each Column op is a py4j round trip, and at
+    # dims=64, k=8 the ~1,100 round trips cost more driver wall time
+    # than the whole projection's execution (measured ~2-4 s per
+    # build on a loaded driver; the parsed expr builds the identical
+    # Catalyst tree JVM-side in one call)
+    esc = vec_col.replace("`", "``")
+    vexpr = f"cast(`{esc}` as array<double>)"
+    out_exprs = []
     for j in range(k):
-        expr = v[0] * F.lit(float(signs[0][j]))
-        for i in range(1, dims):
-            expr = expr + v[i] * F.lit(float(signs[i][j]))
-        cols.append(F.round(expr * F.lit(inv), round_to))
-    return df.withColumn(out_col, F.array(*cols))
+        terms = " + ".join(
+            f"{vexpr}[{i}] * {float(signs[i][j])!r}D" for i in range(dims)
+        )
+        out_exprs.append(f"round(({terms}) * {inv!r}D, {int(round_to)})")
+    return df.withColumn(out_col, F.expr("array(" + ", ".join(out_exprs) + ")"))

@@ -48,7 +48,7 @@ from earthmover_spark.llm.textstats import (
     normalize_text,
     spread_narrow_scan,
 )
-from earthmover_spark.util import EarthmoverSparkError
+from earthmover_spark.util import EarthmoverSparkError, lit_string_array
 
 
 def _hashed_features(arr: Column, buckets: int, ngram: int, salt: str) -> Column:
@@ -296,9 +296,7 @@ def perplexity_buckets(
         F.col(score_col).desc(), F.col(id_col)
     )
     nt = F.ntile(len(tiers)).over(w)
-    label = F.element_at(
-        F.array(*[F.lit(t) for t in tiers]), nt
-    )
+    label = F.element_at(lit_string_array([str(t) for t in tiers]), nt)
     return df.withColumn(out_col, label)
 
 

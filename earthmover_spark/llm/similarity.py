@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from earthmover_spark.util import EarthmoverSparkError
+from earthmover_spark.util import EarthmoverSparkError, lit_double_matrix
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -267,6 +267,7 @@ def ivf_index(
     n_centroids: int = 16,
     seed: int = 42,
     max_iter: int = 10,
+    init_mode: str = "k-means||",
 ) -> tuple[DataFrame, "list[list[float]]"]:
     """Build an IVF (inverted-file) index: k-means centroids over the
     corpus, each vector assigned to its nearest centroid's cell.
@@ -275,7 +276,14 @@ def ivf_index(
     MLlib KMeans trains distributed (seeded, deterministic given the
     data); cell assignment is a broadcast argmin over the centroid
     array — one narrow pass, no shuffle. At 100 TB: train on a
-    deterministic sample, assign the full corpus in one map stage."""
+    deterministic sample, assign the full corpus in one map stage.
+
+    ``init_mode``: MLlib's ``initMode`` passthrough. The default
+    ``"k-means||"`` buys better cells for real recall<1 probing at
+    the cost of extra distributed init passes (each one a full scan +
+    collect); ``"random"`` skips them — the right trade whenever cell
+    QUALITY does not affect the downstream result (exhaustive probing,
+    n_probe == n_centroids) or a recall target is enforced elsewhere."""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -283,12 +291,12 @@ def ivf_index(
         raise EarthmoverSparkError(f"ivf_index requires pyspark.ml: {e}") from e
 
     train = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode=init_mode
+    ).fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
-    cent_arr = F.array(*[
-        F.array(*[F.lit(x) for x in c]) for c in centroids
-    ])
+    cent_arr = lit_double_matrix(centroids)  # ONE py4j round trip
     v = F.col(vec_col).cast("array<double>")
     # argmin over squared L2 distance to each centroid — pure codegen
     dists = F.transform(
@@ -382,7 +390,7 @@ def pq_index(
     code_exprs = []
     for j in range(m):
         sub = F.slice(v, j * dsub + 1, dsub)
-        cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebooks[j]])
+        cents = lit_double_matrix(codebooks[j])  # ONE py4j round trip
         dists = F.transform(cents, _sqdist_to(sub))
         code_exprs.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return emb.withColumn(code_col, F.array(*code_exprs)), codebooks
@@ -482,9 +490,7 @@ def _nearest_cells(
     ``ivf_index`` assigns with. Pure codegen over a broadcast literal
     centroid array; shared by every IVF prober so the ranking can
     never desynchronize between them."""
-    cent_arr = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
-    )
+    cent_arr = lit_double_matrix(centroids)  # ONE py4j round trip
     dists = F.transform(
         cent_arr,
         lambda c: F.aggregate(
@@ -559,9 +565,7 @@ def assign_cells(
     Cosines are rounded to 6 decimals before the argmax so the choice
     is reproducible across engines regardless of float summation
     order."""
-    cent_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
+    cent_arr = lit_double_matrix(centroids)  # ONE py4j round trip
     v = F.col(vec_col).cast("array<double>")
     coss = F.transform(cent_arr, lambda c: F.round(cosine(v, c), 6))
     cell = (F.array_position(coss, F.array_max(coss)) - 1).cast("bigint")
@@ -783,6 +787,7 @@ def mine_triplets_bucketed(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 10,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """IVF-bucketed :func:`mine_triplets` — the LARGE-ANCHOR-SET /
     100 TB path. Same output schema and NULL/self-pair semantics, but
@@ -817,7 +822,7 @@ def mine_triplets_bucketed(
     ).filter(F.col("cand_label").isNotNull())
     indexed, centroids = ivf_index(
         c, vec_col="cv", n_centroids=n_centroids, seed=seed,
-        max_iter=max_iter,
+        max_iter=max_iter, init_mode=init_mode,
     )
     # n_probe nearest cells per anchor, by the same squared-L2 rank
     # ivf_index assigns with (the shared _nearest_cells prober)

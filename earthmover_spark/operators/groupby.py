@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from earthmover_spark.operators.row import ROW_ORDER
-from earthmover_spark.util import EarthmoverSparkError
+from earthmover_spark.util import EarthmoverSparkError, lit_double_array
 
 _AGG_SPEC_RE = re.compile(r"([A-Za-z0-9_]*)\(([A-Za-z0-9_]*)?,?(.*)?\)")
 
@@ -760,7 +760,7 @@ def quantile_bucket(
         raise EarthmoverSparkError("quantile_bucket: k must be >= 2")
     groups = list(group_cols)
     v = F.col(value_col).cast("double")
-    pcts = F.array(*[F.lit(i / k) for i in range(1, k)])
+    pcts = lit_double_array([i / k for i in range(1, k)])  # ONE py4j call
     q = (
         F.percentile(v, pcts) if exact else F.approx_percentile(v, pcts, accuracy)
     ).alias("__q__")
@@ -885,7 +885,7 @@ def quantile_normalize(
         pcts = [i / (grid - 1) for i in range(grid)]
         q = present.agg(
             F.approx_percentile(
-                v.cast("double"), F.array(*[F.lit(x) for x in pcts]), 10000
+                v.cast("double"), lit_double_array(pcts), 10000
             ).alias("__q__")
         ).crossJoin(scored).withColumn(
             "__p__", F.col("__r__") * F.lit(float(grid - 1))

@@ -25,7 +25,7 @@ from typing import Iterable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from earthmover_spark.util import EarthmoverSparkError
+from earthmover_spark.util import EarthmoverSparkError, sql_ident, sql_str_lit
 
 
 def profile_table(
@@ -46,35 +46,34 @@ def profile_table(
     ``exact_distinct=True`` restores exact ``count_distinct`` (costs a
     k-way Expand of the scan)."""
     cols = list(columns) if columns is not None else list(df.columns)
-    aggs = [F.count(F.lit(1)).alias("__n__")]
+    # every agg / reshape struct as ONE parsed expression — the
+    # per-Column form costs ~25 py4j round trips per profiled column
+    # of pure driver latency; the parsed strings build identical plans
+    aggs = [F.expr("count(1) AS __n__")]
     for i, c in enumerate(cols):
-        s = F.col(c).cast("string")
+        q = sql_ident(c)
+        s = f"cast({q} as string)"
         nd = (
-            F.count_distinct(F.col(c))
+            f"count(distinct {q})"
             if exact_distinct
-            else F.approx_count_distinct(c, approx_rsd)
+            else f"approx_count_distinct({q}, {float(approx_rsd)!r}D)"
         )
         aggs += [
-            F.count(F.col(c)).alias(f"__nn{i}__"),
-            nd.alias(f"__nd{i}__"),
-            F.min(s).alias(f"__mn{i}__"),
-            F.max(s).alias(f"__mx{i}__"),
-            F.round(F.avg(F.length(s)), 4).alias(f"__al{i}__"),
+            F.expr(f"count({q}) AS __nn{i}__"),
+            F.expr(f"{nd} AS __nd{i}__"),
+            F.expr(f"min({s}) AS __mn{i}__"),
+            F.expr(f"max({s}) AS __mx{i}__"),
+            F.expr(f"round(avg(length({s})), 4) AS __al{i}__"),
         ]
     one = df.agg(*aggs)
-    structs = [
-        F.struct(
-            F.lit(c).alias("col_name"),
-            F.col("__n__").alias("n_rows"),
-            (F.col("__n__") - F.col(f"__nn{i}__")).alias("n_nulls"),
-            F.col(f"__nd{i}__").alias("n_distinct"),
-            F.col(f"__mn{i}__").alias("min_value"),
-            F.col(f"__mx{i}__").alias("max_value"),
-            F.col(f"__al{i}__").alias("avg_len"),
-        )
+    structs = ",".join(
+        "named_struct('col_name', {name}, 'n_rows', __n__,"
+        " 'n_nulls', __n__ - __nn{i}__, 'n_distinct', __nd{i}__,"
+        " 'min_value', __mn{i}__, 'max_value', __mx{i}__,"
+        " 'avg_len', __al{i}__)".format(name=sql_str_lit(c), i=i)
         for i, c in enumerate(cols)
-    ]
-    return one.select(F.inline(F.array(*structs)))
+    )
+    return one.select(F.inline(F.expr(f"array({structs})")))
 
 
 def histogram(
@@ -251,43 +250,41 @@ def corr_matrix(
     missing = [c for c in names if c not in df.columns]
     if missing:
         raise EarthmoverSparkError(f"corr_matrix: unknown columns {missing}")
-    d = {c: F.col(c).cast("double") for c in names}
+    # every moment agg / entry struct as ONE parsed expression (the
+    # per-Column form costs O(k^2) py4j round trips of driver latency)
+    d = {c: f"cast({sql_ident(c)} as double)" for c in names}
     aggs = (
-        [F.avg(d[c]).alias(f"__m{i}__") for i, c in enumerate(names)]
+        [F.expr(f"avg({d[c]}) AS __m{i}__") for i, c in enumerate(names)]
         + [
-            F.stddev_pop(d[c]).alias(f"__sd{i}__")
+            F.expr(f"stddev_pop({d[c]}) AS __sd{i}__")
             for i, c in enumerate(names)
         ]
         + [
-            F.avg(d[a] * d[b]).alias(f"__p{i}_{j}__")
+            F.expr(f"avg({d[a]} * {d[b]}) AS __p{i}_{j}__")
             for i, a in enumerate(names)
             for j, b in enumerate(names)
             if i < j
         ]
     )
 
-    def _corr(i: int, j: int) -> Column:
+    def _corr(i: int, j: int) -> str:
         if i == j:
-            return F.when(F.col(f"__sd{i}__") > 0, F.lit(1.0))
-        denom = F.col(f"__sd{i}__") * F.col(f"__sd{j}__")
-        cov = F.col(f"__p{i}_{j}__") - F.col(f"__m{i}__") * F.col(
-            f"__m{j}__"
+            return f"CASE WHEN __sd{i}__ > 0 THEN 1.0D END"
+        return (
+            f"CASE WHEN __sd{i}__ * __sd{j}__ > 0 THEN"
+            f" round((__p{i}_{j}__ - __m{i}__ * __m{j}__)"
+            f" / (__sd{i}__ * __sd{j}__), {int(round_to)}) END"
         )
-        return F.when(denom > 0, F.round(cov / denom, round_to))
 
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(a).alias("col_a"),
-                F.lit(b).alias("col_b"),
-                _corr(i, j).alias("corr"),
-            )
-            for i, a in enumerate(names)
-            for j, b in enumerate(names)
-            if i <= j
-        ]
+    entries = ",".join(
+        "named_struct('col_a', {a}, 'col_b', {b}, 'corr', {c})".format(
+            a=sql_str_lit(a), b=sql_str_lit(b), c=_corr(i, j)
+        )
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i <= j
     )
-    return df.agg(*aggs).select(F.inline(entries))
+    return df.agg(*aggs).select(F.inline(F.expr(f"array({entries})")))
 
 
 def file_stats(

@@ -26,6 +26,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from earthmover_spark.util import lit_double_array
+
 
 def distinct_sketch(
     df: DataFrame,
@@ -485,7 +487,7 @@ def quantile_estimate(
             Window.partitionBy(*groups) if groups else Window.partitionBy()
         ).alias("__n__"),
     )
-    probs_lit = F.array(*[F.lit(p) for p in ps])
+    probs_lit = lit_double_array([float(p) for p in ps])  # ONE py4j call
     return (
         ranked.withColumn("prob", F.explode(probs_lit))
         .filter(

@@ -24,6 +24,71 @@ except ImportError:  # pragma: no cover - Spark Connect-only install
 
 _WILDCARD_CHARS = set("*?[]")
 
+
+# ---------------------------------------------------------------------------
+# single-round-trip literal arrays
+# ---------------------------------------------------------------------------
+#
+# On the classic py4j driver every Column operation is a synchronous
+# round trip, and ``F.lit(list)`` / ``F.array(*[F.lit(x) ...])`` both
+# expand to one ``lit`` call PER ELEMENT plus the array call — a
+# 1001-point percentile grid costs ~1000 round trips to build (~1-4 ms
+# each on a busy driver: the grid alone is seconds of driver wall
+# time). These helpers render the literal as SQL text instead and hand
+# the WHOLE array to the JVM in ONE ``F.expr`` call; the parsed result
+# is the identical Catalyst tree (CreateArray of foldable literals).
+
+
+def _sql_double(x: float) -> str:
+    if not (x == x) or x in (float("inf"), float("-inf")):
+        raise EarthmoverSparkError(
+            f"lit_double_array: non-finite element {x!r}"
+        )
+    # repr round-trips through Double.parseDouble exactly
+    return f"{float(x)!r}D"
+
+
+def _sql_string(s: str) -> str:
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def sql_str_lit(s: str) -> str:
+    """SQL string-literal text for ``s`` (escaped, quoted)."""
+    return _sql_string(s)
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quoted SQL identifier text for a column name."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+def lit_double_array(xs: Sequence[float]) -> Column:
+    """array<double> literal in ONE py4j round trip (non-empty)."""
+    if not xs:
+        raise EarthmoverSparkError("lit_double_array: empty input")
+    return F.expr("array(" + ",".join(_sql_double(x) for x in xs) + ")")
+
+
+def lit_string_array(xs: Sequence[str]) -> Column:
+    """array<string> literal in ONE py4j round trip (non-empty)."""
+    if not xs:
+        raise EarthmoverSparkError("lit_string_array: empty input")
+    return F.expr("array(" + ",".join(_sql_string(x) for x in xs) + ")")
+
+
+def lit_double_matrix(xss: Sequence[Sequence[float]]) -> Column:
+    """array<array<double>> literal in ONE py4j round trip."""
+    if not xss:
+        raise EarthmoverSparkError("lit_double_matrix: empty input")
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in row) + ")"
+            for row in xss
+        )
+        + ")"
+    )
+
 _logger = logging.getLogger(__name__)
 
 #: checkpoint_cut's collect-based fallback is only safe on answer-sized
