@@ -40,6 +40,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+try:  # classic py4j-backed PySpark
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover - Spark Connect-only install
+    class _Py4JError(Exception):
+        pass
+
 _MAX = 2**31 - 1
 
 
@@ -286,6 +292,275 @@ def _assemble(dp: Column) -> Column:
     return F.when((p - 1 >= -4) & (p - 1 <= 15), fixed).otherwise(sci)
 
 
+# ---------------------------------------------------------------------------
+# single-round-trip slow path (classic py4j driver)
+# ---------------------------------------------------------------------------
+#
+# The Column-composed slow path below costs ~10,500 py4j round trips
+# PER RENDER SITE to build (every F.* call is a synchronous driver
+# round trip, ~1-4 ms each under load: seconds of driver wall time per
+# site). The builders here generate the IDENTICAL expression as one
+# SQL string — built once per process, cached, and instantiated per
+# site with two round trips (input-SQL extraction + F.expr). The
+# Column builders stay as the semantics reference and the fallback
+# when the private input-SQL API is unavailable (Spark Connect);
+# tests/test_property.py fuzzes both paths against CPython repr.
+
+_INPUT_SLOT = "__pyfloat_input_slot__"
+_SQL_MAX = str(_MAX)
+_SLOW_SQL_TEMPLATE: "str | None" = None
+
+
+class _SqlGen:
+    """Fresh-name supply for textual let bindings."""
+
+    def __init__(self) -> None:
+        self.n = 0
+
+    def let(self, value: str, body) -> str:
+        v = f"__pf{self.n}__"
+        self.n += 1
+        return f"transform(array({value}), {v} -> {body(v)})[0]"
+
+
+def _s_digits_p(u: str, g: _SqlGen) -> str:
+    return g.let(
+        f"CASE WHEN contains({u}, 'E') THEN substring_index({u}, 'E', 1)"
+        f" ELSE {u} END",
+        lambda mant: g.let(
+            f"concat(substring_index({mant}, '.', 1),"
+            f" substring_index({mant}, '.', -1))",
+            lambda raw: g.let(
+                f"regexp_replace({raw}, '^0+', '')",
+                lambda stripped: (
+                    "named_struct("
+                    f"'d', regexp_replace({stripped}, '0+$', ''),"
+                    f" 'p', length(substring_index({mant}, '.', 1))"
+                    f" + (CASE WHEN contains({u}, 'E') THEN"
+                    f" cast(substring_index({u}, 'E', -1) as int)"
+                    f" ELSE 0 END)"
+                    f" - (length({raw}) - length({stripped})))"
+                ),
+            ),
+        ),
+    )
+
+
+def _s_exact_ctx(x: str) -> str:
+    ax = f"abs({x})"
+    integral = (
+        f"(({ax} >= 4503599627370496.0D)"
+        f" OR ({ax} = cast(floor({ax}) as double)))"
+    )
+    ok = (
+        f"(({x} IS NOT NULL) AND (NOT isnan({x}))"
+        f" AND ({ax} >= 1.0D) AND ({ax} < 3.9e+28D) AND {integral})"
+    )
+    hi = f"floor({ax} / 4294967296.0D)"
+    lo = f"({ax} - {hi} * 4294967296.0D)"
+    xi = (
+        f"(cast(try_cast({hi} as bigint) as decimal(38,0))"
+        f" * cast(4294967296 as decimal(38,0))"
+        f" + cast(try_cast({lo} as bigint) as decimal(38,0)))"
+    )
+    return (
+        f"named_struct('ok', {ok},"
+        f" 'xs', CASE WHEN {ok} THEN cast({xi} as string) END)"
+    )
+
+
+def _s_round_from(xs: str, m: str) -> str:
+    head = f"try_cast(substring({xs}, 1, {m}) as bigint)"
+    nxt = f"coalesce(try_cast(substring({xs}, {m} + 1, 1) as int), 0)"
+    rest_nonzero = f"(substring({xs}, {m} + 2, {_SQL_MAX}) RLIKE '[1-9]')"
+    up = (
+        f"(({nxt} > 5) OR (({nxt} = 5)"
+        f" AND ({rest_nonzero} OR ({head} % 2 = 1))))"
+    )
+    return (
+        f"cast(CASE WHEN {up} THEN {head} + 1 ELSE {head} END as string)"
+    )
+
+
+def _s_probe(x: str, p: str, cand: str, m: str) -> str:
+    return (
+        f"(({cand} IS NOT NULL) AND (try_cast(concat({cand}, 'E',"
+        f" cast({p} - ({m}) as string)) as double) = abs({x})))"
+    )
+
+
+def _s_repair_step(x: str, ex: str, dp: str, g: _SqlGen) -> str:
+    d, p = f"{dp}.d", f"{dp}.p"
+
+    def _fuzzy_cand(n: str, head: str) -> str:
+        last = f"cast(substring({d}, -1, 1) as int)"
+        down = f"cast({head} as string)"
+        up = f"cast({head} + 1 as string)"
+        near = f"CASE WHEN {last} >= 5 THEN {up} ELSE {down} END"
+        far = f"CASE WHEN {last} >= 5 THEN {down} ELSE {up} END"
+        return (
+            f"CASE WHEN {_s_probe(x, p, near, f'{n} - 1')} THEN {near}"
+            f" WHEN {_s_probe(x, p, far, f'{n} - 1')} THEN {far} END"
+        )
+
+    return g.let(
+        f"length({d})",
+        lambda n: g.let(
+            f"CASE WHEN {ex}.ok THEN"
+            f" {_s_round_from(f'{ex}.xs', f'{n} - 1')}"
+            f" ELSE cast(try_cast(substring({d}, 1, {n} - 1) as bigint)"
+            f" as string) END",
+            lambda eod: g.let(
+                f"CASE WHEN {ex}.ok THEN (CASE WHEN"
+                f" {_s_probe(x, p, eod, f'{n} - 1')} THEN {eod} END)"
+                f" ELSE {_fuzzy_cand(n, f'try_cast({eod} as bigint)')} END",
+                lambda cand: (
+                    "named_struct("
+                    f"'d', CASE WHEN {cand} IS NOT NULL THEN"
+                    f" regexp_replace({cand}, '0+$', '') ELSE {d} END,"
+                    f" 'p', CASE WHEN {cand} IS NOT NULL THEN"
+                    f" {p} + (length({cand}) - ({n} - 1)) ELSE {p} END)"
+                ),
+            ),
+        ),
+    )
+
+
+def _s_precorrect(x: str, ex: str, dp: str, g: _SqlGen) -> str:
+    d, p = f"{dp}.d", f"{dp}.p"
+    return g.let(
+        f"length({d})",
+        lambda n: g.let(
+            f"CASE WHEN {ex}.ok THEN {_s_round_from(f'{ex}.xs', n)} END",
+            lambda raw: (
+                "named_struct("
+                f"'d', CASE WHEN {raw} IS NOT NULL THEN"
+                f" regexp_replace({raw}, '0+$', '') ELSE {d} END,"
+                f" 'p', CASE WHEN {raw} IS NOT NULL THEN"
+                f" {p} + (length({raw}) - {n}) ELSE {p} END)"
+            ),
+        ),
+    )
+
+
+def _s_repair(x: str, dp: str, g: _SqlGen) -> str:
+    return g.let(
+        _s_exact_ctx(x),
+        lambda ex: _s_repair_loop(x, ex, dp, g),
+    )
+
+
+def _s_repair_loop(x: str, ex: str, dp: str, g: _SqlGen) -> str:
+    dp = g.let(dp, lambda cur: _s_precorrect(x, ex, cur, g))
+    for _ in range(_REPAIR_ROUNDS):
+        dp = g.let(dp, lambda cur: _s_repair_step(x, ex, cur, g))
+    return dp
+
+
+def _s_assemble(dp: str) -> str:
+    d, p = f"{dp}.d", f"{dp}.p"
+    fixed = (
+        f"CASE WHEN {p} <= 0 THEN"
+        f" concat('0.', repeat('0', -({p})), {d})"
+        f" WHEN {p} >= length({d}) THEN"
+        f" concat({d}, repeat('0', {p} - length({d})), '.0')"
+        f" ELSE concat(substring({d}, 1, {p}), '.',"
+        f" substring({d}, {p} + 1, {_SQL_MAX})) END"
+    )
+    mant = (
+        f"CASE WHEN length({d}) = 1 THEN {d}"
+        f" ELSE concat(substring({d}, 1, 1), '.',"
+        f" substring({d}, 2, {_SQL_MAX})) END"
+    )
+    expdigits = f"cast(abs({p} - 1) as string)"
+    sci = (
+        f"concat({mant},"
+        f" CASE WHEN {p} - 1 < 0 THEN 'e-' ELSE 'e+' END,"
+        f" CASE WHEN length({expdigits}) < 2 THEN"
+        f" concat('0', {expdigits}) ELSE {expdigits} END)"
+    )
+    return (
+        f"CASE WHEN ({p} - 1 >= -4) AND ({p} - 1 <= 15)"
+        f" THEN {fixed} ELSE {sci} END"
+    )
+
+
+def _slow_sql_template() -> str:
+    """The unsigned-repair slow path as ONE SQL string over the
+    placeholder ``__pyfloat_input_slot__`` — built once per process."""
+    global _SLOW_SQL_TEMPLATE
+    if _SLOW_SQL_TEMPLATE is None:
+        g = _SqlGen()
+        x = _INPUT_SLOT
+        unsigned = g.let(
+            x,
+            lambda xv: g.let(
+                f"CASE WHEN startswith(cast({xv} as string), '-') THEN"
+                f" substring(cast({xv} as string), 2, {_SQL_MAX})"
+                f" ELSE cast({xv} as string) END",
+                lambda u: g.let(
+                    _s_repair(xv, _s_digits_p(u, g), g), _s_assemble
+                ),
+            ),
+        )
+        _SLOW_SQL_TEMPLATE = (
+            "concat(CASE WHEN startswith(cast("
+            + x
+            + " as string), '-') THEN '-' ELSE '' END, "
+            + unsigned
+            + ")"
+        )
+    return _SLOW_SQL_TEMPLATE
+
+
+def _input_sql(col: Column) -> str:
+    """SQL text of a Column via the classic driver's converter —
+    raises on Spark Connect (no ``_jc``), letting the caller fall back
+    to the Column-composed path."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover - call sites run inside a session
+        raise AttributeError("no active session")
+    sql = spark._jsparkSession.expression(col._jc).sql()
+    if "lambdafunction" in sql or _INPUT_SLOT in sql:
+        # a HOF input doesn't round-trip through .sql(); decline
+        raise TypeError("input expression not SQL-printable")
+    return sql
+
+
+def _slow_repr(x: Column) -> Column:
+    """The slow path for one render site: two py4j round trips via the
+    cached SQL template when possible, the Column-composed build
+    (~10,500 round trips) otherwise."""
+    try:
+        xsql = _input_sql(x)
+        return F.expr(
+            _slow_sql_template().replace(_INPUT_SLOT, f"({xsql})")
+        )
+    except (AttributeError, TypeError, _Py4JError):
+        return _slow_repr_columns(x)
+
+
+def _slow_repr_columns(x: Column) -> Column:
+    """Column-composed slow path (the original builders) — semantics
+    reference and Spark Connect fallback."""
+    s = x.cast("string")
+    return F.concat(
+        F.when(s.startswith("-"), F.lit("-")).otherwise(F.lit("")),
+        _let(
+            x,
+            lambda xv: _let(
+                F.when(
+                    xv.cast("string").startswith("-"),
+                    F.substring(xv.cast("string"), 2, _MAX),
+                ).otherwise(xv.cast("string")),
+                lambda u: _let(_repair(xv, _digits_p(u)), _assemble),
+            ),
+        ),
+    )
+
+
 def py_float_repr(col: Column) -> Column:
     """Render a double Column exactly as CPython ``repr``/``str``
     would — the Jinja float render. NULL stays NULL.
@@ -304,19 +579,7 @@ def py_float_repr(col: Column) -> Column:
     render)."""
     x = col.cast("double")
     s = x.cast("string")  # Java notation, the digit source
-    slow = F.concat(
-        F.when(s.startswith("-"), F.lit("-")).otherwise(F.lit("")),
-        _let(
-            x,
-            lambda xv: _let(
-                F.when(
-                    xv.cast("string").startswith("-"),
-                    F.substring(xv.cast("string"), 2, _MAX),
-                ).otherwise(xv.cast("string")),
-                lambda u: _let(_repair(xv, _digits_p(u)), _assemble),
-            ),
-        ),
-    )
+    slow = _slow_repr(x)
     return (
         F.when(x.isNull(), F.lit(None).cast("string"))
         .when(F.isnan(x), F.lit("nan"))
