@@ -1714,7 +1714,13 @@ def _pref_battles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 coin gives item i a win probability ~(i+1)/(i+j+2) against
     item j — a planted Bradley-Terry world with strength ~ i+1 that
     the MM fit should roughly recover."""
-    ev = _p(spark, sf_dir, "events")
+    from earthmover_spark.llm.textstats import spread_narrow_scan
+
+    # the battle synthesis is md5-per-row over a narrow scan: without
+    # a spread the whole hash sweep for every preference query runs on
+    # the one task a single-row-group file yields (guide §2.5);
+    # spread_narrow_scan is a no-op once the scan is already wide
+    ev = spread_narrow_scan(_p(spark, sf_dir, "events"))
     a = (F.col("user_id") % 30).alias("a")
     b = ((F.col("user_id") + 1 + (F.col("event_id") % 29)) % 30).alias("b")
     h = (

@@ -477,7 +477,14 @@ def position_bias(
             raise EarthmoverSparkError(
                 f"position_bias: column {c!r} not in {battles.columns}"
             )
-    b = battles.filter(
+    # NULL exclusion is folded INTO the aggregate conditions instead of
+    # a .filter(): a pushed-down filter re-inlines the winner/loser/
+    # first defining expressions below the projection and evaluates
+    # them twice per row (guide §7.2 — duplicated subtrees).
+    # count(when(nn, true)) ≡ count(*) over the filtered frame (0 on
+    # empty); the NULL-guarded sums skip excluded rows exactly like
+    # the filtered sums did, empty/all-NULL edges included.
+    nn = (
         F.col(winner_col).isNotNull()
         & F.col(loser_col).isNotNull()
         & F.col(first_col).isNotNull()
@@ -486,20 +493,26 @@ def position_bias(
     # aggregation (a violation count alongside the real counts) and
     # asserted lazily on the 1-row result — zero extra scans of the
     # battle log, raises USER_RAISED_EXCEPTION at action time
-    agg = b.agg(
-        F.count("*").alias("n_battles"),
+    agg = battles.agg(
+        F.count(F.when(nn, True)).alias("n_battles"),
         F.sum(
-            F.when(F.col(first_col) == F.col(winner_col), 1).otherwise(0)
+            F.when(
+                nn,
+                F.when(F.col(first_col) == F.col(winner_col), 1).otherwise(0),
+            )
         ).alias("n_first_wins"),
         # coalesce: sum over an EMPTY battle log is NULL, which would
         # trip assert_true (NULL is not true) on the no-signal row
         F.coalesce(
             F.sum(
                 F.when(
-                    (F.col(first_col) != F.col(winner_col))
-                    & (F.col(first_col) != F.col(loser_col)),
-                    1,
-                ).otherwise(0)
+                    nn,
+                    F.when(
+                        (F.col(first_col) != F.col(winner_col))
+                        & (F.col(first_col) != F.col(loser_col)),
+                        1,
+                    ).otherwise(0),
+                )
             ),
             F.lit(0),
         ).alias("_n_bad"),
@@ -566,11 +579,23 @@ def verbosity_bias(
             )
     wl = F.col(winner_len_col).cast("double")
     ll = F.col(loser_len_col).cast("double")
-    b = battles.filter(wl.isNotNull() & ll.isNotNull())
-    agg = b.agg(
-        F.sum(F.when(wl != ll, 1).otherwise(0)).alias("n_battles"),
-        F.sum(F.when(wl > ll, 1).otherwise(0)).alias("n_longer_wins"),
-        F.sum(F.when(wl == ll, 1).otherwise(0)).alias("n_equal_len"),
+    # NULL exclusion is folded INTO the aggregate conditions instead of
+    # a .filter(): Catalyst pushes a filter below the projection that
+    # computes the length columns, re-inlining their (possibly
+    # expensive) defining expressions into the filter condition and
+    # evaluating every length twice per row (guide §7.2 — duplicated
+    # subtrees). sum() skips NULL contributions, so a NULL-guarded
+    # when() is exactly the filtered sum, including the empty/all-NULL
+    # edges (sum over nothing stays NULL).
+    nn = wl.isNotNull() & ll.isNotNull()
+    agg = battles.agg(
+        F.sum(F.when(nn, F.when(wl != ll, 1).otherwise(0))).alias("n_battles"),
+        F.sum(F.when(nn, F.when(wl > ll, 1).otherwise(0))).alias(
+            "n_longer_wins"
+        ),
+        F.sum(F.when(nn, F.when(wl == ll, 1).otherwise(0))).alias(
+            "n_equal_len"
+        ),
     )
     n = F.col("n_battles").cast("double")
     # try_divide: an all-equal-length log (every battle excluded) is

@@ -16,6 +16,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from earthmover_spark.llm.textstats import spread_narrow_scan
 from earthmover_spark.util import EarthmoverSparkError
 
 #: 60-bit hash space (15 hex chars of md5 — fits a positive BIGINT)
@@ -823,6 +824,10 @@ def cdc_chunks(
         raise EarthmoverSparkError(
             f"cdc_chunks: unknown hash_fn {hash_fn!r} (md5|xxhash64)"
         )
+    # one windowed hash PER CHARACTER is the dense end of hash-dense:
+    # a narrow scan (tiny file / single row group) would pin the whole
+    # sweep to one core (guide §2.5, input skew). No-op at real scale.
+    df = spread_narrow_scan(df)
     text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     n = F.length(text)
     modulus = 1 << mask_bits
