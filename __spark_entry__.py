@@ -2589,20 +2589,29 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-filter; no join, no Python)."""
     from earthmover_spark.operators import url
 
-    docs = _p(spark, sf_dir, "documents").select(
+    from earthmover_spark.llm.textstats import spread_narrow_scan
+
+    docs = spread_narrow_scan(_p(spark, sf_dir, "documents")).select(
         "doc_id",
         _synth_url(F.col("doc_id"), F.col("source"), F.col("lang")).alias(
             "url"
         ),
     )
     parsed = url.parse_urls(docs)
-    kept = url.filter_domains(
-        parsed, "url_domain",
-        blocklist=["src1-site.co.uk", "src3-site.co.uk", "example.com"],
-    )
-    return kept.groupBy(F.col("url_domain").alias("domain")).agg(
+    # blocklist filtering commutes with the per-domain rollup (same
+    # key), so it runs over the ~domain-count aggregate instead of the
+    # corpus: the per-row domain expression is evaluated once (in the
+    # agg's key projection) instead of three times (a pushed-down
+    # isNotNull + isin filter re-inlines it — guide §7.2). Result set
+    # is identical; the oracle pins it.
+    grouped = parsed.groupBy(F.col("url_domain").alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    kept = url.filter_domains(
+        grouped, "domain",
+        blocklist=["src1-site.co.uk", "src3-site.co.uk", "example.com"],
+    )
+    return kept
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,23 +41,42 @@ _TWO_LEVEL_SUFFIXES = (
 )
 
 
+def _let(value: Column, body) -> Column:
+    """SQL 'let': evaluate ``value`` once and reference it many times.
+    ``transform`` binds the element as a named lambda variable, so
+    ``body``'s references are variable lookups instead of re-inlined
+    copies of the producing expression. Without it the domain
+    expression repeats its host/split subtrees ~16x textually; after
+    filter pushdown inlines THAT twice more, whole-stage codegen blows
+    janino's 64 KB method limit and the stage silently runs
+    interpreted (observed on the url_filter aggregation, guide §7.2)."""
+    return F.transform(F.array(value), body)[0]
+
+
 def registered_domain(host: Column) -> Column:
     """Registered (pay-level) domain of ``host``: the last two labels,
     or three when the two-label tail is a known second-level public
     suffix. IP literals and single-label hosts pass through whole."""
-    h = F.lower(host)
-    parts = F.split(h, r"\.")
-    n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2),
-        F.element_at(parts, -1),
-    )
-    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-    return (
-        F.when(is_ip | (n <= 2), h)
-        .when(last2.isin(*_TWO_LEVEL_SUFFIXES) & (n >= 3), last3)
-        .otherwise(last2)
+
+    def _over_parts(h: Column, parts: Column) -> Column:
+        n = F.size(parts)
+        last2 = F.concat_ws(
+            ".", F.element_at(parts, -2), F.element_at(parts, -1)
+        )
+        last3 = F.concat_ws(
+            ".", F.element_at(parts, -3), F.element_at(parts, -2),
+            F.element_at(parts, -1),
+        )
+        is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+        return (
+            F.when(is_ip | (n <= 2), h)
+            .when(last2.isin(*_TWO_LEVEL_SUFFIXES) & (n >= 3), last3)
+            .otherwise(last2)
+        )
+
+    return _let(
+        F.lower(host),
+        lambda h: _let(F.split(h, r"\."), lambda parts: _over_parts(h, parts)),
     )
 
 
@@ -71,7 +90,11 @@ def parse_urls(
     if url_col not in df.columns:
         raise EarthmoverSparkError(f"parse_urls: no column {url_col!r}")
     u = F.col(url_col).cast("string")
-    nn = lambda c: F.when(c == "", None).otherwise(c)  # noqa: E731
+    # let-bound so the regexp_extract appears once per output column
+    # instead of twice (the ''-to-NULL probe re-inlines its operand)
+    nn = lambda c: _let(  # noqa: E731
+        c, lambda x: F.when(x == "", None).otherwise(x)
+    )
     host = nn(F.regexp_extract(u, _HOST, 1))
     return (
         df.withColumn(prefix + "scheme", F.lower(nn(F.regexp_extract(u, _SCHEME, 1))))

@@ -970,9 +970,12 @@ def test_decon_bloom_probe_zero_shuffle_on_corpus(plans):
 
 def test_cdc_chunks_zero_shuffle(plans):
     """Content-defined chunking: boundaries are a per-row array filter
-    over sequence() — generate/explode only, no exchange, no Python."""
+    over sequence() — generate/explode only, no hash exchange, no
+    Python. (One RoundRobin exchange is allowed — that's
+    spread_narrow_scan fanning a single-row-group file out to the
+    cluster, a no-op on real many-file inputs.)"""
     p = plans("cdc_chunks")
-    assert "Exchange" not in p
+    assert "Exchange hashpartitioning" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "Generate" in p  # posexplode of the chunk array
