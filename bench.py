@@ -208,9 +208,14 @@ def em_pipeline(spark, sf_dir: str):
     (reference example_projects/01_simple/big_earthmover.yaml)."""
     from pyspark.sql import functions as F
 
+    from earthmover_spark.llm.textstats import spread_narrow_scan
     from earthmover_spark.operators import column as C
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # the sf parquet is one row group, so the whole render pipeline
+    # would run on a single task; spread_narrow_scan fans it out to
+    # cluster parallelism and is a no-op on real many-row-group inputs
+    # (guide §2.5, input skew). Same output lines, now computed wide.
+    li = spread_narrow_scan(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     out = C.map_values(
         li, column="l_returnflag", mapping={"A": "accepted", "R": "returned", "N": "none"}
     )
@@ -234,9 +239,11 @@ def em_rowdump(spark, sf_dir: str):
     from earthmover_spark.destinations.file_destination import render_lines
     from pyspark.sql import functions as F  # noqa: F401
 
+    from earthmover_spark.llm.textstats import spread_narrow_scan
     from earthmover_spark.operators import column as C
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # same spread-for-parallelism as em_pipeline (guide §2.5)
+    li = spread_narrow_scan(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     out = C.map_values(
         li, column="l_returnflag", mapping={"A": "accepted", "R": "returned", "N": "none"}
     )

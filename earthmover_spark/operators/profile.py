@@ -46,6 +46,18 @@ def profile_table(
     ``exact_distinct=True`` restores exact ``count_distinct`` (costs a
     k-way Expand of the scan)."""
     cols = list(columns) if columns is not None else list(df.columns)
+    # exact_distinct plans a k-way Expand of the scan before the
+    # partial aggregation — on a narrow scan (single row group) that
+    # whole expanded sweep runs on one task (guide §2.5, input skew).
+    # Byte-gated: string-cast aggs are cheap enough per byte that the
+    # round-robin exchange only pays for itself on multi-MB inputs
+    # (measured flat-to-slower ungated at 2.7 MB); no-op on wide scans
+    from earthmover_spark.llm.textstats import (
+        LIGHT_SPREAD_MIN_BYTES,
+        spread_narrow_scan,
+    )
+
+    df = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES)
     # every agg / reshape struct as ONE parsed expression — the
     # per-Column form costs ~25 py4j round trips per profiled column
     # of pure driver latency; the parsed strings build identical plans

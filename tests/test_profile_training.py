@@ -338,17 +338,24 @@ def test_standardize_zscores(spark):
     assert got[2] == [1.0, 0.0, 1.0]
 
 
-def test_standardize_no_corpus_explode(spark):
-    # the moments must come from a single agg of per-dim expressions,
-    # not a posexplode of the corpus
+def test_standardize_moments_combine_map_side(spark):
+    # the per-dim moments may explode IN-PIPELINE (r13: the explode +
+    # dims-keyed agg replaced 2 x dims per-column agg functions, whose
+    # codegen dominated the query), but the exploded stream must
+    # partial-aggregate before any exchange: every hash exchange
+    # carries only the __dim__ key, never corpus rows, and nothing
+    # leaves the JVM
     df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
     plan = (
         embeddings.standardize(df, dims=2)
         ._jdf.queryExecution()
-        .optimizedPlan()
+        .executedPlan()
         .toString()
     )
-    assert "Generate" not in plan  # no explode anywhere
+    assert "partial_avg" in plan  # map-side combine of the moments
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        assert frag.startswith("__dim__"), frag[:80]
+    assert "EvalPython" not in plan
 
 
 # ---------------------------------------------------------------------------
