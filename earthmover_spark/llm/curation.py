@@ -1187,8 +1187,12 @@ def decontaminate_bloom(
 
     grams = F.array_distinct(shingles(F.col(text_col), shingle_n))
     n_flagged = F.size(F.filter(grams, _member))
+    # hash-dense probe (num_hashes md5s per distinct shingle per row):
+    # spread a narrow scan so it doesn't run on one task (guide §2.5);
+    # no-op on wide scans, ungated like the other md5-dense callers
     return (
-        df.withColumn("n_flagged_ngrams", n_flagged.cast("bigint"))
+        spread_narrow_scan(df)
+        .withColumn("n_flagged_ngrams", n_flagged.cast("bigint"))
         .withColumn("contaminated", F.col("n_flagged_ngrams") >= min_hits)
     )
 

@@ -439,7 +439,18 @@ def bloom_filtered_join(
     bits = sketch.bloom_sketch(
         right, on, num_bits=num_bits, num_hashes=num_hashes, salt=salt
     )
-    filtered = left.filter(F.col(on).isNotNull())
+    # the probe chain computes num_hashes md5 slots per left row
+    # inside the scan stage: spread a narrow multi-MB scan so it
+    # doesn't run single-task (guide §2.5); no-op on wide scans, so
+    # the zero-extra-left-shuffle contract still holds at scale
+    from earthmover_spark.llm.textstats import (
+        LIGHT_SPREAD_MIN_BYTES,
+        spread_narrow_scan,
+    )
+
+    filtered = spread_narrow_scan(left, LIGHT_SPREAD_MIN_BYTES).filter(
+        F.col(on).isNotNull()
+    )
     for r in range(num_hashes):
         probe = sketch._cm_slot(F.col(on), num_bits, r, salt)
         filtered = (

@@ -402,6 +402,15 @@ def quantile_sketch(
     uniqueness contract."""
     if k < 1:
         raise ValueError("quantile_sketch: k must be >= 1")
+    # md5 per row + map-side rank pruning all run inside the scan
+    # stage: spread a narrow multi-MB scan so one task doesn't carry
+    # the whole hash sweep (guide §2.5); no-op on wide scans
+    from earthmover_spark.llm.textstats import (
+        LIGHT_SPREAD_MIN_BYTES,
+        spread_narrow_scan,
+    )
+
+    df = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES)
     h = _h60(F.col(id_col), f"{salt}:")
     groups = list(group_cols)
     base = (
