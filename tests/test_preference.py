@@ -882,6 +882,31 @@ def test_bias_audits_degenerate_inputs(spark):
     assert r2.longer_win_rate is None and not r2.biased
 
 
+def test_bias_audits_null_fold_edges(spark):
+    """r13 optimization pin: the NULL exclusion moved from a .filter()
+    into the aggregate conditions (the pushed-down filter re-evaluated
+    the audited expressions twice per row); these edges prove the fold
+    is exactly the filtered semantics, including the all-NULL frame
+    where a filtered sum is NULL, not 0."""
+    from earthmover_spark.llm.preference import position_bias, verbosity_bias
+
+    allnull = spark.createDataFrame(
+        [(None, None), (None, 10)], "winner_len int, loser_len int"
+    )
+    r = verbosity_bias(allnull).collect()[0]
+    # filter-then-agg over an emptied frame: sums are NULL, never 0
+    assert r.n_battles is None and r.n_longer_wins is None
+    assert r.n_equal_len is None and not r.biased
+
+    mixed = spark.createDataFrame(
+        [("a", "b", "a"), ("a", None, "a"), (None, "b", "b"), ("a", "b", None)],
+        "winner string, loser string, first string",
+    )
+    rp = position_bias(mixed).collect()[0]
+    # only the fully-non-NULL battle counts; first==winner there
+    assert rp.n_battles == 1 and rp.n_first_wins == 1
+
+
 # ---------------------------------------------------------------------------
 # krippendorff_alpha
 # ---------------------------------------------------------------------------
