@@ -746,11 +746,13 @@ def tfidf_top_terms(
     (id, term, score, rank).
 
     Shape: one explode over normalized words, a (doc, term) hash
-    aggregate for tf, a (term) hash aggregate for document frequency —
-    both with map-side partial combine — and a per-doc window for the
-    top-k. The corpus-size scalar rides a broadcast cross join, and the
-    (term -> df) join keys on the term, so nothing ever pairs all
-    documents."""
+    aggregate for tf with map-side partial combine, document frequency
+    as a ``count(*)`` window over the term — one row per (doc, term)
+    in the already-aggregated tf table, so the corpus-scale explode
+    runs ONCE (a separate (term) aggregation joined back would plant
+    the explode+agg subtree in the plan twice and re-execute it) —
+    and a per-doc window for the top-k. The corpus-size scalar rides
+    a broadcast cross join; nothing ever pairs all documents."""
     from pyspark.sql import Window
 
     words = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES).select(
@@ -758,10 +760,11 @@ def tfidf_top_terms(
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     )
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "score",

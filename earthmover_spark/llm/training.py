@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from earthmover_spark.llm.textstats import (
@@ -120,14 +120,25 @@ def hashed_tf_features(
     by_bucket = _feature_stream(
         df, text_col, id_col, n_buckets, salt, ngram
     )
-    tf = by_bucket.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("__tf__")
-    )
-    dlen = by_bucket.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl__"))
-    return tf.join(dlen, id_col).select(
-        id_col,
-        "bucket",
-        (F.col("__tf__").cast("double") / F.col("__dl__")).alias("x"),
+    # |features| is a closed form of the word count already riding the
+    # stream — grams(n) contributes max(0, ntok - n + 1) features — so
+    # the doc length needs no second corpus-scale aggregation (and no
+    # (id)-keyed join back): one pass, one exchange
+    dl: Column | None = None
+    for n in range(1, ngram + 1):
+        term = F.when(
+            F.col("__ntok__") >= n, F.col("__ntok__") - n + 1
+        ).otherwise(0)
+        dl = term if dl is None else dl + term
+    return (
+        by_bucket.withColumn("__dl__", dl)
+        .groupBy(id_col, "bucket", "__dl__")
+        .agg(F.count(F.lit(1)).alias("__tf__"))
+        .select(
+            id_col,
+            "bucket",
+            (F.col("__tf__").cast("double") / F.col("__dl__")).alias("x"),
+        )
     )
 
 

@@ -508,6 +508,21 @@ def test_bin_metrics_compressed_frame_no_python(plans):
     assert "Join" not in p
 
 
+def test_text_tfidf_single_explode_no_term_join(plans):
+    """tfidf_top_terms: document frequency is a count window over the
+    aggregated tf table (r13: a separate (term) aggregation joined
+    back planted the explode+agg subtree in the plan twice and
+    re-executed the corpus-scale tokenize+explode). Exactly one
+    Generate; the only join left is the broadcast of the 1-row
+    corpus-size scalar."""
+    p = plans("text_tfidf")
+    # tree lines read "+- Generate (n)"; the detail list re-names the
+    # node as "(n) Generate", so count the tree form only
+    assert p.count("Generate (") == 1
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
 def test_tfidf_pairs_no_cartesian_no_python(plans):
     """The weighted prefix filter must keep tfidf_cosine_pairs an
     equi-join pipeline: no cartesian/BNLJ pairing, no Python stage

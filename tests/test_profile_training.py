@@ -358,6 +358,27 @@ def test_standardize_moments_combine_map_side(spark):
     assert "EvalPython" not in plan
 
 
+def test_hashed_tf_features_single_pass_no_join(spark):
+    # the doc length is a closed form of __ntok__ (r13: the separate
+    # dlen aggregation re-evaluated the tokenize+md5 explode stream a
+    # second time and joined it back) — the feature table must build
+    # in ONE corpus pass: no join, a single hash exchange carrying the
+    # (id, bucket) keys with map-side combine, nothing in Python
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    plan = (
+        training.hashed_tf_features(df, n_buckets=16, ngram=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(") == 1
+    assert "partial_count" in plan  # map-side combine of the tf counts
+    assert "EvalPython" not in plan
+
+
 # ---------------------------------------------------------------------------
 # training.train_logreg_hashed
 # ---------------------------------------------------------------------------
