@@ -177,14 +177,19 @@ def dsir_weights(
     # over the whole corpus
     r_lm = tf.groupBy("bucket").agg(F.sum("tf").alias("c"))
     # log p(b) = log(c_b + a) - log(total + a * buckets); the totals
-    # are one-row aggregates that fold into the broadcast frame
-    t_tot = t_lm.agg(F.sum("c").alias("t_total"))
-    r_tot = r_lm.agg(F.sum("c").alias("r_total"))
+    # are unpartitioned window sums over the ALREADY-MERGED bucket
+    # table — bounded at <= buckets rows by construction, so the
+    # single-partition window is safe, and neither LM subtree is
+    # evaluated a second time for a 1-row aggregate (the target-corpus
+    # explode used to run twice: once for t_total, once for the join)
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
     lm = (
         t_lm.withColumnRenamed("c", "t_c")
         .join(r_lm.withColumnRenamed("c", "r_c"), "bucket", "full_outer")
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
+        .withColumn("t_total", F.sum("t_c").over(whole))
+        .withColumn("r_total", F.sum("r_c").over(whole))
         .select(
             "bucket",
             (

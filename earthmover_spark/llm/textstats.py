@@ -526,20 +526,27 @@ def unigram_logprob(
     to this shape with a different probability table). Returns
     (id, n_tokens, avg_logprob), score rounded to 6 places.
 
-    Shape: explode → (doc, term) tf aggregate → (term) count aggregate
-    (both hash aggs with map-side combine) → term-keyed join of the
-    tf rows against the unigram table (corpus-size scalar rides a
-    broadcast) → per-doc weighted mean. The join input is distinct
-    (doc, term) pairs, not raw tokens, so the shuffled volume is the
-    compressed tf representation."""
+    Shape: explode → (doc, term) tf aggregate (hash agg, map-side
+    combine) → corpus term counts as a ``sum(tf)`` window over the
+    term on that SAME compressed tf frame (a separate (term)
+    aggregation joined back would re-run the tf final-agg and pay a
+    join for the same rows) → per-doc weighted mean. The corpus-size
+    total never touches the exploded stream at all: it is
+    ``sum(size(split(...)))`` over the raw documents — one narrow
+    scan, one row, broadcast."""
+    from pyspark.sql import Window
+
     words = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     )
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
-    total = counts.agg(F.sum("c").cast("double").alias("total"))
-    scored = tf.join(counts, "term").crossJoin(F.broadcast(total))
+    total = df.select(
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).alias("__l__")
+    ).agg(F.sum("__l__").cast("double").alias("total"))
+    scored = tf.withColumn(
+        "c", F.sum("tf").over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(total))
     return scored.groupBy(id_col).agg(
         F.sum("tf").alias("n_tokens"),
         F.round(
@@ -589,7 +596,18 @@ def unigram_logprob_ref(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    total = lm.agg(F.sum("c").alias("total"))
+    # reference token total from the raw rows (sum of split sizes) —
+    # one narrow scan instead of a second pass over the exploded LM
+    # subtree; identical integer (the LM explodes exactly the split)
+    total = (
+        spread_narrow_scan(ref, LIGHT_SPREAD_MIN_BYTES)
+        .select(
+            F.size(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("__l__")
+        )
+        .agg(F.sum("__l__").alias("total"))
+    )
     tf = (
         spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES)
         .select(
@@ -630,9 +648,14 @@ def bigram_logprob(
 
     The bigram stream is built with native array expressions (no
     self-join of token positions); then the same tf-compressed shape as
-    the unigram scorer: (doc, bigram) hash agg, bigram-count and
-    left-context-count tables, two bigram/word-keyed joins, per-doc
-    weighted mean."""
+    the unigram scorer: (doc, bigram) hash agg, then BOTH count tables
+    as window sums over that same compressed frame — ``c_big`` sums tf
+    over the bigram, and ``c_left`` sums tf over the leading word
+    (summing every (doc, bigram) row's tf within a lead-word partition
+    counts each corpus occurrence of a w-led bigram exactly once, so it
+    equals the former sum-of-c_big-per-w join table) — then the per-doc
+    weighted mean. No count-table joins, no re-aggregation of the
+    exploded stream."""
     # materialize the token array as a named column FIRST: expressions
     # referenced inside transform() lambdas are re-evaluated per element
     # (no CSE through lambda scopes), so inlining the split would make
@@ -650,18 +673,15 @@ def bigram_logprob(
         F.col(id_col),
         F.split(normalize_text(F.col(text_col)), " ").alias("__arr__"),
     ).select(F.col(id_col), F.explode(big).alias("bigram"))
+    from pyspark.sql import Window
+
     tf = grams.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
-    cbig = tf.groupBy("bigram").agg(F.sum("tf").alias("c_big"))
-    left = F.split(F.col("bigram"), " ").getItem(0)
-    cleft = (
-        cbig.select(left.alias("w"), "c_big")
-        .groupBy("w")
-        .agg(F.sum("c_big").alias("c_left"))
-    )
     scored = (
-        tf.join(cbig, "bigram")
+        tf.withColumn(
+            "c_big", F.sum("tf").over(Window.partitionBy("bigram"))
+        )
         .withColumn("w", F.split(F.col("bigram"), " ").getItem(0))
-        .join(cleft, "w")
+        .withColumn("c_left", F.sum("tf").over(Window.partitionBy("w")))
     )
     return scored.groupBy(id_col).agg(
         F.sum("tf").alias("n_bigrams"),

@@ -788,13 +788,31 @@ def test_chat_render_scan_bound(plans):
 
 def test_dsir_weights_broadcast_lm_join(plans):
     """dsir_weights: the bucket-LM frame (bounded at `buckets` rows)
-    must broadcast into the per-doc scoring join; the only data-scale
-    cartesian-looking node is the 1-row totals broadcast; everything
-    stays JVM-native."""
+    must broadcast into the per-doc scoring join; the LM totals are
+    window sums over the merged bucket table (r13: a separate 1-row
+    aggregate per LM re-ran the target-corpus explode a second time);
+    everything stays JVM-native."""
     p = plans("dsir_w")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+    # the target corpus (events-side) explode appears once per LM
+    # consumer, not twice: 3 Generates total (target LM, raw tf, and
+    # the raw frame's own feature build), not 5
+    assert p.count("Generate (") <= 3
+
+
+def test_logprob_scorers_single_explode_no_count_joins(plans):
+    """unigram/bigram_logprob: corpus counts are window sums over the
+    compressed (doc, term) tf frame and the token total reads the raw
+    rows (r13: count-table aggregations joined back re-ran the
+    tokenize+explode subtree — 3 Generates each); exactly one explode
+    pass and zero count-table joins remain."""
+    for q in ("unigram_logprob", "bigram_logprob"):
+        p = plans(q)
+        assert p.count("Generate (") == 1, q
+        assert "SortMergeJoin" not in p, q
+        assert "EvalPython" not in p, q
 
 
 def test_dsir_sample_takeordered_not_global_sort(plans):
