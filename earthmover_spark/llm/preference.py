@@ -1001,6 +1001,10 @@ def cohens_kappa_pairs(
             raise EarthmoverSparkError(
                 f"cohens_kappa_pairs: column {c!r} not in {df.columns}"
             )
+    # the annotation frame feeds the dup guard AND both sides of the
+    # item self-join: pinned lazily so the upstream derivation runs
+    # once — the guard's own count below doubles as the
+    # materialization job (no extra pass)
     a = df.filter(
         F.col(item_col).isNotNull()
         & F.col(rater_col).isNotNull()
@@ -1009,7 +1013,7 @@ def cohens_kappa_pairs(
         F.col(item_col).alias("item"),
         F.col(rater_col).alias("rater"),
         F.col(label_col).alias("label"),
-    )
+    ).localCheckpoint(eager=False)
     dup = (
         a.groupBy("item", "rater")
         .agg(F.count("*").alias("n"))
@@ -1032,9 +1036,17 @@ def cohens_kappa_pairs(
     joined = left.join(right, "item").filter(
         F.col("rater_a") < F.col("rater_b")
     )
+    # answer-sized (pairs x labels^2) but consumed THREE times (tot,
+    # ma, mb): pinned with a LAZY localCheckpoint so the corpus-scale
+    # item self-join is planned and executed once — inlined, the
+    # annotation subtree repeated 6x through the plan and one-shot
+    # planning+codegen dominated (measured 13.3s cold -> see
+    # OPTIMIZATION_r13.md). Lazy: the first downstream action
+    # materializes it; all downstream folds are integer-count sums, so
+    # the pin cannot move a float bit.
     conf = joined.groupBy("rater_a", "rater_b", "la", "lb").agg(
         F.count("*").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     tot = conf.groupBy("rater_a", "rater_b").agg(
         F.sum("n").alias("n_items"),
         F.sum(F.when(F.col("la") == F.col("lb"), F.col("n")).otherwise(0)).alias(

@@ -129,7 +129,18 @@ def triangle_count(
     hubs: the hub-skew guard is the orientation itself.
 
     Three equi-joins total: degree annotate (x2), wedge self-join,
-    wedge close. No cartesian, no Python, bounded single-row output."""
+    wedge close. No cartesian, no Python, bounded single-row output.
+
+    The oriented edge list is pinned with a LAZY ``localCheckpoint``
+    before fanning out to its three consumers (both wedge sides + the
+    closing set): inlined, the dedup/degree/annotate subtree repeats
+    15x through the plan — AQE's runtime exchange reuse dedupes the
+    *work*, but the driver still plans and codegens every copy, which
+    dominated the one-shot cost (measured 8-9s -> 6-7s cold, flat-to-
+    faster warm, identical count). Lazy: the final aggregate's own
+    action materializes it — no extra job. The pinned RDD stays in
+    executor storage until GC (the run-once contract, as in
+    operators/setsim)."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -157,7 +168,7 @@ def triangle_count(
         F.when(lower_first, F.col("__db__")).otherwise(F.col("__da__")).alias(
             "__dv__"
         ),
-    )
+    ).localCheckpoint(eager=False)
     o1 = oriented.select("u", F.col("v").alias("w1"), F.col("__dv__").alias("__d1__"))
     o2 = oriented.select("u", F.col("v").alias("w2"), F.col("__dv__").alias("__d2__"))
     wedges = o1.join(o2, "u").filter(

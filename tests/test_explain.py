@@ -508,6 +508,28 @@ def test_bin_metrics_compressed_frame_no_python(plans):
     assert "Join" not in p
 
 
+def test_triangles_plan_truncated_at_oriented_edges(plans):
+    """triangle_count pins the oriented edge list before fanning out
+    to its three consumers (r13: inlined, the dedup/degree/annotate
+    subtree repeated 15x and one-shot planning+codegen dominated).
+    The final plan reads the pinned RDD — no parquet re-scans."""
+    p = plans("triangles")
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p
+    assert "CartesianProduct" not in p
+
+
+def test_kappa_pairs_plan_truncated_at_confusion(plans):
+    """cohens_kappa_pairs pins the annotation frame and the
+    answer-sized confusion frame (r13: the events-derivation subtree
+    repeated 6x through the marginal folds). The final plan folds the
+    pinned confusion RDD only."""
+    p = plans("kappa_pairs")
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p
+    assert "EvalPython" not in p
+
+
 def test_text_tfidf_single_explode_no_term_join(plans):
     """tfidf_top_terms: document frequency is a count window over the
     aggregated tf table (r13: a separate (term) aggregation joined
