@@ -452,7 +452,17 @@ def bloom_filtered_join(
         F.col(on).isNotNull()
     )
     for r in range(num_hashes):
-        probe = sketch._cm_slot(F.col(on), num_bits, r, salt)
+        # _cm_slot is statically nullable, so each semi-join used to
+        # infer isnotnull(<probe>) and push it below the spread
+        # exchange — every md5 chain evaluated TWICE per row, the
+        # extra copy on the UNSPREAD single-task scan stage (measured
+        # 3x the whole chain's cost). coalesce makes the key provably
+        # non-null, killing the inference; the branch is unreachable
+        # (md5 of a non-null key is never NULL) and -1 is outside the
+        # filter's pmod range, so semantics are byte-identical.
+        probe = F.coalesce(
+            sketch._cm_slot(F.col(on), num_bits, r, salt), F.lit(-1)
+        )
         filtered = (
             filtered.withColumn("__bfj_bit__", probe)
             .join(
