@@ -466,10 +466,15 @@ def redact_pii(
     otherwise swallow card digits).
 
     Pure JVM regexp/array-lambda chain — whole-stage-codegen'd, no
-    shuffle, scan-bandwidth bound at any scale. Card redaction uses
+    data-scale shuffle, scan-bandwidth bound. Card redaction uses
     literal ``replace`` per distinct in-document candidate (bounded by
-    the candidate count per row, not corpus size)."""
+    the candidate count per row, not corpus size). 4+ regexp passes
+    (plus the Luhn extract/filter/replace chain with validate_cards)
+    per row is CPU-dense per byte, so a narrow single-row-group scan
+    is spread to cluster parallelism first (guide §2.5, ungated like
+    the md5-dense callers); no-op on wide scans."""
     out_col = out_col or text_col
+    df = spread_narrow_scan(df)
     text = F.col(text_col)
     counted = df.withColumns(
         {
@@ -756,7 +761,11 @@ def gopher_quality_filter(
     text = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
     words = F.filter(F.split(trimmed, r"\s+"), lambda w: w != "")
-    out = df.withColumn("__w__", words)
+    # the signals below are array-lambda (HOF) passes over every
+    # row's word/line arrays — interpreted per element, CPU-dense per
+    # byte: spread a narrow single-row-group scan first (guide §2.5,
+    # ungated like the md5-dense callers); no-op on wide scans
+    out = spread_narrow_scan(df).withColumn("__w__", words)
     w = F.col("__w__")
     n_words = F.size(w)
     mean_len = F.when(

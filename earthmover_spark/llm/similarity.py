@@ -55,11 +55,17 @@ def cosine_topk(
     broadcast; cost is O(|queries| * |corpus|) multiply-adds spread
     across the cluster — the right baseline to validate approximate
     methods against."""
+    from earthmover_spark.llm.textstats import spread_narrow_scan
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    c = corpus.select(
+    # every corpus row pays |queries| x dims multiply-adds — the most
+    # CPU-dense per-byte scan in the engine: spread a narrow
+    # single-row-group corpus to cluster parallelism (guide §2.5,
+    # ungated); no-op on wide scans
+    c = spread_narrow_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -178,7 +184,12 @@ def hard_negatives(
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).filter(F.col("anchor_label").isNotNull())
     _check_anchor_budget(a, max_anchors, "hard_negatives")
-    c = corpus.select(
+    # same corpus-side spread as cosine_topk: |anchors| x dims
+    # multiply-adds per corpus row must not run on one task when the
+    # corpus lands as a single row group (guide §2.5)
+    from earthmover_spark.llm.textstats import spread_narrow_scan
+
+    c = spread_narrow_scan(corpus).select(
         F.col(id_col).alias("negative_id"),
         F.col(label_col).alias("negative_label"),
         F.col(vec_col).cast("array<double>").alias("cv"),

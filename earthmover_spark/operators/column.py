@@ -471,7 +471,13 @@ def infer_types(
                     F.when(present, v.rlike(pat))
                 ).alias(f"__{tname}__{c}")
             )
-    row = df.agg(*aggs).collect()[0]  # bounded: |cols| x |rules| + |cols|
+    # the verdict agg evaluates |rules| regexes per candidate column
+    # per row — regex-dense enough that a narrow single-row-group scan
+    # must not run it single-task (guide §2.5); only the agg INPUT is
+    # spread, the returned cast frame keeps df's own scan/order
+    from earthmover_spark.llm.textstats import spread_narrow_scan
+
+    row = spread_narrow_scan(df).agg(*aggs).collect()[0]  # bounded: |cols| x |rules| + |cols|
     out = {}
     for c in candidates:
         if not row[f"__n__{c}"]:

@@ -49,15 +49,20 @@ def profile_table(
     # exact_distinct plans a k-way Expand of the scan before the
     # partial aggregation — on a narrow scan (single row group) that
     # whole expanded sweep runs on one task (guide §2.5, input skew).
-    # Byte-gated: string-cast aggs are cheap enough per byte that the
-    # round-robin exchange only pays for itself on multi-MB inputs
-    # (measured flat-to-slower ungated at 2.7 MB); no-op on wide scans
+    # The Expand multiplies per-byte CPU by k+1, so the exact path
+    # spreads UNGATED (warm 3.1s -> 2.2s at 2.7 MB, consistent across
+    # interleaved A/B blocks); the approx (HLL) path keeps the light
+    # byte gate — its plain aggs are cheap enough per byte that the
+    # round-robin exchange only pays on multi-MB inputs. Both are
+    # no-ops on wide scans.
     from earthmover_spark.llm.textstats import (
         LIGHT_SPREAD_MIN_BYTES,
         spread_narrow_scan,
     )
 
-    df = spread_narrow_scan(df, LIGHT_SPREAD_MIN_BYTES)
+    df = spread_narrow_scan(
+        df, 0 if exact_distinct else LIGHT_SPREAD_MIN_BYTES
+    )
     # every agg / reshape struct as ONE parsed expression — the
     # per-Column form costs ~25 py4j round trips per profiled column
     # of pure driver latency; the parsed strings build identical plans

@@ -119,10 +119,12 @@ def test_decontaminate_is_all_broadcast(plans):
 
 
 def test_redact_pii_is_single_stage_jvm(plans):
-    """PII redaction is a pure regexp chain: no shuffle, no Python —
-    scan-bandwidth bound at any scale."""
+    """PII redaction is a pure regexp chain: no Python, no join, and
+    no HASH exchange of the corpus — the only allowed exchange is the
+    round-robin spread of a narrow scan (no-op on wide scans), so the
+    chain stays scan-bandwidth bound at any scale."""
     p = plans("redact_pii")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
     assert "EvalPython" not in p
     assert "BroadcastHashJoin" not in p and "SortMergeJoin" not in p
 
@@ -703,10 +705,11 @@ def test_kmv_sketch_takeordered_not_global_sort(plans):
 
 
 def test_gopher_quality_scan_bound(plans):
-    """The Gopher rules are per-row array-lambda codegen: no exchange,
-    no join, no Python in the driver query."""
+    """The Gopher rules are per-row array-lambda passes: no join, no
+    Python, no HASH exchange — only the round-robin spread of a
+    narrow scan (no-op on wide scans) is allowed."""
     p = plans("gopher_quality")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -865,9 +868,10 @@ def test_dedup_keep_best_broadcast_annotation(plans):
 
 def test_redact_cards_single_stage_jvm(plans):
     """Luhn card redaction is a pure regexp/array-lambda chain: no
-    shuffle, no join, no Python."""
+    join, no Python, no HASH exchange — only the round-robin spread
+    of a narrow scan (no-op on wide scans) is allowed."""
     p = plans("redact_cards")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
 
