@@ -116,7 +116,14 @@ def render_chat(
         return F.struct(new_pos.alias("pos"), new_spans.alias("spans"))
 
     spans = F.aggregate(msgs, init, _step, lambda acc: acc["spans"])
-    out = df.withColumn(out_col, rendered).withColumn(spans_col, spans)
+    # the render + span aggregates are per-turn lambda chains over
+    # every conversation: CPU-dense per byte, so spread a narrow
+    # single-row-group scan (guide §2.5, ungated); no-op when wide
+    from earthmover_spark.llm.textstats import spread_narrow_scan
+
+    out = spread_narrow_scan(df).withColumn(out_col, rendered).withColumn(
+        spans_col, spans
+    )
     return out.withColumn("n_turns", F.size(msgs)).withColumn(
         "n_mask_chars",
         F.aggregate(
@@ -200,7 +207,11 @@ def fim_transform(
         F.lit(middle_tok),
         middle,
     )
-    return df.withColumn(
+    # three md5s + substring arithmetic per row: md5-dense, spread a
+    # narrow scan (guide §2.5, ungated); no-op on wide scans
+    from earthmover_spark.llm.textstats import spread_narrow_scan
+
+    return spread_narrow_scan(df).withColumn(
         "fim_applied", applied
     ).withColumn(out_col, F.when(applied, psm).otherwise(text))
 

@@ -443,7 +443,9 @@ def clean_text(
     # cap blank-line runs: 3+ newlines -> exactly one blank line
     t2 = F.regexp_replace(t2, "\n{3,}", "\n\n")
     t2 = F.regexp_replace(t2, "^\\s+|\\s+$", "")
-    return df.withColumn("__clean__", t2).withColumn(
+    # ~8 chained regexp_replace passes per row: CPU-dense per byte,
+    # spread a narrow scan (guide §2.5, ungated); no-op on wide scans
+    return spread_narrow_scan(df).withColumn("__clean__", t2).withColumn(
         "n_chars_cleaned", orig_len - F.length("__clean__")
     ).withColumn(out_col, F.col("__clean__")).drop("__clean__")
 
@@ -704,7 +706,10 @@ def c4_line_filter(
 
     lines = F.split(text, r"\r?\n")  # tolerate Windows line endings
     kept = F.filter(lines, _keep)
-    out = df.withColumn("__kept__", kept).withColumn(
+    # the per-line keep lambda runs a regexp trim + split + rlike +
+    # |drop_patterns| contains-checks per LINE: CPU-dense per byte,
+    # spread a narrow scan (guide §2.5, ungated); no-op on wide scans
+    out = spread_narrow_scan(df).withColumn("__kept__", kept).withColumn(
         "__nt__", F.size(lines)
     )
     return (
@@ -893,7 +898,9 @@ def line_repetition_stats(
             ),
         }
 
-    out = df.withColumn("__lines__", _segs(r"\r?\n")).withColumn(
+    # O(distinct x total) array work per row: CPU-dense per byte,
+    # spread a narrow scan (guide §2.5, ungated); no-op on wide scans
+    out = spread_narrow_scan(df).withColumn("__lines__", _segs(r"\r?\n")).withColumn(
         "__paras__", _segs(r"(\r?\n)(\s*\r?\n)+")
     )
     cols = {}

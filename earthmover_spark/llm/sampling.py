@@ -762,7 +762,9 @@ def sample_ladder(
         rung = F.when(
             h < F.lit(int(fr[i] * _HASH_SPACE)), F.lit(i)
         ).otherwise(rung)
-    return df.withColumn(out_col, rung)
+    # one md5 + CASE per row: md5-dense, spread a narrow scan
+    # (guide §2.5, ungated); no-op on wide scans
+    return spread_narrow_scan(df).withColumn(out_col, rung)
 
 
 def cdc_chunks(

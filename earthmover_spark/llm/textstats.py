@@ -376,7 +376,9 @@ def script_stats(
             ).otherwise(F.lit(0.0)),
             6,
         )
-    return df.withColumns(cols)
+    # one regexp_count pass PER SCRIPT per row: CPU-dense per byte,
+    # so spread a narrow scan (guide §2.5, ungated); no-op when wide
+    return spread_narrow_scan(df).withColumns(cols)
 
 
 # ---------------------------------------------------------------------------
@@ -967,8 +969,11 @@ def ngram_overlap(
     caller's: this scores rows that already hold both texts)."""
     ga = F.array_distinct(shingles(F.col(col_a), n))
     gb = F.array_distinct(shingles(F.col(col_b), n))
+    # two shingle regex passes + distinct + intersect per row is
+    # CPU-dense per byte: spread a narrow single-row-group scan
+    # (guide §2.5, ungated); no-op on wide scans
     out = (
-        df.withColumn("__ga__", ga)
+        spread_narrow_scan(df).withColumn("__ga__", ga)
         .withColumn("__gb__", gb)
         .withColumn("grams_a", F.size("__ga__"))
         .withColumn("grams_b", F.size("__gb__"))

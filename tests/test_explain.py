@@ -675,10 +675,11 @@ def test_lm_jsd_word_count_shape(plans):
 
 
 def test_ladder_zero_shuffle(plans):
-    """sample_ladder is one md5 + CASE per row over the scan: no
-    exchange, no join, no Python anywhere in the driver query."""
+    """sample_ladder is one md5 + CASE per row over the scan: no join,
+    no Python, no HASH exchange — only the round-robin spread of a
+    narrow scan (no-op on wide scans) is allowed."""
     p = plans("ladder")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -688,7 +689,8 @@ def test_canon_urls_and_c4_lines_scan_bound(plans):
     no join, no Python anywhere in the driver queries."""
     for q in ("canon_urls", "c4_lines"):
         p = plans(q)
-        assert "Exchange" not in p, q
+        # c4_lines spreads its narrow scan (round-robin only)
+        assert "hashpartitioning" not in p, q
         assert "Join" not in p, q
         assert "EvalPython" not in p, q
 
@@ -716,7 +718,7 @@ def test_gopher_quality_scan_bound(plans):
 
 def test_line_repetition_scan_bound(plans):
     p = plans("line_repetition")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -806,7 +808,7 @@ def test_para_dedup_forced_broadcast_and_forced_shuffle_agree(spark):
 
 def test_chat_render_scan_bound(plans):
     p = plans("chat_render")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -877,10 +879,11 @@ def test_redact_cards_single_stage_jvm(plans):
 
 
 def test_fim_psm_zero_shuffle(plans):
-    """FIM is three md5s + substring arithmetic per row: no exchange,
-    no join, no Python."""
+    """FIM is three md5s + substring arithmetic per row: no join, no
+    Python, no HASH exchange — only the round-robin spread of a
+    narrow scan (no-op on wide scans) is allowed."""
     p = plans("fim_psm")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -897,17 +900,18 @@ def test_len_batches_single_bucket_window(plans):
 
 
 def test_clean_docs_single_stage_jvm(plans):
-    """clean_text is a pure regexp_replace chain: no shuffle, no join,
-    no Python — scan-bandwidth bound."""
+    """clean_text is a pure regexp_replace chain: no join, no Python,
+    no HASH exchange — only the round-robin spread of a narrow scan
+    (no-op on wide scans) is allowed."""
     p = plans("clean_docs")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
 
 
 def test_script_mix_single_stage_jvm(plans):
     p = plans("script_mix")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
 
