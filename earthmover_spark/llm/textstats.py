@@ -109,6 +109,18 @@ def spread_narrow_scan(df: DataFrame, min_total_bytes: int = 0) -> DataFrame:
     est_partitions = math.ceil(total / max_split) if total else n_files
     if est_partitions >= target:
         return df
+    # composed pipelines (clean_text -> redact_pii -> ...) each call
+    # spread on a frame whose ONLY file metadata is the original narrow
+    # scan, so every stage would stack one more redundant round-robin
+    # exchange. If the analyzed plan already repartitions above the
+    # scan, the frame is already wide — skip. Checked last so the
+    # plan-string walk is only paid when a spread would otherwise fire
+    # (never on the at-scale early-return paths above).
+    try:
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
 
 # ---------------------------------------------------------------------------

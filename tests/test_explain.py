@@ -27,6 +27,21 @@ def plans(spark):
     return plan
 
 
+def _exchanges_all_roundrobin(p: str) -> bool:
+    """True iff every Exchange in a formatted plan is the round-robin
+    spread — r13 relaxed several tests from "no Exchange" to "no
+    hashpartitioning", which silently also allowed range / single-
+    partition exchanges (an accidental global sort or coalesce-to-1
+    would pass). Formatted plans name the partitioning on the node's
+    Arguments detail line, so match Exchange detail headers against
+    RoundRobinPartitioning argument lines one-for-one."""
+    import re
+
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    n_roundrobin = p.count("Arguments: RoundRobinPartitioning")
+    return n_exchange == n_roundrobin
+
+
 def test_filter_pushdown_reaches_scan(plans):
     p = plans("filter_rows")
     assert "PushedFilters: [" in p
@@ -124,7 +139,7 @@ def test_redact_pii_is_single_stage_jvm(plans):
     round-robin spread of a narrow scan (no-op on wide scans), so the
     chain stays scan-bandwidth bound at any scale."""
     p = plans("redact_pii")
-    assert "hashpartitioning" not in p
+    assert _exchanges_all_roundrobin(p)
     assert "EvalPython" not in p
     assert "BroadcastHashJoin" not in p and "SortMergeJoin" not in p
 
@@ -679,7 +694,7 @@ def test_ladder_zero_shuffle(plans):
     no Python, no HASH exchange — only the round-robin spread of a
     narrow scan (no-op on wide scans) is allowed."""
     p = plans("ladder")
-    assert "hashpartitioning" not in p
+    assert _exchanges_all_roundrobin(p)
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -690,7 +705,7 @@ def test_canon_urls_and_c4_lines_scan_bound(plans):
     for q in ("canon_urls", "c4_lines"):
         p = plans(q)
         # c4_lines spreads its narrow scan (round-robin only)
-        assert "hashpartitioning" not in p, q
+        assert _exchanges_all_roundrobin(p), q
         assert "Join" not in p, q
         assert "EvalPython" not in p, q
 
@@ -711,14 +726,14 @@ def test_gopher_quality_scan_bound(plans):
     Python, no HASH exchange — only the round-robin spread of a
     narrow scan (no-op on wide scans) is allowed."""
     p = plans("gopher_quality")
-    assert "hashpartitioning" not in p
+    assert _exchanges_all_roundrobin(p)
     assert "Join" not in p
     assert "EvalPython" not in p
 
 
 def test_line_repetition_scan_bound(plans):
     p = plans("line_repetition")
-    assert "hashpartitioning" not in p
+    assert _exchanges_all_roundrobin(p)
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -808,7 +823,7 @@ def test_para_dedup_forced_broadcast_and_forced_shuffle_agree(spark):
 
 def test_chat_render_scan_bound(plans):
     p = plans("chat_render")
-    assert "hashpartitioning" not in p
+    assert _exchanges_all_roundrobin(p)
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -873,7 +888,7 @@ def test_redact_cards_single_stage_jvm(plans):
     join, no Python, no HASH exchange — only the round-robin spread
     of a narrow scan (no-op on wide scans) is allowed."""
     p = plans("redact_cards")
-    assert "hashpartitioning" not in p
+    assert _exchanges_all_roundrobin(p)
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -883,7 +898,7 @@ def test_fim_psm_zero_shuffle(plans):
     Python, no HASH exchange — only the round-robin spread of a
     narrow scan (no-op on wide scans) is allowed."""
     p = plans("fim_psm")
-    assert "hashpartitioning" not in p
+    assert _exchanges_all_roundrobin(p)
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -904,14 +919,14 @@ def test_clean_docs_single_stage_jvm(plans):
     no HASH exchange — only the round-robin spread of a narrow scan
     (no-op on wide scans) is allowed."""
     p = plans("clean_docs")
-    assert "hashpartitioning" not in p
+    assert _exchanges_all_roundrobin(p)
     assert "Join" not in p
     assert "EvalPython" not in p
 
 
 def test_script_mix_single_stage_jvm(plans):
     p = plans("script_mix")
-    assert "hashpartitioning" not in p
+    assert _exchanges_all_roundrobin(p)
     assert "Join" not in p
     assert "EvalPython" not in p
 
@@ -1045,7 +1060,7 @@ def test_cdc_chunks_zero_shuffle(plans):
     spread_narrow_scan fanning a single-row-group file out to the
     cluster, a no-op on real many-file inputs.)"""
     p = plans("cdc_chunks")
-    assert "Exchange hashpartitioning" not in p
+    assert _exchanges_all_roundrobin(p)
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "Generate" in p  # posexplode of the chunk array
