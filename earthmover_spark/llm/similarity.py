@@ -674,14 +674,6 @@ def _triplets_attach(
             f"'hardest', got {positive_mode!r}"
         )
     pos_sign = -1.0 if positive_mode == "most_similar" else 1.0
-    # a NULL cosine (NULL/ragged embedding) is not evidence of
-    # similarity OR dissimilarity — exclude it outright rather than
-    # rank it (plain asc would even rank NULLs FIRST in Spark,
-    # promoting junk to rank 1; nulls-last would still export it
-    # whenever k_neg reaches the tail). The engine-divergent
-    # NULL-ordering trap: any rank over a nullable column must
-    # exclude NULLs on BOTH the Spark and the oracle side.
-    scored = scored.filter(F.col("score").isNotNull())
     # ascending sort key: negatives always -score (highest cosine
     # first); positives sign*score (most_similar = highest first,
     # hardest = lowest first)
@@ -691,9 +683,28 @@ def _triplets_attach(
     w = Window.partitionBy("anchor_id", "__same__").orderBy(
         key.asc_nulls_last(), F.col("cand_id").asc()
     )
+    # a NULL cosine (NULL/ragged embedding) is not evidence of
+    # similarity OR dissimilarity — exclude it outright rather than
+    # rank it (the engine-divergent NULL-ordering trap: any rank over
+    # a nullable column must exclude NULLs on BOTH the Spark and the
+    # oracle side). The exclusion runs AFTER the window, not before:
+    # a pre-window filter(score.isNotNull()) is pushed down into the
+    # candidate join's condition, where it re-inlines the full cosine
+    # aggregate — every candidate pair paid the cosine TWICE (join
+    # condition + projection; measured in the triplets plan as
+    # isnotnull(round(aggregate(zip_with(...)))) inside the Join
+    # node, guide §4.4-shaped). Post-window the filter reads the
+    # window operator's materialized column, so the cosine runs once.
+    # Output-identical: the rank key is asc_nulls_last, so NULL-score
+    # rows rank strictly AFTER every non-NULL row — non-NULL rows keep
+    # exactly the row numbers they had with NULLs pre-excluded, and
+    # any NULL row that sneaks under the rank cut is dropped here.
     pruned = (
         scored.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") <= max(1, k_neg))
+        .filter(
+            (F.col("__rn__") <= max(1, k_neg))
+            & F.col("score").isNotNull()
+        )
         .select(
             "anchor_id", "anchor_label", "cand_id", "cand_label",
             "score", "__same__", "__rn__",

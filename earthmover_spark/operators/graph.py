@@ -80,17 +80,35 @@ def pagerank(
                 [], f"{node_col} long, {rank_col} double"
             )
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg__"))
-        contrib_edges = e.join(outdeg, "src")  # co-located: both keyed on src
         teleport = (1.0 - damping) / n
 
         ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
         for _ in range(iters):
-            c = (
-                contrib_edges.join(
-                    ranks.withColumnRenamed("v", "src"), "src"
+            # divide on the |V|-sized rank side, not per edge: the old
+            # shape joined the FULL edge list against outdeg every
+            # round (an |E|-row join per iteration that the r13 probe
+            # could not profitably persist away) and carried (r, deg)
+            # through the edge join to divide per edge row. r/deg is
+            # constant per src, so computing it once per node and
+            # joining THAT into the edges removes the per-round
+            # |E|-row annotate join and narrows the edge-join payload
+            # to a single double (guide §2.3/§2.4). The per-dst sum
+            # adds exactly the same doubles (same operands, same IEEE
+            # division), so ranks are value-identical. Dangling nodes
+            # still contribute nothing: the inner join with outdeg
+            # drops rank rows with no outgoing edges, exactly as the
+            # old contrib_edges inner join did.
+            w = (
+                ranks.join(outdeg.withColumnRenamed("src", "v"), "v")
+                .select(
+                    F.col("v").alias("src"),
+                    (F.col("r") / F.col("__deg__")).alias("__w__"),
                 )
+            )
+            c = (
+                e.join(w, "src")
                 .groupBy("dst")
-                .agg(F.sum(F.col("r") / F.col("__deg__")).alias("__c__"))
+                .agg(F.sum(F.col("__w__")).alias("__c__"))
             )
             ranks = nodes.join(
                 c.withColumnRenamed("dst", "v"), "v", "left"
