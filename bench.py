@@ -291,6 +291,29 @@ def main() -> None:
         _F.to_json(_F.struct("id", "k")).alias("j")
     ).write.format("noop").mode("overwrite").save()  # first noop sink
 
+    # first JVM->Python boundary (r14): the python worker daemon fork,
+    # per-core worker spin-up and Arrow eval machinery cost ~2s once
+    # per session and landed on whichever Python-path query ran first
+    # (measured: multimodal_features 2.2s one-shot cold vs 0.7s after
+    # this warm-up, 0.3s warm). Synthetic range data only, same
+    # declared-additions-only contract as the r13 warm-up extension.
+    import pandas as _pd
+
+    def _ident(batches):
+        yield from batches
+
+    spark.range(64).mapInPandas(
+        _ident, "id long"
+    ).write.format("noop").mode("overwrite").save()  # first MapInPandas
+
+    @_F.pandas_udf("long")
+    def _inc(s: _pd.Series) -> _pd.Series:
+        return s + 1
+
+    spark.range(64).select(_inc("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()  # first ArrowEvalPython
+
     # one failing query must never zero the whole suite: time what runs,
     # record errors per-query, and always emit the JSON line
     errors: dict[str, str] = {}

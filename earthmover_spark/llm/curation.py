@@ -965,10 +965,17 @@ def paragraph_dedup(
         ),
         lambda s: s != "",
     )
+    # consumed twice (hot-digest agg + removal-join probe side) with
+    # no shared exchange for AQE to reuse, so uncached the split +
+    # trim + posexplode + md5 pass ran twice per call. persist, not
+    # localCheckpoint: the frame is corpus-sized, so columnar cache
+    # batches beat row-format checkpoint blocks (the r13 #13 rule);
+    # stays cached until eviction — the jaccard_self_pairs run-once
+    # contract.
     exploded = spread_narrow_scan(df).select(
         F.col(id_col).alias("__id__"),
         F.posexplode(paras).alias("__pos__", "__para__"),
-    ).withColumn("__digest__", F.md5(F.col("__para__")))
+    ).withColumn("__digest__", F.md5(F.col("__para__"))).persist()
     hot = (
         exploded.groupBy("__digest__")
         .agg(F.count_distinct("__id__").alias("__nd__"))

@@ -101,8 +101,13 @@ def bm25_scores(
         ).collect()[0]
         n_docs, avgdl = stats["__n__"], float(stats["__avgdl__"] or 1.0)
 
+        # (id, term) is unique by _doc_terms construction (tf is the
+        # per-doc aggregate), so the per-term document frequency is a
+        # plain row count — count_distinct planned a second, (term,
+        # id)-keyed exchange + dedup phase for integers that are
+        # provably identical (guide §2.4: remove shuffles outright)
         dfreq = qt.groupBy("term").agg(
-            F.count_distinct(id_col).alias("__df__")
+            F.count(F.lit(1)).alias("__df__")
         )
         idf = dfreq.select(
             "term",
@@ -195,8 +200,10 @@ def bm25_batch(
             F.count(F.lit(1)).alias("__n__"), F.avg("__l__").alias("__avgdl__")
         ).collect()[0]
         n_docs, avgdl = stats["__n__"], float(stats["__avgdl__"] or 1.0)
+        # (id, term) unique by _doc_terms construction: plain count ==
+        # count_distinct(id), minus the extra distinct exchange
         idf = dt.groupBy("term").agg(
-            F.count_distinct(id_col).alias("__df__")
+            F.count(F.lit(1)).alias("__df__")
         ).select(
             "term",
             F.log(

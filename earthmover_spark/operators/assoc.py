@@ -78,11 +78,20 @@ def association_rules(
         .distinct()
     )
     if max_basket_size is not None:
-        sizes = bi.groupBy("__basket__").agg(
-            F.count(F.lit(1)).alias("__bsz__")
+        # basket-size guard as ONE window count over the deduped frame
+        # instead of a size aggregate joined back: the old shape
+        # planted the distinct subtree in the plan twice (agg input +
+        # join side) and paid a join; the window's basket-keyed
+        # exchange is the same partitioning the pair self-join below
+        # needs, so it is established once and reused (guide §2.4).
+        # Integer count, identical row set.
+        from pyspark.sql import Window
+
+        bsz = F.count(F.lit(1)).over(
+            Window.partitionBy("__basket__")
         )
         bi = (
-            bi.join(sizes, "__basket__")
+            bi.withColumn("__bsz__", bsz)
             .where(F.col("__bsz__") <= max_basket_size)
             .drop("__bsz__")
         )
