@@ -297,8 +297,6 @@ def main() -> None:
     # (measured: multimodal_features 2.2s one-shot cold vs 0.7s after
     # this warm-up, 0.3s warm). Synthetic range data only, same
     # declared-additions-only contract as the r13 warm-up extension.
-    import pandas as _pd
-
     def _ident(batches):
         yield from batches
 
@@ -306,10 +304,7 @@ def main() -> None:
         _ident, "id long"
     ).write.format("noop").mode("overwrite").save()  # first MapInPandas
 
-    @_F.pandas_udf("long")
-    def _inc(s: _pd.Series) -> _pd.Series:
-        return s + 1
-
+    _inc = _F.udf(lambda x: x + 1, "long", useArrow=True)
     spark.range(64).select(_inc("id")).write.format("noop").mode(
         "overwrite"
     ).save()  # first ArrowEvalPython

@@ -402,14 +402,23 @@ def neighborhood_reach(
     )
     out: list[DataFrame] = []
     if method == "exact":
+        # lazy per-round cuts: there is no per-round action here (the
+        # hop count is fixed), so the final union's single job
+        # materializes every round's checkpoint in one pass — the
+        # eager variant paid one extra driver-blocking job per hop
+        # for the same lineage cut (guide §1.2: fewer passes)
         visited = nodes.select(
             "node", F.col("node").alias("member")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         for t in range(1, hops + 1):
             expand = visited.join(
                 e, visited["member"] == e["src"]
             ).select(visited["node"], e["dst"].alias("member"))
-            visited = visited.unionAll(expand).distinct().localCheckpoint()
+            visited = (
+                visited.unionAll(expand)
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
             out.append(
                 visited.groupBy("node").agg(
                     F.count(F.lit(1)).alias("reach")
@@ -418,7 +427,7 @@ def neighborhood_reach(
     else:
         sk = nodes.groupBy("node").agg(
             F.hll_sketch_agg("node", F.lit(lgk)).alias("__sk__")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         for t in range(1, hops + 1):
             contrib = e.join(
                 sk.select(
@@ -430,7 +439,7 @@ def neighborhood_reach(
                 sk.unionAll(contrib)
                 .groupBy("node")
                 .agg(F.hll_union_agg("__sk__").alias("__sk__"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             out.append(
                 sk.select(
