@@ -200,16 +200,22 @@ def hard_negatives(
             on=F.col("anchor_label") != F.col("negative_label"),
         )
         .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
-        # a NULL cosine (NULL/ragged embedding) is not a negative —
-        # exclude rather than let it export from the rank tail
-        .filter(F.col("score").isNotNull())
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("score").desc(), F.col("negative_id").asc()
     )
+    # a NULL cosine (NULL/ragged embedding) is not a negative —
+    # exclude rather than let it export from the rank tail. Excluded
+    # AFTER the window (same _triplets_attach lesson): a pre-window
+    # filter(score.isNotNull()) is pushed into the broadcast join's
+    # condition, re-inlining the full cosine per pair (the plan
+    # showed isnotnull(round(aggregate(zip_with(...)))) in the Join
+    # node — every pair paid the cosine twice). desc ordering is
+    # nulls-last, so non-NULL rows keep identical ranks and any NULL
+    # row under the cut is dropped here — output identical.
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & F.col("score").isNotNull())
         .select(
             "anchor_id",
             "anchor_label",
@@ -319,7 +325,23 @@ def ivf_index(
         ),
     )
     cell = F.array_position(dists, F.array_min(dists)) - 1
-    return emb.withColumn("cell", cell.cast("int")), centroids
+    # coalesce(-1) makes the cell statically non-null, so the cell
+    # equi-joins downstream (ivf_topk, mine_triplets_bucketed) stop
+    # inferring isnotnull(<full argmin expression>) and pushing it
+    # below the projection — that inference re-ran the whole
+    # centroid-distance transform per corpus row (measured in the
+    # triplets_bucketed plan: an 11.9 KB Filter condition inlining
+    # the literal centroid matrix; the bloom_join r13 idiom).
+    # Semantics unchanged: a NULL-vector row previously carried a
+    # NULL cell and joined nothing; -1 is outside every real cell id
+    # (0..k-1) and the probe side never emits it, so it still joins
+    # nothing.
+    return (
+        emb.withColumn(
+            "cell", F.coalesce(cell.cast("int"), F.lit(-1))
+        ),
+        centroids,
+    )
 
 
 def pq_index(
