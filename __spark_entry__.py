@@ -2163,9 +2163,17 @@ def q_emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _p(spark, sf_dir, "embeddings")
     std = embeddings.standardize(emb, "embedding", out_col="z", dims=64)
+    # outer explode + null-position filter instead of a plain explode:
+    # the inner Generate makes the optimizer infer size(z) > 0 AND
+    # isnotnull(z) and push it into the broadcast-stats join condition,
+    # re-running the whole 64-dim standardize transform per row (the
+    # plan carried a 741-char Join condition inlining z). The outer
+    # form infers nothing; filtering the Generate's OUTPUT position
+    # drops exactly the rows the inner explode skipped (null/empty
+    # arrays emit a single all-NULL row) — row set identical.
     return std.select(
-        "vec_id", F.posexplode("z").alias("dim", "z")
-    )
+        "vec_id", F.posexplode_outer("z").alias("dim", "z")
+    ).filter(F.col("dim").isNotNull())
 
 
 def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
