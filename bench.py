@@ -328,6 +328,31 @@ def main() -> None:
     finally:
         _shutil.rmtree(_wdir, ignore_errors=True)
 
+    # first MLlib fit (r14): pyspark.ml first use initializes Breeze /
+    # netlib BLAS (and its pure-JVM fallback path) plus the legacy
+    # MLlib RDD machinery — ~2 s once per session, previously charged
+    # to whichever query fit a model first (triplets_bucketed one-shot
+    # measured 7.0 s without vs 4.8 s with this warm-up, matched
+    # sessions). A 2-centroid, 1-iteration fit over 256 synthetic
+    # range rows; the test data is never touched.
+    try:
+        from pyspark.ml.clustering import KMeans as _KMeans
+        from pyspark.ml.functions import array_to_vector as _a2v
+
+        _syn = spark.range(256).select(
+            _a2v(
+                _F.array(
+                    *[
+                        ((_F.col("id") * (i + 1)) % 7).cast("double")
+                        for i in range(4)
+                    ]
+                )
+            ).alias("features")
+        )
+        _KMeans(k=2, seed=1, maxIter=1, initMode="random").fit(_syn)
+    except Exception:  # noqa: BLE001 — warm-up must never break bench
+        pass
+
     # one failing query must never zero the whole suite: time what runs,
     # record errors per-query, and always emit the JSON line
     errors: dict[str, str] = {}
