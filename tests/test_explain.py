@@ -1289,3 +1289,106 @@ def test_triplets_bucketed_is_cell_equijoin(plans):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "WindowGroupLimit" in p
+
+
+# --------------------------------------------------------------------------
+# r14: double-evaluation guards — expensive expressions must not be
+# re-inlined into join/filter conditions by pushed-down or inferred
+# predicates (the bloom_join/jl_project pathology, swept registry-wide)
+# --------------------------------------------------------------------------
+
+
+def _condition_lines(p: str):
+    return [
+        ln.strip()
+        for ln in p.splitlines()
+        if ln.strip().startswith(("Condition :", "Join condition:"))
+    ]
+
+
+def test_triplet_cosine_evaluated_once(plans):
+    """_triplets_attach excludes NULL scores AFTER the rank window: a
+    pre-window filter was pushed into the candidate join's condition,
+    re-inlining the full cosine aggregate — every pair paid the
+    cosine twice (r14; plans/r14/triplets_before.txt)."""
+    for q in ("triplets", "hard_negs"):
+        p = plans(q)
+        for ln in _condition_lines(p):
+            assert "zip_with" not in ln, (q, ln[:200])
+
+
+def test_ivf_cell_assignment_evaluated_once(plans):
+    """ivf_index's coalesce(cell, -1) keeps the cell equi-joins from
+    inferring isnotnull(<full argmin expr>) below the projection —
+    the inference re-ran the literal-matrix centroid distances per
+    corpus row (r14: an 11.9 KB Filter condition in the
+    triplets_bucketed plan)."""
+    p = plans("triplets_bucketed")
+    for ln in _condition_lines(p):
+        assert "array_position" not in ln, ln[:200]
+        assert len(ln) < 2000, ln[:200]
+
+
+def test_emb_standardize_no_inferred_transform_filter(plans):
+    """q_emb_standardize explodes via posexplode_outer + a filter on
+    the Generate's OUTPUT (the jl_project lesson): an inner explode
+    infers size(z) > 0 and re-runs the 64-dim standardize transform
+    inside the broadcast-stats join condition (r14: 741-char Join
+    condition)."""
+    p = plans("emb_standardize")
+    for ln in _condition_lines(p):
+        assert "transform(" not in ln, ln[:200]
+
+
+def test_assoc_rules_window_size_guard_single_subtree(plans):
+    """association_rules' basket-size guard is a window count over the
+    deduped frame, not a size aggregate joined back — the join form
+    planted the dedup subtree in the plan twice (r14: 12 parquet
+    scans -> 6)."""
+    p = plans("assoc_rules")
+    assert p.count("Scan parquet") <= 6
+    assert "windowspecdefinition" in p  # the guard window
+
+
+def test_bm25_df_count_is_plain_count(spark):
+    """bm25 document frequency is count(*) over the (id, term)-unique
+    postings — count_distinct planned an extra dedup agg phase +
+    shuffle for identical integers (r14)."""
+    import __spark_entry__ as entry
+    from earthmover_spark.llm import retrieval
+
+    docs = entry._p(spark, SF_DIR, "documents")
+    df = retrieval.bm25_scores(
+        docs, ["query", "table"], materialize=False
+    )
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "distinct" not in p
+
+
+def test_para_dedup_exploded_paragraphs_cached(plans):
+    """paragraph_dedup persists the exploded paragraph frame — the
+    hot-digest agg and the removal join share no exchange, so
+    uncached the split+md5 pass ran twice per call (r14)."""
+    p = plans("para_dedup")
+    assert "InMemoryTableScan" in p
+
+
+def test_spread_narrow_scan_short_circuits_when_already_spread(spark):
+    """Chained operators over one narrow scan must not stack one
+    round-robin exchange per call (ADVICE r13): the second spread
+    sees the Repartition already in the analyzed plan and no-ops."""
+    from earthmover_spark.llm.textstats import spread_narrow_scan
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    once = spread_narrow_scan(df)
+    twice = spread_narrow_scan(once.select("doc_id", "text"))
+    p = twice._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert p.count("RoundRobinPartitioning") <= 1
